@@ -1,13 +1,527 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl._
+import graft.functions.StrFunctions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with matching ANSI SQL in `oracleSql` for the DuckDB
+  * hash-compare. Conventions that keep the hash compare exact:
+  *
+  *  - every query ends with a deterministic ORDER BY on non-null keys
+  *    (mirrored in the SQL);
+  *  - money sums are computed as integer cents (`CAST(round(x*100) AS
+  *    BIGINT)`) so double summation order can never flip a bit;
+  *  - aggregate counts are BIGINT on both sides (DuckDB `sum` returns
+  *    HUGEINT and is cast back);
+  *  - timestamps leave the result as formatted strings.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the reference's whole `ETLTask::run()` (extract → map →
+    * first-wins dedup → anti-destination) as one declarative plan, on
+    * sf0.001. Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val spec = PipelineSpec.parse(
+      """{"tables":[{"flow":"customer -> dst_customers",
+        |  "columns":{"cust_id":"[c_custkey]","full_name":"[c_name]",
+        |             "segment":"[c_mktsegment]","source_system":"legacy-crm",
+        |             "loaded_at":"NOW()"},
+        |  "unique":["segment"]}]}""".stripMargin)
+    ETLPipeline.transform(
+      Tables.load(spark, dir, "customer"), spec.flows.head,
+      destination = None, orderCol = Some("cust_id"))
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Integer-cents of a double money column — exact under any summation
+    * order, identical in Spark and DuckDB.
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- S1-S3: scans (SURVEY §2.1) ------------------------------------
+    "s1_scan" -> ((s, dir) =>
+      t(s, dir, "region").orderBy("r_regionkey")),
+
+    "s2_projected_scan" -> ((s, dir) =>
+      Sources.table(s, dir, "customer", columns = Seq("c_custkey", "c_name"))
+        .orderBy("c_custkey")),
+
+    "s3_filtered_scan" -> ((s, dir) =>
+      Sources.table(s, dir, "lineitem",
+          columns = Seq("l_orderkey", "l_linenumber", "l_quantity"),
+          where = Some("l_quantity >= 45"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- S6/S7: sink + re-read round-trip (SURVEY §2.1) ----------------
+    "s7_sink_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sink").toString + "/li"
+      val filtered = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      Sinks.overwriteParquet(filtered, tmp)
+      s.read.parquet(tmp).agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+    }),
+
+    // ---- P1/P2/P3: column mapping (SURVEY §2.2) ------------------------
+    "p1_column_mapping" -> ((s, dir) => {
+      val specs = Seq(
+        "cust_id" -> "[c_custkey]", "full_name" -> "[c_name]",
+        "segment" -> "[c_mktsegment]", "source_system" -> "legacy-crm"
+      ).map { case (d, v) => ColumnMapping.parse(d, v) }
+      ColumnMapping(t(s, dir, "customer"), specs).orderBy("cust_id")
+    }),
+
+    // ---- P6: str_before / str_after exact edge semantics ---------------
+    "p6_str_split" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      p.select(
+        col("p_partkey"),
+        strBefore(col("p_type"), " ").as("type_head"),
+        strAfter(col("p_type"), " ").as("type_tail"),
+        strBefore(col("p_name"), "zzz").as("before_missing"),
+        strAfter(col("p_name"), "zzz").as("after_missing")
+      ).orderBy("p_partkey")
+    }),
+
+    // ---- P9: case-fold + equality → 0/1 flag ---------------------------
+    "p9_flag" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        when(upper(col("c_mktsegment")) === "BUILDING", 1).otherwise(0)
+          .as("is_building")
+      ).orderBy("c_custkey")),
+
+    // ---- P10: uuid() per row (deterministic aggregate shape) -----------
+    "p10_uuid" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .withColumn("id", strUuid())
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct(col("id")).as("n_ids"))),
+
+    // ---- P11: email-shaped regex predicate -----------------------------
+    "p11_email_filter" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .withColumn("username",
+          when(col("c_custkey") % 3 === 0, col("c_name"))
+            .otherwise(concat(col("c_name"), lit("@example.com"))))
+        .filter(col("username").rlike("^[^@]+@[^@]+\\.[a-z]+$"))
+        .select(col("c_custkey"), col("username"))
+        .orderBy("c_custkey")),
+
+    // ---- P12: null-coalescing defaults ---------------------------------
+    "p12_coalesce" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")),
+                 lit("DEFAULTED")).as("prio")
+      ).orderBy("o_orderkey")),
+
+    // ---- P13: explicit casts -------------------------------------------
+    "p13_cast" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity")).cast("long").as("qty_int"),
+        col("l_orderkey").cast("string").as("key_str")
+      ).orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- J1: inner equi-join (SURVEY §2.3) -----------------------------
+    "j1_inner_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "inner")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+             sum(cents(col("l_extendedprice"))).as("price_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- J2: point-lookup join → broadcast hash join -------------------
+    "j2_broadcast_lookup" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"), "left")
+        .groupBy(coalesce(col("p_brand"), lit("__MISSING__")).as("brand"))
+        .agg(count(lit(1)).as("n"),
+             sum(cents(col("l_extendedprice"))).as("price_cents"))
+        .orderBy("brand")
+    }),
+
+    // ---- J4a: first-wins dedup (trim-insensitive) ----------------------
+    "j4_dedup_first_wins" -> ((s, dir) =>
+      Dedup.firstWins(t(s, dir, "customer"), "c_mktsegment",
+          Seq(col("c_custkey")))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    // ---- J4b: anti-join vs destination ---------------------------------
+    "j4_anti_destination" -> ((s, dir) => {
+      val src = t(s, dir, "customer")
+      val dst = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey"))
+      AntiDestination(src, dst, Seq("c_custkey"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- J5: semi-join guard -------------------------------------------
+    "j5_semi_guard" -> ((s, dir) => {
+      val src = t(s, dir, "customer")
+      val dst = t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"))
+      AntiDestination.semi(src, dst, Seq("c_custkey"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- J6: upsert (merge) --------------------------------------------
+    "j6_upsert" -> ((s, dir) => {
+      val dst = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val updates = dst.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + lit(1000.0)).as("c_acctbal"),
+          lit("UPSERTED").as("c_mktsegment"))
+      val inserts = dst.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + lit(1000000)).as("c_custkey"),
+          col("c_name"), lit(0.0).as("c_acctbal"),
+          lit("NEW").as("c_mktsegment"))
+      Upsert(updates.unionByName(inserts), dst, Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- A1: count (SURVEY §2.4) ---------------------------------------
+    "a1_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
+
+    // ---- A2: filtered count-distinct -----------------------------------
+    "a2_count_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_quantity") > 30)
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))),
+
+    // ---- A4: distinct set ----------------------------------------------
+    "a4_distinct" -> ((s, dir) =>
+      t(s, dir, "customer").select("c_mktsegment").distinct()
+        .orderBy("c_mktsegment")),
+
+    // ---- Aggregation battery: TPC-H Q1 shape ---------------------------
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_cents"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty",
+          col("sum_qty").cast("double") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- L1: point lookup with LIMIT 1 (SURVEY §2.5) -------------------
+    "l1_limit_lookup" -> ((s, dir) =>
+      t(s, dir, "orders").filter(col("o_custkey") === 7)
+        .orderBy("o_orderkey")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(1)),
+
+    // ---- L2: offset/limit slice ----------------------------------------
+    "l2_slice" -> ((s, dir) =>
+      t(s, dir, "customer").select("c_custkey", "c_name")
+        .orderBy("c_custkey").offset(10).limit(5)),
+
+    // ---- Top-k ----------------------------------------------------------
+    "l7_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)),
+
+    // ---- Set operations -------------------------------------------------
+    "l8_union" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct().orderBy("nk")),
+
+    "l9_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    "l10_except" -> ((s, dir) =>
+      t(s, dir, "nation").select(col("n_nationkey").as("nk"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    // ---- Window functions ----------------------------------------------
+    "w1_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          row_number().over(w).as("rn"), rank().over(w).as("rnk"))
+        .filter(col("rn") <= 3)
+        .orderBy("c_nationkey", "rn")
+    }),
+
+    "w2_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "w3_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(lag(col("o_orderdate"), 1).over(w),
+            "yyyy-MM-dd HH:mm:ss").as("prev_date"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- Events: time-bucketed aggregation ------------------------------
+    "e1_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hour_str"))
+        .agg(count(lit(1)).as("n"),
+             sum(cents(col("value"))).as("value_cents"))
+        .orderBy("hour_str")),
+
+    // ---- Flagship config-driven pipeline (oracle-checked) ---------------
+    "etl1_pipeline" -> ((s, dir) => {
+      val spec = PipelineSpec.parse(
+        """{"tables":[{"flow":"customer -> dst",
+          |  "columns":{"cust_id":"[c_custkey]","full_name":"[c_name]",
+          |             "segment":"[c_mktsegment]","source_system":"legacy-crm"},
+          |  "unique":["segment"],
+          |  "query":"c_custkey > 10"}]}""".stripMargin)
+      val dst = t(s, dir, "customer").filter(col("c_custkey") <= 2)
+        .select(col("c_mktsegment").as("segment"))
+      ETLPipeline.transform(t(s, dir, "customer"), spec.flows.head,
+          destination = Some(dst), orderCol = Some("cust_id"))
+        .orderBy("cust_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_scan" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "s2_projected_scan" ->
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+
+    "s3_filtered_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        | WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "s7_sink_roundtrip" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem WHERE l_quantity >= 49""".stripMargin,
+
+    "p1_column_mapping" ->
+      """SELECT c_custkey AS cust_id, c_name AS full_name,
+        |       c_mktsegment AS segment, 'legacy-crm' AS source_system
+        |  FROM customer ORDER BY cust_id""".stripMargin,
+
+    "p6_str_split" ->
+      """SELECT p_partkey,
+        |  CASE WHEN strpos(p_type, ' ') <= 1 THEN ''
+        |       ELSE substr(p_type, 1, strpos(p_type, ' ') - 1) END AS type_head,
+        |  CASE WHEN strpos(p_type, ' ') = 0 THEN ''
+        |       ELSE substr(p_type, strpos(p_type, ' ') + 1) END AS type_tail,
+        |  CASE WHEN strpos(p_name, 'zzz') <= 1 THEN ''
+        |       ELSE substr(p_name, 1, strpos(p_name, 'zzz') - 1) END AS before_missing,
+        |  CASE WHEN strpos(p_name, 'zzz') = 0 THEN ''
+        |       ELSE substr(p_name, strpos(p_name, 'zzz') + 3) END AS after_missing
+        |  FROM part ORDER BY p_partkey""".stripMargin,
+
+    "p9_flag" ->
+      """SELECT c_custkey,
+        |  CASE WHEN upper(c_mktsegment) = 'BUILDING' THEN 1 ELSE 0 END AS is_building
+        |  FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "p10_uuid" ->
+      "SELECT count(*) AS n_rows, count(*) AS n_ids FROM customer",
+
+    "p11_email_filter" ->
+      """SELECT c_custkey, username FROM (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_name
+        |         ELSE c_name || '@example.com' END AS username
+        |  FROM customer)
+        | WHERE regexp_matches(username, '^[^@]+@[^@]+\.[a-z]+$')
+        | ORDER BY c_custkey""".stripMargin,
+
+    "p12_coalesce" ->
+      """SELECT o_orderkey,
+        |  coalesce(nullif(o_orderpriority, '1-URGENT'), 'DEFAULTED') AS prio
+        |  FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "p13_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_quantity) AS BIGINT) AS qty_int,
+        |  CAST(l_orderkey AS VARCHAR) AS key_str
+        |  FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "j1_inner_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "j2_broadcast_lookup" ->
+      """SELECT coalesce(p_brand, '__MISSING__') AS brand, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |  GROUP BY brand ORDER BY brand""".stripMargin,
+
+    "j4_dedup_first_wins" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |    row_number() OVER (PARTITION BY trim(c_mktsegment)
+        |                       ORDER BY c_custkey) AS rn
+        |  FROM customer) WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
+
+    "j4_anti_destination" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE c_custkey NOT IN
+        |   (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        | ORDER BY c_custkey""".stripMargin,
+
+    "j5_semi_guard" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        | ORDER BY c_custkey""".stripMargin,
+
+    "j6_upsert" ->
+      """WITH dst AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |               FROM customer),
+        |     src AS (
+        |       SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal,
+        |              'UPSERTED' AS c_mktsegment
+        |         FROM dst WHERE c_custkey % 7 = 0
+        |       UNION ALL
+        |       SELECT c_custkey + 1000000, c_name, 0.0, 'NEW'
+        |         FROM dst WHERE c_custkey % 13 = 0)
+        | SELECT * FROM src
+        | UNION ALL
+        | SELECT * FROM dst
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+        | ORDER BY c_custkey""".stripMargin,
+
+    "a1_count" -> "SELECT count(*) AS n FROM lineitem",
+
+    "a2_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem
+        | WHERE l_quantity > 30""".stripMargin,
+
+    "a4_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  count(*) AS count_order,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |  GROUP BY l_returnflag, l_linestatus
+        |  ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "l1_limit_lookup" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = 7
+        | ORDER BY o_orderkey LIMIT 1""".stripMargin,
+
+    "l2_slice" ->
+      """SELECT c_custkey, c_name FROM customer ORDER BY c_custkey
+        | LIMIT 5 OFFSET 10""".stripMargin,
+
+    "l7_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "l8_union" ->
+      """SELECT DISTINCT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier) ORDER BY nk""".stripMargin,
+
+    "l9_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        | INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+
+    "l10_except" ->
+      """SELECT n_nationkey AS nk FROM nation
+        | EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+
+    "w1_rank" ->
+      """SELECT c_custkey, c_nationkey, rn, rnk FROM (
+        |  SELECT c_custkey, c_nationkey,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rn,
+        |    rank() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer) WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+
+    "w2_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS running_cents
+        |  FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w3_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(lag(o_orderdate, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |    '%Y-%m-%d %H:%M:%S') AS prev_date
+        |  FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "e1_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour_str,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |  FROM events GROUP BY hour_str ORDER BY hour_str""".stripMargin,
+
+    "etl1_pipeline" ->
+      """WITH mapped AS (
+        |  SELECT c_custkey AS cust_id, c_name AS full_name,
+        |         c_mktsegment AS segment, 'legacy-crm' AS source_system
+        |    FROM customer WHERE c_custkey > 10),
+        | dedup AS (
+        |  SELECT * FROM (
+        |    SELECT m.*, row_number() OVER (PARTITION BY trim(segment)
+        |      ORDER BY cust_id) AS rn FROM mapped m) WHERE rn = 1),
+        | dst AS (SELECT DISTINCT trim(c_mktsegment) AS k FROM customer
+        |          WHERE c_custkey <= 2)
+        | SELECT cust_id, full_name, segment, source_system FROM dedup
+        |  WHERE trim(segment) NOT IN (SELECT k FROM dst)
+        |  ORDER BY cust_id""".stripMargin
+  )
 }

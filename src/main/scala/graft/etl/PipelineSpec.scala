@@ -1,0 +1,95 @@
+package graft.etl
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** JSON config model replicating the reference's `etl.php` contract
+  * (reference: sdk/etl.php:76-150):
+  *
+  * {{{
+  * { "tables": [ { "flow": "src_table -> dst_table",
+  *                 "columns": {"dst": "[src]", "lit": "value", "ts": "NOW()"}
+  *                          | ["dst <- src", "same_name"],
+  *                 "unique": ["key1", "key2"],
+  *                 "query":  "raw SQL predicate" } ] }
+  * }}}
+  *
+  *  - `flow` is parsed on `->` with trimming (etl.php:104-105);
+  *  - `columns` accepts both the map form and the `dst <- src` list form
+  *    (etl.php:10-30);
+  *  - `unique` columns are independent dedup constraints (OR semantics);
+  *  - `query` is a raw predicate appended to the source scan (etl.php:141).
+  *
+  * Validation fails fast at parse time, mirroring etl.php:92-110, because
+  * Spark would otherwise only error at analysis.
+  */
+final case class FlowSpec(
+    from: String,
+    to: String,
+    columns: Seq[ColumnSpec],
+    unique: Seq[String],
+    query: Option[String])
+
+final case class PipelineSpec(flows: Seq[FlowSpec])
+
+object PipelineSpec {
+
+  def parse(json: String): PipelineSpec = {
+    val root = JsonMethods.parse(json)
+    val tables = root \ "tables" match {
+      case JArray(ts) => ts
+      case JNothing => throw new IllegalArgumentException(
+        "config must declare a 'tables' array")
+      case other => throw new IllegalArgumentException(
+        s"'tables' must be an array, got ${other.getClass.getSimpleName}")
+    }
+    PipelineSpec(tables.map(parseFlow))
+  }
+
+  private def parseFlow(t: JValue): FlowSpec = {
+    val flow = t \ "flow" match {
+      case JString(s) => s
+      case _ => throw new IllegalArgumentException(
+        "each tables[] entry must declare a 'flow' string")
+    }
+    val arrow = flow.indexOf("->")
+    if (arrow < 0) throw new IllegalArgumentException(
+      s"flow '$flow' must be of the form 'src -> dst'")
+    val from = flow.substring(0, arrow).trim
+    val to = flow.substring(arrow + 2).trim
+    if (from.isEmpty || to.isEmpty) throw new IllegalArgumentException(
+      s"flow '$flow' has an empty endpoint")
+
+    val columns = t \ "columns" match {
+      case JObject(fields) =>
+        fields.map { case (dst, v) =>
+          ColumnMapping.parse(dst, jstring(v, s"columns.$dst"))
+        }
+      case JArray(entries) =>
+        entries.map(e => ColumnMapping.parseArrow(jstring(e, "columns[]")))
+      case JNothing => Nil
+      case _ => throw new IllegalArgumentException(
+        s"flow '$flow': 'columns' must be an object or array")
+    }
+
+    val unique = t \ "unique" match {
+      case JArray(ks) => ks.map(k => jstring(k, "unique[]").trim)
+      case JNothing => Nil
+      case _ => throw new IllegalArgumentException(
+        s"flow '$flow': 'unique' must be an array")
+    }
+
+    val query = t \ "query" match {
+      case JString(q) if q.trim.nonEmpty => Some(q.trim)
+      case _ => None
+    }
+
+    FlowSpec(from, to, columns, unique, query)
+  }
+
+  private def jstring(v: JValue, where: String): String = v match {
+    case JString(s) => s
+    case other => throw new IllegalArgumentException(
+      s"$where must be a string, got $other")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+
+/** Sink writers — set-based replacements for the reference's row/batch
+  * INSERT paths (reference: sdk/lib/db.php:220-274 — single-row named-param
+  * INSERT and one multi-row batched INSERT per task; sdk/src/SQLTable.php:28-36).
+  *
+  * Spark has no row-at-a-time write; every sink is a partitioned bulk write
+  * with the job-commit protocol supplying the atomicity the reference got
+  * from transactions (sdk/migrate_employeur.php:196-219). Returns the row
+  * count, mirroring the reference's affected-row reporting.
+  */
+object Sinks {
+
+  def appendParquet(df: DataFrame, path: String): Long =
+    counted(df) { d => d.write.mode("append").parquet(path) }
+
+  def overwriteParquet(df: DataFrame, path: String): Long =
+    counted(df) { d => d.write.mode("overwrite").parquet(path) }
+
+  def csv(df: DataFrame, path: String, header: Boolean = true): Long =
+    counted(df) { d =>
+      d.write.mode("overwrite").option("header", header.toString).csv(path)
+    }
+
+  /** JDBC append — `batchsize` replaces the reference's hand-rolled
+    * multi-row INSERT batching (sdk/lib/db.php:250-274).
+    */
+  def jdbc(df: DataFrame, url: String, table: String,
+           options: Map[String, String] = Map.empty): Long =
+    counted(df) { d =>
+      d.write.format("jdbc").mode("append")
+        .option("url", url).option("dbtable", table)
+        .option("batchsize", "10000").options(options).save()
+    }
+
+  /** Count once via cache so write + count don't double-scan the plan (the
+    * reference paid exactly that double-scan with `iterator_count` —
+    * sdk/migrate_assures.php:405).
+    */
+  private def counted(df: DataFrame)(write: DataFrame => Unit): Long = {
+    val cached = df.cache()
+    try { write(cached); cached.count() }
+    finally cached.unpersist()
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.{AntiDestination, Dedup}
+
+/** First-wins, trim-insensitive, per-column-OR dedup semantics
+  * (reference: sdk/src/ETLTask.php:31-53).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("first occurrence wins in order-column order") {
+    val df = Seq((3, "a"), (1, "a"), (2, "b")).toDF("ord", "k")
+    val out = Dedup.firstWins(df, "k", Seq(col("ord")))
+      .orderBy("ord").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq === Seq((1, "a"), (2, "b")))
+  }
+
+  test("trailing/leading whitespace is insensitive but original kept") {
+    val df = Seq((1, "A MODIFIER   "), (2, "A MODIFIER"), (3, "  A MODIFIER"))
+      .toDF("ord", "k")
+    val out = Dedup.firstWins(df, "k", Seq(col("ord"))).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(1) === "A MODIFIER   ") // untrimmed original
+  }
+
+  test("numeric keys compare as-is") {
+    val df = Seq((1, 10), (2, 10), (3, 20)).toDF("ord", "k")
+    assert(Dedup.firstWins(df, "k", Seq(col("ord"))).count() === 2)
+  }
+
+  test("multi-column OR semantics with cache interplay") {
+    // rowA(k1=x,k2=p) passes; rowB(k1=y,k2=p) dropped by k2;
+    // rowC(k1=y,k2=q) survives only if rowB did NOT claim k1=y —
+    // but rowB claimed k1=y when it was checked BEFORE k2 dropped it?
+    // Reference checks columns in order: rowB passes k1 (caches y),
+    // then k2 drops it. rowC's k1=y is therefore a dup → dropped.
+    val df = Seq((1, "x", "p"), (2, "y", "p"), (3, "y", "q"))
+      .toDF("ord", "k1", "k2")
+    val out = Dedup.firstWinsAny(df, Seq("k1", "k2"), Seq(col("ord")))
+      .collect().map(_.getInt(0)).sorted
+    assert(out.toSeq === Seq(1))
+  }
+
+  test("anti-destination drops rows whose key exists in dst (trimmed)") {
+    val src = Seq((1, "a "), (2, "b"), (3, "c")).toDF("id", "k")
+    val dst = Seq(" a", "zz").toDF("k")
+    val out = AntiDestination(src, dst, Seq("k"))
+      .collect().map(_.getInt(0)).sorted
+    assert(out.toSeq === Seq(2, 3))
+  }
+
+  test("semi keeps only rows whose key exists in dst") {
+    val src = Seq((1, "a"), (2, "b")).toDF("id", "k")
+    val dst = Seq("a").toDF("k")
+    val out = AntiDestination.semi(src, dst, Seq("k"))
+      .collect().map(_.getInt(0))
+    assert(out.toSeq === Seq(1))
+  }
+}
