@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 
 import graft.etl._
 import graft.functions.StrFunctions._
+import graft.functions.RollingHash
+import graft.ops.{MinHashDedup, Multimodal, SimHash, Similarity, TextAnalysis}
+import graft.streaming.StreamOps
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with matching ANSI SQL in `oracleSql` for the DuckDB
@@ -270,7 +273,8 @@ object SparkEntry {
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
       t(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"),
-          row_number().over(w).as("rn"), rank().over(w).as("rnk"))
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk"))
         .filter(col("rn") <= 3)
         .orderBy("c_nationkey", "rn")
     }),
@@ -303,6 +307,101 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
              sum(cents(col("value"))).as("value_cents"))
         .orderBy("hour_str")),
+
+    // ---- Text analysis (LLM-pipeline ops) -------------------------------
+    "t1_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.charCount(col("text")).cast("long").as("n_chars_m"),
+        TextAnalysis.punctCount(col("text")).cast("long").as("n_punct")
+      ).orderBy("doc_id")),
+
+    "t2_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality")
+      ).orderBy("doc_id")),
+
+    "t3_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred")
+      ).orderBy("doc_id")),
+
+    "t4_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")
+      ).orderBy("doc_id")),
+
+    "t5_rolling_hash" -> ((s, dir) => {
+      RollingHash.register(s)
+      t(s, dir, "documents").select(
+        col("doc_id"), expr("rolling_hash(text)").as("rh")
+      ).orderBy("doc_id")
+    }),
+
+    // ---- Dedup family (LLM-pipeline ops) --------------------------------
+    "d1_exact_dedup" -> ((s, dir) =>
+      MinHashDedup.exactDuplicates(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash")),
+
+    "d2_minhash_lsh" -> ((s, dir) =>
+      MinHashDedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, m = 16, nBands = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    "d3_simhash" -> ((s, dir) =>
+      SimHash.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          maxDistance = 6)
+        .orderBy("id_a", "id_b")),
+
+    "d4_ngram_jaccard" -> ((s, dir) =>
+      MinHashDedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id",
+          "text", blockCol = "source", k = 3, threshold = 0.3)
+        .orderBy("id_a", "id_b")),
+
+    "d5_embed_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.45, nPlanes = 4)
+        .orderBy("id_a", "id_b")),
+
+    // ---- Similarity search (ANN) ----------------------------------------
+    "n1_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    "n2_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nPlanes = 4)
+        .orderBy("q_id", "rank")
+    }),
+
+    // ---- Multimodal columns ---------------------------------------------
+    "m1_media_meta" -> ((s, dir) =>
+      Multimodal.payloadMetadata(
+          Multimodal.toMediaTable(t(s, dir, "documents")))
+        .orderBy("doc_id")),
+
+    "m2_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.toMediaTable(t(s, dir, "documents")))
+        .toDF().orderBy("doc_id")),
+
+    // ---- Streaming --------------------------------------------------------
+    "st1_stream_hourly" -> ((s, dir) =>
+      StreamOps.hourlyCounts(s, dir,
+          queryName = "graft_hourly_" + System.nanoTime())
+        .orderBy("hour_str")),
+
+    "st2_sessionize" -> ((s, dir) =>
+      StreamOps.sessionizeBatch(s, t(s, dir, "events"), gapSeconds = 86400)
+        .toDF().orderBy("user_id")),
 
     // ---- Flagship config-driven pipeline (oracle-checked) ---------------
     "etl1_pipeline" -> ((s, dir) => {
@@ -508,6 +607,271 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS value_cents
         |  FROM events GROUP BY hour_str ORDER BY hour_str""".stripMargin,
+
+    "t1_text_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+        |  length(text) AS n_chars_m,
+        |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+        |  FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_quality" ->
+      """SELECT doc_id,
+        |  least(1.0, CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) / 100.0) * 0.5
+        |  + (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |           / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3
+        |  + least(1.0, CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |        tk -> tk IN ('the','a','and','of','to','is','in','that','it','for'))) AS DOUBLE)
+        |      * 5.0 / greatest(CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE), 1.0)) * 0.2
+        |  AS quality
+        |  FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t3_langid" ->
+      """WITH scores AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |      t -> t IN ('the','a','and','of','to','is','in','that','it','for'))) AS en,
+        |    len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |      t -> t IN ('le','la','les','de','et','un','une','est','que','pour'))) AS fr,
+        |    len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |      t -> t IN ('el','la','los','de','y','un','una','es','que','para'))) AS es,
+        |    len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |      t -> t IN ('der','die','das','und','ein','ist','zu','den','von','mit'))) AS de
+        |  FROM documents)
+        | SELECT doc_id, lang,
+        |   CASE WHEN en >= fr AND en >= es AND en >= de THEN 'en'
+        |        WHEN fr >= es AND fr >= de THEN 'fr'
+        |        WHEN es >= de THEN 'es'
+        |        ELSE 'de' END AS lang_pred
+        | FROM scores ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    regexp_extract_all(lower(text), '\S+'))), ' ')) AS fp
+        |  FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t5_rolling_hash" ->
+      """SELECT doc_id,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (acc, cp) -> (acc * 31 + cp) % 1000000007) AS BIGINT) AS rh
+        |  FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs,
+        |  min(doc_id) AS keeper_id
+        |  FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+
+    "d2_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+        | shs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+        |  FROM toks WHERE len(tk) >= 3),
+        | sig AS (
+        |  SELECT doc_id, sh, list_transform(range(0, 16),
+        |    j -> list_min(list_transform(sh,
+        |      s -> md5(CAST(j AS VARCHAR) || '|' || s)))) AS sig
+        |  FROM shs WHERE len(sh) > 0),
+        | bands AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, 4),
+        |    b -> md5(CAST(b AS VARCHAR) || '#' ||
+        |      array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',')))) AS band
+        |  FROM sig),
+        | bands_f AS (
+        |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band) <= 1000),
+        | pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands_f a JOIN bands_f b
+        |    ON a.band = b.band AND a.doc_id < b.doc_id),
+        | scored AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+        |      p -> p[1] = p[2])) AS DOUBLE) / 16 AS est_jaccard,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+        |  FROM pairs
+        |  JOIN sig sa ON sa.doc_id = id_a
+        |  JOIN sig sb ON sb.doc_id = id_b)
+        | SELECT id_a, id_b, est_jaccard, jaccard FROM scored
+        |  WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "d3_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+        | shs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+        |  FROM toks WHERE len(tk) >= 3),
+        | hashes AS (
+        |  SELECT doc_id, list_transform(sh,
+        |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+        |  FROM shs WHERE len(sh) > 0),
+        | sk AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+        |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+        |    AS BIGINT) AS simhash
+        |  FROM hashes),
+        | ch AS (
+        |  SELECT doc_id, simhash, c,
+        |    (simhash >> (CAST(c AS INT) * 15)) & 32767 AS chunk_val
+        |  FROM (SELECT doc_id, simhash, unnest(range(0, 4)) AS c FROM sk)),
+        | pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM ch a JOIN ch b
+        |    ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+        | SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM pairs
+        |  WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents),
+        | shs AS (
+        |  SELECT doc_id, source, list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+        |  FROM toks WHERE len(tk) >= 3)
+        | SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        |  FROM shs a JOIN shs b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        | WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    "d5_embed_neardup" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding AS x,
+        |    CAST(list_sum(list_transform(range(0, 4), j ->
+        |      CASE WHEN CAST(list_sum(list_transform(range(0, 64), i ->
+        |        (CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' ||
+        |             CAST(i AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+        |          THEN 1 ELSE -1 END) *
+        |        CAST(round(CAST(x[CAST(i AS INT) + 1] AS DOUBLE) * 1e6) AS BIGINT)))
+        |        AS BIGINT) > 0
+        |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+        |      AS BIGINT) AS bucket
+        |  FROM embeddings),
+        | pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.x AS xa, b.x AS xb
+        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        | scored AS (
+        |  SELECT id_a, id_b,
+        |    CAST(CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(xa[i] AS DOUBLE) * CAST(xb[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS DOUBLE) /
+        |    (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(xa[i] AS DOUBLE) * CAST(xa[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS DOUBLE)) *
+        |     sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(xb[i] AS DOUBLE) * CAST(xb[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS DOUBLE))) AS cos
+        |  FROM pairs)
+        | SELECT DISTINCT id_a, id_b, cos FROM scored
+        |  WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    "n1_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+        |            WHERE vec_id < 8),
+        | c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+        | scored AS (
+        |  SELECT q_id, c_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS dot_fp,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS na_fp,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS nb_fp
+        |  FROM q JOIN c ON q_id <> c_id),
+        | ranked AS (
+        |  SELECT q_id, c_id,
+        |    CAST(dot_fp AS DOUBLE) /
+        |      (sqrt(CAST(na_fp AS DOUBLE)) * sqrt(CAST(nb_fp AS DOUBLE))) AS cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dot_fp DESC, c_id) AS rank
+        |  FROM scored)
+        | SELECT q_id, c_id, rank, cos FROM ranked
+        |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "n2_ann_lsh" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding AS x,
+        |    CAST(list_sum(list_transform(range(0, 4), j ->
+        |      CASE WHEN CAST(list_sum(list_transform(range(0, 64), i ->
+        |        (CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' ||
+        |             CAST(i AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+        |          THEN 1 ELSE -1 END) *
+        |        CAST(round(CAST(x[CAST(i AS INT) + 1] AS DOUBLE) * 1e6) AS BIGINT)))
+        |        AS BIGINT) > 0
+        |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+        |      AS BIGINT) AS bucket
+        |  FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, x AS qv, bucket FROM b WHERE vec_id < 8),
+        | c AS (SELECT vec_id AS c_id, x AS cv, bucket FROM b),
+        | scored AS (
+        |  SELECT q_id, c_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS dot_fp,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS na_fp,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS nb_fp
+        |  FROM q JOIN c ON q_id <> c_id AND q.bucket = c.bucket),
+        | ranked AS (
+        |  SELECT q_id, c_id,
+        |    CAST(dot_fp AS DOUBLE) /
+        |      (sqrt(CAST(na_fp AS DOUBLE)) * sqrt(CAST(nb_fp AS DOUBLE))) AS cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dot_fp DESC, c_id) AS rank
+        |  FROM scored)
+        | SELECT q_id, c_id, rank, cos FROM ranked
+        |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "m1_media_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS sha256
+        |  FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m2_media_features" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  unicode(substr(text, 1, 1)) AS first_byte,
+        |  unicode(substr(text, length(text), 1)) AS last_byte,
+        |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |    i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT))) % 997
+        |    AS BIGINT) AS byte_sum_mod
+        |  FROM documents ORDER BY doc_id""".stripMargin,
+
+    "st1_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour_str,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |  FROM events GROUP BY hour_str ORDER BY hour_str""".stripMargin,
+
+    "st2_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        | d AS (
+        |  SELECT user_id, ts_us - lag(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+        |  FROM e)
+        | SELECT user_id, count(*) AS n_events,
+        |   CAST(1 + sum(CASE WHEN gap > 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_sessions
+        | FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "etl1_pipeline" ->
       """WITH mapped AS (

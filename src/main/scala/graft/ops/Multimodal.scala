@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, and per-partition batch "decode" — the Spark-side
+  * architecture a real image/audio pipeline needs (schema, partitioning,
+  * batch shape), with the actual codec STUBBED because no media libraries
+  * exist in this environment.
+  *
+  * The decode path mirrors the `mapInPandas` batch contract: the decoder
+  * receives an iterator of records per partition (so a real implementation
+  * amortizes model/codec initialization per partition, not per row), and
+  * emits one typed feature row per record. Swap `StubDecoder` for a real
+  * JNI/FFI codec without touching the plumbing.
+  */
+object Multimodal {
+
+  /** One media record: payload is opaque bytes + content metadata. */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte],
+                         media_type: String)
+
+  /** Decoder output: deterministic features per payload. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, first_byte: Int,
+                           last_byte: Int, byte_sum_mod: Long)
+
+  /** Decoder contract: one partition's records in, one feature row each out.
+    * Real codecs initialize per-partition state here (decoder handles, GPU
+    * context) before consuming the iterator.
+    */
+  trait Decoder extends Serializable {
+    def decodePartition(records: Iterator[MediaRecord]): Iterator[MediaFeatures]
+  }
+
+  /** ======= STUB =======
+    * Deterministic fake "decode": byte-level statistics standing in for a
+    * real image/audio feature extractor (libraries unavailable in this
+    * container). The batch shape, schema, and partition amortization are
+    * real; only the math inside is fake.
+    */
+  object StubDecoder extends Decoder {
+    def decodePartition(records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+      records.map { r =>
+        val b = r.payload
+        var sum = 0L
+        var i = 0
+        while (i < b.length) { sum += (b(i) & 0xff); i += 1 }
+        MediaFeatures(r.doc_id, b.length.toLong,
+          if (b.isEmpty) -1 else b(0) & 0xff,
+          if (b.isEmpty) -1 else b(b.length - 1) & 0xff,
+          sum % 997L)
+      }
+  }
+
+  /** Wrap the documents table as a media table: text bytes standing in for
+    * an image/audio payload (binary column + metadata columns).
+    */
+  def toMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      lit("text/plain").as("media_type"))
+
+  /** Payload-level metadata without decoding: size + content digest —
+    * pure projection, codegen'd, no shuffle.
+    */
+  def payloadMetadata(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      sha2(col("payload"), 256).as("sha256"))
+
+  /** Batch feature extraction via mapPartitions (the mapInPandas analogue).
+    * Partition-parallel, no shuffle; output is a typed Dataset.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "payload", "media_type").as[MediaRecord]
+      .mapPartitions(it => decoder.decodePartition(it))
+  }
+
+  /** Frame sampling stub: byte-range slices of the payload standing in for
+    * video frame extraction (`substring` works on binary). Emits
+    * (doc_id, frame_idx, frame_bytes) — the explode shape a real frame
+    * sampler produces.
+    */
+  def sampleFrames(media: DataFrame, frameSize: Int, nFrames: Int): DataFrame =
+    media.select(col("doc_id"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"))
+      .join(media.select(col("doc_id"), col("payload")), "doc_id")
+      .select(col("doc_id"), col("frame_idx"),
+        col("payload").substr(col("frame_idx") * frameSize + 1,
+          lit(frameSize)).as("frame_bytes"))
+      .filter(length(col("frame_bytes")) > 0)
+}

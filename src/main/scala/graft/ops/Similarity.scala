@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over an embedding column (`array<float>`).
+  *
+  * All scores are computed in FIXED-POINT: each elementwise product is
+  * rounded to 1e-12 and summed as a BIGINT, so the result is exact integer
+  * arithmetic — independent of summation order, identical across engines
+  * (the DuckDB oracle reproduces it bit-for-bit), and safely inside int64
+  * range for dims << 1e5 with unit-scale values. Cosine then divides the
+  * exact integers once — a deterministic IEEE754 operation.
+  *
+  * Scale paths:
+  *  - `bruteForceTopK` — O(|queries| × N); correct baseline, broadcast the
+  *    query side. Fine for reranking; wrong as the primary index at 100 TB.
+  *  - `lshTopK` — random-hyperplane LSH: sign-pattern bucket key from
+  *    md5-derived ±1 planes, equality-join on the bucket, exact scoring only
+  *    within buckets. The cross join becomes a hash join on the bucket key;
+  *    recall is tunable by nPlanes (fewer planes → bigger buckets).
+  */
+object Similarity {
+
+  private val Scale = 1e12
+
+  /** Exact fixed-point dot product of two float arrays. */
+  def dotFp(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast("double") * y.cast("double") * Scale).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  def normFp(a: Column): Column = dotFp(a, a)
+
+  /** Cosine from fixed-point components (one deterministic division). */
+  def cosineFromFp(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") /
+      (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    cosineFromFp(dotFp(a, b), normFp(a), normFp(b))
+
+  /** Exact top-k neighbours for each query vector (brute force).
+    * `queries` and `candidates` both carry (idCol, vecCol); query side is
+    * broadcast. Self-pairs are excluded.
+    */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("dot_fp", dotFp(col("q_vec"), col("c_vec")))
+      .withColumn("cos", cosineFromFp(col("dot_fp"),
+        normFp(col("q_vec")), normFp(col("c_vec"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("dot_fp").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "cos")
+  }
+
+  /** Deterministic ±1 hyperplane component for plane j, dimension i:
+    * parity of the first hex digit of md5(j + "_" + i).
+    */
+  private def planeSign(j: Column, i: Column): Column =
+    when(conv(substring(md5(concat(j.cast("string"), lit("_"),
+      i.cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 0, 1L)
+      .otherwise(-1L)
+
+  /** LSH bucket key: bit j set when (plane_j · x) > 0, computed in exact
+    * fixed-point (1e-6 per element — products of ±1 with unit-scale floats).
+    */
+  def lshBucket(vec: Column, nPlanes: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(nPlanes - 1)),
+      lit(0L),
+      (acc, j) => {
+        val planeDot = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+            planeSign(j, i) * round(x.cast("double") * 1e6).cast("long")),
+          lit(0L), (a2, v) => a2 + v)
+        acc + when(planeDot > 0, call_function("shiftleft", lit(1L), j))
+          .otherwise(lit(0L))
+      })
+
+  /** Approximate top-k: equality-join on the LSH bucket, exact scoring
+    * within the bucket only.
+    */
+  def lshTopK(candidates: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nPlanes: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      lshBucket(col(vecCol), nPlanes).as("bucket"))
+    val c = candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      lshBucket(col(vecCol), nPlanes).as("bucket"))
+    val scored = c.join(broadcast(q),
+        col("q_id") =!= col("c_id") && q("bucket") === c("bucket"))
+      .withColumn("dot_fp", dotFp(col("q_vec"), col("c_vec")))
+      .withColumn("cos", cosineFromFp(col("dot_fp"),
+        normFp(col("q_vec")), normFp(col("c_vec"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("dot_fp").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * bucketed by LSH so the pair generation is an equality join (the scale
+    * path; pairs split across buckets are the recall trade-off).
+    */
+  def embeddingNearDuplicates(vectors: DataFrame, idCol: String,
+                              vecCol: String, threshold: Double,
+                              nPlanes: Int = 6): DataFrame = {
+    val v = vectors.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), nPlanes).as("bucket"))
+    val left = v.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      col("bucket"))
+    val right = v.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      col("bucket"))
+    left.join(right,
+        left("bucket") === right("bucket") && col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+      .distinct()
+  }
+}

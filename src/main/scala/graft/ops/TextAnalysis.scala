@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, stopword-based language ID, and document
+  * fingerprinting. Everything is built from codegen'd built-ins (no UDFs),
+  * so the whole battery runs inside whole-stage codegen and scales linearly
+  * with a plain projection — no shuffle at all until an aggregation is
+  * requested.
+  *
+  * Determinism note: every formula is a fixed sequence of exact-integer
+  * counts combined with at most one floating division per term, so results
+  * reproduce bit-identically across engines (the DuckDB oracle mirrors the
+  * same shapes).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization via regexp (leading/trailing whitespace safe —
+    * unlike split(), no empty edge tokens).
+    */
+  def tokens(text: Column): Column =
+    call_function("regexp_extract_all", lower(text), lit("\\S+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Count of sentence-punctuation characters. */
+  def punctCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text, lit("[.,;:!?]"), lit(0)))
+
+  // Small per-language stopword lists for the n-gram/stopword language
+  // heuristic. Counts use integer arithmetic so cross-language comparison
+  // is exact.
+  val EnStop = Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for")
+  val FrStop = Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour")
+  val EsStop = Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "para")
+  val DeStop = Seq("der", "die", "das", "und", "ein", "ist", "zu", "den", "von", "mit")
+
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Stopword-score language ID with a deterministic precedence tie-break
+    * (en > fr > es > de). Integer count comparison — no float ties.
+    */
+  def langId(text: Column): Column = {
+    val tk = tokens(text)
+    val en = stopwordCount(tk, EnStop)
+    val fr = stopwordCount(tk, FrStop)
+    val es = stopwordCount(tk, EsStop)
+    val de = stopwordCount(tk, DeStop)
+    when(en >= fr && en >= es && en >= de, "en")
+      .when(fr >= es && fr >= de, "fr")
+      .when(es >= de, "es")
+      .otherwise("de")
+  }
+
+  /** Heuristic quality score in [0,1]: length saturation + punctuation
+    * sanity + stopword density. Weights sum to 1.
+    */
+  def qualityScore(text: Column): Column = {
+    val tk = tokens(text)
+    val nTok = size(tk).cast("double")
+    val nChar = length(text).cast("double")
+    val nPunct = punctCount(text).cast("double")
+    val nStop = stopwordCount(tk, EnStop).cast("double")
+    least(lit(1.0), nTok / 100.0) * 0.5 +
+      (lit(1.0) - nPunct / greatest(nChar, lit(1.0))) * 0.3 +
+      least(lit(1.0), nStop * 5.0 / greatest(nTok, lit(1.0))) * 0.2
+  }
+
+  /** Order-insensitive set fingerprint: md5 of the sorted distinct token
+    * list. Two documents with the same bag of words (any order, any
+    * multiplicity) collide — the classic shingle-free near-dup prefilter.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (north-star scope per SURVEY.md §2.6 — the
+  * reference is batch-only; its lazy-cursor streaming flavor and per-run
+  * keyed state map 1:1 onto Structured Streaming built-ins).
+  */
+object StreamOps {
+
+  /** Event with microsecond epoch — the typed shape for stateful ops. */
+  case class Event(event_id: Long, ts_us: Long, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Tumbling-window streaming aggregation, driven synchronously from the
+    * static events parquet (memory sink + processAllAvailable — one
+    * micro-batch). Returns the finished result as a batch DataFrame.
+    */
+  def hourlyCounts(spark: SparkSession, dir: String,
+                   queryName: String = "graft_hourly"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    // The file-stream source requires a directory; pathGlobFilter narrows
+    // the scan to the events table within the scale-factor dir.
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName).select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
+      col("n"), col("value_cents"))
+  }
+
+  /** Gap-based sessionization, batch form: sessions break when consecutive
+    * events of a user are more than `gapSeconds` apart. Exact integer
+    * (microsecond) comparisons throughout. Shuffles once on user_id.
+    */
+  def sessionizeBatch(spark: SparkSession, events: DataFrame,
+                      gapSeconds: Long): Dataset[UserSessions] = {
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, it) =>
+        val sorted = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+        var sessions = if (sorted.isEmpty) 0L else 1L
+        var i = 1
+        while (i < sorted.length) {
+          if (sorted(i).ts_us - sorted(i - 1).ts_us > gapUs) sessions += 1
+          i += 1
+        }
+        UserSessions(uid, sorted.length.toLong, sessions)
+      }
+  }
+
+  /** Streaming keyed state: running per-user event count via
+    * mapGroupsWithState — the Structured Streaming analogue of the
+    * reference's per-run in-memory key caches (sdk/src/ETLTask.php:34).
+    */
+  def runningUserCounts(spark: SparkSession, events: Dataset[Event]):
+      Dataset[(Long, Long)] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + batch.size
+          state.update(total)
+          (uid, total)
+      }
+  }
+}

@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.RollingHash
+import graft.ops._
+import graft.streaming.StreamOps
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token and punct counts") {
+    val df = Seq("  Hello, world!  one two ").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount($"text").as("t"),
+      TextAnalysis.punctCount($"text").as("p")).head()
+    assert(r.getInt(0) === 4)
+    assert(r.getInt(1) === 2)
+  }
+
+  test("fingerprint is order- and multiplicity-insensitive") {
+    val df = Seq(("a b c a", 1), ("c b a", 2), ("a b d", 3)).toDF("text", "id")
+    val fps = df.select(TextAnalysis.fingerprint($"text"))
+      .collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("langid picks the dominant stopword language, en precedence on tie") {
+    val r = Seq("le chat est sur la table et il dort que pour")
+      .toDF("text").select(TextAnalysis.langId($"text")).head().getString(0)
+    assert(r === "fr")
+    val tie = Seq("xyz abc").toDF("text")
+      .select(TextAnalysis.langId($"text")).head().getString(0)
+    assert(tie === "en")
+  }
+}
+
+class RollingHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches the reference arithmetic") {
+    assert(RollingHash.hash("") === 0L)
+    assert(RollingHash.hash("ab") === 3105L) // (0*31+97)*31+98
+  }
+
+  test("expression evaluates through codegen inside a DataFrame") {
+    RollingHash.register(spark)
+    val out = Seq("ab", "ba", "ab").toDF("s")
+      .select(expr("rolling_hash(s)").as("h")).collect().map(_.getLong(0))
+    assert(out(0) === 3105L)
+    assert(out(0) === out(2))
+    assert(out(0) !== out(1)) // order-sensitive by design
+  }
+}
+
+class MinHashDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles of a 5-token doc with k=3") {
+    val sh = Seq("a b c d e").toDF("text")
+      .select(MinHashDedup.shingles(
+        TextAnalysis.tokens($"text"), 3).as("sh"))
+      .head().getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("near-identical docs are found with jaccard ~1, unrelated are not") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again tonight"),
+      (3L, "completely different words about spark query engines here now")
+    ).toDF("doc_id", "text")
+    val pairs = MinHashDedup.nearDuplicates(docs, "doc_id", "text",
+      threshold = 0.5).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getLong(0) === 1L && pairs.head.getLong(1) === 2L)
+    assert(pairs.head.getDouble(3) > 0.7)
+  }
+
+  test("exact duplicates group by content hash") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val groups = MinHashDedup.exactDuplicates(docs, "doc_id", "text")
+      .orderBy(desc("n_docs")).collect()
+    assert(groups.length === 2)
+    assert(groups.head.getLong(1) === 2L) // n_docs
+    assert(groups.head.getLong(2) === 1L) // keeper = min id
+  }
+}
+
+class SimHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical shingle sets give identical sketches; hamming 0 pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val pairs = SimHash.nearDuplicates(docs, "doc_id", "text",
+      maxDistance = 3).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getLong(2) === 0L)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is ~1, orthogonal ~0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    ).toDF("a", "b")
+    val cs = df.select(Similarity.cosine($"a", $"b")).collect()
+      .map(_.getDouble(0))
+    assert(math.abs(cs(0) - 1.0) < 1e-9)
+    assert(math.abs(cs(1)) < 1e-9)
+  }
+
+  test("brute-force top-k excludes self and ranks by similarity") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 2).orderBy("rank").collect()
+    assert(r.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stub decoder computes byte statistics through mapPartitions") {
+    val media = Seq((7L, "abc")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.toMediaTable(media)).collect()
+    assert(feats.head === Multimodal.MediaFeatures(7L, 3L, 97, 99,
+      (97 + 98 + 99) % 997))
+  }
+
+  test("frame sampling slices the payload") {
+    val media = Multimodal.toMediaTable(
+      Seq((1L, "abcdefgh")).toDF("doc_id", "text"))
+    val frames = Multimodal.sampleFrames(media, frameSize = 3, nFrames = 3)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(r => new String(r.getAs[Array[Byte]]("frame_bytes")))
+      .toSeq === Seq("abc", "def", "gh"))
+  }
+}
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batch sessionization counts gap-separated sessions") {
+    val us = 1000000L
+    val events = Seq(
+      (1L, 0L * us, 10L, "c", 1.0),
+      (2L, 100L * us, 10L, "c", 1.0),     // same session (gap 100s)
+      (3L, 5000L * us, 10L, "c", 1.0),    // new session (gap 4900s > 3600)
+      (4L, 0L * us, 20L, "c", 1.0)
+    ).toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros($"ts_us")).drop("ts_us")
+    val r = StreamOps.sessionizeBatch(spark, events, gapSeconds = 3600)
+      .collect().map(u => u.user_id -> (u.n_events, u.n_sessions)).toMap
+    assert(r(10L) === ((3L, 2L)))
+    assert(r(20L) === ((1L, 1L)))
+  }
+
+  test("streaming hourly counts equal batch aggregation") {
+    val out = StreamOps.hourlyCounts(spark, sf,
+      queryName = "t_" + System.nanoTime())
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(date_format(date_trunc("hour", $"ts"),
+        "yyyy-MM-dd HH:mm:ss").as("hour_str"))
+      .agg(count(lit(1)).as("n"))
+    val a = out.select("hour_str", "n").orderBy("hour_str").collect()
+    val b = batch.orderBy("hour_str").collect()
+    assert(a.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      b.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("mapGroupsWithState accumulates across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    val counts = StreamOps.runningUserCounts(spark, mem.toDS())
+    val qn = "state_" + System.nanoTime()
+    val q = counts.writeStream.format("memory").queryName(qn)
+      .outputMode("update").start()
+    mem.addData(StreamOps.Event(1, 0, 5, "a", 1.0),
+      StreamOps.Event(2, 1, 5, "a", 1.0))
+    q.processAllAvailable()
+    mem.addData(StreamOps.Event(3, 2, 5, "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(qn).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.contains((5L, 2L))) // after batch 1
+    assert(rows.contains((5L, 3L))) // state carried into batch 2
+  }
+}
