@@ -308,6 +308,81 @@ object SparkEntry {
              sum(cents(col("value"))).as("value_cents"))
         .orderBy("hour_str")),
 
+    // ---- S5: CSV file source/sink round-trip ----------------------------
+    "s5_csv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csv").toString + "/cust"
+      val src = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+      Sinks.csv(src, tmp)
+      Sources.csv(s, tmp)
+        .select(col("c_custkey").cast("long"), col("c_name"),
+          col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- P4: existence probe as a per-row flag --------------------------
+    "p4_exists" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      t(s, dir, "customer")
+        .join(orders.withColumn("has_big_order", lit(1)),
+          Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("has_big_order"), lit(0)).as("has_big_order"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- A3: count after cache (reference re-scanned; we pin) -----------
+    "a3_count_cached" -> ((s, dir) => {
+      val filtered = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").cache()
+      val n = filtered.count() // first action: materialize + count
+      filtered.unpersist()
+      s.range(1).select(lit(n).as("n"))
+    }),
+
+    // ---- A6: rollup (grouping-set aggregation) --------------------------
+    "a6_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("price_cents"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"), col("price_cents"))
+        .orderBy("status", "prio")),
+
+    // ---- A7: approximate distinct (sketch; rows-only check) -------------
+    "a7_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))),
+
+    // ---- L3/L4: positional access + column extraction -------------------
+    "l3_positional" -> ((s, dir) =>
+      t(s, dir, "customer").orderBy("c_custkey")
+        .select("c_custkey", "c_name").offset(41).limit(1)),
+
+    "l4_column_extract" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_brand")).distinct()
+        .orderBy("p_brand")),
+
+    // ---- J7: delete-then-insert children as replace-children ------------
+    "j7_replace_children" -> ((s, dir) => {
+      val dst = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val recomputed = t(s, dir, "orders")
+        .filter(col("o_custkey") % 10 === 0)
+        .select(col("o_orderkey") + 5000000, col("o_custkey"),
+          lit(0.0).as("o_totalprice"))
+        .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      Upsert.replaceChildren(dst, recomputed, Seq("o_custkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- Text analysis (LLM-pipeline ops) -------------------------------
     "t1_text_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -608,6 +683,47 @@ object SparkEntry {
         |    AS value_cents
         |  FROM events GROUP BY hour_str ORDER BY hour_str""".stripMargin,
 
+    "s5_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        | ORDER BY c_custkey""".stripMargin,
+
+    "p4_exists" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey IN (SELECT o_custkey FROM orders
+        |                          WHERE o_totalprice > 400000)
+        |       THEN 1 ELSE 0 END AS has_big_order
+        |  FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "a3_count_cached" ->
+      "SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'",
+
+    "a6_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS prio,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |  FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |  ORDER BY status, prio""".stripMargin,
+
+    "l3_positional" ->
+      """SELECT c_custkey, c_name FROM customer ORDER BY c_custkey
+        | LIMIT 1 OFFSET 41""".stripMargin,
+
+    "l4_column_extract" ->
+      "SELECT DISTINCT p_brand FROM part ORDER BY p_brand",
+
+    "j7_replace_children" ->
+      """WITH recomputed AS (
+        |  SELECT o_orderkey + 5000000 AS o_orderkey, o_custkey,
+        |         0.0 AS o_totalprice
+        |    FROM orders WHERE o_custkey % 10 = 0)
+        | SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_custkey NOT IN (SELECT o_custkey FROM recomputed)
+        | UNION ALL
+        | SELECT * FROM recomputed
+        | ORDER BY o_orderkey""".stripMargin,
+
     "t1_text_stats" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
@@ -675,7 +791,9 @@ object SparkEntry {
         | sig AS (
         |  SELECT doc_id, sh, list_transform(range(0, 16),
         |    j -> list_min(list_transform(sh,
-        |      s -> md5(CAST(j AS VARCHAR) || '|' || s)))) AS sig
+        |      s -> ((2*j + 1) *
+        |            (CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647)
+        |            + 7919*j + 13) % 2147483647))) AS sig
         |  FROM shs WHERE len(sh) > 0),
         | bands AS (
         |  SELECT doc_id, unnest(list_transform(range(0, 4),

@@ -27,13 +27,33 @@ object MinHashDedup {
         sequence(lit(1), size(toks) - (k - 1)),
         i => concat_ws(" ", slice(toks, i, lit(k)))))
 
-  /** m-component minhash signature: component j is the lexicographic min of
-    * md5(j + "|" + shingle) over the shingle set.
+  /** Modulus for the universal-hash family (2^31 - 1, prime). */
+  val HashMod = 2147483647L
+
+  /** 60-bit base hash of one shingle, reduced mod `HashMod`. ONE md5 per
+    * shingle — the m signature components derive from it arithmetically
+    * (seeded md5 per component was measured 16× more hashing and dominated
+    * the whole pipeline at bench scale).
+    */
+  def baseHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % HashMod
+
+  /** m-component minhash signature from pre-computed base hashes:
+    * component j is min over shingles of ((2j+1)·h + 7919j + 13) mod p —
+    * a universal-hash family in exact int64 arithmetic (max product
+    * ≈ 31·2^31 << 2^63), reproducible in any engine with 64-bit ints.
+    */
+  def signatureOfHashes(hashes: Column, m: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)),
+      j => array_min(transform(hashes,
+        h => ((j * 2L + 1L) * h + j * 7919L + 13L) % HashMod)))
+
+  /** Convenience: signature straight from the shingle array. Callers on the
+    * hot path should materialize `baseHash` into a column first (see
+    * `nearDuplicates`) so the md5 work isn't re-evaluated per component.
     */
   def signature(sh: Column, m: Int): Column =
-    transform(sequence(lit(0), lit(m - 1)),
-      j => array_min(transform(sh,
-        s => md5(concat(j.cast("string"), lit("|"), s)))))
+    signatureOfHashes(transform(sh, baseHash(_)), m)
 
   /** LSH band keys: the signature is split into `nBands` runs of `rowsPerBand`
     * components; each band hashes to one bucket key.
@@ -41,7 +61,9 @@ object MinHashDedup {
   def bandKeys(sig: Column, rowsPerBand: Int, nBands: Int): Column =
     transform(sequence(lit(0), lit(nBands - 1)),
       b => md5(concat(b.cast("string"), lit("#"),
-        concat_ws(",", slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand))))))
+        concat_ws(",", transform(
+          slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
+          x => x.cast("string"))))))
 
   /** Full near-dup pipeline over (idCol, textCol). Returns candidate pairs
     * with estimated (signature-agreement) and exact (shingle-set) Jaccard,
@@ -55,11 +77,27 @@ object MinHashDedup {
     val toks = TextAnalysis.tokens(col(textCol))
     val sh = array_distinct(shingles(toks, k))
 
-    val prepared = docs
+    // Spread the hash work: a small parquet file arrives as ONE partition,
+    // serializing all signature computation onto one core. Repartitioning
+    // by id costs one narrow-row shuffle and buys full parallelism; at
+    // 100 TB the input already has enough partitions and this coalesces
+    // nothing away.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par, col(idCol))
+      else docs
+
+    // Cache: the signature frame is consumed three times (band explode +
+    // both sides of the verify join); without pinning, the signature work
+    // re-executes per consumer. At 100 TB persist to storage instead.
+    val prepared = spread
       .select(col(idCol), sh.as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", signature(col("sh"), m))
+      .withColumn("hs", transform(col("sh"), baseHash(_)))
+      .withColumn("sig", signatureOfHashes(col("hs"), m))
       .withColumn("bands", bandKeys(col("sig"), rowsPerBand, nBands))
+      .drop("hs")
+      .cache()
 
     val exploded = prepared.select(col(idCol), explode(col("bands")).as("band"))
     // Degenerate-bucket guard: quadratic pair blowup protection at scale.
@@ -70,10 +108,13 @@ object MinHashDedup {
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
 
-    val left = bucketed.select(col(idCol).as("id_a"), col("band"))
-    val right = bucketed.select(col(idCol).as("id_b"), col("band"))
+    // Alias the join key on each side: both frames share lineage, and an
+    // un-renamed col("band") === col("band") resolves to the same attribute
+    // (trivially true) — silently degrading the bucket join to a cross join.
+    val left = bucketed.select(col(idCol).as("id_a"), col("band").as("band_a"))
+    val right = bucketed.select(col(idCol).as("id_b"), col("band").as("band_b"))
     val pairs = left.join(right,
-        left("band") === right("band") && col("id_a") < col("id_b"))
+        col("band_a") === col("band_b") && col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
     val withSets = pairs
@@ -102,17 +143,32 @@ object MinHashDedup {
                         blockCol: String, k: Int = 3,
                         threshold: Double = 0.3): DataFrame = {
     val sh = array_distinct(shingles(TextAnalysis.tokens(col(textCol)), k))
-    val prepared = docs.select(col(idCol), col(blockCol), sh.as("sh"))
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par, col(idCol))
+      else docs
+    // Cache: consumed by both sides of the blocked pair join.
+    val prepared = spread.select(col(idCol), col(blockCol), sh.as("sh"))
       .filter(size(col("sh")) > 0)
-    val left = prepared.select(col(idCol).as("id_a"), col(blockCol),
-      col("sh").as("sh_a"))
-    val right = prepared.select(col(idCol).as("id_b"), col(blockCol),
-      col("sh").as("sh_b"))
-    left.join(right, Seq(blockCol))
+      .cache()
+    // Sparse-join intersection counting: explode the shingle sets and join
+    // on (block, shingle), then count matches per pair. |A∪B| follows from
+    // the sizes. This replaces per-pair array_intersect over the full
+    // quadratic pair space with one shuffle on the shingle key — pairs
+    // sharing no shingle never materialize at all (they can't pass any
+    // threshold > 0). The classic inverted-index shape; at 100 TB the
+    // skew hazard is a shingle common to a whole block (stop-shingle) —
+    // prune those upstream if blocks are huge.
+    val ea = prepared.select(col(idCol).as("id_a"), col(blockCol),
+      size(col("sh")).as("sz_a"), explode(col("sh")).as("s"))
+    val eb = prepared.select(col(idCol).as("id_b"), col(blockCol),
+      size(col("sh")).as("sz_b"), explode(col("sh")).as("s"))
+    ea.join(eb, Seq(blockCol, "s"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard", col("c").cast("double") /
+        (col("sz_a") + col("sz_b") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -29,8 +29,16 @@ object SimHash {
     * synthetic corpus: token-level gives ~16k candidate pairs, shingle-level
     * isolates the ~25 true near-dups).
     */
-  def simhash(features: Column): Column = {
-    val hashes = transform(array_distinct(features), tokenHash(_))
+  def simhash(features: Column): Column =
+    simhashOfHashes(transform(array_distinct(features), tokenHash(_)))
+
+  /** Simhash from a PRE-COMPUTED hash array. Callers should materialize the
+    * hash array into its own column first: the per-bit fold references the
+    * array 60 times, and an inlined `transform(..., md5...)` subtree would
+    * be re-evaluated once per bit — a 60× blowup of the md5 work (observed:
+    * dominates the whole pipeline at bench scale).
+    */
+  def simhashOfHashes(hashes: Column): Column =
     aggregate(
       sequence(lit(0), lit(59)),
       lit(0L),
@@ -41,7 +49,6 @@ object SimHash {
         acc + when(votes > 0, call_function("shiftleft", lit(1L), j))
           .otherwise(lit(0L))
       })
-  }
 
   /** 15-bit chunks for the Hamming-candidate equality join. */
   def chunks(sim: Column, nChunks: Int = 4): Column =
@@ -50,14 +57,33 @@ object SimHash {
         call_function("shiftright", sim, c * 15).bitwiseAND(lit(0x7FFFL))
           .as("chunk_val")))
 
-  /** Sketch every document over word k-shingles: (id, simhash). */
+  /** Sketch every document over word k-shingles: (id, simhash).
+    *
+    * Implemented as explode → 60 codegen'd `sum` aggregates → bit
+    * recombination, NOT a nested array-lambda fold: higher-order-function
+    * lambdas evaluate interpreted per element, and the explode+agg shape
+    * keeps the entire bit-vote computation inside whole-stage codegen with
+    * one hash-partitioned shuffle on the doc id (measured ~7× faster at
+    * bench scale, and the same shape scales out on a cluster).
+    */
   def sketch(docs: DataFrame, idCol: String, textCol: String,
              shingleK: Int = 3): DataFrame = {
     val sh = array_distinct(MinHashDedup.shingles(
       TextAnalysis.tokens(col(textCol)), shingleK))
-    docs.select(col(idCol), sh.as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col(idCol), simhash(col("sh")).as("simhash"))
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par, col(idCol))
+      else docs
+    val exploded = spread.select(col(idCol), explode(sh).as("s"))
+      .select(col(idCol), tokenHash(col("s")).as("h"))
+    val voteCols = (0 until 60).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"b$j"))
+    val votes = exploded.groupBy(col(idCol))
+      .agg(voteCols.head, voteCols.tail: _*)
+    val sim = (0 until 60).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col(idCol), sim.as("simhash"))
   }
 
   /** Near-dup pairs with Hamming distance <= maxDistance. Candidate recall
@@ -67,14 +93,18 @@ object SimHash {
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      maxDistance: Int = 3): DataFrame = {
+    // Cache: the sketch feeds both sides of the chunk join.
     val sk = sketch(docs, idCol, textCol)
+      .cache()
       .withColumn("chunk", explode(chunks(col("simhash"))))
+    // Rename the join key per side — shared lineage would otherwise make
+    // chunk === chunk trivially true (cross join).
     val left = sk.select(col(idCol).as("id_a"), col("simhash").as("sim_a"),
-      col("chunk"))
+      col("chunk").as("chunk_a"))
     val right = sk.select(col(idCol).as("id_b"), col("simhash").as("sim_b"),
-      col("chunk"))
+      col("chunk").as("chunk_b"))
     left.join(right,
-        left("chunk") === right("chunk") && col("id_a") < col("id_b"))
+        col("chunk_a") === col("chunk_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
       .distinct()

@@ -24,6 +24,15 @@ object Similarity {
 
   private val Scale = 1e12
 
+  /** Ensure enough partitions to parallelize per-row scoring work — a small
+    * parquet file arrives as one partition and would serialize everything.
+    */
+  private def spread(df: DataFrame, idCol: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par, col(idCol))
+    else df
+  }
+
   /** Exact fixed-point dot product of two float arrays. */
   def dotFp(a: Column, b: Column): Column =
     aggregate(
@@ -48,7 +57,8 @@ object Similarity {
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val c = spread(candidates, idCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("dot_fp", dotFp(col("q_vec"), col("c_vec")))
       .withColumn("cos", cosineFromFp(col("dot_fp"),
@@ -93,8 +103,9 @@ object Similarity {
               nPlanes: Int = 8): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       lshBucket(col(vecCol), nPlanes).as("bucket"))
-    val c = candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
+    val c = spread(candidates, idCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        lshBucket(col(vecCol), nPlanes).as("bucket"))
     val scored = c.join(broadcast(q),
         col("q_id") =!= col("c_id") && q("bucket") === c("bucket"))
       .withColumn("dot_fp", dotFp(col("q_vec"), col("c_vec")))
@@ -115,14 +126,19 @@ object Similarity {
   def embeddingNearDuplicates(vectors: DataFrame, idCol: String,
                               vecCol: String, threshold: Double,
                               nPlanes: Int = 6): DataFrame = {
-    val v = vectors.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
+    // Cache: the bucketed frame feeds both sides of the pair join.
+    val v = spread(vectors, idCol)
+      .select(col(idCol), col(vecCol),
+        lshBucket(col(vecCol), nPlanes).as("bucket"))
+      .cache()
+    // Rename the join key per side — shared lineage would otherwise make
+    // bucket === bucket trivially true (cross join).
     val left = v.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
-      col("bucket"))
+      col("bucket").as("bucket_a"))
     val right = v.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
-      col("bucket"))
+      col("bucket").as("bucket_b"))
     left.join(right,
-        left("bucket") === right("bucket") && col("id_a") < col("id_b"))
+        col("bucket_a") === col("bucket_b") && col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape assertions: the optimizations we design for at 100 TB must be
+  * visible in the physical plan at any scale — column pruning reaching the
+  * parquet scan, predicate pushdown, broadcast joins for small dims, and
+  * whole-stage codegen over the hot expressions.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def optimizedOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.optimizedPlan.toString
+
+  test("projected scan prunes columns at the parquet reader") {
+    val plan = planOf("s2_projected_scan")
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
+      s"column pruning missing:\n$plan")
+  }
+
+  test("filtered scan pushes the predicate into the scan") {
+    val plan = planOf("s3_filtered_scan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThanOrEqual(l_quantity,45.0)]"),
+      s"predicate pushdown missing:\n$plan")
+  }
+
+  test("column mapping reads only mapped source columns") {
+    val plan = planOf("p1_column_mapping")
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint," +
+      "c_name:string,c_mktsegment:string>"),
+      s"mapping should prune to 3 columns:\n$plan")
+  }
+
+  test("dimension lookup join broadcasts the small side") {
+    val plan = planOf("j2_broadcast_lookup")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
+  }
+
+  test("anti-destination resolves to a real anti join, not a filter scan") {
+    val plan = planOf("j4_anti_destination")
+    assert(plan.contains("LeftAnti"), s"expected LeftAnti join:\n$plan")
+  }
+
+  test("semi guard resolves to LeftSemi") {
+    val plan = planOf("j5_semi_guard")
+    assert(plan.contains("LeftSemi"), s"expected LeftSemi join:\n$plan")
+  }
+
+  test("q1 aggregation is whole-stage codegen'd with partial aggregation") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen spans materialize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"codegen missing:\n$plan") // *(n) = codegen stage
+    assert(plan.contains("HashAggregate"), s"hash agg missing:\n$plan")
+    // partial + final pair → map-side combine before the exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("minhash LSH pair join is an equality join on the band key") {
+    val df = SparkEntry.queries("d2_minhash_lsh")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    // no join may have an empty (cross) condition
+    assert(joins.nonEmpty)
+    assert(joins.forall(_.condition.isDefined),
+      "found a condition-less (cross) join in the LSH pipeline")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a full sort") {
+    val plan = planOf("l7_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-k physical operator:\n$plan")
+  }
+
+  test("rolling hash expression participates in codegen") {
+    graft.functions.RollingHash.register(spark)
+    val df = Tables.load(spark, sf, "documents")
+      .select(expr("rolling_hash(text)").as("h"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [rolling_hash"),
+      s"rolling_hash fell out of codegen:\n$plan")
+  }
+}
