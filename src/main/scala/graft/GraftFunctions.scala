@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.RollingHash
+
+/** SQL-function surface of the engine: the reference's string helpers and
+  * the fingerprint hash as native Catalyst expression trees (composed from
+  * built-in expressions — codegen'd end to end, no UDF boxing), plus the
+  * two registration paths:
+  *
+  *  - `GraftFunctions.registerAll(spark)` on a live session;
+  *  - `GraftExtensions` via `spark.sql.extensions` config / `withExtensions`
+  *    at session build time (the idiomatic deployment path).
+  *
+  * Expression semantics mirror graft.functions.StrFunctions (reference:
+  * sdk/lib/str.php:11-31 — "" when the separator is absent, and for
+  * str_before also when it sits at position 0).
+  */
+object GraftFunctions {
+
+  private val emptyStr = Literal(UTF8String.fromString(""), StringType)
+
+  /** str_before(str, sep) as a Catalyst expression tree. */
+  def strBeforeExpr(str: Expression, sep: Expression): Expression =
+    If(LessThanOrEqual(StringInstr(str, sep), Literal(1)),
+      emptyStr,
+      SubstringIndex(str, sep, Literal(1)))
+
+  /** str_after(str, sep) as a Catalyst expression tree. */
+  def strAfterExpr(str: Expression, sep: Expression): Expression =
+    If(EqualTo(StringInstr(str, sep), Literal(0)),
+      emptyStr,
+      Substring(str,
+        Add(StringInstr(str, sep), Length(sep)),
+        Length(str)))
+
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name requires $n argument(s), got ${exprs.length}")
+      f(exprs)
+    }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "rolling_hash" -> arity("rolling_hash", 1)(exprs =>
+      RollingHash(exprs.head)),
+    "str_before" -> arity("str_before", 2)(exprs =>
+      strBeforeExpr(exprs(0), exprs(1))),
+    "str_after" -> arity("str_after", 2)(exprs =>
+      strAfterExpr(exprs(0), exprs(1))))
+
+  /** Register on a live session (temp functions). */
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** Session-build-time registration:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftFunctions", name), builder))
+    }
+}
