@@ -478,6 +478,46 @@ object SparkEntry {
       StreamOps.sessionizeBatch(s, t(s, dir, "events"), gapSeconds = 86400)
         .toDF().orderBy("user_id")),
 
+    // ---- Streaming-adjacent: session windows, sliding windows, pivot ----
+    "st3_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy("user_id")),
+
+    "e2_sliding_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"), col("n"))
+        .orderBy("win_start")),
+
+    "e3_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    // ---- A8/A9: exact percentiles + cube --------------------------------
+    "a8_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"))),
+
+    "a9_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"), col("n"))
+        .orderBy("status", "prio")),
+
     // ---- Flagship config-driven pipeline (oracle-checked) ---------------
     "etl1_pipeline" -> ((s, dir) => {
       val spec = PipelineSpec.parse(
@@ -990,6 +1030,47 @@ object SparkEntry {
         |   CAST(1 + sum(CASE WHEN gap > 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
         |     AS n_sessions
         | FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "st3_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        | d AS (
+        |  SELECT user_id, ts_us - lag(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+        |  FROM e)
+        | SELECT user_id,
+        |   CAST(1 + sum(CASE WHEN gap >= 86400000000 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_sessions
+        | FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e2_sliding_window" ->
+      """WITH starts AS (
+        |  SELECT date_trunc('hour', ts) AS w FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
+        | SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |        count(*) AS n
+        | FROM starts GROUP BY w ORDER BY win_start""".stripMargin,
+
+    "e3_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |  FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a8_percentile" ->
+      """SELECT quantile_cont(l_extendedprice, 0.5) AS median_price,
+        |       quantile_cont(l_extendedprice, 0.9) AS p90_price
+        |  FROM lineitem""".stripMargin,
+
+    "a9_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n
+        |  FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |  ORDER BY status, prio""".stripMargin,
 
     "etl1_pipeline" ->
       """WITH mapped AS (
