@@ -87,6 +87,13 @@ object MinHashDedup {
       if (docs.rdd.getNumPartitions < par) docs.repartition(par, col(idCol))
       else docs
 
+    // Signature in one narrow pass: base hashes materialized as a column
+    // (md5 once per shingle), then the m components via interpreted-lambda
+    // mins over the hash array. An explode + m min-aggregates variant was
+    // tried and measured SLOWER here (adds a groupBy shuffle plus a join
+    // back to the shingle sets, and recomputes the shingling) — the lambda
+    // arithmetic is cheap; it was the md5-per-seed hashing that hurt.
+    //
     // Cache: the signature frame is consumed three times (band explode +
     // both sides of the verify join); without pinning, the signature work
     // re-executes per consumer. At 100 TB persist to storage instead.

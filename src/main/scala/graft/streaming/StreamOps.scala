@@ -70,6 +70,17 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup on a keyed stream with a watermark bounding the
+    * dedup state — the Structured Streaming analogue of the reference's
+    * per-run uniqueness cache (sdk/src/ETLTask.php:31-53): keys older than
+    * the watermark age out of the state store instead of growing forever
+    * (the reference ran with memory_limit=-1 and no eviction).
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     watermarkCol: String, delay: String): DataFrame =
+    events.withWatermark(watermarkCol, delay)
+      .dropDuplicates(keyCols :+ watermarkCol)
+
   /** Streaming keyed state: running per-user event count via
     * mapGroupsWithState — the Structured Streaming analogue of the
     * reference's per-run in-memory key caches (sdk/src/ETLTask.php:34).

@@ -182,6 +182,26 @@ class StreamOpsSpec extends SparkSpec {
       b.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    val input = mem.toDS().withColumn("ts", timestamp_micros($"ts_us"))
+    val out = StreamOps.streamingDedup(input, Seq("event_id"), "ts", "1 hour")
+    val qn = "dedup_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    mem.addData(
+      StreamOps.Event(1, 1000000L, 5, "a", 1.0),
+      StreamOps.Event(1, 1000000L, 5, "a", 1.0), // dup in-batch
+      StreamOps.Event(2, 2000000L, 5, "a", 1.0))
+    q.processAllAvailable()
+    mem.addData(StreamOps.Event(1, 1000000L, 5, "a", 1.0)) // dup next batch
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table(qn).count() === 2) // event_ids 1 and 2, once each
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
