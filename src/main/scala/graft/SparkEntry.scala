@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.etl._
 import graft.functions.StrFunctions._
 import graft.functions.RollingHash
-import graft.ops.{MinHashDedup, Multimodal, SimHash, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, MinHashDedup, Multimodal, SimHash, Similarity, TextAnalysis}
 import graft.streaming.StreamOps
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -477,6 +477,24 @@ object SparkEntry {
     "st2_sessionize" -> ((s, dir) =>
       StreamOps.sessionizeBatch(s, t(s, dir, "events"), gapSeconds = 86400)
         .toDF().orderBy("user_id")),
+
+    // ---- X1: as-of join (operator Spark's DataFrame API lacks) ----------
+    "x1_asof_join" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val rightSide = t(s, dir, "orders")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+      val events = t(s, dir, "events")
+        .select("event_id", "user_id", "ts")
+      AsOfJoin(events, rightSide, "user_id", "ts", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("event_id")
+    }),
 
     // ---- Streaming-adjacent: session windows, sliding windows, pivot ----
     "st3_session_window" -> ((s, dir) =>
@@ -1030,6 +1048,16 @@ object SparkEntry {
         |   CAST(1 + sum(CASE WHEN gap > 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
         |     AS n_sessions
         | FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "x1_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |      ORDER BY o_orderkey DESC) AS rn FROM orders) WHERE rn = 1)
+        | SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+        | FROM events e ASOF LEFT JOIN o
+        |   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        | ORDER BY e.event_id""".stripMargin,
 
     "st3_session_window" ->
       """WITH e AS (

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-prior) join — an operator the DataFrame API lacks.
+  *
+  * Composed from built-ins per the preference order (SURVEY.md §7.3 /
+  * spark guide: compose > custom Expression > custom SparkPlan): the two
+  * sides are UNIONED, sorted within each key by (time, side-tag), and the
+  * right side's payload is carried forward with
+  * `last_value(..., ignoreNulls)` — so every left row picks up the most
+  * recent right row with time <= its own.
+  *
+  * Cost shape: ONE hash-partitioned shuffle on the key + a per-partition
+  * sort — the same exchange a regular equi-join needs. No range explosion,
+  * no per-row probes; this is the 100 TB-safe as-of plan (a naive
+  * `left.ts >= right.ts` range join materializes O(n·m) pairs per key
+  * before aggregation).
+  *
+  * Tie semantics: a right row at exactly the left row's time MATCHES
+  * (tag ordering puts right rows first at equal times) — same as DuckDB's
+  * `ASOF JOIN ... ON l.ts >= r.ts`, which the oracle uses.
+  */
+object AsOfJoin {
+
+  /** For each row of `left`, attach `valueCols` from the most recent row of
+    * `right` with the same `key` and `rightTime <= leftTime`. Left rows
+    * with no prior right row keep null values (left-outer as-of).
+    */
+  def apply(left: DataFrame, right: DataFrame, key: String,
+            leftTime: String, rightTime: String,
+            valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // tag 0 = right side, 1 = left side: at equal times the right row
+    // sorts first, so last_value sees it (inclusive match).
+    val l = left.select(
+      (col(key).as("__k") +: col(leftTime).cast("timestamp").as("__t") +:
+        lit(1).as("__side") +:
+        leftCols.map(col)) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      (col(key).as("__k") +: col(rightTime).cast("timestamp").as("__t") +:
+        lit(0).as("__side") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
+        valueCols.map(col): _*)
+    val unioned = l.unionByName(r)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
+}

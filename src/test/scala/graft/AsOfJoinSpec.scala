@@ -1,0 +1,29 @@
+package graft
+
+import java.sql.Timestamp
+import graft.ops.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("picks the most recent prior right row; null when none; inclusive tie") {
+    val trades = Seq(
+      (1L, "A", ts("2026-01-01 10:00:00")),
+      (2L, "A", ts("2026-01-01 10:05:00")),
+      (3L, "A", ts("2026-01-01 09:00:00")), // before any quote → null
+      (4L, "B", ts("2026-01-01 10:00:00"))  // equal time → inclusive match
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", ts("2026-01-01 09:30:00"), 10.0),
+      ("A", ts("2026-01-01 10:03:00"), 11.0),
+      ("B", ts("2026-01-01 10:00:00"), 20.0)
+    ).toDF("sym", "qt", "px")
+
+    val out = AsOfJoin(trades, quotes, "sym", "t", "qt", Seq("px"))
+      .orderBy("trade_id").collect()
+    assert(out.map(r => Option(r.get(r.fieldIndex("px")))).toSeq ===
+      Seq(Some(10.0), Some(11.0), None, Some(20.0)))
+  }
+}
