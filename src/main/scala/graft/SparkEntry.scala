@@ -232,6 +232,52 @@ object SparkEntry {
           col("sum_qty").cast("double") / col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // ---- Deep multi-join analytics (Catalyst join planning) -------------
+    "q3_shipping" -> ((s, dir) => {
+      val cutoff = to_timestamp(lit("1995-03-15 00:00:00"))
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_region_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      r.join(n, r("r_regionkey") === n("n_regionkey"))
+        .join(c, n("n_nationkey") === c("c_nationkey"))
+        .join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+          su("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"), count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q18_large_orders" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      val o = t(s, dir, "orders")
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("total_qty"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- L1: point lookup with LIMIT 1 (SURVEY §2.5) -------------------
     "l1_limit_lookup" -> ((s, dir) =>
       t(s, dir, "orders").filter(col("o_custkey") === 7)
@@ -683,6 +729,39 @@ object SparkEntry {
         |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |  GROUP BY l_returnflag, l_linestatus
         |  ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |  GROUP BY o_orderkey, odate
+        |  ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_items
+        |  FROM region JOIN nation ON r_regionkey = n_regionkey
+        |  JOIN customer ON n_nationkey = c_nationkey
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |                AND s_nationkey = n_nationkey
+        |  GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, total_qty FROM orders
+        |  JOIN (SELECT l_orderkey,
+        |          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |        FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300) b
+        |    ON o_orderkey = b.l_orderkey
+        |  ORDER BY o_orderkey""".stripMargin,
 
     "l1_limit_lookup" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = 7

@@ -76,6 +76,19 @@ class PlanSpec extends SparkSpec {
       "found a condition-less (cross) join in the LSH pipeline")
   }
 
+  test("q5 five-way join broadcasts the dimension tables") {
+    val df = SparkEntry.queries("q5_region_revenue")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dims should broadcast:\n$plan")
+    // the fact side must not be broadcast: at least one shuffle join or
+    // reused exchange for orders⋈lineitem at real scale is fine either way
+    // at sf0.001, but every region/nation join must be broadcast-shaped.
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+      s"expected >=3 broadcast joins in the 5-way plan:\n$plan")
+  }
+
   test("top-k compiles to TakeOrderedAndProject, not a full sort") {
     val plan = planOf("l7_topk")
     assert(plan.contains("TakeOrderedAndProject"),
