@@ -514,6 +514,28 @@ object SparkEntry {
           Multimodal.toMediaTable(t(s, dir, "documents")))
         .toDF().orderBy("doc_id")),
 
+    // ---- M3: frame sampling through the gate ----------------------------
+    "m3_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.toMediaTable(t(s, dir, "documents")),
+          frameSize = 100, nFrames = 4)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame_bytes")).cast("long").as("frame_len"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // ---- C1: composite corpus-cleaning pipeline -------------------------
+    "c1_corpus_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keepers = MinHashDedup.exactDuplicates(docs, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"))
+      docs.join(keepers, Seq("doc_id"), "left_semi")
+        .filter(TextAnalysis.tokenCount(col("text")).between(20, 200))
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Streaming --------------------------------------------------------
     "st1_stream_hourly" -> ((s, dir) =>
       StreamOps.hourlyCounts(s, dir,
@@ -1107,6 +1129,36 @@ object SparkEntry {
         |    i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT))) % 997
         |    AS BIGINT) AS byte_sum_mod
         |  FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m3_frames" ->
+      """SELECT doc_id, i AS frame_idx,
+        |  length(substr(text, CAST(i*100 + 1 AS INT), 100)) AS frame_len
+        |  FROM documents, (SELECT unnest(range(0, 4)) AS i)
+        |  WHERE length(substr(text, CAST(i*100 + 1 AS INT), 100)) > 0
+        |  ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "c1_corpus_clean" ->
+      """WITH keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        | toks AS (
+        |  SELECT doc_id, lang, text,
+        |    len(regexp_extract_all(lower(text), '\S+')) AS n_tokens
+        |  FROM documents),
+        | scored AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5
+        |    + (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |             / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3
+        |    + least(1.0, CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |          tk -> tk IN ('the','a','and','of','to','is','in','that','it','for'))) AS DOUBLE)
+        |        * 5.0 / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 0.2 AS quality
+        |  FROM toks)
+        | SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+        | FROM scored
+        | WHERE doc_id IN (SELECT doc_id FROM keepers)
+        |   AND n_tokens BETWEEN 20 AND 200
+        |   AND quality >= 0.5
+        | ORDER BY doc_id""".stripMargin,
 
     "st1_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
