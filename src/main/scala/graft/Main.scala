@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.etl.{ETLPipeline, Orchestrator, PipelineSpec, Sinks}
+
+/** CLI entry point — parity with the reference's `php etl.php <config.json>`
+  * (reference: sdk/etl.php:161, CLI parse sdk/lib/console.php:13-56).
+  *
+  * Usage:
+  *   graft.Main <config.json> <sourceDir> <destDir> [--master local[*]]
+  *
+  * Source tables are parquet files named `<table>.parquet` under sourceDir;
+  * destinations are parquet directories under destDir (append mode, created
+  * on first write). Flows run in dependency stages (sequential between
+  * stages, parallel within — the shell-orchestration parity of
+  * `etl/Orchestrator`), and each flow reports its appended row count like
+  * the reference's progress output.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: graft.Main <config.json> <sourceDir> <destDir> [--master M]")
+      sys.exit(2)
+    }
+    val Array(configPath, sourceDir, destDir) = args.take(3)
+    val master = args.sliding(2).collectFirst {
+      case Array("--master", m) => m
+    }.getOrElse("local[*]")
+
+    if (!Files.exists(Paths.get(configPath))) {
+      System.err.println(s"config not found: $configPath")
+      sys.exit(2)
+    }
+    val spec =
+      try PipelineSpec.parse(Files.readString(Paths.get(configPath)))
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"invalid config: ${e.getMessage}")
+          sys.exit(2); throw e
+      }
+
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft-etl")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors().toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def loadTable(name: String): DataFrame =
+      spark.read.parquet(s"$sourceDir/$name.parquet")
+    def loadDest(name: String): Option[DataFrame] = {
+      val p = s"$destDir/$name"
+      if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
+    }
+
+    val runTs = etl.ColumnMapping.runTimestamp()
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val stages = Orchestrator.stagesByDestination(spec)
+    stages.zipWithIndex.foreach { case (stage, i) =>
+      println(s"[graft] stage ${i + 1}/${stages.length}: " +
+        stage.map(f => s"${f.from} -> ${f.to}").mkString(", "))
+      val counts = Orchestrator.runStages(Seq(stage.map { flow => () =>
+        val out = ETLPipeline.transform(loadTable(flow.from), flow,
+          loadDest(flow.to), runTs = runTs)
+        flow.to -> Sinks.appendParquet(out, s"$destDir/${flow.to}")
+      }))
+      counts.head.foreach { case (dest, n) =>
+        println(s"[graft]   $dest: appended $n rows")
+      }
+    }
+    spark.stop()
+  }
+}

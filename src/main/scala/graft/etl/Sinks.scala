@@ -19,6 +19,18 @@ object Sinks {
   def overwriteParquet(df: DataFrame, path: String): Long =
     counted(df) { d => d.write.mode("overwrite").parquet(path) }
 
+  /** Hive-style partitioned layout — the 100 TB table organization: queries
+    * filtering on the partition columns prune whole directories at planning
+    * time (`PartitionFilters` in the scan; asserted in PlanSpec). Choose
+    * low-cardinality columns (date, region, status) — one directory per
+    * value per write.
+    */
+  def partitionedParquet(df: DataFrame, path: String,
+                         partitionCols: Seq[String]): Long =
+    counted(df) { d =>
+      d.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    }
+
   def csv(df: DataFrame, path: String, header: Boolean = true): Long =
     counted(df) { d =>
       d.write.mode("overwrite").option("header", header.toString).csv(path)

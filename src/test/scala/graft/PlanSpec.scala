@@ -95,6 +95,23 @@ class PlanSpec extends SparkSpec {
       s"expected top-k physical operator:\n$plan")
   }
 
+  test("partitioned layout prunes partitions at plan time") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_part").toString + "/orders_by_status"
+    graft.etl.Sinks.partitionedParquet(
+      Tables.load(spark, sf, "orders"), tmp, Seq("o_orderstatus"))
+    val pruned = spark.read.parquet(tmp)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"partition pruning missing:\n$plan")
+    // pruned scan must match the unpartitioned filter count
+    val expected = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F").count()
+    assert(pruned.count() === expected)
+  }
+
   test("rolling hash expression participates in codegen") {
     graft.functions.RollingHash.register(spark)
     val df = Tables.load(spark, sf, "documents")
