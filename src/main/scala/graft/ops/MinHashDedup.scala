@@ -20,7 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object MinHashDedup {
 
-  /** Word k-shingles of a token array (empty when fewer than k tokens). */
+  /** Word k-shingles of a token array (empty when fewer than k tokens).
+    *
+    * IMPORTANT: pass a materialized COLUMN, not an expression like
+    * `TextAnalysis.tokens(...)` — the lambda body references `toks` per
+    * element, so an inlined expression (e.g. the tokenizing regexp)
+    * re-evaluates once per shingle position (measured: ~100× redundant
+    * regexp work per document, dominating the whole dedup pipeline).
+    */
   def shingles(toks: Column, k: Int): Column =
     when(size(toks) < k, array().cast("array<string>"))
       .otherwise(transform(
@@ -74,8 +81,6 @@ object MinHashDedup {
                      threshold: Double = 0.5,
                      maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = m / nBands
-    val toks = TextAnalysis.tokens(col(textCol))
-    val sh = array_distinct(shingles(toks, k))
 
     // Spread the hash work: a small parquet file arrives as ONE partition,
     // serializing all signature computation onto one core. Repartitioning
@@ -98,7 +103,9 @@ object MinHashDedup {
     // both sides of the verify join); without pinning, the signature work
     // re-executes per consumer. At 100 TB persist to storage instead.
     val prepared = spread
-      .select(col(idCol), sh.as("sh"))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col(idCol),
+        array_distinct(shingles(col("tk"), k)).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("hs", transform(col("sh"), baseHash(_)))
       .withColumn("sig", signatureOfHashes(col("hs"), m))
@@ -149,13 +156,17 @@ object MinHashDedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, k: Int = 3,
                         threshold: Double = 0.3): DataFrame = {
-    val sh = array_distinct(shingles(TextAnalysis.tokens(col(textCol)), k))
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par, col(idCol))
       else docs
-    // Cache: consumed by both sides of the blocked pair join.
-    val prepared = spread.select(col(idCol), col(blockCol), sh.as("sh"))
+    // Cache: consumed by both sides of the blocked pair join. Tokens are
+    // materialized as a column before shingling (see `shingles` scaladoc).
+    val prepared = spread
+      .select(col(idCol), col(blockCol),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), col(blockCol),
+        array_distinct(shingles(col("tk"), k)).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
     // Sparse-join intersection counting: explode the shingle sets and join

@@ -68,13 +68,18 @@ object SimHash {
     */
   def sketch(docs: DataFrame, idCol: String, textCol: String,
              shingleK: Int = 3): DataFrame = {
-    val sh = array_distinct(MinHashDedup.shingles(
-      TextAnalysis.tokens(col(textCol)), shingleK))
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par, col(idCol))
       else docs
-    val exploded = spread.select(col(idCol), explode(sh).as("s"))
+    // The shingle expression feeds explode directly: a generator evaluates
+    // its input ONCE per row, so the per-element re-evaluation trap
+    // (MinHashDedup.shingles scaladoc) doesn't apply here, and extra
+    // projection boundaries would only copy the wide token arrays around.
+    val tk = TextAnalysis.tokens(col(textCol))
+    val exploded = spread
+      .select(col(idCol), explode(array_distinct(
+        MinHashDedup.shingles(tk, shingleK))).as("s"))
       .select(col(idCol), tokenHash(col("s")).as("h"))
     val voteCols = (0 until 60).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"b$j"))
