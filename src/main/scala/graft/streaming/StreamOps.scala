@@ -81,6 +81,63 @@ object StreamOps {
     events.withWatermark(watermarkCol, delay)
       .dropDuplicates(keyCols :+ watermarkCol)
 
+  case class SessionState(startUs: Long, lastUs: Long, n: Long)
+  case class CompletedSession(user_id: Long, start_us: Long, end_us: Long,
+                              n_events: Long)
+
+  /** Streaming sessionization via flatMapGroupsWithState: per-user sessions
+    * close when a later event arrives more than `gapSeconds` after the
+    * session's last event, and are emitted as completed rows — custom keyed
+    * state, the fully general stateful-streaming surface (SURVEY.md §2.6
+    * north star).
+    *
+    * State per key is one fixed-size SessionState — bounded memory per user
+    * regardless of stream length. Pass
+    * `GroupStateTimeout.ProcessingTimeTimeout` in production to also evict
+    * idle keys (closing their sessions after wall-clock inactivity); the
+    * default NoTimeout keeps session closure purely data-driven, which is
+    * also what synchronous `processAllAvailable` test harnesses need — a
+    * processing-time timeout makes the stream never "complete".
+    */
+  def streamingSessions(events: Dataset[Event], gapSeconds: Long,
+                        timeout: GroupStateTimeout =
+                          GroupStateTimeout.NoTimeout()):
+      Dataset[CompletedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, CompletedSession](
+        OutputMode.Append, timeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(CompletedSession(uid, s.startUs, s.lastUs, s.n))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var completed = List.empty[CompletedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(lastUs = e.ts_us, n = s.n + 1))
+                case Some(s) =>
+                  completed ::= CompletedSession(uid, s.startUs, s.lastUs, s.n)
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
+                state.setTimeoutDuration(gapSeconds * 1000)
+            }
+            completed.reverseIterator
+          }
+      }
+  }
+
   /** Streaming keyed state: running per-user event count via
     * mapGroupsWithState — the Structured Streaming analogue of the
     * reference's per-run in-memory key caches (sdk/src/ETLTask.php:34).

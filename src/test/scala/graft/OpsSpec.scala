@@ -202,6 +202,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.table(qn).count() === 2) // event_ids 1 and 2, once each
   }
 
+  test("flatMapGroupsWithState emits completed sessions across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000000L
+    val mem = MemoryStream[StreamOps.Event]
+    val sessions = StreamOps.streamingSessions(mem.toDS(), gapSeconds = 100)
+    val qn = "sess_" + System.nanoTime()
+    val q = sessions.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    // batch 1: two events 10s apart (one open session)
+    mem.addData(StreamOps.Event(1, 0L, 7, "a", 1.0),
+      StreamOps.Event(2, 10L * us, 7, "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: event 500s later -> closes session 1, opens session 2
+    mem.addData(StreamOps.Event(3, 510L * us, 7, "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val done = spark.table(qn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(done.toSeq === Seq((7L, 0L, 10L * us, 2L)))
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
