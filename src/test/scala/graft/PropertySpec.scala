@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.etl.{AntiDestination, Dedup, Upsert}
+import graft.functions.RollingHash
+import graft.functions.StrFunctions._
+
+/** Property-based semantics checks (SURVEY.md §5.3): set laws of the ETL
+  * operators over generated inputs. Plain ScalaCheck (no scalatestplus
+  * bridge in the offline env) — each property is checked with a bounded
+  * number of Spark round-trips.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 6): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val keyGen = Gen.listOfN(12,
+    Gen.oneOf(Gen.alphaStr.map(_.take(3)), Gen.const("k "), Gen.const(" k")))
+
+  test("dedup: output one row per distinct trimmed key, rows from input") {
+    check(Prop.forAll(keyGen) { keys =>
+      val df = keys.zipWithIndex.map { case (k, i) => (i, k) }
+        .toDF("ord", "k")
+      val out = Dedup.firstWins(df, "k", Seq(col("ord")))
+        .collect().map(r => (r.getInt(0), r.getString(1)))
+      val input = keys.zipWithIndex.map { case (k, i) => (i, k) }
+      val distinctTrim = keys.map(_.trim).distinct.size
+      out.length == distinctTrim &&
+        out.forall(input.contains) &&
+        // first-wins: each survivor has the min ord of its trim-group
+        out.forall { case (ord, k) =>
+          ord == input.filter(_._2.trim == k.trim).map(_._1).min }
+    })
+  }
+
+  test("anti ∪ semi partitions the source exactly") {
+    val gen = for {
+      src <- Gen.listOfN(10, Gen.chooseNum(0, 6))
+      dst <- Gen.listOfN(4, Gen.chooseNum(0, 6))
+    } yield (src, dst)
+    check(Prop.forAll(gen) { case (srcKeys, dstKeys) =>
+      val src = srcKeys.zipWithIndex.toDF("k", "id")
+      val dst = dstKeys.toDF("k")
+      val anti = AntiDestination(src, dst, Seq("k"))
+        .collect().map(_.getInt(1)).toSet
+      val semi = AntiDestination.semi(src, dst, Seq("k"))
+        .collect().map(_.getInt(1)).toSet
+      anti.intersect(semi).isEmpty &&
+        (anti ++ semi) == srcKeys.indices.toSet &&
+        anti.forall(i => !dstKeys.contains(srcKeys(i)))
+    })
+  }
+
+  test("upsert: result keys = src ∪ dst keys; src wins on overlap") {
+    val gen = for {
+      src <- Gen.listOfN(6, Gen.chooseNum(0, 8))
+      dst <- Gen.listOfN(6, Gen.chooseNum(0, 8))
+    } yield (src.distinct, dst.distinct)
+    check(Prop.forAll(gen) { case (srcKeys, dstKeys) =>
+      val src = srcKeys.map(k => (k, s"src$k")).toDF("k", "v")
+      val dst = dstKeys.map(k => (k, s"dst$k")).toDF("k", "v")
+      val out = Upsert(src, dst, Seq("k"))
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      out.keySet == (srcKeys ++ dstKeys).toSet &&
+        srcKeys.forall(k => out(k) == s"src$k") &&
+        dstKeys.filterNot(srcKeys.contains)
+          .forall(k => out(k) == s"dst$k")
+    })
+  }
+
+  test("strBefore + sep + strAfter reconstructs when sep mid-string") {
+    val gen = for {
+      a <- Gen.alphaStr.map(_.take(5)).suchThat(_.nonEmpty)
+      b <- Gen.alphaStr.map(_.take(5))
+    } yield (a, b)
+    check(Prop.forAll(gen) { case (a, b) =>
+      val s = a + "|" + b
+      val row = Seq(s).toDF("s")
+        .select(strBefore($"s", "|"), strAfter($"s", "|")).head()
+      row.getString(0) + "|" + row.getString(1) == s
+    }, n = 10)
+  }
+
+  test("rolling_hash expression == reference arithmetic on arbitrary strings") {
+    RollingHash.register(spark)
+    check(Prop.forAll(Gen.listOfN(8, Gen.asciiPrintableStr.map(_.take(30)))) {
+      strs =>
+        val viaExpr = strs.toDF("s")
+          .select(expr("rolling_hash(s)")).collect().map(_.getLong(0))
+        viaExpr.toSeq == strs.map(RollingHash.hash)
+    }, n = 5)
+  }
+}
