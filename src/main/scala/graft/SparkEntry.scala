@@ -278,6 +278,14 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q6_filtered_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1994-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1995-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount")))
+          .as("revenue_cents"), count(lit(1)).as("n"))),
+
     // ---- L1: point lookup with LIMIT 1 (SURVEY §2.5) -------------------
     "l1_limit_lookup" -> ((s, dir) =>
       t(s, dir, "orders").filter(col("o_custkey") === 7)
@@ -536,6 +544,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- C2: near-dup corpus dedup (pairs → canonical keepers) ----------
+    "c2_neardup_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = MinHashDedup.nearDuplicates(docs, "doc_id", "text",
+        k = 3, m = 16, nBands = 4, threshold = 0.5)
+      // canonical-keeper policy: drop the higher id of every pair (id_a <
+      // id_b by construction) — one anti-join; transitive chains keep their
+      // minimum without iterative connected components.
+      val losers = pairs.select(col("id_b").as("doc_id")).distinct()
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
     // ---- Streaming --------------------------------------------------------
     "st1_stream_hourly" -> ((s, dir) =>
       StreamOps.hourlyCounts(s, dir,
@@ -784,6 +807,15 @@ object SparkEntry {
         |        FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300) b
         |    ON o_orderkey = b.l_orderkey
         |  ORDER BY o_orderkey""".stripMargin,
+
+    "q6_filtered_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents, count(*) AS n
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_discount BETWEEN 0.05 AND 0.07
+        |    AND l_quantity < 24""".stripMargin,
 
     "l1_limit_lookup" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = 7
@@ -1159,6 +1191,44 @@ object SparkEntry {
         |   AND n_tokens BETWEEN 20 AND 200
         |   AND quality >= 0.5
         | ORDER BY doc_id""".stripMargin,
+
+    "c2_neardup_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+        | shs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+        |  FROM toks WHERE len(tk) >= 3),
+        | sig AS (
+        |  SELECT doc_id, sh, list_transform(range(0, 16),
+        |    j -> list_min(list_transform(sh,
+        |      s -> ((2*j + 1) *
+        |            (CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647)
+        |            + 7919*j + 13) % 2147483647))) AS sig
+        |  FROM shs WHERE len(sh) > 0),
+        | bands AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, 4),
+        |    b -> md5(CAST(b AS VARCHAR) || '#' ||
+        |      array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',')))) AS band
+        |  FROM sig),
+        | bands_f AS (
+        |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band) <= 1000),
+        | pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands_f a JOIN bands_f b
+        |    ON a.band = b.band AND a.doc_id < b.doc_id),
+        | scored AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+        |  FROM pairs
+        |  JOIN sig sa ON sa.doc_id = id_a
+        |  JOIN sig sb ON sb.doc_id = id_b),
+        | losers AS (
+        |  SELECT DISTINCT id_b AS doc_id FROM scored WHERE jaccard >= 0.5)
+        | SELECT lang, count(*) AS n_docs FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |  GROUP BY lang ORDER BY lang""".stripMargin,
 
     "st1_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
