@@ -31,6 +31,22 @@ object Sinks {
       d.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
     }
 
+  /** Bucketed managed table: rows hash-partitioned into a fixed bucket
+    * count on the join/aggregation keys AT WRITE TIME, so later equi-joins
+    * and aggregations on those keys skip their Exchange entirely (asserted
+    * in PlanSpec). The 100 TB pattern for fact-to-fact joins repeated
+    * across many queries: pay the shuffle once when the table lands, never
+    * again. Requires the session catalog (saveAsTable).
+    */
+  def bucketedTable(df: DataFrame, table: String, buckets: Int,
+                    keys: Seq[String]): Long =
+    counted(df) { d =>
+      d.write.mode("overwrite")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .saveAsTable(table)
+    }
+
   def csv(df: DataFrame, path: String, header: Boolean = true): Long =
     counted(df) { d =>
       d.write.mode("overwrite").option("header", header.toString).csv(path)

@@ -112,6 +112,49 @@ class PlanSpec extends SparkSpec {
     assert(pruned.count() === expected)
   }
 
+  test("bucketed tables join without any shuffle exchange") {
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    graft.etl.Sinks.bucketedTable(Tables.load(spark, sf, "orders"),
+      "b_orders", buckets = 4, keys = Seq("o_orderkey"))
+    graft.etl.Sinks.bucketedTable(
+      Tables.load(spark, sf, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", buckets = 4, keys = Seq("o_orderkey"))
+    // disable broadcast so the planner must pick the co-located path (at
+    // real scale both sides are too big to broadcast anyway)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"expected a co-located join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan should be bucket-aware:\n$plan")
+      // same result as the unbucketed join
+      val expected = Tables.load(spark, sf, "orders").join(
+        Tables.load(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("rolling hash expression participates in codegen") {
     graft.functions.RollingHash.register(spark)
     val df = Tables.load(spark, sf, "documents")
