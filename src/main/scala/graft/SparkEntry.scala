@@ -588,6 +588,11 @@ object SparkEntry {
     }),
 
     // ---- Streaming-adjacent: session windows, sliding windows, pivot ----
+    "st4_stream_static_join" -> ((s, dir) =>
+      StreamOps.streamStaticSegmentCounts(s, dir,
+          queryName = "graft_ss_" + System.nanoTime())
+        .orderBy("c_mktsegment")),
+
     "st3_session_window" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "1 day"))
@@ -1259,6 +1264,11 @@ object SparkEntry {
         | FROM events e ASOF LEFT JOIN o
         |   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         | ORDER BY e.event_id""".stripMargin,
+
+    "st4_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |  FROM events JOIN customer ON user_id = c_custkey
+        |  GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "st3_session_window" ->
       """WITH e AS (

@@ -81,6 +81,33 @@ object StreamOps {
     events.withWatermark(watermarkCol, delay)
       .dropDuplicates(keyCols :+ watermarkCol)
 
+  /** Stream-static join: the streaming fact joins a static dimension
+    * per micro-batch (no state, no watermark needed — the static side is
+    * re-planned each batch). Driven synchronously from the events parquet;
+    * returns the finished aggregation as a batch frame.
+    */
+  def streamStaticSegmentCounts(spark: SparkSession, dir: String,
+                                queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val dim = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = stream.join(dim, stream("user_id") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   case class SessionState(startUs: Long, lastUs: Long, n: Long)
   case class CompletedSession(user_id: Long, start_us: Long, end_us: Long,
                               n_events: Long)
