@@ -28,9 +28,24 @@ final case class FlowSpec(
     to: String,
     columns: Seq[ColumnSpec],
     unique: Seq[String],
-    query: Option[String])
+    query: Option[String],
+    connection: Option[String] = None)
 
-final case class PipelineSpec(flows: Seq[FlowSpec])
+/** A named JDBC endpoint from the config's `connections` block
+  * (reference: sdk/etl.php:128-132 — per-table connection override falls
+  * back to the global `from`/`to` pair; sdk/src/SQLConnectionFactory.php
+  * builds the DSN). `options` feeds `Sources.jdbc`/`Sinks.jdbc` verbatim
+  * (driver, user, password, ...).
+  */
+final case class ConnectionSpec(url: String, options: Map[String, String])
+
+final case class PipelineSpec(flows: Seq[FlowSpec],
+                              connections: Map[String, ConnectionSpec] = Map.empty) {
+  /** Resolve a flow's source connection: explicit name, else "from". */
+  def sourceConnection(flow: FlowSpec): Option[ConnectionSpec] =
+    flow.connection.flatMap(connections.get)
+      .orElse(connections.get("from"))
+}
 
 object PipelineSpec {
 
@@ -43,7 +58,28 @@ object PipelineSpec {
       case other => throw new IllegalArgumentException(
         s"'tables' must be an array, got ${other.getClass.getSimpleName}")
     }
-    PipelineSpec(tables.map(parseFlow))
+    val connections = root \ "connections" match {
+      case JObject(fields) => fields.map { case (name, v) =>
+        val url = v \ "url" match {
+          case JString(u) => u
+          case _ => throw new IllegalArgumentException(
+            s"connections.$name must declare a 'url' string")
+        }
+        val opts = v \ "options" match {
+          case JObject(of) => of.collect {
+            case (k, JString(s)) => k -> s
+          }.toMap
+          case JNothing => Map.empty[String, String]
+          case _ => throw new IllegalArgumentException(
+            s"connections.$name.options must be an object of strings")
+        }
+        name -> ConnectionSpec(url, opts)
+      }.toMap
+      case JNothing => Map.empty[String, ConnectionSpec]
+      case _ => throw new IllegalArgumentException(
+        "'connections' must be an object")
+    }
+    PipelineSpec(tables.map(parseFlow), connections)
   }
 
   private def parseFlow(t: JValue): FlowSpec = {
@@ -84,7 +120,12 @@ object PipelineSpec {
       case _ => None
     }
 
-    FlowSpec(from, to, columns, unique, query)
+    val connection = t \ "connection" match {
+      case JString(c) if c.trim.nonEmpty => Some(c.trim)
+      case _ => None
+    }
+
+    FlowSpec(from, to, columns, unique, query, connection)
   }
 
   private def jstring(v: JValue, where: String): String = v match {
