@@ -56,8 +56,17 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def loadTable(name: String): DataFrame =
-      spark.read.parquet(s"$sourceDir/$name.parquet")
+    // Source resolution honors the config's connections block: a flow with
+    // a resolvable JDBC connection reads from that database; otherwise the
+    // table is a parquet file under sourceDir (the staged-file layout).
+    def loadTable(flow: etl.FlowSpec): DataFrame =
+      spec.sourceConnection(flow) match {
+        case Some(conn) =>
+          val df = etl.Sources.jdbc(spark, conn.url, flow.from, conn.options)
+          df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*)
+        case None =>
+          spark.read.parquet(s"$sourceDir/${flow.from}.parquet")
+      }
     def loadDest(name: String): Option[DataFrame] = {
       val p = s"$destDir/$name"
       if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
@@ -70,7 +79,7 @@ object Main {
       println(s"[graft] stage ${i + 1}/${stages.length}: " +
         stage.map(f => s"${f.from} -> ${f.to}").mkString(", "))
       val counts = Orchestrator.runStages(Seq(stage.map { flow => () =>
-        val out = ETLPipeline.transform(loadTable(flow.from), flow,
+        val out = ETLPipeline.transform(loadTable(flow), flow,
           loadDest(flow.to), runTs = runTs)
         flow.to -> Sinks.appendParquet(out, s"$destDir/${flow.to}")
       }))
