@@ -471,6 +471,28 @@ object SparkEntry {
       ).orderBy("doc_id")
     }),
 
+    "t6_fuzzy_match" -> ((s, dir) => {
+      // blocked fuzzy join: candidate pairs share a brand (bounding the
+      // quadratic space), scored by edit distance
+      val p = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_size", "p_name")
+      val a = p.select(col("p_partkey").as("id_a"), col("p_brand"),
+        col("p_size"), col("p_name").as("name_a"))
+      val b = p.select(col("p_partkey").as("id_b"), col("p_brand"),
+        col("p_size"), col("p_name").as("name_b"))
+      a.join(b, Seq("p_brand", "p_size"))
+        .filter(col("id_a") < col("id_b"))
+        // exact prefilter: |len(a)-len(b)| > t implies dist > t
+        .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 3)
+        // bounded levenshtein: exact for dist <= 3, -1 beyond (dropped by
+        // the filter either way) — avoids full DP on distant pairs
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b"), 3).cast("long"))
+        .filter(col("dist").between(0, 3))
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- Dedup family (LLM-pipeline ops) --------------------------------
     "d1_exact_dedup" -> ((s, dir) =>
       MinHashDedup.exactDuplicates(t(s, dir, "documents"), "doc_id", "text")
@@ -971,6 +993,15 @@ object SparkEntry {
         |        i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
         |    (acc, cp) -> (acc * 31 + cp) % 1000000007) AS BIGINT) AS rh
         |  FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t6_fuzzy_match" ->
+      """SELECT id_a, id_b, dist FROM (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |    CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |   AND a.p_partkey < b.p_partkey)
+        | WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs,
