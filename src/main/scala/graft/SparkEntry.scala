@@ -654,6 +654,19 @@ object SparkEntry {
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"), col("n"))
         .orderBy("status", "prio")),
 
+    // ---- SQL front door: views + registered engine functions ------------
+    "sql1_engine_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      GraftFunctions.registerAll(s)
+      s.sql(
+        """SELECT p_partkey,
+          |  str_before(p_type, ' ') AS type_head,
+          |  str_after(p_type, ' ') AS type_tail,
+          |  rolling_hash(p_name) AS name_hash
+          |FROM part WHERE p_size <= 10
+          |ORDER BY p_partkey""".stripMargin)
+    }),
+
     // ---- Flagship config-driven pipeline (oracle-checked) ---------------
     "etl1_pipeline" -> ((s, dir) => {
       val spec = PipelineSpec.parse(
@@ -1341,6 +1354,20 @@ object SparkEntry {
         |  coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n
         |  FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |  ORDER BY status, prio""".stripMargin,
+
+    "sql1_engine_sql" ->
+      """SELECT p_partkey,
+        |  CASE WHEN strpos(p_type, ' ') <= 1 THEN ''
+        |       ELSE substr(p_type, 1, strpos(p_type, ' ') - 1) END AS type_head,
+        |  CASE WHEN strpos(p_type, ' ') = 0 THEN ''
+        |       ELSE substr(p_type, strpos(p_type, ' ') + 1) END AS type_tail,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(p_name) + 1),
+        |        i -> CAST(unicode(substr(p_name, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (acc, cp) -> (acc * 31 + cp) % 1000000007) AS BIGINT) AS name_hash
+        |  FROM part WHERE p_size <= 10
+        |  ORDER BY p_partkey""".stripMargin,
 
     "etl1_pipeline" ->
       """WITH mapped AS (
