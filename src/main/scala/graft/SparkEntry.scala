@@ -654,6 +654,20 @@ object SparkEntry {
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"), col("n"))
         .orderBy("status", "prio")),
 
+    // ---- Reproducible sampling (training-data ops) ----------------------
+    "s8_stratified_sample" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(
+          t(s, dir, "documents"), "lang", "doc_id", n = 10)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    "s9_train_test_split" -> ((s, dir) =>
+      graft.ops.Sampling.trainTestSplit(
+          t(s, dir, "documents"), "doc_id", cutSixteenths = 4)
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")),
+
     // ---- SQL front door: views + registered engine functions ------------
     "sql1_engine_sql" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -1354,6 +1368,20 @@ object SparkEntry {
         |  coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n
         |  FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |  ORDER BY status, prio""".stripMargin,
+
+    "s8_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "s9_train_test_split" ->
+      """SELECT lang,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+        |         AS INT) < 4
+        |       THEN 'test' ELSE 'train' END AS split,
+        |  count(*) AS n
+        |  FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     "sql1_engine_sql" ->
       """SELECT p_partkey,
