@@ -45,16 +45,19 @@ object ColumnMapping {
       .withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now())
 
-  /** Parse one map-form entry `{"dst": spec}`. Names and specs are trimmed,
-    * matching the reference's whitespace handling (sdk/etl.php:115-125).
+  /** Parse one map-form entry `{"dst": spec}`. Exact reference dispatch
+    * (sdk/src/ETLTask.php:81-84 `getPropertyValue`): a `[` ANYWHERE makes
+    * the spec a column reference with every bracket stripped (so
+    * `"a[b]"` references column `ab`); otherwise `NOW()` matches
+    * case-insensitively after trimming; anything else is a literal.
+    * Names are trimmed (sdk/etl.php:115-125).
     */
   def parse(dst: String, spec: String): ColumnSpec = {
     val d = dst.trim
-    val s = spec.trim
-    if (s == "NOW()") NowCol(d)
-    else if (s.startsWith("[") && s.endsWith("]"))
-      SourceCol(d, s.stripPrefix("[").stripSuffix("]").trim)
-    else LiteralCol(d, s)
+    if (spec.contains("["))
+      SourceCol(d, spec.replace("[", "").replace("]", "").trim)
+    else if (spec.trim.toUpperCase == "NOW()") NowCol(d)
+    else LiteralCol(d, spec.trim)
   }
 
   /** Parse one list-form entry `"dst <- src"`; a bare `"col"` maps to itself

@@ -20,6 +20,12 @@ import org.apache.spark.sql.types.StringType
   * The original (untrimmed) values are preserved in the output; trimming is
   * only a comparison normalization.
   *
+  * Documented divergence: the reference's `in_array` uses PHP loose
+  * comparison, so numeric-looking strings compare numerically ("1.0" is a
+  * duplicate of "1" — sdk/src/ETLTask.php:46). We compare strings exactly
+  * (after trim): replicating PHP type juggling would silently merge
+  * distinct keys like "1e3" and "1000".
+  *
   * Scale note: this is a window/shuffle per key column, fully distributed —
   * no driver-side sets (unlike the reference's in-memory `$cache`). At
   * 100 TB the shuffle is hash-partitioned on the key, which is the minimal

@@ -48,9 +48,16 @@ object ETLPipeline {
       if (mapped.columns.contains(orderName)) Seq(col(orderName))
       else order
 
+    // The reference checks unique columns in COLUMN-MAPPING order, not
+    // unique-list order (sdk/src/ETLTask.php:39-53 iterates the columns
+    // map) — the order decides which values a multiply-keyed duplicate
+    // claims before being dropped.
+    val uniqueInColumnOrder =
+      flow.columns.map(_.dst).filter(flow.unique.contains) ++
+        flow.unique.filterNot(k => flow.columns.exists(_.dst == k))
     val deduped =
       if (flow.unique.isEmpty) mapped
-      else Dedup.firstWinsAny(mapped, flow.unique, orderExpr)
+      else Dedup.firstWinsAny(mapped, uniqueInColumnOrder, orderExpr)
 
     val survived = destination match {
       case Some(dst) if flow.unique.nonEmpty =>

@@ -16,8 +16,15 @@ class ColumnMappingSpec extends SparkSpec {
     assert(ColumnMapping.parse("dst", "hello") === LiteralCol("dst", "hello"))
   }
 
-  test("NOW() is the timestamp function") {
+  test("NOW() is the timestamp function, case-insensitive like the reference") {
     assert(ColumnMapping.parse("ts", " NOW() ") === NowCol("ts"))
+    assert(ColumnMapping.parse("ts", "now()") === NowCol("ts"))
+  }
+
+  test("any bracket makes a column ref with all brackets stripped") {
+    // getPropertyValue dispatch: strpos + str_replace of every bracket
+    assert(ColumnMapping.parse("d", "a[b]") === SourceCol("d", "ab"))
+    assert(ColumnMapping.parse("d", "[x") === SourceCol("d", "x"))
   }
 
   test("arrow form dst <- src") {
