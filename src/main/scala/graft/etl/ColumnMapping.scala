@@ -60,13 +60,21 @@ object ColumnMapping {
     else LiteralCol(d, spec.trim)
   }
 
-  /** Parse one list-form entry `"dst <- src"`; a bare `"col"` maps to itself
-    * (reference: sdk/etl.php:10-30 normalizes the list form this way).
+  /** Parse one list-form entry `"dst <- spec"` (reference: sdk/etl.php:10-30
+    * `prepare_columns` splits on `<-` and the RHS is then dispatched through
+    * `getPropertyValue` like any map-form spec — so a column reference needs
+    * brackets: `"a <- [b]"`; `"a <- b"` injects the LITERAL `b`).
+    *
+    * Documented extension: a bare `"col"` (no arrow) maps the column to
+    * itself. The reference degenerates here (`str_before`/`str_after` both
+    * return "" when the separator is absent, producing a nameless empty
+    * literal — sdk/etl.php:22-23); self-mapping is the evident intent and
+    * an empty column name would only fail analysis later.
     */
   def parseArrow(entry: String): ColumnSpec = {
     val i = entry.indexOf("<-")
     if (i < 0) { val c = entry.trim; SourceCol(c, c) }
-    else SourceCol(entry.substring(0, i).trim, entry.substring(i + 2).trim)
+    else parse(entry.substring(0, i), entry.substring(i + 2))
   }
 
   /** Apply an ordered mapping as a single narrow `select` — Catalyst's

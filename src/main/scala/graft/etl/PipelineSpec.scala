@@ -29,7 +29,9 @@ final case class FlowSpec(
     columns: Seq[ColumnSpec],
     unique: Seq[String],
     query: Option[String],
-    connection: Option[String] = None)
+    connection: Option[String] = None,
+    inlineFrom: Option[ConnectionSpec] = None,
+    inlineTo: Option[ConnectionSpec] = None)
 
 /** A named JDBC endpoint from the config's `connections` block
   * (reference: sdk/etl.php:128-132 — per-table connection override falls
@@ -41,9 +43,14 @@ final case class ConnectionSpec(url: String, options: Map[String, String])
 
 final case class PipelineSpec(flows: Seq[FlowSpec],
                               connections: Map[String, ConnectionSpec] = Map.empty) {
-  /** Resolve a flow's source connection: explicit name, else "from". */
+  /** Resolve a flow's source connection: per-flow inline object
+    * (reference: sdk/etl.php:129-132 `$value['connections']['from']`
+    * overrides the global connection), else explicit name, else the global
+    * "from".
+    */
   def sourceConnection(flow: FlowSpec): Option[ConnectionSpec] =
-    flow.connection.flatMap(connections.get)
+    flow.inlineFrom
+      .orElse(flow.connection.flatMap(connections.get))
       .orElse(connections.get("from"))
 }
 
@@ -60,26 +67,28 @@ object PipelineSpec {
     }
     val connections = root \ "connections" match {
       case JObject(fields) => fields.map { case (name, v) =>
-        val url = v \ "url" match {
-          case JString(u) => u
-          case _ => throw new IllegalArgumentException(
-            s"connections.$name must declare a 'url' string")
-        }
-        val opts = v \ "options" match {
-          case JObject(of) => of.collect {
-            case (k, JString(s)) => k -> s
-          }.toMap
-          case JNothing => Map.empty[String, String]
-          case _ => throw new IllegalArgumentException(
-            s"connections.$name.options must be an object of strings")
-        }
-        name -> ConnectionSpec(url, opts)
+        name -> parseConnection(v, s"connections.$name")
       }.toMap
       case JNothing => Map.empty[String, ConnectionSpec]
       case _ => throw new IllegalArgumentException(
         "'connections' must be an object")
     }
     PipelineSpec(tables.map(parseFlow), connections)
+  }
+
+  private def parseConnection(v: JValue, where: String): ConnectionSpec = {
+    val url = v \ "url" match {
+      case JString(u) => u
+      case _ => throw new IllegalArgumentException(
+        s"$where must declare a 'url' string")
+    }
+    val opts = v \ "options" match {
+      case JObject(of) => of.collect { case (k, JString(s)) => k -> s }.toMap
+      case JNothing => Map.empty[String, String]
+      case _ => throw new IllegalArgumentException(
+        s"$where.options must be an object of strings")
+    }
+    ConnectionSpec(url, opts)
   }
 
   private def parseFlow(t: JValue): FlowSpec = {
@@ -125,7 +134,18 @@ object PipelineSpec {
       case _ => None
     }
 
-    FlowSpec(from, to, columns, unique, query, connection)
+    // per-flow inline connections override (sdk/etl.php:129-132)
+    val inlineFrom = t \ "connections" \ "from" match {
+      case JNothing => None
+      case v => Some(parseConnection(v, s"flow '$flow' connections.from"))
+    }
+    val inlineTo = t \ "connections" \ "to" match {
+      case JNothing => None
+      case v => Some(parseConnection(v, s"flow '$flow' connections.to"))
+    }
+
+    FlowSpec(from, to, columns, unique, query, connection,
+      inlineFrom, inlineTo)
   }
 
   private def jstring(v: JValue, where: String): String = v match {

@@ -27,8 +27,12 @@ class ColumnMappingSpec extends SparkSpec {
     assert(ColumnMapping.parse("d", "[x") === SourceCol("d", "x"))
   }
 
-  test("arrow form dst <- src") {
-    assert(ColumnMapping.parseArrow(" a <- b ") === SourceCol("a", "b"))
+  test("arrow form RHS dispatches like a map-form spec") {
+    // reference: prepare_columns RHS goes through getPropertyValue, so a
+    // column reference needs brackets; bare RHS is a literal
+    assert(ColumnMapping.parseArrow(" a <- [b] ") === SourceCol("a", "b"))
+    assert(ColumnMapping.parseArrow(" a <- b ") === LiteralCol("a", "b"))
+    assert(ColumnMapping.parseArrow(" ts <- now() ") === NowCol("ts"))
     assert(ColumnMapping.parseArrow(" c ") === SourceCol("c", "c"))
   }
 

@@ -20,7 +20,7 @@ class ETLPipelineSpec extends SparkSpec {
         |             "source_system":"etl-test"},
         |  "unique":["segment"]},
         | {"flow":"supplier -> dim_supplier",
-        |  "columns":["s_suppkey <- s_suppkey", "s_name"],
+        |  "columns":["s_suppkey <- [s_suppkey]", "s_name"],
         |  "unique":["s_suppkey"]}
         |]}""".stripMargin)
 

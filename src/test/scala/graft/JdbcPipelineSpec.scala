@@ -11,6 +11,21 @@ import graft.etl._
 class JdbcPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("per-flow inline connections override the global block") {
+    val spec = PipelineSpec.parse(
+      """{"connections": {"from": {"url": "jdbc:global"}},
+        | "tables": [
+        |  {"flow": "a -> b",
+        |   "connections": {"from": {"url": "jdbc:flow-local",
+        |                            "options": {"driver": "d"}}}},
+        |  {"flow": "c -> d"}]}""".stripMargin)
+    assert(spec.sourceConnection(spec.flows(0)).get.url === "jdbc:flow-local")
+    assert(spec.sourceConnection(spec.flows(0)).get.options ===
+      Map("driver" -> "d"))
+    assert(spec.sourceConnection(spec.flows(1)).get.url === "jdbc:global")
+    assert(spec.flows(0).inlineTo.isEmpty)
+  }
+
   test("config with connections block drives a JDBC-source flow") {
     val dbPath = Files.createTempDirectory("graft_derby2").toString + "/db"
     val url = s"jdbc:derby:$dbPath;create=true"
