@@ -63,6 +63,31 @@ object Sinks {
         .option("batchsize", "10000").options(options).save()
     }
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetFileMB` each. Streaming/append pipelines accumulate
+    * small files (every micro-batch/task writes its own); at 100 TB the
+    * file count itself becomes the bottleneck (listing, footer reads, task
+    * scheduling). Rewrites via a staging directory so a crash mid-compact
+    * never destroys the source data.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                     targetFileMB: Int = 128): Long = {
+    val df = spark.read.parquet(path)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1,
+      (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+    val staging = path + "__compact_staging"
+    val n = counted(df.repartition(files)) {
+      _.write.mode("overwrite").parquet(staging)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    fs.delete(target, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
+    n
+  }
+
   /** Count once via cache so write + count don't double-scan the plan (the
     * reference paid exactly that double-scan with `iterator_count` —
     * sdk/migrate_assures.php:405).
