@@ -3,12 +3,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  * SPARK_GRAFT_SF_DIR.
   *
   * Each query is executed twice: a warm-up pass (JIT + codegen + file
   * listing), then `spark.catalog.clearCache()` to drop operator-internal
   * caches, then the timed pass — so the reported number is steady-state
   * computation cost, neither cold-JVM inflated nor cache-hit deflated.
+  * `System.gc()` runs before each timed pass so full-GC debt accumulated by
+  * a previous (heavy) query doesn't land inside an unrelated measurement.
+  *
+  * Output contract: the LAST stdout line is a short, self-contained JSON
+  * object (`metric`/`value`/`unit`/`sf`) that survives tail-capture
+  * truncation; the full per-query map is printed on the line before it AND
+  * written to `bench_full.json` (override with SPARK_GRAFT_BENCH_OUT).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,6 +35,7 @@ object Bench {
         try {
           fn(spark, sfDir).count() // warm-up: JIT, codegen, file listing
           spark.catalog.clearCache() // drop operator-internal caches
+          System.gc() // don't bill this query for the previous one's garbage
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
@@ -35,10 +43,21 @@ object Bench {
       spark.catalog.clearCache()
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = r3(results.collect { case (_, v) if v >= 0 => v }.sum)
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      full.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(full)
+    // Short line LAST: tail-capture keeps the end of stdout, so this always
+    // parses even when the full line above is truncated.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"$outPath"}""")
     spark.stop()
   }
 }

@@ -409,11 +409,18 @@ object SparkEntry {
           col("n"), col("price_cents"))
         .orderBy("status", "prio")),
 
-    // ---- A7: approximate distinct (sketch; rows-only check) -------------
+    // ---- A7: approximate distinct (sketch checked against the exact count:
+    // the HLL++ estimate itself is engine-specific, so the oracle-checkable
+    // surface is the exact count plus a boolean asserting the sketch landed
+    // within its 5% error envelope — if Spark's sketch drifts, the boolean
+    // flips and the hash compare fails) --------------------------------------
     "a7_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))),
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("sketch_within_5pct"))),
 
     // ---- L3/L4: positional access + column extraction -------------------
     "l3_positional" -> ((s, dir) =>
@@ -950,6 +957,13 @@ object SparkEntry {
         |    AS price_cents
         |  FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |  ORDER BY status, prio""".stripMargin,
+
+    // The sketch estimate is engine-specific; the oracle checks the exact
+    // count and asserts the Spark-side sketch sat within its error envelope
+    // (TRUE here == the boolean Spark computed from its own sketch).
+    "a7_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS sketch_within_5pct FROM lineitem""".stripMargin,
 
     "l3_positional" ->
       """SELECT c_custkey, c_name FROM customer ORDER BY c_custkey

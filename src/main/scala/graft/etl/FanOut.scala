@@ -10,24 +10,28 @@ import org.apache.spark.sql.functions._
   * all linked by client-side UUIDs).
   *
   * In Spark the ids must be generated ONCE and reused across projections —
-  * `uuid()` is nondeterministic, so each projection of an uncached plan
-  * would regenerate different ids and break the linkage. We therefore
-  * materialize the id-augmented frame with `.cache()` (or rely on an
-  * explicit checkpoint at real scale) before projecting.
+  * `uuid()` is nondeterministic, so each projection of an unmaterialized
+  * plan would regenerate different ids and break the linkage. We therefore
+  * `localCheckpoint` the id-augmented frame: unlike `.cache()`, a
+  * checkpoint TRUNCATES the lineage, so a lost partition cannot be
+  * recomputed with fresh uuids — eviction/executor loss surfaces as a
+  * retryable error instead of silently corrupted linkage.
   *
-  * Scale note: the cache holds source-width rows once, not once per
-  * destination; at 100 TB prefer persisting to storage
-  * (`df.write.parquet` then re-read) over memory cache — `withIds` takes the
-  * already-materialized frame either way, keeping the operator itself
-  * scan-shaped and shuffle-free (pure projections).
+  * Scale note: the checkpoint holds source-width rows once, not once per
+  * destination; at 100 TB prefer a reliable checkpoint or persisting to
+  * storage (`df.write.parquet` then re-read) over executor-local blocks —
+  * `withIds` takes the already-materialized frame either way, keeping the
+  * operator itself scan-shaped and shuffle-free (pure projections).
   */
 object FanOut {
 
-  /** Add one nondeterministic surrogate-id column per name and materialize,
-    * so every downstream projection observes identical ids.
+  /** Add one nondeterministic surrogate-id column per name and materialize
+    * eagerly with lineage truncation, so every downstream projection
+    * observes identical ids — under recomputation too.
     */
   def withIds(df: DataFrame, idCols: Seq[String]): DataFrame =
-    idCols.foldLeft(df)((d, c) => d.withColumn(c, expr("uuid()"))).cache()
+    idCols.foldLeft(df)((d, c) => d.withColumn(c, expr("uuid()")))
+      .localCheckpoint(eager = true)
 
   /** Project the id-augmented frame into each destination shape. */
   def apply(withIds: DataFrame,

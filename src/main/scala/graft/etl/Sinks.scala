@@ -67,8 +67,17 @@ object Sinks {
     * roughly `targetFileMB` each. Streaming/append pipelines accumulate
     * small files (every micro-batch/task writes its own); at 100 TB the
     * file count itself becomes the bottleneck (listing, footer reads, task
-    * scheduling). Rewrites via a staging directory so a crash mid-compact
-    * never destroys the source data.
+    * scheduling).
+    *
+    * Commit sequence: write staging → rename target aside (`__compact_old`)
+    * → promote staging → delete old LAST. The data always exists in full in
+    * at least one directory, so a crash at any step is recoverable (from
+    * `__compact_old` if it strikes between the renames — the canonical path
+    * is briefly absent then, so concurrent readers of a live table need an
+    * external commit protocol, e.g. a table format's transaction log).
+    * Filesystems are resolved from the path itself, not the default scheme,
+    * so compacting e.g. an s3a path with a local default FS acts on the
+    * right store.
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
                      targetFileMB: Int = 128): Long = {
@@ -80,21 +89,33 @@ object Sinks {
     val n = counted(df.repartition(files)) {
       _.write.mode("overwrite").parquet(staging)
     }
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
-    fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
+    val fs = target.getFileSystem(conf)
+    val stagingP = new org.apache.hadoop.fs.Path(staging)
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    fs.delete(old, true) // leftover from a previous crashed compact
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(s"compact: cannot move $target aside")
+    if (!fs.rename(stagingP, target)) {
+      fs.rename(old, target) // roll back: restore the original directory
+      throw new java.io.IOException(s"compact: cannot promote $staging")
+    }
+    fs.delete(old, true)
     n
   }
 
-  /** Count once via cache so write + count don't double-scan the plan (the
-    * reference paid exactly that double-scan with `iterator_count` —
-    * sdk/migrate_assures.php:405).
+  /** Row count observed DURING the write via `Observation` (a
+    * CollectMetrics node in the same job) — one scan, no cache, no second
+    * pass. The reference paid a full double-scan for this count
+    * (`iterator_count` — sdk/migrate_assures.php:405); caching the write
+    * set to count it would be a memory cliff at 100 TB.
     */
   private def counted(df: DataFrame)(write: DataFrame => Unit): Long = {
-    val cached = df.cache()
-    try { write(cached); cached.count() }
-    finally cached.unpersist()
+    val obs = org.apache.spark.sql.Observation()
+    write(df.observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows")))
+    obs.get("rows").asInstanceOf[Long]
   }
 }

@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** MinHash + LSH near-duplicate detection:
   * shingle → minhash signature → band → bucket-join → verify.
   *
-  * Hashes are md5-based (seed-prefixed, lexicographic min of hex digests) so
-  * the pipeline is engine-portable — the DuckDB oracle reproduces identical
-  * signatures. md5 is slower than xxhash but the signature step is a narrow
-  * projection; the cost that matters at scale is the candidate join, which
-  * this reduces from O(n²) to same-bucket pairs.
+  * Hashing scheme: ONE md5 per shingle, reduced to a 60-bit integer mod
+  * 2^31-1 (`baseHash`); the m signature components derive arithmetically
+  * via the universal-hash family ((2j+1)·h + 7919j + 13) mod p
+  * (`signatureOfHashes`) — engine-portable, so the DuckDB oracle reproduces
+  * identical signatures. (A seed-prefixed md5 per component was measured
+  * 16× more hashing and abandoned.) md5 is slower than xxhash but the
+  * signature step is a narrow projection; the cost that matters at scale is
+  * the candidate join, which this reduces from O(n²) to same-bucket pairs.
   *
   * Scale design: the only shuffle is the band-bucket self-join, partitioned
   * on the band key. Skewed buckets (a band key shared by thousands of docs)

@@ -87,9 +87,11 @@ object Multimodal {
     * sampler produces.
     */
   def sampleFrames(media: DataFrame, frameSize: Int, nFrames: Int): DataFrame =
-    media.select(col("doc_id"),
+    // The payload rides through the explode projection — no join back to the
+    // source (a generator keeps sibling columns, so re-acquiring the payload
+    // via self-join would add a pure-overhead shuffle at scale).
+    media.select(col("doc_id"), col("payload"),
         explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"))
-      .join(media.select(col("doc_id"), col("payload")), "doc_id")
       .select(col("doc_id"), col("frame_idx"),
         col("payload").substr(col("frame_idx") * frameSize + 1,
           lit(frameSize)).as("frame_bytes"))

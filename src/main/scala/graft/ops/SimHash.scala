@@ -108,11 +108,15 @@ object SimHash {
       col("chunk").as("chunk_a"))
     val right = sk.select(col(idCol).as("id_b"), col("simhash").as("sim_b"),
       col("chunk").as("chunk_b"))
+    // Hamming filter BEFORE the pair distinct: a pair agreeing on several
+    // chunks appears once per agreeing chunk, but non-matching candidates
+    // (the overwhelming majority) must not ride through the distinct's
+    // exchange — filtering first shrinks that shuffle to the true pairs.
     left.join(right,
         col("chunk_a") === col("chunk_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDistance)
+      .distinct()
   }
 }

@@ -33,12 +33,17 @@ object Similarity {
     else df
   }
 
-  /** Exact fixed-point dot product of two float arrays. */
+  /** Exact fixed-point dot product of two float arrays — a native codegen
+    * expression ([[graft.functions.FixedPointDot]]): identical semantics to
+    * the interpreted `aggregate(zip_with(...))` form but a tight generated
+    * loop, which is what makes pair scoring codegen-bound instead of
+    * lambda-dispatch-bound.
+    */
   def dotFp(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * y.cast("double") * Scale).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.FixedPointDot(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   def normFp(a: Column): Column = dotFp(a, a)
 
@@ -56,13 +61,17 @@ object Similarity {
     */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    // Norms are per-VECTOR, so compute them before the pair join — scoring a
+    // pair then costs one array fold (the dot), not three.
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      normFp(col(vecCol)).as("q_norm"))
     val c = spread(candidates, idCol)
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        normFp(col(vecCol)).as("c_norm"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("dot_fp", dotFp(col("q_vec"), col("c_vec")))
       .withColumn("cos", cosineFromFp(col("dot_fp"),
-        normFp(col("q_vec")), normFp(col("c_vec"))))
+        col("q_norm"), col("c_norm")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("dot_fp").desc, col("c_id"))
@@ -71,29 +80,18 @@ object Similarity {
       .select("q_id", "c_id", "rank", "cos")
   }
 
-  /** Deterministic ±1 hyperplane component for plane j, dimension i:
-    * parity of the first hex digit of md5(j + "_" + i).
-    */
-  private def planeSign(j: Column, i: Column): Column =
-    when(conv(substring(md5(concat(j.cast("string"), lit("_"),
-      i.cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 0, 1L)
-      .otherwise(-1L)
-
   /** LSH bucket key: bit j set when (plane_j · x) > 0, computed in exact
-    * fixed-point (1e-6 per element — products of ±1 with unit-scale floats).
+    * fixed-point (1e-6 per element — products of ±1 with unit-scale
+    * floats). A native codegen expression ([[graft.functions.LshBucket]])
+    * with a static ±1 sign matrix: the md5-derived signs are plan-time
+    * constants, so neither the hashing (naive spelling: nPlanes×d md5 per
+    * ROW — measured 25× slower) nor per-row lambda dispatch belongs in the
+    * row loop.
     */
   def lshBucket(vec: Column, nPlanes: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(nPlanes - 1)),
-      lit(0L),
-      (acc, j) => {
-        val planeDot = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-            planeSign(j, i) * round(x.cast("double") * 1e6).cast("long")),
-          lit(0L), (a2, v) => a2 + v)
-        acc + when(planeDot > 0, call_function("shiftleft", lit(1L), j))
-          .otherwise(lit(0L))
-      })
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.LshBucket(
+        org.apache.spark.sql.graft.ColumnBridge.expression(vec), nPlanes))
 
   /** Approximate top-k: equality-join on the LSH bucket, exact scoring
     * within the bucket only.
@@ -102,15 +100,17 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               nPlanes: Int = 8): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
+      lshBucket(col(vecCol), nPlanes).as("bucket"),
+      normFp(col(vecCol)).as("q_norm"))
     val c = spread(candidates, idCol)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
-        lshBucket(col(vecCol), nPlanes).as("bucket"))
+        lshBucket(col(vecCol), nPlanes).as("bucket"),
+        normFp(col(vecCol)).as("c_norm"))
     val scored = c.join(broadcast(q),
         col("q_id") =!= col("c_id") && q("bucket") === c("bucket"))
       .withColumn("dot_fp", dotFp(col("q_vec"), col("c_vec")))
       .withColumn("cos", cosineFromFp(col("dot_fp"),
-        normFp(col("q_vec")), normFp(col("c_vec"))))
+        col("q_norm"), col("c_norm")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("dot_fp").desc, col("c_id"))
@@ -126,20 +126,24 @@ object Similarity {
   def embeddingNearDuplicates(vectors: DataFrame, idCol: String,
                               vecCol: String, threshold: Double,
                               nPlanes: Int = 6): DataFrame = {
-    // Cache: the bucketed frame feeds both sides of the pair join.
+    // Cache: the bucketed frame feeds both sides of the pair join. Norms
+    // are computed here, per vector, NOT per candidate pair — scoring a
+    // pair is then a single array fold.
     val v = spread(vectors, idCol)
       .select(col(idCol), col(vecCol),
-        lshBucket(col(vecCol), nPlanes).as("bucket"))
+        lshBucket(col(vecCol), nPlanes).as("bucket"),
+        normFp(col(vecCol)).as("norm_fp"))
       .cache()
     // Rename the join key per side — shared lineage would otherwise make
     // bucket === bucket trivially true (cross join).
     val left = v.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
-      col("bucket").as("bucket_a"))
+      col("bucket").as("bucket_a"), col("norm_fp").as("norm_a"))
     val right = v.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
-      col("bucket").as("bucket_b"))
+      col("bucket").as("bucket_b"), col("norm_fp").as("norm_b"))
     left.join(right,
         col("bucket_a") === col("bucket_b") && col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cos", cosineFromFp(dotFp(col("vec_a"), col("vec_b")),
+        col("norm_a"), col("norm_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
       .distinct()

@@ -48,9 +48,41 @@ object StreamOps {
 
   /** Gap-based sessionization, batch form: sessions break when consecutive
     * events of a user are more than `gapSeconds` apart. Exact integer
-    * (microsecond) comparisons throughout. Shuffles once on user_id.
+    * (microsecond) comparisons throughout.
+    *
+    * Shape: `lag(ts) OVER (PARTITION BY user_id ORDER BY ts)` marks session
+    * starts, then a per-user aggregate counts them. Everything stays in
+    * whole-stage codegen with bounded memory (the window sorter spills),
+    * and the aggregate reuses the window's hash partitioning — ONE shuffle
+    * total. A `groupByKey.mapGroups` + in-memory sort would hold each user's
+    * whole event array on the heap: fine until one user has 10M events.
     */
   def sessionizeBatch(spark: SparkSession, events: DataFrame,
+                      gapSeconds: Long): Dataset[UserSessions] = {
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("session_start",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs,
+          1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("session_start")).as("n_sessions"))
+      .as[UserSessions]
+  }
+
+  /** Typed alternative to [[sessionizeBatch]]: the `groupByKey.mapGroups`
+    * shape — kept as the documented general template for per-key imperative
+    * logic no window composition can express. Memory caveat: materializes
+    * one user's events as an array, so it assumes per-key cardinality fits
+    * an executor's heap; prefer the window form when (as here) the logic IS
+    * expressible relationally.
+    */
+  def sessionizeTyped(spark: SparkSession, events: DataFrame,
                       gapSeconds: Long): Dataset[UserSessions] = {
     import spark.implicits._
     val gapUs = gapSeconds * 1000000L
