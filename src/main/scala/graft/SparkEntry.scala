@@ -76,6 +76,26 @@ object SparkEntry {
         sum(col("l_quantity").cast("long")).as("sum_qty"))
     }),
 
+    // ---- S9/S10: real-database upsert through the gate: seed a live Derby
+    // table, batch-upsert an overlapping range (updates 51-100, inserts
+    // 101-150), read the mutated table back --------------------------------
+    "s10_jdbc_upsert" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_jdbc_q").toString
+      val url = s"jdbc:derby:$tmp/db;create=true"
+      val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+      val cust = t(s, dir, "customer")
+      Sinks.jdbc(cust.filter(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("cust_id"), col("c_name").as("name")),
+        url, "t_cust", opts)
+      JdbcSink.upsert(
+        cust.filter(col("c_custkey") > 50 && col("c_custkey") <= 150)
+          .select(col("c_custkey").as("cust_id"),
+            upper(col("c_name")).as("name")),
+        url, "t_cust", Seq("cust_id"), opts)
+      Sources.jdbc(s, url, "t_cust", opts).orderBy("cust_id")
+    }),
+
     // ---- P1/P2/P3: column mapping (SURVEY §2.2) ------------------------
     "p1_column_mapping" -> ((s, dir) => {
       val specs = Seq(
@@ -719,6 +739,13 @@ object SparkEntry {
       """SELECT count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |  FROM lineitem WHERE l_quantity >= 49""".stripMargin,
+
+    // Expected post-upsert state of the live table: seeds 1-100, updated
+    // (uppercased) 51-100, inserted 101-150.
+    "s10_jdbc_upsert" ->
+      """SELECT c_custkey AS cust_id,
+        |  CASE WHEN c_custkey > 50 THEN upper(c_name) ELSE c_name END AS name
+        |  FROM customer WHERE c_custkey <= 150 ORDER BY cust_id""".stripMargin,
 
     "p1_column_mapping" ->
       """SELECT c_custkey AS cust_id, c_name AS full_name,

@@ -58,4 +58,29 @@ object Dedup {
   def firstWinsAny(df: DataFrame, keys: Seq[String],
                    order: Seq[Column]): DataFrame =
     keys.foldLeft(df)((d, k) => firstWins(d, k, order))
+
+  /** Per-column first-wins with the DESTINATION's existing key values folded
+    * into the same pass — the reference interleaves the destination-exists
+    * probe with the run cache inside one per-column loop
+    * (sdk/src/ETLTask.php:46: `$this->to->exists(...) || in_array(...)`
+    * breaks BEFORE caching), so a row dropped at column k claims the values
+    * of EARLIER columns only, never its later-column values. Sequencing the
+    * full dedup before one combined anti-join gets that wrong: with
+    * unique=[k1,k2], a row whose k1 already exists in the destination would
+    * still win the k2 dedup and wrongly shadow a later row sharing only k2.
+    *
+    * Shape per column: anti-join against the destination's (trimmed) key
+    * set, then the first-wins window — both hash-partitioned on the key;
+    * small destinations broadcast.
+    */
+  def firstWinsAnyWithDestination(df: DataFrame, keys: Seq[String],
+                                  order: Seq[Column],
+                                  dest: DataFrame): DataFrame =
+    keys.foldLeft(df) { (d, k) =>
+      val destKeys = dest
+        .select(normKey(dest, k).as("__graft_dest_key")).distinct()
+      val kept = d.join(destKeys,
+        normKey(d, k) === col("__graft_dest_key"), "left_anti")
+      firstWins(kept, k, order)
+    }
 }

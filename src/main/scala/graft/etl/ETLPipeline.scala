@@ -55,14 +55,16 @@ object ETLPipeline {
     val uniqueInColumnOrder =
       flow.columns.map(_.dst).filter(flow.unique.contains) ++
         flow.unique.filterNot(k => flow.columns.exists(_.dst == k))
-    val deduped =
-      if (flow.unique.isEmpty) mapped
-      else Dedup.firstWinsAny(mapped, uniqueInColumnOrder, orderExpr)
-
-    val survived = destination match {
-      case Some(dst) if flow.unique.nonEmpty =>
-        AntiDestination(deduped, dst, flow.unique)
-      case _ => deduped
+    // With a destination, its existing keys fold INTO each per-column pass
+    // (the reference's probe-and-cache interleave — see
+    // Dedup.firstWinsAnyWithDestination); without one, plain first-wins.
+    val survived = (flow.unique.isEmpty, destination) match {
+      case (true, _) => mapped
+      case (false, Some(dst)) =>
+        Dedup.firstWinsAnyWithDestination(mapped, uniqueInColumnOrder,
+          orderExpr, dst)
+      case (false, None) =>
+        Dedup.firstWinsAny(mapped, uniqueInColumnOrder, orderExpr)
     }
 
     if (survived.columns.contains(orderName)) survived.drop(orderName)

@@ -1,7 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr, length, lit}
 
 /** Source readers — the Spark analogue of the reference's `SQLTable`
   * scan-with-pushdown-by-construction (reference: sdk/src/SQLTable.php:38-50
@@ -38,9 +38,48 @@ object Sources {
           header: Boolean = true): DataFrame =
     spark.read.option("header", header.toString).csv(path)
 
+  /** JDBC scan with connection retry/backoff at PLAN time (reference:
+    * sdk/lib/db.php:327-346 — up to 7 attempts, 3 s apart). Spark's task
+    * retry covers executor-side failures, but `load()` connects from the
+    * driver to resolve the schema, and a flaky database there would
+    * otherwise fail the whole program on its first hiccup.
+    */
   def jdbc(spark: SparkSession, url: String, dbtable: String,
-           options: Map[String, String] = Map.empty): DataFrame =
-    spark.read.format("jdbc")
-      .option("url", url).option("dbtable", dbtable)
-      .options(options).load()
+           options: Map[String, String] = Map.empty,
+           attempts: Int = 7, retryDelayMs: Long = 3000): DataFrame = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return spark.read.format("jdbc")
+        .option("url", url).option("dbtable", dbtable)
+        .options(options).load()
+      catch {
+        case t: Throwable =>
+          last = t
+          i += 1
+          if (i < attempts) Thread.sleep(retryDelayMs)
+      }
+    }
+    throw new RuntimeException(
+      "Too many attempt to create database connection", last)
+  }
+
+  /** Whole-file binary source (reference: sdk/src/IO/ReadWriter.php:99-127 —
+    * `fread` of raw bytes). One row per file:
+    * (path, modificationTime, length, content).
+    */
+  def binaryFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+
+  /** Byte-range read: `length` bytes from 0-based `offset` of each file —
+    * the reference's `read($length, $offset)` contract
+    * (sdk/src/IO/ReadWriter.php:129-147; reads past EOF truncate).
+    */
+  def binaryRange(spark: SparkSession, path: String, offset: Long,
+                  len: Int): DataFrame =
+    binaryFiles(spark, path).select(
+      col("path"),
+      col("content").substr(lit(offset + 1), lit(len)).as("chunk"),
+      length(col("content").substr(lit(offset + 1), lit(len)))
+        .cast("long").as("chunk_len"))
 }

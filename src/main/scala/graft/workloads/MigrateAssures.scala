@@ -22,7 +22,8 @@ import graft.etl.{FanOut, Upsert}
   *   2. fan-out of the unmatched side into the six destination shapes,
   *      sharing uuid() surrogate ids via one materialization;
   *   3. `assures ⋈ carriere_assures(numero_assure)` + replace-children
-  *      overwrite of the career links.
+  *      overwrite of the career links, then the current-employment upsert
+  *      (date_embauche/numero_employeur_actuel) folded in set-form.
   *
   * Update/delete sinks: vanilla Spark cannot update rows in place, so the
   * parity harness returns the NEW STATE of each destination table
@@ -145,8 +146,50 @@ object MigrateAssures {
         col("date_sortie").as("end_date"),
         col("numero_employeur").as("registrant_id"),
         col("policy_holder_id"))
+
+    // ---- 3b. current-employment upsert (reference :229-235): after the
+    // career reinsert, every assure with BOTH date_embauche and
+    // numero_employeur_actuel set upserts on (policy_holder_id,
+    // registrant_id) — matching career rows get start_date=date_embauche /
+    // end_date=NULL (the reference's UPDATE hits every matching row), and a
+    // pair with no career row inserts fresh. Assures frames without the two
+    // columns skip the branch, exactly as the reference's isset() guard
+    // treats an absent field.
+    val careersWithCurrent =
+      if (!assures.columns.contains("date_embauche") ||
+          !assures.columns.contains("numero_employeur_actuel"))
+        recomputedCareers
+      else {
+        val endType = recomputedCareers.schema("end_date").dataType
+        val cur = assures
+          .filter(col("date_embauche").isNotNull &&
+            col("numero_employeur_actuel").isNotNull)
+          .join(phKeys, assures("numero_assure") === phKeys("sin"))
+          .select(col("policy_holder_id").as("c_ph"),
+            col("numero_employeur_actuel").as("c_reg"),
+            col("date_embauche").as("c_start"))
+        val updated = recomputedCareers.join(cur,
+            recomputedCareers("policy_holder_id") === cur("c_ph") &&
+              recomputedCareers("registrant_id") === cur("c_reg"), "left")
+          .select(col("id"),
+            when(col("c_ph").isNotNull, col("c_start"))
+              .otherwise(col("start_date")).as("start_date"),
+            when(col("c_ph").isNotNull, lit(null).cast(endType))
+              .otherwise(col("end_date")).as("end_date"),
+            col("registrant_id"), col("policy_holder_id"))
+        val inserted = cur.join(recomputedCareers,
+            recomputedCareers("policy_holder_id") === cur("c_ph") &&
+              recomputedCareers("registrant_id") === cur("c_reg"),
+            "left_anti")
+          .select(expr("uuid()").as("id"),
+            col("c_start").as("start_date"),
+            lit(null).cast(endType).as("end_date"),
+            col("c_reg").as("registrant_id"),
+            col("c_ph").as("policy_holder_id"))
+        updated.unionByName(inserted)
+      }
     val careersNew = Upsert.replaceChildren(
-      dest("ass_registrant_policy_holders"), recomputedCareers,
+      dest("ass_registrant_policy_holders"), careersWithCurrent,
       Seq("policy_holder_id"))
 
     Map(

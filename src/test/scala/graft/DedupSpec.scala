@@ -42,6 +42,32 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq(1))
   }
 
+  test("destination keys interleave with the per-column cache: a row " +
+    "dropped by the destination probe claims no later-column values") {
+    // Reference ETLTask.php:46: per column, dest-exists OR cache-hit breaks
+    // BEFORE caching. rowA's k1=x exists in the destination → rowA dropped
+    // at k1, so its k2=p is never claimed → rowB (sharing only k2=p)
+    // survives. The naive dedup-then-anti-join order would let rowA win the
+    // k2 pass first and wrongly drop rowB.
+    val df = Seq((1, "x", "p"), (2, "y", "p")).toDF("ord", "k1", "k2")
+    val dest = Seq(("x", "zz")).toDF("k1", "k2")
+    val out = Dedup.firstWinsAnyWithDestination(df, Seq("k1", "k2"),
+      Seq(col("ord")), dest).collect().map(_.getInt(0)).sorted
+    assert(out.toSeq === Seq(2))
+
+    // and a row dropped by a LATER column's dest probe has already claimed
+    // earlier columns: rowA passes k1 (claims k1=x), dropped at k2 (dest
+    // has p) → rowB sharing k1=x stays dropped at k1's window? No — rowA
+    // was REMOVED by k2's anti-join AFTER k1's window ran, so rowB lost
+    // k1's window to rowA and is gone: exactly the reference, where rowA
+    // cached k1=x before k2 dropped it.
+    val df2 = Seq((1, "x", "p"), (2, "x", "q")).toDF("ord", "k1", "k2")
+    val dest2 = Seq(("zz", "p")).toDF("k1", "k2")
+    val out2 = Dedup.firstWinsAnyWithDestination(df2, Seq("k1", "k2"),
+      Seq(col("ord")), dest2).collect().map(_.getInt(0)).sorted
+    assert(out2.toSeq === Seq.empty)
+  }
+
   test("anti-destination drops rows whose key exists in dst (trimmed)") {
     val src = Seq((1, "a "), (2, "b"), (3, "c")).toDF("id", "k")
     val dst = Seq(" a", "zz").toDF("k")

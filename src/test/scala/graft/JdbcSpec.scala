@@ -40,4 +40,66 @@ class JdbcSpec extends SparkSpec {
     Sinks.jdbc(src.filter($"id" === 1), url, "t_items", opts)
     assert(Sources.jdbc(spark, url, "t_items", opts).count() === 4L)
   }
+
+  private def snapshot(table: String): Seq[(Int, String, Double)] =
+    Sources.jdbc(spark, url, table, opts).collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("name"),
+        r.getAs[Double]("amount")))
+      .sortBy(_._1).toSeq
+
+  test("upsert: update-else-insert in place, idempotent on re-run") {
+    val seed = Seq((1, "alpha", 10.0), (2, "beta", 20.0))
+      .toDF("id", "name", "amount")
+    Sinks.jdbc(seed, url, "t_ups", opts)
+
+    // 2 exists (update), 3 doesn't (insert)
+    val batch = Seq((2, "beta2", 25.0), (3, "gamma", 30.0))
+      .toDF("id", "name", "amount")
+    val applied = graft.etl.JdbcSink.upsert(batch, url, "t_ups",
+      Seq("id"), opts)
+    assert(applied === 2L)
+    val expected = Seq((1, "alpha", 10.0), (2, "beta2", 25.0),
+      (3, "gamma", 30.0))
+    assert(snapshot("t_ups") === expected)
+
+    // idempotence: the same batch applied again changes nothing
+    graft.etl.JdbcSink.upsert(batch, url, "t_ups", Seq("id"), opts)
+    assert(snapshot("t_ups") === expected)
+  }
+
+  test("delete by key set; replace-children delete-then-insert, idempotent") {
+    val kids = Seq((10, 1, "a", 0.0), (11, 1, "b", 0.0), (12, 2, "c", 0.0))
+      .toDF("id", "parent", "name", "amount")
+    Sinks.jdbc(kids, url, "t_kids", opts)
+
+    // recompute parent 1's children as a fresh set
+    val recomputed = Seq((20, 1, "x", 1.0), (21, 1, "y", 1.0))
+      .toDF("id", "parent", "name", "amount")
+    graft.etl.JdbcSink.replaceChildren(recomputed, url, "t_kids",
+      Seq("parent"), opts)
+    def ids() = Sources.jdbc(spark, url, "t_kids", opts).collect()
+      .map(_.getAs[Int]("id")).sorted.toSeq
+    assert(ids() === Seq(12, 20, 21))
+
+    // second run deletes what the first inserted and re-inserts: no growth
+    graft.etl.JdbcSink.replaceChildren(recomputed, url, "t_kids",
+      Seq("parent"), opts)
+    assert(ids() === Seq(12, 20, 21))
+
+    // targeted delete by key tuple
+    val deleted = graft.etl.JdbcSink.delete(
+      Seq(2).toDF("parent"), url, "t_kids", Seq("parent"), opts)
+    assert(deleted === 1L)
+    assert(ids() === Seq(20, 21))
+  }
+
+  test("connect retries then fails with the reference's error") {
+    val t0 = System.nanoTime()
+    val e = intercept[RuntimeException] {
+      graft.etl.JdbcSink.connect("jdbc:nosuchdb:x", None,
+        attempts = 3, delayMs = 20)
+    }
+    assert(e.getMessage.contains("Too many attempt"))
+    assert((System.nanoTime() - t0) / 1e6 >= 40) // 2 sleeps of 20ms happened
+  }
 }

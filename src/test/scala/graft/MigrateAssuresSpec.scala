@@ -132,4 +132,37 @@ class MigrateAssuresSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(ids1 === ids2)
   }
+
+  test("current-employment upsert: matching career row updated, " +
+    "missing pair inserted, unset fields skip the branch") {
+    // A1's current employer E1 matches a career row → that row flips to
+    // start=date_embauche/end=NULL; A2's current employer E9 has no career
+    // row → fresh insert; A1's E2 row is untouched.
+    val withCurrent = fixtureAssures
+      .withColumn("date_embauche",
+        when(col("numero_assure") === "A1", "2021-03-01")
+          .otherwise("2020-07-01"))
+      .withColumn("numero_employeur_actuel",
+        when(col("numero_assure") === "A1", "E1").otherwise("E9"))
+    val out = MigrateAssures.run(withCurrent, fixtureCarriere, emptyDest)
+    val careers = out("ass_registrant_policy_holders")
+      .join(out("ass_policy_holders")
+        .select(col("id").as("policy_holder_id"), col("sin")),
+        "policy_holder_id")
+      .select("sin", "registrant_id", "start_date", "end_date").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(2), r.getString(3))).toMap
+    assert(careers.size === 4) // 3 career rows + A2's inserted current pair
+    assert(careers(("A1", "E1")) === ("2021-03-01", null)) // updated
+    assert(careers(("A1", "E2")) === ("2015-01-01", "2019-12-31")) // kept
+    assert(careers(("A2", "E1")) === ("2019-06-01", null)) // kept
+    assert(careers(("A2", "E9")) === ("2020-07-01", null)) // inserted
+
+    // null-valued fields skip the branch (reference isset() guard)
+    val unset = fixtureAssures
+      .withColumn("date_embauche", lit(null).cast("string"))
+      .withColumn("numero_employeur_actuel", lit(null).cast("string"))
+    val outUnset = MigrateAssures.run(unset, fixtureCarriere, emptyDest)
+    assert(outUnset("ass_registrant_policy_holders").count() === 3)
+  }
 }
