@@ -58,12 +58,21 @@ object MinHashDedup {
       j => array_min(transform(hashes,
         h => ((j * 2L + 1L) * h + j * 7919L + 13L) % HashMod)))
 
-  /** Convenience: signature straight from the shingle array. Callers on the
-    * hot path should materialize `baseHash` into a column first (see
-    * `nearDuplicates`) so the md5 work isn't re-evaluated per component.
+  /** Convenience: signature straight from the shingle array — composable
+    * interpreted form; semantically identical to [[signatureFused]], which
+    * the hot path uses.
     */
   def signature(sh: Column, m: Int): Column =
     signatureOfHashes(transform(sh, baseHash(_)), m)
+
+  /** Signature as ONE native codegen call ([[graft.functions.MinHashSig]]):
+    * same values as [[signature]]/the oracle SQL, but md5 + m mins run as a
+    * tight Java loop instead of m×|shingles| interpreted lambda dispatches.
+    */
+  def signatureFused(sh: Column, m: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.graft.ColumnBridge.expression(sh), m))
 
   /** LSH band keys: the signature is split into `nBands` runs of `rowsPerBand`
     * components; each band hashes to one bucket key.
@@ -95,25 +104,20 @@ object MinHashDedup {
       if (docs.rdd.getNumPartitions < par) docs.repartition(par, col(idCol))
       else docs
 
-    // Signature in one narrow pass: base hashes materialized as a column
-    // (md5 once per shingle), then the m components via interpreted-lambda
-    // mins over the hash array. An explode + m min-aggregates variant was
-    // tried and measured SLOWER here (adds a groupBy shuffle plus a join
-    // back to the shingle sets, and recomputes the shingling) — the lambda
-    // arithmetic is cheap; it was the md5-per-seed hashing that hurt.
+    // Shingles and signature via the fused codegen expressions
+    // (TextAnalysis.wordShingles + signatureFused — profiling showed the
+    // interpreted slice/concat shingling and the per-component lambda mins
+    // dominating this whole pipeline; an explode + m min-aggregates variant
+    // measured SLOWER still, adding a groupBy shuffle plus a join back).
     //
     // Cache: the signature frame is consumed three times (band explode +
     // both sides of the verify join); without pinning, the signature work
     // re-executes per consumer. At 100 TB persist to storage instead.
     val prepared = spread
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
-      .select(col(idCol),
-        array_distinct(shingles(col("tk"), k)).as("sh"))
+      .select(col(idCol), TextAnalysis.wordShingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("hs", transform(col("sh"), baseHash(_)))
-      .withColumn("sig", signatureOfHashes(col("hs"), m))
+      .withColumn("sig", signatureFused(col("sh"), m))
       .withColumn("bands", bandKeys(col("sig"), rowsPerBand, nBands))
-      .drop("hs")
       .cache()
 
     val exploded = prepared.select(col(idCol), explode(col("bands")).as("band"))
@@ -163,13 +167,11 @@ object MinHashDedup {
     val spread =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par, col(idCol))
       else docs
-    // Cache: consumed by both sides of the blocked pair join. Tokens are
-    // materialized as a column before shingling (see `shingles` scaladoc).
+    // Cache: consumed by both sides of the blocked pair join. Shingling via
+    // the fused codegen expression (one generated pass per row).
     val prepared = spread
       .select(col(idCol), col(blockCol),
-        TextAnalysis.tokens(col(textCol)).as("tk"))
-      .select(col(idCol), col(blockCol),
-        array_distinct(shingles(col("tk"), k)).as("sh"))
+        TextAnalysis.wordShingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
     // Sparse-join intersection counting: explode the shingle sets and join

@@ -72,14 +72,12 @@ object SimHash {
     val spread =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par, col(idCol))
       else docs
-    // The shingle expression feeds explode directly: a generator evaluates
-    // its input ONCE per row, so the per-element re-evaluation trap
-    // (MinHashDedup.shingles scaladoc) doesn't apply here, and extra
-    // projection boundaries would only copy the wide token arrays around.
-    val tk = TextAnalysis.tokens(col(textCol))
+    // Shingling via the fused codegen expression (TextAnalysis.wordShingles)
+    // feeding explode directly — one generated pass per row, then the
+    // generator fans out rows for the codegen'd vote aggregates.
     val exploded = spread
-      .select(col(idCol), explode(array_distinct(
-        MinHashDedup.shingles(tk, shingleK))).as("s"))
+      .select(col(idCol),
+        explode(TextAnalysis.wordShingles(col(textCol), shingleK)).as("s"))
       .select(col(idCol), tokenHash(col("s")).as("h"))
     val voteCols = (0 until 60).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"b$j"))

@@ -25,6 +25,17 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Distinct word k-shingles straight from text — the fused native codegen
+    * expression ([[graft.functions.WordShingles]]). Semantically equal to
+    * `array_distinct(MinHashDedup.shingles(tokens(text), k))` but one
+    * generated pass per row; the composed interpreted form was the dominant
+    * cost of every dedup pipeline.
+    */
+  def wordShingles(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), k))
+
   def charCount(text: Column): Column = length(text)
 
   /** Count of sentence-punctuation characters. */
