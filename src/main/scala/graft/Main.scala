@@ -78,13 +78,28 @@ object Main {
     stages.zipWithIndex.foreach { case (stage, i) =>
       println(s"[graft] stage ${i + 1}/${stages.length}: " +
         stage.map(f => s"${f.from} -> ${f.to}").mkString(", "))
-      val counts = Orchestrator.runStages(Seq(stage.map { flow => () =>
-        val out = ETLPipeline.transform(loadTable(flow), flow,
-          loadDest(flow.to), runTs = runTs)
-        flow.to -> Sinks.appendParquet(out, s"$destDir/${flow.to}")
-      }))
+      // The reference printed per-table counts before each run
+      // (sdk/migrate_assures.php:404-406 "Migrating a total of %d
+      // records"); here the source counts also give the progress bar its
+      // target. The count is one metadata-cheap pass per source.
+      val targets = stage.map(f => f -> loadTable(f).count())
+      targets.foreach { case (f, n) =>
+        println(s"[graft]   ${f.from}: migrating $n source rows")
+      }
+      val progress = Progress.attach(spark,
+        label = s"stage ${i + 1}", target = targets.map(_._2).sum)
+      val t0 = System.nanoTime()
+      val counts =
+        try Orchestrator.runStages(Seq(stage.map { flow => () =>
+          val out = ETLPipeline.transform(loadTable(flow), flow,
+            loadDest(flow.to), runTs = runTs)
+          flow.to -> Sinks.appendParquet(out, s"$destDir/${flow.to}")
+        }))
+        finally progress.close()
+      val secs = (System.nanoTime() - t0) / 1e9
       counts.head.foreach { case (dest, n) =>
-        println(s"[graft]   $dest: appended $n rows")
+        val rate = if (secs > 0) f"${n / secs}%.0f rows/s" else "n/a"
+        println(f"[graft]   $dest: appended $n rows in $secs%.1f s ($rate)")
       }
     }
     spark.stop()
