@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.RollingHash
+import graft.functions.{FixedPointDot, LshBucket, MinHashSig, RollingHash, WordShingles}
 
 /** SQL-function surface of the engine: the reference's string helpers and
   * the fingerprint hash as native Catalyst expression trees (composed from
@@ -48,13 +48,36 @@ object GraftFunctions {
       f(exprs)
     }
 
+  /** A static-int argument (shingle size, plane/component count) must be a
+    * foldable literal — these parameters shape the generated code, they are
+    * not per-row data.
+    */
+  private def litInt(name: String, e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$name: argument must be a literal integer")
+    e.eval(null) match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: expected an integer literal, got $other")
+    }
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "rolling_hash" -> arity("rolling_hash", 1)(exprs =>
       RollingHash(exprs.head)),
     "str_before" -> arity("str_before", 2)(exprs =>
       strBeforeExpr(exprs(0), exprs(1))),
     "str_after" -> arity("str_after", 2)(exprs =>
-      strAfterExpr(exprs(0), exprs(1))))
+      strAfterExpr(exprs(0), exprs(1))),
+    // Native codegen vector/dedup primitives (graft.functions.*)
+    "fp_dot" -> arity("fp_dot", 2)(exprs =>
+      FixedPointDot(exprs(0), exprs(1))),
+    "lsh_bucket" -> arity("lsh_bucket", 2)(exprs =>
+      LshBucket(exprs(0), litInt("lsh_bucket", exprs(1)))),
+    "word_shingles" -> arity("word_shingles", 2)(exprs =>
+      WordShingles(exprs(0), litInt("word_shingles", exprs(1)))),
+    "minhash_sig" -> arity("minhash_sig", 2)(exprs =>
+      MinHashSig(exprs(0), litInt("minhash_sig", exprs(1)))))
 
   /** Register on a live session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

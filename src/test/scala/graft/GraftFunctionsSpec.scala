@@ -20,6 +20,39 @@ class GraftFunctionsSpec extends SparkSpec {
       graft.functions.RollingHash.hash("hello world"))
   }
 
+  test("codegen vector/dedup primitives are reachable from SQL") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    Seq((Array(1.0f, 0.0f), Array(0.5f, 0.5f), "the quick brown fox jumps"))
+      .toDF("a", "b", "text").createOrReplaceTempView("vecs")
+    val r = spark.sql(
+      """SELECT fp_dot(a, b) AS dot, lsh_bucket(a, 4) AS bucket,
+        |       word_shingles(text, 3) AS sh,
+        |       minhash_sig(word_shingles(text, 3), 4) AS sig
+        |  FROM vecs""".stripMargin).collect()(0)
+    assert(r.getAs[Long]("dot") === 5e11.toLong) // 1*0.5 at 1e12 scale
+    // shingles of 5 tokens with k=3 → 3 shingles
+    assert(r.getAs[scala.collection.Seq[String]]("sh").toSeq ===
+      Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+    assert(r.getAs[scala.collection.Seq[Long]]("sig").length === 4)
+    // SQL values match the Column-API spellings used by the operators
+    val viaColumns = spark.sql("SELECT a, b, text FROM vecs")
+      .select(
+        graft.ops.Similarity.dotFp($"a", $"b").as("dot"),
+        graft.ops.Similarity.lshBucket($"a", 4).as("bucket"),
+        graft.ops.TextAnalysis.wordShingles($"text", 3).as("sh"))
+      .collect()(0)
+    assert(r.getAs[Long]("dot") === viaColumns.getAs[Long]("dot"))
+    assert(r.getAs[Long]("bucket") === viaColumns.getAs[Long]("bucket"))
+    assert(r.getAs[scala.collection.Seq[String]]("sh").toSeq ===
+      viaColumns.getAs[scala.collection.Seq[String]]("sh").toSeq)
+    // non-literal static arg is rejected, not silently misread
+    intercept[Exception] {
+      spark.sql("SELECT lsh_bucket(a, CAST(length(text) AS INT)) FROM vecs")
+        .collect()
+    }
+  }
+
   test("extensions class wires the same builders at session build time") {
     // Full builder-path coverage needs a fresh JVM-level session; here we
     // assert the extension applies cleanly to an injection point.
