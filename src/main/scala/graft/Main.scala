@@ -56,22 +56,6 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Source resolution honors the config's connections block: a flow with
-    // a resolvable JDBC connection reads from that database; otherwise the
-    // table is a parquet file under sourceDir (the staged-file layout).
-    def loadTable(flow: etl.FlowSpec): DataFrame =
-      spec.sourceConnection(flow) match {
-        case Some(conn) =>
-          val df = etl.Sources.jdbc(spark, conn.url, flow.from, conn.options)
-          df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*)
-        case None =>
-          spark.read.parquet(s"$sourceDir/${flow.from}.parquet")
-      }
-    def loadDest(name: String): Option[DataFrame] = {
-      val p = s"$destDir/$name"
-      if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
-    }
-
     val runTs = etl.ColumnMapping.runTimestamp()
     import scala.concurrent.ExecutionContext.Implicits.global
     val stages = Orchestrator.stagesByDestination(spec)
@@ -82,7 +66,8 @@ object Main {
       // (sdk/migrate_assures.php:404-406 "Migrating a total of %d
       // records"); here the source counts also give the progress bar its
       // target. The count is one metadata-cheap pass per source.
-      val targets = stage.map(f => f -> loadTable(f).count())
+      val targets =
+        stage.map(f => f -> loadTable(spark, spec, f, sourceDir).count())
       targets.foreach { case (f, n) =>
         println(s"[graft]   ${f.from}: migrating $n source rows")
       }
@@ -91,9 +76,7 @@ object Main {
       val t0 = System.nanoTime()
       val counts =
         try Orchestrator.runStages(Seq(stage.map { flow => () =>
-          val out = ETLPipeline.transform(loadTable(flow), flow,
-            loadDest(flow.to), runTs = runTs)
-          flow.to -> Sinks.appendParquet(out, s"$destDir/${flow.to}")
+          runFlow(spark, spec, flow, sourceDir, destDir, runTs)
         }))
         finally progress.close()
       val secs = (System.nanoTime() - t0) / 1e9
@@ -103,5 +86,60 @@ object Main {
       }
     }
     spark.stop()
+  }
+
+  /** Source resolution honors the config's connections block: a flow with
+    * a resolvable JDBC connection reads from that database; otherwise the
+    * table is a parquet file under sourceDir (the staged-file layout).
+    */
+  private[graft] def loadTable(spark: SparkSession, spec: etl.PipelineSpec,
+                               flow: etl.FlowSpec,
+                               sourceDir: String): DataFrame =
+    spec.sourceConnection(flow) match {
+      case Some(conn) =>
+        val df = etl.Sources.jdbc(spark, conn.url, flow.from, conn.options)
+        df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*)
+      case None =>
+        spark.read.parquet(s"$sourceDir/${flow.from}.parquet")
+    }
+
+  /** Destination state for the anti-join probe. A JDBC destination that
+    * fails to load (first run: table not created yet) counts as absent —
+    * the write then creates it, exactly as the reference's first
+    * `add_many` did. `attempts = 1`: this is an existence probe, not a
+    * production read; the write path still retries.
+    */
+  private[graft] def loadDest(spark: SparkSession, spec: etl.PipelineSpec,
+                              flow: etl.FlowSpec,
+                              destDir: String): Option[DataFrame] =
+    spec.destinationConnection(flow) match {
+      case Some(conn) =>
+        try {
+          val df = etl.Sources.jdbc(spark, conn.url, flow.to, conn.options,
+            attempts = 1)
+          Some(df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*))
+        } catch { case _: Throwable => None }
+      case None =>
+        val p = s"$destDir/${flow.to}"
+        if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
+    }
+
+  /** Transform one flow and append to its destination — the database named
+    * by the config's `to` connection (reference: every task's `add_many`
+    * insert ran against the destination PDO, sdk/etl.php:128-150), or a
+    * parquet directory under destDir otherwise.
+    */
+  private[graft] def runFlow(spark: SparkSession, spec: etl.PipelineSpec,
+                             flow: etl.FlowSpec, sourceDir: String,
+                             destDir: String,
+                             runTs: String): (String, Long) = {
+    val out = ETLPipeline.transform(loadTable(spark, spec, flow, sourceDir),
+      flow, loadDest(spark, spec, flow, destDir), runTs = runTs)
+    spec.destinationConnection(flow) match {
+      case Some(conn) =>
+        flow.to -> Sinks.jdbc(out, conn.url, flow.to, conn.options)
+      case None =>
+        flow.to -> Sinks.appendParquet(out, s"$destDir/${flow.to}")
+    }
   }
 }

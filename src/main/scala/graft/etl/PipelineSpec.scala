@@ -52,6 +52,13 @@ final case class PipelineSpec(flows: Seq[FlowSpec],
     flow.inlineFrom
       .orElse(flow.connection.flatMap(connections.get))
       .orElse(connections.get("from"))
+
+  /** Resolve a flow's destination connection: per-flow inline `to` object,
+    * else the global "to" (reference: sdk/etl.php:128-132 — the destination
+    * PDO every task's exists-probe and `add_many` insert ran against).
+    */
+  def destinationConnection(flow: FlowSpec): Option[ConnectionSpec] =
+    flow.inlineTo.orElse(connections.get("to"))
 }
 
 object PipelineSpec {

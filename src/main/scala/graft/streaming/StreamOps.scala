@@ -197,6 +197,24 @@ object StreamOps {
       }
   }
 
+  /** `foreachBatch` body for a streaming upsert into a live database
+    * table: each micro-batch applies update-else-insert on `keys` via
+    * [[graft.etl.JdbcSink.upsert]] — the standard pattern for sinks Spark
+    * has no native streaming connector for. Pair with `outputMode(Update)`
+    * on an aggregation so each batch carries only the CHANGED groups.
+    * Structured Streaming's at-least-once replay composes with the
+    * upsert's idempotence: a replayed batch rewrites the same rows instead
+    * of duplicating them (the exactly-once story a plain append sink can't
+    * give against a mutable table).
+    */
+  def jdbcUpsertBatch(url: String, table: String, keys: Seq[String],
+                      options: Map[String, String] = Map.empty):
+      (DataFrame, Long) => Unit =
+    (batch, _) => {
+      graft.etl.JdbcSink.upsert(batch, url, table, keys, options)
+      ()
+    }
+
   /** Streaming keyed state: running per-user event count via
     * mapGroupsWithState — the Structured Streaming analogue of the
     * reference's per-run in-memory key caches (sdk/src/ETLTask.php:34).

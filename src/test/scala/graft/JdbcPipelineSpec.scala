@@ -67,4 +67,42 @@ class JdbcPipelineSpec extends SparkSpec {
     assert(out.map(_.getString(1)).toSeq === Seq("Acme", "Beta"))
     assert(out.forall(_.getString(2) == "erp"))
   }
+
+  test("JDBC DESTINATION: flow lands in the 'to' database; re-run inserts " +
+    "nothing (anti-join against the live table)") {
+    val dbPath = Files.createTempDirectory("graft_derby3").toString + "/db"
+    val url = s"jdbc:derby:$dbPath;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    Sinks.jdbc(
+      Seq((1, "Acme"), (2, "Beta"), (3, "Acme")).toDF("id", "company"),
+      url, "src_companies", opts)
+
+    val spec = PipelineSpec.parse(
+      s"""{"connections": {
+         |   "from": {"url": "$url",
+         |            "options": {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}},
+         |   "to":   {"url": "$url",
+         |            "options": {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}}},
+         | "tables": [
+         |  {"flow": "src_companies -> dim_companies2",
+         |   "columns": {"company_id": "[id]", "name": "[company]"},
+         |   "unique": ["company_id"]}]}""".stripMargin)
+    val flow = spec.flows.head
+    assert(spec.destinationConnection(flow).get.url === url)
+
+    // first run: destination table doesn't exist → probe yields None,
+    // write creates it (the reference's first add_many)
+    val (dest1, n1) = Main.runFlow(spark, spec, flow,
+      sourceDir = "/nonexistent", destDir = "/nonexistent",
+      runTs = etl.ColumnMapping.runTimestamp())
+    assert(dest1 === "dim_companies2" && n1 === 3L)
+
+    // second run: every company_id exists in the live destination → the
+    // anti-join keeps nothing, zero rows appended (idempotent replay)
+    val (_, n2) = Main.runFlow(spark, spec, flow,
+      sourceDir = "/nonexistent", destDir = "/nonexistent",
+      runTs = etl.ColumnMapping.runTimestamp())
+    assert(n2 === 0L)
+    assert(Sources.jdbc(spark, url, "dim_companies2", opts).count() === 3L)
+  }
 }
