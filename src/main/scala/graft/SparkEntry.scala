@@ -560,6 +560,13 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    "n3_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 2)
+        .orderBy("q_id", "rank")
+    }),
+
     // ---- Multimodal columns ---------------------------------------------
     "m1_media_meta" -> ((s, dir) =>
       Multimodal.payloadMetadata(
@@ -1246,6 +1253,50 @@ object SparkEntry {
         |  SELECT q_id, c_id,
         |    CAST(dot_fp AS DOUBLE) /
         |      (sqrt(CAST(na_fp AS DOUBLE)) * sqrt(CAST(nb_fp AS DOUBLE))) AS cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dot_fp DESC, c_id) AS rank
+        |  FROM scored)
+        | SELECT q_id, c_id, rank, cos FROM ranked
+        |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // IVF-flat mirror: hash-order centroid sample, nearest-cell assignment
+    // (fixed-point dots), 2-probe search, exact in-cell ranking.
+    "n3_ann_ivf" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding AS x,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(x[i] AS DOUBLE) * CAST(x[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS nrm
+        |  FROM embeddings),
+        | cents AS (
+        |  SELECT vec_id AS cent_id, x AS cv, nrm AS cnrm FROM base
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        | cpairs AS (
+        |  SELECT b.vec_id, b.x, b.nrm, c.cent_id, c.cnrm,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(b.x[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS cdot
+        |  FROM base b CROSS JOIN cents c),
+        | assign AS (
+        |  SELECT vec_id, x, nrm, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY
+        |      CAST(cdot AS DOUBLE) /
+        |        (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cnrm AS DOUBLE))) DESC,
+        |      cent_id) AS r
+        |  FROM cpairs),
+        | ccell AS (SELECT vec_id AS c_id, x AS cvx, nrm AS cnorm,
+        |             cent_id AS cell FROM assign WHERE r = 1),
+        | qcell AS (SELECT vec_id AS q_id, x AS qvx, nrm AS qnorm,
+        |             cent_id AS cell FROM assign WHERE r <= 2 AND vec_id < 8),
+        | scored AS (
+        |  SELECT q_id, c_id, qnorm, cnorm,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(qvx[i] AS DOUBLE) * CAST(cvx[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS dot_fp
+        |  FROM qcell JOIN ccell ON q_id <> c_id AND qcell.cell = ccell.cell),
+        | ranked AS (
+        |  SELECT q_id, c_id,
+        |    CAST(dot_fp AS DOUBLE) /
+        |      (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(cnorm AS DOUBLE))) AS cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY dot_fp DESC, c_id) AS rank
         |  FROM scored)
         | SELECT q_id, c_id, rank, cos FROM ranked

@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   *    md5-derived ±1 planes, equality-join on the bucket, exact scoring only
   *    within buckets. The cross join becomes a hash join on the bucket key;
   *    recall is tunable by nPlanes (fewer planes → bigger buckets).
+  *  - `ivfTopK` — inverted-file index: deterministic hash-order sample of
+  *    the corpus as centroids, every vector assigned to its nearest
+  *    centroid (K broadcast dots per row — the inherent IVF assignment
+  *    cost), queries probe their nProbe nearest cells, exact scoring only
+  *    inside probed cells. Recall/cost tunable per query via nProbe
+  *    without re-indexing — the knob LSH lacks.
   */
 object Similarity {
 
@@ -108,6 +114,67 @@ object Similarity {
         normFp(col(vecCol)).as("c_norm"))
     val scored = c.join(broadcast(q),
         col("q_id") =!= col("c_id") && q("bucket") === c("bucket"))
+      .withColumn("dot_fp", dotFp(col("q_vec"), col("c_vec")))
+      .withColumn("cos", cosineFromFp(col("dot_fp"),
+        col("q_norm"), col("c_norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("dot_fp").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "cos")
+  }
+
+  /** Approximate top-k via an inverted-file (IVF-flat) index.
+    *
+    * Centroids are the `nCells` corpus vectors ranked first by
+    * md5(id) — the same engine-portable hash-order sample `Sampling` uses,
+    * so the "training" step is deterministic and reproducible in SQL (a
+    * real deployment would swap in k-means centroids; everything downstream
+    * is unchanged). Every candidate joins the broadcast centroid set once
+    * (nCells codegen dots per row), keeps its single nearest cell; queries
+    * keep their `nProbe` nearest cells. Scoring is exact fixed-point inside
+    * probed cells only, and the probe join is an equality join on the cell
+    * id. At 100 TB: assignment is a map-only pass, the only shuffle is the
+    * per-query top-k window, and recall scales with nProbe at query time —
+    * no re-index.
+    */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    // Candidate frame feeds centroid selection, assignment, and scoring.
+    val c0 = spread(candidates, idCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        normFp(col(vecCol)).as("c_norm"))
+      .cache()
+    val cents = c0
+      .orderBy(md5(col("c_id").cast("string")), col("c_id"))
+      .limit(nCells)
+      .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec"),
+        col("c_norm").as("cent_norm"))
+    // Nearest-centroid assignment: a broadcast cross join against nCells
+    // rows IS the IVF contract (K dots per vector, map-only, no shuffle);
+    // ties break on centroid id so assignment is total and deterministic.
+    def assign(df: DataFrame, idC: String, vecC: String, normC: String,
+               keep: Int, cellName: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idC))
+        .orderBy(col("__cent_cos").desc, col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("__cent_cos",
+          cosineFromFp(dotFp(col(vecC), col("cent_vec")),
+            col(normC), col("cent_norm")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= keep)
+        .select(col(idC), col(vecC), col(normC),
+          col("cent_id").as(cellName))
+    }
+    val cCells = assign(c0, "c_id", "c_vec", "c_norm", 1, "c_cell")
+    val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      normFp(col(vecCol)).as("q_norm"))
+    val qCells = assign(q0, "q_id", "q_vec", "q_norm", nProbe, "q_cell")
+    val scored = cCells.join(broadcast(qCells),
+        col("q_id") =!= col("c_id") && col("q_cell") === col("c_cell"))
       .withColumn("dot_fp", dotFp(col("q_vec"), col("c_vec")))
       .withColumn("cos", cosineFromFp(col("dot_fp"),
         col("q_norm"), col("c_norm")))

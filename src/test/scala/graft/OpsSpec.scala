@@ -128,6 +128,25 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", k = 2).orderBy("rank").collect()
     assert(r.map(_.getLong(1)).toSeq === Seq(1L, 2L))
   }
+
+  test("IVF top-k: high recall vs brute force on the real embeddings") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 5))
+    val ivf = pairs(Similarity.ivfTopK(emb, queries,
+      "vec_id", "embedding", k = 5, nCells = 8, nProbe = 3))
+    assert(ivf.size === exact.size) // every query filled its top-k
+    val recall = (ivf & exact).size.toDouble / exact.size
+    // 3-of-8 probed cells: most true neighbors share the query's cells
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // widening the probe can only add candidates → recall is monotone
+    val ivfAll = pairs(Similarity.ivfTopK(emb, queries,
+      "vec_id", "embedding", k = 5, nCells = 8, nProbe = 8))
+    assert(ivfAll === exact) // probing every cell == brute force
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
