@@ -51,13 +51,18 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_full.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      full.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    val wrote =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          full.getBytes("UTF-8"))
+        true
+      } catch { case _: Throwable => false }
     println(full)
     // Short line LAST: tail-capture keeps the end of stdout, so this always
-    // parses even when the full line above is truncated.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"$outPath"}""")
+    // parses even when the full line above is truncated. The file pointer
+    // appears only when the file was actually written.
+    val filePart = if (wrote) s""","queries_file":"$outPath"""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"$filePart}""")
     spark.stop()
   }
 }

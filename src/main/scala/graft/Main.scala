@@ -67,7 +67,7 @@ object Main {
       // records"); here the source counts also give the progress bar its
       // target. The count is one metadata-cheap pass per source.
       val targets =
-        stage.map(f => f -> loadTable(spark, spec, f, sourceDir).count())
+        stage.map(f => f -> sourceCount(spark, spec, f, sourceDir))
       targets.foreach { case (f, n) =>
         println(s"[graft]   ${f.from}: migrating $n source rows")
       }
@@ -103,11 +103,12 @@ object Main {
         spark.read.parquet(s"$sourceDir/${flow.from}.parquet")
     }
 
-  /** Destination state for the anti-join probe. A JDBC destination that
-    * fails to load (first run: table not created yet) counts as absent —
-    * the write then creates it, exactly as the reference's first
-    * `add_many` did. `attempts = 1`: this is an existence probe, not a
-    * production read; the write path still retries.
+  /** Destination state for the anti-join probe. ONLY a
+    * table-doesn't-exist failure (SQLState class 42) counts as absent —
+    * first run: the write then creates the table, exactly as the
+    * reference's first `add_many` did. An unreachable database PROPAGATES
+    * (after the source-layer retry): treating it as "no destination" would
+    * silently skip the anti-join and insert duplicate keys.
     */
   private[graft] def loadDest(spark: SparkSession, spec: etl.PipelineSpec,
                               flow: etl.FlowSpec,
@@ -115,13 +116,35 @@ object Main {
     spec.destinationConnection(flow) match {
       case Some(conn) =>
         try {
-          val df = etl.Sources.jdbc(spark, conn.url, flow.to, conn.options,
-            attempts = 1)
+          val df = etl.Sources.jdbc(spark, conn.url, flow.to, conn.options)
           Some(df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*))
-        } catch { case _: Throwable => None }
+        } catch {
+          case t: Throwable if etl.JdbcSink.isMissingRelation(t) => None
+        }
       case None =>
         val p = s"$destDir/${flow.to}"
         if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
+    }
+
+  /** Source row count for the progress target. Parquet counts are
+    * metadata-cheap; a JDBC source pushes `SELECT COUNT(*)` server-side as
+    * a dbtable subquery instead of pulling the whole table just to count
+    * it (Spark's JDBC source has no aggregate pushdown).
+    */
+  private[graft] def sourceCount(spark: SparkSession, spec: etl.PipelineSpec,
+                                 flow: etl.FlowSpec,
+                                 sourceDir: String): Long =
+    spec.sourceConnection(flow) match {
+      case Some(conn) =>
+        etl.Sources.jdbc(spark, conn.url,
+          s"(SELECT COUNT(*) AS graft_cnt FROM ${flow.from}) AS graft_c",
+          conn.options)
+          .collect()(0).get(0) match {
+            case n: Number => n.longValue()
+            case other => other.toString.toLong
+          }
+      case None =>
+        spark.read.parquet(s"$sourceDir/${flow.from}.parquet").count()
     }
 
   /** Transform one flow and append to its destination — the database named

@@ -45,11 +45,23 @@ object JdbcSink {
   def connect(url: String, driver: Option[String] = None, attempts: Int = 7,
               delayMs: Long = 3000): Connection = {
     driver.foreach(Class.forName)
+    withRetry(attempts, delayMs)(DriverManager.getConnection(url))
+  }
+
+  /** Retry policy shared by every plan-time/executor-side connection path:
+    * up to `attempts`, `delayMs` apart (the reference retried everything;
+    * here PERMANENT failures fail fast — SQLState class 42 (syntax /
+    * missing object) and 28 (bad credentials) can never succeed on retry,
+    * and interruption propagates instead of being slept through).
+    */
+  private[graft] def withRetry[T](attempts: Int, delayMs: Long)(f: => T): T = {
     var last: Throwable = null
     var i = 0
     while (i < attempts) {
-      try return DriverManager.getConnection(url)
+      try return f
       catch {
+        case t: InterruptedException => throw t
+        case t: Throwable if !isRetryable(t) => throw t
         case t: Throwable =>
           last = t
           i += 1
@@ -58,6 +70,38 @@ object JdbcSink {
     }
     throw new RuntimeException(
       "Too many attempt to create database connection", last)
+  }
+
+  private def isRetryable(t: Throwable): Boolean = {
+    var cur = t
+    while (cur != null) {
+      cur match {
+        case _: InterruptedException => return false
+        case s: java.sql.SQLException =>
+          val state = Option(s.getSQLState).getOrElse("")
+          return !(state.startsWith("42") || state.startsWith("28"))
+        case _ => ()
+      }
+      cur = if (cur.getCause ne cur) cur.getCause else null
+    }
+    true // unknown failure → retry, like the reference did
+  }
+
+  /** True when the failure (anywhere in the cause chain) is the database
+    * saying the relation doesn't exist / can't be parsed — SQLState class
+    * 42 — as opposed to the database being unreachable.
+    */
+  def isMissingRelation(t: Throwable): Boolean = {
+    var cur = t
+    while (cur != null) {
+      cur match {
+        case s: java.sql.SQLException
+            if Option(s.getSQLState).exists(_.startsWith("42")) => return true
+        case _ => ()
+      }
+      cur = if (cur.getCause ne cur) cur.getCause else null
+    }
+    false
   }
 
   /** Update-else-insert each row of `df` into `table` on `keys`. Returns the
@@ -87,6 +131,7 @@ object JdbcSink {
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) withConnection(url, driver) { conn =>
         val up = conn.prepareStatement(updateSql)
+        val upOne = conn.prepareStatement(updateSql)
         val ins = conn.prepareStatement(insertSql)
         try {
           val buffer = new ArrayBuffer[Row](batchSize)
@@ -97,9 +142,21 @@ object JdbcSink {
             var applied = 0L
             var j = 0
             while (j < counts.length) {
-              // 0 = UPDATE matched nothing → INSERT; SUCCESS_NO_INFO (-2)
-              // counts as an update (the row exists either way).
-              if (counts(j) == 0) misses += buffer(j) else applied += 1
+              counts(j) match {
+                case 0 => misses += buffer(j) // UPDATE matched nothing
+                case java.sql.Statement.SUCCESS_NO_INFO =>
+                  // driver doesn't report per-row counts (Oracle, MySQL
+                  // rewriteBatchedStatements): re-run this row's UPDATE
+                  // individually to learn whether it matched — the
+                  // correctness of update-vs-insert can't ride on -2.
+                  bind(upOne, buffer(j), updateOrder, schema)
+                  if (upOne.executeUpdate() == 0) misses += buffer(j)
+                  else applied += 1
+                case n if n < 0 =>
+                  throw new java.sql.BatchUpdateException(
+                    s"batched UPDATE failed with status $n", counts)
+                case _ => applied += 1
+              }
               j += 1
             }
             misses.foreach { r => bind(ins, r, cols, schema); ins.addBatch() }
@@ -113,7 +170,7 @@ object JdbcSink {
             if (buffer.length >= batchSize) flush()
           }
           flush()
-        } finally { up.close(); ins.close() }
+        } finally { up.close(); upOne.close(); ins.close() }
       }
     }
     acc.value

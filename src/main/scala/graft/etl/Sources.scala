@@ -39,30 +39,21 @@ object Sources {
     spark.read.option("header", header.toString).csv(path)
 
   /** JDBC scan with connection retry/backoff at PLAN time (reference:
-    * sdk/lib/db.php:327-346 — up to 7 attempts, 3 s apart). Spark's task
-    * retry covers executor-side failures, but `load()` connects from the
-    * driver to resolve the schema, and a flaky database there would
-    * otherwise fail the whole program on its first hiccup.
+    * sdk/lib/db.php:327-346 — up to 7 attempts, 3 s apart; policy shared
+    * with [[JdbcSink.withRetry]], so permanent errors — missing table, bad
+    * credentials — fail fast instead of sleeping through 7 attempts).
+    * Spark's task retry covers executor-side failures, but `load()`
+    * connects from the driver to resolve the schema, and a flaky database
+    * there would otherwise fail the whole program on its first hiccup.
     */
   def jdbc(spark: SparkSession, url: String, dbtable: String,
            options: Map[String, String] = Map.empty,
-           attempts: Int = 7, retryDelayMs: Long = 3000): DataFrame = {
-    var last: Throwable = null
-    var i = 0
-    while (i < attempts) {
-      try return spark.read.format("jdbc")
+           attempts: Int = 7, retryDelayMs: Long = 3000): DataFrame =
+    JdbcSink.withRetry(attempts, retryDelayMs) {
+      spark.read.format("jdbc")
         .option("url", url).option("dbtable", dbtable)
         .options(options).load()
-      catch {
-        case t: Throwable =>
-          last = t
-          i += 1
-          if (i < attempts) Thread.sleep(retryDelayMs)
-      }
     }
-    throw new RuntimeException(
-      "Too many attempt to create database connection", last)
-  }
 
   /** Whole-file binary source (reference: sdk/src/IO/ReadWriter.php:99-127 —
     * `fread` of raw bytes). One row per file:

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** m-component minhash signature of a shingle array as ONE native codegen
   * expression.
@@ -27,6 +27,16 @@ case class MinHashSig(child: Expression, m: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_sig"
 
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig needs array<string>, got ${other.simpleString}")
+    }
+
   override def nullSafeEval(input: Any): Any =
     MinHashSig.compute(input.asInstanceOf[ArrayData], m)
 
@@ -44,11 +54,16 @@ object MinHashSig {
 
   def compute(arr: ArrayData, m: Int): ArrayData = {
     val n = arr.numElements()
-    if (n == 0) return new GenericArrayData(new Array[Any](m)) // m nulls
     val mins = Array.fill(m)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
+    var processed = 0
     var i = 0
     while (i < n) {
+      // null shingles are skipped, exactly as the composed form does
+      // (baseHash(null) → null; array_min ignores null entries)
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
+      processed += 1
       md.reset()
       val d = md.digest(arr.getUTF8String(i).getBytes)
       // first 15 hex digits == bytes 0-6 plus the high nibble of byte 7
@@ -64,7 +79,11 @@ object MinHashSig {
         j += 1
       }
       i += 1
+      }
     }
-    new GenericArrayData(mins)
+    // no usable shingles → m nulls (array_min over an empty/all-null
+    // transform is null per component)
+    if (processed == 0) new GenericArrayData(new Array[Any](m))
+    else new GenericArrayData(mins)
   }
 }

@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -58,10 +57,13 @@ case class FixedPointDot(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
     val fn = if (elemIsFloat) "dotFloat" else "dotDouble"
+    // fresh local name: several dots commonly share one codegen scope
+    // (cosine = dot + two norms in a single projection)
+    val tmp = ctx.freshName("graftDot")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |java.lang.Long graftDot = graft.functions.VectorFp.$fn($a, $b);
-      |if (graftDot == null) { ${ev.isNull} = true; }
-      |else { ${ev.value} = graftDot.longValue(); }
+      |java.lang.Long $tmp = graft.functions.VectorFp.$fn($a, $b);
+      |if ($tmp == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $tmp.longValue(); }
       |""".stripMargin)
   }
 
@@ -150,11 +152,16 @@ object VectorFp {
     java.math.BigDecimal.valueOf(p)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
 
+  /** A null element nulls EVERY plane dot in the composed HOF form, and
+    * `when(null > 0, bit).otherwise(0)` takes the otherwise branch — so the
+    * whole bucket collapses to 0. Mirrored here for exact parity.
+    */
   def lshBucketFloat(a: ArrayData, nPlanes: Int): Long = {
     val n = math.min(a.numElements(), MaxDim)
     val fp = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return 0L
       fp(i) = roundFp6(a.getFloat(i).toDouble * 1e6)
       i += 1
     }
@@ -166,6 +173,7 @@ object VectorFp {
     val fp = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return 0L
       fp(i) = roundFp6(a.getDouble(i) * 1e6)
       i += 1
     }
@@ -219,14 +227,4 @@ object VectorFp {
     java.lang.Long.valueOf(s)
   }
 
-  /** Register as SQL functions so `expr("fp_dot(a, b)")` and
-    * `expr("lsh_bucket(v, 8)")` work.
-    */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fp_dot", exprs => FixedPointDot(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_bucket", exprs => LshBucket(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
-  }
 }

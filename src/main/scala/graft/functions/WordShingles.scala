@@ -29,6 +29,16 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingles needs a string, got ${other.simpleString}")
+    }
+
   override def nullSafeEval(input: Any): Any =
     WordShingles.compute(input.asInstanceOf[UTF8String], k)
 

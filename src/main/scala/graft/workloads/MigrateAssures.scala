@@ -161,13 +161,18 @@ object MigrateAssures {
         recomputedCareers
       else {
         val endType = recomputedCareers.schema("end_date").dataType
+        // One row per (policy holder, employer) pair: duplicate assures
+        // rows would otherwise fan the left join out and multiply career
+        // rows. The reference applied them one UPDATE at a time (last
+        // cursor row wins); the deterministic set form keeps the latest
+        // hire date.
         val cur = assures
           .filter(col("date_embauche").isNotNull &&
             col("numero_employeur_actuel").isNotNull)
           .join(phKeys, assures("numero_assure") === phKeys("sin"))
-          .select(col("policy_holder_id").as("c_ph"),
-            col("numero_employeur_actuel").as("c_reg"),
-            col("date_embauche").as("c_start"))
+          .groupBy(col("policy_holder_id").as("c_ph"),
+            col("numero_employeur_actuel").as("c_reg"))
+          .agg(max(col("date_embauche")).as("c_start"))
         val updated = recomputedCareers.join(cur,
             recomputedCareers("policy_holder_id") === cur("c_ph") &&
               recomputedCareers("registrant_id") === cur("c_reg"), "left")

@@ -53,6 +53,33 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("fused expressions match composed-form null semantics") {
+    GraftFunctions.registerAll(spark)
+    // null shingle entries are SKIPPED (array_min ignores nulls in the
+    // composed form); all-null input yields null components
+    val r = spark.sql(
+      """SELECT minhash_sig(array('a', CAST(NULL AS STRING)), 2) AS part,
+        |       minhash_sig(array(CAST(NULL AS STRING)), 2) AS none,
+        |       minhash_sig(array('a'), 2) AS ref""".stripMargin).collect()(0)
+    assert(r.getAs[scala.collection.Seq[Any]]("part").toSeq ===
+      r.getAs[scala.collection.Seq[Any]]("ref").toSeq)
+    assert(r.getAs[scala.collection.Seq[Any]]("none").toSeq ===
+      Seq(null, null))
+    // a null vector element collapses the LSH bucket to 0 (every plane dot
+    // goes null in the composed when/otherwise form)
+    val b = spark.sql(
+      "SELECT lsh_bucket(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), 4)")
+      .collect()(0).getLong(0)
+    assert(b === 0L)
+    // wrong input types fail at analysis, not at runtime
+    intercept[Exception] {
+      spark.sql("SELECT word_shingles(5, 3)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT minhash_sig(5, 4)").collect()
+    }
+  }
+
   test("extensions class wires the same builders at session build time") {
     // Full builder-path coverage needs a fresh JVM-level session; here we
     // assert the extension applies cleanly to an injection point.
