@@ -87,14 +87,46 @@ object GraftFunctions {
     }
 }
 
+/** Plan-level safety checks injected via `SparkSessionExtensions`.
+  *
+  * The one check so far guards the SELF-JOIN LINEAGE TRAP: when both join
+  * sides derive from the same DataFrame, an un-aliased
+  * `col("k") === col("k")` resolves BOTH sides to one attribute — the
+  * condition is trivially true and the equi-join silently degrades to a
+  * cross join (Spark only logs a warning). Every LSH/banding pipeline in
+  * this engine aliases per side precisely to dodge this; the check rule
+  * turns the remaining footgun into a fail-fast analysis error for any
+  * session built with [[GraftExtensions]].
+  */
+object GraftChecks {
+  import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+
+  def trivialSelfJoin(plan: LogicalPlan): Unit = plan.foreach {
+    case j: Join =>
+      j.condition.foreach(_.foreach {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if a.exprId == b.exprId =>
+          throw new IllegalArgumentException(
+            s"join condition '${a.name} = ${b.name}' compares an attribute " +
+              "with itself (both sides resolve to the same column — the " +
+              "self-join lineage trap); alias the join key differently on " +
+              "each side, e.g. .select(col(\"k\").as(\"k_a\"))")
+        case _ => ()
+      })
+    case _ => ()
+  }
+}
+
 /** Session-build-time registration:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.GraftFunctions", name), builder))
     }
+    e.injectCheckRule(_ => GraftChecks.trivialSelfJoin)
+  }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.etl._
 import graft.functions.StrFunctions._
 import graft.functions.RollingHash
-import graft.ops.{AsOfJoin, MinHashDedup, Multimodal, SimHash, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, MinHashDedup, Multimodal, SimHash, Similarity, Skew, TextAnalysis}
 import graft.streaming.StreamOps
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -624,6 +624,33 @@ object SparkEntry {
     "st2_sessionize" -> ((s, dir) =>
       StreamOps.sessionizeBatch(s, t(s, dir, "events"), gapSeconds = 86400)
         .toDF().orderBy("user_id")),
+
+    // ---- K1/K2: deterministic skew mitigation through the gate ----------
+    // Salting must be result-invisible: the salted plans hash-match the
+    // plain SQL the oracle runs.
+    "k1_skew_salted_join" -> ((s, dir) => {
+      val priorities = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(t(s, dir, "lineitem"), priorities, "l_orderkey",
+          salt = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "k2_skew_salted_distinct" -> ((s, dir) =>
+      // l_returnflag has 3 values — a genuinely hot grouping key; the salt
+      // spreads each key's distinct-state over 16 partitions.
+      Skew.saltedCountDistinct(t(s, dir, "lineitem"), "l_returnflag",
+          "l_partkey", salt = 16)
+        .orderBy("l_returnflag")),
+
+    // ---- ST5: streaming exact dedup (watermark-bounded state) -----------
+    "st5_streaming_dedup" -> ((s, dir) =>
+      StreamOps.streamingDedupCounts(s, dir,
+          queryName = "graft_dedup_" + System.nanoTime())
+        .orderBy("event_type")),
 
     // ---- X1: as-of join (operator Spark's DataFrame API lacks) ----------
     "x1_asof_join" -> ((s, dir) => {
@@ -1392,6 +1419,27 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS value_cents
         |  FROM events GROUP BY hour_str ORDER BY hour_str""".stripMargin,
+
+    // Salting is result-invisible: the oracle runs the PLAIN join/distinct.
+    "k1_skew_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "k2_skew_salted_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_l_partkey
+        |  FROM lineitem GROUP BY l_returnflag
+        |  ORDER BY l_returnflag""".stripMargin,
+
+    // Dedup on (user_id, event_type, ts): micros-truncated ts on both
+    // sides (Spark converts the nanos column; epoch_us truncates the same).
+    "st5_streaming_dedup" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT (user_id, epoch_us(ts))) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "st2_sessionize" ->
       """WITH e AS (

@@ -197,6 +197,32 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup + aggregation driven synchronously from the
+    * static events parquet: drop duplicate (user_id, event_type, ts)
+    * events under a watermark, then count survivors per type — the
+    * watermark bounds the dedup state store (keys older than the delay age
+    * out), which is what makes exact streaming dedup viable at 100 TB.
+    */
+  def streamingDedupCounts(spark: SparkSession, dir: String,
+                           queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val deduped = streamingDedup(stream.select("user_id", "event_type", "ts"),
+      Seq("user_id", "event_type"), "ts", "1 hour")
+    val agg = deduped.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** `foreachBatch` body for a streaming upsert into a live database
     * table: each micro-batch applies update-else-insert on `keys` via
     * [[graft.etl.JdbcSink.upsert]] — the standard pattern for sinks Spark

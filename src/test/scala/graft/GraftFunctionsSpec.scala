@@ -86,4 +86,21 @@ class GraftFunctionsSpec extends SparkSpec {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // must not throw
   }
+
+  test("check rule fails fast on the self-join lineage trap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1, "x"), (2, "x")).toDF("id", "band")
+    val right = df.select(col("id").as("id_b"), col("band").as("band_b"))
+    // both condition sides resolve to the LEFT frame's attribute —
+    // trivially true, silent cross join without the check
+    val trapped = df.join(right, df("band") === df("band"))
+    intercept[IllegalArgumentException] {
+      GraftChecks.trivialSelfJoin(trapped.queryExecution.analyzed)
+    }
+    // properly aliased per-side keys pass
+    GraftChecks.trivialSelfJoin(
+      df.join(right, df("band") === right("band_b"))
+        .queryExecution.analyzed)
+  }
 }
