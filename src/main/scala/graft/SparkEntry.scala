@@ -652,6 +652,15 @@ object SparkEntry {
           queryName = "graft_dedup_" + System.nanoTime())
         .orderBy("event_type")),
 
+    // ---- ST6: custom keyed state through the gate (flatMapGroupsWithState
+    // emits sessions CLOSED by a later event; each user's open tail session
+    // stays in the state store, mirrored by the oracle dropping the last
+    // session per user) --------------------------------------------------
+    "st6_stateful_sessions" -> ((s, dir) =>
+      StreamOps.streamingSessionsBatch(s, dir, gapSeconds = 4 * 3600,
+          queryName = "graft_sessions_" + System.nanoTime())
+        .orderBy("user_id", "start_us")),
+
     // ---- X1: as-of join (operator Spark's DataFrame API lacks) ----------
     "x1_asof_join" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
@@ -1440,6 +1449,33 @@ object SparkEntry {
       """SELECT event_type,
         |  CAST(count(DISTINCT (user_id, epoch_us(ts))) AS BIGINT) AS n
         |  FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Gap-sessions per user; the stateful stream only EMITS sessions closed
+    // by a later event, so the mirror drops each user's last session.
+    "st6_stateful_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |    FROM events),
+        | marked AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 14400000000 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        | sess AS (
+        |  SELECT user_id, ts_us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        | agg AS (
+        |  SELECT user_id, sid, min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |    count(*) AS n_events
+        |  FROM sess GROUP BY user_id, sid)
+        | SELECT user_id, start_us, end_us, CAST(n_events AS BIGINT) AS n_events
+        |  FROM agg
+        |  WHERE sid < (SELECT max(s2.sid) FROM agg s2
+        |               WHERE s2.user_id = agg.user_id)
+        |  ORDER BY user_id, start_us""".stripMargin,
 
     "st2_sessionize" ->
       """WITH e AS (

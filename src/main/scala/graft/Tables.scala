@@ -19,9 +19,13 @@ object Tables {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
+      // Integral `div`, NOT `/`: Column./ is double division, and nanos
+      // epochs (~1.7e18) exceed a double's 2^53 integer range — the
+      // truncated microsecond would round up by 1 on roughly half the rows
+      // (DuckDB's epoch_us floors exactly).
       raw.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

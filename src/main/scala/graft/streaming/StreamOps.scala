@@ -29,7 +29,7 @@ object StreamOps {
     // the scan to the events table within the scale-factor dir.
     val stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"),
@@ -209,12 +209,43 @@ object StreamOps {
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val deduped = streamingDedup(stream.select("user_id", "event_type", "ts"),
       Seq("user_id", "event_type"), "ts", "1 hour")
     val agg = deduped.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     val q = agg.writeStream
       .outputMode(OutputMode.Complete)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** COMPLETED sessions from the custom-state streaming path, driven
+    * synchronously from the static events parquet: one micro-batch feeds
+    * every event through [[streamingSessions]] (flatMapGroupsWithState),
+    * so the emitted rows are exactly each user's sessions that were CLOSED
+    * by a later in-batch event — the last (still-open) session per user
+    * stays in the state store. Deterministic, hence oracle-checkable: the
+    * SQL mirror computes gap-sessions and drops each user's last.
+    */
+  def streamingSessionsBatch(spark: SparkSession, dir: String,
+                             gapSeconds: Long,
+                             queryName: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = streamingSessions(events, gapSeconds).toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
