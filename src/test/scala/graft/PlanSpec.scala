@@ -76,6 +76,32 @@ class PlanSpec extends SparkSpec {
       "found a condition-less (cross) join in the LSH pipeline")
   }
 
+  test("fused dedup expressions sit inside whole-stage codegen projections") {
+    val df = SparkEntry.queries("d2_minhash_lsh")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("word_shingles"), s"fused shingles missing:\n$plan")
+    assert(plan.contains("minhash_sig"), s"fused signature missing:\n$plan")
+    assert(plan.contains("*("), s"codegen missing around the sketch:\n$plan")
+  }
+
+  test("IVF probe join is an equality hash join; salted join stays " +
+    "equality-shaped") {
+    val ivf = SparkEntry.queries("n3_ann_ivf")(spark, sf)
+    ivf.collect()
+    val ivfPlan = ivf.queryExecution.executedPlan.toString
+    // the PROBE join (cell = cell) must be hash, never nested-loop; the
+    // nCells-row assignment cross join is the one sanctioned BNLJ
+    assert(ivfPlan.contains("BroadcastHashJoin"),
+      s"probe join should be a hash join:\n$ivfPlan")
+    val salted = SparkEntry.queries("k1_skew_salted_join")(spark, sf)
+    val joins = salted.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty && joins.forall(_.condition.isDefined),
+      "salted join lost its equality condition")
+  }
+
   test("q5 five-way join broadcasts the dimension tables") {
     val df = SparkEntry.queries("q5_region_revenue")(spark, sf)
     df.collect()
