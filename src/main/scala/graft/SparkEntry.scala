@@ -520,6 +520,47 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- T7/T8: vocabulary + document frequency (corpus statistics the
+    // tokenizer/vocab-building stage of a training pipeline needs; both
+    // are explode → count — one shuffle on the token) ---------------------
+    "t7_vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(25)),
+
+    "t8_doc_frequency" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text"))))
+            .as("token"))
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(25)),
+
+    // ---- T9: TF-IDF top term per document. Scoring stays hash-exact: the
+    // score is one double expression over exact integer counts, evaluated
+    // identically by both engines, with the token as the tie-break --------
+    "t9_tfidf_top" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      tf.join(dfreq, "token")
+        .crossJoin(total) // one-row scalar: N
+        .withColumn("score",
+          col("tf").cast("double") * col("n_docs") / col("df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("score"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Dedup family (LLM-pipeline ops) --------------------------------
     "d1_exact_dedup" -> ((s, dir) =>
       MinHashDedup.exactDuplicates(t(s, dir, "documents"), "doc_id", "text")
@@ -1113,6 +1154,42 @@ object SparkEntry {
         |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
         |   AND a.p_partkey < b.p_partkey)
         | WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    "t7_vocab_topk" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        |    FROM documents)
+        | GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin,
+
+    "t8_doc_frequency" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+        |  SELECT DISTINCT * FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        |      FROM documents))
+        | GROUP BY token ORDER BY df DESC, token LIMIT 25""".stripMargin,
+
+    "t9_tfidf_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+'))
+        |    AS token FROM documents),
+        | tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |         GROUP BY doc_id, token),
+        | dfreq AS (SELECT token, count(*) AS df FROM
+        |   (SELECT DISTINCT * FROM toks) GROUP BY token),
+        | scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |    CAST(tf.tf AS DOUBLE) * (SELECT count(*) FROM documents)
+        |      / dfreq.df AS score
+        |  FROM tf JOIN dfreq USING (token)),
+        | top AS (
+        |  SELECT doc_id, token, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, token) AS rn
+        |  FROM scored)
+        | SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+        |   CAST(df AS BIGINT) AS df, score
+        |  FROM top WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs,
