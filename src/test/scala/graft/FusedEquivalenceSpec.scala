@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.ops.{MinHashDedup, Similarity, TextAnalysis}
+
+/** The fused codegen expressions (WordShingles, MinHashSig, FixedPointDot,
+  * LshBucket) claim EXACT semantic equality with the composed
+  * built-in-expression forms they replaced — the property the whole oracle
+  * parity story rests on. These checks pin it over generated adversarial
+  * inputs (unicode, stray whitespace, empty strings, negative floats),
+  * comparing fused vs composed inside one Spark job.
+  */
+class FusedEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 5): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val textGen: Gen[String] = Gen.listOfN(12, Gen.oneOf(
+    Gen.alphaStr.map(_.take(4)),
+    Gen.const(""), Gen.const("  "), Gen.const("\t"),
+    Gen.const("Ünïcødé"), Gen.const("a.b,c"), Gen.const("MiXeD CaSe"),
+    Gen.asciiPrintableStr.map(_.take(6))))
+    .map(_.mkString(" "))
+
+  test("WordShingles == array_distinct(slice/concat shingling) on text") {
+    check(Prop.forAll(Gen.listOfN(6, textGen)) { texts =>
+      val df = texts.toDF("text")
+        .withColumn("tk", TextAnalysis.tokens(col("text")))
+      val rows = df.select(
+        TextAnalysis.wordShingles(col("text"), 3).as("fused"),
+        array_distinct(MinHashDedup.shingles(col("tk"), 3)).as("composed"))
+        .collect()
+      rows.forall(r =>
+        r.getAs[scala.collection.Seq[String]]("fused").toSeq ==
+          r.getAs[scala.collection.Seq[String]]("composed").toSeq)
+    })
+  }
+
+  test("MinHashSig == baseHash + universal-hash mins on shingle arrays") {
+    check(Prop.forAll(Gen.listOfN(6, textGen)) { texts =>
+      val df = texts.toDF("text")
+        .withColumn("sh", TextAnalysis.wordShingles(col("text"), 2))
+        .filter(size(col("sh")) > 0)
+      val rows = df.select(
+        MinHashDedup.signatureFused(col("sh"), 8).as("fused"),
+        MinHashDedup.signature(col("sh"), 8).as("composed"))
+        .collect()
+      rows.forall(r =>
+        r.getAs[scala.collection.Seq[Long]]("fused").toSeq ==
+          r.getAs[scala.collection.Seq[Long]]("composed").toSeq)
+    })
+  }
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.listOfN(16, Gen.chooseNum(-1.0f, 1.0f)).map(_.toArray)
+
+  test("FixedPointDot == aggregate(zip_with(round(x*y*1e12))) on floats") {
+    check(Prop.forAll(Gen.listOfN(8, vecGen)) { vecs =>
+      val df = vecs.map(v => (v, v.reverse)).toDF("a", "b")
+      val composed = aggregate(
+        zip_with(col("a"), col("b"), (x, y) =>
+          round(x.cast("double") * y.cast("double") * 1e12).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+      val rows = df.select(
+        Similarity.dotFp(col("a"), col("b")).as("fused"),
+        composed.as("composed")).collect()
+      rows.forall(r => r.getLong(0) == r.getLong(1))
+    })
+  }
+
+  test("LshBucket == per-row md5 plane-sign formula on floats") {
+    // the ORIGINAL spelling: sign(j,i) from md5 hex parity, evaluated
+    // per row — kept here as the executable specification
+    def planeSign(j: org.apache.spark.sql.Column,
+                  i: org.apache.spark.sql.Column) =
+      when(conv(substring(md5(concat(j.cast("string"), lit("_"),
+        i.cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 0, 1L)
+        .otherwise(-1L)
+    def composedBucket(vec: org.apache.spark.sql.Column, nPlanes: Int) =
+      aggregate(
+        sequence(lit(0), lit(nPlanes - 1)),
+        lit(0L),
+        (acc, j) => {
+          val planeDot = aggregate(
+            zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+              planeSign(j, i) * round(x.cast("double") * 1e6).cast("long")),
+            lit(0L), (a2, v) => a2 + v)
+          acc + when(planeDot > 0,
+            call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
+        })
+    check(Prop.forAll(Gen.listOfN(8, vecGen)) { vecs =>
+      val df = vecs.map(Tuple1(_)).toDF("v")
+      val rows = df.select(
+        Similarity.lshBucket(col("v"), 6).as("fused"),
+        composedBucket(col("v"), 6).as("composed")).collect()
+      rows.forall(r => r.getLong(0) == r.getLong(1))
+    }, n = 4)
+  }
+}
