@@ -702,6 +702,25 @@ object SparkEntry {
           queryName = "graft_sessions_" + System.nanoTime())
         .orderBy("user_id", "start_us")),
 
+    // ---- X2: range join — attribution windows: clicks within 2 hours
+    // after each purchase by the same user, as an equality join on
+    // (user, time-bin) + exact filter, never a nested-loop (ops/RangeJoin)
+    "x2_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val twoHours = 7200000000L // micros
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + twoHours).as("end_us"))
+      graft.ops.RangeJoin(clicks, purchases, "ts_us", "start_us", "end_us",
+          Seq("user_id"), binWidth = twoHours)
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy("purchase_id")
+    }),
+
     // ---- X1: as-of join (operator Spark's DataFrame API lacks) ----------
     "x1_asof_join" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
@@ -1580,6 +1599,22 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n
         |  FROM events JOIN customer ON user_id = c_custkey
         |  GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // The binning is result-invisible: the oracle runs the plain
+    // inequality join.
+    "x2_range_join" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |    FROM events WHERE event_type = 'click'),
+        | p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS start_us,
+        |    CAST(epoch_us(ts) + 7200000000 AS BIGINT) AS end_us
+        |    FROM events WHERE event_type = 'purchase')
+        | SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_clicks
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND c.ts_us >= p.start_us AND c.ts_us <= p.end_us
+        |  GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
 
     "st3_session_window" ->
       """WITH e AS (

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval-containment (range) join — with [[AsOfJoin]], the second
+  * temporal operator the DataFrame API lacks a scalable plan for: Spark
+  * plans a naive `point BETWEEN start AND end` join as a broadcast
+  * nested-loop / cartesian filter, O(n·m) pairs per key.
+  *
+  * Shape here: each right-side interval explodes into the coarse time BINS
+  * it covers; each left-side point computes its single bin; the join is an
+  * EQUALITY join on (keys, bin) followed by the exact containment filter.
+  * A (point, interval) pair can only meet in the point's bin, so no dedup
+  * pass is needed. One hash shuffle on (keys, bin) — the same exchange a
+  * plain equi-join pays.
+  *
+  * `binWidth` trades replication for candidate precision: an interval
+  * explodes into (length / binWidth) + 1 rows, a bin holds candidates
+  * within binWidth of a match. Pick roughly the TYPICAL interval length;
+  * degenerate long intervals are the skew hazard (cap or split upstream).
+  * Point/start/end are non-negative integer columns (e.g. epoch micros),
+  * inclusive on both ends.
+  */
+object RangeJoin {
+
+  def apply(left: DataFrame, right: DataFrame, pointCol: String,
+            startCol: String, endCol: String, keys: Seq[String],
+            binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // integral `div`, not `/` — double division drops precision past 2^53
+    def bin(c: Column): Column = call_function("div", c, lit(binWidth))
+    val lb = left.withColumn("__graft_bin", bin(col(pointCol)))
+    val rb = right.withColumn("__graft_bin",
+      explode(sequence(bin(col(startCol)), bin(col(endCol)))))
+    lb.join(rb, (keys :+ "__graft_bin").toSeq)
+      .filter(col(pointCol) >= col(startCol) &&
+        col(pointCol) <= col(endCol))
+      .drop("__graft_bin")
+  }
+}
