@@ -101,20 +101,25 @@ object GraftFunctions {
 object GraftChecks {
   import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 
-  def trivialSelfJoin(plan: LogicalPlan): Unit = plan.foreach {
-    case j: Join =>
+  def trivialSelfJoin(plan: LogicalPlan): Unit =
+    // collectWithSubqueries: the trapped join may sit inside an IN/EXISTS
+    // subquery plan, which plain foreach does not descend into
+    plan.collectWithSubqueries { case j: Join =>
       j.condition.foreach(_.foreach {
         case EqualTo(a: AttributeReference, b: AttributeReference)
-            if a.exprId == b.exprId =>
-          throw new IllegalArgumentException(
-            s"join condition '${a.name} = ${b.name}' compares an attribute " +
-              "with itself (both sides resolve to the same column — the " +
-              "self-join lineage trap); alias the join key differently on " +
-              "each side, e.g. .select(col(\"k\").as(\"k_a\"))")
+            if a.exprId == b.exprId => fail(a, b)
+        case EqualNullSafe(a: AttributeReference, b: AttributeReference)
+            if a.exprId == b.exprId => fail(a, b)
         case _ => ()
       })
-    case _ => ()
-  }
+    }
+
+  private def fail(a: AttributeReference, b: AttributeReference): Nothing =
+    throw new IllegalArgumentException(
+      s"join condition '${a.name} = ${b.name}' compares an attribute " +
+        "with itself (both sides resolve to the same column — the " +
+        "self-join lineage trap); alias the join key differently on " +
+        "each side, e.g. .select(col(\"k\").as(\"k_a\"))")
 }
 
 /** Session-build-time registration:

@@ -530,10 +530,13 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token")).limit(25)),
 
     "t8_doc_frequency" -> ((s, dir) =>
+      // distinct on (doc_id, token) AFTER the explode — the exact shape
+      // the oracle's SELECT DISTINCT mirrors (a per-row array_distinct
+      // would silently diverge if a doc_id ever appeared twice)
       t(s, dir, "documents")
         .select(col("doc_id"),
-          explode(array_distinct(TextAnalysis.tokens(col("text"))))
-            .as("token"))
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .distinct()
         .groupBy("token").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("token")).limit(25)),
 

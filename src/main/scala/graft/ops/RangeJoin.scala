@@ -28,6 +28,9 @@ object RangeJoin {
             startCol: String, endCol: String, keys: Seq[String],
             binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(!left.columns.contains("__graft_bin") &&
+      !right.columns.contains("__graft_bin"),
+      "__graft_bin is reserved by RangeJoin; rename the input column")
     // integral `div`, not `/` — double division drops precision past 2^53
     def bin(c: Column): Column = call_function("div", c, lit(binWidth))
     val lb = left.withColumn("__graft_bin", bin(col(pointCol)))

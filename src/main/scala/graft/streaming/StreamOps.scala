@@ -16,21 +16,27 @@ object StreamOps {
 
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 
+  /** Streaming source over the events parquet: nanos-as-long read, micros
+    * conversion via integral `div` (double division loses precision past
+    * 2^53 — see Tables.load), directory + pathGlobFilter because the file
+    * stream source needs a directory. The ONE ingest convention every
+    * streaming query shares.
+    */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Tumbling-window streaming aggregation, driven synchronously from the
     * static events parquet (memory sink + processAllAvailable — one
     * micro-batch). Returns the finished result as a batch DataFrame.
     */
   def hourlyCounts(spark: SparkSession, dir: String,
                    queryName: String = "graft_hourly"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val rawSchema = spark.read.parquet(path).schema
-    // The file-stream source requires a directory; pathGlobFilter narrows
-    // the scan to the events table within the scale-factor dir.
-    val stream = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = stream
+    val agg = eventStream(spark, dir)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
@@ -120,11 +126,7 @@ object StreamOps {
     */
   def streamStaticSegmentCounts(spark: SparkSession, dir: String,
                                 queryName: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val rawSchema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = eventStream(spark, dir)
     val dim = graft.Tables.load(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
     val joined = stream.join(dim, stream("user_id") === dim("c_custkey"))
@@ -205,11 +207,7 @@ object StreamOps {
     */
   def streamingDedupCounts(spark: SparkSession, dir: String,
                            queryName: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventStream(spark, dir)
     val deduped = streamingDedup(stream.select("user_id", "event_type", "ts"),
       Seq("user_id", "event_type"), "ts", "1 hour")
     val agg = deduped.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
@@ -235,11 +233,7 @@ object StreamOps {
                              gapSeconds: Long,
                              queryName: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val events = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = eventStream(spark, dir)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
       .as[Event]

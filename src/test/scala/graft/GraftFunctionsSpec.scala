@@ -93,11 +93,22 @@ class GraftFunctionsSpec extends SparkSpec {
     val df = Seq((1, "x"), (2, "x")).toDF("id", "band")
     val right = df.select(col("id").as("id_b"), col("band").as("band_b"))
     // both condition sides resolve to the LEFT frame's attribute —
-    // trivially true, silent cross join without the check
-    val trapped = df.join(right, df("band") === df("band"))
-    intercept[IllegalArgumentException] {
-      GraftChecks.trivialSelfJoin(trapped.queryExecution.analyzed)
+    // trivially true, silent cross join without the check. The shared
+    // session carries GraftExtensions, so the injected rule fires during
+    // the EAGER analysis at join() construction time.
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val e = intercept[Exception] {
+      df.join(right, df("band") === df("band")).queryExecution.analyzed
     }
+    assert(messages(e).exists(_.contains("compares an attribute")),
+      s"unexpected failure: $e")
+    // null-safe equality is the same trap
+    val e2 = intercept[Exception] {
+      df.join(right, df("band") <=> df("band")).queryExecution.analyzed
+    }
+    assert(messages(e2).exists(_.contains("compares an attribute")))
     // properly aliased per-side keys pass
     GraftChecks.trivialSelfJoin(
       df.join(right, df("band") === right("band_b"))
