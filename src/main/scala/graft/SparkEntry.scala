@@ -564,6 +564,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- T10: PII scrubbing. The corpus carries no natural PII, so dirty
+    // text is synthesized deterministically (doc_id-derived email + phone)
+    // and the REDACTED text itself is hash-compared ------------------------
+    "t10_pii_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("dirty", concat(col("text"),
+          lit(" contact: user"), col("doc_id").cast("string"),
+          lit("@example.com phone 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("dirty")).as("clean"))
+        .orderBy("doc_id")),
+
     // ---- Dedup family (LLM-pipeline ops) --------------------------------
     "d1_exact_dedup" -> ((s, dir) =>
       MinHashDedup.exactDuplicates(t(s, dir, "documents"), "doc_id", "text")
@@ -1190,6 +1203,18 @@ object SparkEntry {
         |      unnest(regexp_extract_all(lower(text), '\S+')) AS token
         |      FROM documents))
         | GROUP BY token ORDER BY df DESC, token LIMIT 25""".stripMargin,
+
+    "t10_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+        |        '@example.com phone 555-' ||
+        |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '[EMAIL]', 'g'),
+        |    '\b\d{3}[- ]\d{4}\b', '[PHONE]', 'g') AS clean
+        |  FROM documents ORDER BY doc_id""".stripMargin,
 
     "t9_tfidf_top" ->
       """WITH toks AS (

@@ -88,4 +88,20 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  // PII patterns written in the Java/RE2 common subset so the DuckDB
+  // oracle applies the identical regex.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[- ]\\d{4}\\b"
+
+  /** PII scrubbing for training corpora: replace email addresses and
+    * phone-shaped digit runs with fixed placeholders. Pure codegen'd
+    * projection (regexp_replace replaces every match), zero shuffle —
+    * order matters: emails first, so the phone pass never sees an
+    * address's digits.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
 }
