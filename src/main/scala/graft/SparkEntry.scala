@@ -644,6 +644,17 @@ object SparkEntry {
           length(col("frame_bytes")).cast("long").as("frame_len"))
         .orderBy("doc_id", "frame_idx")),
 
+    // ---- C3: context-window chunking (50-token windows, 10 overlap) -----
+    "c3_token_chunks" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokenChunks(
+          TextAnalysis.tokens(col("text")), chunkSize = 50, overlap = 10))
+          .as("c"))
+        .select(col("doc_id"), col("c.start").as("start"),
+          col("c.n_tokens").as("n_tokens"),
+          md5(col("c.chunk")).as("chunk_hash"))
+        .orderBy("doc_id", "start")),
+
     // ---- C1: composite corpus-cleaning pipeline -------------------------
     "c1_corpus_clean" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1483,6 +1494,25 @@ object SparkEntry {
         |  FROM documents, (SELECT unnest(range(0, 4)) AS i)
         |  WHERE length(substr(text, CAST(i*100 + 1 AS INT), 100)) > 0
         |  ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Chunk starts 1, 41, 81, … (step = size - overlap); tail windows
+    // shorter than the overlap are dropped unless they are the only chunk.
+    "c3_token_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+        |    FROM documents),
+        | starts AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(1, greatest(len(tk), 1) + 1, 40)) AS start
+        |  FROM t),
+        | chunks AS (
+        |  SELECT doc_id, CAST(start AS BIGINT) AS start,
+        |    CAST(len(tk[start : start + 49]) AS BIGINT) AS n_tokens,
+        |    md5(array_to_string(tk[start : start + 49], ' ')) AS chunk_hash
+        |  FROM starts)
+        | SELECT doc_id, start, n_tokens, chunk_hash FROM chunks
+        |  WHERE start = 1 OR n_tokens > 10
+        |  ORDER BY doc_id, start""".stripMargin,
 
     "c1_corpus_clean" ->
       """WITH keepers AS (

@@ -89,6 +89,27 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Overlapping token-window chunks — the context-window packing
+    * primitive: slide a `chunkSize`-token window by `chunkSize - overlap`,
+    * keep the (possibly shorter) tail window unless it is fully contained
+    * in its predecessor (n_tokens <= overlap), always keep at least one
+    * chunk. Returns array<struct<start, n_tokens, chunk>> with 1-based
+    * token offsets; explode it for one row per chunk. Pure projection —
+    * chunking a 100 TB corpus is a map-only pass.
+    */
+  def tokenChunks(tk: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got $chunkSize/$overlap")
+    val step = chunkSize - overlap
+    filter(
+      transform(sequence(lit(1), greatest(size(tk), lit(1)), lit(step)),
+        s => struct(
+          s.cast("long").as("start"),
+          size(slice(tk, s, lit(chunkSize))).cast("long").as("n_tokens"),
+          concat_ws(" ", slice(tk, s, lit(chunkSize))).as("chunk"))),
+      c => c("start") === 1 || c("n_tokens") > overlap)
+  }
+
   // PII patterns written in the Java/RE2 common subset so the DuckDB
   // oracle applies the identical regex.
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
