@@ -104,12 +104,33 @@ object JdbcSink {
     false
   }
 
+  /** Outcome of a resilient upsert: rows applied, rows that failed even
+    * the row-at-a-time retry, and a bounded sample of their errors.
+    */
+  final case class UpsertReport(applied: Long, failed: Long,
+                                errors: Seq[String])
+
   /** Update-else-insert each row of `df` into `table` on `keys`. Returns the
-    * number of rows applied (updates + inserts).
+    * number of rows applied (updates + inserts). Poison rows are skipped
+    * and counted — use [[upsertReport]] to see them.
     */
   def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
              options: Map[String, String] = Map.empty,
-             batchSize: Int = 1000, quote: String = "\""): Long = {
+             batchSize: Int = 1000, quote: String = "\""): Long =
+    upsertReport(df, url, table, keys, options, batchSize, quote).applied
+
+  /** [[upsert]] with poison-row isolation, the reference's failed-row
+    * semantics (sdk/migrate_assures.php:419-456: collect failures, retry
+    * them individually, log what still fails and move on): when a BATCH
+    * fails, the transaction rolls back and the batch replays row by row —
+    * rows that fail alone are skipped, counted, and sampled into
+    * `errors` (≤20 per partition) instead of sinking the whole write.
+    */
+  def upsertReport(df: DataFrame, url: String, table: String,
+                   keys: Seq[String],
+                   options: Map[String, String] = Map.empty,
+                   batchSize: Int = 1000,
+                   quote: String = "\""): UpsertReport = {
     val cols = df.columns.toSeq
     val nonKeys = cols.filterNot(keys.contains)
     require(keys.nonEmpty && nonKeys.nonEmpty,
@@ -127,42 +148,72 @@ object JdbcSink {
     val schema = df.schema
     val updateOrder = nonKeys ++ keys
     val driver = options.get("driver")
-    val acc = df.sparkSession.sparkContext.longAccumulator("graft_upsert")
+    val sc = df.sparkSession.sparkContext
+    val acc = sc.longAccumulator("graft_upsert")
+    val failAcc = sc.longAccumulator("graft_upsert_failed")
+    val errAcc = sc.collectionAccumulator[String]("graft_upsert_errors")
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) withConnection(url, driver) { conn =>
         val up = conn.prepareStatement(updateSql)
         val upOne = conn.prepareStatement(updateSql)
         val ins = conn.prepareStatement(insertSql)
+        val insOne = conn.prepareStatement(insertSql)
+        var errSampled = 0
         try {
           val buffer = new ArrayBuffer[Row](batchSize)
-          def flush(): Unit = if (buffer.nonEmpty) {
-            buffer.foreach { r => bind(up, r, updateOrder, schema); up.addBatch() }
-            val counts = up.executeBatch()
-            val misses = new ArrayBuffer[Row]()
-            var applied = 0L
-            var j = 0
-            while (j < counts.length) {
-              counts(j) match {
-                case 0 => misses += buffer(j) // UPDATE matched nothing
-                case java.sql.Statement.SUCCESS_NO_INFO =>
-                  // driver doesn't report per-row counts (Oracle, MySQL
-                  // rewriteBatchedStatements): re-run this row's UPDATE
-                  // individually to learn whether it matched — the
-                  // correctness of update-vs-insert can't ride on -2.
-                  bind(upOne, buffer(j), updateOrder, schema)
-                  if (upOne.executeUpdate() == 0) misses += buffer(j)
-                  else applied += 1
-                case n if n < 0 =>
-                  throw new java.sql.BatchUpdateException(
-                    s"batched UPDATE failed with status $n", counts)
-                case _ => applied += 1
+          // one row, its own transaction — the poison-isolation path
+          def applyOne(r: Row): Boolean =
+            try {
+              bind(upOne, r, updateOrder, schema)
+              if (upOne.executeUpdate() == 0) {
+                bind(insOne, r, cols, schema)
+                insOne.executeUpdate()
               }
-              j += 1
+              conn.commit()
+              true
+            } catch {
+              case e: java.sql.SQLException =>
+                conn.rollback()
+                failAcc.add(1)
+                if (errSampled < 20) { errAcc.add(e.getMessage); errSampled += 1 }
+                false
             }
-            misses.foreach { r => bind(ins, r, cols, schema); ins.addBatch() }
-            if (misses.nonEmpty) { ins.executeBatch(); applied += misses.length }
-            conn.commit()
-            acc.add(applied)
+          def flush(): Unit = if (buffer.nonEmpty) {
+            try {
+              buffer.foreach { r => bind(up, r, updateOrder, schema); up.addBatch() }
+              val counts = up.executeBatch()
+              val misses = new ArrayBuffer[Row]()
+              var applied = 0L
+              var j = 0
+              while (j < counts.length) {
+                counts(j) match {
+                  case 0 => misses += buffer(j) // UPDATE matched nothing
+                  case java.sql.Statement.SUCCESS_NO_INFO =>
+                    // driver doesn't report per-row counts (Oracle, MySQL
+                    // rewriteBatchedStatements): re-run this row's UPDATE
+                    // individually to learn whether it matched — the
+                    // correctness of update-vs-insert can't ride on -2.
+                    bind(upOne, buffer(j), updateOrder, schema)
+                    if (upOne.executeUpdate() == 0) misses += buffer(j)
+                    else applied += 1
+                  case n if n < 0 =>
+                    throw new java.sql.BatchUpdateException(
+                      s"batched UPDATE failed with status $n", counts)
+                  case _ => applied += 1
+                }
+                j += 1
+              }
+              misses.foreach { r => bind(ins, r, cols, schema); ins.addBatch() }
+              if (misses.nonEmpty) { ins.executeBatch(); applied += misses.length }
+              conn.commit()
+              acc.add(applied)
+            } catch {
+              case _: java.sql.SQLException =>
+                // batch poisoned: roll back, replay row by row so one bad
+                // row can't sink its batch-mates
+                conn.rollback()
+                acc.add(buffer.count(applyOne))
+            }
             buffer.clear()
           }
           it.foreach { r =>
@@ -170,10 +221,11 @@ object JdbcSink {
             if (buffer.length >= batchSize) flush()
           }
           flush()
-        } finally { up.close(); upOne.close(); ins.close() }
+        } finally { up.close(); upOne.close(); ins.close(); insOne.close() }
       }
     }
-    acc.value
+    import scala.jdk.CollectionConverters._
+    UpsertReport(acc.value, failAcc.value, errAcc.value.asScala.toSeq)
   }
 
   /** Delete every `table` row whose key tuple appears in `df` (distinct on

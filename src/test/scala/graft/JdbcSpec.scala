@@ -93,6 +93,35 @@ class JdbcSpec extends SparkSpec {
     assert(ids() === Seq(20, 21))
   }
 
+  test("upsert isolates poison rows: rollback + row-replay, report, heal") {
+    // table with constraints the batch will violate exactly once
+    val conn = graft.etl.JdbcSink.connect(url,
+      Some("org.apache.derby.jdbc.EmbeddedDriver"))
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE t_guard ("id" INT PRIMARY KEY,
+        "name" VARCHAR(20) NOT NULL, "amount" DOUBLE)""")
+      st.close()
+    } finally conn.close()
+
+    val batch = Seq((1, "ok", 1.0), (2, null.asInstanceOf[String], 2.0),
+      (3, "fine", 3.0)).toDF("id", "name", "amount")
+    val report = graft.etl.JdbcSink.upsertReport(batch, url, "t_guard",
+      Seq("id"), opts)
+    assert(report.applied === 2L)
+    assert(report.failed === 1L)
+    assert(report.errors.exists(_.toLowerCase.contains("null")),
+      s"expected a NOT NULL violation sample, got: ${report.errors}")
+    def ids() = Sources.jdbc(spark, url, "t_guard", opts).collect()
+      .map(_.getAs[Int]("id")).sorted.toSeq
+    assert(ids() === Seq(1, 3)) // batch-mates of the poison row landed
+
+    // healing the row and re-running completes the set
+    val fixed = Seq((2, "healed", 2.0)).toDF("id", "name", "amount")
+    graft.etl.JdbcSink.upsert(fixed, url, "t_guard", Seq("id"), opts)
+    assert(ids() === Seq(1, 2, 3))
+  }
+
   test("connect retries then fails with the reference's error") {
     val t0 = System.nanoTime()
     val e = intercept[RuntimeException] {
