@@ -117,6 +117,17 @@ object SparkEntry {
       ).orderBy("p_partkey")
     }),
 
+    // ---- P8: bracket scrub — ANY '[' makes a spec a column ref with ALL
+    // brackets stripped (reference getPropertyValue; fidelity note in
+    // ColumnMapping) ------------------------------------------------------
+    "p8_char_scrub" -> ((s, dir) => {
+      val specs = Seq(
+        ColumnMapping.parse("cust_id", "[c_custkey]"),
+        ColumnMapping.parse("seg", "c_mkt[segment]"), // mid-string bracket
+        ColumnMapping.parse("nm", "c_name][")) // stray brackets scrubbed
+      ColumnMapping(t(s, dir, "customer"), specs).orderBy("cust_id")
+    }),
+
     // ---- P9: case-fold + equality → 0/1 flag ---------------------------
     "p9_flag" -> ((s, dir) =>
       t(s, dir, "customer").select(
@@ -893,6 +904,10 @@ object SparkEntry {
         |  CASE WHEN strpos(p_name, 'zzz') = 0 THEN ''
         |       ELSE substr(p_name, strpos(p_name, 'zzz') + 3) END AS after_missing
         |  FROM part ORDER BY p_partkey""".stripMargin,
+
+    "p8_char_scrub" ->
+      """SELECT c_custkey AS cust_id, c_mktsegment AS seg, c_name AS nm
+        |  FROM customer ORDER BY cust_id""".stripMargin,
 
     "p9_flag" ->
       """SELECT c_custkey,
