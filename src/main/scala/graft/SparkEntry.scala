@@ -759,6 +759,12 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
+    // ---- ST7: stream-stream join with an event-time range constraint ----
+    "st7_stream_stream_join" -> ((s, dir) =>
+      StreamOps.streamStreamAttribution(s, dir,
+          queryName = "graft_ss_" + System.nanoTime())
+        .orderBy("purchase_id")),
+
     // ---- X1: as-of join (operator Spark's DataFrame API lacks) ----------
     "x1_asof_join" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
@@ -1672,6 +1678,22 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n
         |  FROM events JOIN customer ON user_id = c_custkey
         |  GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // Same result set as x2's attribution window, arrived at through the
+    // streaming stream-stream join.
+    "st7_stream_stream_join" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |    FROM events WHERE event_type = 'click'),
+        | p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS start_us,
+        |    CAST(epoch_us(ts) + 7200000000 AS BIGINT) AS end_us
+        |    FROM events WHERE event_type = 'purchase')
+        | SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_clicks
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND c.ts_us >= p.start_us AND c.ts_us <= p.end_us
+        |  GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
 
     // The binning is result-invisible: the oracle runs the plain
     // inequality join.

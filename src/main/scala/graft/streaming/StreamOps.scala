@@ -248,6 +248,41 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** STREAM-STREAM inner join with an event-time range constraint — the
+    * remaining join surface Structured Streaming offers: clicks join
+    * purchases of the same user within [purchase, purchase + 2 h], both
+    * sides watermarked so the join state is BOUNDED (a click older than
+    * the watermark can no longer match any future purchase and its state
+    * is dropped — the property that makes stream-stream joins viable at
+    * 100 TB). Driven synchronously; returns per-purchase click counts.
+    */
+  def streamStreamAttribution(spark: SparkSession, dir: String,
+                              queryName: String): DataFrame = {
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 2 HOURS"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+  }
+
   /** `foreachBatch` body for a streaming upsert into a live database
     * table: each micro-batch applies update-else-insert on `keys` via
     * [[graft.etl.JdbcSink.upsert]] — the standard pattern for sinks Spark
