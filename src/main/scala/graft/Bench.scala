@@ -5,12 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every SparkEntry query on
   * SPARK_GRAFT_SF_DIR.
   *
-  * Each query is executed twice: a warm-up pass (JIT + codegen + file
-  * listing), then `spark.catalog.clearCache()` to drop operator-internal
-  * caches, then the timed pass — so the reported number is steady-state
-  * computation cost, neither cold-JVM inflated nor cache-hit deflated.
-  * `System.gc()` runs before each timed pass so full-GC debt accumulated by
-  * a previous (heavy) query doesn't land inside an unrelated measurement.
+  * Each query runs a warm-up pass (JIT + codegen + file listing), then
+  * THREE timed passes — each preceded by `spark.catalog.clearCache()` (drop
+  * operator-internal caches) and `System.gc()` (don't bill this query for
+  * a previous one's garbage) — and reports the MEDIAN, so the gated number
+  * is steady-state computation cost with run-to-run noise (GC, disk cache,
+  * scheduler jitter) damped.
   *
   * Output contract: the LAST stdout line is a short, self-contained JSON
   * object (`metric`/`value`/`unit`/`sf`) that survives tail-capture
@@ -35,11 +35,14 @@ object Bench {
       val sec =
         try {
           fn(spark, sfDir).count() // warm-up: JIT, codegen, file listing
-          spark.catalog.clearCache() // drop operator-internal caches
-          System.gc() // don't bill this query for the previous one's garbage
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          val times = Seq.fill(3) {
+            spark.catalog.clearCache() // drop operator-internal caches
+            System.gc()
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          times.sorted.apply(1) // median of 3
         } catch { case _: Throwable => -1.0 }
       spark.catalog.clearCache()
       name -> sec
