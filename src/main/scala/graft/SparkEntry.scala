@@ -655,9 +655,12 @@ object SparkEntry {
           length(col("frame_bytes")).cast("long").as("frame_len"))
         .orderBy("doc_id", "frame_idx")),
 
-    // ---- C3: context-window chunking (50-token windows, 10 overlap) -----
+    // ---- C3: context-window chunking (50-token windows, 10 overlap).
+    // Null texts are filtered on BOTH sides — the engines' null-propagation
+    // through slice/concat paths differs, so neither should see them ------
     "c3_token_chunks" -> ((s, dir) =>
       t(s, dir, "documents")
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), explode(TextAnalysis.tokenChunks(
           TextAnalysis.tokens(col("text")), chunkSize = 50, overlap = 10))
           .as("c"))
@@ -870,6 +873,25 @@ object SparkEntry {
         .orderBy("cust_id")
     })
   )
+
+  /** Two-hour click-attribution expected result — shared verbatim by
+    * `x2_range_join` (batch bucketized range join) and
+    * `st7_stream_stream_join` (watermarked stream-stream join): the two
+    * operators claim identical semantics, so they share one mirror.
+    */
+  private val AttributionSql: String =
+    """WITH c AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      |    FROM events WHERE event_type = 'click'),
+      | p AS (
+      |  SELECT event_id AS purchase_id, user_id,
+      |    CAST(epoch_us(ts) AS BIGINT) AS start_us,
+      |    CAST(epoch_us(ts) + 7200000000 AS BIGINT) AS end_us
+      |    FROM events WHERE event_type = 'purchase')
+      | SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_clicks
+      |  FROM c JOIN p ON c.user_id = p.user_id
+      |    AND c.ts_us >= p.start_us AND c.ts_us <= p.end_us
+      |  GROUP BY purchase_id ORDER BY purchase_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "s1_scan" ->
@@ -1521,7 +1543,7 @@ object SparkEntry {
     "c3_token_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
-        |    FROM documents),
+        |    FROM documents WHERE text IS NOT NULL),
         | starts AS (
         |  SELECT doc_id, tk,
         |    unnest(range(1, greatest(len(tk), 1) + 1, 40)) AS start
@@ -1679,37 +1701,14 @@ object SparkEntry {
         |  FROM events JOIN customer ON user_id = c_custkey
         |  GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
-    // Same result set as x2's attribution window, arrived at through the
-    // streaming stream-stream join.
-    "st7_stream_stream_join" ->
-      """WITH c AS (
-        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
-        |    FROM events WHERE event_type = 'click'),
-        | p AS (
-        |  SELECT event_id AS purchase_id, user_id,
-        |    CAST(epoch_us(ts) AS BIGINT) AS start_us,
-        |    CAST(epoch_us(ts) + 7200000000 AS BIGINT) AS end_us
-        |    FROM events WHERE event_type = 'purchase')
-        | SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_clicks
-        |  FROM c JOIN p ON c.user_id = p.user_id
-        |    AND c.ts_us >= p.start_us AND c.ts_us <= p.end_us
-        |  GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
+    // ONE attribution mirror for both spellings — x2 (batch bucketized
+    // range join) and st7 (watermarked stream-stream join) pin the SAME
+    // semantics, so they must share the SQL structurally.
+    "st7_stream_stream_join" -> AttributionSql,
 
     // The binning is result-invisible: the oracle runs the plain
     // inequality join.
-    "x2_range_join" ->
-      """WITH c AS (
-        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
-        |    FROM events WHERE event_type = 'click'),
-        | p AS (
-        |  SELECT event_id AS purchase_id, user_id,
-        |    CAST(epoch_us(ts) AS BIGINT) AS start_us,
-        |    CAST(epoch_us(ts) + 7200000000 AS BIGINT) AS end_us
-        |    FROM events WHERE event_type = 'purchase')
-        | SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_clicks
-        |  FROM c JOIN p ON c.user_id = p.user_id
-        |    AND c.ts_us >= p.start_us AND c.ts_us <= p.end_us
-        |  GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
+    "x2_range_join" -> AttributionSql,
 
     "st3_session_window" ->
       """WITH e AS (

@@ -91,17 +91,47 @@ object JdbcSink {
     * saying the relation doesn't exist / can't be parsed — SQLState class
     * 42 — as opposed to the database being unreachable.
     */
-  def isMissingRelation(t: Throwable): Boolean = {
-    var cur = t
-    while (cur != null) {
+  def isMissingRelation(t: Throwable): Boolean =
+    sqlStateClasses(t).contains("42")
+
+  /** True when the failure is a ROW-LEVEL data error — SQLState class 21
+    * (cardinality), 22 (data exception), or 23 (integrity constraint) —
+    * the only failures the poison-row path may swallow. Anything else
+    * (deadlock 40, connection 08, syntax 42, unknown) must PROPAGATE so
+    * Spark's task retry re-applies the partition instead of rows being
+    * silently dropped.
+    */
+  private def isDataError(t: Throwable): Boolean = {
+    val classes = sqlStateClasses(t)
+    classes.contains("21") || classes.contains("22") ||
+      classes.contains("23")
+  }
+
+  /** Every SQLState class reachable through BOTH the cause chain and the
+    * SQLException `getNextException` chain — drivers wrap batch failures
+    * in a generic-state exception (Derby: class XJ) with the real
+    * constraint violation chained behind it.
+    */
+  private def sqlStateClasses(t: Throwable): Set[String] = {
+    val seen = scala.collection.mutable.Set[String]()
+    var frontier: List[Throwable] = List(t)
+    var budget = 32
+    while (frontier.nonEmpty && budget > 0) {
+      budget -= 1
+      val cur = frontier.head
+      frontier = frontier.tail
       cur match {
-        case s: java.sql.SQLException
-            if Option(s.getSQLState).exists(_.startsWith("42")) => return true
+        case s: java.sql.SQLException =>
+          Option(s.getSQLState).filter(_.length >= 2)
+            .foreach(st => seen += st.substring(0, 2))
+          if (s.getNextException != null && (s.getNextException ne s))
+            frontier ::= s.getNextException
         case _ => ()
       }
-      cur = if (cur.getCause ne cur) cur.getCause else null
+      if (cur != null && cur.getCause != null && (cur.getCause ne cur))
+        frontier ::= cur.getCause
     }
-    false
+    seen.toSet
   }
 
   /** Outcome of a resilient upsert: rows applied, rows that failed even
@@ -161,7 +191,9 @@ object JdbcSink {
         var errSampled = 0
         try {
           val buffer = new ArrayBuffer[Row](batchSize)
-          // one row, its own transaction — the poison-isolation path
+          // one row, its own transaction — the poison-isolation path.
+          // Only DATA errors are swallowed; transient failures propagate
+          // to Spark's task retry.
           def applyOne(r: Row): Boolean =
             try {
               bind(upOne, r, updateOrder, schema)
@@ -172,7 +204,7 @@ object JdbcSink {
               conn.commit()
               true
             } catch {
-              case e: java.sql.SQLException =>
+              case e: java.sql.SQLException if isDataError(e) =>
                 conn.rollback()
                 failAcc.add(1)
                 if (errSampled < 20) { errAcc.add(e.getMessage); errSampled += 1 }
@@ -208,9 +240,14 @@ object JdbcSink {
               conn.commit()
               acc.add(applied)
             } catch {
-              case _: java.sql.SQLException =>
-                // batch poisoned: roll back, replay row by row so one bad
-                // row can't sink its batch-mates
+              case e: java.sql.SQLException if isDataError(e) =>
+                // batch poisoned by a data error: clear any pending batch
+                // entries (a mid-bind failure leaves them staged), roll
+                // back, replay row by row so one bad row can't sink its
+                // batch-mates. Transient errors (deadlock, connection) are
+                // NOT caught — Spark's task retry re-applies the partition.
+                up.clearBatch()
+                ins.clearBatch()
                 conn.rollback()
                 acc.add(buffer.count(applyOne))
             }

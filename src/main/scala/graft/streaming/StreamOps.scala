@@ -278,9 +278,16 @@ object StreamOps {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(queryName)
+    // The memory sink holds the UNaggregated pair set; materialize the
+    // small aggregate and drop the sink view so repeated invocations
+    // (bench warm-up + timed passes) don't pin pair sets in driver memory.
+    val agg = spark.table(queryName)
       .groupBy(col("purchase_id"))
       .agg(count(lit(1)).as("n_clicks"))
+      .cache()
+    agg.count() // materialize before the view goes away
+    spark.catalog.dropTempView(queryName)
+    agg
   }
 
   /** `foreachBatch` body for a streaming upsert into a live database
