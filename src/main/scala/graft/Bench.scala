@@ -6,11 +6,12 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR.
   *
   * Each query runs a warm-up pass (JIT + codegen + file listing), then
-  * THREE timed passes — each preceded by `spark.catalog.clearCache()` (drop
+  * timed passes — each preceded by `spark.catalog.clearCache()` (drop
   * operator-internal caches) and `System.gc()` (don't bill this query for
-  * a previous one's garbage) — and reports the MEDIAN, so the gated number
-  * is steady-state computation cost with run-to-run noise (GC, disk cache,
-  * scheduler jitter) damped.
+  * a previous one's garbage). Queries whose first timed pass is under 2 s
+  * get two more passes and report the MEDIAN (fixed jitter dominates small
+  * numbers); heavier queries keep the single pass (noise is proportionally
+  * small and the extra passes would triple the battery's wall time).
   *
   * Output contract: the LAST stdout line is a short, self-contained JSON
   * object (`metric`/`value`/`unit`/`sf`) that survives tail-capture
@@ -35,14 +36,16 @@ object Bench {
       val sec =
         try {
           fn(spark, sfDir).count() // warm-up: JIT, codegen, file listing
-          val times = Seq.fill(3) {
+          def timed(): Double = {
             spark.catalog.clearCache() // drop operator-internal caches
             System.gc()
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
           }
-          times.sorted.apply(1) // median of 3
+          val first = timed()
+          if (first >= 2.0) first
+          else Seq(first, timed(), timed()).sorted.apply(1) // median of 3
         } catch { case _: Throwable => -1.0 }
       spark.catalog.clearCache()
       name -> sec
