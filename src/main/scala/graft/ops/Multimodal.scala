@@ -62,6 +62,19 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       lit("text/plain").as("media_type"))
 
+  /** Media table from FILES on storage — the real 100 TB ingestion shape:
+    * `binaryFile` rows (path, length, content) become MediaRecords with a
+    * stable id (xxhash64 of the path — deterministic across runs, unlike
+    * a zip-with-index) and a media type from the file extension. Feeds
+    * [[extractFeatures]]/[[sampleFrames]] unchanged.
+    */
+  def fromBinaryFiles(files: DataFrame): DataFrame =
+    files.select(
+      xxhash64(col("path")).as("doc_id"),
+      col("content").as("payload"),
+      lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+        .as("media_type"))
+
   /** Payload-level metadata without decoding: size + content digest —
     * pure projection, codegen'd, no shuffle.
     */

@@ -168,6 +168,28 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(r => new String(r.getAs[Array[Byte]]("frame_bytes")))
       .toSeq === Seq("abc", "def", "gh"))
   }
+
+  test("file-based ingestion: binaryFiles → media table → decode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    java.nio.file.Files.write(dir.resolve("a.jpg"),
+      "jpeg-bytes".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.wav"),
+      "wav".getBytes("UTF-8"))
+    val media = Multimodal.fromBinaryFiles(
+      graft.etl.Sources.binaryFiles(spark, dir.toString))
+    val types = media.select("media_type").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(types === Seq("jpg", "wav"))
+    // ids are stable across re-reads (path-derived, not positional)
+    val ids1 = media.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Multimodal.fromBinaryFiles(
+      graft.etl.Sources.binaryFiles(spark, dir.toString))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2 && ids1.size === 2)
+    // the decode contract runs unchanged over file-sourced payloads
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.map(_.n_bytes).sorted.toSeq === Seq(3L, 10L))
+  }
 }
 
 class StreamOpsSpec extends SparkSpec {
