@@ -57,6 +57,22 @@ class FusedEquivalenceSpec extends SparkSpec {
     })
   }
 
+  test("SimHash.sketch (explode + codegen aggregates) == composed simhash") {
+    check(Prop.forAll(Gen.listOfN(5, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val viaSketch = graft.ops.SimHash.sketch(df, "doc_id", "text", 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaComposed = df
+        .withColumn("sh", TextAnalysis.wordShingles(col("text"), 2))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          graft.ops.SimHash.simhash(col("sh")).as("simhash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      viaSketch == viaComposed
+    }, n = 4)
+  }
+
   private val vecGen: Gen[Array[Float]] =
     Gen.listOfN(16, Gen.chooseNum(-1.0f, 1.0f)).map(_.toArray)
 
