@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-captures sbt stdout and json-parses the last line(s).
+// Default forked-run output goes through sbt's logger ("[info] {...}"),
+// which is not valid JSON — inherit the real stdout instead, and drop the
+// "[success] Total time" epilogue so a bare JSON line can be last.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the command engine, not by another setting —
+// exclude it from the unused-key lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

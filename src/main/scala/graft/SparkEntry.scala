@@ -697,6 +697,40 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- D6: duplicate CLUSTERS — LSH pairs closed under transitivity
+    // via distributed connected components (min-label propagation); the
+    // exact form of the keeper policy c2 approximates -------------------
+    "d6_dup_clusters" -> ((s, dir) => {
+      val pairs = MinHashDedup.nearDuplicates(t(s, dir, "documents"),
+        "doc_id", "text", k = 3, m = 16, nBands = 4, threshold = 0.5)
+      graft.ops.ConnectedComponents.labelPropagation(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- B1: bucketed co-located join — the shuffle paid once at write
+    // time; the join plan has no Exchange and no Sort (BucketSpec asserts).
+    // Result-invisible physical strategy, so it shares k1's plain mirror.
+    "b1_bucketed_join" -> ((s, dir) =>
+      graft.ops.Bucketing.priorityRevenueBucketed(s, dir)),
+
+    // ---- C4: EXACT cluster-based corpus dedup — c2's one-pass keeper
+    // policy upgraded through connected components: drop every non-minimum
+    // member of each duplicate cluster, keep everything else ---------------
+    "c4_cluster_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = MinHashDedup.nearDuplicates(docs, "doc_id", "text",
+        k = 3, m = 16, nBands = 4, threshold = 0.5)
+      val losers = graft.ops.ConnectedComponents
+        .labelPropagation(pairs, "id_a", "id_b")
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
     // ---- Streaming --------------------------------------------------------
     "st1_stream_hourly" -> ((s, dir) =>
       StreamOps.hourlyCounts(s, dir,
@@ -892,6 +926,58 @@ object SparkEntry {
       |  FROM c JOIN p ON c.user_id = p.user_id
       |    AND c.ts_us >= p.start_us AND c.ts_us <= p.end_us
       |  GROUP BY purchase_id ORDER BY purchase_id""".stripMargin
+
+  /** MinHash-LSH scored-candidate CTE chain (through `scored`) — shared
+    * by `d2_minhash_lsh` (pairs above threshold) and `d6_dup_clusters`
+    * (the same pairs closed under transitivity by a recursive min-label
+    * walk). `WITH RECURSIVE` is inert for d2's non-recursive use.
+    */
+  private val MinHashScoredCtes: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+      | shs AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+      |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+      |  FROM toks WHERE len(tk) >= 3),
+      | sig AS (
+      |  SELECT doc_id, sh, list_transform(range(0, 16),
+      |    j -> list_min(list_transform(sh,
+      |      s -> ((2*j + 1) *
+      |            (CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647)
+      |            + 7919*j + 13) % 2147483647))) AS sig
+      |  FROM shs WHERE len(sh) > 0),
+      | bands AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, 4),
+      |    b -> md5(CAST(b AS VARCHAR) || '#' ||
+      |      array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',')))) AS band
+      |  FROM sig),
+      | bands_f AS (
+      |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band) <= 1000),
+      | pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands_f a JOIN bands_f b
+      |    ON a.band = b.band AND a.doc_id < b.doc_id),
+      | scored AS (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+      |      p -> p[1] = p[2])) AS DOUBLE) / 16 AS est_jaccard,
+      |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+      |  FROM pairs
+      |  JOIN sig sa ON sa.doc_id = id_a
+      |  JOIN sig sb ON sb.doc_id = id_b)""".stripMargin
+
+  /** Priority/revenue rollup of lineitem ⋈ orders — shared by
+    * `k1_skew_salted_join` (salted shuffle join) and `b1_bucketed_join`
+    * (bucketed co-located join): both physical strategies are
+    * result-invisible, so they pin the SAME plain-SQL mirror.
+    */
+  private val PriorityRevenueSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "s1_scan" ->
@@ -1297,42 +1383,46 @@ object SparkEntry {
         |  min(doc_id) AS keeper_id
         |  FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
 
-    "d2_minhash_lsh" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
-        | shs AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
-        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
-        |  FROM toks WHERE len(tk) >= 3),
-        | sig AS (
-        |  SELECT doc_id, sh, list_transform(range(0, 16),
-        |    j -> list_min(list_transform(sh,
-        |      s -> ((2*j + 1) *
-        |            (CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647)
-        |            + 7919*j + 13) % 2147483647))) AS sig
-        |  FROM shs WHERE len(sh) > 0),
-        | bands AS (
-        |  SELECT doc_id, unnest(list_transform(range(0, 4),
-        |    b -> md5(CAST(b AS VARCHAR) || '#' ||
-        |      array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',')))) AS band
-        |  FROM sig),
-        | bands_f AS (
-        |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band) <= 1000),
-        | pairs AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands_f a JOIN bands_f b
-        |    ON a.band = b.band AND a.doc_id < b.doc_id),
-        | scored AS (
-        |  SELECT id_a, id_b,
-        |    CAST(len(list_filter(list_zip(sa.sig, sb.sig),
-        |      p -> p[1] = p[2])) AS DOUBLE) / 16 AS est_jaccard,
-        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-        |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
-        |  FROM pairs
-        |  JOIN sig sa ON sa.doc_id = id_a
-        |  JOIN sig sb ON sb.doc_id = id_b)
+    "d2_minhash_lsh" -> (MinHashScoredCtes +
+      """
         | SELECT id_a, id_b, est_jaccard, jaccard FROM scored
-        |  WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+        |  WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin),
+
+    // Pairs (d2's mirror, shared CTEs) closed under transitivity by a
+    // recursive min-label walk — the SQL twin of label propagation.
+    "d6_dup_clusters" -> (MinHashScoredCtes +
+      """,
+        | dup_pairs AS (
+        |  SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+        | cc_edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+        |  UNION SELECT id_b, id_a FROM dup_pairs),
+        | walk(id, lbl) AS (
+        |  SELECT src, src FROM cc_edges
+        |  UNION
+        |  SELECT e.dst, w.lbl FROM walk w JOIN cc_edges e ON e.src = w.id)
+        | SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk
+        |  GROUP BY id ORDER BY doc_id""".stripMargin),
+
+    // Same recursive walk, then drop every non-minimum cluster member.
+    "c4_cluster_dedup" -> (MinHashScoredCtes +
+      """,
+        | dup_pairs AS (
+        |  SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+        | cc_edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+        |  UNION SELECT id_b, id_a FROM dup_pairs),
+        | walk(id, lbl) AS (
+        |  SELECT src, src FROM cc_edges
+        |  UNION
+        |  SELECT e.dst, w.lbl FROM walk w JOIN cc_edges e ON e.src = w.id),
+        | losers AS (
+        |  SELECT id FROM (
+        |    SELECT id, min(lbl) AS lbl FROM walk GROUP BY id)
+        |  WHERE id <> lbl)
+        | SELECT lang, count(*) AS n_docs FROM documents
+        |  WHERE doc_id NOT IN (SELECT id FROM losers)
+        |  GROUP BY lang ORDER BY lang""".stripMargin),
 
     "d3_simhash" ->
       """WITH toks AS (
@@ -1627,12 +1717,10 @@ object SparkEntry {
         |  FROM events GROUP BY hour_str ORDER BY hour_str""".stripMargin,
 
     // Salting is result-invisible: the oracle runs the PLAIN join/distinct.
-    "k1_skew_salted_join" ->
-      """SELECT o_orderpriority, count(*) AS n,
-        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-        |    AS price_cents
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "k1_skew_salted_join" -> PriorityRevenueSql,
+
+    // So is bucketing — same mirror, different physical strategy.
+    "b1_bucketed_join" -> PriorityRevenueSql,
 
     "k2_skew_salted_distinct" ->
       """SELECT l_returnflag,

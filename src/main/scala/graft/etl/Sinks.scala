@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Sink writers — set-based replacements for the reference's row/batch
   * INSERT paths (reference: sdk/lib/db.php:220-274 — single-row named-param
@@ -39,13 +40,31 @@ object Sinks {
     * again. Requires the session catalog (saveAsTable).
     */
   def bucketedTable(df: DataFrame, table: String, buckets: Int,
-                    keys: Seq[String]): Long =
+                    keys: Seq[String]): Long = {
+    val spark = df.sparkSession
+    // A previous JVM's table DIRECTORY survives while the in-memory
+    // catalog does not, and CTAS refuses a managed table whose location
+    // already exists — drop the entry and clear any stale location
+    // (resolving the filesystem FROM the path, not the default scheme).
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     counted(df) { d =>
-      d.write.mode("overwrite")
+      // Bucket assignment and repartition(n, keys) share pmod(murmur3, n),
+      // so each write task holds exactly one bucket's rows → ONE file per
+      // bucket (otherwise every task emits a file into every bucket it
+      // touches and a 1000-task write of 1024 buckets lands a million
+      // files).
+      d.repartition(buckets, keys.map(col): _*)
+        .write.mode("overwrite")
         .bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
         .saveAsTable(table)
     }
+  }
 
   def csv(df: DataFrame, path: String, header: Boolean = true): Long =
     counted(df) { d =>

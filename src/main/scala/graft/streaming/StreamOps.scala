@@ -30,6 +30,32 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Runs `body` (which starts and finishes a streaming query) with
+    * `spark.sql.shuffle.partitions` temporarily set to `n`, restoring the
+    * previous value afterwards.
+    *
+    * Stateful streaming operators create one state store PER shuffle
+    * partition, and the count is pinned into the checkpoint by the FIRST
+    * micro-batch — so this is THE sizing knob for streaming state, and it
+    * must be set before `start()`. Each store costs an init + delta-file
+    * commit every batch, so the right value tracks the stream's keyed-state
+    * volume, not the batch engine's scan parallelism: a handful for the
+    * synchronous test harness here, hundreds on a production cluster where
+    * per-store state must also fit an executor's memory.
+    */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** State partitions for the synchronous harness queries below: the events
+    * table is one file and every stateful op's keyed state fits trivially,
+    * so per-store commit overhead dominates any parallelism win past this.
+    */
+  private val HarnessStateParts = 8
+
   /** Tumbling-window streaming aggregation, driven synchronously from the
     * static events parquet (memory sink + processAllAvailable — one
     * micro-batch). Returns the finished result as a batch DataFrame.
@@ -40,13 +66,15 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark, HarnessStateParts) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName).select(
       date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
       col("n"), col("value_cents"))
@@ -132,13 +160,15 @@ object StreamOps {
     val joined = stream.join(dim, stream("user_id") === dim("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"))
-    val q = joined.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark, HarnessStateParts) {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -211,13 +241,15 @@ object StreamOps {
     val deduped = streamingDedup(stream.select("user_id", "event_type", "ts"),
       Seq("user_id", "event_type"), "ts", "1 hour")
     val agg = deduped.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark, HarnessStateParts) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -237,14 +269,16 @@ object StreamOps {
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
       .as[Event]
-    val q = streamingSessions(events, gapSeconds).toDF()
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark, HarnessStateParts) {
+      val q = streamingSessions(events, gapSeconds).toDF()
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -271,13 +305,15 @@ object StreamOps {
       col("c_user") === col("p_user") &&
         col("c_ts") >= col("p_ts") &&
         col("c_ts") <= col("p_ts") + expr("INTERVAL 2 HOURS"))
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark, HarnessStateParts) {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     // The memory sink holds the UNaggregated pair set; materialize the
     // small aggregate and drop the sink view so repeated invocations
     // (bench warm-up + timed passes) don't pin pair sets in driver memory.

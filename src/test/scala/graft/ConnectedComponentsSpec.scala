@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.labelPropagation(
+        pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain component collapses to its minimum id") {
+    // 1-2-3-4-5 as a path: diameter 4, needs several propagation rounds
+    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint components keep separate labels; edge order irrelevant") {
+    val got = cc(Seq((10L, 7L), (20L, 25L), (25L, 21L), (7L, 9L)))
+    assert(got === Map(7L -> 7L, 9L -> 7L, 10L -> 7L,
+      20L -> 20L, 21L -> 20L, 25L -> 20L))
+  }
+
+  test("triangle + pendant (cycle safety: labels reach a fixpoint)") {
+    val got = cc(Seq((3L, 5L), (5L, 8L), (8L, 3L), (8L, 11L)))
+    assert(got === Map(3L -> 3L, 5L -> 3L, 8L -> 3L, 11L -> 3L))
+  }
+
+  test("keepers = one minimum per component") {
+    val got = ConnectedComponents.keepers(
+        Seq((1L, 2L), (2L, 3L), (9L, 8L)).toDF("a", "b"), "a", "b")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 8L))
+  }
+
+  private def ccStar(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.alternatingStar(
+        pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("alternating star agrees with label propagation on a long path") {
+    // Path 1-2-…-12: diameter 11 — the shape star-alternation collapses
+    // in O(log n) rounds where propagation needs 11.
+    val path = (1L to 11L).map(i => (i, i + 1))
+    assert(ccStar(path) === cc(path))
+  }
+
+  test("alternating star agrees with label propagation on random graphs") {
+    val gen = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 20 + trial * 10
+      val edges = (1 to n).map { _ =>
+        (gen.nextInt(n).toLong + 1, gen.nextInt(n).toLong + 1)
+      }.filter(e => e._1 != e._2)
+      val star = ccStar(edges)
+      val prop = cc(edges)
+      assert(star === prop, s"trial $trial (n=$n): $star vs $prop")
+    }
+  }
+
+  test("exact keeper policy vs c2's one-pass approximation") {
+    // Pairs (1,2) and (2,3): one-pass drops every id_b {2,3}; the exact
+    // policy also keeps only 1 — they agree here. But pairs (2,3),(1,3)
+    // chain through 3: one component {1,2,3}, exact keeps min=1 only.
+    val got = ConnectedComponents.keepers(
+        Seq((2L, 3L), (1L, 3L)).toDF("a", "b"), "a", "b")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L))
+  }
+}
