@@ -635,6 +635,15 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // ---- N4: multi-probe LSH — recall repaired by probing the 1-bit-flip
+    // neighbour buckets on the query side only; corpus layout unchanged ----
+    "n4_ann_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopKMultiProbe(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nPlanes = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     // ---- Multimodal columns ---------------------------------------------
     "m1_media_meta" -> ((s, dir) =>
       Multimodal.payloadMetadata(
@@ -966,6 +975,52 @@ object SparkEntry {
       |  FROM pairs
       |  JOIN sig sa ON sa.doc_id = id_a
       |  JOIN sig sb ON sb.doc_id = id_b)""".stripMargin
+
+  /** Hyperplane-LSH bucket CTE over the embeddings table (md5-parity ±1
+    * sign matrix, fixed-point 1e-6 dots — mirrors
+    * [[graft.functions.LshBucket]]). Shared by `n2_ann_lsh` and
+    * `n4_ann_multiprobe`, which differ only in the query-side probe set.
+    */
+  private val LshBucketCte: String =
+    """WITH b AS (
+      |  SELECT vec_id, embedding AS x,
+      |    CAST(list_sum(list_transform(range(0, 4), j ->
+      |      CASE WHEN CAST(list_sum(list_transform(range(0, 64), i ->
+      |        (CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' ||
+      |             CAST(i AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+      |          THEN 1 ELSE -1 END) *
+      |        CAST(round(CAST(x[CAST(i AS INT) + 1] AS DOUBLE) * 1e6) AS BIGINT)))
+      |        AS BIGINT) > 0
+      |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+      |      AS BIGINT) AS bucket
+      |  FROM embeddings),""".stripMargin
+
+  /** Exact fixed-point scoring + per-query ranking tail shared by the two
+    * LSH mirrors (expects CTEs `q(q_id, qv, bucket)` and `b`).
+    */
+  private val LshRankTail: String =
+    """
+      | c AS (SELECT vec_id AS c_id, x AS cv, bucket FROM b),
+      | scored AS (
+      |  SELECT q_id, c_id,
+      |    CAST(list_sum(list_transform(range(1, 65), i ->
+      |      CAST(round(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+      |      AS BIGINT) AS dot_fp,
+      |    CAST(list_sum(list_transform(range(1, 65), i ->
+      |      CAST(round(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+      |      AS BIGINT) AS na_fp,
+      |    CAST(list_sum(list_transform(range(1, 65), i ->
+      |      CAST(round(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+      |      AS BIGINT) AS nb_fp
+      |  FROM q JOIN c ON q_id <> c_id AND q.bucket = c.bucket),
+      | ranked AS (
+      |  SELECT q_id, c_id,
+      |    CAST(dot_fp AS DOUBLE) /
+      |      (sqrt(CAST(na_fp AS DOUBLE)) * sqrt(CAST(nb_fp AS DOUBLE))) AS cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY dot_fp DESC, c_id) AS rank
+      |  FROM scored)
+      | SELECT q_id, c_id, rank, cos FROM ranked
+      |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   /** Priority/revenue rollup of lineitem ⋈ orders — shared by
     * `k1_skew_salted_join` (salted shuffle join) and `b1_bucketed_join`
@@ -1526,41 +1581,23 @@ object SparkEntry {
         | SELECT q_id, c_id, rank, cos FROM ranked
         |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
-    "n2_ann_lsh" ->
-      """WITH b AS (
-        |  SELECT vec_id, embedding AS x,
-        |    CAST(list_sum(list_transform(range(0, 4), j ->
-        |      CASE WHEN CAST(list_sum(list_transform(range(0, 64), i ->
-        |        (CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' ||
-        |             CAST(i AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
-        |          THEN 1 ELSE -1 END) *
-        |        CAST(round(CAST(x[CAST(i AS INT) + 1] AS DOUBLE) * 1e6) AS BIGINT)))
-        |        AS BIGINT) > 0
-        |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
-        |      AS BIGINT) AS bucket
-        |  FROM embeddings),
-        | q AS (SELECT vec_id AS q_id, x AS qv, bucket FROM b WHERE vec_id < 8),
-        | c AS (SELECT vec_id AS c_id, x AS cv, bucket FROM b),
-        | scored AS (
-        |  SELECT q_id, c_id,
-        |    CAST(list_sum(list_transform(range(1, 65), i ->
-        |      CAST(round(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
-        |      AS BIGINT) AS dot_fp,
-        |    CAST(list_sum(list_transform(range(1, 65), i ->
-        |      CAST(round(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) * 1e12) AS BIGINT)))
-        |      AS BIGINT) AS na_fp,
-        |    CAST(list_sum(list_transform(range(1, 65), i ->
-        |      CAST(round(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
-        |      AS BIGINT) AS nb_fp
-        |  FROM q JOIN c ON q_id <> c_id AND q.bucket = c.bucket),
-        | ranked AS (
-        |  SELECT q_id, c_id,
-        |    CAST(dot_fp AS DOUBLE) /
-        |      (sqrt(CAST(na_fp AS DOUBLE)) * sqrt(CAST(nb_fp AS DOUBLE))) AS cos,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY dot_fp DESC, c_id) AS rank
-        |  FROM scored)
-        | SELECT q_id, c_id, rank, cos FROM ranked
-        |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // Single-probe and multi-probe LSH share the bucket CTE and the
+    // scoring/ranking tail — only the query-side probe set differs.
+    "n2_ann_lsh" -> (LshBucketCte +
+      """
+        | q AS (SELECT vec_id AS q_id, x AS qv, bucket FROM b WHERE vec_id < 8),""".stripMargin +
+      LshRankTail),
+
+    // Probe set = own bucket + each 1-bit flip (mirrors lshTopKMultiProbe).
+    "n4_ann_multiprobe" -> (LshBucketCte +
+      """
+        | q AS (
+        |  SELECT q_id, qv, unnest(probes) AS bucket FROM (
+        |    SELECT vec_id AS q_id, x AS qv,
+        |      list_append(list_transform(range(0, 4),
+        |        j -> xor(bucket, CAST(1 AS BIGINT) << j)), bucket) AS probes
+        |    FROM b WHERE vec_id < 8)),""".stripMargin +
+      LshRankTail),
 
     // IVF-flat mirror: hash-order centroid sample, nearest-cell assignment
     // (fixed-point dots), 2-probe search, exact in-cell ranking.

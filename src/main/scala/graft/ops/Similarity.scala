@@ -125,6 +125,46 @@ object Similarity {
       .select("q_id", "c_id", "rank", "cos")
   }
 
+  /** Multi-probe LSH top-k: each query searches its own bucket PLUS the
+    * `nPlanes` buckets at Hamming distance 1 (one sign bit flipped) —
+    * the standard recall repair for hyperplane LSH (Lv et al.,
+    * "Multi-Probe LSH", VLDB '07): a near neighbour that fell on the
+    * other side of ONE plane is recovered without a second table or
+    * coarser buckets. Cost model: probes multiply the QUERY side only
+    * (queries explode to nPlanes+1 rows before the equality join); the
+    * corpus side keeps one bucket per vector, so the index layout —
+    * and at 100 TB the shuffle that built it — is unchanged. Each
+    * (query, candidate) pair still appears at most once: a candidate
+    * lives in exactly one bucket and the probe codes are distinct.
+    */
+  def lshTopKMultiProbe(candidates: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        nPlanes: Int = 8): DataFrame = {
+    val probes = array(
+      col("bucket0") +: (0 until nPlanes).map(j =>
+        col("bucket0").bitwiseXOR(lit(1L << j))): _*)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        lshBucket(col(vecCol), nPlanes).as("bucket0"),
+        normFp(col(vecCol)).as("q_norm"))
+      .withColumn("bucket", explode(probes))
+      .drop("bucket0")
+    val c = spread(candidates, idCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        lshBucket(col(vecCol), nPlanes).as("bucket"),
+        normFp(col(vecCol)).as("c_norm"))
+    val scored = c.join(broadcast(q),
+        col("q_id") =!= col("c_id") && q("bucket") === c("bucket"))
+      .withColumn("dot_fp", dotFp(col("q_vec"), col("c_vec")))
+      .withColumn("cos", cosineFromFp(col("dot_fp"),
+        col("q_norm"), col("c_norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("dot_fp").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "cos")
+  }
+
   /** Approximate top-k via an inverted-file (IVF-flat) index.
     *
     * Centroids are the `nCells` corpus vectors ranked first by

@@ -147,6 +147,29 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", k = 5, nCells = 8, nProbe = 8))
     assert(ivfAll === exact) // probing every cell == brute force
   }
+
+  test("multi-probe LSH strictly improves recall over single-probe") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 5))
+    val single = pairs(Similarity.lshTopK(emb, queries,
+      "vec_id", "embedding", k = 5, nPlanes = 4))
+    val multi = pairs(Similarity.lshTopKMultiProbe(emb, queries,
+      "vec_id", "embedding", k = 5, nPlanes = 4))
+    def recall(got: Set[(Long, Long)]): Double =
+      (got & exact).size.toDouble / exact.size
+    // The probe set contains the single-probe bucket, so the candidate
+    // pool only grows — recall is monotone in the probe count.
+    assert(recall(multi) >= recall(single),
+      s"multi ${recall(multi)} < single ${recall(single)}")
+    // 1-bit flips reach Hamming-1 neighbours: with 4 planes that is 5 of
+    // 16 buckets, and on this corpus it must repair real misses.
+    assert(recall(multi) > recall(single),
+      s"expected strict recall gain at sf0.001: single=${recall(single)}")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
