@@ -644,6 +644,23 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // ---- N5: per-class embedding centroids — exact fixed-point sums in
+    // long format (the transpose never materializes; partial agg absorbs
+    // the d× explode) ------------------------------------------------------
+    "n5_class_centroids" -> ((s, dir) =>
+      Similarity.groupCentroids(
+          t(s, dir, "embeddings")
+            .select(col("label").cast("long").as("label"), col("embedding")),
+          "label", "embedding")
+        .orderBy("label", "dim")),
+
+    // ---- N6: one distributed k-means (Lloyd) iteration — n3's hash-order
+    // seed + nearest-cell assignment, then n5's centroid-mean shape -------
+    "n6_kmeans_iter" -> ((s, dir) =>
+      Similarity.kmeansStep(t(s, dir, "embeddings"),
+          "vec_id", "embedding", nCells = 16)
+        .orderBy("cent_id", "dim")),
+
     // ---- Multimodal columns ---------------------------------------------
     "m1_media_meta" -> ((s, dir) =>
       Multimodal.payloadMetadata(
@@ -1021,6 +1038,34 @@ object SparkEntry {
       |  FROM scored)
       | SELECT q_id, c_id, rank, cos FROM ranked
       |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** IVF nearest-centroid assignment CTEs (hash-order seed centroids,
+    * fixed-point cosine, rank r per (vector, centroid)) — shared by
+    * `n3_ann_ivf` (probe tail) and `n6_kmeans_iter` (centroid-mean tail).
+    */
+  private val IvfAssignCtes: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding AS x,
+      |    CAST(list_sum(list_transform(range(1, 65), i ->
+      |      CAST(round(CAST(x[i] AS DOUBLE) * CAST(x[i] AS DOUBLE) * 1e12) AS BIGINT)))
+      |      AS BIGINT) AS nrm
+      |  FROM embeddings),
+      | cents AS (
+      |  SELECT vec_id AS cent_id, x AS cv, nrm AS cnrm FROM base
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      | cpairs AS (
+      |  SELECT b.vec_id, b.x, b.nrm, c.cent_id, c.cnrm,
+      |    CAST(list_sum(list_transform(range(1, 65), i ->
+      |      CAST(round(CAST(b.x[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+      |      AS BIGINT) AS cdot
+      |  FROM base b CROSS JOIN cents c),
+      | assign AS (
+      |  SELECT vec_id, x, nrm, cent_id,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY
+      |      CAST(cdot AS DOUBLE) /
+      |        (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cnrm AS DOUBLE))) DESC,
+      |      cent_id) AS r
+      |  FROM cpairs),""".stripMargin
 
   /** Priority/revenue rollup of lineitem ⋈ orders — shared by
     * `k1_skew_salted_join` (salted shuffle join) and `b1_bucketed_join`
@@ -1600,30 +1645,10 @@ object SparkEntry {
       LshRankTail),
 
     // IVF-flat mirror: hash-order centroid sample, nearest-cell assignment
-    // (fixed-point dots), 2-probe search, exact in-cell ranking.
-    "n3_ann_ivf" ->
-      """WITH base AS (
-        |  SELECT vec_id, embedding AS x,
-        |    CAST(list_sum(list_transform(range(1, 65), i ->
-        |      CAST(round(CAST(x[i] AS DOUBLE) * CAST(x[i] AS DOUBLE) * 1e12) AS BIGINT)))
-        |      AS BIGINT) AS nrm
-        |  FROM embeddings),
-        | cents AS (
-        |  SELECT vec_id AS cent_id, x AS cv, nrm AS cnrm FROM base
-        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        | cpairs AS (
-        |  SELECT b.vec_id, b.x, b.nrm, c.cent_id, c.cnrm,
-        |    CAST(list_sum(list_transform(range(1, 65), i ->
-        |      CAST(round(CAST(b.x[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
-        |      AS BIGINT) AS cdot
-        |  FROM base b CROSS JOIN cents c),
-        | assign AS (
-        |  SELECT vec_id, x, nrm, cent_id,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY
-        |      CAST(cdot AS DOUBLE) /
-        |        (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cnrm AS DOUBLE))) DESC,
-        |      cent_id) AS r
-        |  FROM cpairs),
+    // (fixed-point dots — the CTEs shared with n6's k-means step), 2-probe
+    // search, exact in-cell ranking.
+    "n3_ann_ivf" -> (IvfAssignCtes +
+      """
         | ccell AS (SELECT vec_id AS c_id, x AS cvx, nrm AS cnorm,
         |             cent_id AS cell FROM assign WHERE r = 1),
         | qcell AS (SELECT vec_id AS q_id, x AS qvx, nrm AS qnorm,
@@ -1641,7 +1666,34 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q_id ORDER BY dot_fp DESC, c_id) AS rank
         |  FROM scored)
         | SELECT q_id, c_id, rank, cos FROM ranked
-        |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+        |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+    // Exact per-class centroids in long format: lateral range join
+    // transposes the vectors; fixed-point sums + one final division.
+    "n5_class_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
+        |  CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS sum_fp,
+        |  count(*) AS n,
+        |  CAST(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS DOUBLE) / 1e6 / count(*) AS mean
+        |  FROM embeddings, range(1, 65) t(i)
+        |  GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    // One Lloyd iteration: the SAME assignment CTEs as n3, then the new
+    // per-cell centroid sums (n5's transpose shape over assigned cells).
+    "n6_kmeans_iter" -> (IvfAssignCtes +
+      """
+        | assigned AS (
+        |  SELECT cent_id, x FROM assign WHERE r = 1)
+        | SELECT cent_id, i - 1 AS dim,
+        |  CAST(sum(CAST(round(CAST(x[i] AS DOUBLE) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS sum_fp,
+        |  count(*) AS n,
+        |  CAST(CAST(sum(CAST(round(CAST(x[i] AS DOUBLE) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS DOUBLE) / 1e6 / count(*) AS mean
+        |  FROM assigned, range(1, 65) t(i)
+        |  GROUP BY cent_id, dim ORDER BY cent_id, dim""".stripMargin),
 
     "m1_media_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -226,6 +226,61 @@ object Similarity {
       .select("q_id", "c_id", "rank", "cos")
   }
 
+  /** Per-group embedding centroids in EXACT arithmetic: each dimension's
+    * mean is carried as (sum of fixed-point 1e-6 components, count) — the
+    * long-format (group, dim, sum_fp, n) output transposes the vectors so
+    * the whole computation is one posexplode + one partial-aggregated
+    * shuffle on (group, dim), no vector-typed aggregation state. The
+    * training-data uses: class prototypes, per-source drift monitoring,
+    * and the mean step of k-means ([[kmeansStep]]). The `mean` column
+    * divides the exact integers once, so it is deterministic IEEE754.
+    *
+    * At 100 TB: explode multiplies rows by d (64 here), but partial
+    * aggregation combines map-side, so the shuffle carries at most
+    * |groups| × d rows per task — the transpose never materializes.
+    */
+  def groupCentroids(vectors: DataFrame, groupCol: String,
+                     vecCol: String): DataFrame =
+    vectors
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(groupCol), col("dim").cast("long").as("dim"))
+      .agg(sum(round(col("x").cast("double") * 1e6).cast("long"))
+        .as("sum_fp"), count(lit(1)).as("n"))
+      .withColumn("mean",
+        col("sum_fp").cast("double") / 1e6 / col("n"))
+
+  /** ONE k-means iteration, distributed: deterministic hash-order seed
+    * centroids (the same `ORDER BY md5(id)` sample [[ivfTopK]] uses, so
+    * the oracle reproduces it), nearest-centroid assignment by exact
+    * fixed-point cosine (nCells broadcast dots per row, map-only), then
+    * the new per-cell centroid via [[groupCentroids]]. Lloyd's algorithm
+    * is this step iterated; each iteration costs one broadcast of the
+    * (tiny) centroid set and one (cell, dim)-shuffle — the canonical
+    * Spark k-means shape.
+    */
+  def kmeansStep(vectors: DataFrame, idCol: String, vecCol: String,
+                 nCells: Int): DataFrame = {
+    val c0 = spread(vectors, idCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        normFp(col(vecCol)).as("c_norm"))
+    val cents = c0
+      .orderBy(md5(col("c_id").cast("string")), col("c_id"))
+      .limit(nCells)
+      .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec"),
+        col("c_norm").as("cent_norm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_id"))
+      .orderBy(col("__cent_cos").desc, col("cent_id"))
+    val assigned = c0.crossJoin(broadcast(cents))
+      .withColumn("__cent_cos",
+        cosineFromFp(dotFp(col("c_vec"), col("cent_vec")),
+          col("c_norm"), col("cent_norm")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("cent_id"), col("c_vec"))
+    groupCentroids(assigned, "cent_id", "c_vec")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * bucketed by LSH so the pair generation is an equality join (the scale
     * path; pairs split across buckets are the recall trade-off).

@@ -148,6 +148,33 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfAll === exact) // probing every cell == brute force
   }
 
+  test("group centroids: exact fixed-point sums and means") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(-1.0f, 0.5f))
+    ).toDF("grp", "embedding")
+    val got = Similarity.groupCentroids(vecs, "grp", "embedding")
+      .orderBy("grp", "dim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 4000000L, 2L, 2.0), (1L, 1L, 6000000L, 2L, 3.0),
+      (2L, 0L, -1000000L, 1L, -1.0), (2L, 1L, 500000L, 1L, 0.5)))
+  }
+
+  test("k-means step partitions the whole corpus across cells") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val total = emb.count()
+    val step = Similarity.kmeansStep(emb, "vec_id", "embedding", nCells = 8)
+    val perCell = step.filter($"dim" === 0)
+      .select("n").collect().map(_.getLong(0))
+    assert(perCell.sum === total) // every vector assigned exactly once
+    assert(perCell.length === 8)  // no cell starves on this corpus
+    // 64 dims per surviving cell, nothing else
+    assert(step.count() === perCell.length * 64L)
+  }
+
   test("multi-probe LSH strictly improves recall over single-probe") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter($"vec_id" < 8)
