@@ -757,6 +757,13 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- P15: one-pass data profiling — per-column null/distinct report
+    // (the reference's pre-run sanity SQL, one scan for all columns) ------
+    "p15_profile" -> ((s, dir) =>
+      graft.ops.Profile.profile(t(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "text"))
+        .orderBy("col_name")),
+
     // ---- Streaming --------------------------------------------------------
     "st1_stream_hourly" -> ((s, dir) =>
       StreamOps.hourlyCounts(s, dir,
@@ -1503,6 +1510,21 @@ object SparkEntry {
         |  SELECT e.dst, w.lbl FROM walk w JOIN cc_edges e ON e.src = w.id)
         | SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk
         |  GROUP BY id ORDER BY doc_id""".stripMargin),
+
+    "p15_profile" ->
+      """SELECT 'doc_id' AS col_name, count(*) AS n,
+        |  count(*) - count(doc_id) AS n_null,
+        |  count(DISTINCT doc_id) AS n_distinct FROM documents
+        | UNION ALL
+        | SELECT 'lang', count(*), count(*) - count(lang),
+        |  count(DISTINCT lang) FROM documents
+        | UNION ALL
+        | SELECT 'source', count(*), count(*) - count(source),
+        |  count(DISTINCT source) FROM documents
+        | UNION ALL
+        | SELECT 'text', count(*), count(*) - count(text),
+        |  count(DISTINCT text) FROM documents
+        | ORDER BY col_name""".stripMargin,
 
     // Same recursive walk, then drop every non-minimum cluster member.
     "c4_cluster_dedup" -> (MinHashScoredCtes +
