@@ -32,8 +32,12 @@ object Bucketing {
   def priorityRevenueBucketed(spark: SparkSession, dir: String,
                               nBuckets: Int = 8): DataFrame = {
     // Table names are per-sf-dir so harnesses on different scale factors
-    // don't clobber each other's warehouse entries.
-    val suffix = math.abs(dir.hashCode).toString
+    // don't clobber each other's warehouse entries. md5 of the dir, not
+    // String.hashCode: 32-bit collisions would alias two dirs onto one
+    // table (and abs(MinValue) is negative → invalid identifier).
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
     val ordersT = s"graft_orders_b$suffix"
     val lineT = s"graft_lineitem_b$suffix"
     graft.etl.Sinks.bucketedTable(

@@ -71,6 +71,14 @@ object ConnectedComponents {
       round += 1
     }
     edges.unpersist()
+    // Fail FAST on an unconverged run: a partial labeling silently keeps
+    // extra "representatives" downstream (c4 would under-dedup), which is
+    // worse than an exception telling the caller to raise maxRounds or
+    // switch to [[alternatingStar]].
+    if (changed > 0) throw new IllegalStateException(
+      s"connected components did not converge in $maxRounds rounds " +
+        s"($changed labels still decreasing) — component diameter exceeds " +
+        "the round budget; raise maxRounds or use alternatingStar")
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
@@ -128,6 +136,9 @@ object ConnectedComponents {
       edges = next
       round += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"alternating star did not converge in $maxRounds rounds — " +
+        "O(log n) bound implies a pathological input; inspect the edge list")
     // Fixpoint: stars centered on component minima — every non-root's
     // single neighbor is its root; the root's min neighbor is larger, so
     // take min(neighbor, self).

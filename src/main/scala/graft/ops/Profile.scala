@@ -27,7 +27,10 @@ object Profile {
               exact: Boolean = true): DataFrame = {
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        // count(*) - count(c), NOT sum(when(isNull)): the sum form is
+        // NULL over zero rows, breaking empty-input parity with the
+        // mirror and NPEing typed consumers.
+        (count(lit(1)) - count(col(c))).as(s"__nulls_$c"),
         (if (exact) countDistinct(col(c))
          else approx_count_distinct(col(c))).as(s"__distinct_$c"))
     }

@@ -61,6 +61,27 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     cosineFromFp(dotFp(a, b), normFp(a), normFp(b))
 
+  /** Shared ANN tail: join candidates `c` to the (broadcast) query side
+    * `q` on `joinCond`, score exactly in fixed point, keep each query's
+    * top k ranked by the exact dot (tie-break on candidate id). Both
+    * frames must carry the (q_id, q_vec, q_norm) / (c_id, c_vec, c_norm)
+    * shape — the one scored-pairs contract all four ANN variants share.
+    */
+  private def scoreTopK(c: DataFrame, q: DataFrame,
+                        joinCond: org.apache.spark.sql.Column,
+                        k: Int): DataFrame = {
+    val scored = c.join(broadcast(q), joinCond)
+      .withColumn("dot_fp", dotFp(col("q_vec"), col("c_vec")))
+      .withColumn("cos", cosineFromFp(col("dot_fp"),
+        col("q_norm"), col("c_norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("dot_fp").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "cos")
+  }
+
   /** Exact top-k neighbours for each query vector (brute force).
     * `queries` and `candidates` both carry (idCol, vecCol); query side is
     * broadcast. Self-pairs are excluded.
@@ -74,16 +95,7 @@ object Similarity {
     val c = spread(candidates, idCol)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
         normFp(col(vecCol)).as("c_norm"))
-    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .withColumn("dot_fp", dotFp(col("q_vec"), col("c_vec")))
-      .withColumn("cos", cosineFromFp(col("dot_fp"),
-        col("q_norm"), col("c_norm")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("dot_fp").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "rank", "cos")
+    scoreTopK(c, q, col("q_id") =!= col("c_id"), k)
   }
 
   /** LSH bucket key: bit j set when (plane_j · x) > 0, computed in exact
@@ -112,17 +124,8 @@ object Similarity {
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
         lshBucket(col(vecCol), nPlanes).as("bucket"),
         normFp(col(vecCol)).as("c_norm"))
-    val scored = c.join(broadcast(q),
-        col("q_id") =!= col("c_id") && q("bucket") === c("bucket"))
-      .withColumn("dot_fp", dotFp(col("q_vec"), col("c_vec")))
-      .withColumn("cos", cosineFromFp(col("dot_fp"),
-        col("q_norm"), col("c_norm")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("dot_fp").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "rank", "cos")
+    scoreTopK(c, q,
+      col("q_id") =!= col("c_id") && q("bucket") === c("bucket"), k)
   }
 
   /** Multi-probe LSH top-k: each query searches its own bucket PLUS the
@@ -152,17 +155,8 @@ object Similarity {
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
         lshBucket(col(vecCol), nPlanes).as("bucket"),
         normFp(col(vecCol)).as("c_norm"))
-    val scored = c.join(broadcast(q),
-        col("q_id") =!= col("c_id") && q("bucket") === c("bucket"))
-      .withColumn("dot_fp", dotFp(col("q_vec"), col("c_vec")))
-      .withColumn("cos", cosineFromFp(col("dot_fp"),
-        col("q_norm"), col("c_norm")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("dot_fp").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "rank", "cos")
+    scoreTopK(c, q,
+      col("q_id") =!= col("c_id") && q("bucket") === c("bucket"), k)
   }
 
   /** Approximate top-k via an inverted-file (IVF-flat) index.
@@ -213,17 +207,8 @@ object Similarity {
     val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       normFp(col(vecCol)).as("q_norm"))
     val qCells = assign(q0, "q_id", "q_vec", "q_norm", nProbe, "q_cell")
-    val scored = cCells.join(broadcast(qCells),
-        col("q_id") =!= col("c_id") && col("q_cell") === col("c_cell"))
-      .withColumn("dot_fp", dotFp(col("q_vec"), col("c_vec")))
-      .withColumn("cos", cosineFromFp(col("dot_fp"),
-        col("q_norm"), col("c_norm")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("dot_fp").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "rank", "cos")
+    scoreTopK(cCells, qCells,
+      col("q_id") =!= col("c_id") && col("q_cell") === col("c_cell"), k)
   }
 
   /** Per-group embedding centroids in EXACT arithmetic: each dimension's
@@ -260,9 +245,12 @@ object Similarity {
     */
   def kmeansStep(vectors: DataFrame, idCol: String, vecCol: String,
                  nCells: Int): DataFrame = {
+    // Cached: feeds the centroid sort AND the assignment scan (same
+    // shared-frame discipline as ivfTopK).
     val c0 = spread(vectors, idCol)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
         normFp(col(vecCol)).as("c_norm"))
+      .cache()
     val cents = c0
       .orderBy(md5(col("c_id").cast("string")), col("c_id"))
       .limit(nCells)

@@ -27,6 +27,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got === Map(3L -> 3L, 5L -> 3L, 8L -> 3L, 11L -> 3L))
   }
 
+  test("exhausted round budget fails fast instead of returning partial labels") {
+    val path = (1L to 6L).map(i => (i, i + 1)) // diameter 5
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.labelPropagation(
+        path.toDF("a", "b"), "a", "b", maxRounds = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("keepers = one minimum per component") {
     val got = ConnectedComponents.keepers(
         Seq((1L, 2L), (2L, 3L), (9L, 8L)).toDF("a", "b"), "a", "b")

@@ -15,6 +15,14 @@ class ProfileSpec extends SparkSpec {
     assert(got.toSeq === Seq(("id", 3L, 0L, 3L), ("v", 3L, 1L, 1L)))
   }
 
+  test("empty input profiles to zeros, not nulls") {
+    val df = Seq.empty[(Long, String)].toDF("id", "v")
+    val got = Profile.profile(df, Seq("id", "v")).orderBy("col_name")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("id", 0L, 0L, 0L), ("v", 0L, 0L, 0L)))
+  }
+
   test("exact profile expands; approx profile does not") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val exactPlan = Profile.profile(df, Seq("id", "v"))
