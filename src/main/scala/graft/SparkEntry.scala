@@ -829,6 +829,15 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
+    // ---- ST8: NATIVE streaming session windows (session_window + water-
+    // mark, Append mode) — only sessions the watermark has sealed emit;
+    // the mirror keeps gap-sessions ending before max(ts) - delay --------
+    "st8_streaming_session_window" -> ((s, dir) =>
+      StreamOps.streamingSessionWindows(s, dir,
+          gapSeconds = 86400, delaySeconds = 3600,
+          queryName = "graft_sw_" + System.nanoTime())
+        .orderBy("user_id", "start_us")),
+
     // ---- ST7: stream-stream join with an event-time range constraint ----
     "st7_stream_stream_join" -> ((s, dir) =>
       StreamOps.streamStreamAttribution(s, dir,
@@ -1871,6 +1880,34 @@ object SparkEntry {
         |  FROM agg
         |  WHERE sid < (SELECT max(s2.sid) FROM agg s2
         |               WHERE s2.user_id = agg.user_id)
+        |  ORDER BY user_id, start_us""".stripMargin,
+
+    // Native streaming session windows: gap-sessions (same >= break rule
+    // as st3's batch session_window) with end = last + gap, emitted only
+    // when sealed by the final watermark max(ts) - delay.
+    "st8_streaming_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |    FROM events),
+        | marked AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w >= 86400000000 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        | sess AS (
+        |  SELECT user_id, ts_us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        | agg AS (
+        |  SELECT user_id, sid, min(ts_us) AS start_us,
+        |    CAST(max(ts_us) + 86400000000 AS BIGINT) AS end_us,
+        |    count(*) AS n
+        |  FROM sess GROUP BY user_id, sid),
+        | wm AS (SELECT max(ts_us) - 3600000000 AS w FROM e)
+        | SELECT user_id, start_us, end_us, CAST(n AS BIGINT) AS n
+        |  FROM agg, wm WHERE end_us < w
         |  ORDER BY user_id, start_us""".stripMargin,
 
     "st2_sessionize" ->

@@ -282,6 +282,45 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** NATIVE streaming session windows: `session_window(ts, gap)` under a
+    * watermark in Append mode — Spark merges per-key windows in the state
+    * store and EMITS a session only once the watermark passes its end, so
+    * the output carries exactly the sessions that can no longer grow
+    * (the correctness contract batch sessionization can't give on an
+    * unbounded stream). State per key is the set of OPEN windows — bounded
+    * by the watermark delay, the property that makes this viable at
+    * 100 TB/day event volumes.
+    *
+    * Driven synchronously: AvailableNow processes the corpus in batch 0
+    * (watermark still at zero → nothing emits), then the final watermark
+    * = max(event time) − delay releases every session that ended before
+    * it — deterministic, hence oracle-checkable: the mirror computes
+    * gap-sessions and keeps those with `end = last + gap < max(ts) −
+    * delay`.
+    */
+  def streamingSessionWindows(spark: SparkSession, dir: String,
+                              gapSeconds: Long, delaySeconds: Long,
+                              queryName: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", s"$delaySeconds seconds")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n"))
+    withStatePartitions(spark, HarnessStateParts) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(queryName).select(col("user_id"),
+      unix_micros(col("session_window.start")).as("start_us"),
+      unix_micros(col("session_window.end")).as("end_us"),
+      col("n"))
+  }
+
   /** STREAM-STREAM inner join with an event-time range constraint — the
     * remaining join surface Structured Streaming offers: clicks join
     * purchases of the same user within [purchase, purchase + 2 h], both
