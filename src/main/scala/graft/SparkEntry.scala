@@ -453,6 +453,18 @@ object SparkEntry {
           (abs(col("approx") - col("exact_parts")) <=
             col("exact_parts") * 0.05).as("sketch_within_5pct"))),
 
+    // ---- A10: approximate percentile under the same envelope contract —
+    // the sketch (GK/KLL-style) is what a 100 TB percentile actually runs;
+    // the gate pins exact medians and asserts the sketch landed within 1%
+    "a10_approx_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+            .as("approx_median"))
+        .select(col("exact_median"),
+          (abs(col("approx_median") - col("exact_median")) <=
+            abs(col("exact_median")) * 0.01).as("sketch_within_1pct"))),
+
     // ---- L3/L4: positional access + column extraction -------------------
     "l3_positional" -> ((s, dir) =>
       t(s, dir, "customer").orderBy("c_custkey")
@@ -1366,6 +1378,12 @@ object SparkEntry {
     "a7_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS sketch_within_5pct FROM lineitem""".stripMargin,
+
+    // Same envelope contract as a7: exact median checked, sketch drift
+    // flips the boolean.
+    "a10_approx_percentile" ->
+      """SELECT quantile_cont(l_extendedprice, 0.5) AS exact_median,
+        |  TRUE AS sketch_within_1pct FROM lineitem""".stripMargin,
 
     "l3_positional" ->
       """SELECT c_custkey, c_name FROM customer ORDER BY c_custkey

@@ -61,6 +61,16 @@ class BucketSpec extends SparkSpec {
       s"expected $nBuckets bucket files, got ${parts.map(_.getName).toSeq}")
   }
 
+  test("aggregation on the bucket key needs no Exchange either") {
+    val (_, l) = writeTables()
+    val agg = spark.table(l).groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed scan satisfies the aggregate's distribution:\n$plan")
+    assert(agg.count() === 50)
+  }
+
   test("stale warehouse directory from a dead catalog is cleared") {
     // Simulate a previous JVM's leftovers: a table DIRECTORY with no
     // catalog entry (DROP TABLE can't produce this — it deletes the dir).
