@@ -269,6 +269,48 @@ object Similarity {
     groupCentroids(assigned, "cent_id", "c_vec")
   }
 
+  /** Dense centroid vectors from [[groupCentroids]]' long format:
+    * collect the (dim, mean) pairs per group, sort by dim (struct
+    * ordering is by leading field), project the means — (group,
+    * cent_vec: array<float>). The collect_list is bounded by d per
+    * group, never by corpus size.
+    */
+  def centroidVectors(centroidSums: DataFrame,
+                      groupCol: String): DataFrame =
+    centroidSums
+      .groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean"))))
+        .as("__dm"))
+      .select(col(groupCol),
+        transform(col("__dm"), e => e("mean").cast("float"))
+          .as("cent_vec"))
+
+  /** Nearest-centroid assignment of every vector against an arbitrary
+    * (broadcast) centroid frame (cent_id, cent_vec) — the generalized
+    * form of the seed assignment inside [[kmeansStep]], usable with
+    * UPDATED centroids, so Lloyd's algorithm iterates:
+    * assignTo → groupCentroids → centroidVectors → assignTo → …
+    * Each round: one broadcast, K codegen dots per row, map-only.
+    */
+  def assignTo(vectors: DataFrame, centroids: DataFrame, idCol: String,
+               vecCol: String): DataFrame = {
+    val v = spread(vectors, idCol)
+      .select(col(idCol).as("v_id"), col(vecCol).as("v_vec"),
+        normFp(col(vecCol)).as("v_norm"))
+    val c = centroids.select(col("cent_id"), col("cent_vec"),
+      normFp(col("cent_vec")).as("cent_norm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v_id"))
+      .orderBy(col("__cos").desc, col("cent_id"))
+    v.crossJoin(broadcast(c))
+      .withColumn("__cos", cosineFromFp(dotFp(col("v_vec"), col("cent_vec")),
+        col("v_norm"), col("cent_norm")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("v_id"), col("v_vec"), col("cent_id"),
+        col("__cos").as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * bucketed by LSH so the pair generation is an equality join (the scale
     * path; pairs split across buckets are the recall trade-off).

@@ -175,6 +175,33 @@ class SimilaritySpec extends SparkSpec {
     assert(step.count() === perCell.length * 64L)
   }
 
+  test("Lloyd iterations improve the average cosine to the centroid") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def avgCos(assigned: org.apache.spark.sql.DataFrame): Double =
+      assigned.agg(avg($"cos")).head().getDouble(0)
+    var cents = Similarity.centroidVectors(
+      Similarity.kmeansStep(emb, "vec_id", "embedding", nCells = 8),
+      "cent_id")
+    val first = avgCos(Similarity.assignTo(emb, cents, "vec_id", "embedding"))
+    var last = first
+    for (_ <- 1 to 2) {
+      val assigned = Similarity.assignTo(emb, cents, "vec_id", "embedding")
+      cents = Similarity.centroidVectors(
+        Similarity.groupCentroids(
+          assigned.select($"cent_id", $"v_vec".as("embedding")),
+          "cent_id", "embedding"),
+        "cent_id")
+      last = avgCos(Similarity.assignTo(emb, cents, "vec_id", "embedding"))
+    }
+    // Raw (unnormalized) means are not the exact spherical-k-means argmax,
+    // so per-step monotonicity is not guaranteed in theory — but on this
+    // corpus the end-to-end objective must improve, and every vector stays
+    // assigned exactly once.
+    assert(last > first, s"no improvement: $first -> $last")
+    val n = Similarity.assignTo(emb, cents, "vec_id", "embedding").count()
+    assert(n === emb.count())
+  }
+
   test("multi-probe LSH strictly improves recall over single-probe") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter($"vec_id" < 8)
