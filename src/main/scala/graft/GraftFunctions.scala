@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{FixedPointDot, LshBucket, MinHashSig, RollingHash, WordShingles}
+import graft.functions.{FixedPointDot, HammingLE, LshBucket, MinHashSig, RollingHash, WordShingles}
 
 /** SQL-function surface of the engine: the reference's string helpers and
   * the fingerprint hash as native Catalyst expression trees (composed from
@@ -72,12 +72,24 @@ object GraftFunctions {
     // Native codegen vector/dedup primitives (graft.functions.*)
     "fp_dot" -> arity("fp_dot", 2)(exprs =>
       FixedPointDot(exprs(0), exprs(1))),
-    "lsh_bucket" -> arity("lsh_bucket", 2)(exprs =>
-      LshBucket(exprs(0), litInt("lsh_bucket", exprs(1)))),
+    // lsh_bucket(vec, nPlanes[, planeOffset]) — the optional offset selects
+    // a disjoint slice of the static plane matrix (table t of an ensemble
+    // passes t * nPlanes).
+    "lsh_bucket" -> (exprs => {
+      if (exprs.length != 2 && exprs.length != 3)
+        throw new IllegalArgumentException(
+          s"lsh_bucket requires 2 or 3 arguments, got ${exprs.length}")
+      LshBucket(exprs(0), litInt("lsh_bucket", exprs(1)),
+        if (exprs.length == 3) litInt("lsh_bucket", exprs(2)) else 0)
+    }),
     "word_shingles" -> arity("word_shingles", 2)(exprs =>
       WordShingles(exprs(0), litInt("word_shingles", exprs(1)))),
     "minhash_sig" -> arity("minhash_sig", 2)(exprs =>
-      MinHashSig(exprs(0), litInt("minhash_sig", exprs(1)))))
+      MinHashSig(exprs(0), litInt("minhash_sig", exprs(1)))),
+    // hamming_le(codeA, codeB, d) — similarity-join predicate; joins whose
+    // condition carries it are rewritten by plans.HammingJoinRewrite
+    "hamming_le" -> arity("hamming_le", 3)(exprs =>
+      HammingLE(exprs(0), exprs(1), litInt("hamming_le", exprs(2)))))
 
   /** Register on a live session (temp functions). */
   def registerAll(spark: SparkSession): Unit =
@@ -133,5 +145,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.GraftFunctions", name), builder))
     }
     e.injectCheckRule(_ => GraftChecks.trivialSelfJoin)
+    // tier-(c): similarity joins written declaratively (hamming_le in a
+    // join condition) re-plan from nested-loop to chunked equality join
+    e.injectOptimizerRule(_ => graft.plans.HammingJoinRewrite)
   }
 }

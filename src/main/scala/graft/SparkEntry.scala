@@ -600,6 +600,13 @@ object SparkEntry {
           TextAnalysis.redactPii(col("dirty")).as("clean"))
         .orderBy("doc_id")),
 
+    // ---- T11: repetition filter — duplicate n-gram fraction per doc
+    // (Gopher §A1.1); pure codegen projection, zero shuffle ---------------
+    "t11_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text",
+          k = 3)
+        .orderBy("doc_id")),
+
     // ---- Dedup family (LLM-pipeline ops) --------------------------------
     "d1_exact_dedup" -> ((s, dir) =>
       MinHashDedup.exactDuplicates(t(s, dir, "documents"), "doc_id", "text")
@@ -620,9 +627,35 @@ object SparkEntry {
           "text", blockCol = "source", k = 3, threshold = 0.3)
         .orderBy("id_a", "id_b")),
 
+    // ---- D8: the DECLARATIVE similarity join — written as the naive
+    // O(n²) hamming predicate; graft.plans.HammingJoinRewrite re-plans it
+    // into the chunked equality join (no nested loop; plan pinned in
+    // HammingJoinSpec/PlanSpec). Exact for d <= chunks-1 by pigeonhole ----
+    "d8_auto_hamming_join" -> ((s, dir) => {
+      val sk = SimHash.sketch(t(s, dir, "documents"), "doc_id", "text")
+        .cache()
+      val a = sk.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+      val b = sk.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+      a.join(b,
+          SimHash.hammingLE(col("sim_a"), col("sim_b"), 3) &&
+            col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long")
+            .as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "d5_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id",
           "embedding", threshold = 0.45, nPlanes = 4)
+        .orderBy("id_a", "id_b")),
+
+    // ---- D7: OR-amplified near-dup — two independent LSH tables (disjoint
+    // plane slices), candidates unioned + distinct'd before the one exact
+    // refine per pair; recall gain over d5 pinned in OpsSpec --------------
+    "d7_lsh_ensemble" -> ((s, dir) =>
+      Similarity.embeddingNearDuplicatesEnsemble(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45, nPlanes = 4, nTables = 2)
         .orderBy("id_a", "id_b")),
 
     // ---- Similarity search (ANN) ----------------------------------------
@@ -671,6 +704,22 @@ object SparkEntry {
     "n6_kmeans_iter" -> ((s, dir) =>
       Similarity.kmeansStep(t(s, dir, "embeddings"),
           "vec_id", "embedding", nCells = 16)
+        .orderBy("cent_id", "dim")),
+
+    // ---- N7: int8-quantized ANN — 4× smaller index, integer dots,
+    // per-pair rescale by the two scales --------------------------------
+    "n7_ann_quantized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // ---- N8: TWO Lloyd iterations — n6's step, then densify → reassign →
+    // re-mean; inertia non-increase pinned in KmeansSpec ------------------
+    "n8_kmeans_converge" -> ((s, dir) =>
+      Similarity.kmeansIterations(t(s, dir, "embeddings"),
+          "vec_id", "embedding", nCells = 16, iters = 2)
         .orderBy("cent_id", "dim")),
 
     // ---- Multimodal columns ---------------------------------------------
@@ -850,6 +899,18 @@ object SparkEntry {
           queryName = "graft_sw_" + System.nanoTime())
         .orderBy("user_id", "start_us")),
 
+    // ---- ST9: streaming agg → LIVE JDBC serving table (foreachBatch
+    // upsert per micro-batch; final Derby state == the batch aggregate) ---
+    "st9_stream_jdbc_upsert" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_jdbc_st9").toString
+      val url = s"jdbc:derby:$tmp/db;create=true"
+      val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+      StreamOps.streamingJdbcAggUpsert(s, dir, url, "t_evagg", opts,
+          nBatches = 3)
+        .orderBy("event_type")
+    }),
+
     // ---- ST7: stream-stream join with an event-time range constraint ----
     "st7_stream_stream_join" -> ((s, dir) =>
       StreamOps.streamStreamAttribution(s, dir,
@@ -986,6 +1047,29 @@ object SparkEntry {
     * (the same pairs closed under transitivity by a recursive min-label
     * walk). `WITH RECURSIVE` is inert for d2's non-recursive use.
     */
+  /** SimHash sketch derivation over the documents table (60-bit md5-prefix
+    * token hashes, bit-vote folding) — shared by `d3_simhash` (chunked
+    * candidate join mirror) and `d8_auto_hamming_join` (naive all-pairs
+    * mirror of the optimizer-rewritten declarative join).
+    */
+  private val SimHashSketchCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+      | shs AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+      |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+      |  FROM toks WHERE len(tk) >= 3),
+      | hashes AS (
+      |  SELECT doc_id, list_transform(sh,
+      |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+      |  FROM shs WHERE len(sh) > 0),
+      | sk AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j ->
+      |    CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+      |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+      |    AS BIGINT) AS simhash
+      |  FROM hashes)""".stripMargin
+
   private val MinHashScoredCtes: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
@@ -1122,6 +1206,15 @@ object SparkEntry {
       """SELECT count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |  FROM lineitem WHERE l_quantity >= 49""".stripMargin,
+
+    // Final serving-table state after the per-micro-batch streaming
+    // upserts == the plain aggregate (a key's last upsert carries its
+    // cumulative total).
+    "st9_stream_jdbc_upsert" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |  FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Expected post-upsert state of the live table: seeds 1-100, updated
     // (uppercased) 51-100, inserted 101-150.
@@ -1573,23 +1666,8 @@ object SparkEntry {
         |  WHERE doc_id NOT IN (SELECT id FROM losers)
         |  GROUP BY lang ORDER BY lang""".stripMargin),
 
-    "d3_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
-        | shs AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
-        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
-        |  FROM toks WHERE len(tk) >= 3),
-        | hashes AS (
-        |  SELECT doc_id, list_transform(sh,
-        |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
-        |  FROM shs WHERE len(sh) > 0),
-        | sk AS (
-        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j ->
-        |    CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
-        |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
-        |    AS BIGINT) AS simhash
-        |  FROM hashes),
+    "d3_simhash" -> (SimHashSketchCtes +
+      """,
         | ch AS (
         |  SELECT doc_id, simhash, c,
         |    (simhash >> (CAST(c AS INT) * 15)) & 32767 AS chunk_val
@@ -1600,7 +1678,18 @@ object SparkEntry {
         |  FROM ch a JOIN ch b
         |    ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
         | SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM pairs
-        |  WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+        |  WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin),
+
+    // The DECLARATIVE similarity join (optimizer-rewritten Spark-side):
+    // the mirror is the straightforward all-pairs statement of the
+    // semantics — exactness of the chunk rewrite at d=3 is what's gated.
+    "d8_auto_hamming_join" -> (SimHashSketchCtes +
+      """
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        | FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        | ORDER BY id_a, id_b""".stripMargin),
 
     "d4_ngram_jaccard" ->
       """WITH toks AS (
@@ -1649,6 +1738,61 @@ object SparkEntry {
         |  FROM pairs)
         | SELECT DISTINCT id_a, id_b, cos FROM scored
         |  WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    // Ensemble mirror: table t of 2 uses planes [t*4, t*4+4) of the same
+    // md5-parity sign matrix; candidate pairs distinct'd across tables
+    // BEFORE the one exact scoring per pair (mirrors the Spark plan).
+    "d7_lsh_ensemble" ->
+      """WITH b AS (SELECT vec_id, embedding AS x FROM embeddings),
+        | bk AS (
+        |  SELECT vec_id, t,
+        |    CAST(list_sum(list_transform(range(0, 4), j ->
+        |      CASE WHEN CAST(list_sum(list_transform(range(0, 64), i ->
+        |        (CASE WHEN CAST(('0x' || substr(md5(CAST(t*4 + j AS VARCHAR) || '_' ||
+        |             CAST(i AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+        |          THEN 1 ELSE -1 END) *
+        |        CAST(round(CAST(x[CAST(i AS INT) + 1] AS DOUBLE) * 1e6) AS BIGINT)))
+        |        AS BIGINT) > 0
+        |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+        |      AS BIGINT) AS bucket
+        |  FROM b, (SELECT unnest(range(0, 2)) AS t) tt),
+        | pairs AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+        |  FROM bk a JOIN bk bb
+        |    ON a.t = bb.t AND a.bucket = bb.bucket AND a.vec_id < bb.vec_id),
+        | scored AS (
+        |  SELECT id_a, id_b,
+        |    CAST(CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS DOUBLE) /
+        |    (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS DOUBLE)) *
+        |     sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS DOUBLE))) AS cos
+        |  FROM pairs
+        |  JOIN embeddings ea ON ea.vec_id = id_a
+        |  JOIN embeddings eb ON eb.vec_id = id_b)
+        | SELECT id_a, id_b, cos FROM scored
+        |  WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    // Repetition filter: total vs distinct trigram counts per document,
+    // one floating division (the same toks/shingle derivation as the
+    // minhash CTEs, without the distinct-only restriction).
+    "t11_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        | g AS (
+        |  SELECT doc_id, len(tk) - 2 AS n_ngrams,
+        |    len(list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS n_distinct
+        |  FROM toks WHERE len(tk) >= 3)
+        | SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE) AS dup_frac
+        | FROM g ORDER BY doc_id""".stripMargin,
 
     "n1_ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
@@ -1742,6 +1886,80 @@ object SparkEntry {
         |  CAST(CAST(sum(CAST(round(CAST(x[i] AS DOUBLE) * 1e6) AS BIGINT))
         |    AS BIGINT) AS DOUBLE) / 1e6 / count(*) AS mean
         |  FROM assigned, range(1, 65) t(i)
+        |  GROUP BY cent_id, dim ORDER BY cent_id, dim""".stripMargin),
+
+    // Int8 quantization mirror: per-vector scale max|x|/127 (floored at
+    // 1e-30), elements round(x/s), integer dot, rank by (s_q*s_c)*idot.
+    "n7_ann_quantized" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding AS x,
+        |    greatest(list_max(list_transform(embedding,
+        |      v -> abs(CAST(v AS DOUBLE)))), 1e-30) / 127.0 AS s
+        |  FROM embeddings),
+        | qz AS (
+        |  SELECT vec_id, s,
+        |    list_transform(x, v ->
+        |      CAST(round(CAST(v AS DOUBLE) / s) AS BIGINT)) AS q8
+        |  FROM m),
+        | q AS (SELECT vec_id AS q_id, s AS qs, q8 AS qv FROM qz
+        |        WHERE vec_id < 8),
+        | c AS (SELECT vec_id AS c_id, s AS cs, q8 AS cv FROM qz),
+        | scored AS (
+        |  SELECT q_id, c_id, qs, cs,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))
+        |      AS BIGINT) AS idot
+        |  FROM q JOIN c ON q_id <> c_id),
+        | ranked AS (
+        |  SELECT q_id, c_id, (qs * cs) * CAST(idot AS DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY (qs * cs) * CAST(idot AS DOUBLE) DESC, c_id) AS rank
+        |  FROM scored)
+        | SELECT q_id, c_id, CAST(rank AS BIGINT) AS rank, score FROM ranked
+        |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // Two unrolled Lloyd iterations: n6's assignment CTEs, means, densify
+    // to float vectors (list(... ORDER BY dim)), reassign against the new
+    // centroids, re-mean — the exact mirror of kmeansIterations(iters=2).
+    "n8_kmeans_converge" -> (IvfAssignCtes +
+      """
+        | it1 AS (
+        |  SELECT cent_id, i - 1 AS dim,
+        |    CAST(sum(CAST(round(CAST(x[i] AS DOUBLE) * 1e6) AS BIGINT))
+        |      AS BIGINT) AS sum_fp,
+        |    count(*) AS n
+        |  FROM (SELECT cent_id, x FROM assign WHERE r = 1), range(1, 65) t(i)
+        |  GROUP BY cent_id, dim),
+        | cv1 AS (
+        |  SELECT cent_id,
+        |    list(CAST(CAST(sum_fp AS DOUBLE) / 1e6 / n AS FLOAT)
+        |      ORDER BY dim) AS cv
+        |  FROM it1 GROUP BY cent_id),
+        | cv1n AS (
+        |  SELECT cent_id, cv,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS cnrm
+        |  FROM cv1),
+        | cpairs2 AS (
+        |  SELECT b.vec_id, b.x, b.nrm, c.cent_id, c.cnrm,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(b.x[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS cdot
+        |  FROM base b CROSS JOIN cv1n c),
+        | assign2 AS (
+        |  SELECT vec_id, x, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY
+        |      CAST(cdot AS DOUBLE) /
+        |        (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cnrm AS DOUBLE))) DESC,
+        |      cent_id) AS r
+        |  FROM cpairs2)
+        | SELECT cent_id, i - 1 AS dim,
+        |  CAST(sum(CAST(round(CAST(x[i] AS DOUBLE) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS sum_fp,
+        |  count(*) AS n,
+        |  CAST(CAST(sum(CAST(round(CAST(x[i] AS DOUBLE) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS DOUBLE) / 1e6 / count(*) AS mean
+        |  FROM (SELECT cent_id, x FROM assign2 WHERE r = 1), range(1, 65) t(i)
         |  GROUP BY cent_id, dim ORDER BY cent_id, dim""".stripMargin),
 
     "m1_media_meta" ->

@@ -84,10 +84,12 @@ case class FixedPointDot(left: Expression, right: Expression)
   * overhead, and even the literal-array spelling pays per-row slice/lambda
   * dispatch. Here the whole bucket is one generated loop.
   */
-case class LshBucket(child: Expression, nPlanes: Int)
+case class LshBucket(child: Expression, nPlanes: Int, planeOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-  require(nPlanes > 0 && nPlanes <= VectorFp.MaxPlanes,
-    s"nPlanes must be in [1, ${VectorFp.MaxPlanes}]")
+  require(nPlanes > 0 && planeOffset >= 0 &&
+    planeOffset + nPlanes <= VectorFp.MaxPlanes,
+    s"need 0 <= offset and offset + nPlanes <= ${VectorFp.MaxPlanes}, " +
+      s"got offset=$planeOffset nPlanes=$nPlanes")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -111,15 +113,17 @@ case class LshBucket(child: Expression, nPlanes: Int)
 
   override def nullSafeEval(input: Any): Any =
     if (elemIsFloat)
-      VectorFp.lshBucketFloat(input.asInstanceOf[ArrayData], nPlanes)
+      VectorFp.lshBucketFloat(input.asInstanceOf[ArrayData], nPlanes,
+        planeOffset)
     else
-      VectorFp.lshBucketDouble(input.asInstanceOf[ArrayData], nPlanes)
+      VectorFp.lshBucketDouble(input.asInstanceOf[ArrayData], nPlanes,
+        planeOffset)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
     val fn = if (elemIsFloat) "lshBucketFloat" else "lshBucketDouble"
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.VectorFp.$fn($c, $nPlanes)")
+      c => s"graft.functions.VectorFp.$fn($c, $nPlanes, $planeOffset)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): LshBucket =
@@ -156,7 +160,7 @@ object VectorFp {
     * `when(null > 0, bit).otherwise(0)` takes the otherwise branch — so the
     * whole bucket collapses to 0. Mirrored here for exact parity.
     */
-  def lshBucketFloat(a: ArrayData, nPlanes: Int): Long = {
+  def lshBucketFloat(a: ArrayData, nPlanes: Int, offset: Int): Long = {
     val n = math.min(a.numElements(), MaxDim)
     val fp = new Array[Long](n)
     var i = 0
@@ -165,10 +169,10 @@ object VectorFp {
       fp(i) = roundFp6(a.getFloat(i).toDouble * 1e6)
       i += 1
     }
-    bucketOf(fp, nPlanes)
+    bucketOf(fp, nPlanes, offset)
   }
 
-  def lshBucketDouble(a: ArrayData, nPlanes: Int): Long = {
+  def lshBucketDouble(a: ArrayData, nPlanes: Int, offset: Int): Long = {
     val n = math.min(a.numElements(), MaxDim)
     val fp = new Array[Long](n)
     var i = 0
@@ -177,14 +181,19 @@ object VectorFp {
       fp(i) = roundFp6(a.getDouble(i) * 1e6)
       i += 1
     }
-    bucketOf(fp, nPlanes)
+    bucketOf(fp, nPlanes, offset)
   }
 
-  private def bucketOf(fp: Array[Long], nPlanes: Int): Long = {
+  /** Bit j (0-based within the table) is set when plane `offset + j` has a
+    * positive dot — an `offset` of t*nPlanes gives table t of an ensemble
+    * its own disjoint slice of the static sign matrix (independent tables,
+    * one matrix, no per-table hashing).
+    */
+  private def bucketOf(fp: Array[Long], nPlanes: Int, offset: Int): Long = {
     var b = 0L
     var j = 0
     while (j < nPlanes) {
-      val sj = signs(j)
+      val sj = signs(offset + j)
       var s = 0L
       var i = 0
       while (i < fp.length) { s += sj(i) * fp(i); i += 1 }

@@ -50,6 +50,19 @@ object SimHash {
           .otherwise(lit(0L))
       })
 
+  /** `bit_count(a XOR b) <= d` as the recognizable similarity-join
+    * predicate ([[graft.functions.HammingLE]]): write the join
+    * DECLARATIVELY — `a.join(b, hammingLE(col("sim_a"), col("sim_b"), 3))`
+    * — and [[graft.plans.HammingJoinRewrite]] re-plans it from the O(n²)
+    * nested loop into the chunked candidate equality join that
+    * [[nearDuplicates]] spells out by hand.
+    */
+  def hammingLE(a: Column, b: Column, maxDist: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.HammingLE(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b), maxDist))
+
   /** 15-bit chunks for the Hamming-candidate equality join. */
   def chunks(sim: Column, nChunks: Int = 4): Column =
     transform(sequence(lit(0), lit(nChunks - 1)),

@@ -106,10 +106,11 @@ object Similarity {
     * ROW — measured 25× slower) nor per-row lambda dispatch belongs in the
     * row loop.
     */
-  def lshBucket(vec: Column, nPlanes: Int): Column =
+  def lshBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.LshBucket(
-        org.apache.spark.sql.graft.ColumnBridge.expression(vec), nPlanes))
+        org.apache.spark.sql.graft.ColumnBridge.expression(vec), nPlanes,
+        planeOffset))
 
   /** Approximate top-k: equality-join on the LSH bucket, exact scoring
     * within the bucket only.
@@ -209,6 +210,58 @@ object Similarity {
     val qCells = assign(q0, "q_id", "q_vec", "q_norm", nProbe, "q_cell")
     scoreTopK(cCells, qCells,
       col("q_id") =!= col("c_id") && col("q_cell") === col("c_cell"), k)
+  }
+
+  /** Int8 scalar quantization of a float vector column: per-vector scale
+    * `s = max|x| / 127` (floored at 1e-30 so a zero vector quantizes to
+    * zeros instead of NaN), elements `round(x / s)` in [-127, 127]. The
+    * 100 TB lever: a quantized index is 4× smaller than float32 — 4× less
+    * shuffle to build, 4× more of the corpus resident per executor — and
+    * pair scoring becomes an INTEGER dot (exact, order-independent,
+    * oracle-reproducible) rescaled by `s_a * s_b`.
+    *
+    * Returns (scale: double, q8: array<long>) appended as columns; the
+    * array is conceptually int8 (values bounded by ±127) carried as longs
+    * so downstream sums stay in one integer domain.
+    */
+  def quantize(df: DataFrame, vecCol: String, scaleCol: String,
+               q8Col: String): DataFrame =
+    df.withColumn(scaleCol,
+        greatest(aggregate(col(vecCol), lit(0.0),
+          (acc, x) => greatest(acc, abs(x.cast("double")))), lit(1e-30))
+          / 127.0)
+      .withColumn(q8Col,
+        transform(col(vecCol),
+          x => round(x.cast("double") / col(scaleCol)).cast("long")))
+
+  /** Top-k neighbours over the int8-quantized index: brute-force integer
+    * dots rescaled per pair — the memory-bound 100 TB scan path (a
+    * quantized corpus streams 4× faster at equal hardware), with exact
+    * float rerank of the survivors as the standard follow-up
+    * ([[bruteForceTopK]] over the top-k ids). Ranking key is
+    * `(s_q * s_c) * idot` with candidate-id tie-break — a fixed sequence
+    * of IEEE754 ops, so the DuckDB mirror ranks identically.
+    */
+  def quantizedTopK(candidates: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    def prep(df: DataFrame, p: String): DataFrame =
+      quantize(df, vecCol, s"${p}_s", s"${p}_q8")
+        .select(col(idCol).as(s"${p}_id"), col(s"${p}_s"), col(s"${p}_q8"))
+    val q = prep(queries, "q")
+    val c = prep(spread(candidates, idCol), "c")
+    val idot = aggregate(
+      zip_with(col("q_q8"), col("c_q8"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("idot", idot)
+      .withColumn("score",
+        (col("q_s") * col("c_s")) * col("idot").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "score")
   }
 
   /** Per-group embedding centroids in EXACT arithmetic: each dimension's
@@ -311,6 +364,32 @@ object Similarity {
         col("__cos").as("cos"))
   }
 
+  /** `iters` full Lloyd iterations: hash-order seeds ([[kmeansStep]] is
+    * iteration 1), then repeated densify → reassign → re-mean
+    * ([[centroidVectors]] → [[assignTo]] → [[groupCentroids]]). Returns
+    * the LAST iteration's long-format centroid sums, keyed by the original
+    * seed ids (cells that lose every member drop out, the standard Lloyd
+    * behavior). Per iteration: one broadcast of ≤ nCells dense centroids,
+    * K codegen dots per row (map-only), one (cell, dim) shuffle — so at
+    * 100 TB the cost is `iters` scans, never a quadratic step. Convergence
+    * (inertia non-increase) is pinned in `KmeansSpec`.
+    */
+  def kmeansIterations(vectors: DataFrame, idCol: String, vecCol: String,
+                       nCells: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    var sums = kmeansStep(vectors, idCol, vecCol, nCells)
+    var i = 1
+    while (i < iters) {
+      val cents = centroidVectors(sums, "cent_id")
+      sums = groupCentroids(
+        assignTo(vectors, cents, idCol, vecCol)
+          .select(col("cent_id"), col("v_vec")),
+        "cent_id", "v_vec")
+      i += 1
+    }
+    sums
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * bucketed by LSH so the pair generation is an equality join (the scale
     * path; pairs split across buckets are the recall trade-off).
@@ -339,5 +418,49 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
       .distinct()
+  }
+
+  /** OR-amplified near-duplicate pairs: `nTables` INDEPENDENT hyperplane
+    * LSH tables (table t uses planes [t*nPlanes, (t+1)*nPlanes) of the
+    * static sign matrix), a pair is a candidate when it collides in ANY
+    * table — the standard recall amplification for single-table LSH
+    * (collision probability 1 - (1 - p^nPlanes)^nTables). The scale
+    * discipline: candidate ids are DISTINCT'd before scoring, so each
+    * surviving pair pays its exact-cosine refine exactly once however many
+    * tables it collided in, and each table is one more equality join — the
+    * cost grows linearly in nTables while near-pair recall approaches 1.
+    */
+  def embeddingNearDuplicatesEnsemble(vectors: DataFrame, idCol: String,
+                                      vecCol: String, threshold: Double,
+                                      nPlanes: Int = 4,
+                                      nTables: Int = 2): DataFrame = {
+    require(nTables >= 1 &&
+      nTables * nPlanes <= graft.functions.VectorFp.MaxPlanes,
+      s"need nTables * nPlanes <= ${graft.functions.VectorFp.MaxPlanes}")
+    val v = spread(vectors, idCol)
+      .select(col(idCol), col(vecCol), normFp(col(vecCol)).as("norm_fp"))
+      .cache()
+    val buckets = v.select(col(idCol),
+      posexplode(array((0 until nTables).map(t =>
+        lshBucket(col(vecCol), nPlanes, t * nPlanes)): _*))
+        .as(Seq("tbl", "bucket")))
+    val left = buckets.select(col(idCol).as("id_a"), col("tbl").as("tbl_a"),
+      col("bucket").as("bucket_a"))
+    val right = buckets.select(col(idCol).as("id_b"), col("tbl").as("tbl_b"),
+      col("bucket").as("bucket_b"))
+    val pairs = left.join(right,
+        col("tbl_a") === col("tbl_b") &&
+          col("bucket_a") === col("bucket_b") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct() // score once per pair, not once per colliding table
+    pairs
+      .join(v.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+        col("norm_fp").as("norm_a")), "id_a")
+      .join(v.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+        col("norm_fp").as("norm_b")), "id_b")
+      .withColumn("cos", cosineFromFp(dotFp(col("vec_a"), col("vec_b")),
+        col("norm_a"), col("norm_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -109,6 +109,31 @@ object TextAnalysis {
           concat_ws(" ", slice(tk, s, lit(chunkSize))).as("chunk"))),
       c => c("start") === 1 || c("n_tokens") > overlap)
   }
+
+  /** Within-document duplicate n-gram fraction — the repetition quality
+    * filter (Rae et al., "Scaling Language Models: … Gopher", 2021, §A1.1):
+    * looping or heavily templated text shows a high share of repeated word
+    * n-grams, and such documents measurably hurt LM training. Per document:
+    * total k-gram count, distinct k-gram count, and
+    * `dup_frac = 1 - distinct/total`.
+    *
+    * Exact integer counts ([[wordShingles]] does the tokenize + distinct
+    * pass in one generated call) and ONE floating division per row — a pure
+    * codegen projection, zero shuffle: filtering a 100 TB corpus on
+    * repetition is a map-only scan that composes with any later dedup.
+    * Documents with fewer than k tokens have no k-grams and are dropped.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokenCount(col(textCol)).as("__n_tok"),
+        size(wordShingles(col(textCol), k)).cast("long").as("n_distinct"))
+      .filter(col("__n_tok") >= k)
+      .withColumn("n_ngrams", (col("__n_tok") - (k - 1)).cast("long"))
+      .withColumn("dup_frac",
+        lit(1.0) - col("n_distinct").cast("double") /
+          col("n_ngrams").cast("double"))
+      .select(col(idCol), col("n_ngrams"), col("n_distinct"), col("dup_frac"))
 
   // PII patterns written in the Java/RE2 common subset so the DuckDB
   // oracle applies the identical regex.

@@ -383,6 +383,57 @@ object StreamOps {
       ()
     }
 
+  /** Streaming aggregation → LIVE database serving table, driven
+    * synchronously: the events corpus is re-laid-out as `nBatches` parquet
+    * files and streamed ONE FILE PER MICRO-BATCH (`maxFilesPerTrigger` under
+    * AvailableNow), each batch upserting its CHANGED per-type totals into
+    * the JDBC table via [[jdbcUpsertBatch]] — the end-to-end shape of a
+    * production "stream → running aggregate → serving store" pipeline.
+    *
+    * Determinism (hence oracle-checkability): Update mode emits a group
+    * only in batches where it changed, carrying its CUMULATIVE total — so
+    * whatever the file split, a key's LAST upsert holds its full-corpus
+    * total and the final table state equals the plain batch aggregate.
+    * Replay idempotence comes from the upsert itself (update-else-insert).
+    *
+    * The serving table is created empty with the key column typed VARCHAR:
+    * Spark's JDBC writer maps StringType to CLOB on Derby, and CLOB keys
+    * cannot sit in an UPDATE ... WHERE comparison.
+    */
+  def streamingJdbcAggUpsert(spark: SparkSession, dir: String, url: String,
+                             table: String, options: Map[String, String],
+                             nBatches: Int = 3): DataFrame = {
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_stream_src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt").toString
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+    ev.repartition(nBatches, col("event_type"))
+      .write.mode("overwrite").parquet(src)
+    graft.etl.Sinks.jdbc(
+      ev.limit(0).select(col("event_type"),
+        lit(0L).as("n"), lit(0L).as("value_cents")),
+      url, table,
+      options + ("createTableColumnTypes" -> "event_type VARCHAR(64)"))
+    val agg = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    withStatePartitions(spark, HarnessStateParts) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(jdbcUpsertBatch(url, table, Seq("event_type"), options))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    graft.etl.Sources.jdbc(spark, url, table, options)
+  }
+
   /** Streaming keyed state: running per-user event count via
     * mapGroupsWithState — the Structured Streaming analogue of the
     * reference's per-run in-memory key caches (sdk/src/ETLTask.php:34).

@@ -202,6 +202,83 @@ class SimilaritySpec extends SparkSpec {
     assert(n === emb.count())
   }
 
+  test("repetition stats: exact duplicate-trigram fraction per doc") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),      // 7 trigrams, 3 distinct (cyclic)
+      (2L, "one two three four"),     // 2 trigrams, both distinct
+      (3L, "x y"),                    // fewer than k tokens → dropped
+      (4L, null.asInstanceOf[String]) // null text → dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 7L, 3L, 1.0 - 3.0 / 7.0),
+      (2L, 2L, 2L, 0.0)))
+  }
+
+  test("quantized ANN: int8 bounds and high recall vs exact top-k") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q8 = Similarity.quantize(emb, "embedding", "s", "q8")
+    // every quantized element is a true int8 value
+    val outOfRange = q8.select(explode($"q8").as("v"))
+      .filter($"v" > 127 || $"v" < -127).count()
+    assert(outOfRange === 0L)
+    val queries = emb.filter($"vec_id" < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 5))
+    val quant = pairs(Similarity.quantizedTopK(emb, queries,
+      "vec_id", "embedding", k = 5))
+    assert(quant.size === exact.size) // every query fills its top-k
+    val recall = (quant & exact).size.toDouble / exact.size
+    // int8 keeps ~2 decimal digits per element: the top-k boundary can
+    // flip only between near-tied candidates
+    assert(recall >= 0.85, s"quantized recall too low: $recall")
+  }
+
+  test("LSH ensemble near-dup: superset of single-table, recall only grows") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Similarity.embeddingNearDuplicates(emb,
+      "vec_id", "embedding", threshold = 0.45, nPlanes = 4))
+    val ensemble = pairs(Similarity.embeddingNearDuplicatesEnsemble(emb,
+      "vec_id", "embedding", threshold = 0.45, nPlanes = 4, nTables = 2))
+    // table 0 IS the single-table index (same plane slice), so the
+    // ensemble's candidate set can only grow
+    assert(single.subsetOf(ensemble),
+      s"ensemble lost pairs: ${single -- ensemble}")
+    // ground truth: every pair at or above the threshold
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val truth = pairs(a.join(b, $"id_a" < $"id_b")
+      .withColumn("cos", Similarity.cosine($"va", $"vb"))
+      .filter($"cos" >= 0.45).select("id_a", "id_b"))
+    def recall(got: Set[(Long, Long)]): Double =
+      if (truth.isEmpty) 1.0 else (got & truth).size.toDouble / truth.size
+    assert(recall(ensemble) >= recall(single))
+    assert(ensemble.subsetOf(truth)) // refine step keeps precision exact
+  }
+
+  test("kmeansIterations(2) == manual densify→reassign→re-mean unroll") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val got = Similarity.kmeansIterations(emb, "vec_id", "embedding",
+      nCells = 8, iters = 2).orderBy("cent_id", "dim").collect()
+    val cents = Similarity.centroidVectors(
+      Similarity.kmeansStep(emb, "vec_id", "embedding", nCells = 8),
+      "cent_id")
+    val manual = Similarity.groupCentroids(
+      Similarity.assignTo(emb, cents, "vec_id", "embedding")
+        .select($"cent_id", $"v_vec"),
+      "cent_id", "v_vec").orderBy("cent_id", "dim").collect()
+    assert(got.toSeq === manual.toSeq)
+  }
+
   test("multi-probe LSH strictly improves recall over single-probe") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter($"vec_id" < 8)
