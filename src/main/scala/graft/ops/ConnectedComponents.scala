@@ -33,9 +33,14 @@ import org.apache.spark.sql.functions._
   *     per-round shuffle shape. Dedup graphs don't need it: a chain of
   *     near-duplicates longer than a few hops means the threshold is
   *     set too low, not that the algorithm must absorb it.
-  *   - Convergence is detected by counting nodes whose label still
-  *     decreased this round (labels are monotonically non-increasing),
-  *     one cheap count per round on the already-shuffled frame.
+  *   - Convergence is detected from the TOTAL of all labels, observed
+  *     via a `CollectMetrics` node inside the same job that materializes
+  *     the round's checkpoint: labels only ever decrease, so the sum
+  *     strictly decreases exactly while some label changed, and a round
+  *     whose sum equals the previous round's is the fixpoint. One job
+  *     per round — no second compare-to-previous join/count pass. The
+  *     sum is accumulated as DECIMAL(38,0): exact, and immune to int64
+  *     overflow at any corpus size.
   */
 object ConnectedComponents {
 
@@ -54,20 +59,30 @@ object ConnectedComponents {
     // Seed: every endpoint labels itself. localCheckpoint also severs the
     // lineage back to `edges`, so the per-round join below is not a
     // same-lineage self-join (the trap GraftChecks rejects).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
+    // Each round's label sum is observed DURING the checkpoint
+    // materialization (one job per round): labels are monotone
+    // non-increasing, so sum(next) == sum(prev) IS the fixpoint test.
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ckpt = df
+        .observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("lbl_sum"))
+        .localCheckpoint()
+      (ckpt, obs.get("lbl_sum").asInstanceOf[java.math.BigDecimal])
+    }
+    var (labels, prevSum) = checkpointWithSum(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")))
     var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
+    var changed = true
+    while (changed && round < maxRounds) {
       val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("lbl"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") < col("prev")).count()
+      val (next, nextSum) = checkpointWithSum(
+        labels.union(viaNeighbor)
+          .groupBy("id").agg(min("lbl").as("lbl")))
+      changed = nextSum.compareTo(prevSum) != 0
       labels = next
+      prevSum = nextSum
       round += 1
     }
     edges.unpersist()
@@ -75,10 +90,10 @@ object ConnectedComponents {
     // extra "representatives" downstream (c4 would under-dedup), which is
     // worse than an exception telling the caller to raise maxRounds or
     // switch to [[alternatingStar]].
-    if (changed > 0) throw new IllegalStateException(
+    if (changed) throw new IllegalStateException(
       s"connected components did not converge in $maxRounds rounds " +
-        s"($changed labels still decreasing) — component diameter exceeds " +
-        "the round budget; raise maxRounds or use alternatingStar")
+        "(the label total was still decreasing) — component diameter " +
+        "exceeds the round budget; raise maxRounds or use alternatingStar")
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
