@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Targeted stress probe for SCALE.md: time named queries (plus
+  * parameter-scaled variants that aren't gate entries) against an
+  * arbitrary data directory — usually the 10× clone corpus at
+  * /tmp/scale10. Same measurement discipline as [[Bench]]: warm-up pass,
+  * then cleared caches + GC before the timed pass; row count printed so
+  * output-size blowups (the clone corpus inflates dedup output ~1000×)
+  * can be reported next to the time.
+  *
+  *   sbt "runMain graft.ScaleProbe /tmp/scale10 d8_auto_hamming_join d7@8x2"
+  */
+object ScaleProbe {
+
+  /** Parameter-scaled variants: at 10× the corpus, LSH bucket counts must
+    * scale with N (SCALE.md's d5 lesson) — these probe the scaled settings
+    * the gate queries would ship with at that volume.
+    */
+  val Extra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ensemble with 2 × 8-plane tables (256 buckets each): the scaled form
+    "d7@8x2" -> ((s, dir) =>
+      graft.ops.Similarity.embeddingNearDuplicatesEnsemble(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, nPlanes = 8, nTables = 2)),
+    // single table at the same 8-plane budget — the recall comparison
+    "d5@8" -> ((s, dir) =>
+      graft.ops.Similarity.embeddingNearDuplicates(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, nPlanes = 8)))
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale10")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("t11_repetition", "t12_containment", "d6_dup_clusters",
+        "c4_cluster_dedup", "d8_auto_hamming_join", "n7_ann_quantized",
+        "n8_kmeans_converge", "a11_grouping_sets", "d7@8x2", "d5@8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val fn = Extra.getOrElse(name, SparkEntry.queries(name))
+      val rows = fn(spark, dir).count() // warm-up
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
+      println(s"[scale] $name: $sec s, $rows rows")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -440,6 +440,21 @@ object SparkEntry {
           col("n"), col("price_cents"))
         .orderBy("status", "prio")),
 
+    // ---- A11: explicit grouping sets — the third grouping-set shape
+    // (rollup=a6, cube=a9): exactly the listed sets, nothing else --------
+    "a11_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("price_cents"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"), col("price_cents"))
+        .orderBy("status", "prio")),
+
     // ---- A7: approximate distinct (sketch checked against the exact count:
     // the HLL++ estimate itself is engine-specific, so the oracle-checkable
     // surface is the exact count plus a boolean asserting the sketch landed
@@ -648,6 +663,13 @@ object SparkEntry {
     "d5_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id",
           "embedding", threshold = 0.45, nPlanes = 4)
+        .orderBy("id_a", "id_b")),
+
+    // ---- T12: n-gram CONTAINMENT — asymmetric subset-duplication
+    // detector (|A∩B|/|A| from either side), same inverted-index join ----
+    "t12_containment" -> ((s, dir) =>
+      MinHashDedup.ngramContainmentPairs(t(s, dir, "documents"), "doc_id",
+          "text", blockCol = "source", k = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
     // ---- D7: OR-amplified near-dup — two independent LSH tables (disjoint
@@ -1465,6 +1487,16 @@ object SparkEntry {
         |  FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |  ORDER BY status, prio""".stripMargin,
 
+    "a11_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS prio,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |  FROM orders
+        |  GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |  ORDER BY status, prio""".stripMargin,
+
     // The sketch estimate is engine-specific; the oracle checks the exact
     // count and asserts the Spark-side sketch sat within its error envelope
     // (TRUE here == the boolean Spark computed from its own sketch).
@@ -1707,6 +1739,28 @@ object SparkEntry {
         |    ON a.source = b.source AND a.doc_id < b.doc_id
         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
         | WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    // Containment from the same shingle sets as d4, both directions from
+    // one intersection; keep pairs clearing the threshold either way.
+    "t12_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents),
+        | shs AS (
+        |  SELECT doc_id, source, list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+        |  FROM toks WHERE len(tk) >= 3)
+        | SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(len(a.sh) AS DOUBLE) AS cont_a_in_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(len(b.sh) AS DOUBLE) AS cont_b_in_a
+        |  FROM shs a JOIN shs b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        | WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
+        | ORDER BY id_a, id_b""".stripMargin,
 
     "d5_embed_neardup" ->
       """WITH v AS (

@@ -196,6 +196,44 @@ object MinHashDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** N-gram CONTAINMENT between blocked document pairs — the asymmetric
+    * companion to [[ngramJaccardPairs]]: `containment(A in B) =
+    * |A∩B| / |A|`. Jaccard misses subset duplication (a paragraph pasted
+    * into a much longer document scores a low union ratio); containment
+    * flags it from either side. Same inverted-index sparse join — one
+    * shuffle on (block, shingle), pairs sharing no shingle never
+    * materialize — with both direction ratios computed from the one
+    * intersection count. Pairs qualify when EITHER direction clears the
+    * threshold.
+    */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            blockCol: String, k: Int = 3,
+                            threshold: Double = 0.5): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par, col(idCol))
+      else docs
+    val prepared = spread
+      .select(col(idCol), col(blockCol),
+        TextAnalysis.wordShingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val ea = prepared.select(col(idCol).as("id_a"), col(blockCol),
+      size(col("sh")).as("sz_a"), explode(col("sh")).as("s"))
+    val eb = prepared.select(col(idCol).as("id_b"), col(blockCol),
+      size(col("sh")).as("sz_b"), explode(col("sh")).as("s"))
+    ea.join(eb, Seq(blockCol, "s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cont_a_in_b",
+        col("c").cast("double") / col("sz_a").cast("double"))
+      .withColumn("cont_b_in_a",
+        col("c").cast("double") / col("sz_b").cast("double"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+  }
+
   /** Exact duplicate groups by full-content hash — the cheap first pass of
     * any dedup stack (hash-groupBy, one shuffle on the digest).
     */

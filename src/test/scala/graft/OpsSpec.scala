@@ -202,6 +202,28 @@ class SimilaritySpec extends SparkSpec {
     assert(n === emb.count())
   }
 
+  test("ngram containment flags subset duplication jaccard misses") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base, "src"),
+      // doc 1 pasted inside a much longer doc: containment(1 in 2) = 1.0
+      (2L, base + " one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen", "src"),
+      (3L, "totally different words entirely here now", "src")
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ops.MinHashDedup.ngramContainmentPairs(docs, "doc_id",
+        "text", "source", k = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet === Set((1L, 2L)))
+    assert(got((1L, 2L))._1 === 1.0) // every trigram of 1 is in 2
+    assert(got((1L, 2L))._2 < 0.5)   // but 2 is NOT contained in 1
+    // jaccard on the same pair is low — containment catches what it misses
+    val jac = graft.ops.MinHashDedup.ngramJaccardPairs(docs, "doc_id",
+      "text", "source", k = 3, threshold = 0.5)
+    assert(jac.count() === 0L)
+  }
+
   test("repetition stats: exact duplicate-trigram fraction per doc") {
     val docs = Seq(
       (1L, "a b c a b c a b c"),      // 7 trigrams, 3 distinct (cyclic)
