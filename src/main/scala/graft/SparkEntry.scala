@@ -384,6 +384,23 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ---- W4: the rest of the window-function surface — five functions
+    // over ONE window spec (single sort + single exchange; the unique
+    // (totalprice, orderkey) tiebreak keeps every value deterministic) ----
+    "w4_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 100)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- Events: time-bucketed aggregation ------------------------------
     "e1_hourly" -> ((s, dir) =>
       t(s, dir, "events")
@@ -403,6 +420,19 @@ object SparkEntry {
       Sources.csv(s, tmp)
         .select(col("c_custkey").cast("long"), col("c_name"),
           col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- S11: JSON roundtrip — doubles survive the text format
+    // bit-exactly (shortest-print + exact parse), so the hash gate holds
+    // even on c_acctbal --------------------------------------------------
+    "s11_json_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_json").toString + "/cust"
+      val src = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      Sinks.json(src, tmp)
+      Sources.json(s, tmp, Some(src.schema))
         .orderBy("c_custkey")
     }),
 
@@ -737,6 +767,16 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // ---- N9: product quantization — 2-byte codes instead of 256-byte
+    // vectors; queries score candidates from a broadcast integer LUT
+    // without touching their floats (asymmetric distance) ----------------
+    "n9_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, dims = 64, mSub = 4, nCodes = 16)
+        .orderBy("q_id", "rank")
+    }),
+
     // ---- N8: TWO Lloyd iterations — n6's step, then densify → reassign →
     // re-mean; inertia non-increase pinned in KmeansSpec ------------------
     "n8_kmeans_converge" -> ((s, dir) =>
@@ -790,6 +830,24 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy("doc_id")
     }),
+
+    // ---- C5: the full quality-filter pipeline in ONE pass — length band,
+    // repetition (t11), heuristic quality (t2), language consistency (t3):
+    // every predicate is a codegen projection over the same scan, so the
+    // whole Gopher-style filter battery is one map-only pass at any scale -
+    "c5_quality_pipeline" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .filter(col("n_tokens").between(20, 500))
+        .withColumn("dup_frac",
+          lit(1.0) - size(TextAnalysis.wordShingles(col("text"), 3))
+            .cast("double") / (col("n_tokens") - 2).cast("double"))
+        .filter(col("dup_frac") <= 0.2)
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        .filter(TextAnalysis.langId(col("text")) === col("lang"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy("doc_id")),
 
     // ---- C2: near-dup corpus dedup (pairs → canonical keepers) ----------
     "c2_neardup_dedup" -> ((s, dir) => {
@@ -987,6 +1045,26 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy("user_id")),
+
+    // ---- E4: time-series gap fill — a sparse event slice resampled onto
+    // a dense hourly spine (sequence between min/max + left join + zero
+    // fill): empty hours EXIST as rows, the property every downstream
+    // rolling computation relies on. The spine explodes from ONE row, so
+    // at any scale the cost is the left join, partitioned on the hour ----
+    "e4_gapfill" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .filter(col("user_id") % 97 === 0) // sparse slice → real gaps
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      val spine = hourly.agg(min("hour").as("lo"), max("hour").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+      spine.join(hourly, Seq("hour"), "left")
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("value_cents"), lit(0L)).as("value_cents"))
+        .orderBy("hour_str")
+    }),
 
     // ---- A8/A9: exact percentiles + cube --------------------------------
     "a8_percentile" -> ((s, dir) =>
@@ -1456,6 +1534,21 @@ object SparkEntry {
         |    '%Y-%m-%d %H:%M:%S') AS prev_date
         |  FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    // ntile/percent_rank/cume_dist are frame-free; first/nth use the
+    // default RANGE-to-current-row frame, deterministic because the order
+    // key (o_totalprice, o_orderkey) is unique (no peer rows).
+    "w4_window_suite" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |  FROM orders WHERE o_custkey <= 100
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice, o_orderkey)
+        |  ORDER BY o_orderkey""".stripMargin,
+
     "e1_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |    AS hour_str,
@@ -1466,6 +1559,10 @@ object SparkEntry {
 
     "s5_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        | ORDER BY c_custkey""".stripMargin,
+
+    "s11_json_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
         | ORDER BY c_custkey""".stripMargin,
 
     "p4_exists" ->
@@ -1831,6 +1928,45 @@ object SparkEntry {
         | SELECT id_a, id_b, cos FROM scored
         |  WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
 
+    // The one-pass quality battery: t11's repetition + t2's quality
+    // formula + t3's language CASE, conjoined over the same token CTE.
+    "c5_quality_pipeline" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, text,
+        |    regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        | g AS (
+        |  SELECT doc_id, lang, text, tk, len(tk) AS n_tokens,
+        |    len(list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS n_distinct
+        |  FROM f WHERE len(tk) BETWEEN 20 AND 500),
+        | h AS (
+        |  SELECT doc_id, lang, text, tk, n_tokens,
+        |    1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens - 2 AS DOUBLE)
+        |      AS dup_frac,
+        |    len(list_filter(tk,
+        |      t -> t IN ('the','a','and','of','to','is','in','that','it','for'))) AS en,
+        |    len(list_filter(tk,
+        |      t -> t IN ('le','la','les','de','et','un','une','est','que','pour'))) AS fr,
+        |    len(list_filter(tk,
+        |      t -> t IN ('el','la','los','de','y','un','una','es','que','para'))) AS es,
+        |    len(list_filter(tk,
+        |      t -> t IN ('der','die','das','und','ein','ist','zu','den','von','mit'))) AS de
+        |  FROM g)
+        | SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+        | FROM h
+        | WHERE dup_frac <= 0.2
+        |  AND least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.5
+        |    + (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |             / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3
+        |    + least(1.0, CAST(en AS DOUBLE)
+        |        * 5.0 / greatest(CAST(len(tk) AS DOUBLE), 1.0)) * 0.2 >= 0.5
+        |  AND (CASE WHEN en >= fr AND en >= es AND en >= de THEN 'en'
+        |            WHEN fr >= es AND fr >= de THEN 'fr'
+        |            WHEN es >= de THEN 'es'
+        |            ELSE 'de' END) = lang
+        | ORDER BY doc_id""".stripMargin,
+
     // Repetition filter: total vs distinct trigram counts per document,
     // one floating division (the same toks/shingle derivation as the
     // minhash CTEs, without the distinct-only restriction).
@@ -1970,6 +2106,58 @@ object SparkEntry {
         |  FROM scored)
         | SELECT q_id, c_id, CAST(rank AS BIGINT) AS rank, score FROM ranked
         |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // PQ mirror: hash-order sample codewords per subspace, fixed-point-L2
+    // encoding (code tie-break), ADC = sum of 4 exact LUT entries.
+    "n9_ann_pq" ->
+      """WITH base AS (SELECT vec_id, embedding AS x FROM embeddings),
+        | mm AS (SELECT unnest(range(0, 4)) AS m),
+        | smp AS (
+        |  SELECT vec_id, x,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |      AS code
+        |  FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        | cb AS (
+        |  SELECT code, m, list_slice(x, m*16 + 1, m*16 + 16) AS cbs
+        |  FROM smp, mm),
+        | csub AS (
+        |  SELECT vec_id AS c_id, m, list_slice(x, m*16 + 1, m*16 + 16) AS s
+        |  FROM base, mm),
+        | enc AS (
+        |  SELECT c_id, m, code FROM (
+        |   SELECT c_id, csub.m AS m, cb.code AS code,
+        |     row_number() OVER (PARTITION BY c_id, csub.m ORDER BY
+        |       (CAST(list_sum(list_transform(range(1, 17), i ->
+        |          CAST(round(CAST(s[i] AS DOUBLE) * CAST(s[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |          AS BIGINT)
+        |        + CAST(list_sum(list_transform(range(1, 17), i ->
+        |          CAST(round(CAST(cbs[i] AS DOUBLE) * CAST(cbs[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |          AS BIGINT)
+        |        - 2 * CAST(list_sum(list_transform(range(1, 17), i ->
+        |          CAST(round(CAST(s[i] AS DOUBLE) * CAST(cbs[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |          AS BIGINT)) ASC, cb.code) AS r
+        |   FROM csub JOIN cb ON csub.m = cb.m) t WHERE r = 1),
+        | qsub AS (
+        |  SELECT vec_id AS q_id, m, list_slice(x, m*16 + 1, m*16 + 16) AS qs
+        |  FROM base, mm WHERE vec_id < 8),
+        | lut AS (
+        |  SELECT q_id, cb.m AS m, cb.code AS code,
+        |    CAST(list_sum(list_transform(range(1, 17), i ->
+        |      CAST(round(CAST(qs[i] AS DOUBLE) * CAST(cbs[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS ip_fp
+        |  FROM qsub JOIN cb ON qsub.m = cb.m),
+        | scored AS (
+        |  SELECT q_id, c_id, CAST(sum(ip_fp) AS BIGINT) AS approx_dot
+        |  FROM enc JOIN lut ON enc.m = lut.m AND enc.code = lut.code
+        |  WHERE q_id <> c_id
+        |  GROUP BY q_id, c_id),
+        | ranked AS (
+        |  SELECT q_id, c_id, approx_dot,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY approx_dot DESC, c_id) AS rank
+        |  FROM scored)
+        | SELECT q_id, c_id, CAST(rank AS BIGINT) AS rank, approx_dot
+        | FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     // Two unrolled Lloyd iterations: n6's assignment CTEs, means, densify
     // to float vectors (list(... ORDER BY dim)), reassign against the new
@@ -2256,6 +2444,24 @@ object SparkEntry {
         | SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS win_start,
         |        count(*) AS n
         | FROM starts GROUP BY w ORDER BY win_start""".stripMargin,
+
+    // Dense hourly spine between the sparse slice's min and max hours
+    // (generate_series is end-inclusive, like Spark's sequence).
+    "e4_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS value_cents
+        |  FROM events WHERE user_id % 97 = 0 GROUP BY 1),
+        | bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hourly),
+        | spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM bounds)
+        | SELECT strftime(spine.hour, '%Y-%m-%d %H:%M:%S') AS hour_str,
+        |   coalesce(n, CAST(0 AS BIGINT)) AS n,
+        |   coalesce(value_cents, CAST(0 AS BIGINT)) AS value_cents
+        | FROM spine LEFT JOIN hourly ON spine.hour = hourly.hour
+        | ORDER BY hour_str""".stripMargin,
 
     "e3_pivot" ->
       """SELECT user_id,

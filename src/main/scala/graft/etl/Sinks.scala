@@ -71,6 +71,13 @@ object Sinks {
       d.write.mode("overwrite").option("header", header.toString).csv(path)
     }
 
+  /** Newline-delimited JSON sink. Doubles survive the text round trip
+    * bit-exactly (shortest-representation print, exact parse), which is
+    * what lets a JSON roundtrip sit under the hash-compare gate.
+    */
+  def json(df: DataFrame, path: String): Long =
+    counted(df)(_.write.mode("overwrite").json(path))
+
   /** JDBC append — `batchsize` replaces the reference's hand-rolled
     * multi-row INSERT batching (sdk/lib/db.php:250-274).
     */

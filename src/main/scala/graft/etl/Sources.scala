@@ -38,6 +38,17 @@ object Sources {
           header: Boolean = true): DataFrame =
     spark.read.option("header", header.toString).csv(path)
 
+  /** Newline-delimited JSON source. Pass the schema when it is known
+    * (a round-trip from [[Sinks.json]] always knows it): inference costs
+    * an extra full scan and can widen types, both wrong at 100 TB.
+    */
+  def json(spark: SparkSession, path: String,
+           schema: Option[org.apache.spark.sql.types.StructType] = None):
+      DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
   /** JDBC scan with connection retry/backoff at PLAN time (reference:
     * sdk/lib/db.php:327-346 — up to 7 attempts, 3 s apart; policy shared
     * with [[JdbcSink.withRetry]], so permanent errors — missing table, bad

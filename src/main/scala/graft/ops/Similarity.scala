@@ -364,6 +364,95 @@ object Similarity {
         col("__cos").as("cos"))
   }
 
+  /** Fixed-point squared L2 between two same-length float arrays, from the
+    * codegen primitives: `||a||² + ||b||² − 2⟨a,b⟩` in the 1e-12 integer
+    * domain — exact, order-independent, and one codegen pass per term.
+    */
+  def l2Fp(a: Column, b: Column): Column =
+    normFp(a) + normFp(b) - lit(2L) * dotFp(a, b)
+
+  /** Top-k by PRODUCT QUANTIZATION (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011) — the memory-bound ANN
+    * index: each vector is encoded as `mSub` small codes (here 4 × 4 bits
+    * = 2 bytes vs 256 bytes of float32 — a 128× compression), and a query
+    * scores a candidate WITHOUT touching its floats, by summing `mSub`
+    * precomputed lookup-table entries (asymmetric distance computation).
+    *
+    * Deterministic construction, hence oracle-checkable end to end:
+    * codebooks are the per-subspace subvectors of the `nCodes` hash-order
+    * sample vectors (the engine-portable sample IVF uses), encoding picks
+    * the codeword minimizing exact fixed-point L2 (code-id tie-break), and
+    * ADC sums exact int64 table entries. Codebook QUALITY is the recall
+    * knob and a sampled codebook is the floor: with a perfect codebook the
+    * machinery reproduces exact search bit-for-bit (spec-pinned), while on
+    * near-noise corpora a sample reconstructs poorly — production trains
+    * each subspace codebook with k-means ([[kmeansIterations]] on the
+    * subvectors; everything downstream is unchanged) and float-reranks the
+    * PQ shortlist.
+    *
+    * At 100 TB: the codebook (nCodes × d floats) broadcasts everywhere;
+    * encoding is a map-only pass over the corpus (mSub × nCodes codegen
+    * dots per vector, done ONCE at index build); each query ships an
+    * mSub × nCodes integer LUT; and the scan that actually answers
+    * queries reads 2-byte codes instead of 256-byte vectors — the scan
+    * is 100× less I/O, which is the entire point of PQ. The final
+    * `groupBy(q, c).sum` over mSub partial distances and the top-k
+    * window are the only shuffles.
+    */
+  def pqTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, dims: Int = 64, mSub: Int = 4,
+             nCodes: Int = 16): DataFrame = {
+    require(dims % mSub == 0, s"dims=$dims must divide into mSub=$mSub")
+    val dSub = dims / mSub
+    def subs(vec: Column): Column = posexplode(array(
+      (0 until mSub).map(m => slice(vec, m * dSub + 1, dSub)): _*))
+    val c0 = spread(candidates, idCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .cache()
+    // Codebook: subspace slices of the nCodes hash-order sample vectors.
+    // The 16-row window after the limit is trivially single-partition.
+    val wCode = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(col("c_id").cast("string")), col("c_id"))
+    val codebook = c0
+      .orderBy(md5(col("c_id").cast("string")), col("c_id")).limit(nCodes)
+      .withColumn("code", row_number().over(wCode))
+      .select(col("code"), subs(col("c_vec")).as(Seq("m", "cb_sub")))
+    // Index build: per (vector, subspace), the nearest codeword — map-only
+    // against the broadcast codebook.
+    val wEnc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_id"), col("m"))
+      .orderBy(col("__l2"), col("code"))
+    val codes = c0.select(col("c_id"), subs(col("c_vec")).as(Seq("m", "c_sub")))
+      .join(broadcast(codebook), "m")
+      .withColumn("__l2", l2Fp(col("c_sub"), col("cb_sub")))
+      .withColumn("__r", row_number().over(wEnc))
+      .filter(col("__r") === 1)
+      .select("c_id", "m", "code")
+    // Per-query LUT: INNER PRODUCT of each query subvector with every
+    // codeword — the MIPS flavor of ADC, matching the dot/cosine ranking
+    // every other ANN path here uses (L2-ADC would rank by distance, a
+    // different metric on unnormalized vectors). Encoding stays L2 — the
+    // codeword that best RECONSTRUCTS the subvector — which is standard
+    // even for inner-product search.
+    val lut = queries
+      .select(col(idCol).as("q_id"), subs(col(vecCol)).as(Seq("m", "q_sub")))
+      .join(broadcast(codebook), "m")
+      .select(col("q_id"), col("m"), col("code"),
+        dotFp(col("q_sub"), col("cb_sub")).as("ip_fp"))
+    // ADC: approx dot = sum of the mSub table entries the candidate's
+    // codes select — the scan never touches candidate floats.
+    val scored = codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("ip_fp")).as("approx_dot"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("approx_dot").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "approx_dot")
+  }
+
   /** `iters` full Lloyd iterations: hash-order seeds ([[kmeansStep]] is
     * iteration 1), then repeated densify → reassign → re-mean
     * ([[centroidVectors]] → [[assignTo]] → [[groupCentroids]]). Returns

@@ -118,4 +118,53 @@ class FusedEquivalenceSpec extends SparkSpec {
       rows.forall(r => r.getLong(0) == r.getLong(1))
     }, n = 4)
   }
+
+  test("LshBucket plane offset == the same bit slice of a wider bucket") {
+    // table t's bucket over planes [o, o+n) must be exactly bits [o, o+n)
+    // of the single-table bucket computed over planes [0, o+n) — the
+    // property that makes ensemble tables independent WITHOUT independent
+    // hashing work
+    check(Prop.forAll(Gen.listOfN(8, vecGen)) { vecs =>
+      val df = vecs.map(Tuple1(_)).toDF("v")
+      val rows = df.select(
+        Similarity.lshBucket(col("v"), 4, planeOffset = 4).as("offset"),
+        Similarity.lshBucket(col("v"), 8).as("wide")).collect()
+      rows.forall(r => r.getLong(0) == ((r.getLong(1) >>> 4) & 0xfL))
+    }, n = 4)
+  }
+
+  test("HammingLE == bit_count(xor) <= d, including null propagation") {
+    val longGen: Gen[java.lang.Long] = Gen.frequency(
+      8 -> Gen.chooseNum(Long.MinValue, Long.MaxValue)
+        .map(java.lang.Long.valueOf),
+      1 -> Gen.const(null.asInstanceOf[java.lang.Long]))
+    check(Prop.forAll(Gen.listOfN(12, Gen.zip(longGen, longGen)),
+      Gen.chooseNum(0, 15)) { (pairs, d) =>
+      val df = pairs.map { case (a, b) => (a, b) }.toDF("a", "b")
+      val rows = df.select(
+        graft.ops.SimHash.hammingLE(col("a"), col("b"), d).as("fused"),
+        (bit_count(col("a").bitwiseXOR(col("b"))) <= d).as("composed"))
+        .collect()
+      rows.forall { r =>
+        (r.isNullAt(0) && r.isNullAt(1)) ||
+          (!r.isNullAt(0) && r.getBoolean(0) == r.getBoolean(1))
+      }
+    }, n = 5)
+  }
+
+  test("quantize: int8 range and reconstruction error within half a step") {
+    check(Prop.forAll(Gen.listOfN(8, vecGen)) { vecs =>
+      val df = vecs.map(Tuple1(_)).toDF("v")
+      val rows = Similarity.quantize(df, "v", "s", "q8").collect()
+      rows.forall { r =>
+        val v = r.getAs[scala.collection.Seq[Float]]("v")
+        val s = r.getDouble(r.fieldIndex("s"))
+        val q = r.getAs[scala.collection.Seq[Long]]("q8")
+        q.forall(x => math.abs(x) <= 127) &&
+          v.zip(q).forall { case (x, c) =>
+            math.abs(x.toDouble - c * s) <= s / 2 + 1e-12
+          }
+      }
+    }, n = 4)
+  }
 }

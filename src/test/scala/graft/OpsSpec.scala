@@ -287,6 +287,50 @@ class SimilaritySpec extends SparkSpec {
     assert(ensemble.subsetOf(truth)) // refine step keeps precision exact
   }
 
+  test("PQ with a perfect codebook reproduces exact search bit-for-bit") {
+    // When the corpus IS the sampled codeword set (16 vectors), every
+    // vector reconstructs exactly, so ADC == the true dot and the PQ
+    // ranking must equal brute force — the correctness pin for the whole
+    // encode/LUT/ADC machinery, independent of codebook quality.
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 16L).map(i =>
+      (i, Array.fill(64)(rng.nextFloat() * 2 - 1)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 4)
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select("q_id", "c_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 3))
+    val pq = pairs(Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      k = 3, dims = 64, mSub = 4, nCodes = 16))
+    assert(pq === exact) // identical pairs AND identical ranks
+  }
+
+  test("PQ top-k on the real corpus: mechanically valid, beats chance") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 5))
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, dims = 64, mSub = 4, nCodes = 16)
+    val got = pairs(pq)
+    assert(got.size === exact.size)          // every query fills its top-k
+    assert(got.forall { case (q, c) => q != c }) // no self-matches
+    // This corpus is the PQ-adversarial regime — its true neighbors sit
+    // barely above noise (best cos ≈ 0.33), and a 16-codeword sampled
+    // codebook cannot reconstruct near-noise vectors — so the honest
+    // assertion is "clearly better than chance" (chance ≈ k/N ≈ 0.008),
+    // with exactness pinned by the perfect-codebook test above. Production
+    // recall comes from k-means-trained codebooks (kmeansIterations) and
+    // float rerank of the PQ shortlist.
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.025, s"PQ recall below chance band: $recall")
+  }
+
   test("kmeansIterations(2) == manual densify→reassign→re-mean unroll") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val got = Similarity.kmeansIterations(emb, "vec_id", "embedding",
