@@ -36,7 +36,10 @@ object ScaleProbe {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("t11_repetition", "t12_containment", "d6_dup_clusters",
         "c4_cluster_dedup", "d8_auto_hamming_join", "n7_ann_quantized",
-        "n8_kmeans_converge", "a11_grouping_sets", "d7@8x2", "d5@8")
+        "n8_kmeans_converge", "n9_ann_pq", "n10_ann_ivfpq",
+        "d9_incremental_dedup", "a11_grouping_sets",
+        "c5_quality_pipeline", "e4_gapfill", "w4_window_suite",
+        "d7@8x2", "d5@8")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -196,6 +196,71 @@ object MinHashDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** INCREMENTAL near-dup admission — the production shape of dedup at
+    * 100 TB: a new batch (`increment`, e.g. today's crawl) is admitted
+    * against an already-deduped `corpus` WITHOUT recomputing anything
+    * corpus×corpus. An increment document is dropped when it is a
+    * near-dup of any corpus document (the corpus always wins), or when it
+    * is the higher id of a within-increment near-dup pair (the same
+    * canonical-keeper policy as the c2 composite). Returns the surviving
+    * increment rows in full.
+    *
+    * Scale contract: the corpus side contributes ONLY its band table —
+    * in production that table is computed once at corpus build, stored
+    * bucketed by band key (see `Sinks.bucketedTable`), and each day's
+    * admission shuffles just the increment's bands against it; the
+    * degenerate-bucket guard belongs to that corpus index build, which is
+    * why this operator takes no maxBucket.
+    */
+  def incrementalNearDuplicates(increment: DataFrame, corpus: DataFrame,
+                                idCol: String, textCol: String,
+                                k: Int = 3, m: Int = 16, nBands: Int = 4,
+                                threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = m / nBands
+    def prep(df: DataFrame): DataFrame = {
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      val spread =
+        if (df.rdd.getNumPartitions < par) df.repartition(par, col(idCol))
+        else df
+      spread
+        .select(col(idCol), TextAnalysis.wordShingles(col(textCol), k).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("bands",
+          bandKeys(signatureFused(col("sh"), m), rowsPerBand, nBands))
+        .cache()
+    }
+    def jaccard(a: Column, b: Column): Column =
+      size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double")
+    val inc = prep(increment)
+    val corp = prep(corpus)
+    val incBands = inc.select(col(idCol).as("id_i"),
+      explode(col("bands")).as("band_i"))
+    val corpBands = corp.select(col(idCol).as("id_c"),
+      explode(col("bands")).as("band_c"))
+    // corpus collision → exact verify → increment id is dropped
+    val crossDrop = incBands
+      .join(corpBands, col("band_i") === col("band_c"))
+      .select("id_i", "id_c").distinct()
+      .join(inc.select(col(idCol).as("id_i"), col("sh").as("sh_i")), "id_i")
+      .join(corp.select(col(idCol).as("id_c"), col("sh").as("sh_c")), "id_c")
+      .filter(jaccard(col("sh_i"), col("sh_c")) >= threshold)
+      .select(col("id_i").as(idCol)).distinct()
+    // within-increment pairs: canonical keeper (lower id) survives
+    val li = incBands.select(col("id_i").as("id_a"), col("band_i").as("band_a"))
+    val ri = incBands.select(col("id_i").as("id_b"), col("band_i").as("band_b"))
+    val incDrop = li.join(ri,
+        col("band_a") === col("band_b") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(inc.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(inc.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    increment
+      .join(crossDrop, Seq(idCol), "left_anti")
+      .join(incDrop, Seq(idCol), "left_anti")
+  }
+
   /** N-gram CONTAINMENT between blocked document pairs — the asymmetric
     * companion to [[ngramJaccardPairs]]: `containment(A in B) =
     * |A∩B| / |A|`. Jaccard misses subset duplication (a paragraph pasted

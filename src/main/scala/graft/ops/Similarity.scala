@@ -453,6 +453,92 @@ object Similarity {
       .select("q_id", "c_id", "rank", "approx_dot")
   }
 
+  /** IVF-PQ — the two index structures composed, which is the canonical
+    * production ANN layout (FAISS's IVFPQ): the corpus is PARTITIONED
+    * into `nCells` inverted lists (nearest-centroid assignment, as
+    * [[ivfTopK]]) and each vector inside a list is stored as `mSub`
+    * PQ codes (as [[pqTopK]]). A query probes its `nProbe` nearest cells
+    * and ADC-scores ONLY the codes in those cells from its broadcast
+    * integer LUT.
+    *
+    * Why this is THE 100 TB shape: IVF cuts the scan to nProbe/nCells of
+    * the corpus, PQ cuts the bytes per scanned vector ~128×, and the two
+    * multiply — a 4-of-256-cells probe over 2-byte codes reads ~4 orders
+    * of magnitude less than a float brute force, with every step an
+    * equality join or broadcast. Both structures here share the same
+    * deterministic hash-order sample (cells by full-vector cosine,
+    * codewords by per-subspace L2), so the whole index is reproducible
+    * in SQL and the gate hash-checks it end to end.
+    */
+  def ivfPqTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+                dims: Int = 64, mSub: Int = 4,
+                nCodes: Int = 16): DataFrame = {
+    require(dims % mSub == 0, s"dims=$dims must divide into mSub=$mSub")
+    val dSub = dims / mSub
+    def subs(vec: Column): Column = posexplode(array(
+      (0 until mSub).map(m => slice(vec, m * dSub + 1, dSub)): _*))
+    val c0 = spread(candidates, idCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        normFp(col(vecCol)).as("c_norm"))
+      .cache()
+    val sample = c0
+      .orderBy(md5(col("c_id").cast("string")), col("c_id")).limit(nCodes)
+    // IVF side: coarse centroids = the sample vectors, cosine assignment
+    val cents = sample.select(col("c_id").as("cent_id"),
+      col("c_vec").as("cent_vec"), col("c_norm").as("cent_norm"))
+    def assign(df: DataFrame, idC: String, vecC: String, normC: String,
+               keep: Int, cellName: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idC))
+        .orderBy(col("__cos").desc, col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("__cos", cosineFromFp(dotFp(col(vecC), col("cent_vec")),
+          col(normC), col("cent_norm")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= keep)
+        .select(col(idC), col("cent_id").as(cellName))
+    }
+    val cCells = assign(c0, "c_id", "c_vec", "c_norm", 1, "c_cell")
+    val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      normFp(col(vecCol)).as("q_norm"))
+    val qCells = assign(q0, "q_id", "q_vec", "q_norm", nProbe, "q_cell")
+    // PQ side: same sample, per-subspace codewords; encode + query LUTs
+    val wCode = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(col("c_id").cast("string")), col("c_id"))
+    val codebook = sample
+      .withColumn("code", row_number().over(wCode))
+      .select(col("code"), subs(col("c_vec")).as(Seq("m", "cb_sub")))
+    val wEnc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_id"), col("m"))
+      .orderBy(col("__l2"), col("code"))
+    val codes = c0.select(col("c_id"), subs(col("c_vec")).as(Seq("m", "c_sub")))
+      .join(broadcast(codebook), "m")
+      .withColumn("__l2", l2Fp(col("c_sub"), col("cb_sub")))
+      .withColumn("__r", row_number().over(wEnc))
+      .filter(col("__r") === 1)
+      .select("c_id", "m", "code")
+    val lut = q0
+      .select(col("q_id"), subs(col("q_vec")).as(Seq("m", "q_sub")))
+      .join(broadcast(codebook), "m")
+      .select(col("q_id"), col("m"), col("code"),
+        dotFp(col("q_sub"), col("cb_sub")).as("ip_fp"))
+    // Probe-restricted ADC: only codes living in a probed cell are read.
+    // A candidate has exactly one cell, so each (q, c) pair scores once.
+    val scored = codes.join(cCells, "c_id")
+      .join(qCells, col("c_cell") === col("q_cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("ip_fp")).as("approx_dot"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("approx_dot").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "approx_dot")
+  }
+
   /** `iters` full Lloyd iterations: hash-order seeds ([[kmeansStep]] is
     * iteration 1), then repeated densify → reassign → re-mean
     * ([[centroidVectors]] → [[assignTo]] → [[groupCentroids]]). Returns

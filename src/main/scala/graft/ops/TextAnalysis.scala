@@ -56,8 +56,15 @@ object TextAnalysis {
   /** Stopword-score language ID with a deterministic precedence tie-break
     * (en > fr > es > de). Integer count comparison — no float ties.
     */
-  def langId(text: Column): Column = {
-    val tk = tokens(text)
+  def langId(text: Column): Column = langIdOf(tokens(text))
+
+  /** [[langId]] over a PRE-TOKENIZED column. Note: inside one codegen
+    * stage, subexpression elimination already runs a repeated tokenizer
+    * subtree once per row (measured: materializing the array as a column
+    * was SLOWER) — this form is for callers that genuinely have tokens
+    * from elsewhere (a different tokenizer, a stored column).
+    */
+  def langIdOf(tk: Column): Column = {
     val en = stopwordCount(tk, EnStop)
     val fr = stopwordCount(tk, FrStop)
     val es = stopwordCount(tk, EsStop)
@@ -71,8 +78,13 @@ object TextAnalysis {
   /** Heuristic quality score in [0,1]: length saturation + punctuation
     * sanity + stopword density. Weights sum to 1.
     */
-  def qualityScore(text: Column): Column = {
-    val tk = tokens(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(text, tokens(text))
+
+  /** [[qualityScore]] over a pre-tokenized column (same sharing rationale
+    * as [[langIdOf]]).
+    */
+  def qualityScoreOf(text: Column, tk: Column): Column = {
     val nTok = size(tk).cast("double")
     val nChar = length(text).cast("double")
     val nPunct = punctCount(text).cast("double")
