@@ -672,6 +672,23 @@ object SparkEntry {
           "text", blockCol = "source", k = 3, threshold = 0.3)
         .orderBy("id_a", "id_b")),
 
+    // ---- D10: blocklist dedup — an ANTI similarity join ("drop every doc
+    // within Hamming 3 of a denylisted fingerprint"), written naively and
+    // rewritten by HammingJoinRewrite's semi/anti path into distinct-code
+    // chunk matching + an equality anti join -----------------------------
+    "d10_blocklist_dedup" -> ((s, dir) => {
+      val sk = SimHash.sketch(t(s, dir, "documents"), "doc_id", "text")
+        .cache()
+      val blocklist = sk.filter(col("doc_id") % 20 === 0)
+        .select(col("simhash").as("block_code"))
+      sk.filter(col("doc_id") % 20 =!= 0)
+        .join(blocklist,
+          SimHash.hammingLE(col("simhash"), col("block_code"), 3),
+          "left_anti")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- D9: incremental dedup — today's batch admitted against the
     // deduped corpus; corpus contributes only its (pre-computable) band
     // table, nothing corpus×corpus recomputes --------------------------
@@ -1916,6 +1933,18 @@ object SparkEntry {
         |  FROM pairs)
         | SELECT DISTINCT id_a, id_b, cos FROM scored
         |  WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    // Blocklist mirror: plain NOT EXISTS over the sketch CTE — the naive
+    // statement of the anti similarity join the optimizer re-plans.
+    "d10_blocklist_dedup" -> (SimHashSketchCtes +
+      """
+        | SELECT s.doc_id FROM sk s
+        | WHERE s.doc_id % 20 <> 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM sk b
+        |    WHERE b.doc_id % 20 = 0
+        |      AND bit_count(xor(s.simhash, b.simhash)) <= 3)
+        | ORDER BY doc_id""".stripMargin),
 
     // Incremental admission mirror: the same toks/shs/sig/bands derivation
     // as the minhash CTEs (no degenerate-bucket QUALIFY — that guard

@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
@@ -48,6 +48,13 @@ import graft.functions.HammingLE
   * (or after filter-pushdown folds the residual back into the join), the
   * join has equality conjuncts and can never match again. Kill switch:
   * `spark.graft.hammingJoinRewrite=false`.
+  *
+  * LEFT SEMI / LEFT ANTI similarity joins (the blocklist shape — "drop
+  * every document within Hamming d of a denylisted fingerprint") rewrite
+  * differently: whether a left row matches depends only on its CODE, so
+  * the distinct left codes chunk-join the right side once, and the
+  * original join becomes an equality semi/anti join against the matched
+  * code set — the preserved side's multiplicity is never touched.
   */
 object HammingJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -90,62 +97,109 @@ object HammingJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       (x.references.subsetOf(right.outputSet) &&
         y.references.subsetOf(left.outputSet))
 
+  /** The chunked candidate join: both sides exploded on their d+1 code
+    * chunks, hash-joined on (chunk_idx, chunk_val), then filtered by
+    * `residual` plus the first-agreeing-chunk dedup (each qualifying
+    * (left row, right row) pair survives exactly once).
+    */
+  private def chunkedJoin(left: LogicalPlan, right: LogicalPlan,
+                          lCode: Expression, rCode: Expression, d: Int,
+                          residual: Seq[Expression],
+                          hint: JoinHint): LogicalPlan = {
+    val bounds = chunkBounds(d + 1)
+    def explodeSide(child: LogicalPlan, code: Expression,
+                    tag: String): (LogicalPlan, Attribute, Attribute) = {
+      val arr = CreateArray(bounds.map { case (s, w) =>
+        chunkExpr(code, s, w)
+      })
+      val elemNullable = arr.dataType.asInstanceOf[ArrayType].containsNull
+      val pos = AttributeReference(s"__graft_${tag}_chunk_idx",
+        IntegerType, nullable = false)()
+      val v = AttributeReference(s"__graft_${tag}_chunk_val",
+        LongType, nullable = elemNullable)()
+      (Generate(PosExplode(arr), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None,
+        generatorOutput = Seq(pos, v), child = child), pos, v)
+    }
+    val (lG, lPos, lVal) = explodeSide(left, lCode, "l")
+    val (rG, rPos, rVal) = explodeSide(right, rCode, "r")
+    val newJoin = Join(lG, rG, Inner,
+      Some(And(EqualTo(lPos, rPos), EqualTo(lVal, rVal))), hint)
+    // index of the FIRST chunk the two codes agree on
+    val firstIdx = bounds.zipWithIndex.foldRight(
+      Literal(-1): Expression) { case (((s, w), k), els) =>
+      If(EqualTo(chunkExpr(lCode, s, w), chunkExpr(rCode, s, w)),
+        Literal(k), els)
+    }
+    Filter((residual :+ EqualTo(lPos, firstIdx)).reduce(And), newJoin)
+  }
+
+  /** Find the HammingLE conjunct whose sides split across the join.
+    * `oriented = true` (semi/anti) requires a from left / b from right;
+    * inner joins accept either orientation. d <= 15 keeps chunks >= 4
+    * bits wide; beyond that the chunk join degenerates (tiny chunks
+    * collide constantly) and the nested loop is honestly the better plan.
+    */
+  private def findHamming(conjuncts: Seq[Expression], left: LogicalPlan,
+                          right: LogicalPlan, oriented: Boolean):
+      Option[(Expression, Expression, Int)] =
+    conjuncts.collectFirst {
+      case HammingLE(a, b, d)
+          if d <= 15 && a.references.subsetOf(left.outputSet) &&
+            b.references.subsetOf(right.outputSet) &&
+            a.references.nonEmpty && b.references.nonEmpty =>
+        (a, b, d)
+      case HammingLE(a, b, d)
+          if !oriented && d <= 15 &&
+            a.references.subsetOf(right.outputSet) &&
+            b.references.subsetOf(left.outputSet) &&
+            a.references.nonEmpty && b.references.nonEmpty =>
+        (b, a, d)
+    }
+
   def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
         val conjuncts = splitConjunctivePredicates(cond)
-        val hit: Option[(Expression, Expression, Int)] =
+        val hit =
           if (hasEquiKey(conjuncts, left, right)) None
-          else conjuncts.collectFirst {
-            // d <= 15 keeps chunks >= 4 bits wide; beyond that the chunk
-            // join degenerates (tiny chunks collide constantly) and the
-            // nested loop is honestly the better plan.
-            case HammingLE(a, b, d)
-                if d <= 15 && a.references.subsetOf(left.outputSet) &&
-                  b.references.subsetOf(right.outputSet) &&
-                  a.references.nonEmpty && b.references.nonEmpty =>
-              (a, b, d)
-            case HammingLE(a, b, d)
-                if d <= 15 && a.references.subsetOf(right.outputSet) &&
-                  b.references.subsetOf(left.outputSet) &&
-                  a.references.nonEmpty && b.references.nonEmpty =>
-              (b, a, d)
-          }
+          else findHamming(conjuncts, left, right, oriented = false)
         hit match {
           case None => j
           case Some((lCode, rCode, d)) =>
-            val bounds = chunkBounds(d + 1)
-            def explodeSide(child: LogicalPlan, code: Expression,
-                            tag: String): (LogicalPlan, Attribute, Attribute) = {
-              val arr = CreateArray(bounds.map { case (s, w) =>
-                chunkExpr(code, s, w)
-              })
-              val elemNullable =
-                arr.dataType.asInstanceOf[ArrayType].containsNull
-              val pos = AttributeReference(s"__graft_${tag}_chunk_idx",
-                IntegerType, nullable = false)()
-              val v = AttributeReference(s"__graft_${tag}_chunk_val",
-                LongType, nullable = elemNullable)()
-              (Generate(PosExplode(arr), unrequiredChildIndex = Nil,
-                outer = false, qualifier = None,
-                generatorOutput = Seq(pos, v), child = child), pos, v)
+            Project(j.output,
+              chunkedJoin(left, right, lCode, rCode, d, conjuncts, hint))
+        }
+
+      // Semi/anti similarity joins — the blocklist shape: "keep/drop left
+      // rows within Hamming d of some right row". Whether a left row
+      // matches depends ONLY on its code value, so the rewrite computes
+      // the DISTINCT left codes, chunk-joins that (small) code set against
+      // the right side, and turns the original join into a plain equality
+      // semi/anti join on the matched-code set — exploding the preserved
+      // side directly would corrupt its multiplicity. Only fires when the
+      // hamming predicate is the WHOLE condition: any other cross-side
+      // conjunct makes matching row-dependent, and the nested loop stays.
+      case j @ Join(left, right, jt @ (LeftSemi | LeftAnti), Some(cond),
+          hint) =>
+        splitConjunctivePredicates(cond) match {
+          case Seq(h: HammingLE) =>
+            findHamming(Seq(h), left, right, oriented = true) match {
+              case None => j
+              case Some((lCode, rCode, d)) =>
+                val codeAlias = Alias(lCode, "__graft_code")()
+                val codeAttr = codeAlias.toAttribute
+                val lCodes = Aggregate(Seq(codeAttr), Seq(codeAttr),
+                  Project(Seq(codeAlias), left))
+                val matched = chunkedJoin(lCodes, right, codeAttr, rCode,
+                  d, Seq(HammingLE(codeAttr, rCode, d)), JoinHint.NONE)
+                val matchedCodes = Aggregate(Seq(codeAttr), Seq(codeAttr),
+                  Project(Seq(codeAttr), matched))
+                Join(left, matchedCodes, jt,
+                  Some(EqualTo(lCode, codeAttr)), hint)
             }
-            val (lG, lPos, lVal) = explodeSide(left, lCode, "l")
-            val (rG, rPos, rVal) = explodeSide(right, rCode, "r")
-            val newJoin = Join(lG, rG, Inner,
-              Some(And(EqualTo(lPos, rPos), EqualTo(lVal, rVal))), hint)
-            // index of the FIRST chunk the two codes agree on — keeping a
-            // pair only there makes each qualifying pair survive exactly
-            // once, whatever number of chunks it agrees on
-            val firstIdx = bounds.zipWithIndex.foldRight(
-              Literal(-1): Expression) { case (((s, w), k), els) =>
-              If(EqualTo(chunkExpr(lCode, s, w), chunkExpr(rCode, s, w)),
-                Literal(k), els)
-            }
-            val filtered = Filter(
-              (conjuncts :+ EqualTo(lPos, firstIdx)).reduce(And), newJoin)
-            Project(j.output, filtered)
+          case _ => j
         }
     }
   }

@@ -102,6 +102,51 @@ class HammingJoinSpec extends SparkSpec {
     sk.unpersist()
   }
 
+  test("semi/anti hamming joins rewrite to equality joins on matched codes") {
+    val a = codes.select($"id".as("id_a"), $"code".as("code_a"))
+    // duplicate blocklist rows exercise the distinct-code path
+    val block = codes.filter($"id" <= 2).select($"code".as("code_b"))
+      .union(codes.filter($"id" === 1).select($"code".as("code_b")))
+    def semi() = a.join(block,
+      SimHash.hammingLE($"code_a", $"code_b", 3), "left_semi")
+    def anti() = a.join(block,
+      SimHash.hammingLE($"code_a", $"code_b", 3), "left_anti")
+    val semiNaive = withRule(on = false)(
+      semi().collect().map(_.getLong(0)).sorted.toSeq)
+    val antiNaive = withRule(on = false)(
+      anti().collect().map(_.getLong(0)).sorted.toSeq)
+    withRule(on = true) {
+      assert(semi().collect().map(_.getLong(0)).sorted.toSeq === semiNaive)
+      assert(anti().collect().map(_.getLong(0)).sorted.toSeq === antiNaive)
+      // semi ∪ anti partitions the left side
+      assert((semiNaive ++ antiNaive).sorted ===
+        codes.collect().map(_.getLong(0)).sorted.toSeq)
+      val plan = semi().queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+    withRule(on = false) {
+      val plan = semi().queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
+  test("semi join with extra cross-side conjuncts is left alone") {
+    val a = codes.select($"id".as("id_a"), $"code".as("code_a"))
+    val b = codes.select($"id".as("id_b"), $"code".as("code_b"))
+    // matching is row-dependent (id_a < id_b) — the matched-code trick
+    // would be wrong, so the rule must not fire
+    val j = a.join(b,
+      SimHash.hammingLE($"code_a", $"code_b", 3) && $"id_a" < $"id_b",
+      "left_semi")
+    val naive = withRule(on = false)(
+      j.collect().map(_.getLong(0)).sorted.toSeq)
+    withRule(on = true) {
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("__graft_code"), plan)
+      assert(j.collect().map(_.getLong(0)).sorted.toSeq === naive)
+    }
+  }
+
   test("SQL surface: hamming_le in a SQL join condition rewrites too") {
     codes.createOrReplaceTempView("hj_codes")
     val sql = """SELECT a.id AS id_a, b.id AS id_b
