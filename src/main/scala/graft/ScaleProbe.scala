@@ -29,7 +29,19 @@ object ScaleProbe {
     "d5@8" -> ((s, dir) =>
       graft.ops.Similarity.embeddingNearDuplicates(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.45, nPlanes = 8)))
+        threshold = 0.45, nPlanes = 8)),
+    // pure-code hamming self-join (no sketch cost) — isolates what the
+    // rewrite changes; SPARK_GRAFT_CODES_N sizes it, and the rule toggle
+    // (SPARK_GRAFT_HAMMING_REWRITE=false) gives the nested-loop baseline
+    "hamming@codes" -> ((s, _) => {
+      val n = sys.env.getOrElse("SPARK_GRAFT_CODES_N", "200000").toLong
+      val codes = s.range(n).select(col("id"), xxhash64(col("id")).as("code"))
+      val a = codes.select(col("id").as("id_a"), col("code").as("code_a"))
+      val b = codes.select(col("id").as("id_b"), col("code").as("code_b"))
+      a.join(b,
+        graft.ops.SimHash.hammingLE(col("code_a"), col("code_b"), 3) &&
+          col("id_a") < col("id_b"))
+    }))
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scale10")
@@ -50,6 +62,10 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_HAMMING_REWRITE=false measures the naive nested-loop
+    // plans the rewrite rule replaces (the before/after evidence).
+    sys.env.get("SPARK_GRAFT_HAMMING_REWRITE").foreach(v =>
+      spark.conf.set("spark.graft.hammingJoinRewrite", v))
     names.foreach { name =>
       val fn = Extra.getOrElse(name, SparkEntry.queries(name))
       val rows = fn(spark, dir).count() // warm-up
