@@ -32,7 +32,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args (local iteration only; the driver passes none):
+    // query-name prefixes to restrict the battery to.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        args.isEmpty || args.exists(name.startsWith) }
+      .map { case (name, fn) =>
       val sec =
         try {
           fn(spark, sfDir).count() // warm-up: JIT, codegen, file listing

@@ -89,7 +89,12 @@ object GraftFunctions {
     // hamming_le(codeA, codeB, d) — similarity-join predicate; joins whose
     // condition carries it are rewritten by plans.HammingJoinRewrite
     "hamming_le" -> arity("hamming_le", 3)(exprs =>
-      HammingLE(exprs(0), exprs(1), litInt("hamming_le", exprs(2)))))
+      HammingLE(exprs(0), exprs(1), litInt("hamming_le", exprs(2)))),
+    // misra_gries(item, k) — heavy-hitters candidate summary (aggregate;
+    // the analyzer wraps the bare AggregateFunction)
+    "misra_gries" -> arity("misra_gries", 2)(exprs =>
+      graft.functions.MisraGriesAgg(exprs(0),
+        litInt("misra_gries", exprs(1)))))
 
   /** Register on a live session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.etl._
 import graft.functions.StrFunctions._
 import graft.functions.RollingHash
-import graft.ops.{AsOfJoin, MinHashDedup, Multimodal, SimHash, Similarity, Skew, TextAnalysis}
+import graft.ops.{AsOfJoin, Curation, MinHashDedup, Multimodal, SimHash, Similarity, Skew, TextAnalysis}
 import graft.streaming.StreamOps
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -485,6 +485,19 @@ object SparkEntry {
           col("n"), col("price_cents"))
         .orderBy("status", "prio")),
 
+    // ---- A12: heavy hitters — Misra–Gries candidate summary (native
+    // TypedImperativeAggregate, O(k) memory per task) + exact recount of
+    // the <= k candidates; equals plain groupBy-threshold, by the MG
+    // presence guarantee (minShare 1/32 > 1/(k+1), k=40) ------------------
+    "a12_heavy_hitters" -> ((s, dir) =>
+      ops.HeavyHitters.heavyHitters(
+          t(s, dir, "documents")
+            .filter(col("text").isNotNull)
+            .select(explode(TextAnalysis.tokens(col("text"))).as("token")),
+          "token", k = 40, minShare = 0.03125)
+        .withColumnRenamed("item", "token")
+        .orderBy("token")),
+
     // ---- A7: approximate distinct (sketch checked against the exact count:
     // the HLL++ estimate itself is engine-specific, so the oracle-checkable
     // surface is the exact count plus a boolean asserting the sketch landed
@@ -702,6 +715,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- D11: benchmark decontamination — exact k-gram overlap against
+    // the (broadcast) eval-set gram vocabulary; bench side = doc_id%25==0.
+    "d11_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.decontaminate(
+          docs.filter(col("doc_id") % 25 =!= 0),
+          docs.filter(col("doc_id") % 25 === 0),
+          "doc_id", "text", k = 4)
+        .orderBy("doc_id")
+    }),
+
+    // ---- D12: paragraph-level dedup — global first-wins over fixed
+    // 8-token segments, documents reassembled from the survivors ---------
+    "d12_paragraph_dedup" -> ((s, dir) =>
+      Curation.paragraphDedup(t(s, dir, "documents"), "doc_id", "text",
+          segWords = 8)
+        .orderBy("doc_id")),
+
+    // ---- D13: SemDeDup — coarse IVF-style clustering, exact cosine only
+    // within a cell, one keeper per semantic-duplicate group -------------
+    "d13_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.45, nCells = 16)
+        .orderBy("vec_id")),
+
     // ---- D8: the DECLARATIVE similarity join — written as the naive
     // O(n²) hamming predicate; graft.plans.HammingJoinRewrite re-plans it
     // into the chunked equality join (no nested loop; plan pinned in
@@ -892,6 +930,19 @@ object SparkEntry {
         .filter(TextAnalysis.langId(col("text")) === col("lang"))
         .select(col("doc_id"), col("lang"), col("n_tokens"))
         .orderBy("doc_id")),
+
+    // ---- C6: sequence packing — prefix-sum binning into 512-token
+    // training sequences, sharded by source (parallel by construction) ---
+    "c6_pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(t(s, dir, "documents"), "source", "doc_id",
+          "text", budget = 512)
+        .orderBy("shard", "doc_id")),
+
+    // ---- T13: per-domain quota — longest `cap` docs per source ----------
+    "t13_domain_cap" -> ((s, dir) =>
+      Curation.domainCap(t(s, dir, "documents"), "source", "n_chars",
+          "doc_id", cap = 10)
+        .orderBy("source", "rank")),
 
     // ---- C2: near-dup corpus dedup (pairs → canonical keepers) ----------
     "c2_neardup_dedup" -> ((s, dir) => {
@@ -1638,6 +1689,19 @@ object SparkEntry {
         |  GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |  ORDER BY status, prio""".stripMargin,
 
+    // The MG summary itself is order-dependent internal state; the gated
+    // RESULT is the exact recount-and-threshold, which plain SQL mirrors.
+    "a12_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        |   FROM documents WHERE text IS NOT NULL),
+        | tot AS (SELECT count(*) AS total FROM tok)
+        | SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+        |   CAST(total AS BIGINT) AS total
+        |  FROM tok, tot GROUP BY token, total
+        |  HAVING count(*) >= total * 0.03125
+        |  ORDER BY token""".stripMargin,
+
     // The sketch estimate is engine-specific; the oracle checks the exact
     // count and asserts the Spark-side sketch sat within its error envelope
     // (TRUE here == the boolean Spark computed from its own sketch).
@@ -1997,6 +2061,67 @@ object SparkEntry {
         |  AND doc_id NOT IN (SELECT id_b FROM inc_drop)
         | ORDER BY doc_id""".stripMargin,
 
+    "d11_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+        |    FROM documents WHERE text IS NOT NULL),
+        | pos AS (
+        |  SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 3, 0) + 1)) AS i
+        |  FROM toks),
+        | grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i, i + 3), ' ') AS g
+        |  FROM pos),
+        | bench AS (
+        |  SELECT g, min(doc_id) AS first_bench_id FROM grams
+        |   WHERE doc_id % 25 = 0 GROUP BY g),
+        | tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 25 <> 0)
+        | SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams,
+        |   min(first_bench_id) AS first_bench_id
+        |  FROM tr JOIN bench USING (g) GROUP BY tr.doc_id
+        |  ORDER BY tr.doc_id""".stripMargin,
+
+    "d12_paragraph_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+        |    FROM documents WHERE text IS NOT NULL),
+        | starts AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(1, greatest(len(tk), 1) + 1, 8)) AS start
+        |  FROM t),
+        | seg AS (
+        |  SELECT doc_id, start,
+        |    array_to_string(list_slice(tk, start, start + 7), ' ') AS chunk
+        |  FROM starts WHERE len(list_slice(tk, start, start + 7)) > 0),
+        | ranked AS (
+        |  SELECT doc_id, start, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, start) AS rn,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_seg
+        |  FROM seg),
+        | kept AS (SELECT * FROM ranked WHERE rn = 1)
+        | SELECT doc_id, string_agg(chunk, ' ' ORDER BY start) AS clean_text,
+        |   CAST(max(n_seg) AS BIGINT) AS n_seg,
+        |   CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d13_semdedup" -> (IvfAssignCtes +
+      """
+        | cells AS (SELECT vec_id, x, nrm, cent_id FROM assign WHERE r = 1),
+        | pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, b.cent_id AS cell,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(a.x[i] AS DOUBLE) * CAST(b.x[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS pdot,
+        |    a.nrm AS na, b.nrm AS nb
+        |  FROM cells a JOIN cells b
+        |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+        | close_pairs AS (
+        |  SELECT id_a, id_b, cell FROM pairs
+        |  WHERE CAST(pdot AS DOUBLE) /
+        |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.45)
+        | SELECT id_b AS vec_id, cell, min(id_a) AS keeper_id,
+        |   CAST(count(*) AS BIGINT) AS n_close
+        |  FROM close_pairs GROUP BY id_b, cell ORDER BY vec_id""".stripMargin),
+
     // Ensemble mirror: table t of 2 uses planes [t*4, t*4+4) of the same
     // md5-parity sign matrix; candidate pairs distinct'd across tables
     // BEFORE the one exact scoring per pair (mirrors the Spark plan).
@@ -2073,6 +2198,32 @@ object SparkEntry {
         |            WHEN es >= de THEN 'es'
         |            ELSE 'de' END) = lang
         | ORDER BY doc_id""".stripMargin,
+
+    "c6_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source AS shard, doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+        |      AS n_tokens
+        |   FROM documents WHERE text IS NOT NULL),
+        | c AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pb
+        |  FROM t)
+        | SELECT shard, doc_id, n_tokens, pb // 512 AS seq_no,
+        |   pb % 512 AS seq_offset
+        |  FROM c ORDER BY shard, doc_id""".stripMargin,
+
+    "t13_domain_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        | SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank
+        |  FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
 
     // Repetition filter: total vs distinct trigram counts per document,
     // one floating division (the same toks/shingle derivation as the

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs BETWEEN dedup
+  * and tokenization: segment-level dedup, benchmark decontamination,
+  * per-domain quotas, and sequence packing. All four are single-shuffle
+  * shapes (or map-only after one shuffle) and every output is exact
+  * integer/string arithmetic, so the DuckDB gate hash-checks them.
+  */
+object Curation {
+
+  /** Segment-level exact dedup with document reassembly — the
+    * paragraph-dedup pass of production corpus pipelines (Dolma,
+    * RefinedWeb): repeated boilerplate (headers, navigation, license
+    * blocks) recurs VERBATIM across documents even when whole documents
+    * don't, so dedup below document granularity removes it without
+    * dropping the documents. The corpus here is single-line text, so the
+    * "paragraph" unit is a fixed window of `segWords` consecutive tokens
+    * ([[TextAnalysis.tokenChunks]] with zero overlap); on real data the
+    * splitter would be `split(text, "\n\n")` and everything downstream is
+    * unchanged.
+    *
+    * Policy: global first-wins — one occurrence per distinct segment text
+    * survives, the one with the lowest (doc id, position); later
+    * occurrences (including repeats INSIDE one document) are dropped.
+    * Documents are reassembled from their surviving segments in original
+    * order; a document whose every segment was claimed elsewhere vanishes
+    * (fully-duplicate suppression, same outcome as d1 on whole docs).
+    *
+    * Scale: one shuffle partitioned by segment text for the first-wins
+    * window (at 100 TB, key by a 128-bit hash of the segment rather than
+    * the string itself — same dedup decisions, fixed-width shuffle keys),
+    * then one shuffle back on doc id to reassemble. Both are
+    * partial-aggregation-friendly and skew-safe: a segment repeated
+    * millions of times (the boilerplate this op exists to kill) lands on
+    * one reducer only to pick min((id,start)) — a partial-combinable min,
+    * not a materialized group.
+    *
+    * Output: (doc_id, clean_text, n_seg, n_kept), docs with n_kept >= 1.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     segWords: Int = 8): DataFrame = {
+    val segs = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(TextAnalysis.tokenChunks(
+          TextAnalysis.tokens(col(textCol)), segWords, 0)).as("c"))
+      .filter(col("c.n_tokens") > 0)
+      .select(col(idCol), col("c.start").as("start"),
+        col("c.chunk").as("chunk"))
+    val perDoc = Window.partitionBy(col(idCol))
+    val firstWins = Window.partitionBy(col("chunk"))
+      .orderBy(col(idCol), col("start"))
+    segs
+      .withColumn("n_seg", count(lit(1)).over(perDoc))
+      .withColumn("rn", row_number().over(firstWins))
+      .filter(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("start"), col("chunk")))),
+            e => e("chunk"))).as("clean_text"),
+        max(col("n_seg")).as("n_seg"),
+        count(lit(1)).as("n_kept"))
+  }
+
+  /** Benchmark decontamination — flag training documents sharing any word
+    * `k`-gram with an evaluation/benchmark document (the overlap check
+    * every serious LM training run performs; 13-gram on real corpora,
+    * scaled to the short synthetic texts here). Exact, not sketched:
+    * contamination is adversarial enough that production pipelines use
+    * exact n-gram joins for it.
+    *
+    * Shape: inverted-index equality join on the gram (the d4 discipline —
+    * non-overlapping (train, bench) pairs never materialize), with the
+    * bench side pre-aggregated to DISTINCT grams before the join, so the
+    * join's build side is bounded by the benchmark's vocabulary — tiny
+    * relative to a 100 TB train side, hence broadcastable — and the train
+    * side is streamed map-side with zero shuffle of the corpus itself.
+    * Gram sets per document come from the fused codegen shingle expression
+    * ([[TextAnalysis.wordShingles]], distinct by construction).
+    *
+    * Output: one row per CONTAMINATED training doc — (doc_id,
+    * n_shared_grams, first_bench_id = lowest benchmark doc id sharing a
+    * gram). Clean docs are absent; the complement (an anti join on the
+    * same build side) is the keep-list form.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, k: Int = 5): DataFrame = {
+    val benchGrams = bench
+      .select(col(idCol).as("b_id"),
+        explode(TextAnalysis.wordShingles(col(textCol), k)).as("g"))
+      .groupBy(col("g"))
+      .agg(min(col("b_id")).as("first_bench_id"))
+    val trainGrams = train
+      .select(col(idCol),
+        explode(TextAnalysis.wordShingles(col(textCol), k)).as("g"))
+    trainGrams.join(broadcast(benchGrams), "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"),
+        min(col("first_bench_id")).as("first_bench_id"))
+  }
+
+  /** Per-domain quota — keep at most `cap` documents per source/domain,
+    * preferring longer documents (ties by id): the domain-balancing pass
+    * web-scale pipelines run so one mirror-heavy host can't dominate the
+    * corpus. One rank-filter window; Spark plans a `WindowGroupLimit`
+    * below the filter, so each map task pre-prunes to its local top-`cap`
+    * per domain BEFORE the shuffle — the reducer for a 10M-page domain
+    * receives cap × tasks rows, not 10M (the skew this op exists to
+    * police never reaches the exchange). Output: (doc_id, source,
+    * n_chars, rank).
+    */
+  def domainCap(docs: DataFrame, sourceCol: String, lenCol: String,
+                idCol: String, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col(lenCol).desc, col(idCol))
+    docs.select(col(idCol), col(sourceCol), col(lenCol))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= cap)
+  }
+
+  /** Sequence packing — assign documents to fixed token-budget training
+    * sequences by contiguous prefix-sum binning, sharded by `shardCol`:
+    * within each shard, documents in id order accumulate token counts and
+    * a document's sequence is `prefix_before div budget` (offset =
+    * `prefix_before mod budget`).
+    *
+    * Deliberately NOT exact greedy first-fit: greedy packing is a
+    * sequential fold over the whole corpus — the one thing a 1000-executor
+    * job cannot do. Prefix-binning is embarrassingly parallel (one window
+    * per shard), deterministic, and wastes at most one document's tokens
+    * per bin boundary (documents straddling a boundary are split/truncated
+    * by the downstream loader, the standard contract). Shards are the unit
+    * of parallelism: the window never sees more than one shard, so no
+    * global sort and no single-partition bottleneck; sequence identity is
+    * the composite (shard, seq_no).
+    *
+    * Output: (shard, doc_id, n_tokens, seq_no, offset).
+    */
+  def packSequences(docs: DataFrame, shardCol: String, idCol: String,
+                    textCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(shardCol).as("shard"), col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("prefix_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("shard"), col(idCol), col("n_tokens"),
+        expr(s"prefix_before div ${budget}L").as("seq_no"),
+        pmod(col("prefix_before"), lit(budget.toLong)).as("seq_offset"))
+  }
+}

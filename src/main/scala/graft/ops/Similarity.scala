@@ -638,4 +638,67 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): cluster the
+    * embedding space coarsely, then compare pairs ONLY within a cluster
+    * and drop all but one of each semantic-duplicate group. The insight
+    * over plain cosine-LSH dedup ([[embeddingNearDuplicates]]) is that the
+    * cluster step is the same coarse quantizer an IVF index uses — so the
+    * partition that makes the quadratic step tractable is also a
+    * reusable index artifact.
+    *
+    * Construction here mirrors [[ivfTopK]] for determinism: centroids are
+    * the `nCells` hash-order sample vectors, assignment is exact
+    * fixed-point cosine with (cos desc, cent id) tie-break, so the DuckDB
+    * gate reproduces the clustering bit-for-bit (production swaps in
+    * k-means centroids from [[kmeansIterations]]; downstream unchanged).
+    * Drop policy is the one-pass convention c2 pins for text: a vector is
+    * dropped when ANY lower-id vector in its cell is within `threshold`
+    * cosine; the keeper reported is the lowest such id.
+    *
+    * At 100 TB: assignment is map-only (nCells broadcast codegen dots per
+    * row); the pair join is an equality join on the cell id, so cost is
+    * sum over cells of |cell|² instead of N² — the operator's whole
+    * point — and cell sizes are policed by the same AQE skew handling as
+    * every other bucket join here. Output: one row per DROPPED vector,
+    * (vec_id, cell, keeper_id, n_close).
+    */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nCells: Int = 16): DataFrame = {
+    val v0 = spread(vectors, idCol)
+      .select(col(idCol).as("v_id"), col(vecCol).as("v_vec"),
+        normFp(col(vecCol)).as("v_norm"))
+      .cache()
+    val cents = v0
+      .orderBy(md5(col("v_id").cast("string")), col("v_id"))
+      .limit(nCells)
+      .select(col("v_id").as("cent_id"), col("v_vec").as("cent_vec"),
+        col("v_norm").as("cent_norm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v_id"))
+      .orderBy(col("__cos").desc, col("cent_id"))
+    val cells = v0.crossJoin(broadcast(cents))
+      .withColumn("__cos", cosineFromFp(dotFp(col("v_vec"), col("cent_vec")),
+        col("v_norm"), col("cent_norm")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("v_id"), col("v_vec"), col("v_norm"),
+        col("cent_id").as("cell"))
+      // Cached: the assignment (a window over the full corpus) feeds BOTH
+      // sides of the pair join — without this it runs twice.
+      .cache()
+    val left = cells.select(col("v_id").as("id_a"), col("v_vec").as("vec_a"),
+      col("v_norm").as("norm_a"), col("cell").as("cell_a"))
+    val right = cells.select(col("v_id").as("id_b"), col("v_vec").as("vec_b"),
+      col("v_norm").as("norm_b"), col("cell").as("cell_b"))
+    left.join(right,
+        col("cell_a") === col("cell_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", cosineFromFp(dotFp(col("vec_a"), col("vec_b")),
+        col("norm_a"), col("norm_b")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id_b").as("vec_id"), col("cell_b").as("cell"))
+      .agg(min(col("id_a")).as("keeper_id"),
+        count(lit(1)).as("n_close"))
+  }
 }
