@@ -94,7 +94,15 @@ object GraftFunctions {
     // the analyzer wraps the bare AggregateFunction)
     "misra_gries" -> arity("misra_gries", 2)(exprs =>
       graft.functions.MisraGriesAgg(exprs(0),
-        litInt("misra_gries", exprs(1)))))
+        litInt("misra_gries", exprs(1)))),
+    // bloom_build(item, numBits, numHashes) — membership filter aggregate
+    "bloom_build" -> arity("bloom_build", 3)(exprs =>
+      graft.functions.BloomFilterAgg(exprs(0),
+        litInt("bloom_build", exprs(1)), litInt("bloom_build", exprs(2)))),
+    // bloom_might_contain(filter, item, numHashes) — codegen'd probe
+    "bloom_might_contain" -> arity("bloom_might_contain", 3)(exprs =>
+      graft.functions.BloomMightContain(exprs(0), exprs(1),
+        litInt("bloom_might_contain", exprs(2)))))
 
   /** Register on a live session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

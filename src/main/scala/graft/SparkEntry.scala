@@ -740,6 +740,19 @@ object SparkEntry {
           threshold = 0.45, nCells = 16)
         .orderBy("vec_id")),
 
+    // ---- D14: bloom-prefiltered incremental admission — the corpus ships
+    // as a 128 KiB filter, not a key set; bloom-positives verified exactly,
+    // so the result equals the plain anti join (oracle: NOT IN) ----------
+    "d14_bloom_prefilter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.Bloom.admitNew(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "text")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // ---- D8: the DECLARATIVE similarity join — written as the naive
     // O(n²) hamming predicate; graft.plans.HammingJoinRewrite re-plans it
     // into the chunked equality join (no nested loop; plan pinned in
@@ -2059,6 +2072,14 @@ object SparkEntry {
         | WHERE doc_id % 10 = 0
         |  AND doc_id NOT IN (SELECT inc_id FROM cross_drop)
         |  AND doc_id NOT IN (SELECT id_b FROM inc_drop)
+        | ORDER BY doc_id""".stripMargin,
+
+    "d14_bloom_prefilter" ->
+      """SELECT doc_id, lang FROM documents
+        | WHERE doc_id % 10 = 0 AND text IS NOT NULL
+        |  AND md5(text) NOT IN (
+        |   SELECT md5(text) FROM documents
+        |    WHERE doc_id % 10 <> 0 AND text IS NOT NULL)
         | ORDER BY doc_id""".stripMargin,
 
     "d11_decontaminate" ->

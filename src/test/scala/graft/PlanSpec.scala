@@ -190,4 +190,46 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [rolling_hash"),
       s"rolling_hash fell out of codegen:\n$plan")
   }
+
+  test("domain cap plans a WindowGroupLimit (map-side top-k pre-prune)") {
+    val plan = planOf("t13_domain_cap")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=cap filter should push a group limit below the window:\n$plan")
+  }
+
+  test("decontamination broadcasts the bench-gram vocabulary") {
+    val plan = planOf("d11_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"train side must stream against a broadcast bench side:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join crept in:\n$plan")
+  }
+
+  test("heavy hitters recount joins against a broadcast candidate list") {
+    val df = SparkEntry.queries("a12_heavy_hitters")(spark, sf)
+    df.collect() // adaptive: finalize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate recount must not shuffle the corpus:\n$plan")
+    assert(plan.contains("misra_gries") || plan.contains("MisraGries"),
+      s"native MG aggregate missing from the plan:\n$plan")
+  }
+
+  test("sequence packing runs one shard-partitioned window, no global sort") {
+    val plan = planOf("c6_pack_sequences")
+    // partitioned by shard → a window over [shard] exists...
+    assert(plan.contains("Window"), s"expected a window:\n$plan")
+    // ...and no single-partition exchange feeds it (the orderBy in the
+    // gate query sorts the final result, which is fine; the WINDOW itself
+    // must not demand a global ordering).
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"packing window must not serialize on one partition:\n$plan")
+  }
+
+  test("paragraph dedup: both shuffles are hash exchanges, no cartesian") {
+    val plan = planOf("d12_paragraph_dedup")
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+    assert(plan.contains("hashpartitioning(chunk"),
+      s"first-wins pass should hash-partition on the segment:\n$plan")
+  }
 }
