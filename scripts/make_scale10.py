@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Build the 10x stress corpus SCALE.md measures against.
+
+Usage: python3 scripts/make_scale10.py [src_sf_dir] [out_dir]
+
+documents/embeddings are replicated 10-fold with shifted ids (every
+original row gains 9 exact clones -> dedup output inflates ~1000x, a
+harder test than plain volume); the relational tables are copied as-is
+(their scale story is covered by the sf ladder itself, and copying
+preserves the exact parquet types, e.g. events' TIMESTAMP(NANOS)).
+"""
+import shutil, sys, os
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ID_SHIFT = 1_000_000
+
+
+def clone10(src, dst, id_col):
+    t = pq.read_table(src)
+    parts = []
+    for i in range(10):
+        ids = pa.compute.add(t[id_col], i * ID_SHIFT)
+        parts.append(t.set_column(t.schema.get_field_index(id_col),
+                                  id_col, ids))
+    out = pa.concat_tables(parts)
+    pq.write_table(out, dst)
+    print(f"{dst}: {out.num_rows} rows")
+
+
+def main(src_dir="/root/testdata/sf0.1", out_dir="/tmp/scale10"):
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(src_dir):
+        if not f.endswith(".parquet"):
+            continue
+        src, dst = f"{src_dir}/{f}", f"{out_dir}/{f}"
+        if f == "documents.parquet":
+            clone10(src, dst, "doc_id")
+        elif f == "embeddings.parquet":
+            clone10(src, dst, "vec_id")
+        else:
+            shutil.copyfile(src, dst)
+            print(f"{dst}: copied")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -30,6 +30,17 @@ object ScaleProbe {
       graft.ops.Similarity.embeddingNearDuplicates(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.45, nPlanes = 8)),
+    // SemDeDup with the cell count grown to the corpus (the d5 nPlanes
+    // lesson applied to IVF cells): |cell| ~ N/nCells, in-cell pair work
+    // ~ N²/nCells — nCells must scale with N to hold per-cell cost flat
+    "d13@64" -> ((s, dir) =>
+      graft.ops.Similarity.semDedup(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, nCells = 64)),
+    "d13@128" -> ((s, dir) =>
+      graft.ops.Similarity.semDedup(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, nCells = 128)),
     // pure-code hamming self-join (no sketch cost) — isolates what the
     // rewrite changes; SPARK_GRAFT_CODES_N sizes it, and the rule toggle
     // (SPARK_GRAFT_HAMMING_REWRITE=false) gives the nested-loop baseline

@@ -860,6 +860,29 @@ object SparkEntry {
 
     // ---- N10: IVF-PQ — inverted lists × PQ codes (the production ANN
     // layout): probe nProbe cells, ADC-score only their 2-byte codes -----
+    // ---- N11: ANN quality observability — recall@5 of the LSH index
+    // against the exact answer, per query: the metric a production ANN
+    // deployment monitors to know when to re-tune nPlanes/nProbe. Both
+    // sides are engine queries; the gate re-derives the same number in
+    // SQL, so the MEASUREMENT itself is oracle-checked. ------------------
+    "n11_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+          k = 5)
+        .select(col("q_id"), col("c_id"))
+      val approx = Similarity.lshTopK(emb, qs, "vec_id", "embedding",
+          k = 5, nPlanes = 4)
+        .select(col("q_id").as("a_q"), col("c_id").as("a_c"),
+          lit(1).as("hit"))
+      exact.join(approx,
+          col("q_id") === col("a_q") && col("c_id") === col("a_c"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("hit")).as("n_hit"))
+        .withColumn("recall", col("n_hit").cast("double") / 5.0)
+        .orderBy("q_id")
+    }),
+
     "n10_ann_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8),
@@ -1012,6 +1035,22 @@ object SparkEntry {
       graft.ops.Profile.profile(t(s, dir, "documents"),
           Seq("doc_id", "lang", "source", "text"))
         .orderBy("col_name")),
+
+    // ---- P16: semi-structured extraction — typed JSON field pulled out
+    // of a string column with from_json (schema'd, codegen-planned), then
+    // a plain aggregate; malformed JSON degrades to null, not an error ----
+    "p16_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k_val",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k_val")).as("sum_k"),
+          min(col("k_val")).as("min_k"),
+          max(col("k_val")).as("max_k"))
+        .orderBy("event_type")),
 
     // ---- Streaming --------------------------------------------------------
     "st1_stream_hourly" -> ((s, dir) =>
@@ -1896,6 +1935,16 @@ object SparkEntry {
         |  count(DISTINCT text) FROM documents
         | ORDER BY col_name""".stripMargin,
 
+    "p16_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS max_k
+        |  FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Same recursive walk, then drop every non-minimum cluster member.
     "c4_cluster_dedup" -> (MinHashScoredCtes +
       """,
@@ -2294,6 +2343,40 @@ object SparkEntry {
       """
         | q AS (SELECT vec_id AS q_id, x AS qv, bucket FROM b WHERE vec_id < 8),""".stripMargin +
       LshRankTail),
+
+    // Recall mirror: the LSH top-5 and the exact top-5 re-derived side by
+    // side, intersected per query.
+    "n11_ann_recall" -> (LshBucketCte +
+      """
+        | q AS (SELECT vec_id AS q_id, x AS qv, bucket FROM b WHERE vec_id < 8),
+        | c AS (SELECT vec_id AS c_id, x AS cv, bucket FROM b),
+        | ascored AS (
+        |  SELECT q_id, c_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS dot_fp
+        |  FROM q JOIN c ON q_id <> c_id AND q.bucket = c.bucket),
+        | aranked AS (
+        |  SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dot_fp DESC, c_id) AS rank
+        |  FROM ascored),
+        | approx AS (SELECT q_id, c_id FROM aranked WHERE rank <= 5),
+        | escored AS (
+        |  SELECT q_id, c_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS dot_fp
+        |  FROM q JOIN c ON q_id <> c_id),
+        | eranked AS (
+        |  SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dot_fp DESC, c_id) AS rank
+        |  FROM escored),
+        | exact AS (SELECT q_id, c_id FROM eranked WHERE rank <= 5)
+        | SELECT e.q_id, CAST(count(a.c_id) AS BIGINT) AS n_hit,
+        |   CAST(count(a.c_id) AS DOUBLE) / 5.0 AS recall
+        |  FROM exact e LEFT JOIN approx a
+        |    ON e.q_id = a.q_id AND e.c_id = a.c_id
+        |  GROUP BY e.q_id ORDER BY e.q_id""".stripMargin),
 
     // Probe set = own bucket + each 1-bit flip (mirrors lshTopKMultiProbe).
     "n4_ann_multiprobe" -> (LshBucketCte +

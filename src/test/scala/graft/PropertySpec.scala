@@ -97,4 +97,32 @@ class PropertySpec extends SparkSpec {
         viaExpr.toSeq == strs.map(RollingHash.hash)
     }, n = 5)
   }
+
+  test("misra-gries: heavy items always survive; counters never overcount") {
+    // Arbitrary multiset from a small alphabet so frequencies vary; any
+    // item with freq > N/(k+1) must appear in the k=4 summary.
+    val gen = Gen.listOfN(60, Gen.chooseNum(0, 9).map(i => s"it_$i"))
+    check(Prop.forAll(gen) { items =>
+      val cand = graft.ops.HeavyHitters.candidates(
+          items.toDF("item").repartition(3), "item", k = 4)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = items.size / 5.0 // N/(k+1)
+      cand.size <= 4 &&
+        exact.forall { case (it, f) => f <= bound || cand.contains(it) } &&
+        cand.forall { case (it, c) => c <= exact(it) }
+    }, n = 5)
+  }
+
+  test("bloom: inserted items always test positive, any partitioning") {
+    val gen = Gen.listOfN(40, Gen.asciiPrintableStr.map(_.take(12)))
+    check(Prop.forAll(gen) { strs =>
+      val df = strs.toDF("s").repartition(3)
+      val bf = df.agg(graft.ops.Bloom.bloomBuild(col("s"), 1 << 10, 4)
+        .as("bf"))
+      df.crossJoin(bf)
+        .filter(!graft.ops.Bloom.mightContain(col("bf"), col("s"), 4))
+        .count() == 0L
+    }, n = 5)
+  }
 }
