@@ -102,7 +102,10 @@ object GraftFunctions {
     // bloom_might_contain(filter, item, numHashes) — codegen'd probe
     "bloom_might_contain" -> arity("bloom_might_contain", 3)(exprs =>
       graft.functions.BloomMightContain(exprs(0), exprs(1),
-        litInt("bloom_might_contain", exprs(2)))))
+        litInt("bloom_might_contain", exprs(2)))),
+    // z_order(x, y) — Morton interleave for 2-D data layout clustering
+    "z_order" -> arity("z_order", 2)(exprs =>
+      graft.functions.ZOrder2(exprs(0), exprs(1))))
 
   /** Register on a live session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

@@ -426,6 +426,27 @@ object SparkEntry {
     // ---- S11: JSON roundtrip — doubles survive the text format
     // bit-exactly (shortest-print + exact parse), so the hash gate holds
     // even on c_acctbal --------------------------------------------------
+    // ---- S12: schema evolution — two parquet generations with DIFFERENT
+    // column sets (v1 wrote name, v2 added acctbal and dropped name) read
+    // as ONE table via mergeSchema; absent columns surface as nulls. The
+    // 100 TB reality this pins: ingest schemas drift across months of
+    // files, and the reader must widen, not crash. mergeSchema reconciles
+    // footers at planning time (per-file, parallel); per-row cost is zero.
+    "s12_schema_evolution" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_evo").toString
+      val cust = t(s, dir, "customer")
+      cust.filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name")
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      cust.filter(col("c_custkey") % 2 === 1)
+        .select("c_custkey", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
     "s11_json_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_json").toString + "/cust"
@@ -666,6 +687,53 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ---- Dedup family (LLM-pipeline ops) --------------------------------
+    // ---- T14: BM25 retrieval scoring (Robertson–Spärck Jones) over a
+    // literal query-term set — the ranking pass of a retrieval/RAG corpus
+    // pipeline. Deterministic variant: the idf factor stays RATIONAL
+    // ((N - df + 0.5)/(df + 0.5), the t9 discipline — ln() is libm- and
+    // engine-dependent; per-term it is monotone in the standard idf), and
+    // per-term scores round to 1e-9 fixed point so the per-doc SUM is
+    // integer arithmetic — order-independent, hash-stable. k1=1.2, b=0.75.
+    // Plan shape: tf/df aggregations + two broadcast one-row scalars
+    // (N, avgdl); per-doc sum shuffles only docs containing a query term.
+    "t14_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val dl = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("dl"))
+      val qterms = Seq("spark", "join", "fast")
+      val tf = toks.filter(col("token").isin(qterms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct()
+        .filter(col("token").isin(qterms: _*))
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val scalars = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      tf.join(broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(scalars))
+        .withColumn("avgdl",
+          col("sum_dl").cast("double") / col("n_docs").cast("double"))
+        .withColumn("idf",
+          (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+            (col("df").cast("double") + 0.5))
+        .withColumn("denom",
+          col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) +
+              lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+        .withColumn("score_fp",
+          round(col("idf") * col("tf").cast("double") * 2.2 / col("denom")
+            * 1e9).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum(col("score_fp")).as("score_fp"),
+          count(lit(1)).as("n_terms"))
+        .withColumn("score", col("score_fp").cast("double") / 1e9)
+        .select("doc_id", "n_terms", "score")
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     "d1_exact_dedup" -> ((s, dir) =>
       MinHashDedup.exactDuplicates(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("content_hash")),
@@ -980,6 +1048,59 @@ object SparkEntry {
           "doc_id", cap = 10)
         .orderBy("source", "rank")),
 
+    // ---- B2: Z-order layout key — rows clustered by z_order(part, supp)
+    // give every consecutive row group a bounded range of BOTH keys, so
+    // parquet min/max stats prune 2-D predicates (the write-side twin of
+    // b1's bucketing; ZOrderSpec pins the locality bound) ----------------
+    "b2_zorder_layout" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          expr("z_order(l_partkey, l_suppkey)").as("z"))
+        .orderBy("z", "l_orderkey", "l_linenumber")
+        .limit(100)),
+
+    // ---- C7: the END-TO-END curation pipeline — every stage a gated
+    // operator, composed in production order: quality gate (length band +
+    // repetition) → paragraph-level dedup with reassembly (d12) →
+    // benchmark decontamination on the CLEANED text (d11) → per-domain
+    // quota on cleaned length (t13) → token-budget packing (c6). One
+    // declarative plan end to end: Catalyst fuses the projections, and
+    // every shuffle is one of the stage keys (segment, doc, gram, domain,
+    // shard) — nothing global. --------------------------------------------
+    "c7_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+      val qualified = docs
+        .filter(col("doc_id") % 25 =!= 0 && col("text").isNotNull)
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long"))
+        .filter(col("n_tokens").between(20, 500))
+        .withColumn("dup_frac",
+          lit(1.0) - size(TextAnalysis.wordShingles(col("text"), 3))
+            .cast("double") / (col("n_tokens") - 2).cast("double"))
+        .filter(col("dup_frac") <= 0.2)
+        .select("doc_id", "source", "text")
+      val cleaned = Curation.paragraphDedup(qualified, "doc_id", "text",
+          segWords = 8)
+        .join(qualified.select("doc_id", "source"), Seq("doc_id"))
+      val contaminated = Curation.decontaminate(
+          cleaned.select(col("doc_id"), col("clean_text")),
+          bench.select(col("doc_id"), col("text").as("clean_text")),
+          "doc_id", "clean_text", k = 4)
+        .select("doc_id")
+      val decontaminated = cleaned
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("n_chars_clean", length(col("clean_text")))
+      val capped = Curation.domainCap(
+          decontaminated, "source", "n_chars_clean", "doc_id", cap = 10)
+        .select("doc_id")
+      Curation.packSequences(
+          decontaminated.join(capped, Seq("doc_id"), "left_semi"),
+          "source", "doc_id", "clean_text", budget = 512)
+        .orderBy("shard", "doc_id")
+    }),
+
     // ---- C2: near-dup corpus dedup (pairs → canonical keepers) ----------
     "c2_neardup_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1051,6 +1172,42 @@ object SparkEntry {
           min(col("k_val")).as("min_k"),
           max(col("k_val")).as("max_k"))
         .orderBy("event_type")),
+
+    // ---- W5: funnel analysis — deepest strictly-ordered stage
+    // (view → click-within-24h → purchase-within-24h) per user, counted
+    // by depth. Each stage is a keyed min-aggregate over the PREVIOUS
+    // stage's survivors, so the plan is three partial-aggregated shuffles
+    // on user_id (AQE reuses the partitioning) — never a per-user event
+    // sort. ts is micros TimestampType (Tables.load; the data carries no
+    // sub-microsecond components, so the conversion is lossless and the
+    // 24 h interval compares identically to the oracle's nanos). ---------
+    "w5_funnel" -> ((s, dir) => {
+      val step = expr("INTERVAL 24 HOURS")
+      val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + step)
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + step)
+        .groupBy("user_id").agg(min(col("ts")).as("t_buy"))
+      ev.select("user_id").distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .withColumn("depth",
+          when(col("t_buy").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L)
+            .when(col("t_view").isNotNull, 1L)
+            .otherwise(0L))
+        .groupBy("depth").agg(count(lit(1)).as("n_users"))
+        .orderBy("depth")
+    }),
 
     // ---- Streaming --------------------------------------------------------
     "st1_stream_hourly" -> ((s, dir) =>
@@ -1137,6 +1294,14 @@ object SparkEntry {
           nBatches = 3)
         .orderBy("event_type")
     }),
+
+    // ---- ST10: streaming bloom admission — stateless per-row triage
+    // against a broadcast corpus filter; positives verified by a
+    // stream-static anti join. Same answer as batch d14. ------------------
+    "st10_stream_bloom_admission" -> ((s, dir) =>
+      StreamOps.streamingBloomAdmission(s, dir,
+          queryName = "graft_bloom_" + System.nanoTime())
+        .orderBy("doc_id")),
 
     // ---- ST7: stream-stream join with an event-time range constraint ----
     "st7_stream_stream_join" -> ((s, dir) =>
@@ -1457,6 +1622,41 @@ object SparkEntry {
     // Final serving-table state after the per-micro-batch streaming
     // upserts == the plain aggregate (a key's last upsert carries its
     // cumulative total).
+    "w5_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |   WHERE event_type = 'view' GROUP BY user_id),
+        | c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |   JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL 24 HOUR
+        |   WHERE e.event_type = 'click' GROUP BY e.user_id),
+        | p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_buy FROM events e
+        |   JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL 24 HOUR
+        |   WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        | u AS (SELECT DISTINCT user_id FROM events),
+        | d AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN p.user_id IS NOT NULL THEN 3
+        |         WHEN c.user_id IS NOT NULL THEN 2
+        |         WHEN v.user_id IS NOT NULL THEN 1
+        |         ELSE 0 END AS depth
+        |  FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |       LEFT JOIN p USING (user_id))
+        | SELECT CAST(depth AS BIGINT) AS depth,
+        |   CAST(count(*) AS BIGINT) AS n_users
+        |  FROM d GROUP BY depth ORDER BY depth""".stripMargin,
+
+    "st10_stream_bloom_admission" ->
+      """SELECT doc_id, lang FROM documents
+        | WHERE doc_id % 10 = 0 AND text IS NOT NULL
+        |  AND md5(text) NOT IN (
+        |   SELECT md5(text) FROM documents
+        |    WHERE doc_id % 10 <> 0 AND text IS NOT NULL)
+        | ORDER BY doc_id""".stripMargin,
+
     "st9_stream_jdbc_upsert" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
@@ -1894,6 +2094,59 @@ object SparkEntry {
         |   CAST(df AS BIGINT) AS df, score
         |  FROM top WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // Same arithmetic sequence as the Spark side (left-assoc, one
+    // rounding to 1e-9 fixed point per term, integer per-doc sum).
+    "t14_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        | toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+'))
+        |    AS token FROM docs),
+        | dl AS (
+        |  SELECT doc_id, len(regexp_extract_all(lower(text), '\S+')) AS dl
+        |  FROM docs),
+        | tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM toks
+        |   WHERE token IN ('spark', 'join', 'fast') GROUP BY doc_id, token),
+        | dfreq AS (
+        |  SELECT token, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM toks)
+        |   WHERE token IN ('spark', 'join', 'fast') GROUP BY token),
+        | scalars AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        | scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |        (CAST(df AS DOUBLE) + 0.5)
+        |      * CAST(tf AS DOUBLE) * 2.2 /
+        |      (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |        (CAST(dl AS DOUBLE) /
+        |          (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      * 1e9) AS BIGINT) AS score_fp
+        |  FROM tf JOIN dfreq USING (token)
+        |       JOIN dl ON tf.doc_id = dl.doc_id, scalars)
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |   CAST(sum(score_fp) AS DOUBLE) / 1e9 AS score
+        |  FROM scored GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "b2_zorder_layout" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(list_sum(list_transform(range(0, 21), i ->
+        |    (((CAST(l_partkey AS BIGINT) >> i) & 1) << (2 * i)) +
+        |    (((CAST(l_suppkey AS BIGINT) >> i) & 1) << (2 * i + 1))))
+        |    AS BIGINT) AS z
+        |  FROM lineitem
+        |  ORDER BY z, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "s12_schema_evolution" ->
+      """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+        |  FROM customer WHERE c_custkey % 2 = 0
+        | UNION ALL
+        | SELECT c_custkey, CAST(NULL AS VARCHAR), c_acctbal
+        |  FROM customer WHERE c_custkey % 2 = 1
+        | ORDER BY c_custkey""".stripMargin,
+
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs,
         |  min(doc_id) AS keeper_id
@@ -2122,6 +2375,80 @@ object SparkEntry {
         |  AND doc_id NOT IN (SELECT inc_id FROM cross_drop)
         |  AND doc_id NOT IN (SELECT id_b FROM inc_drop)
         | ORDER BY doc_id""".stripMargin,
+
+    // The five stages in SQL, CTE per stage — quality band, segment
+    // first-wins + reassembly, 4-gram decontamination, domain cap on
+    // cleaned length, prefix-sum packing.
+    "c7_curation_pipeline" ->
+      """WITH q0 AS (
+        |  SELECT doc_id, source, regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents WHERE doc_id % 25 <> 0 AND text IS NOT NULL),
+        | q1 AS (
+        |  SELECT doc_id, source, tk FROM q0
+        |  WHERE len(tk) BETWEEN 20 AND 500
+        |    AND 1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS DOUBLE)
+        |      / CAST(len(tk) - 2 AS DOUBLE) <= 0.2),
+        | starts AS (
+        |  SELECT doc_id, source, tk,
+        |    unnest(range(1, greatest(len(tk), 1) + 1, 8)) AS start FROM q1),
+        | seg AS (
+        |  SELECT doc_id, source, start,
+        |    array_to_string(list_slice(tk, start, start + 7), ' ') AS chunk
+        |  FROM starts WHERE len(list_slice(tk, start, start + 7)) > 0),
+        | ranked AS (
+        |  SELECT doc_id, source, start, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, start) AS rn
+        |  FROM seg),
+        | cleaned AS (
+        |  SELECT doc_id, min(source) AS source,
+        |    string_agg(chunk, ' ' ORDER BY start) AS clean_text
+        |  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+        | ctk AS (
+        |  SELECT doc_id, source, clean_text,
+        |    regexp_extract_all(lower(clean_text), '\S+') AS tk FROM cleaned),
+        | gpos AS (
+        |  SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 3, 0) + 1)) AS i
+        |  FROM ctk),
+        | grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i, i + 3), ' ') AS g
+        |  FROM gpos),
+        | btoks AS (
+        |  SELECT regexp_extract_all(lower(text), '\S+') AS tk FROM documents
+        |  WHERE doc_id % 25 = 0 AND text IS NOT NULL),
+        | bpos AS (
+        |  SELECT tk, unnest(range(1, greatest(len(tk) - 3, 0) + 1)) AS i
+        |  FROM btoks),
+        | bgrams AS (
+        |  SELECT DISTINCT array_to_string(list_slice(tk, i, i + 3), ' ') AS g
+        |  FROM bpos),
+        | contaminated AS (
+        |  SELECT DISTINCT grams.doc_id FROM grams JOIN bgrams USING (g)),
+        | decon AS (
+        |  SELECT c.doc_id, c.source, c.clean_text, length(c.clean_text)
+        |    AS n_chars_clean
+        |  FROM ctk c
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        | capped AS (
+        |  SELECT doc_id, source, clean_text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars_clean DESC, doc_id) AS r FROM decon)
+        |  WHERE r <= 10),
+        | pt AS (
+        |  SELECT source AS shard, doc_id,
+        |    CAST(len(regexp_extract_all(lower(clean_text), '\S+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM capped),
+        | packed AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pb
+        |  FROM pt)
+        | SELECT shard, doc_id, n_tokens, pb // 512 AS seq_no,
+        |   pb % 512 AS seq_offset
+        |  FROM packed ORDER BY shard, doc_id""".stripMargin,
 
     "d14_bloom_prefilter" ->
       """SELECT doc_id, lang FROM documents

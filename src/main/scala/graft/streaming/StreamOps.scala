@@ -449,4 +449,53 @@ object StreamOps {
           (uid, total)
       }
   }
+
+  /** STREAMING incremental admission against a static corpus — the d14
+    * bloom shape moved to the ingest path: the corpus digest set is built
+    * ONCE (batch), its bloom filter rides into the stream as a literal
+    * (the filter IS a broadcast value — 128 KiB for 2^20 bits — which is
+    * exactly how a production job ships an index into executors), and
+    * every arriving document is triaged per row inside the stream's scan:
+    * bloom-negative → admitted with no join at all; bloom-positive → a
+    * stream-static LEFT ANTI join against the corpus digests verifies
+    * exactly. No streaming state is created anywhere — admission is
+    * stateless row triage + a static-side join, so there is no state
+    * store to size and no watermark to reason about.
+    *
+    * Result equals the batch d14 admission (the gate's oracle is the same
+    * plain NOT IN).
+    */
+  def streamingBloomAdmission(spark: SparkSession, dir: String,
+                              queryName: String): DataFrame = {
+    import graft.ops.Bloom
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val corpusDigests = docs
+      .filter(col("doc_id") % 10 =!= 0 && col("text").isNotNull)
+      .select(md5(col("text")).as("__h"))
+    // The one-row aggregate collapses to a 128 KiB array — a broadcast
+    // value by construction, not a driver-side loop over data.
+    val filterBytes: Array[Byte] = corpusDigests
+      .agg(Bloom.bloomBuild(col("__h"), 1 << 20, 5).as("bf"))
+      .collect().head.getAs[Array[Byte]](0)
+    val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 10 === 0 && col("text").isNotNull)
+      .withColumn("__h", md5(col("text")))
+      .withColumn("__maybe",
+        Bloom.mightContain(lit(filterBytes), col("__h"), 5))
+    val definitelyNew = stream.filter(!col("__maybe"))
+    val verified = stream.filter(col("__maybe"))
+      .join(corpusDigests, Seq("__h"), "left_anti")
+    val admitted = definitelyNew.unionByName(verified)
+      .select(col("doc_id"), col("lang"))
+    val q = admitted.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
 }
