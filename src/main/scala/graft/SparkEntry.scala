@@ -1157,6 +1157,37 @@ object SparkEntry {
           Seq("doc_id", "lang", "source", "text"))
         .orderBy("col_name")),
 
+    // ---- P17: constraint audit — the reference's unique-constraint idea
+    // (Constraints.php) widened to a data-quality gate a pipeline runs
+    // before committing a batch: key uniqueness, referential integrity,
+    // and null discipline, each as a set-based violation COUNT (anti
+    // joins and partial-aggregated groupBys — the audit of a 100 TB
+    // batch is a handful of shuffles, not row-at-a-time checks). ---------
+    "p17_constraint_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val ev = t(s, dir, "events")
+      val cust = t(s, dir, "customer")
+      def one(name: String, d: DataFrame): DataFrame =
+        d.select(lit(name).as("constraint_name"),
+          col("n").cast("long").as("n_violations"))
+      val orphanLines = one("lineitem_orphan_order",
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n")))
+      val unknownUsers = one("event_user_not_customer",
+        ev.join(cust, ev("user_id") === cust("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n")))
+      val dupEvents = one("duplicate_event_id",
+        ev.groupBy("event_id").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)
+          .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n")))
+      val nullCust = one("order_null_custkey",
+        ord.filter(col("o_custkey").isNull).agg(count(lit(1)).as("n")))
+      orphanLines.unionByName(unknownUsers)
+        .unionByName(dupEvents).unionByName(nullCust)
+        .orderBy("constraint_name")
+    }),
+
     // ---- P16: semi-structured extraction — typed JSON field pulled out
     // of a string column with from_json (schema'd, codegen-planned), then
     // a plain aggregate; malformed JSON degrades to null, not an error ----
@@ -2187,6 +2218,24 @@ object SparkEntry {
         | SELECT 'text', count(*), count(*) - count(text),
         |  count(DISTINCT text) FROM documents
         | ORDER BY col_name""".stripMargin,
+
+    "p17_constraint_audit" ->
+      """SELECT 'lineitem_orphan_order' AS constraint_name,
+        |  CAST(count(*) AS BIGINT) AS n_violations FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        | UNION ALL
+        | SELECT 'event_user_not_customer', CAST(count(*) AS BIGINT)
+        |  FROM events
+        |  WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+        | UNION ALL
+        | SELECT 'duplicate_event_id',
+        |  CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (
+        |   SELECT event_id, count(*) AS c FROM events
+        |    GROUP BY event_id HAVING count(*) > 1)
+        | UNION ALL
+        | SELECT 'order_null_custkey', CAST(count(*) AS BIGINT) FROM orders
+        |  WHERE o_custkey IS NULL
+        | ORDER BY constraint_name""".stripMargin,
 
     "p16_json_extract" ->
       """SELECT event_type, count(*) AS n,
