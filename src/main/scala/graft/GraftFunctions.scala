@@ -84,6 +84,9 @@ object GraftFunctions {
     }),
     "word_shingles" -> arity("word_shingles", 2)(exprs =>
       WordShingles(exprs(0), litInt("word_shingles", exprs(1)))),
+    "word_chunks" -> arity("word_chunks", 2)(exprs =>
+      graft.functions.WordChunks(exprs(0),
+        litInt("word_chunks", exprs(1)))),
     "minhash_sig" -> arity("minhash_sig", 2)(exprs =>
       MinHashSig(exprs(0), litInt("minhash_sig", exprs(1)))),
     // hamming_le(codeA, codeB, d) — similarity-join predicate; joins whose

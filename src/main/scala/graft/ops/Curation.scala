@@ -43,14 +43,19 @@ object Curation {
     */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
                      segWords: Int = 8): DataFrame = {
+    // Segmentation is the fused codegen expression (one generated
+    // tokenize+chunk pass per row — the WordShingles discipline);
+    // `pos * segWords + 1` recovers the token start position the
+    // first-wins ordering needs.
+    val chunks = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.WordChunks(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(textCol)),
+        segWords))
     val segs = docs
       .filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        explode(TextAnalysis.tokenChunks(
-          TextAnalysis.tokens(col(textCol)), segWords, 0)).as("c"))
-      .filter(col("c.n_tokens") > 0)
-      .select(col(idCol), col("c.start").as("start"),
-        col("c.chunk").as("chunk"))
+      .select(col(idCol), posexplode(chunks).as(Seq("pos", "chunk")))
+      .withColumn("start", col("pos") * segWords + 1)
+      .drop("pos")
     val perDoc = Window.partitionBy(col(idCol))
     val firstWins = Window.partitionBy(col("chunk"))
       .orderBy(col(idCol), col("start"))

@@ -42,6 +42,29 @@ class FusedEquivalenceSpec extends SparkSpec {
     })
   }
 
+  test("WordChunks == tokenChunks(tokens, k, 0) chunk strings on text") {
+    check(Prop.forAll(Gen.listOfN(6, textGen), Gen.chooseNum(1, 9)) {
+      (texts, k) =>
+        val chunksOf: org.apache.spark.sql.Column =
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.functions.WordChunks(
+              org.apache.spark.sql.graft.ColumnBridge
+                .expression(col("text")), k))
+        val rows = texts.toDF("text").select(
+          chunksOf.as("fused"),
+          filter(TextAnalysis.tokenChunks(
+              TextAnalysis.tokens(col("text")), k, 0),
+            c => c("n_tokens") > 0).as("composed"))
+          .collect()
+        rows.forall { r =>
+          val fused = r.getAs[scala.collection.Seq[String]]("fused").toSeq
+          val composed = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("composed")
+            .map(_.getAs[String]("chunk")).toSeq
+          fused == composed
+        }
+    })
+  }
+
   test("MinHashSig == baseHash + universal-hash mins on shingle arrays") {
     check(Prop.forAll(Gen.listOfN(6, textGen)) { texts =>
       val df = texts.toDF("text")
