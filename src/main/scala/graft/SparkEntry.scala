@@ -1204,6 +1204,35 @@ object SparkEntry {
           max(col("k_val")).as("max_k"))
         .orderBy("event_type")),
 
+    // ---- E5: OHLC downsampling — per (user, day) bars: first/last by
+    // event time (open/close, ties broken on event_id so the bar is
+    // total-order deterministic) + min/max/count. Two window functions
+    // over ONE sort + one partial-agged groupBy on the same key — the
+    // telemetry/finance resample shape; value_cents keeps the money
+    // discipline. --------------------------------------------------------
+    "e5_ohlc" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+            .as("day"),
+          col("ts"), col("event_id"),
+          cents(col("value")).as("v_cents"))
+      val asc = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val desc = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev.withColumn("rn_a", row_number().over(asc))
+        .withColumn("rn_d", row_number().over(desc))
+        .groupBy(col("user_id"), col("day"))
+        .agg(
+          max(when(col("rn_a") === 1, col("v_cents"))).as("open_cents"),
+          max(when(col("rn_d") === 1, col("v_cents"))).as("close_cents"),
+          min(col("v_cents")).as("low_cents"),
+          max(col("v_cents")).as("high_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "day")
+    }),
+
     // ---- W5: funnel analysis — deepest strictly-ordered stage
     // (view → click-within-24h → purchase-within-24h) per user, counted
     // by depth. Each stage is a keyed min-aggregate over the PREVIOUS
@@ -1339,6 +1368,31 @@ object SparkEntry {
       StreamOps.streamStreamAttribution(s, dir,
           queryName = "graft_ss_" + System.nanoTime())
         .orderBy("purchase_id")),
+
+    // ---- X3: as-of join with a STALENESS TOLERANCE — the production
+    // variant (a quote older than the window is no quote): compose x1's
+    // carry-forward as-of, ALSO carrying the matched right time, then
+    // null the payload where the match is older than 30 days. Same single
+    // exchange as x1 — tolerance is a projection, not a join change. -----
+    "x3_asof_tolerance" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val rightSide = t(s, dir, "orders")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+      val events = t(s, dir, "events")
+        .select("event_id", "user_id", "ts")
+      val joined = AsOfJoin(events, rightSide, "user_id", "ts",
+        "o_orderdate", Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+      val fresh = col("ts") <= col("o_orderdate").cast("timestamp") +
+        expr("INTERVAL 30 DAYS")
+      joined.select(col("event_id"), col("user_id"),
+          when(fresh, col("o_orderkey")).as("o_orderkey"),
+          when(fresh, col("o_totalprice")).as("o_totalprice"))
+        .orderBy("event_id")
+    }),
 
     // ---- X1: as-of join (operator Spark's DataFrame API lacks) ----------
     "x1_asof_join" -> ((s, dir) => {
@@ -1653,6 +1707,29 @@ object SparkEntry {
     // Final serving-table state after the per-micro-batch streaming
     // upserts == the plain aggregate (a key's last upsert carries its
     // cumulative total).
+    "e5_ohlc" ->
+      """WITH ev AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    ts, event_id, CAST(round(value * 100) AS BIGINT) AS v_cents
+        |  FROM events),
+        | r AS (
+        |  SELECT user_id, day, v_cents,
+        |    row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM ev)
+        | SELECT user_id, day,
+        |   CAST(max(CASE WHEN rn_a = 1 THEN v_cents END) AS BIGINT)
+        |     AS open_cents,
+        |   CAST(max(CASE WHEN rn_d = 1 THEN v_cents END) AS BIGINT)
+        |     AS close_cents,
+        |   CAST(min(v_cents) AS BIGINT) AS low_cents,
+        |   CAST(max(v_cents) AS BIGINT) AS high_cents,
+        |   CAST(count(*) AS BIGINT) AS n
+        |  FROM r GROUP BY user_id, day
+        |  ORDER BY user_id, day""".stripMargin,
+
     "w5_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t_view FROM events
@@ -3205,6 +3282,20 @@ object SparkEntry {
         |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
         |      ORDER BY o_orderkey DESC) AS rn FROM orders) WHERE rn = 1)
         | SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+        | FROM events e ASOF LEFT JOIN o
+        |   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        | ORDER BY e.event_id""".stripMargin,
+
+    "x3_asof_tolerance" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |      ORDER BY o_orderkey DESC) AS rn FROM orders) WHERE rn = 1)
+        | SELECT e.event_id, e.user_id,
+        |   CASE WHEN e.ts <= o.o_orderdate + INTERVAL 30 DAY
+        |        THEN o.o_orderkey END AS o_orderkey,
+        |   CASE WHEN e.ts <= o.o_orderdate + INTERVAL 30 DAY
+        |        THEN o.o_totalprice END AS o_totalprice
         | FROM events e ASOF LEFT JOIN o
         |   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         | ORDER BY e.event_id""".stripMargin,
