@@ -1504,6 +1504,23 @@ object SparkEntry {
           |ORDER BY p_partkey""".stripMargin)
     }),
 
+    // ---- Q4-style EXISTS: correlated subquery — Catalyst rewrites the
+    // EXISTS into a left-semi hash join (RewritePredicateSubquery), so the
+    // "for each order, probe its lineitems" spelling costs ONE equality
+    // join, never N subquery executions. ---------------------------------
+    "q4_exists_late" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders o
+          |WHERE EXISTS (
+          |  SELECT 1 FROM lineitem l
+          |  WHERE l.l_orderkey = o.o_orderkey
+          |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // ---- Flagship config-driven pipeline (oracle-checked) ---------------
     "etl1_pipeline" -> ((s, dir) => {
       val spec = PipelineSpec.parse(
@@ -2313,6 +2330,16 @@ object SparkEntry {
         | SELECT 'order_null_custkey', CAST(count(*) AS BIGINT) FROM orders
         |  WHERE o_custkey IS NULL
         | ORDER BY constraint_name""".stripMargin,
+
+    "q4_exists_late" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        | FROM orders o
+        | WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        | GROUP BY o_orderpriority
+        | ORDER BY o_orderpriority""".stripMargin,
 
     "p16_json_extract" ->
       """SELECT event_type, count(*) AS n,

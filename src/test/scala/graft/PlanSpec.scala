@@ -226,6 +226,14 @@ class PlanSpec extends SparkSpec {
       s"packing window must not serialize on one partition:\n$plan")
   }
 
+  test("correlated EXISTS rewrites to one semi join, not N subqueries") {
+    val plan = planOf("q4_exists_late")
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS should plan as a left-semi join:\n$plan")
+    assert(!plan.toLowerCase.contains("subquery"),
+      s"subquery survived into the physical plan:\n$plan")
+  }
+
   test("paragraph dedup: both shuffles are hash exchanges, no cartesian") {
     val plan = planOf("d12_paragraph_dedup")
     assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
