@@ -1233,6 +1233,43 @@ object SparkEntry {
         .orderBy("user_id", "day")
     }),
 
+    // ---- M4: media payload dedup — exact dedup of BINARY payloads by
+    // content digest (image/audio corpora duplicate at the byte level:
+    // mirrors, re-crawls, re-encodes of identical files): one
+    // partial-agged shuffle on the 32-byte digest, payload bytes never
+    // shuffle. ----------------------------------------------------------
+    "m4_payload_dedup" -> ((s, dir) =>
+      Multimodal.toMediaTable(t(s, dir, "documents"))
+        .select(col("doc_id"), sha2(col("payload"), 256).as("digest"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .groupBy(col("digest"), col("n_bytes"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+        .orderBy("digest")),
+
+    // ---- E6: cohort retention — users grouped by first-active week,
+    // counted again at week offsets 0..3: two distinct-aggregations and
+    // a broadcast of the (tiny) cohort-size table. The week key comes
+    // from date_trunc, so the whole analysis partitions on calendar
+    // boundaries — no per-user event ordering anywhere. ------------------
+    "e6_retention" -> ((s, dir) => {
+      val uw = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cw"))
+      val sizes = cohort.groupBy("cw")
+        .agg(count(lit(1)).as("n_cohort"))
+      uw.join(cohort, Seq("user_id"))
+        .withColumn("k",
+          (datediff(col("wk"), col("cw")) / 7).cast("long"))
+        .filter(col("k") <= 3)
+        .groupBy(col("cw"), col("k"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), Seq("cw"))
+        .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+          col("k"), col("n_active"), col("n_cohort"))
+        .orderBy("cohort_week", "k")
+    }),
+
     // ---- W5: funnel analysis — deepest strictly-ordered stage
     // (view → click-within-24h → purchase-within-24h) per user, counted
     // by depth. Each stage is a keyed min-aggregate over the PREVIOUS
@@ -1724,6 +1761,29 @@ object SparkEntry {
     // Final serving-table state after the per-micro-batch streaming
     // upserts == the plain aggregate (a key's last upsert carries its
     // cumulative total).
+    "m4_payload_dedup" ->
+      """SELECT sha256(text) AS digest,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  min(doc_id) AS keeper_id
+        |  FROM documents GROUP BY digest, n_bytes ORDER BY digest""".stripMargin,
+
+    "e6_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        | cohort AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id),
+        | sizes AS (SELECT cw, count(*) AS n_cohort FROM cohort GROUP BY cw),
+        | act AS (
+        |  SELECT c.cw,
+        |    CAST(date_diff('day', c.cw, u.wk) // 7 AS BIGINT) AS k
+        |  FROM uw u JOIN cohort c ON u.user_id = c.user_id)
+        | SELECT strftime(a.cw, '%Y-%m-%d') AS cohort_week, k,
+        |   CAST(count(*) AS BIGINT) AS n_active,
+        |   CAST(n_cohort AS BIGINT) AS n_cohort
+        |  FROM act a JOIN sizes s ON a.cw = s.cw
+        |  WHERE k <= 3 GROUP BY a.cw, k, n_cohort
+        |  ORDER BY cohort_week, k""".stripMargin,
+
     "e5_ohlc" ->
       """WITH ev AS (
         |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
