@@ -1042,6 +1042,25 @@ object SparkEntry {
           "text", budget = 512)
         .orderBy("shard", "doc_id")),
 
+    // ---- C8: packed-corpus materialization — the c6 assignment turned
+    // into the actual training artifact: one row per (shard, sequence)
+    // with documents concatenated in packing order and the real token
+    // total. collect_list is bounded by the 512-token budget's doc count
+    // per sequence, never by corpus size. --------------------------------
+    "c8_packed_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.packSequences(docs, "source", "doc_id", "text", budget = 512)
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .groupBy(col("shard"), col("seq_no"))
+        .agg(
+          concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("doc_id"),
+              col("text")))), e => e("text"))).as("seq_text"),
+          sum(col("n_tokens")).as("n_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("shard", "seq_no")
+    }),
+
     // ---- T13: per-domain quota — longest `cap` docs per source ----------
     "t13_domain_cap" -> ((s, dir) =>
       Curation.domainCap(t(s, dir, "documents"), "source", "n_chars",
@@ -2825,6 +2844,26 @@ object SparkEntry {
         | SELECT shard, doc_id, n_tokens, pb // 512 AS seq_no,
         |   pb % 512 AS seq_offset
         |  FROM c ORDER BY shard, doc_id""".stripMargin,
+
+    "c8_packed_corpus" ->
+      """WITH t AS (
+        |  SELECT source AS shard, doc_id, text,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+        |      AS n_tokens
+        |   FROM documents WHERE text IS NOT NULL),
+        | c AS (
+        |  SELECT shard, doc_id, text, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pb
+        |  FROM t)
+        | SELECT shard, pb // 512 AS seq_no,
+        |   string_agg(text, ' ' ORDER BY doc_id) AS seq_text,
+        |   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |   CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM c GROUP BY shard, seq_no
+        |  ORDER BY shard, seq_no""".stripMargin,
 
     "t13_domain_cap" ->
       """WITH r AS (
