@@ -992,9 +992,8 @@ object SparkEntry {
     "c3_token_chunks" -> ((s, dir) =>
       t(s, dir, "documents")
         .filter(col("text").isNotNull)
-        .select(col("doc_id"), explode(TextAnalysis.tokenChunks(
-          TextAnalysis.tokens(col("text")), chunkSize = 50, overlap = 10))
-          .as("c"))
+        .select(col("doc_id"), explode(TextAnalysis.tokenChunksFused(
+          col("text"), chunkSize = 50, overlap = 10)).as("c"))
         .select(col("doc_id"), col("c.start").as("start"),
           col("c.n_tokens").as("n_tokens"),
           md5(col("c.chunk")).as("chunk_hash"))

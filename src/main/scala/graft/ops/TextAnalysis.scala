@@ -109,6 +109,18 @@ object TextAnalysis {
     * token offsets; explode it for one row per chunk. Pure projection —
     * chunking a 100 TB corpus is a map-only pass.
     */
+  /** [[tokenChunks]] fused: one generated tokenize+chunk pass straight
+    * from the text column (the [[wordShingles]]/[[graft.functions.WordChunks]]
+    * discipline — the composed form runs its slice+concat lambda
+    * interpreted per chunk). Equivalence pinned in FusedEquivalenceSpec.
+    */
+  def tokenChunksFused(text: Column, chunkSize: Int,
+                       overlap: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.WordChunkStructs(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text),
+        chunkSize, overlap))
+
   def tokenChunks(tk: Column, chunkSize: Int, overlap: Int): Column = {
     require(chunkSize > overlap && overlap >= 0,
       s"need chunkSize > overlap >= 0, got $chunkSize/$overlap")

@@ -65,6 +65,25 @@ class FusedEquivalenceSpec extends SparkSpec {
     })
   }
 
+  test("WordChunkStructs == tokenChunks(tokens, k, overlap) incl. filter") {
+    check(Prop.forAll(Gen.listOfN(6, textGen), Gen.chooseNum(2, 9),
+      Gen.chooseNum(0, 1)) { (texts, k, ov) =>
+        val overlap = math.min(ov, k - 1)
+        val rows = texts.toDF("text").select(
+          TextAnalysis.tokenChunksFused(col("text"), k, overlap)
+            .as("fused"),
+          TextAnalysis.tokenChunks(TextAnalysis.tokens(col("text")),
+            k, overlap).as("composed"))
+          .collect()
+        def norm(seq: scala.collection.Seq[org.apache.spark.sql.Row]) =
+          seq.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+        rows.forall { r =>
+          norm(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("fused")) ==
+            norm(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("composed"))
+        }
+    })
+  }
+
   test("MinHashSig == baseHash + universal-hash mins on shingle arrays") {
     check(Prop.forAll(Gen.listOfN(6, textGen)) { texts =>
       val df = texts.toDF("text")
