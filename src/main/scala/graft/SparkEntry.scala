@@ -317,6 +317,289 @@ object SparkEntry {
         .agg(sum(cents(col("l_extendedprice") * col("l_discount")))
           .as("revenue_cents"), count(lit(1)).as("n"))),
 
+    // ---- TPC-H breadth suite (adapted to the testdata's column subset; no
+    // partsupp table, no commit/receipt dates — "late" is derived from
+    // l_shipdate vs o_orderdate). Each exercises a distinct Catalyst shape:
+    // dual-role dimension joins (q7/q8), scalar-subquery HAVING (q11/q15),
+    // outer-join aggregation (q13), OR-of-ANDs pushdown (q19), correlated
+    // EXISTS/NOT EXISTS decorrelation (q21), anti-join + global threshold
+    // (q22). ---------------------------------------------------------------
+
+    // TPC-H Q7: bilateral shipping volume between two nations; the nation
+    // table joins TWICE in different roles (supplier side, customer side) —
+    // both broadcast.
+    "q7_nation_volume" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(
+        col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(
+        col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      t(s, dir, "supplier")
+        .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(n1, col("s_nationkey") === col("n1_key"))
+        .join(n2, col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"), count(lit(1)).as("n"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8: national market share inside one region — an 8-way join
+    // where every dimension side is broadcast-able; the share split is two
+    // exact conditional cent-sums per year.
+    "q8_market_share" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(
+        col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
+      val n2 = t(s, dir, "nation").select(
+        col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+      t(s, dir, "part").filter(col("p_type") === "PROMO")
+        .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+        .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("c_nationkey") === col("n1_key"))
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n1_region") === col("r_regionkey"))
+        .join(n2, col("s_nationkey") === col("n2_key"))
+        .withColumn("volume_cents",
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", col("volume_cents"))
+            .otherwise(0L)).as("nation_cents"),
+          sum(col("volume_cents")).as("total_cents"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9: product-line profit by supplier nation and year; the part
+    // filter is a substring LIKE that still prunes before the fact joins.
+    "q9_nation_profit" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_name").contains("widget")),
+          col("p_partkey") === col("l_partkey"))
+        .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("profit_cents"), count(lit(1)).as("n"))
+        .orderBy("n_name", "o_year")),
+
+    // TPC-H Q10: returned-item revenue ranking over one quarter.
+    "q10_returned_items" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1995-10-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)),
+
+    // TPC-H Q11: parts whose inventory value exceeds a fraction of the
+    // GLOBAL total — the one-row global aggregate joins back as a broadcast
+    // scalar, and the fraction compare stays in exact integer arithmetic
+    // (value*2000 > total ⇔ value > 0.05% of total).
+    "q11_important_parts" -> ((s, dir) => {
+      val pv = t(s, dir, "lineitem").groupBy("l_partkey")
+        .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
+      val total = pv.agg(sum(col("value_cents")).as("grand_cents"))
+      pv.crossJoin(broadcast(total))
+        .filter(col("value_cents") * 2000 > col("grand_cents"))
+        .select("l_partkey", "value_cents")
+        .orderBy(col("value_cents").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q12 (adapted: late = shipped >60 days after order date):
+    // priority mix per lateness bucket as two conditional counts.
+    "q12_late_priority" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .withColumn("late_bucket",
+          when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS"), "late")
+            .otherwise("ontime"))
+        .groupBy("late_bucket")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("late_bucket")),
+
+    // TPC-H Q13: order-count distribution — LEFT OUTER join with an extra
+    // join-side predicate (not a post-filter: customers with only excluded
+    // orders must still count as 0), then a second aggregation over the
+    // first's result.
+    "q13_cust_distribution" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q14: promo revenue share over one month — numerator and
+    // denominator reported as exact cents so the ratio is reproducible.
+    "q14_promo_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-09-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1995-10-01 00:00:00")))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .withColumn("cents_v",
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("cents_v")).otherwise(0L))
+            .as("promo_cents"),
+          sum(col("cents_v")).as("total_cents"))),
+
+    // TPC-H Q15: top supplier by quarterly revenue — the max is a one-row
+    // broadcast scalar joined back (the "view + scalar subquery" shape).
+    "q15_top_supplier" -> ((s, dir) => {
+      val revenue = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("total_revenue_cents"))
+      val mx = revenue.agg(max("total_revenue_cents").as("max_rev"))
+      t(s, dir, "supplier")
+        .join(revenue, col("s_suppkey") === col("supplier_no"))
+        .crossJoin(broadcast(mx))
+        .filter(col("total_revenue_cents") === col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q16 (adapted to the lineitem-derived supplier relation):
+    // supplier variety per (brand, type, size) via COUNT(DISTINCT).
+    "q16_supplier_variety" -> ((s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+        .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))),
+
+    // TPC-H Q17: small-quantity revenue loss — the per-part average arrives
+    // as a pre-aggregated join side, and the avg compare is exact integer
+    // cross-multiplication (5·qty·cnt < sum ⇔ qty < 0.2·avg).
+    "q17_small_quantity" -> ((s, dir) => {
+      val perPart = t(s, dir, "lineitem").groupBy(col("l_partkey").as("a_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#5" && col("p_type") === "ECONOMY"),
+          col("p_partkey") === col("l_partkey"))
+        .join(perPart, col("a_partkey") === col("p_partkey"))
+        .filter(col("l_quantity").cast("long") * 5 * col("cnt") < col("sum_qty"))
+        .agg(sum(cents(col("l_extendedprice"))).as("loss_cents"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q19: three OR'd (brand, size, quantity) branches — one scan,
+    // the OR-of-ANDs stays a single pushed/codegen'd predicate, never a
+    // union of three scans.
+    "q19_branch_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"), count(lit(1)).as("n"))),
+
+    // TPC-H Q20 (adapted): suppliers who shipped >400 units of PROMO parts
+    // in 1996 — aggregated-subquery membership planned as a left-semi join.
+    "q20_promo_suppliers" -> ((s, dir) => {
+      val shippers = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .join(t(s, dir, "part").filter(col("p_type") === "PROMO"),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        .filter(col("qty") > 400)
+      t(s, dir, "supplier")
+        .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q21 (adapted: late = shipped >90 days after order date):
+    // suppliers who alone held up a multi-supplier order. The correlated
+    // EXISTS / NOT EXISTS pair decorrelates into two per-order distinct
+    // counts — "another supplier exists" ⇔ n_supp > 1, "no OTHER late
+    // supplier" ⇔ n_late_supp == 1 (the late row itself) — so the whole
+    // query is two aggregates and equi-joins, never a per-row probe.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val lateLi = l
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+      val perOrder = l.groupBy(col("l_orderkey").as("po_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      val latePerOrder = lateLi.distinct()
+        .groupBy(col("l_orderkey").as("lo_orderkey"))
+        .agg(count(lit(1)).as("n_late_supp"))
+      lateLi
+        .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, dir, "nation").filter(col("n_name") === "NATION_4"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(perOrder, col("po_orderkey") === col("l_orderkey"))
+        .filter(col("n_supp") > 1)
+        .join(latePerOrder, col("lo_orderkey") === col("l_orderkey"))
+        .filter(col("n_late_supp") === 1)
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
+    // TPC-H Q22 (adapted): well-funded customers with no URGENT orders —
+    // global above-average threshold as exact integer cross-multiplication
+    // against a broadcast one-row aggregate, then an anti join.
+    "q22_idle_customers" -> ((s, dir) => {
+      val pool = t(s, dir, "customer")
+        .filter(col("c_nationkey").isin(1, 5, 9, 13, 17))
+      val thresh = pool.filter(col("c_acctbal") > 0)
+        .agg(sum(cents(col("c_acctbal"))).as("sum_cents"),
+          count(lit(1)).as("cnt"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      pool.crossJoin(broadcast(thresh))
+        .filter(cents(col("c_acctbal")) * col("cnt") > col("sum_cents"))
+        .join(urgent, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(cents(col("c_acctbal"))).as("totacctbal_cents"))
+        .orderBy("c_nationkey")
+    }),
+
     // ---- L1: point lookup with LIMIT 1 (SURVEY §2.5) -------------------
     "l1_limit_lookup" -> ((s, dir) =>
       t(s, dir, "orders").filter(col("o_custkey") === 7)
@@ -2034,6 +2317,199 @@ object SparkEntry {
         |    AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
         |    AND l_discount BETWEEN 0.05 AND 0.07
         |    AND l_quantity < 24""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(volume_cents) AS BIGINT) AS revenue_cents, count(*) AS n
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+        |      AS volume_cents
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name='NATION_1' AND n2.n_name='NATION_2')
+        |      OR (n1.n_name='NATION_2' AND n2.n_name='NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT o_year,
+        |  CAST(sum(CASE WHEN nation='NATION_3' THEN volume_cents ELSE 0 END)
+        |    AS BIGINT) AS nation_cents,
+        |  CAST(sum(volume_cents) AS BIGINT) AS total_cents
+        |FROM (SELECT year(o_orderdate) AS o_year,
+        |    CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+        |      AS volume_cents,
+        |    n2.n_name AS nation
+        |  FROM part JOIN lineitem ON p_partkey=l_partkey
+        |  JOIN supplier ON s_suppkey=l_suppkey
+        |  JOIN orders ON l_orderkey=o_orderkey
+        |  JOIN customer ON o_custkey=c_custkey
+        |  JOIN nation n1 ON c_nationkey=n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey=r_regionkey
+        |  JOIN nation n2 ON s_nationkey=n2.n_nationkey
+        |  WHERE r_name='ASIA' AND p_type='PROMO') t
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q9_nation_profit" ->
+      """SELECT n_name, o_year,
+        |  CAST(sum(volume_cents) AS BIGINT) AS profit_cents, count(*) AS n
+        |FROM (SELECT n_name, year(o_orderdate) AS o_year,
+        |    CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+        |      AS volume_cents
+        |  FROM lineitem JOIN part ON p_partkey=l_partkey
+        |  JOIN supplier ON s_suppkey=l_suppkey
+        |  JOIN orders ON o_orderkey=l_orderkey
+        |  JOIN nation ON s_nationkey=n_nationkey
+        |  WHERE p_name LIKE '%widget%') profit
+        |GROUP BY n_name, o_year ORDER BY n_name, o_year""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM customer JOIN orders ON c_custkey=o_custkey
+        |JOIN lineitem ON l_orderkey=o_orderkey
+        |JOIN nation ON c_nationkey=n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_returnflag='R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH pv AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |      AS value_cents
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, value_cents FROM pv
+        |WHERE value_cents*2000 > (SELECT sum(value_cents) FROM pv)
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+
+    "q12_late_priority" ->
+      """SELECT late_bucket,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM (SELECT o_orderpriority,
+        |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |      THEN 'late' ELSE 'ontime' END AS late_bucket
+        |  FROM orders JOIN lineitem ON o_orderkey=l_orderkey) t
+        |GROUP BY late_bucket ORDER BY late_bucket""".stripMargin,
+
+    "q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type='PROMO' THEN cents_v ELSE 0 END)
+        |    AS BIGINT) AS promo_cents,
+        |  CAST(sum(cents_v) AS BIGINT) AS total_cents
+        |FROM (SELECT p_type,
+        |    CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+        |      AS cents_v
+        |  FROM lineitem JOIN part ON l_partkey=p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00') t""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100)
+        |      AS BIGINT)) AS BIGINT) AS total_revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue_cents
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue_cents =
+        |  (SELECT max(total_revenue_cents) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey=l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1,4,7,10,13,16,19,22)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_quantity" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+        |    AS BIGINT) AS loss_cents, count(*) AS n
+        |FROM lineitem JOIN part ON p_partkey=l_partkey
+        |JOIN (SELECT l_partkey AS a_partkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey) agg ON a_partkey = p_partkey
+        |WHERE p_brand='Brand#5' AND p_type='ECONOMY'
+        |  AND CAST(l_quantity AS BIGINT)*5*cnt < sum_qty""".stripMargin,
+
+    "q19_branch_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents, count(*) AS n
+        |FROM lineitem JOIN part ON p_partkey=l_partkey
+        |WHERE (p_brand='Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand='Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand='Brand#3' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q20_promo_suppliers" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey=l_partkey
+        |  WHERE p_type='PROMO'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 400)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_4'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH pool AS (SELECT * FROM customer
+        |    WHERE c_nationkey IN (1,5,9,13,17)),
+        |  thresh AS (SELECT
+        |    CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents,
+        |    count(*) AS cnt FROM pool WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+        |    AS totacctbal_cents
+        |FROM pool, thresh
+        |WHERE CAST(round(c_acctbal*100) AS BIGINT) * cnt > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "l1_limit_lookup" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = 7
