@@ -240,4 +240,81 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(chunk"),
       s"first-wins pass should hash-partition on the segment:\n$plan")
   }
+
+  // ---- TPC-H breadth suite: the shapes that matter at 100 TB --------------
+
+  test("q7/q8 dual-role nation joins broadcast every dimension side") {
+    for (name <- Seq("q7_nation_volume", "q8_market_share")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: dims should broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: non-equi join crept in:\n$plan")
+    }
+  }
+
+  test("q11/q15 global-scalar threshold joins back as a one-row broadcast") {
+    for (name <- Seq("q11_important_parts", "q15_top_supplier")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // the deliberate one-row cross join must be broadcast-shaped, never
+      // a shuffled cartesian over the fact side
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"),
+        s"$name: scalar side must broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: shuffled cartesian crept in:\n$plan")
+    }
+  }
+
+  test("q13 outer-join aggregation keeps the join-side predicate pushed") {
+    val plan = planOf("q13_cust_distribution")
+    // the priority filter must reach the orders scan, not sit above the
+    // outer join (where it would break the count-0 semantics anyway)
+    assert(plan.contains("Not(EqualTo(o_orderpriority,4-NOT SPECIFIED))"),
+      s"orders-side filter should reach the scan:\n$plan")
+  }
+
+  test("q19 OR-of-ANDs stays one scan with a single composite predicate") {
+    val df = SparkEntry.queries("q19_branch_revenue")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the OR must not union three scans (AQE prints the scan subtree in
+    // both the initial and final plan, so count Unions, not scans)
+    assert(!plan.contains("Union"), s"OR must not become a union:\n$plan")
+    // the full OR-of-ANDs tree is pushed into BOTH parquet scans: quantity
+    // ranges to lineitem, brand/size branches to part
+    assert(plan.contains("PushedFilters: [IsNotNull(l_partkey), Or(Or(And(" +
+      "GreaterThanOrEqual(l_quantity,1.0)"),
+      s"quantity disjunction should push to the lineitem scan:\n$plan")
+    assert(plan.contains("Or(Or(And(EqualTo(p_brand"),
+      s"brand disjunction should push to the part scan:\n$plan")
+  }
+
+  test("q20 aggregated-subquery membership plans as a left-semi join") {
+    val plan = planOf("q20_promo_suppliers")
+    assert(plan.contains("LeftSemi"), s"expected LeftSemi:\n$plan")
+  }
+
+  test("q21 decorrelated EXISTS/NOT EXISTS is all equality joins") {
+    val df = SparkEntry.queries("q21_waiting_supplier")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty && joins.forall(_.condition.isDefined),
+      "q21: found a condition-less join")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q21 must stay equality-joined:\n$plan")
+  }
+
+  test("q22 no-urgent-orders guard is a real anti join") {
+    val plan = planOf("q22_idle_customers")
+    assert(plan.contains("LeftAnti"), s"expected LeftAnti:\n$plan")
+  }
 }
