@@ -600,6 +600,37 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // ---- G1: PageRank over the customer↔supplier interaction graph —
+    // link analysis in exact fixed-point (1e12-scaled BIGINT, floor
+    // division in a pinned order) so three Jacobi rounds hash-match the
+    // SQL oracle's unrolled CTEs. Customers get even node ids, suppliers
+    // odd; edges are symmetrized so there are no dangling sinks. ---------
+    "g1_pagerank" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      graft.ops.Graph.pageRank(edges, "a", "b", iterations = 3)
+        .orderBy(col("score").desc, col("id"))
+        .limit(20)
+    }),
+
+    // ---- S13: ORC source/sink round trip — the engine's second columnar
+    // format; schema, doubles, and timestamps survive bit-exactly. -------
+    "s13_orc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_orc").toString + "/li"
+      t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice"))).as("sum_cents"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- L1: point lookup with LIMIT 1 (SURVEY §2.5) -------------------
     "l1_limit_lookup" -> ((s, dir) =>
       t(s, dir, "orders").filter(col("o_custkey") === 7)
@@ -2510,6 +2541,43 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "g1_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |  edges AS (SELECT a AS src, b AS dst FROM pairs
+        |    UNION SELECT b AS src, a AS dst FROM pairs),
+        |  deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |  n AS (SELECT count(*) AS n_nodes FROM deg),
+        |  r0 AS (SELECT src AS id,
+        |    1000000000000 // (SELECT n_nodes FROM n) AS score FROM deg),
+        |  r1 AS (SELECT e.dst AS id,
+        |      150000000000 // (SELECT n_nodes FROM n)
+        |        + CAST(sum((r.score * 85 // 100) // d.outdeg) AS BIGINT)
+        |        AS score
+        |    FROM edges e JOIN r0 r ON e.src = r.id
+        |    JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |  r2 AS (SELECT e.dst AS id,
+        |      150000000000 // (SELECT n_nodes FROM n)
+        |        + CAST(sum((r.score * 85 // 100) // d.outdeg) AS BIGINT)
+        |        AS score
+        |    FROM edges e JOIN r1 r ON e.src = r.id
+        |    JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |  r3 AS (SELECT e.dst AS id,
+        |      150000000000 // (SELECT n_nodes FROM n)
+        |        + CAST(sum((r.score * 85 // 100) // d.outdeg) AS BIGINT)
+        |        AS score
+        |    FROM edges e JOIN r2 r ON e.src = r.id
+        |    JOIN deg d ON e.src = d.src GROUP BY e.dst)
+        |SELECT id, score FROM r3 ORDER BY score DESC, id LIMIT 20"""
+        .stripMargin,
+
+    "s13_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |  FROM lineitem WHERE l_quantity >= 45
+        |  GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "l1_limit_lookup" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = 7
