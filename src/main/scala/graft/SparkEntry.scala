@@ -600,6 +600,49 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // ---- J8: FULL OUTER reconciliation — two derived customer sets
+    // (urgent-order customers vs big-ticket customers) aligned with
+    // presence on either side preserved; the canonical "compare two
+    // systems" ETL shape the inner/semi/anti gates don't cover. ----------
+    "j8_full_outer" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey").as("u_custkey"))
+        .agg(count(lit(1)).as("urgent_cnt"))
+      val big = o.filter(col("o_totalprice") > 250000)
+        .groupBy(col("o_custkey").as("b_custkey"))
+        .agg(count(lit(1)).as("big_cnt"))
+      urgent.join(big, col("u_custkey") === col("b_custkey"), "full_outer")
+        .select(
+          coalesce(col("u_custkey"), col("b_custkey")).as("custkey"),
+          coalesce(col("urgent_cnt"), lit(0L)).as("urgent_cnt"),
+          coalesce(col("big_cnt"), lit(0L)).as("big_cnt"))
+        .orderBy("custkey")
+    }),
+
+    // ---- SCD1: slowly-changing-dimension (type 2) history build — the
+    // order-priority change log per customer becomes effective-dated
+    // intervals: collapse runs of the same value (lag), then close each
+    // interval with the next change's date (lead). One sort per customer
+    // partition serves both window passes. ------------------------------
+    "scd1_history" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+        .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+        .withColumn("eff_to_ts",
+          lead(col("o_orderdate"), 1).over(
+            Window.partitionBy("o_custkey")
+              .orderBy("o_orderdate", "o_orderkey")))
+        .select(col("o_custkey"), col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("eff_from"),
+          coalesce(date_format(col("eff_to_ts"), "yyyy-MM-dd"),
+            lit("9999-12-31")).as("eff_to"))
+        .orderBy("o_custkey", "eff_from", "eff_to", "o_orderpriority")
+    }),
+
     // ---- G1: PageRank over the customer↔supplier interaction graph —
     // link analysis in exact fixed-point (1e12-scaled BIGINT, floor
     // division in a pinned order) so three Jacobi rounds hash-match the
@@ -2541,6 +2584,38 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "j8_full_outer" ->
+      """WITH urgent AS (SELECT o_custkey AS u_custkey,
+        |    count(*) AS urgent_cnt FROM orders
+        |    WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+        |  big AS (SELECT o_custkey AS b_custkey, count(*) AS big_cnt
+        |    FROM orders WHERE o_totalprice > 250000 GROUP BY o_custkey)
+        |SELECT coalesce(u_custkey, b_custkey) AS custkey,
+        |  CAST(coalesce(urgent_cnt, 0) AS BIGINT) AS urgent_cnt,
+        |  CAST(coalesce(big_cnt, 0) AS BIGINT) AS big_cnt
+        |FROM urgent FULL OUTER JOIN big ON u_custkey = b_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "scd1_history" ->
+      """WITH dedup AS (SELECT o_custkey, o_orderdate, o_orderkey,
+        |    o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |  changes AS (SELECT * FROM dedup
+        |    WHERE prev IS NULL OR prev <> o_orderpriority),
+        |  hist AS (SELECT o_custkey, o_orderpriority,
+        |    o_orderdate AS eff_from_ts,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS eff_to_ts
+        |  FROM changes)
+        |SELECT o_custkey, o_orderpriority,
+        |  strftime(eff_from_ts, '%Y-%m-%d') AS eff_from,
+        |  coalesce(strftime(eff_to_ts, '%Y-%m-%d'), '9999-12-31') AS eff_to
+        |FROM hist
+        |ORDER BY o_custkey, eff_from, eff_to, o_orderpriority"""
+        .stripMargin,
 
     "g1_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
