@@ -1889,6 +1889,63 @@ object SparkEntry {
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"), col("n"))
         .orderBy("status", "prio")),
 
+    // ---- A13: exact equi-width histogram — bucket ids in integer cents
+    // so the bin edge can never drift between engines -------------------
+    "a13_histogram" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(expr(
+          "CAST(round(l_extendedprice*100) AS BIGINT) div 500000")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // ---- A14: one-pass correlation moments — the distributed corr/cov
+    // algorithm IS these six sufficient statistics (all partial-agg
+    // combinable); kept as exact BIGINTs, the final double division is
+    // the caller's one lossy step ---------------------------------------
+    "a14_corr_components" -> ((s, dir) => {
+      val q = col("l_quantity").cast("long")
+      val p = round(col("l_extendedprice")).cast("long")
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        sum(q).as("sum_q"), sum(p).as("sum_p"),
+        sum(q * q).as("sum_q2"), sum(p * p).as("sum_p2"),
+        sum(q * p).as("sum_qp"))
+    }),
+
+    // ---- E7: RANGE-frame trailing window — peak 7-day activity per user.
+    // The frame is value-based (micros), not row-based: sparse users get
+    // exactly their true trailing window, the frame shape w2's running
+    // sum (ROWS) doesn't exercise ---------------------------------------
+    "e7_trailing_range" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-604800000000L, 0) // [t - 7 days, t] inclusive
+      t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          cents(col("value")).as("v"))
+        .withColumn("w7", sum(col("v")).over(w))
+        .groupBy("user_id").agg(max(col("w7")).as("peak_7d_cents"))
+        .orderBy("user_id")
+    }),
+
+    // ---- E8: unpivot/melt — the wide-to-long reshape (inverse of e3's
+    // pivot), one stack() projection, no shuffle beyond the pre-agg -----
+    "e8_unpivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("user_id") % 13 === 0)
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("n_click"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("n_view"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchase"))
+        .selectExpr("user_id",
+          "stack(3, 'click', n_click, 'view', n_view, " +
+            "'purchase', n_purchase) AS (metric, n)")
+        .orderBy("user_id", "metric")),
+
     // ---- Reproducible sampling (training-data ops) ----------------------
     "s8_stratified_sample" -> ((s, dir) =>
       graft.ops.Sampling.stratifiedSample(
@@ -2584,6 +2641,49 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "a13_histogram" ->
+      """SELECT CAST(round(l_extendedprice*100) AS BIGINT) // 500000
+        |    AS bucket, count(*) AS n
+        |  FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "a14_corr_components" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+        |  CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT)
+        |    AS sum_p,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT))
+        |    AS BIGINT) AS sum_q2,
+        |  CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+        |    * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_p2,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)
+        |    * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_qp
+        |FROM lineitem""".stripMargin,
+
+    "e7_trailing_range" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |  t AS (SELECT user_id,
+        |    sum(v) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |      AS w7 FROM e)
+        |SELECT user_id, CAST(max(w7) AS BIGINT) AS peak_7d_cents
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e8_unpivot" ->
+      """WITH wide AS (SELECT user_id,
+        |    sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,
+        |    sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n_view,
+        |    sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+        |      AS n_purchase
+        |  FROM events WHERE user_id % 13 = 0 GROUP BY user_id)
+        |SELECT user_id, metric, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT user_id, 'click' AS metric, n_click AS n FROM wide
+        |  UNION ALL
+        |  SELECT user_id, 'view' AS metric, n_view AS n FROM wide
+        |  UNION ALL
+        |  SELECT user_id, 'purchase' AS metric, n_purchase AS n FROM wide)
+        |ORDER BY user_id, metric""".stripMargin,
 
     "j8_full_outer" ->
       """WITH urgent AS (SELECT o_custkey AS u_custkey,
