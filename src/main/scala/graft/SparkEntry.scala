@@ -600,6 +600,22 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // ---- P18: null-safe join semantics — NULL keys MATCH under <=> (the
+    // reference's PHP == coercion treats missing as equal; SQL equality
+    // drops them). EqualNullSafe is still an equi-key, so the plan stays
+    // a hash join, never a nested loop. ----------------------------------
+    "p18_null_safe_join" -> ((s, dir) => {
+      val l = t(s, dir, "orders").select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_n"))
+      val r = t(s, dir, "orders")
+        .select(nullif(col("o_orderstatus"), lit("P")).as("r_status"))
+        .distinct()
+      l.join(r, col("status_n") <=> col("r_status"))
+        .groupBy(coalesce(col("r_status"), lit("NONE")).as("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
+
     // ---- J8: FULL OUTER reconciliation — two derived customer sets
     // (urgent-order customers vs big-ticket customers) aligned with
     // presence on either side preserved; the canonical "compare two
@@ -2684,6 +2700,15 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT user_id, 'purchase' AS metric, n_purchase AS n FROM wide)
         |ORDER BY user_id, metric""".stripMargin,
+
+    "p18_null_safe_join" ->
+      """WITH l AS (SELECT o_orderkey,
+        |    nullif(o_orderstatus, 'P') AS status_n FROM orders),
+        |  r AS (SELECT DISTINCT nullif(o_orderstatus, 'P') AS r_status
+        |    FROM orders)
+        |SELECT coalesce(r_status, 'NONE') AS status, count(*) AS n
+        |FROM l JOIN r ON l.status_n IS NOT DISTINCT FROM r.r_status
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     "j8_full_outer" ->
       """WITH urgent AS (SELECT o_custkey AS u_custkey,

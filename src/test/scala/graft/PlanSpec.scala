@@ -317,4 +317,16 @@ class PlanSpec extends SparkSpec {
     val plan = planOf("q22_idle_customers")
     assert(plan.contains("LeftAnti"), s"expected LeftAnti:\n$plan")
   }
+
+  test("null-safe equality still plans as a hash join") {
+    val df = SparkEntry.queries("p18_null_safe_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"<=> must stay an equi-key:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"null-safe join degraded to nested loop:\n$plan")
+  }
 }
