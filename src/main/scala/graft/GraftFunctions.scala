@@ -167,5 +167,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // tier-(c): similarity joins written declaratively (hamming_le in a
     // join condition) re-plan from nested-loop to chunked equality join
     e.injectOptimizerRule(_ => graft.plans.HammingJoinRewrite)
+    // tier-(c): numeric band joins (abs(a-b) <= d) re-plan from
+    // nested-loop to a bucket equality join (exact, multiplicity-safe)
+    e.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }

@@ -52,6 +52,19 @@ object ScaleProbe {
       a.join(b,
         graft.ops.SimHash.hammingLE(col("code_a"), col("code_b"), 3) &&
           col("id_a") < col("id_b"))
+    }),
+    // pure-code band self-join — isolates BandJoinRewrite the same way;
+    // values are pmod(xxhash64, 100·n) so expected matches per row stay
+    // constant as n grows (selectivity ~2d/100n per pair). Toggle with
+    // SPARK_GRAFT_BAND_REWRITE=false for the nested-loop baseline.
+    "band@values" -> ((s, _) => {
+      val n = sys.env.getOrElse("SPARK_GRAFT_CODES_N", "200000").toLong
+      val vals = s.range(n).select(col("id"),
+        pmod(xxhash64(col("id")), lit(100L * n)).as("v"))
+      val a = vals.select(col("id").as("id_a"), col("v").as("v_a"))
+      val b = vals.select(col("id").as("id_b"), col("v").as("v_b"))
+      a.join(b, abs(col("v_a") - col("v_b")) <= 50 &&
+        col("id_a") < col("id_b"))
     }))
 
   def main(args: Array[String]): Unit = {
@@ -77,6 +90,8 @@ object ScaleProbe {
     // plans the rewrite rule replaces (the before/after evidence).
     sys.env.get("SPARK_GRAFT_HAMMING_REWRITE").foreach(v =>
       spark.conf.set("spark.graft.hammingJoinRewrite", v))
+    sys.env.get("SPARK_GRAFT_BAND_REWRITE").foreach(v =>
+      spark.conf.set("spark.graft.bandJoinRewrite", v))
     names.foreach { name =>
       val fn = Extra.getOrElse(name, SparkEntry.queries(name))
       val rows = fn(spark, dir).count() // warm-up

@@ -600,6 +600,24 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // ---- X4: declarative band join — cross-brand price matching written
+    // as the NAIVE form `abs(a - b) <= 5`; BandJoinRewrite re-plans the
+    // nested loop into a bucket equality join (exact, multiplicity-safe —
+    // BandJoinSpec pins equivalence; PlanSpec pins the shape). -----------
+    "x4_auto_band_join" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val a = p.filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey").as("a_key"),
+          cents(col("p_retailprice")).as("a_cents"))
+      val b = p.filter(col("p_brand") === "Brand#2")
+        .select(col("p_partkey").as("b_key"),
+          cents(col("p_retailprice")).as("b_cents"))
+      a.join(b, abs(col("a_cents") - col("b_cents")) <= 5)
+        .select(col("a_key"), col("b_key"),
+          (col("a_cents") - col("b_cents")).as("diff_cents"))
+        .orderBy("a_key", "b_key")
+    }),
+
     // ---- P18: null-safe join semantics — NULL keys MATCH under <=> (the
     // reference's PHP == coercion treats missing as equal; SQL equality
     // drops them). EqualNullSafe is still an equi-key, so the plan stays
@@ -2700,6 +2718,17 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT user_id, 'purchase' AS metric, n_purchase AS n FROM wide)
         |ORDER BY user_id, metric""".stripMargin,
+
+    "x4_auto_band_join" ->
+      """WITH a AS (SELECT p_partkey AS a_key,
+        |    CAST(round(p_retailprice*100) AS BIGINT) AS a_cents
+        |  FROM part WHERE p_brand='Brand#1'),
+        |  b AS (SELECT p_partkey AS b_key,
+        |    CAST(round(p_retailprice*100) AS BIGINT) AS b_cents
+        |  FROM part WHERE p_brand='Brand#2')
+        |SELECT a_key, b_key, a_cents - b_cents AS diff_cents
+        |FROM a JOIN b ON abs(a_cents - b_cents) <= 5
+        |ORDER BY a_key, b_key""".stripMargin,
 
     "p18_null_safe_join" ->
       """WITH l AS (SELECT o_orderkey,

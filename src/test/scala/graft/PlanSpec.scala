@@ -318,6 +318,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"expected LeftAnti:\n$plan")
   }
 
+  test("naive band join re-plans to a bucket equality join") {
+    val df = SparkEntry.queries("x4_auto_band_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"band join stayed a nested loop:\n$plan")
+    assert(plan.contains("__graft_band"),
+      s"bucket key missing — rewrite did not produce the band plan:\n$plan")
+  }
+
   test("null-safe equality still plans as a hash join") {
     val df = SparkEntry.queries("p18_null_safe_join")(spark, sf)
     df.collect()
