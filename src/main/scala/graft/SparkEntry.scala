@@ -1809,6 +1809,14 @@ object SparkEntry {
           queryName = "graft_bloom_" + System.nanoTime())
         .orderBy("doc_id")),
 
+    // ---- ST11: the transformWithState arbitrary-state API (Spark 4) —
+    // typed per-key ValueState in a RocksDB store; one Update-mode batch
+    // leaves exactly the batch aggregate per user ------------------------
+    "st11_transform_with_state" -> ((s, dir) =>
+      StreamOps.runningTotalsBatch(s, dir,
+          queryName = "graft_tws_" + System.nanoTime())
+        .orderBy("user_id")),
+
     // ---- ST7: stream-stream join with an event-time range constraint ----
     "st7_stream_stream_join" -> ((s, dir) =>
       StreamOps.streamStreamAttribution(s, dir,
@@ -1945,6 +1953,38 @@ object SparkEntry {
         sum(q).as("sum_q"), sum(p).as("sum_p"),
         sum(q * q).as("sum_q2"), sum(p * p).as("sum_p2"),
         sum(q * p).as("sum_qp"))
+    }),
+
+    // ---- A15: exact per-group median — the LOWER median selected by
+    // rank, not interpolated (percentile interpolation is a double
+    // formula that can differ across engines; rank selection cannot) ----
+    "a15_group_median" -> ((s, dir) => {
+      val w = Window.partitionBy("p_brand")
+        .orderBy("price_cents", "p_partkey")
+      t(s, dir, "part")
+        .select(col("p_brand"), col("p_partkey"),
+          cents(col("p_retailprice")).as("price_cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy("p_brand")))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("p_brand"), col("price_cents").as("median_cents"))
+        .orderBy("p_brand")
+    }),
+
+    // ---- A16: deterministic mode — max count, ties broken by minimum
+    // value, so the answer is total-order defined ------------------------
+    "a16_mode" -> ((s, dir) => {
+      val counts = t(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("n"))
+        .orderBy("o_orderstatus")
     }),
 
     // ---- E7: RANGE-frame trailing window — peak 7-day activity per user.
@@ -2718,6 +2758,27 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT user_id, 'purchase' AS metric, n_purchase AS n FROM wide)
         |ORDER BY user_id, metric""".stripMargin,
+
+    "a15_group_median" ->
+      """WITH ranked AS (SELECT p_brand,
+        |    CAST(round(p_retailprice*100) AS BIGINT) AS price_cents,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY CAST(round(p_retailprice*100) AS BIGINT),
+        |        p_partkey) AS rn,
+        |    count(*) OVER (PARTITION BY p_brand) AS cnt
+        |  FROM part)
+        |SELECT p_brand, price_cents AS median_cents FROM ranked
+        |WHERE rn = (cnt + 1) // 2 ORDER BY p_brand""".stripMargin,
+
+    "a16_mode" ->
+      """WITH counts AS (SELECT o_orderstatus, o_orderpriority,
+        |    count(*) AS n FROM orders
+        |  GROUP BY o_orderstatus, o_orderpriority),
+        |  ranked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY o_orderstatus
+        |    ORDER BY n DESC, o_orderpriority) AS rk FROM counts)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        |FROM ranked WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
 
     "x4_auto_band_join" ->
       """WITH a AS (SELECT p_partkey AS a_key,
@@ -4133,6 +4194,14 @@ object SparkEntry {
         |  WHERE sid < (SELECT max(s2.sid) FROM agg s2
         |               WHERE s2.user_id = agg.user_id)
         |  ORDER BY user_id, start_us""".stripMargin,
+
+    // transformWithState running totals: one Update-mode micro-batch over
+    // the whole corpus == the plain batch aggregate.
+    "st11_transform_with_state" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |  FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Native streaming session windows: gap-sessions (same >= break rule
     // as st3's batch session_window) with end = last + gap, emitted only

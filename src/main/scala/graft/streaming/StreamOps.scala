@@ -282,6 +282,87 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** Per-user running totals (event count + exact value cents). */
+  case class UserTotal(user_id: Long, n: Long, value_cents: Long)
+
+  /** [[UserTotal]] accumulation as a [[StatefulProcessor]] — the
+    * `transformWithState` arbitrary-state API (Spark 4), successor to
+    * mapGroupsWithState: typed per-key state (Value/List/Map) obtained
+    * from a handle at init, optional TTL, timers, and a RocksDB-backed
+    * store. Cents are accumulated with the SAME rounding Spark's `round`
+    * applies (BigDecimal HALF_UP on the canonical double), so the final
+    * state is bit-equal to the batch aggregate.
+    */
+  private class RunningTotals
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserTotal] {
+    @transient private var totals:
+        org.apache.spark.sql.streaming.ValueState[UserTotal] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode):
+        Unit =
+      totals = getHandle.getValueState[UserTotal]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotal],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[UserTotal] = {
+      var cur =
+        if (totals.exists()) totals.get() else UserTotal(key, 0L, 0L)
+      rows.foreach { e =>
+        val cents = java.math.BigDecimal.valueOf(e.value * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        cur = UserTotal(key, cur.n + 1, cur.value_cents + cents)
+      }
+      totals.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /** Running per-user totals through `transformWithState`, driven
+    * synchronously from the static events parquet. Update mode + one
+    * AvailableNow micro-batch → exactly one output row per user, equal to
+    * the batch aggregate (the determinism that lets this sit under the
+    * oracle gate). Requires the RocksDB state store provider — the
+    * transformWithState operator refuses the default HDFS-backed one —
+    * which is also the production choice (changelog checkpointing, state
+    * larger than heap).
+    */
+  def runningTotalsBatch(spark: SparkSession, dir: String,
+                         queryName: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val events = eventStream(spark, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[Event]
+      val out = events.groupByKey(_.user_id)
+        .transformWithState(new RunningTotals,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      withStatePartitions(spark, HarnessStateParts) {
+        val q = out.toDF().writeStream
+          .outputMode(OutputMode.Update)
+          .format("memory").queryName(queryName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      spark.table(queryName)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   /** NATIVE streaming session windows: `session_window(ts, gap)` under a
     * watermark in Append mode — Spark merges per-key windows in the state
     * store and EMITS a session only once the watermark passes its end, so
