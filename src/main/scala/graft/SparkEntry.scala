@@ -618,6 +618,22 @@ object SparkEntry {
         .orderBy("a_key", "b_key")
     }),
 
+    // ---- D15: numeric blocklist — drop every order priced within $1 of
+    // a denylisted price, written as a naive band ANTI join; the rewrite's
+    // semi/anti arm turns it into distinct-values → bucket join → equality
+    // anti join (preserved-side multiplicity untouched). -----------------
+    "d15_price_blocklist" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      val deny = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 997 === 0)
+        .select(cents(col("o_totalprice")).as("deny_cents"))
+      o.join(deny, abs(col("price_cents") - col("deny_cents")) <= 100,
+          "left_anti")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("price_cents")).as("kept_cents"))
+    }),
+
     // ---- P18: null-safe join semantics — NULL keys MATCH under <=> (the
     // reference's PHP == coercion treats missing as equal; SQL equality
     // drops them). EqualNullSafe is still an equi-key, so the plan stays
@@ -2790,6 +2806,17 @@ object SparkEntry {
         |SELECT a_key, b_key, a_cents - b_cents AS diff_cents
         |FROM a JOIN b ON abs(a_cents - b_cents) <= 5
         |ORDER BY a_key, b_key""".stripMargin,
+
+    "d15_price_blocklist" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |  deny AS (SELECT CAST(round(o_totalprice*100) AS BIGINT)
+        |    AS deny_cents FROM orders WHERE o_orderkey % 997 = 0)
+        |SELECT count(*) AS n_kept,
+        |  CAST(sum(price_cents) AS BIGINT) AS kept_cents
+        |FROM o WHERE NOT EXISTS (SELECT 1 FROM deny
+        |  WHERE abs(price_cents - deny_cents) <= 100)""".stripMargin,
 
     "p18_null_safe_join" ->
       """WITH l AS (SELECT o_orderkey,

@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
@@ -103,6 +103,32 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def bucket(e: Expression, w: Long): Expression =
     IntegralDivide(Cast(e, LongType), Literal(w))
 
+  /** The bucket candidate join as an Inner join plan: left projected with
+    * its bucket id, right exploded to its three candidate buckets, joined
+    * on equality, refined by `residual`.
+    */
+  private def bucketJoin(left: LogicalPlan, right: LogicalPlan,
+                         lX: Expression, rX: Expression, d: Long,
+                         residual: Seq[Expression],
+                         hint: JoinHint): LogicalPlan = {
+    val w = d + 1
+    val lBucket = AttributeReference("__graft_band_l",
+      LongType, nullable = true)()
+    val lP = Project(left.output :+
+      Alias(bucket(lX, w), lBucket.name)(lBucket.exprId), left)
+    val rBase = bucket(rX, w)
+    val cand = AttributeReference("__graft_band_r",
+      LongType, nullable = true)()
+    val rG = Generate(
+      Explode(CreateArray(Seq(
+        Subtract(rBase, Literal(1L)), rBase,
+        Add(rBase, Literal(1L))))),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(cand), child = right)
+    Filter(residual.reduce(And),
+      Join(lP, rG, Inner, Some(EqualTo(lBucket, cand)), hint))
+  }
+
   def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
@@ -114,26 +140,49 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         hit match {
           case None => j
           case Some((lX, rX, d)) =>
-            val w = d + 1
-            val lBucket = AttributeReference("__graft_band_l",
-              LongType, nullable = true)()
-            val lP = Project(left.output :+
-              Alias(bucket(lX, w), lBucket.name)(lBucket.exprId), left)
-            // right side: its own bucket ± 1 — three candidate rows
-            val rBase = bucket(rX, w)
-            val cand = AttributeReference("__graft_band_r",
-              LongType, nullable = true)()
-            val rG = Generate(
-              Explode(CreateArray(Seq(
-                Subtract(rBase, Literal(1L)), rBase,
-                Add(rBase, Literal(1L))))),
-              unrequiredChildIndex = Nil, outer = false, qualifier = None,
-              generatorOutput = Seq(cand), child = right)
-            val newJoin = Join(lP, rG, Inner,
-              Some(EqualTo(lBucket, cand)), hint)
             // the original conjuncts (band predicate included) refine the
             // candidates; no dedup term — each pair meets exactly once
-            Project(j.output, Filter(conjuncts.reduce(And), newJoin))
+            Project(j.output,
+              bucketJoin(left, right, lX, rX, d, conjuncts, hint))
+        }
+
+      // Semi/anti band joins — the numeric blocklist shape: "keep/drop
+      // left rows within d of some right value". A left row's match
+      // depends only on its band value, so the DISTINCT left values
+      // bucket-join the right side once, and the original join becomes a
+      // plain equality semi/anti join on the matched-value set — the
+      // preserved side's multiplicity untouched. Fires only when the band
+      // predicate is the WHOLE condition (any other cross-side conjunct
+      // makes matching row-dependent) — the same guard as the hamming
+      // rule's semi/anti arm.
+      case j @ Join(left, right, jt @ (LeftSemi | LeftAnti), Some(cond),
+          hint) =>
+        splitConjunctivePredicates(cond) match {
+          case Seq(one) =>
+            findBand(Seq(one), left, right) match {
+              // oriented: the left expr must come from the preserved side
+              case Some((lX, rX, d))
+                  if lX.references.subsetOf(left.outputSet) =>
+                val vAlias = Alias(lX, "__graft_band_v")()
+                val vAttr = vAlias.toAttribute
+                val lVals = Aggregate(Seq(vAttr), Seq(vAttr),
+                  Project(Seq(vAlias), left))
+                // refine with the ORIGINAL predicate, its left expression
+                // substituted by the distinct-value attribute — identical
+                // arithmetic, so overflow corners behave exactly as the
+                // naive join would
+                val refine = one.transform {
+                  case e: Expression if e.semanticEquals(lX) => vAttr
+                }
+                val matched = bucketJoin(lVals, right, vAttr, rX, d,
+                  Seq(refine), JoinHint.NONE)
+                val matchedVals = Aggregate(Seq(vAttr), Seq(vAttr),
+                  Project(Seq(vAttr), matched))
+                Join(left, matchedVals, jt,
+                  Some(EqualTo(lX, vAttr)), hint)
+              case _ => j
+            }
+          case _ => j
         }
     }
   }

@@ -112,6 +112,45 @@ class BandJoinSpec extends SparkSpec {
       Set((1, 2), (9, 8)))
   }
 
+  test("semi/anti band joins rewrite via the distinct-value set") {
+    for (jt <- Seq("left_semi", "left_anti")) {
+      val df = withRule(on = true) {
+        sideA.join(sideB, abs(col("va") - col("vb")) <= 3, jt)
+      }
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$jt band join stayed a nested loop:\n$plan")
+      val expected = withRule(on = false) {
+        sideA.join(sideB, abs(col("va") - col("vb")) <= 3, jt)
+          .collect().map(_.getLong(0)).sorted.toSeq
+      }
+      val got = df.collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === expected, s"$jt band join changed the result")
+    }
+  }
+
+  test("semi band join preserves duplicate left rows (multiplicity)") {
+    // sideA has the value 3 twice: both copies must survive a semi join
+    val df = withRule(on = true) {
+      sideA.join(sideB, abs(col("va") - col("vb")) <= 1, "left_semi")
+    }
+    val vals = df.collect().map(_.getLong(0))
+    assert(vals.count(_ == 3L) === 2,
+      s"duplicate left rows collapsed: ${vals.toSeq}")
+  }
+
+  test("semi/anti with an extra conjunct stands down (row-dependent match)") {
+    val df = withRule(on = true) {
+      sideA.join(sideB,
+        abs(col("va") - col("vb")) <= 3 && col("ida") =!= col("idb"),
+        "left_semi")
+    }
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__graft_band"),
+      s"rule fired despite a row-dependent conjunct:\n$plan")
+  }
+
   test("double-typed band predicates are NOT rewritten (exactness guard)") {
     val a = Seq(1.0, 2.5).toDF("da")
     val b = Seq(1.4, 9.9).toDF("db")
