@@ -1833,6 +1833,14 @@ object SparkEntry {
           queryName = "graft_tws_" + System.nanoTime())
         .orderBy("user_id")),
 
+    // ---- ST12: key-only streaming dedup (dropDuplicatesWithinWatermark) —
+    // state still watermark-bounded, but duplicates with DIFFERENT event
+    // times collapse; survivors per type == distinct users per type -------
+    "st12_dedup_within_watermark" -> ((s, dir) =>
+      StreamOps.streamingDedupWithinWatermark(s, dir,
+          queryName = "graft_ddw_" + System.nanoTime())
+        .orderBy("event_type")),
+
     // ---- ST7: stream-stream join with an event-time range constraint ----
     "st7_stream_stream_join" -> ((s, dir) =>
       StreamOps.streamStreamAttribution(s, dir,
@@ -4221,6 +4229,12 @@ object SparkEntry {
         |  WHERE sid < (SELECT max(s2.sid) FROM agg s2
         |               WHERE s2.user_id = agg.user_id)
         |  ORDER BY user_id, start_us""".stripMargin,
+
+    // key-only watermark dedup: one batch keeps one row per (user, type)
+    "st12_dedup_within_watermark" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n
+        |  FROM events GROUP BY event_type ORDER BY event_type"""
+        .stripMargin,
 
     // transformWithState running totals: one Update-mode micro-batch over
     // the whole corpus == the plain batch aggregate.

@@ -147,6 +147,35 @@ object StreamOps {
     events.withWatermark(watermarkCol, delay)
       .dropDuplicates(keyCols :+ watermarkCol)
 
+  /** Streaming dedup on the KEY ALONE with
+    * `dropDuplicatesWithinWatermark` (Spark 3.5+): unlike
+    * [[streamingDedup]] — which must include the event time in the key to
+    * let state age out — this deduplicates on just `keyCols` while the
+    * watermark still bounds state lifetime (a key re-admits once its
+    * first sighting ages past the delay). The right semantics for
+    * at-least-once sources whose duplicates arrive close together but
+    * carry DIFFERENT timestamps — exactly the case the plain key+time
+    * dedup misses. Driven synchronously; counts survivors per type.
+    */
+  def streamingDedupWithinWatermark(spark: SparkSession, dir: String,
+                                    queryName: String): DataFrame = {
+    val stream = eventStream(spark, dir)
+    val deduped = stream.select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+    val agg = deduped.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    withStatePartitions(spark, HarnessStateParts) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** Stream-static join: the streaming fact joins a static dimension
     * per micro-batch (no state, no watermark needed — the static side is
     * re-planned each batch). Driven synchronously from the events parquet;

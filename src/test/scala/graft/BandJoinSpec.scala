@@ -151,6 +151,19 @@ class BandJoinSpec extends SparkSpec {
       s"rule fired despite a row-dependent conjunct:\n$plan")
   }
 
+  test("SQL surface: abs() in a join condition rewrites too") {
+    sideA.createOrReplaceTempView("band_a")
+    sideB.createOrReplaceTempView("band_b")
+    val df = withRule(on = true) {
+      spark.sql("SELECT ida, idb FROM band_a JOIN band_b " +
+        "ON abs(va - vb) <= 3")
+    }
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"), "SQL form did not rewrite")
+    val expected = withRule(on = false) { bandJoin(3).count() }
+    assert(df.count() === expected)
+  }
+
   test("double-typed band predicates are NOT rewritten (exactness guard)") {
     val a = Seq(1.0, 2.5).toDF("da")
     val b = Seq(1.4, 9.9).toDF("db")
