@@ -325,6 +325,26 @@ object SparkEntry {
     // EXISTS/NOT EXISTS decorrelation (q21), anti-join + global threshold
     // (q22). ---------------------------------------------------------------
 
+    // TPC-H Q2 (adapted: the supplier-part cost relation is derived from
+    // lineitem since the testdata has no partsupp): min-cost supplier per
+    // part — argmin via a per-part best-cost aggregate joined back on
+    // (part, cost), never a correlated per-row probe.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(cents(col("l_extendedprice"))).as("cost_cents"))
+      val best = ps.groupBy(col("l_partkey").as("b_partkey"))
+        .agg(min(col("cost_cents")).as("best_cents"))
+      ps.join(best, col("b_partkey") === col("l_partkey") &&
+          col("cost_cents") === col("best_cents"))
+        .join(t(s, dir, "part")
+          .filter(col("p_size") <= 5 && col("p_type") === "LARGE"),
+          col("p_partkey") === col("l_partkey"))
+        .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .select(col("p_partkey"), col("s_name"), col("cost_cents"))
+        .orderBy("p_partkey", "s_name")
+    }),
+
     // TPC-H Q7: bilateral shipping volume between two nations; the nation
     // table joins TWICE in different roles (supplier side, customer side) —
     // both broadcast.
@@ -2546,6 +2566,20 @@ object SparkEntry {
         |    AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
         |    AND l_discount BETWEEN 0.05 AND 0.07
         |    AND l_quantity < 24""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost_cents
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |  best AS (SELECT l_partkey AS b_partkey,
+        |    min(cost_cents) AS best_cents FROM ps GROUP BY l_partkey)
+        |SELECT p_partkey, s_name, cost_cents
+        |FROM ps JOIN best ON b_partkey = l_partkey
+        |              AND cost_cents = best_cents
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_size <= 5 AND p_type = 'LARGE'
+        |ORDER BY p_partkey, s_name""".stripMargin,
 
     "q7_nation_volume" ->
       """SELECT supp_nation, cust_nation, l_year,

@@ -329,6 +329,31 @@ class PlanSpec extends SparkSpec {
       s"bucket key missing — rewrite did not produce the band plan:\n$plan")
   }
 
+  test("ANALYZE statistics flow into plan costing (CBO plumbing)") {
+    spark.sql("DROP TABLE IF EXISTS stats_nation")
+    Tables.load(spark, sf, "nation").write.mode("overwrite")
+      .saveAsTable("stats_nation")
+    spark.sql("ANALYZE TABLE stats_nation COMPUTE STATISTICS")
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("stats_nation")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(25)),
+        s"ANALYZE row count missing from plan stats: $stats")
+      // a join against the stats'd table broadcasts it without any hint
+      val joined = Tables.load(spark, sf, "customer")
+        .join(spark.table("stats_nation"),
+          col("c_nationkey") === col("n_nationkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"stats'd dimension should broadcast:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prev)
+      spark.sql("DROP TABLE IF EXISTS stats_nation")
+    }
+  }
+
   test("null-safe equality still plans as a hash join") {
     val df = SparkEntry.queries("p18_null_safe_join")(spark, sf)
     df.collect()
