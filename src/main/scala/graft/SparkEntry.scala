@@ -1861,6 +1861,16 @@ object SparkEntry {
           queryName = "graft_ddw_" + System.nanoTime())
         .orderBy("event_type")),
 
+    // ---- ST13: event-time TIMERS through transformWithState — sessions
+    // closed by data emit in-batch; idle tails are sealed by their timer
+    // when the final watermark passes (the replayable alternative to
+    // processing-time timeouts) ------------------------------------------
+    "st13_timer_sessions" -> ((s, dir) =>
+      StreamOps.timerSessionsBatch(s, dir,
+          gapSeconds = 14400, delaySeconds = 3600,
+          queryName = "graft_timer_" + System.nanoTime())
+        .orderBy("user_id", "start_us")),
+
     // ---- ST7: stream-stream join with an event-time range constraint ----
     "st7_stream_stream_join" -> ((s, dir) =>
       StreamOps.streamStreamAttribution(s, dir,
@@ -1974,6 +1984,15 @@ object SparkEntry {
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"), col("n"))
         .orderBy("status", "prio")),
+
+    // ---- S14: weighted deterministic sampling — inclusion probability
+    // proportional to document length, yet reproducible (md5 draw vs an
+    // integer threshold — no RNG, no floating-point boundary) ------------
+    "s14_weighted_sample" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSample(
+          t(s, dir, "documents"), "doc_id", "n_chars", scale = 1000000L)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")),
 
     // ---- A13: exact equi-width histogram — bucket ids in integer cents
     // so the bin edge can never drift between engines -------------------
@@ -2773,6 +2792,12 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "s14_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) < n_chars * 1000000
+        |ORDER BY doc_id""".stripMargin,
 
     "a13_histogram" ->
       """SELECT CAST(round(l_extendedprice*100) AS BIGINT) // 500000
@@ -4262,6 +4287,36 @@ object SparkEntry {
         |  FROM agg
         |  WHERE sid < (SELECT max(s2.sid) FROM agg s2
         |               WHERE s2.user_id = agg.user_id)
+        |  ORDER BY user_id, start_us""".stripMargin,
+
+    // timer sessions: gap-sessions that were closed by a later event
+    // (sid < user max) OR whose ms-resolution timer (end/1000 + gap_ms)
+    // fell below the final watermark (max ts / 1000 - delay_ms)
+    "st13_timer_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |    FROM events),
+        | wm AS (SELECT (max(ts_us) // 1000) - 3600000 AS wm_ms FROM e),
+        | marked AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 14400000000 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        | sess AS (
+        |  SELECT user_id, ts_us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        | agg AS (
+        |  SELECT user_id, sid, min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |    count(*) AS n_events
+        |  FROM sess GROUP BY user_id, sid)
+        | SELECT user_id, start_us, end_us, CAST(n_events AS BIGINT) AS n_events
+        |  FROM agg, wm
+        |  WHERE sid < (SELECT max(s2.sid) FROM agg s2
+        |               WHERE s2.user_id = agg.user_id)
+        |     OR (end_us // 1000) + 14400000 < wm_ms
         |  ORDER BY user_id, start_us""".stripMargin,
 
     // key-only watermark dedup: one batch keeps one row per (user, type)

@@ -44,4 +44,24 @@ object Sampling {
     df.withColumn("split",
       when(firstHex < cutSixteenths, "test").otherwise("train"))
   }
+
+  /** Weighted Bernoulli sample, deterministic: a row survives iff its
+    * md5-derived uniform draw (first 8 hex digits → 32-bit integer)
+    * falls below weight × scale — inclusion probability proportional to
+    * the weight column (importance/quality-weighted corpus sampling),
+    * yet reproducible under reruns, repartitioning, and data growth,
+    * exactly like [[trainTestSplit]]. The draw and the threshold are
+    * integers, so any engine with md5 reproduces the identical sample —
+    * no RNG, no floating-point boundary.
+    *
+    * @param scale survival threshold per weight unit, out of 2^32: a row
+    *              with weight w survives with probability
+    *              min(1, w·scale / 2^32)
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     scale: Long): DataFrame = {
+    val draw = conv(substring(hashRank(col(idCol)), 1, 8), 16, 10)
+      .cast("long")
+    df.filter(draw < col(weightCol).cast("long") * scale)
+  }
 }

@@ -348,6 +348,107 @@ object StreamOps {
     }
   }
 
+  /** Gap-sessionization with EVENT-TIME TIMERS — the full
+    * transformWithState surface: sessions that close within a batch (a
+    * later event exceeds the gap) emit from `handleInputRows`; the open
+    * tail registers a timer at last + gap, and `handleExpiredTimer` seals
+    * it once the WATERMARK passes — the mechanism that closes idle
+    * sessions on an unbounded stream without waiting for the user's next
+    * event (mapGroupsWithState could only do this with processing-time
+    * timeouts, which are wall-clock nondeterministic; event-time timers
+    * are replayable). Timers are millisecond-resolution: expiry =
+    * floor(last_us / 1000) + gap_ms.
+    */
+  private class TimerSessions(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, CompletedSession] {
+    @transient private var sess:
+        org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode):
+        Unit =
+      sess = getHandle.getValueState[SessionState]("sess",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[CompletedSession] = {
+      val gapUs = gapSeconds * 1000000L
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var completed = List.empty[CompletedSession]
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+            cur = Some(s.copy(lastUs = e.ts_us, n = s.n + 1))
+          case Some(s) =>
+            completed ::= CompletedSession(uid, s.startUs, s.lastUs, s.n)
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+          case None =>
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+        }
+      }
+      cur.foreach { s =>
+        sess.update(s)
+        getHandle.registerTimer(s.lastUs / 1000 + gapSeconds * 1000)
+      }
+      completed.reverseIterator
+    }
+    override def handleExpiredTimer(uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[CompletedSession] =
+      if (sess.exists()) {
+        val s = sess.get()
+        sess.clear()
+        Iterator.single(CompletedSession(uid, s.startUs, s.lastUs, s.n))
+      } else Iterator.empty
+  }
+
+  /** [[TimerSessions]] driven synchronously: batch 0 processes the corpus
+    * (in-batch-closed sessions emit), then the final watermark
+    * (max ts − delay) expires timers and seals idle tails. Deterministic —
+    * a session emits iff a later event closed it OR its timer
+    * (floor(last_us/1000) + gap_ms) is below the final watermark — hence
+    * oracle-checkable like st6/st8.
+    */
+  def timerSessionsBatch(spark: SparkSession, dir: String,
+                         gapSeconds: Long, delaySeconds: Long,
+                         queryName: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val events = eventStream(spark, dir)
+        .withWatermark("ts", s"$delaySeconds seconds")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[Event]
+      val out = events.groupByKey(_.user_id)
+        .transformWithState(new TimerSessions(gapSeconds),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+      withStatePartitions(spark, HarnessStateParts) {
+        val q = out.toDF().writeStream
+          .outputMode(OutputMode.Append)
+          .format("memory").queryName(queryName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      spark.table(queryName)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   /** Running per-user totals through `transformWithState`, driven
     * synchronously from the static events parquet. Update mode + one
     * AvailableNow micro-batch → exactly one output row per user, equal to
