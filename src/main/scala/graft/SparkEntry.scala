@@ -2110,6 +2110,25 @@ object SparkEntry {
           |ORDER BY p_partkey""".stripMargin)
     }),
 
+    // ---- P19: NOT IN three-valued null semantics — the classic SQL trap:
+    // a NULL anywhere in the subquery result makes NOT IN unknowable, so
+    // ZERO rows survive. Catalyst plans this as a null-aware anti join
+    // (single-column NAAJ → broadcast hash join, not a nested loop). -----
+    "p19_not_in_nulls" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT
+          |  (SELECT count(*) FROM orders
+          |   WHERE o_orderpriority NOT IN
+          |     (SELECT DISTINCT o_orderpriority FROM orders
+          |      WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'))
+          |    AS n_null_free,
+          |  (SELECT count(*) FROM orders
+          |   WHERE o_orderpriority NOT IN
+          |     (SELECT nullif(o_orderpriority, '5-LOW') FROM orders))
+          |    AS n_with_null""".stripMargin)
+    }),
+
     // ---- Q4-style EXISTS: correlated subquery — Catalyst rewrites the
     // EXISTS into a left-semi hash join (RewritePredicateSubquery), so the
     // "for each order, probe its lineitems" spelling costs ONE equality
@@ -2884,6 +2903,18 @@ object SparkEntry {
         |  CAST(sum(price_cents) AS BIGINT) AS kept_cents
         |FROM o WHERE NOT EXISTS (SELECT 1 FROM deny
         |  WHERE abs(price_cents - deny_cents) <= 100)""".stripMargin,
+
+    "p19_not_in_nulls" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderpriority NOT IN
+        |     (SELECT DISTINCT o_orderpriority FROM orders
+        |      WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'))
+        |    AS n_null_free,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderpriority NOT IN
+        |     (SELECT nullif(o_orderpriority, '5-LOW') FROM orders))
+        |    AS n_with_null""".stripMargin,
 
     "p18_null_safe_join" ->
       """WITH l AS (SELECT o_orderkey,

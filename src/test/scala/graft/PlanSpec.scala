@@ -354,6 +354,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("NOT IN plans as a null-aware anti join, not a nested loop probe") {
+    Tables.registerAll(spark, sf)
+    val df = spark.sql("SELECT count(*) FROM orders WHERE " +
+      "o_orderpriority NOT IN (SELECT nullif(o_orderpriority, '5-LOW') " +
+      "FROM orders)")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // single-column NOT IN optimizes to a broadcast hash join whose
+    // trailing flag is isNullAware=true — never a nested loop probe
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"expected a null-aware anti hash join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"NOT IN degraded to a nested loop:\n$plan")
+  }
+
   test("null-safe equality still plans as a hash join") {
     val df = SparkEntry.queries("p18_null_safe_join")(spark, sf)
     df.collect()
