@@ -390,6 +390,12 @@ object StreamOps {
       }
       cur.foreach { s =>
         sess.update(s)
+        // drop any timer from a previous batch first: a stale (earlier)
+        // timer would otherwise fire while the session is still open and
+        // seal it early — invisible in a one-batch harness, wrong on a
+        // live stream
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
         getHandle.registerTimer(s.lastUs / 1000 + gapSeconds * 1000)
       }
       completed.reverseIterator
