@@ -1861,6 +1861,13 @@ object SparkEntry {
           queryName = "graft_ddw_" + System.nanoTime())
         .orderBy("event_type")),
 
+    // ---- ST14: ListState through transformWithState — O(k) per-key
+    // recent-events buffer (last 3 by recency, ties by event id) ---------
+    "st14_list_state" -> ((s, dir) =>
+      StreamOps.recentEventsBatch(s, dir,
+          queryName = "graft_list_" + System.nanoTime())
+        .orderBy("user_id")),
+
     // ---- ST13: event-time TIMERS through transformWithState — sessions
     // closed by data emit in-batch; idle tails are sealed by their timer
     // when the final watermark passes (the replayable alternative to
@@ -4319,6 +4326,20 @@ object SparkEntry {
         |  WHERE sid < (SELECT max(s2.sid) FROM agg s2
         |               WHERE s2.user_id = agg.user_id)
         |  ORDER BY user_id, start_us""".stripMargin,
+
+    // last-3 events per user by (ts, event_id) recency, -1 padded
+    "st14_list_state" ->
+      """WITH r AS (SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(epoch_us(ts) AS BIGINT) DESC,
+        |        event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id,
+        |  coalesce(max(CASE WHEN rk=1 THEN event_id END), -1) AS e1,
+        |  coalesce(max(CASE WHEN rk=2 THEN event_id END), -1) AS e2,
+        |  coalesce(max(CASE WHEN rk=3 THEN event_id END), -1) AS e3
+        |FROM r WHERE rk <= 3 GROUP BY user_id ORDER BY user_id"""
+        .stripMargin,
 
     // timer sessions: gap-sessions that were closed by a later event
     // (sid < user max) OR whose ms-resolution timer (end/1000 + gap_ms)

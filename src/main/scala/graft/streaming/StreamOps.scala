@@ -455,6 +455,84 @@ object StreamOps {
     }
   }
 
+  /** (ts_us, event_id) pair held in a recent-events list. */
+  case class RecentEvent(ts_us: Long, event_id: Long)
+
+  /** Last-3 events per user flattened to columns. */
+  case class RecentRow(user_id: Long, e1: Long, e2: Long, e3: Long)
+
+  /** Bounded recent-events buffer as a ListState — the third
+    * transformWithState primitive after ValueState (st11) and timers
+    * (st13): the state is a LIST the store reads/writes incrementally
+    * (append without rewriting the whole value — on RocksDB a merge op),
+    * the right shape for bounded per-key buffers like "last k events",
+    * dedup rings, or replay windows. The buffer is re-truncated to k on
+    * every batch, so state is O(k) per key forever.
+    */
+  private class RecentEvents(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, RecentRow] {
+    @transient private var recent:
+        org.apache.spark.sql.streaming.ListState[RecentEvent] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode):
+        Unit =
+      recent = getHandle.getListState[RecentEvent]("recent",
+        org.apache.spark.sql.Encoders.product[RecentEvent],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[RecentRow] = {
+      val merged = (recent.get().toSeq ++
+        rows.map(e => RecentEvent(e.ts_us, e.event_id)))
+        .sortBy(r => (-r.ts_us, -r.event_id))
+        .take(k)
+      recent.put(merged.toArray)
+      def idAt(i: Int): Long =
+        if (i < merged.length) merged(i).event_id else -1L
+      Iterator.single(RecentRow(uid, idAt(0), idAt(1), idAt(2)))
+    }
+  }
+
+  /** Last-3 events per user via [[RecentEvents]], driven synchronously —
+    * one Update-mode batch leaves one row per user, equal to the batch
+    * top-3-by-recency (ties broken by event id, mirrored in the oracle).
+    */
+  def recentEventsBatch(spark: SparkSession, dir: String,
+                        queryName: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val events = eventStream(spark, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[Event]
+      val out = events.groupByKey(_.user_id)
+        .transformWithState(new RecentEvents(3),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      withStatePartitions(spark, HarnessStateParts) {
+        val q = out.toDF().writeStream
+          .outputMode(OutputMode.Update)
+          .format("memory").queryName(queryName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      spark.table(queryName)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   /** Running per-user totals through `transformWithState`, driven
     * synchronously from the static events parquet. Update mode + one
     * AvailableNow micro-batch → exactly one output row per user, equal to
