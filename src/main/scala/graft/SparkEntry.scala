@@ -730,6 +730,34 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ---- G2: exact triangle count over the nation co-trade graph.
+    // Degree-ordered orientation bounds every out-list by O(√m) — the
+    // celebrity-node wedge blowup never materializes — while the count is
+    // provably identical to the naive a<b three-way join the oracle runs.
+    "g2_triangles" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .select(col("c_nationkey").as("x"), col("s_nationkey").as("y"))
+        .distinct()
+      graft.ops.Graph.triangleCount(pairs, "x", "y")
+    }),
+
+    // ---- G3: BFS levels from one customer over the customer↔supplier
+    // interaction graph — frontier expansion, one join + one min-agg per
+    // round, settled nodes never re-expand. ------------------------------
+    "g3_bfs_levels" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      graft.ops.Graph.bfsLevels(edges, "a", "b", source = 2L, maxDepth = 4)
+        .orderBy("id")
+    }),
+
     // ---- S13: ORC source/sink round trip — the engine's second columnar
     // format; schema, doubles, and timestamps survive bit-exactly. -------
     "s13_orc_roundtrip" -> ((s, dir) => {
@@ -1505,6 +1533,24 @@ object SparkEntry {
         .orderBy("z", "l_orderkey", "l_linenumber")
         .limit(100)),
 
+    // ---- B3: partition-pruned layout — the table is WRITTEN partitioned
+    // by event date, so a date predicate prunes at PLANNING time (directory
+    // listing), before a single row-group footer is read: the third member
+    // of the layout family (b1 bucketing, b2 z-order). PlanSpec pins that
+    // the pruned scan reads one partition. ---------------------------------
+    "b3_partition_pruning" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_part").toString + "/ev"
+      t(s, dir, "events")
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("event_date") === "2024-01-15")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy("event_type")
+    }),
+
     // ---- C7: the END-TO-END curation pipeline — every stage a gated
     // operator, composed in production order: quality gate (length band +
     // repetition) → paragraph-level dedup with reassembly (d12) →
@@ -2089,6 +2135,27 @@ object SparkEntry {
           "stack(3, 'click', n_click, 'view', n_view, " +
             "'purchase', n_purchase) AS (metric, n)")
         .orderBy("user_id", "metric")),
+
+    // ---- E9: gaps-and-islands — consecutive-activity runs per user via
+    // the day − row_number() constant-group trick: one sort per user
+    // partition, no self-join, no per-user array. Day numbers are integer
+    // epoch days so both engines group on exact arithmetic. ---------------
+    "e9_islands" -> ((s, dir) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+        .distinct()
+      val grouped = days.withColumn("grp",
+        col("day") - row_number().over(
+          Window.partitionBy("user_id").orderBy("day")))
+      grouped.groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          max(col("len")).as("longest_run"),
+          sum(col("len")).as("active_days"))
+        .orderBy("user_id")
+    }),
 
     // ---- Reproducible sampling (training-data ops) ----------------------
     "s8_stratified_sample" -> ((s, dir) =>
@@ -2993,6 +3060,70 @@ object SparkEntry {
         |    JOIN deg d ON e.src = d.src GROUP BY e.dst)
         |SELECT id, score FROM r3 ORDER BY score DESC, id LIMIT 20"""
         .stripMargin,
+
+    // Naive oriented (a<b) three-way join — the degree orientation the
+    // engine uses changes intermediate sizes, never the count.
+    "g2_triangles" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT c_nationkey AS x, s_nationkey AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN lineitem ON l_orderkey = o_orderkey
+        |    JOIN supplier ON s_suppkey = l_suppkey),
+        | e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |       FROM pairs WHERE x <> y)
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        | FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    "g3_bfs_levels" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |  edges AS (SELECT a AS src, b AS dst FROM pairs
+        |    UNION SELECT b AS src, a AS dst FROM pairs),
+        |  r0 AS (SELECT CAST(2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d),
+        |  r1 AS (SELECT id, CAST(min(d) AS BIGINT) AS d FROM (
+        |    SELECT * FROM r0 UNION ALL
+        |    SELECT e.dst, 1 FROM edges e JOIN r0 r ON e.src = r.id
+        |      WHERE r.d = 0) GROUP BY id),
+        |  r2 AS (SELECT id, CAST(min(d) AS BIGINT) AS d FROM (
+        |    SELECT * FROM r1 UNION ALL
+        |    SELECT e.dst, 2 FROM edges e JOIN r1 r ON e.src = r.id
+        |      WHERE r.d = 1) GROUP BY id),
+        |  r3 AS (SELECT id, CAST(min(d) AS BIGINT) AS d FROM (
+        |    SELECT * FROM r2 UNION ALL
+        |    SELECT e.dst, 3 FROM edges e JOIN r2 r ON e.src = r.id
+        |      WHERE r.d = 2) GROUP BY id),
+        |  r4 AS (SELECT id, CAST(min(d) AS BIGINT) AS d FROM (
+        |    SELECT * FROM r3 UNION ALL
+        |    SELECT e.dst, 4 FROM edges e JOIN r3 r ON e.src = r.id
+        |      WHERE r.d = 3) GROUP BY id)
+        |SELECT id, d AS depth FROM r4 ORDER BY id""".stripMargin,
+
+    "b3_partition_pruning" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        | FROM events
+        | WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+        | GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e9_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        | runs AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM days),
+        | islands AS (
+        |  SELECT user_id, grp, count(*) AS len
+        |  FROM runs GROUP BY user_id, grp)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(max(len) AS BIGINT) AS longest_run,
+        |  CAST(sum(len) AS BIGINT) AS active_days
+        | FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "s13_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -74,4 +74,77 @@ object Graph {
     withDeg.unpersist()
     scores
   }
+
+  /** Exact triangle count via degree-ordered edge orientation.
+    *
+    * The naive count joins the undirected edge list with itself twice —
+    * a node of degree d contributes d² wedge rows, so one celebrity node
+    * blows the intermediate up quadratically. Orienting every edge from
+    * its smaller endpoint to its larger endpoint under the TOTAL order
+    * (degree, id) bounds every out-list by O(√m) (each triangle has
+    * exactly one node whose two triangle edges both point away, so it is
+    * counted exactly once), which is the classic O(m^1.5) bound — the
+    * orientation changes the join sizes, never the count, so the DuckDB
+    * oracle can use the naive a<b three-way join and still hash-match.
+    *
+    * Shape: two shuffles (degree groupBy + wedge self-join); the closing-
+    * edge probe reuses the oriented list's partitioning.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // rank packs (degree, id) into one BIGINT so the orientation is a
+    // total order without struct comparisons in the join keys
+    val ranked = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"),
+        (col("da") * 2147483648L + col("a")).as("ra"),
+        (col("db") * 2147483648L + col("b")).as("rb"))
+    val oriented = ranked.select(
+      when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
+      when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("w"),
+      greatest(col("ra"), col("rb")).as("rw"))
+    val w1 = oriented.select(col("u"), col("w").as("v1"), col("rw").as("r1"))
+    val w2 = oriented.select(col("u"), col("w").as("v2"), col("rw").as("r2"))
+    val wedges = w1.join(w2, Seq("u")).filter(col("r1") < col("r2"))
+      .select(col("v1"), col("v2"))
+    wedges.join(oriented.select(col("u").as("v1"), col("w").as("v2")),
+        Seq("v1", "v2"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Unweighted single-source shortest-path levels (BFS) to `maxDepth`.
+    *
+    * Per round ONE equi-join (previous round's frontier against the edge
+    * list) + one min-aggregation; `localCheckpoint` severs the iterative
+    * lineage exactly as [[pageRank]]. The frontier filter keeps each round
+    * linear in newly reached nodes — already-settled nodes never re-expand,
+    * so total work is O(m · 1) across all rounds, not O(m · depth).
+    * Depths are BIGINT so the hash gate sees identical types in both
+    * engines. Nodes unreached within `maxDepth` are absent from the result.
+    */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+                source: Long, maxDepth: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    var reached = e.sparkSession.range(1)
+      .select(lit(source).as("id"), lit(0L).as("depth"))
+      .localCheckpoint()
+    for (k <- 1 to maxDepth) {
+      val frontier = reached.filter(col("depth") === (k - 1))
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id"), lit(k.toLong).as("depth"))
+      reached = reached.union(next)
+        .groupBy("id").agg(min(col("depth")).as("depth"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    reached
+  }
 }

@@ -47,4 +47,48 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r(1L) - Graph.Scale / 2) <= 20,
       s"cycle should stay uniform: $r")
   }
+
+  private def tri(edges: Seq[(Long, Long)]): Long =
+    Graph.triangleCount(edges.toDF("s", "d"), "s", "d")
+      .collect().head.getLong(0)
+
+  test("triangle count: K4 has 4, a star has 0, duplicates don't double") {
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    assert(tri(k4) === 4L)
+    assert(tri(Seq(0L -> 1L, 0L -> 2L, 0L -> 3L)) === 0L)
+    // same triangle reported in both directions and twice: still 1
+    assert(tri(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 2L -> 1L, 1L -> 2L)) === 1L)
+  }
+
+  test("triangle count matches the naive a<b definition on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }
+    val canon = edges.map { case (a, b) => (a min b, a max b) }.distinct
+    val set = canon.toSet
+    val naive = (for {
+      (a, b) <- canon; (c, d) <- canon
+      if c == b && set.contains((a, d))
+    } yield 1).size
+    assert(tri(edges) === naive.toLong)
+  }
+
+  test("bfs levels: path graph depths, cap respected, unreached absent") {
+    // path 1-2-3-4-5 symmetrized, plus isolated 9-10 component
+    val path = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 9L -> 10L)
+    val sym = path ++ path.map(_.swap)
+    val got = Graph.bfsLevels(sym.toDF("s", "d"), "s", "d",
+        source = 1L, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
+      s"expected depths along the path, got $got")
+  }
+
+  test("bfs levels keep the MINIMUM depth when paths of mixed length meet") {
+    // 1→2→3 and direct 1→3: node 3 is depth 1, not 2
+    val e = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L)
+    val got = Graph.bfsLevels(e.toDF("s", "d"), "s", "d", 1L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) === 1L && got(2L) === 1L && got(1L) === 0L)
+  }
 }

@@ -380,4 +380,29 @@ class PlanSpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       s"null-safe join degraded to nested loop:\n$plan")
   }
+
+  test("date-partitioned write prunes to one partition at planning time") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_prune").toString + "/ev"
+    Tables.load(spark, sf, "events")
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+      .filter(col("event_date") === "2024-01-15")
+      .agg(count(lit(1)).as("n"))
+    val physical = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = physical.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no file scan in plan"))
+    // directory-level pruning: exactly one of the ~30 date partitions read
+    assert(scan.metadata("PartitionFilters").contains("event_date"),
+      s"partition filter missing: ${scan.metadata}")
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"expected 1 pruned partition, got " +
+        s"${scan.selectedPartitions.partitionCount}")
+  }
 }
