@@ -1189,6 +1189,26 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- T15: bigram novelty — a corpus-level language-model-ish quality
+    // signal in exact integer arithmetic: per doc, the share of bigram
+    // OCCURRENCES whose corpus-wide frequency clears a threshold, in basis
+    // points (floor division — no float ratio under the hash gate). One
+    // shuffle on the bigram, one partial-agged count-back per doc. --------
+    "t15_bigram_novelty" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      val bi = toks.select(col("doc_id"),
+        explode(MinHashDedup.shingles(col("tk"), 2)).as("bigram"))
+      val corpus = bi.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      bi.join(corpus, "bigram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("cnt") >= 5, 1L).otherwise(0L)).as("n_common"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("n_common * 10000L div n_bigrams").as("common_bp"))
+        .orderBy("doc_id")
+    }),
+
     "d1_exact_dedup" -> ((s, dir) =>
       MinHashDedup.exactDuplicates(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("content_hash")),
@@ -1695,6 +1715,23 @@ object SparkEntry {
           max(col("k_val")).as("max_k"))
         .orderBy("event_type")),
 
+    // ---- P20: URL parsing — host/path/query-param extraction with
+    // parse_url (codegen'd built-in, no UDF); the oracle computes the
+    // expected components from the same source columns, so the parse is
+    // checked against construction ground truth. --------------------------
+    "p20_url_parse" -> ((s, dir) => {
+      val withUrl = t(s, dir, "customer").withColumn("url",
+        concat(lit("https://"), lower(col("c_mktsegment")),
+          lit(".example.com/cust/"), col("c_custkey"),
+          lit("?nation="), col("c_nationkey")))
+      withUrl.select(col("c_custkey"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("nation"))
+            .as("nation_param"))
+        .orderBy("c_custkey")
+    }),
+
     // ---- E5: OHLC downsampling — per (user, day) bars: first/last by
     // event time (open/close, ties broken on event_id so the bar is
     // total-order deterministic) + min/max/count. Two window functions
@@ -1860,6 +1897,30 @@ object SparkEntry {
         .groupBy("purchase_id")
         .agg(count(lit(1)).as("n_clicks"))
         .orderBy("purchase_id")
+    }),
+
+    // ---- X5: interval-OVERLAP join — both sides are intervals (per-user
+    // daily view/click activity spans); pairs meet on an equality
+    // (user, bin) key and are emitted exactly once at the bin holding the
+    // overlap's start, so there is no dedup exchange and no nested loop. --
+    "x5_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("day",
+          datediff(to_date(col("ts")), lit("1970-01-01")))
+      def spans(tp: String, dayN: String, sN: String, eN: String) = ev
+        .filter(col("event_type") === tp)
+        .groupBy(col("user_id"), col("day").as(dayN))
+        .agg(min(col("us")).as(sN), max(col("us")).as(eN))
+      val views = spans("view", "v_day", "v_start", "v_end")
+      val clicks = spans("click", "c_day", "c_start", "c_end")
+      graft.ops.RangeJoin.intervalOverlap(views, clicks,
+          "v_start", "v_end", "c_start", "c_end",
+          Seq("user_id"), binWidth = 86400000000L)
+        .select(col("user_id"), col("v_day"), col("c_day"),
+          (least(col("v_end"), col("c_end")) -
+            greatest(col("v_start"), col("c_start"))).as("overlap_us"))
+        .orderBy("user_id", "v_day", "c_day")
     }),
 
     // ---- ST8: NATIVE streaming session windows (session_window + water-
@@ -3124,6 +3185,48 @@ object SparkEntry {
         |  CAST(max(len) AS BIGINT) AS longest_run,
         |  CAST(sum(len) AS BIGINT) AS active_days
         | FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "x5_interval_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    event_type FROM events),
+        | v AS (SELECT user_id, day AS v_day,
+        |    min(us) AS v_start, max(us) AS v_end
+        |   FROM ev WHERE event_type = 'view' GROUP BY user_id, day),
+        | c AS (SELECT user_id, day AS c_day,
+        |    min(us) AS c_start, max(us) AS c_end
+        |   FROM ev WHERE event_type = 'click' GROUP BY user_id, day)
+        |SELECT v.user_id, v_day, c_day,
+        |  CAST(least(v_end, c_end) - greatest(v_start, c_start) AS BIGINT)
+        |    AS overlap_us
+        | FROM v JOIN c ON v.user_id = c.user_id
+        |   AND v_start <= c_end AND c_start <= v_end
+        | ORDER BY v.user_id, v_day, c_day""".stripMargin,
+
+    // The oracle computes the expected URL components from the source
+    // columns the URL was built from — construction ground truth.
+    "p20_url_parse" ->
+      """SELECT c_custkey,
+        |  lower(c_mktsegment) || '.example.com' AS host,
+        |  '/cust/' || c_custkey AS path,
+        |  CAST(c_nationkey AS VARCHAR) AS nation_param
+        | FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "t15_bigram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        | bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS bigram
+        |  FROM toks WHERE len(tk) >= 2),
+        | corpus AS (SELECT bigram, count(*) AS cnt FROM bi GROUP BY bigram)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN cnt >= 5 THEN 1 ELSE 0 END) * 10000
+        |    // count(*) AS BIGINT) AS common_bp
+        | FROM bi JOIN corpus USING (bigram)
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "s13_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,

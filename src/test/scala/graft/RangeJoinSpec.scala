@@ -42,4 +42,50 @@ class RangeJoinSpec extends SparkSpec {
     assert(fast === naive)
     assert(fast.nonEmpty)
   }
+
+  test("interval overlap emits each pair EXACTLY ONCE (no dedup pass)") {
+    // [0,100] and [50,150] share bins 5..10 at width 10 — must appear once
+    val l = Seq((1, 0L, 100L, "L1")).toDF("k", "ls", "le", "lid")
+    val r = Seq((1, 50L, 150L, "R1"), (1, 200L, 210L, "R2"))
+      .toDF("k", "rs", "re", "rid")
+    val rows = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re",
+        Seq("k"), 10L)
+      .select("lid", "rid").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq === Seq("L1" -> "R1"),
+      s"expected one (L1,R1) row, got ${rows.toSeq}")
+  }
+
+  test("interval overlap == naive inequality join, multiplicity included") {
+    val rnd = new scala.util.Random(11)
+    val left = Seq.tabulate(80) { i =>
+      val s = rnd.nextInt(800).toLong
+      (rnd.nextInt(4), s, s + rnd.nextInt(150).toLong, i.toLong)
+    }.toDF("k", "ls", "le", "lid")
+    // duplicate right rows on purpose: multiplicity must be preserved
+    val base = Seq.tabulate(40) { i =>
+      val s = rnd.nextInt(800).toLong
+      (rnd.nextInt(4), s, s + rnd.nextInt(150).toLong, i.toLong)
+    }
+    val right = (base ++ base.take(10)).toDF("k", "rs", "re", "rid")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("lid", "rid").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val fast = pairs(RangeJoin.intervalOverlap(left, right,
+      "ls", "le", "rs", "re", Seq("k"), 64L))
+    val naive = pairs(left.join(right, Seq("k"))
+      .filter(col("ls") <= col("re") && col("rs") <= col("le")))
+    assert(fast === naive)
+    assert(fast.nonEmpty)
+  }
+
+  test("adjacent touching endpoints overlap; disjoint intervals don't") {
+    val l = Seq((1, 0L, 10L, 1L)).toDF("k", "ls", "le", "lid")
+    val r = Seq((1, 10L, 20L, 1L), (1, 11L, 20L, 2L))
+      .toDF("k", "rs", "re", "rid")
+    val got = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re",
+        Seq("k"), 5L)
+      .select("rid").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L), "inclusive endpoint [10,10] must match only rid=1")
+  }
 }
