@@ -98,6 +98,11 @@ object GraftFunctions {
     "misra_gries" -> arity("misra_gries", 2)(exprs =>
       graft.functions.MisraGriesAgg(exprs(0),
         litInt("misra_gries", exprs(1)))),
+    // count_min(item, width, depth) — approximate-frequency sketch
+    // aggregate; counters are order-independent sums, so estimates gate
+    "count_min" -> arity("count_min", 3)(exprs =>
+      graft.functions.CountMinAgg(exprs(0),
+        litInt("count_min", exprs(1)), litInt("count_min", exprs(2)))),
     // bloom_build(item, numBits, numHashes) — membership filter aggregate
     "bloom_build" -> arity("bloom_build", 3)(exprs =>
       graft.functions.BloomFilterAgg(exprs(0),

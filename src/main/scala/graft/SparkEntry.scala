@@ -974,6 +974,38 @@ object SparkEntry {
         .withColumnRenamed("item", "token")
         .orderBy("token")),
 
+    // ---- A17: count-min point estimates — unlike MG's order-dependent
+    // counters, CM cells are plain sums, bit-identical under any merge
+    // tree, so the ESTIMATES gate directly: the oracle recomputes each
+    // queried cell as a collision-group count with the same md5 universal
+    // hash family. Includes an absent token ('zyzzyva...') whose estimate
+    // is pure collision mass. ---------------------------------------------
+    "a17_countmin" -> ((s, dir) => {
+      import s.implicits._
+      val width = 1024
+      val depth = 4
+      val toks = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val sk = toks
+        .agg(expr(s"count_min(token, $width, $depth)").as("sk"))
+        .collect()(0).getSeq[Long](0)
+      val items = Seq("the", "and", "of", "data", "to", "a", "in",
+        "is", "for", "zyzzyva_absent")
+      val est = items.map { it =>
+        (it, (0 until depth)
+          .map(j => sk(j * width + graft.functions.CountMin.bucket(it, j, width)))
+          .min)
+      }
+      val estDf = est.toDF("token", "est_cnt")
+      val exact = toks.filter(col("token").isin(items: _*))
+        .groupBy("token").agg(count(lit(1)).as("exact_raw"))
+      estDf.join(exact, Seq("token"), "left")
+        .select(col("token"),
+          coalesce(col("exact_raw"), lit(0L)).as("exact_cnt"),
+          col("est_cnt"))
+        .orderBy("token")
+    }),
+
     // ---- A7: approximate distinct (sketch checked against the exact count:
     // the HLL++ estimate itself is engine-specific, so the oracle-checkable
     // surface is the exact count plus a boolean asserting the sketch landed
@@ -1989,6 +2021,16 @@ object SparkEntry {
     "st7_stream_stream_join" -> ((s, dir) =>
       StreamOps.streamStreamAttribution(s, dir,
           queryName = "graft_ss_" + System.nanoTime())
+        .orderBy("purchase_id")),
+
+    // ---- ST15: LEFT OUTER stream-stream join — zero-click purchases
+    // emit null-padded when the watermark clears their window (state
+    // eviction, the path st7's inner join never takes); cutoff excludes
+    // the undecided tail, applied post-join so the global watermark
+    // stays at max(ts) − 1 h (see StreamOps.streamStreamLeftOuter). ------
+    "st15_stream_outer_join" -> ((s, dir) =>
+      StreamOps.streamStreamLeftOuter(s, dir,
+          queryName = "graft_sso_" + System.nanoTime())
         .orderBy("purchase_id")),
 
     // ---- X3: as-of join with a STALENESS TOLERANCE — the production
@@ -3357,6 +3399,44 @@ object SparkEntry {
         |  HAVING count(*) >= total * 0.03125
         |  ORDER BY token""".stripMargin,
 
+    // CM cells are order-independent sums, so the oracle recomputes each
+    // queried cell as the collision-group count under the same md5
+    // universal hash family ((2j+1)h + 7919j + 13 mod p mod width).
+    "a17_countmin" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        | hashed AS (
+        |  SELECT token,
+        |    CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+        |      % 2147483647 AS h
+        |  FROM toks),
+        | cells AS (
+        |  SELECT j, ((2*j+1)*h + 7919*j + 13) % 2147483647 % 1024 AS b,
+        |    count(*) AS cnt
+        |  FROM hashed, range(4) t(j) GROUP BY j, b),
+        | q AS (
+        |  SELECT token,
+        |    CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+        |      % 2147483647 AS h
+        |  FROM (VALUES ('the'),('and'),('of'),('data'),('to'),('a'),
+        |        ('in'),('is'),('for'),('zyzzyva_absent')) v(token)),
+        | qcells AS (
+        |  SELECT q.token, j,
+        |    ((2*j+1)*h + 7919*j + 13) % 2147483647 % 1024 AS b
+        |  FROM q, range(4) t(j)),
+        | est AS (
+        |  SELECT token, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_cnt
+        |  FROM qcells LEFT JOIN cells USING (j, b) GROUP BY token),
+        | ex AS (
+        |  SELECT token, count(*) AS exact_cnt FROM toks
+        |  WHERE token IN ('the','and','of','data','to','a','in','is',
+        |                  'for','zyzzyva_absent')
+        |  GROUP BY token)
+        |SELECT token, CAST(coalesce(exact_cnt, 0) AS BIGINT) AS exact_cnt,
+        |  est_cnt
+        | FROM est LEFT JOIN ex USING (token) ORDER BY token""".stripMargin,
+
     // The sketch estimate is engine-specific; the oracle checks the exact
     // count and asserts the Spark-side sketch sat within its error envelope
     // (TRUE here == the boolean Spark computed from its own sketch).
@@ -4692,6 +4772,21 @@ object SparkEntry {
     // range join) and st7 (watermarked stream-stream join) pin the SAME
     // semantics, so they must share the SQL structurally.
     "st7_stream_stream_join" -> AttributionSql,
+
+    "st15_stream_outer_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS p_us
+        |   FROM events WHERE event_type = 'purchase'
+        |    AND epoch_us(ts) <=
+        |      (SELECT max(epoch_us(ts)) - 14400000000 FROM events)),
+        | c AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS c_us
+        |   FROM events WHERE event_type = 'click')
+        |SELECT purchase_id, CAST(count(c.user_id) AS BIGINT) AS n_clicks
+        | FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |   AND c.c_us >= p.p_us AND c.c_us <= p.p_us + 7200000000
+        | GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
 
     // The binning is result-invisible: the oracle runs the plain
     // inequality join.

@@ -660,6 +660,61 @@ object StreamOps {
     agg
   }
 
+  /** Watermarked LEFT OUTER stream-stream join — the outer flavor of
+    * [[streamStreamAttribution]]: purchases with NO click in the 2 h
+    * attribution window still emit (null-padded) once the watermark passes
+    * the window's end, the state-eviction path an inner join never takes.
+    *
+    * Determinism under the hash gate: an unmatched left row emits only
+    * when the GLOBAL watermark (the MIN across both inputs) clears
+    * `p_ts + 2 h`, and the final no-data micro-batch parks the watermark
+    * at `max(ts) − 1 h`. Purchases inside the last 3 h of the corpus are
+    * therefore still undecided when the query drains, so the gate keeps
+    * only purchases with `p_ts ≤ max(ts) − 4 h` — and that cutoff is
+    * applied AFTER the join: filtering the purchase STREAM itself would
+    * cap its per-source watermark at `cutoff − 1 h` and drag the global
+    * minimum down with it, silently re-hiding the tail it was meant to
+    * expose. The batch mirror is the same LEFT JOIN with the same cutoff.
+    */
+  def streamStreamLeftOuter(spark: SparkSession, dir: String,
+                            queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val maxUs = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(expr("ts div 1000"))).collect().head.getLong(0)
+    val cutoffUs = maxUs - 4L * 3600L * 1000000L
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+        col("c_user") === col("p_user") &&
+          col("c_ts") >= col("p_ts") &&
+          col("c_ts") <= col("p_ts") + expr("INTERVAL 2 HOURS"),
+        "left_outer")
+      .filter(unix_micros(col("p_ts")) <= cutoffUs)
+    withStatePartitions(spark, HarnessStateParts) {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val agg = spark.table(queryName)
+      .groupBy(col("purchase_id"))
+      .agg(count(col("c_user")).as("n_clicks"))
+      .cache()
+    agg.count()
+    spark.catalog.dropTempView(queryName)
+    agg
+  }
+
   /** `foreachBatch` body for a streaming upsert into a live database
     * table: each micro-batch applies update-else-insert on `keys` via
     * [[graft.etl.JdbcSink.upsert]] — the standard pattern for sinks Spark
