@@ -695,6 +695,61 @@ object SparkEntry {
     // intervals: collapse runs of the same value (lag), then close each
     // interval with the next change's date (lead). One sort per customer
     // partition serves both window passes. ------------------------------
+    // ---- W6: trailing exact MEDIAN window — an order-statistic frame
+    // (percentile over ROWS), the frame kind sum/rank windows never hit;
+    // integer-cents input makes the interpolated halves bit-exact. -------
+    "w6_moving_median" -> ((s, dir) =>
+      t(s, dir, "events").filter(col("user_id") % 10 === 0)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          cents(col("value")).as("value_cents"))
+        .withColumn("med_cents",
+          expr("percentile(value_cents, 0.5)").over(
+            Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+              .rowsBetween(-6, 0)))
+        .select("user_id", "event_id", "med_cents")
+        .orderBy("user_id", "event_id")),
+
+    // ---- SCD2: point-in-time lookup against the scd1 interval history —
+    // probes join their ACTIVE interval ([from, to) day ranges) through
+    // the bucketized range join, never a per-probe scan; open intervals
+    // are capped at a date past the corpus so no interval explodes into
+    // thousands of bins (the degenerate-interval hazard in RangeJoin's
+    // contract). ----------------------------------------------------------
+    "scd2_temporal_lookup" -> ((s, dir) => {
+      val ordersSel = t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderdate"),
+          col("o_orderkey"), col("o_orderpriority"))
+      val w = Window.partitionBy("custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      val capDay = 11688 // 2002-01-01, past the last order date
+      val hist = ordersSel
+        .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+        .withColumn("from_day",
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+        .withColumn("to_incl",
+          coalesce(
+            datediff(to_date(lead(col("o_orderdate"), 1).over(
+              Window.partitionBy("custkey")
+                .orderBy("o_orderdate", "o_orderkey"))),
+              lit("1970-01-01")),
+            lit(capDay)) - 1)
+        .select("custkey", "o_orderpriority", "from_day", "to_incl")
+      val probes = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"))
+        .withColumn("probe_date",
+          explode(array(Seq("1996-03-01", "1998-07-15", "2000-11-30")
+            .map(lit): _*)))
+        .withColumn("probe_day",
+          datediff(to_date(col("probe_date")), lit("1970-01-01")))
+      graft.ops.RangeJoin(probes, hist, "probe_day", "from_day", "to_incl",
+          Seq("custkey"), binWidth = 365L)
+        .select(col("custkey"), col("probe_date"),
+          col("o_orderpriority").as("priority"))
+        .orderBy("custkey", "probe_date")
+    }),
+
     "scd1_history" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -3113,6 +3168,40 @@ object SparkEntry {
         |  CAST(coalesce(big_cnt, 0) AS BIGINT) AS big_cnt
         |FROM urgent FULL OUTER JOIN big ON u_custkey = b_custkey
         |ORDER BY custkey""".stripMargin,
+
+    "w6_moving_median" ->
+      """SELECT user_id, event_id,
+        |  median(CAST(round(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_cents
+        | FROM events WHERE user_id % 10 = 0
+        | ORDER BY user_id, event_id""".stripMargin,
+
+    "scd2_temporal_lookup" ->
+      """WITH dedup AS (SELECT o_custkey AS custkey, o_orderdate,
+        |    o_orderkey, o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        | changes AS (SELECT * FROM dedup
+        |   WHERE prev IS NULL OR prev <> o_orderpriority),
+        | hist AS (SELECT custkey, o_orderpriority,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS from_day,
+        |    coalesce(date_diff('day', DATE '1970-01-01',
+        |        CAST(lead(o_orderdate) OVER (PARTITION BY custkey
+        |          ORDER BY o_orderdate, o_orderkey) AS DATE)),
+        |      11688) - 1 AS to_incl
+        |  FROM changes),
+        | probes AS (SELECT c_custkey AS custkey, probe_date,
+        |    date_diff('day', DATE '1970-01-01', CAST(probe_date AS DATE))
+        |      AS probe_day
+        |  FROM customer, (VALUES ('1996-03-01'), ('1998-07-15'),
+        |    ('2000-11-30')) v(probe_date))
+        |SELECT custkey, probe_date, o_orderpriority AS priority
+        | FROM probes JOIN hist USING (custkey)
+        | WHERE probe_day >= from_day AND probe_day <= to_incl
+        | ORDER BY custkey, probe_date""".stripMargin,
 
     "scd1_history" ->
       """WITH dedup AS (SELECT o_custkey, o_orderdate, o_orderkey,
