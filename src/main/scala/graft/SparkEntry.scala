@@ -813,6 +813,22 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- G4: weighted shortest paths (bounded Bellman–Ford) over the
+    // customer–supplier bipartite graph, edge weight = min shipped
+    // quantity; 3 relaxation rounds, frontier-only re-expansion ----------
+    "g4_sssp" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .agg(min(col("l_quantity").cast("long")).as("w"))
+      val edges = pairs.union(
+        pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
+      graft.ops.Graph.ssspRounds(edges, "a", "b", "w",
+          source = 2L, rounds = 3)
+        .orderBy("id")
+    }),
+
     // ---- S13: ORC source/sink round trip — the engine's second columnar
     // format; schema, doubles, and timestamps survive bit-exactly. -------
     "s13_orc_roundtrip" -> ((s, dir) => {
@@ -1658,6 +1674,28 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- J9: DYNAMIC partition pruning — b3's static prune needs the
+    // literal in the query; here the prune key arrives through a JOIN
+    // (dim filtered on an attribute), so only runtime subquery pruning
+    // saves the fact scan. This is the star-schema shape where DPP is
+    // worth ~selectivity× the whole 100 TB fact read; PlanSpec pins
+    // `dynamicpruning` in the partition filters. -------------------------
+    "j9_dpp" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dpp").toString + "/ev"
+      t(s, dir, "events")
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(tmp)
+      val dim = s.read.parquet(tmp)
+        .select("event_date").distinct()
+        .withColumn("day", dayofmonth(to_date(col("event_date"))))
+      s.read.parquet(tmp)
+        .join(broadcast(dim.filter(col("day") % 10 === 3)), "event_date")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy("event_type")
+    }),
+
     // ---- C7: the END-TO-END curation pipeline — every stage a gated
     // operator, composed in production order: quality gate (length band +
     // repetition) → paragraph-level dedup with reassembly (d12) →
@@ -2313,6 +2351,54 @@ object SparkEntry {
           max(col("len")).as("longest_run"),
           sum(col("len")).as("active_days"))
         .orderBy("user_id")
+    }),
+
+    // ---- E10: last-touch attribution — each purchase credited to the
+    // user's most recent PRECEDING click via an ignore-nulls carry-forward
+    // window: one sort per user partition, no self-join, no interval
+    // explosion (contrast x2, which COUNTS clicks in a window) -----------
+    "e10_last_touch" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("click_id"))
+        .orderBy("purchase_id")
+    }),
+
+    // ---- E11: RFM segmentation — recency/frequency/monetary quartiles
+    // per customer WITHIN their market segment; metrics integer-exact
+    // (days / counts / cents), ntile tie-broken by custkey so the
+    // quartile edge is deterministic. Quartiles are PARTITIONED (by
+    // segment) — a global `Window.orderBy` collapses to one task; at
+    // 100 TB a truly global quartile would be the two-pass
+    // range-partition + per-range offset scheme instead. -----------------
+    "e11_rfm" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+            .as("last_day"),
+          count(lit(1)).as("frequency"),
+          sum(cents(col("o_totalprice"))).as("monetary_cents"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"),
+            col("c_mktsegment").as("segment")), "custkey")
+      def quartile(c: String) = ntile(4).over(
+        Window.partitionBy("segment").orderBy(col(c), col("custkey")))
+        .cast("long")
+      m.select(col("custkey"), col("segment"), col("last_day"),
+          col("frequency"), col("monetary_cents"),
+          quartile("last_day").as("r_q"),
+          quartile("frequency").as("f_q"),
+          quartile("monetary_cents").as("m_q"))
+        .orderBy("custkey")
     }),
 
     // ---- Reproducible sampling (training-data ops) ----------------------
@@ -3291,12 +3377,47 @@ object SparkEntry {
         |      WHERE r.d = 3) GROUP BY id)
         |SELECT id, d AS depth FROM r4 ORDER BY id""".stripMargin,
 
+    "g4_sssp" ->
+      """WITH pairs AS (SELECT o_custkey*2 AS a, l_suppkey*2+1 AS b,
+        |    CAST(min(l_quantity) AS BIGINT) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        | edges AS (SELECT a AS src, b AS dst, w FROM pairs
+        |   UNION ALL SELECT b, a, w FROM pairs),
+        | d0 AS (SELECT CAST(2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
+        | d1 AS (SELECT id, min(dist) AS dist FROM (
+        |   SELECT * FROM d0 UNION ALL
+        |   SELECT e.dst, d.dist + e.w FROM edges e JOIN d0 d ON e.src = d.id)
+        |   GROUP BY id),
+        | d2 AS (SELECT id, min(dist) AS dist FROM (
+        |   SELECT * FROM d1 UNION ALL
+        |   SELECT e.dst, d.dist + e.w FROM edges e JOIN d1 d ON e.src = d.id)
+        |   GROUP BY id),
+        | d3 AS (SELECT id, min(dist) AS dist FROM (
+        |   SELECT * FROM d2 UNION ALL
+        |   SELECT e.dst, d.dist + e.w FROM edges e JOIN d2 d ON e.src = d.id)
+        |   GROUP BY id)
+        |SELECT id, dist FROM d3 ORDER BY id""".stripMargin,
+
     "b3_partition_pruning" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS value_cents
         | FROM events
         | WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+        | GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "j9_dpp" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS event_date
+        |  FROM events),
+        | dimf AS (SELECT event_date FROM dim
+        |   WHERE day(CAST(event_date AS DATE)) % 10 = 3)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        | FROM events JOIN dimf
+        |   ON strftime(ts, '%Y-%m-%d') = dimf.event_date
         | GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e9_islands" ->
@@ -3316,6 +3437,40 @@ object SparkEntry {
         |  CAST(max(len) AS BIGINT) AS longest_run,
         |  CAST(sum(len) AS BIGINT) AS active_days
         | FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e10_last_touch" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        | marked AS (SELECT user_id, event_id, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS click_id
+        |  FROM ev)
+        |SELECT event_id AS purchase_id, user_id, click_id
+        | FROM marked WHERE event_type = 'purchase'
+        | ORDER BY purchase_id""".stripMargin,
+
+    "e11_rfm" ->
+      """WITH m AS (SELECT o_custkey AS custkey,
+        |    max(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE))) AS last_day,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        | j AS (SELECT custkey, c_mktsegment AS segment, last_day,
+        |    frequency, monetary_cents
+        |  FROM m JOIN customer ON custkey = c_custkey)
+        |SELECT custkey, segment, last_day, frequency, monetary_cents,
+        |  CAST(ntile(4) OVER (PARTITION BY segment
+        |    ORDER BY last_day, custkey) AS BIGINT) AS r_q,
+        |  CAST(ntile(4) OVER (PARTITION BY segment
+        |    ORDER BY frequency, custkey) AS BIGINT) AS f_q,
+        |  CAST(ntile(4) OVER (PARTITION BY segment
+        |    ORDER BY monetary_cents, custkey) AS BIGINT) AS m_q
+        | FROM j ORDER BY custkey""".stripMargin,
 
     "x5_interval_join" ->
       """WITH ev AS (

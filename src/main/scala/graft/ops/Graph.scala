@@ -147,4 +147,51 @@ object Graph {
     e.unpersist()
     reached
   }
+
+  /** Weighted single-source shortest distances using at most `rounds`
+    * edges (bounded Bellman–Ford) — the weighted counterpart of
+    * [[bfsLevels]]. "Distance within k hops" is a well-defined quantity
+    * in its own right, and for k >= graph diameter it IS the shortest
+    * distance.
+    *
+    * Frontier discipline: only nodes whose tentative distance IMPROVED
+    * in round k-1 re-expand in round k (the set-based form of the SPFA
+    * queue), so a settled region never re-relaxes — per round one
+    * frontier⋈edges equi-join, one min-agg, one improvement anti-check.
+    * Weights stay BIGINT end to end: min-plus over integers is exact
+    * under any partitioning and any merge order, which is what lets an
+    * iterative algorithm sit under a hash-equality oracle. Parallel
+    * duplicate edges are collapsed to their min weight up front (they
+    * can never win a relaxation). At 1000-executor scale the same shape
+    * holds — the classic refinement is delta-stepping, which only
+    * changes WHICH frontier subset expands per round, not the join
+    * shape; `localCheckpoint` severs per-round lineage as in
+    * [[pageRank]].
+    */
+  def ssspRounds(edges: DataFrame, srcCol: String, dstCol: String,
+                 wCol: String, source: Long, rounds: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .persist()
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val relaxed = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      val next = dist.union(relaxed)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      frontier = next.join(
+          dist.select(col("id"), col("dist").as("prev")), Seq("id"), "left")
+        .filter(col("prev").isNull || col("dist") < col("prev"))
+        .select("id", "dist")
+        .localCheckpoint()
+      dist = next
+    }
+    e.unpersist()
+    dist
+  }
 }

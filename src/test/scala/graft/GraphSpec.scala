@@ -91,4 +91,42 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got(3L) === 1L && got(2L) === 1L && got(1L) === 0L)
   }
+
+  private def sssp(edges: Seq[(Long, Long, Long)], src: Long,
+                   rounds: Int): Map[Long, Long] =
+    Graph.ssspRounds(edges.toDF("s", "d", "w"), "s", "d", "w", src, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("sssp: cheap long path beats expensive direct edge, given rounds") {
+    // 1→2→3 costs 1+1=2; direct 1→3 costs 10
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 10L))
+    assert(sssp(e, 1L, 1) === Map(1L -> 0L, 2L -> 1L, 3L -> 10L),
+      "one round can only use direct edges")
+    assert(sssp(e, 1L, 2) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L),
+      "two rounds discover the cheaper 2-hop path")
+  }
+
+  test("sssp: frontier-only expansion still matches full Bellman-Ford") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(80)(
+      (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong,
+        (rnd.nextInt(9) + 1).toLong))
+      .filter { case (a, b, _) => a != b }
+    // reference: dense k-round Bellman-Ford on the min-collapsed edges
+    val minEdges = edges.groupBy(e => (e._1, e._2))
+      .map { case ((a, b), es) => (a, b, es.map(_._3).min) }.toSeq
+    var ref = Map(0L -> 0L)
+    for (_ <- 1 to 4) {
+      val relaxed = minEdges.flatMap { case (a, b, w) =>
+        ref.get(a).map(d => b -> (d + w)) }
+      ref = (ref.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    assert(sssp(edges, 0L, 4) === ref)
+  }
+
+  test("sssp collapses parallel duplicate edges to their minimum weight") {
+    val e = Seq((1L, 2L, 7L), (1L, 2L, 3L), (1L, 2L, 5L))
+    assert(sssp(e, 1L, 1) === Map(1L -> 0L, 2L -> 3L))
+  }
 }

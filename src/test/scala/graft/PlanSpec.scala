@@ -405,4 +405,14 @@ class PlanSpec extends SparkSpec {
       s"expected 1 pruned partition, got " +
         s"${scan.selectedPartitions.partitionCount}")
   }
+
+  test("join-driven prune key plans a dynamic partition pruning subquery") {
+    val df = SparkEntry.queries("j9_dpp")(spark, sf)
+    // DPP is visible pre-execution: the fact scan's PartitionFilters carry
+    // a dynamicpruning expression fed by the dim side's filtered scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the fact scan:\n" +
+        plan.take(4000))
+  }
 }
