@@ -1969,6 +1969,15 @@ object SparkEntry {
       StreamOps.sessionizeBatch(s, t(s, dir, "events"), gapSeconds = 86400)
         .toDF().orderBy("user_id")),
 
+    // ---- ST16: chained windowed aggregations — two stateful operators
+    // in one streaming query (quarter-hour partials → hourly rollup);
+    // the decided prefix (hour end strictly before the final watermark)
+    // is what the sink holds, mirrored in the oracle -----------------------
+    "st16_chained_windows" -> ((s, dir) =>
+      StreamOps.chainedWindowCounts(s, dir,
+          queryName = "graft_chain_" + System.nanoTime())
+        .orderBy("hour_str")),
+
     // ---- K1/K2: deterministic skew mitigation through the gate ----------
     // Salting must be result-invisible: the salted plans hash-match the
     // plain SQL the oracle runs.
@@ -2414,6 +2423,18 @@ object SparkEntry {
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")),
+
+    // ---- C9: training-data MIXTURE — fill 8% of the corpus from
+    // per-source quotas (40/30/20/10), hash-order so the recipe is
+    // rerun-stable and engine-portable; unlisted sources contribute
+    // nothing --------------------------------------------------------------
+    "c9_data_mixture" -> ((s, dir) =>
+      graft.ops.Sampling.mixture(t(s, dir, "documents"), "source", "doc_id",
+          weights = Seq("src1" -> 40, "src2" -> 30, "src3" -> 20,
+            "src4" -> 10),
+          budgetPct = 8)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
 
     // ---- SQL front door: views + registered engine functions ------------
     "sql1_engine_sql" -> ((s, dir) => {
@@ -4971,6 +4992,23 @@ object SparkEntry {
         |  FROM agg, wm WHERE end_us < w
         |  ORDER BY user_id, start_us""".stripMargin,
 
+    "st16_chained_windows" ->
+      """WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        | q AS (SELECT ts_us - ts_us % 900000000 AS qs,
+        |    count(*) AS n, sum(cents) AS cents FROM e GROUP BY 1),
+        | h AS (SELECT qs - qs % 3600000000 AS hs,
+        |    CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS value_cents,
+        |    CAST(max(n) AS BIGINT) AS peak_quarter_n
+        |  FROM q GROUP BY 1),
+        | wm AS (SELECT max(ts_us) AS w FROM e)
+        |SELECT strftime(to_timestamp(hs // 1000000),
+        |    '%Y-%m-%d %H:%M:%S') AS hour_str,
+        |  n, value_cents, peak_quarter_n
+        | FROM h, wm WHERE hs + 3600000000 < w
+        | ORDER BY hour_str""".stripMargin,
+
     "st2_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
@@ -5108,6 +5146,19 @@ object SparkEntry {
         |       THEN 'test' ELSE 'train' END AS split,
         |  count(*) AS n
         |  FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "c9_data_mixture" ->
+      """WITH n AS (SELECT count(*) AS corpus_n FROM documents),
+        | w AS (SELECT * FROM (VALUES ('src1', 40), ('src2', 30),
+        |    ('src3', 20), ('src4', 10)) t(source, w_pct)),
+        | q AS (SELECT source, ((corpus_n * 8 // 100) * w_pct) // 100
+        |    AS quota FROM n, w),
+        | ranked AS (SELECT doc_id, d.source, quota,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents d JOIN q USING (source))
+        |SELECT doc_id, source FROM ranked WHERE rn <= quota
+        | ORDER BY doc_id""".stripMargin,
 
     "sql1_engine_sql" ->
       """SELECT p_partkey,

@@ -64,4 +64,35 @@ object Sampling {
       .cast("long")
     df.filter(draw < col(weightCol).cast("long") * scale)
   }
+
+  /** Training-data MIXTURE sampling: fill a token/document budget from
+    * per-source quotas (the "50% web / 30% wiki / 20% code" recipe every
+    * corpus card publishes). The budget is `budgetPct`% of the corpus;
+    * source s gets `weightPct(s)`% of the budget, taken as the first
+    * quota rows of that source in hash order.
+    *
+    * All floors are integer (`div`), the corpus size enters as a one-row
+    * broadcast (never a driver-side collect), and selection is hash-ORDER
+    * like every sampler here — rerun-stable, partition-independent, and
+    * reproducible by any engine with md5. Sources absent from `weights`
+    * contribute nothing (inner join against the broadcast quota table).
+    * One shuffle: the per-source row_number window; the quota side is a
+    * handful of rows however large the corpus is.
+    */
+  def mixture(df: DataFrame, sourceCol: String, idCol: String,
+              weights: Seq[(String, Int)], budgetPct: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toDF(sourceCol, "__w_pct")
+    val quotas = df.agg(count(lit(1)).as("__corpus_n")).crossJoin(w)
+      .select(col(sourceCol),
+        expr(s"(__corpus_n * $budgetPct div 100) * __w_pct div 100")
+          .as("__quota"))
+    val win = Window.partitionBy(col(sourceCol))
+      .orderBy(hashRank(col(idCol)), col(idCol))
+    df.join(broadcast(quotas), sourceCol)
+      .withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= col("__quota"))
+      .select(df.columns.map(col).toIndexedSeq: _*) // original column order
+  }
 }

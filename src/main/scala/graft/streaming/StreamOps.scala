@@ -616,6 +616,47 @@ object StreamOps {
       col("n"))
   }
 
+  /** CHAINED windowed aggregations — two stateful operators in ONE
+    * streaming query (multiple-stateful-operator support): 15-minute
+    * partial aggregates re-aggregated into hourly rollups,
+    * `window(window, 1h)` over the first layer's window struct. This is
+    * the streaming form of map-side combine: the quarter layer absorbs
+    * the raw event volume, the hourly layer sees at most 4 rows per hour
+    * — at 100 TB/day the first layer is what keeps the wide-window state
+    * store small. It also yields a metric a single-layer hourly agg
+    * CANNOT express: the peak quarter within each hour.
+    *
+    * Append mode + watermark: an hourly window emits once the watermark
+    * passes its end (strictly), so the trailing unclosed hour stays in
+    * state — the gate (and its oracle) therefore sees exactly the hours
+    * with `end < max event time`, the same decided-prefix discipline as
+    * [[streamingSessionWindows]].
+    */
+  def chainedWindowCounts(spark: SparkSession, dir: String,
+                          queryName: String): DataFrame = {
+    val quarter = eventStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "15 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val hourly = quarter
+      .groupBy(window(col("window"), "1 hour"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("value_cents"),
+        max(col("n")).as("peak_quarter_n"))
+    withStatePartitions(spark, HarnessStateParts) {
+      val q = hourly.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(queryName).select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
+      col("n"), col("value_cents"), col("peak_quarter_n"))
+  }
+
   /** STREAM-STREAM inner join with an event-time range constraint — the
     * remaining join surface Structured Streaming offers: clicks join
     * purchases of the same user within [purchase, purchase + 2 h], both

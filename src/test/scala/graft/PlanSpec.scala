@@ -406,6 +406,38 @@ class PlanSpec extends SparkSpec {
         s"${scan.selectedPartitions.partitionCount}")
   }
 
+  test("AQE converts a statically-planned SMJ to broadcast at runtime") {
+    // Static planning must NOT broadcast (threshold off); the adaptive
+    // threshold stays on, so the runtime-measured small side converts the
+    // sort-merge join to a broadcast join mid-query — the mechanism that
+    // rescues a misestimated dim side at 100 TB without a manual hint.
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    try {
+      val dim = Tables.load(spark, sf, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_orderpriority")
+      val df = Tables.load(spark, sf, "lineitem")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      assert(df.queryExecution.executedPlan.toString
+          .contains("SortMergeJoin"),
+        "static plan should start as a sort-merge join")
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"AQE should have converted to broadcast:\n$finalPlan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("join-driven prune key plans a dynamic partition pruning subquery") {
     val df = SparkEntry.queries("j9_dpp")(spark, sf)
     // DPP is visible pre-execution: the fact scan's PartitionFilters carry
