@@ -1133,6 +1133,18 @@ object SparkEntry {
         TextAnalysis.punctCount(col("text")).cast("long").as("n_punct")
       ).orderBy("doc_id")),
 
+    // ---- T16: BPE-ish pre-token counting — the context-budget unit LLM
+    // pipelines pack by; pure codegen projection, zero shuffle ------------
+    "t16_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_words"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .withColumn("bpe_per_word_bp",
+          when(col("n_words") > 0,
+            expr("n_bpe * 10000L div n_words")))
+        .orderBy("doc_id")),
+
     "t2_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -2176,6 +2188,22 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("o_orderkey"), col("o_totalprice"))
         .orderBy("event_id")
+    }),
+
+    // ---- X6: FORWARD as-of — each purchase picks up the user's next
+    // error at-or-after it; same one-shuffle union+window shape as x1,
+    // mirrored ------------------------------------------------------------
+    "x6_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"),
+          col("event_id").as("error_id"))
+      AsOfJoin.forward(purchases, errors, "user_id", "ts", "err_ts",
+          Seq("error_id"))
+        .select(col("purchase_id"), col("user_id"), col("error_id"))
+        .orderBy("purchase_id")
     }),
 
     // ---- Streaming-adjacent: session windows, sliding windows, pivot ----
@@ -3740,6 +3768,18 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
         |  FROM documents ORDER BY doc_id""".stripMargin,
 
+    "t16_bpe_tokens" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_bpe
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, n_words, n_bpe,
+        |  CASE WHEN n_words > 0 THEN n_bpe * 10000 // n_words END
+        |    AS bpe_per_word_bp
+        | FROM c ORDER BY doc_id""".stripMargin,
+
     "t2_quality" ->
       """SELECT doc_id,
         |  least(1.0, CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) / 100.0) * 0.5
@@ -5020,6 +5060,23 @@ object SparkEntry {
         |   CAST(1 + sum(CASE WHEN gap > 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
         |     AS n_sessions
         | FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "x6_asof_forward" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side,
+        |    CASE WHEN event_type = 'purchase' THEN event_id END
+        |      AS purchase_id,
+        |    CASE WHEN event_type = 'error' THEN event_id END AS error_id
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        | filled AS (
+        |  SELECT user_id, purchase_id,
+        |    first_value(error_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, side
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS error_id
+        |  FROM u)
+        |SELECT purchase_id, user_id, error_id FROM filled
+        | WHERE purchase_id IS NOT NULL ORDER BY purchase_id""".stripMargin,
 
     "x1_asof_join" ->
       """WITH o AS (

@@ -55,4 +55,40 @@ object AsOfJoin {
     filled.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ valueCols.map(col): _*)
   }
+
+  /** FORWARD as-of: for each row of `left`, attach `valueCols` from the
+    * EARLIEST row of `right` with the same `key` and
+    * `rightTime >= leftTime` (inclusive — a right row at exactly the left
+    * row's time matches). Same single-shuffle union+window shape as
+    * [[apply]], mirrored: the right side sorts AFTER left rows at equal
+    * times and `first_value` looks over the frame from the current row
+    * forward. The "next reading at or after the probe" direction —
+    * next-quote-after-trade, next-error-after-release.
+    */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String,
+              valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // tag 0 = left side, 1 = right side: at equal times the left row
+    // sorts first so the forward-looking frame includes the right row.
+    val l = left.select(
+      (col(key).as("__k") +: col(leftTime).cast("timestamp").as("__t") +:
+        lit(0).as("__side") +:
+        leftCols.map(col)) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      (col(key).as("__k") +: col(rightTime).cast("timestamp").as("__t") +:
+        lit(1).as("__side") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
+        valueCols.map(col): _*)
+    val unioned = l.unionByName(r)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 0)
+      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
 }

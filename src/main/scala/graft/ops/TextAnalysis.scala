@@ -25,6 +25,22 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword segmentation pattern: letter runs, digit runs, and
+    * symbol runs are separate tokens, each absorbing one preceding space
+    * (the GPT-2 pre-tokenizer shape, minus its lookahead — kept to the
+    * regex subset Java and RE2 agree on, so the DuckDB oracle reproduces
+    * identical counts).
+    */
+  val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** Count of BPE-ish pre-tokens — the budget unit LLM pipelines pack
+    * context windows by (vs [[tokenCount]]'s whitespace words: "don't"
+    * is one word but three pre-tokens).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(call_function("regexp_extract_all",
+      lower(text), lit(BpePattern), lit(0)))
+
   /** Distinct word k-shingles straight from text — the fused native codegen
     * expression ([[graft.functions.WordShingles]]). Semantically equal to
     * `array_distinct(MinHashDedup.shingles(tokens(text), k))` but one

@@ -26,4 +26,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.map(r => Option(r.get(r.fieldIndex("px")))).toSeq ===
       Seq(Some(10.0), Some(11.0), None, Some(20.0)))
   }
+
+  test("forward as-of picks the EARLIEST later row; null when none; " +
+      "inclusive tie") {
+    val probes = Seq(
+      (1L, "A", ts("2026-01-01 10:00:00")), // next quote 10:03
+      (2L, "A", ts("2026-01-01 10:04:00")), // after last quote → null
+      (3L, "A", ts("2026-01-01 09:00:00")), // earliest future = 09:30
+      (4L, "B", ts("2026-01-01 10:00:00"))  // equal time → inclusive match
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", ts("2026-01-01 09:30:00"), 10.0),
+      ("A", ts("2026-01-01 10:03:00"), 11.0),
+      ("B", ts("2026-01-01 10:00:00"), 20.0)
+    ).toDF("sym", "qt", "px")
+
+    val out = AsOfJoin.forward(probes, quotes, "sym", "t", "qt", Seq("px"))
+      .orderBy("trade_id").collect()
+    assert(out.map(r => Option(r.get(r.fieldIndex("px")))).toSeq ===
+      Seq(Some(11.0), None, Some(10.0), Some(20.0)))
+  }
 }
