@@ -2465,6 +2465,47 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ---- SQL front door: views + registered engine functions ------------
+    // ---- P21: date-dimension features — the derived-calendar projection
+    // every warehouse build starts with; all-codegen, zero shuffle, and
+    // every feature integer/string so the cross-engine gate is exact -----
+    "p21_date_features" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"))
+        .select(col("o_orderkey"),
+          date_format(col("d"), "yyyy-MM-dd").as("d_str"),
+          year(col("d")).cast("long").as("yr"),
+          quarter(col("d")).cast("long").as("qtr"),
+          month(col("d")).cast("long").as("mo"),
+          dayofmonth(col("d")).cast("long").as("dom"),
+          dayofweek(col("d")).cast("long").as("dow"),
+          date_format(last_day(col("d")), "yyyy-MM-dd").as("month_end"),
+          date_format(add_months(col("d"), 1), "yyyy-MM-dd").as("next_month"),
+          date_format(date_trunc("week", col("d")), "yyyy-MM-dd")
+            .as("week_start"))
+        .orderBy("o_orderkey")),
+
+    // ---- SQL2: the SQL FRONT-END end-to-end — a full multi-join
+    // aggregation query submitted as SQL text against registered views
+    // (the surface a reference user types), planned by the same Catalyst
+    // pipeline as the DataFrame gates --------------------------------------
+    "sql2_sql_pipeline" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n_name,
+          |  count(*) AS n_items,
+          |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+          |    AS BIGINT)) AS revenue_cents
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE o_orderpriority = '1-URGENT'
+          |GROUP BY n_name
+          |ORDER BY n_name""".stripMargin)
+    }),
+
     "sql1_engine_sql" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       GraftFunctions.registerAll(s)
@@ -5216,6 +5257,34 @@ object SparkEntry {
         |  FROM documents d JOIN q USING (source))
         |SELECT doc_id, source FROM ranked WHERE rn <= quota
         | ORDER BY doc_id""".stripMargin,
+
+    "p21_date_features" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT o_orderkey,
+        |  strftime(d, '%Y-%m-%d') AS d_str,
+        |  CAST(year(d) AS BIGINT) AS yr,
+        |  CAST(quarter(d) AS BIGINT) AS qtr,
+        |  CAST(month(d) AS BIGINT) AS mo,
+        |  CAST(day(d) AS BIGINT) AS dom,
+        |  CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+        |  strftime(last_day(d), '%Y-%m-%d') AS month_end,
+        |  strftime(d + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month,
+        |  strftime(date_trunc('week', d), '%Y-%m-%d') AS week_start
+        | FROM o ORDER BY o_orderkey""".stripMargin,
+
+    "sql2_sql_pipeline" ->
+      """SELECT n_name,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
 
     "sql1_engine_sql" ->
       """SELECT p_partkey,

@@ -438,6 +438,57 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // Complement of deterministic salting (k1/k2): with thresholds scaled
+    // to test data, AQE detects the oversized partition post-shuffle and
+    // splits it (skew=true in the final plan) — no query rewrite needed.
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100b")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100b")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    try {
+      // one hot key (~60% of rows) + a long tail: the hot post-shuffle
+      // partition dwarfs the 8 KB threshold, the tail ones don't
+      // multiple map tasks matter: AQE splits a skewed reduce partition
+      // along MAP-output boundaries, so a single-mapper shuffle (one
+      // input file) is unsplittable no matter how skewed it is
+      val skewed = Tables.load(spark, sf, "lineitem")
+        .repartition(8)
+        .select(when(col("l_orderkey") % 10 =!= 0, lit(0L))
+            .otherwise(col("l_orderkey")).as("k"),
+          col("l_extendedprice"))
+      val dim = Tables.load(spark, sf, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      val df = skewed.join(dim, "k")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice")).as("px"))
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(finalPlan.contains("skew=true"),
+        s"expected a skew-split SMJ in the adaptive plan:\n" +
+          finalPlan.take(3000))
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      conf.unset(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+    }
+  }
+
   test("join-driven prune key plans a dynamic partition pruning subquery") {
     val df = SparkEntry.queries("j9_dpp")(spark, sf)
     // DPP is visible pre-execution: the fact scan's PartitionFilters carry
