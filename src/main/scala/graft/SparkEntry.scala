@@ -2452,6 +2452,48 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")),
 
+    // ---- C10: curriculum phases — shortest-first per language, phase
+    // boundaries at 40% / 80% of each language's cumulative token budget;
+    // one sort per lang partition serves the cumsum, the totals ride in
+    // on a broadcast-size join, every comparison integer ------------------
+    "c10_curriculum" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      val tot = d.groupBy("lang").agg(sum(col("n_tokens")).as("total_tokens"))
+      cum.join(broadcast(tot), "lang")
+        .withColumn("phase",
+          when(col("cum_tokens") * 100 <= col("total_tokens") * 40, 1L)
+            .when(col("cum_tokens") * 100 <= col("total_tokens") * 80, 2L)
+            .otherwise(3L))
+        .select("doc_id", "lang", "n_tokens", "phase")
+        .orderBy("doc_id")
+    }),
+
+    // ---- D16: LSH recall measured IN-ENGINE — the banding scheme's raw
+    // candidates joined against exact-Jaccard truth (inverted-index, no
+    // blocking): the tuning measurement for every LSH deployment, as one
+    // integer-exact summary row --------------------------------------------
+    "d16_lsh_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = MinHashDedup.lshCandidatePairs(docs, "doc_id", "text",
+        k = 3, m = 16, nBands = 4, maxBucket = 1000)
+      val truth = MinHashDedup.ngramJaccardPairs(
+          docs.withColumn("__blk", lit(0)), "doc_id", "text", "__blk",
+          k = 3, threshold = 0.3)
+        .select("id_a", "id_b")
+      val tp = cand.join(truth, Seq("id_a", "id_b"))
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+        .select(col("n_truth"), col("n_cand"), col("n_tp"),
+          expr("n_tp * 10000L div n_truth").as("recall_bp"),
+          expr("n_tp * 10000L div n_cand").as("precision_bp"))
+    }),
+
     // ---- C9: training-data MIXTURE — fill 8% of the corpus from
     // per-source quotas (40/30/20/10), hash-order so the recipe is
     // rerun-stable and engine-portable; unlisted sources contribute
@@ -3988,6 +4030,26 @@ object SparkEntry {
 
     // Pairs (d2's mirror, shared CTEs) closed under transitivity by a
     // recursive min-label walk — the SQL twin of label propagation.
+    "d16_lsh_recall" -> (MinHashScoredCtes +
+      """,
+        | truth AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sig) a
+        |  JOIN (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sig) b
+        |    ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING CAST(count(*) AS DOUBLE) /
+        |    CAST(a.sz + b.sz - count(*) AS DOUBLE) >= 0.3),
+        | tp AS (SELECT p.id_a, p.id_b FROM pairs p
+        |   JOIN truth t ON p.id_a = t.id_a AND p.id_b = t.id_b)
+        |SELECT (SELECT count(*) FROM truth) AS n_truth,
+        |  (SELECT count(*) FROM pairs) AS n_cand,
+        |  (SELECT count(*) FROM tp) AS n_tp,
+        |  (SELECT count(*) FROM tp) * 10000
+        |    // (SELECT count(*) FROM truth) AS recall_bp,
+        |  (SELECT count(*) FROM tp) * 10000
+        |    // (SELECT count(*) FROM pairs) AS precision_bp""".stripMargin),
+
     "d6_dup_clusters" -> (MinHashScoredCtes +
       """,
         | dup_pairs AS (
@@ -5244,6 +5306,23 @@ object SparkEntry {
         |       THEN 'test' ELSE 'train' END AS split,
         |  count(*) AS n
         |  FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "c10_curriculum" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        | cum AS (SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY n_tokens, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang) AS total_tokens
+        |  FROM d)
+        |SELECT doc_id, lang, n_tokens,
+        |  CASE WHEN cum_tokens * 100 <= total_tokens * 40 THEN 1
+        |       WHEN cum_tokens * 100 <= total_tokens * 80 THEN 2
+        |       ELSE 3 END AS phase
+        | FROM cum ORDER BY doc_id""".stripMargin,
 
     "c9_data_mixture" ->
       """WITH n AS (SELECT count(*) AS corpus_n FROM documents),

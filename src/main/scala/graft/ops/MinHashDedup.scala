@@ -88,38 +88,43 @@ object MinHashDedup {
     * with estimated (signature-agreement) and exact (shingle-set) Jaccard,
     * filtered to exact jaccard >= threshold.
     */
-  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int = 3, m: Int = 16, nBands: Int = 4,
-                     threshold: Double = 0.5,
-                     maxBucket: Int = 1000): DataFrame = {
+  /** Shingle + signature + band preparation shared by [[nearDuplicates]]
+    * and [[lshCandidatePairs]].
+    *
+    * Spread: a small parquet file arrives as ONE partition, serializing
+    * all signature computation onto one core; repartitioning by id costs
+    * one narrow-row shuffle and buys full parallelism (at 100 TB the
+    * input already has enough partitions and this coalesces nothing).
+    * Shingles and signature via the fused codegen expressions
+    * (TextAnalysis.wordShingles + signatureFused — profiling showed the
+    * interpreted slice/concat shingling and the per-component lambda mins
+    * dominating this whole pipeline; an explode + m min-aggregates
+    * variant measured SLOWER still, adding a groupBy shuffle plus a join
+    * back). Cache: the frame is consumed multiple times (band explode +
+    * both sides of the verify join); at 100 TB persist to storage
+    * instead.
+    */
+  private def prepareSignatures(docs: DataFrame, idCol: String,
+                                textCol: String, k: Int, m: Int,
+                                nBands: Int): DataFrame = {
     val rowsPerBand = m / nBands
-
-    // Spread the hash work: a small parquet file arrives as ONE partition,
-    // serializing all signature computation onto one core. Repartitioning
-    // by id costs one narrow-row shuffle and buys full parallelism; at
-    // 100 TB the input already has enough partitions and this coalesces
-    // nothing away.
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par, col(idCol))
       else docs
-
-    // Shingles and signature via the fused codegen expressions
-    // (TextAnalysis.wordShingles + signatureFused — profiling showed the
-    // interpreted slice/concat shingling and the per-component lambda mins
-    // dominating this whole pipeline; an explode + m min-aggregates variant
-    // measured SLOWER still, adding a groupBy shuffle plus a join back).
-    //
-    // Cache: the signature frame is consumed three times (band explode +
-    // both sides of the verify join); without pinning, the signature work
-    // re-executes per consumer. At 100 TB persist to storage instead.
-    val prepared = spread
+    spread
       .select(col(idCol), TextAnalysis.wordShingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", signatureFused(col("sh"), m))
       .withColumn("bands", bandKeys(col("sig"), rowsPerBand, nBands))
       .cache()
+  }
 
+  /** Distinct band-collision candidate pairs from a prepared signature
+    * frame — the UNVERIFIED output of the banding scheme.
+    */
+  private def candidatesFrom(prepared: DataFrame, idCol: String,
+                             maxBucket: Int): DataFrame = {
     val exploded = prepared.select(col(idCol), explode(col("bands")).as("band"))
     // Degenerate-bucket guard: quadratic pair blowup protection at scale.
     val bucketed = exploded
@@ -128,15 +133,33 @@ object MinHashDedup {
           .partitionBy(col("band"))))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
-
     // Alias the join key on each side: both frames share lineage, and an
     // un-renamed col("band") === col("band") resolves to the same attribute
     // (trivially true) — silently degrading the bucket join to a cross join.
     val left = bucketed.select(col(idCol).as("id_a"), col("band").as("band_a"))
     val right = bucketed.select(col(idCol).as("id_b"), col("band").as("band_b"))
-    val pairs = left.join(right,
+    left.join(right,
         col("band_a") === col("band_b") && col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** The banding scheme's raw candidate pairs (no exact verification) —
+    * what you measure when TUNING an LSH deployment: joined against
+    * exact-Jaccard truth pairs it yields the scheme's recall/precision
+    * (see the `d16_lsh_recall` gate).
+    */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, m: Int = 16, nBands: Int = 4,
+                        maxBucket: Int = 1000): DataFrame =
+    candidatesFrom(prepareSignatures(docs, idCol, textCol, k, m, nBands),
+      idCol, maxBucket)
+
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, m: Int = 16, nBands: Int = 4,
+                     threshold: Double = 0.5,
+                     maxBucket: Int = 1000): DataFrame = {
+    val prepared = prepareSignatures(docs, idCol, textCol, k, m, nBands)
+    val pairs = candidatesFrom(prepared, idCol, maxBucket)
 
     val withSets = pairs
       .join(prepared.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
