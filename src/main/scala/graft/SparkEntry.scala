@@ -1576,6 +1576,14 @@ object SparkEntry {
           length(col("frame_bytes")).cast("long").as("frame_len"))
         .orderBy("doc_id", "frame_idx")),
 
+    // ---- M5: resize/thumbnail through the batch-decode contract — four
+    // equal payload tiles digested in one codegen projection (the pixel
+    // kernel honestly stubbed; plumbing, schema, and plan real) ----------
+    "m5_thumbnail" -> ((s, dir) =>
+      Multimodal.thumbnails(
+          Multimodal.toMediaTable(t(s, dir, "documents")), nTiles = 4)
+        .orderBy("doc_id")),
+
     // ---- C3: context-window chunking (50-token windows, 10 overlap).
     // Null texts are filtered on BOTH sides — the engines' null-propagation
     // through slice/concat paths differs, so neither should see them ------
@@ -4907,6 +4915,18 @@ object SparkEntry {
         |    i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT))) % 997
         |    AS BIGINT) AS byte_sum_mod
         |  FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m5_thumbnail" ->
+      """WITH m AS (SELECT doc_id, text,
+        |    CAST(length(text) AS BIGINT) AS n_bytes,
+        |    CAST(length(text) // 4 AS INT) AS q
+        |  FROM documents)
+        |SELECT doc_id, n_bytes,
+        |  CASE WHEN q > 0 THEN md5(substr(text, 1, q)) END AS tile_0,
+        |  CASE WHEN q > 0 THEN md5(substr(text, q + 1, q)) END AS tile_1,
+        |  CASE WHEN q > 0 THEN md5(substr(text, 2*q + 1, q)) END AS tile_2,
+        |  CASE WHEN q > 0 THEN md5(substr(text, 3*q + 1, q)) END AS tile_3
+        | FROM m ORDER BY doc_id""".stripMargin,
 
     "m3_frames" ->
       """SELECT doc_id, i AS frame_idx,

@@ -109,4 +109,24 @@ object Multimodal {
         col("payload").substr(col("frame_idx") * frameSize + 1,
           lit(frameSize)).as("frame_bytes"))
       .filter(length(col("frame_bytes")) > 0)
+
+  /** Resize/thumbnail stub: the payload is cut into `nTiles` equal tiles
+    * (tail remainder dropped, as a real downsampler drops edge pixels)
+    * and each tile reduced to its digest — standing in for per-tile pixel
+    * averaging. The Spark-side plumbing is the real contract: binary
+    * slicing + digest per tile in ONE codegen projection, zero shuffle,
+    * no per-row driver work; swap the digest for a pixel kernel (via
+    * [[extractFeatures]]'s batch decoder) and the plan is unchanged.
+    * Payloads shorter than `nTiles` bytes yield null tiles (undecodable
+    * thumbnail), kept — a real pipeline quarantines rather than drops.
+    */
+  def thumbnails(media: DataFrame, nTiles: Int): DataFrame = {
+    val q = (length(col("payload")) / nTiles).cast("int")
+    val tiles = (0 until nTiles).map { i =>
+      when(q > 0, md5(col("payload").substr(q * i + 1, q)))
+        .as(s"tile_$i")
+    }
+    media.select(col("doc_id") +: length(col("payload")).cast("long")
+      .as("n_bytes") +: tiles: _*)
+  }
 }
