@@ -2515,6 +2515,21 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ---- SQL front door: views + registered engine functions ------------
+    // ---- P22: rule-based quarantine — the reference's failed-row retry
+    // queue as ONE set-based pass: named rules projected as booleans,
+    // failing names collected per row; no shuffle (SURVEY §2; reference
+    // sdk/migrate_assures.php:419-456) ------------------------------------
+    "p22_quarantine" -> ((s, dir) => {
+      val (_, bad) = graft.etl.Quarantine.split(t(s, dir, "events"),
+        Seq(
+          "value_cap" -> (col("value") <= 30),
+          "known_type" -> col("event_type")
+            .isin("view", "click", "purchase", "signup")))
+      bad.select(col("event_id"),
+          concat_ws(",", col("quarantine_reasons")).as("reasons"))
+        .orderBy("event_id")
+    }),
+
     // ---- P21: date-dimension features — the derived-calendar projection
     // every warehouse build starts with; all-codegen, zero shuffle, and
     // every feature integer/string so the cross-engine gate is exact -----
@@ -5356,6 +5371,18 @@ object SparkEntry {
         |  FROM documents d JOIN q USING (source))
         |SELECT doc_id, source FROM ranked WHERE rn <= quota
         | ORDER BY doc_id""".stripMargin,
+
+    "p22_quarantine" ->
+      """WITH t AS (SELECT event_id,
+        |    concat_ws(',',
+        |      CASE WHEN NOT coalesce(value <= 30, FALSE)
+        |        THEN 'value_cap' END,
+        |      CASE WHEN NOT coalesce(event_type IN
+        |          ('view', 'click', 'purchase', 'signup'), FALSE)
+        |        THEN 'known_type' END) AS reasons
+        |  FROM events)
+        |SELECT event_id, reasons FROM t WHERE reasons <> ''
+        | ORDER BY event_id""".stripMargin,
 
     "p21_date_features" ->
       """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
