@@ -49,6 +49,11 @@ object SparkEntry {
     */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Integer square (for cross-multiplied variance tests — overflow-safe
+    * while |c| < 3e9, documented at the call sites).
+    */
+  private def pow2(c: Column): Column = c * c
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- S1-S3: scans (SURVEY §2.1) ------------------------------------
@@ -2398,6 +2403,24 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- E12: z-score outliers WITHOUT floats — |x−μ| > 2σ decided in
+    // cross-multiplied integer form ((n·x−S)² > 4·(n·Q−S²), S/Q = exact
+    // cent sums), so an inherently floating-point analytic sits under the
+    // hash gate; one shuffle on user_id ----------------------------------
+    "e12_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          cents(col("value")).as("x"))
+      val stats = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(col("x") * col("x")).as("q"))
+      ev.join(stats, "user_id")
+        .filter(pow2(col("n") * col("x") - col("s")) >
+          lit(4) * (col("n") * col("q") - pow2(col("s"))))
+        .select("event_id", "user_id", "x")
+        .orderBy("event_id")
+    }),
+
     // ---- E10: last-touch attribution — each purchase credited to the
     // user's most recent PRECEDING click via an ignore-nulls carry-forward
     // window: one sort per user partition, no self-join, no interval
@@ -3592,6 +3615,16 @@ object SparkEntry {
         |  CAST(max(len) AS BIGINT) AS longest_run,
         |  CAST(sum(len) AS BIGINT) AS active_days
         | FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e12_outliers" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        | st AS (SELECT user_id, count(*) AS n, sum(x) AS s,
+        |    sum(x * x) AS q FROM ev GROUP BY user_id)
+        |SELECT event_id, ev.user_id, x
+        | FROM ev JOIN st ON ev.user_id = st.user_id
+        | WHERE (n*x - s) * (n*x - s) > 4 * (n*q - s*s)
+        | ORDER BY event_id""".stripMargin,
 
     "e10_last_touch" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,
