@@ -1056,6 +1056,21 @@ object SparkEntry {
     // queried cell as a collision-group count with the same md5 universal
     // hash family. Includes an absent token ('zyzzyva...') whose estimate
     // is pure collision mass. ---------------------------------------------
+    // ---- A18: exact windowed COUNT DISTINCT — unsupported natively as a
+    // window function in either engine; rewritten as max(dense_rank) over
+    // the same partitioning (two window passes, ONE exchange: Catalyst
+    // reuses the hash partitioning across both) --------------------------
+    "a18_windowed_distinct" -> ((s, dir) => {
+      val byUser = Window.partitionBy("event_type").orderBy("user_id")
+      val whole = Window.partitionBy("event_type")
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .withColumn("distinct_users",
+          max(dense_rank().over(byUser)).over(whole).cast("long"))
+        .filter(col("event_id") % 100 === 0)
+        .orderBy("event_id")
+    }),
+
     "a17_countmin" -> ((s, dir) => {
       import s.implicits._
       val width = 1024
@@ -3834,6 +3849,15 @@ object SparkEntry {
     // CM cells are order-independent sums, so the oracle recomputes each
     // queried cell as the collision-group count under the same md5
     // universal hash family ((2j+1)h + 7919j + 13 mod p mod width).
+    "a18_windowed_distinct" ->
+      """WITH ev AS (SELECT event_id, event_type, user_id FROM events),
+        | d AS (SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+        |  FROM ev GROUP BY 1)
+        |SELECT event_id, ev.event_type, user_id, distinct_users
+        | FROM ev JOIN d USING (event_type)
+        | WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin,
+
     "a17_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
