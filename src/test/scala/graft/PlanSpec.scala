@@ -406,6 +406,17 @@ class PlanSpec extends SparkSpec {
         s"${scan.selectedPartitions.partitionCount}")
   }
 
+  test("windowed count-distinct rewrite shares one exchange across both " +
+      "window passes") {
+    val plan = planOf("a18_windowed_distinct")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"both windows partition by event_type — expected exactly one " +
+        s"hash exchange, got $exchanges:\n$plan")
+    assert("Window".r.findAllIn(plan).length >= 2,
+      s"expected two window operators:\n$plan")
+  }
+
   test("AQE converts a statically-planned SMJ to broadcast at runtime") {
     // Static planning must NOT broadcast (threshold off); the adaptive
     // threshold stays on, so the runtime-measured small side converts the
