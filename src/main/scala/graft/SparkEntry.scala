@@ -2498,6 +2498,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")),
 
+    // ---- C11: within-doc repeated-span removal — first occurrence wins,
+    // document reassembled in order; every shuffle key contains the doc
+    // id, so no corpus-global state (contrast d12's cross-corpus pass) ---
+    "c11_indoc_dedup" -> ((s, dir) =>
+      Curation.dedupSegmentsInDoc(t(s, dir, "documents"), "doc_id", "text",
+          segWords = 2)
+        .orderBy("doc_id")),
+
     // ---- C10: curriculum phases — shortest-first per language, phase
     // boundaries at 40% / 80% of each language's cumulative token budget;
     // one sort per lang partition serves the cumsum, the totals ride in
@@ -5398,6 +5406,30 @@ object SparkEntry {
         |       THEN 'test' ELSE 'train' END AS split,
         |  count(*) AS n
         |  FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "c11_indoc_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+        |    FROM documents WHERE text IS NOT NULL),
+        | starts AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(1, greatest(len(tk), 1) + 1, 2)) AS start
+        |  FROM t),
+        | seg AS (
+        |  SELECT doc_id, start,
+        |    array_to_string(list_slice(tk, start, start + 1), ' ') AS chunk
+        |  FROM starts WHERE len(list_slice(tk, start, start + 1)) > 0),
+        | ranked AS (
+        |  SELECT doc_id, start, chunk,
+        |    row_number() OVER (PARTITION BY doc_id, chunk ORDER BY start)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_seg
+        |  FROM seg),
+        | kept AS (SELECT * FROM ranked WHERE rn = 1)
+        | SELECT doc_id, string_agg(chunk, ' ' ORDER BY start) AS clean_text,
+        |   CAST(max(n_seg) AS BIGINT) AS n_seg,
+        |   CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "c10_curriculum" ->
       """WITH d AS (SELECT doc_id, lang,

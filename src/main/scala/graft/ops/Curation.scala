@@ -72,6 +72,44 @@ object Curation {
         count(lit(1)).as("n_kept"))
   }
 
+  /** WITHIN-document repeated-span removal (the complement of
+    * [[paragraphDedup]]'s cross-corpus first-wins): a segment repeated
+    * inside the SAME document keeps its first occurrence only, and the
+    * document is reassembled in order — the "drop duplicated spans"
+    * cleaning step that runs before cross-doc dedup in production
+    * pipelines. Every shuffle key contains the doc id (the dedup window
+    * partitions by (doc, chunk), the count/reassembly by doc —
+    * `hashpartitioning(doc)` satisfies both clusterings), so the
+    * operator is embarrassingly parallel across documents and no
+    * corpus-global state exists at all.
+    */
+  def dedupSegmentsInDoc(docs: DataFrame, idCol: String, textCol: String,
+                         segWords: Int = 2): DataFrame = {
+    val chunks = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.WordChunks(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(textCol)),
+        segWords))
+    val segs = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(chunks).as(Seq("pos", "chunk")))
+      .withColumn("start", col("pos") * segWords + 1)
+      .drop("pos")
+    val perDoc = Window.partitionBy(col(idCol))
+    val firstInDoc = Window.partitionBy(col(idCol), col("chunk"))
+      .orderBy(col("start"))
+    segs
+      .withColumn("n_seg", count(lit(1)).over(perDoc))
+      .withColumn("rn", row_number().over(firstInDoc))
+      .filter(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("start"), col("chunk")))),
+            e => e("chunk"))).as("clean_text"),
+        max(col("n_seg")).as("n_seg"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** Benchmark decontamination — flag training documents sharing any word
     * `k`-gram with an evaluation/benchmark document (the overlap check
     * every serious LM training run performs; 13-gram on real corpora,
