@@ -2009,6 +2009,14 @@ object SparkEntry {
       StreamOps.sessionizeBatch(s, t(s, dir, "events"), gapSeconds = 86400)
         .toDF().orderBy("user_id")),
 
+    // ---- ST17: per-(user, day) rate cap through MapState — the quota
+    // shape (crawl caps, tenant limits) replayable identically in batch;
+    // first 3 events per day admitted in event order, the rest dropped ---
+    "st17_rate_cap" -> ((s, dir) =>
+      StreamOps.rateCapBatch(s, dir, k = 3, bucketUs = 86400000000L,
+          queryName = "graft_cap_" + System.nanoTime())
+        .orderBy("event_id")),
+
     // ---- ST16: chained windowed aggregations — two stateful operators
     // in one streaming query (quarter-hour partials → hourly rollup);
     // the decided prefix (hour end strictly before the final watermark)
@@ -5234,6 +5242,17 @@ object SparkEntry {
         | SELECT user_id, start_us, end_us, CAST(n AS BIGINT) AS n
         |  FROM agg, wm WHERE end_us < w
         |  ORDER BY user_id, start_us""".stripMargin,
+
+    "st17_rate_cap" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        | ranked AS (SELECT user_id, event_id,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, ts_us // 86400000000
+        |      ORDER BY ts_us, event_id) AS rn
+        |  FROM e)
+        |SELECT user_id, event_id FROM ranked WHERE rn <= 3
+        | ORDER BY event_id""".stripMargin,
 
     "st16_chained_windows" ->
       """WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us,

@@ -542,6 +542,86 @@ object StreamOps {
     * which is also the production choice (changelog checkpointing, state
     * larger than heap).
     */
+  /** One admitted event. */
+  case class AdmittedRow(user_id: Long, event_id: Long)
+
+  /** Per-key per-hour RATE CAP as a MapState — the fourth
+    * transformWithState primitive after ValueState (st11), timers (st13)
+    * and ListState (st14): state is a MAP the store reads/writes by USER
+    * KEY (hour bucket), so admitting an event touches one map entry, not
+    * a monolithic value. Admits the first `k` events of each
+    * (user, time bucket) in event order and drops the rest — the quota/throttle shape
+    * (per-domain crawl caps, per-tenant ingest limits) that must behave
+    * identically replayed in batch. In production the hour entries get a
+    * TTL (TTLConfig) so state is O(active hours) per key; the synchronous
+    * harness keeps NONE.
+    */
+  private class RateCap(k: Int, bucketUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, AdmittedRow] {
+    @transient private var counts:
+        org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode):
+        Unit =
+      counts = getHandle.getMapState[Long, Long]("hour_counts",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[AdmittedRow] = {
+      // within-batch admission must follow event order, not file order
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).flatMap { e =>
+        val hour = e.ts_us / bucketUs
+        val c = if (counts.containsKey(hour)) counts.getValue(hour) else 0L
+        if (c < k) {
+          counts.updateValue(hour, c + 1)
+          Some(AdmittedRow(uid, e.event_id))
+        } else None
+      }.iterator
+    }
+  }
+
+  /** Hourly rate cap via [[RateCap]], driven synchronously on RocksDB —
+    * equal to the batch `row_number over (user, hour order by ts) <= k`,
+    * which is what the oracle computes.
+    */
+  def rateCapBatch(spark: SparkSession, dir: String, k: Int,
+                   bucketUs: Long, queryName: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val events = eventStream(spark, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[Event]
+      val out = events.groupByKey(_.user_id)
+        .transformWithState(new RateCap(k, bucketUs),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      withStatePartitions(spark, HarnessStateParts) {
+        val q = out.toDF().writeStream
+          .outputMode(OutputMode.Update)
+          .format("memory").queryName(queryName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      spark.table(queryName)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   def runningTotalsBatch(spark: SparkSession, dir: String,
                          queryName: String): DataFrame = {
     import spark.implicits._
