@@ -2569,6 +2569,28 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ---- SQL front door: views + registered engine functions ------------
+    // ---- L11: heterogeneous-source consolidation — unionByName with
+    // allowMissingColumns (each source keeps its own schema, absent
+    // columns null-fill), then one aggregate over the unified frame; the
+    // multi-source ETL shape where positional union silently corrupts ----
+    "l11_union_by_name" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .select(col("o_orderkey").as("key"),
+          cents(col("o_totalprice")).as("price_cents"),
+          lit("orders").as("src"))
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("key"),
+          cents(col("l_extendedprice")).as("price_cents"),
+          col("l_quantity").cast("long").as("qty"),
+          lit("lineitem").as("src"))
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy("src")
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_price_cents"),
+          sum(col("qty")).as("sum_qty"))
+        .orderBy("src")
+    }),
+
     // ---- P22: rule-based quarantine — the reference's failed-row retry
     // queue as ONE set-based pass: named rules projected as booleans,
     // failing names collected per row; no shuffle (SURVEY §2; reference
@@ -5479,6 +5501,22 @@ object SparkEntry {
         |  FROM documents d JOIN q USING (source))
         |SELECT doc_id, source FROM ranked WHERE rn <= quota
         | ORDER BY doc_id""".stripMargin,
+
+    "l11_union_by_name" ->
+      """WITH u AS (
+        |  SELECT o_orderkey AS key,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    CAST(NULL AS BIGINT) AS qty, 'orders' AS src
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT l_orderkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT),
+        |    CAST(l_quantity AS BIGINT), 'lineitem'
+        |  FROM lineitem)
+        |SELECT src, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty
+        | FROM u GROUP BY src ORDER BY src""".stripMargin,
 
     "p22_quarantine" ->
       """WITH t AS (SELECT event_id,
