@@ -2226,6 +2226,31 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- X7: interval COALESCING — overlapping/touching per-key
+    // intervals merged into islands via running-max carry (one sort per
+    // key partition, no self-join, no bin explosion): the temporal-union
+    // complement of x5's overlap JOIN ------------------------------------
+    "x7_interval_coalesce" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("s"))
+        .withColumn("e", col("s") + 14)
+      val w = Window.partitionBy("custkey").orderBy("s", "e")
+      val runMax = max(col("e"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val marked = iv.withColumn("new_island",
+        when(runMax.isNull || col("s") > runMax, 1L).otherwise(0L))
+      marked.withColumn("grp",
+          sum(col("new_island"))
+            .over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        .groupBy("custkey", "grp")
+        .agg(min(col("s")).as("start_day"), max(col("e")).as("end_day"),
+          count(lit(1)).as("n_merged"))
+        .drop("grp")
+        .orderBy("custkey", "start_day")
+    }),
+
     // ---- X6: FORWARD as-of — each purchase picks up the user's next
     // error at-or-after it; same one-shuffle union+window shape as x1,
     // mirrored ------------------------------------------------------------
@@ -5304,6 +5329,26 @@ object SparkEntry {
         |   CAST(1 + sum(CASE WHEN gap > 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
         |     AS n_sessions
         | FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "x7_interval_coalesce" ->
+      """WITH iv AS (SELECT o_custkey AS custkey,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS s,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      + 14 AS e
+        |  FROM orders),
+        | marked AS (SELECT custkey, s, e,
+        |    CASE WHEN max(e) OVER pre IS NULL OR s > max(e) OVER pre
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM iv WINDOW pre AS (PARTITION BY custkey ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        | grp AS (SELECT custkey, s, e,
+        |    sum(ni) OVER (PARTITION BY custkey ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM marked)
+        |SELECT custkey, min(s) AS start_day, max(e) AS end_day,
+        |  count(*) AS n_merged
+        | FROM grp GROUP BY custkey, g ORDER BY custkey, start_day""".stripMargin,
 
     "x6_asof_forward" ->
       """WITH u AS (
