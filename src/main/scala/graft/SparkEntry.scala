@@ -2594,6 +2594,30 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ---- SQL front door: views + registered engine functions ------------
+    // ---- J10: CDC batch apply — a keyed change set (U/D ops with
+    // sequence numbers) applied to a base table as TWO set operations:
+    // last-change-wins per key (one window), then anti-join survivors ∪
+    // applied upserts; no per-row loop, inserts for unseen keys fall out
+    // automatically --------------------------------------------------------
+    "j10_cdc_apply" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"),
+          cents(col("c_acctbal")).as("bal_cents"))
+      val changes = t(s, dir, "orders")
+        .select(col("o_custkey").as("key"),
+          col("o_orderkey").as("seq"),
+          when(col("o_orderkey") % 17 === 0, lit("D")).otherwise(lit("U"))
+            .as("op"),
+          cents(col("o_totalprice")).as("new_bal"))
+      val w = Window.partitionBy("key").orderBy(col("seq").desc)
+      val last = changes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val untouched = base.join(last.select("key"), Seq("key"), "left_anti")
+      val applied = last.filter(col("op") =!= "D")
+        .select(col("key"), col("new_bal").as("bal_cents"))
+      untouched.unionByName(applied).orderBy("key")
+    }),
+
     // ---- L11: heterogeneous-source consolidation — unionByName with
     // allowMissingColumns (each source keeps its own schema, absent
     // columns null-fill), then one aggregate over the unified frame; the
@@ -5546,6 +5570,23 @@ object SparkEntry {
         |  FROM documents d JOIN q USING (source))
         |SELECT doc_id, source FROM ranked WHERE rn <= quota
         | ORDER BY doc_id""".stripMargin,
+
+    "j10_cdc_apply" ->
+      """WITH base AS (SELECT c_custkey AS key,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        | ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS new_bal
+        |  FROM orders),
+        | last AS (SELECT key, op, new_bal FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY key
+        |     ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1)
+        |SELECT key, bal_cents FROM base
+        | WHERE key NOT IN (SELECT key FROM last)
+        |UNION ALL
+        |SELECT key, new_bal FROM last WHERE op <> 'D'
+        |ORDER BY key""".stripMargin,
 
     "l11_union_by_name" ->
       """WITH u AS (
