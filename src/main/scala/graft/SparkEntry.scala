@@ -755,6 +755,54 @@ object SparkEntry {
         .orderBy("custkey", "probe_date")
     }),
 
+    // ---- SCD3: INCREMENTAL SCD2 merge — the production maintenance op:
+    // a new snapshot applied to an existing interval history closes
+    // changed open rows at the snapshot date, opens new versions, and
+    // admits brand-new keys; unchanged/closed rows pass through. Four
+    // branches, all equality joins on the key — no history rewrite, no
+    // per-row loop. --------------------------------------------------------
+    "scd3_incremental_merge" -> ((s, dir) => {
+      val S = "1999-01-01"
+      val o = t(s, dir, "orders").select(col("o_custkey").as("custkey"),
+        col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority").as("prio"))
+      val pre = o.filter(to_date(col("o_orderdate")) < lit(S))
+      val post = o.filter(to_date(col("o_orderdate")) >= lit(S))
+      val w = Window.partitionBy("custkey").orderBy("o_orderdate", "o_orderkey")
+      val hist = pre.withColumn("prev", lag(col("prio"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("prio"))
+        .withColumn("eff_to_ts", lead(col("o_orderdate"), 1).over(
+          Window.partitionBy("custkey").orderBy("o_orderdate", "o_orderkey")))
+        .select(col("custkey"), col("prio"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("eff_from"),
+          coalesce(date_format(col("eff_to_ts"), "yyyy-MM-dd"),
+            lit("9999-12-31")).as("eff_to"))
+      val snap = post.withColumn("rn", row_number().over(
+          Window.partitionBy("custkey")
+            .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+        .filter(col("rn") === 1)
+        .select(col("custkey"), col("prio").as("snap_prio"))
+      val closed = hist.filter(col("eff_to") =!= "9999-12-31")
+      val open = hist.filter(col("eff_to") === "9999-12-31")
+      val oj = open.join(snap, Seq("custkey"), "left")
+      val changed = col("snap_prio").isNotNull && col("snap_prio") =!= col("prio")
+      val keepOpen = oj.filter(!changed)
+        .select("custkey", "prio", "eff_from", "eff_to")
+      val closeChanged = oj.filter(changed)
+        .select(col("custkey"), col("prio"), col("eff_from"),
+          lit(S).as("eff_to"))
+      val openChanged = oj.filter(changed)
+        .select(col("custkey"), col("snap_prio").as("prio"),
+          lit(S).as("eff_from"), lit("9999-12-31").as("eff_to"))
+      val brandNew = snap.join(open.select("custkey"), Seq("custkey"),
+          "left_anti")
+        .select(col("custkey"), col("snap_prio").as("prio"),
+          lit(S).as("eff_from"), lit("9999-12-31").as("eff_to"))
+      closed.unionByName(keepOpen).unionByName(closeChanged)
+        .unionByName(openChanged).unionByName(brandNew)
+        .orderBy("custkey", "eff_from", "eff_to", "prio")
+    }),
+
     "scd1_history" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -3542,6 +3590,48 @@ object SparkEntry {
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_cents
         | FROM events WHERE user_id % 10 = 0
         | ORDER BY user_id, event_id""".stripMargin,
+
+    "scd3_incremental_merge" ->
+      """WITH o AS (SELECT o_custkey AS custkey, o_orderdate, o_orderkey,
+        |    o_orderpriority AS prio FROM orders),
+        | pre AS (SELECT * FROM o
+        |   WHERE CAST(o_orderdate AS DATE) < DATE '1999-01-01'),
+        | post AS (SELECT * FROM o
+        |   WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01'),
+        | ch AS (SELECT custkey, prio, o_orderdate, o_orderkey,
+        |    lag(prio) OVER (PARTITION BY custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev FROM pre),
+        | chf AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> prio),
+        | hist AS (SELECT custkey, prio,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS eff_from,
+        |    coalesce(strftime(lead(o_orderdate) OVER (PARTITION BY custkey
+        |        ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d'),
+        |      '9999-12-31') AS eff_to
+        |  FROM chf),
+        | snap AS (SELECT custkey, prio AS snap_prio FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM post) WHERE rn = 1),
+        | closed AS (SELECT * FROM hist WHERE eff_to <> '9999-12-31'),
+        | open_ AS (SELECT * FROM hist WHERE eff_to = '9999-12-31'),
+        | oj AS (SELECT open_.custkey, prio, eff_from, eff_to, snap_prio
+        |   FROM open_ LEFT JOIN snap USING (custkey))
+        |SELECT custkey, prio, eff_from, eff_to FROM closed
+        |UNION ALL
+        |SELECT custkey, prio, eff_from, eff_to FROM oj
+        | WHERE snap_prio IS NULL OR snap_prio = prio
+        |UNION ALL
+        |SELECT custkey, prio, eff_from, '1999-01-01' FROM oj
+        | WHERE snap_prio IS NOT NULL AND snap_prio <> prio
+        |UNION ALL
+        |SELECT custkey, snap_prio AS prio, '1999-01-01' AS eff_from,
+        |  '9999-12-31' AS eff_to FROM oj
+        | WHERE snap_prio IS NOT NULL AND snap_prio <> prio
+        |UNION ALL
+        |SELECT custkey, snap_prio AS prio, '1999-01-01' AS eff_from,
+        |  '9999-12-31' AS eff_to FROM snap
+        | WHERE custkey NOT IN (SELECT custkey FROM open_)
+        |ORDER BY custkey, eff_from, eff_to, prio""".stripMargin,
 
     "scd2_temporal_lookup" ->
       """WITH dedup AS (SELECT o_custkey AS custkey, o_orderdate,
