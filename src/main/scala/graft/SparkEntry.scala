@@ -1461,6 +1461,14 @@ object SparkEntry {
 
     // ---- D13: SemDeDup — coarse IVF-style clustering, exact cosine only
     // within a cell, one keeper per semantic-duplicate group -------------
+    // ---- N12: kNN-graph construction — per-vector top-k neighbor lists
+    // from the cell-bucketed join (both directions of each pair rank);
+    // the SemDeDup precursor artifact and graph-ANN index input ----------
+    "n12_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, nCells = 16)
+        .orderBy("vec_id", "rank")),
+
     "d13_semdedup" -> ((s, dir) =>
       Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.45, nCells = 16)
@@ -2497,6 +2505,26 @@ object SparkEntry {
           max(col("len")).as("longest_run"),
           sum(col("len")).as("active_days"))
         .orderBy("user_id")
+    }),
+
+    // ---- E13: WAU/MAU stickiness — weekly distinct actives against the
+    // containing month's distinct actives (week bucketed to the month of
+    // its START), ratio in integer basis points ---------------------------
+    "e13_active_users" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).as("wk_ts"))
+        .withColumn("week_str", date_format(col("wk_ts"), "yyyy-MM-dd"))
+        .withColumn("month_str",
+          date_format(date_trunc("month", col("wk_ts")), "yyyy-MM-dd"))
+      val wau = ev.groupBy("week_str", "month_str")
+        .agg(countDistinct(col("user_id")).as("wau"))
+      val mau = ev.groupBy("month_str")
+        .agg(countDistinct(col("user_id")).as("mau"))
+      wau.join(broadcast(mau), "month_str")
+        .select(col("week_str"), col("wau"), col("mau"),
+          expr("wau * 10000L div mau").as("stickiness_bp"))
+        .orderBy("week_str")
     }),
 
     // ---- E12: z-score outliers WITHOUT floats — |x−μ| > 2σ decided in
@@ -3808,6 +3836,23 @@ object SparkEntry {
         |  CAST(sum(len) AS BIGINT) AS active_days
         | FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "e13_active_users" ->
+      """WITH ev AS (SELECT user_id,
+        |    date_trunc('week', ts) AS wk FROM events),
+        | keyed AS (SELECT user_id,
+        |    strftime(wk, '%Y-%m-%d') AS week_str,
+        |    strftime(date_trunc('month', wk), '%Y-%m-%d') AS month_str
+        |  FROM ev),
+        | wau AS (SELECT week_str, month_str,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM keyed GROUP BY 1, 2),
+        | mau AS (SELECT month_str,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM keyed GROUP BY 1)
+        |SELECT week_str, wau, mau, wau * 10000 // mau AS stickiness_bp
+        | FROM wau JOIN mau USING (month_str)
+        | ORDER BY week_str""".stripMargin,
+
     "e12_outliers" ->
       """WITH ev AS (SELECT event_id, user_id,
         |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
@@ -4675,6 +4720,28 @@ object SparkEntry {
         |   CAST(max(n_seg) AS BIGINT) AS n_seg,
         |   CAST(count(*) AS BIGINT) AS n_kept
         |  FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "n12_knn_graph" -> (IvfAssignCtes +
+      """
+        | cells AS (SELECT vec_id, x, nrm, cent_id FROM assign WHERE r = 1),
+        | pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(a.x[i] AS DOUBLE) * CAST(b.x[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS pdot,
+        |    a.nrm AS na, b.nrm AS nb
+        |  FROM cells a JOIN cells b
+        |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+        | ranked AS (
+        |  SELECT id_a, id_b,
+        |    row_number() OVER (PARTITION BY id_a ORDER BY
+        |      CAST(pdot AS DOUBLE) /
+        |        (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+        |      id_b) AS rank
+        |  FROM pairs)
+        |SELECT id_a AS vec_id, CAST(rank AS BIGINT) AS rank,
+        |  id_b AS neighbor_id
+        | FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin),
 
     "d13_semdedup" -> (IvfAssignCtes +
       """

@@ -664,6 +664,54 @@ object Similarity {
     * every other bucket join here. Output: one row per DROPPED vector,
     * (vec_id, cell, keeper_id, n_close).
     */
+  /** kNN-GRAPH construction — each vector's top-k neighbors among its
+    * own IVF cell (the SemDeDup/cluster-dedup precursor artifact, and
+    * the standard input to graph-based ANN indexes): the same
+    * deterministic hash-order centroids and cell-bucketed pair join as
+    * [[semDedup]], but BOTH directions of each pair rank (a neighbor
+    * list per vector, not a canonical pair set). Within-cell is the
+    * approximation: recall at cell boundaries is repaired by
+    * multi-probing adjacent cells (n4's shape) — the join stays
+    * equality-keyed either way, sum-of-|cell|² work, never N².
+    */
+  def knnGraph(vectors: DataFrame, idCol: String, vecCol: String,
+               k: Int, nCells: Int = 16): DataFrame = {
+    val v0 = spread(vectors, idCol)
+      .select(col(idCol).as("v_id"), col(vecCol).as("v_vec"),
+        normFp(col(vecCol)).as("v_norm"))
+      .cache()
+    val cents = v0
+      .orderBy(md5(col("v_id").cast("string")), col("v_id"))
+      .limit(nCells)
+      .select(col("v_id").as("cent_id"), col("v_vec").as("cent_vec"),
+        col("v_norm").as("cent_norm"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v_id"))
+      .orderBy(col("__cos").desc, col("cent_id"))
+    val cells = v0.crossJoin(broadcast(cents))
+      .withColumn("__cos", cosineFromFp(dotFp(col("v_vec"), col("cent_vec")),
+        col("v_norm"), col("cent_norm")))
+      .withColumn("__r", row_number().over(wAssign))
+      .filter(col("__r") === 1)
+      .select(col("v_id"), col("v_vec"), col("v_norm"),
+        col("cent_id").as("cell"))
+      .cache()
+    val left = cells.select(col("v_id").as("id_a"), col("v_vec").as("vec_a"),
+      col("v_norm").as("norm_a"), col("cell").as("cell_a"))
+    val right = cells.select(col("v_id").as("id_b"), col("v_vec").as("vec_b"),
+      col("v_norm").as("norm_b"), col("cell").as("cell_b"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    left.join(right,
+        col("cell_a") === col("cell_b") && col("id_a") =!= col("id_b"))
+      .withColumn("cos", cosineFromFp(dotFp(col("vec_a"), col("vec_b")),
+        col("norm_a"), col("norm_b")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("id_a").as("vec_id"), col("rank").cast("long").as("rank"),
+        col("id_b").as("neighbor_id"))
+  }
+
   def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nCells: Int = 16): DataFrame = {
     val v0 = spread(vectors, idCol)
