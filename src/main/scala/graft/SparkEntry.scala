@@ -700,6 +700,34 @@ object SparkEntry {
     // intervals: collapse runs of the same value (lag), then close each
     // interval with the next change's date (lead). One sort per customer
     // partition serves both window passes. ------------------------------
+    // ---- W7: session-relative features — the behavioral-model feature
+    // block (session ordinal, index within session, microseconds since
+    // session start) in two window passes over ONE exchange
+    // (hashpartitioning(user) satisfies both clusterings) ----------------
+    "w7_session_features" -> ((s, dir) => {
+      val gapUs = 86400000000L
+      val wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val marked = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("prev", lag(col("ts_us"), 1).over(wu))
+        .withColumn("is_start",
+          when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("is_start")).over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ws = Window.partitionBy("user_id", "sid")
+        .orderBy("ts_us", "event_id")
+      marked
+        .withColumn("idx_in_session",
+          row_number().over(ws).cast("long"))
+        .withColumn("since_us",
+          col("ts_us") - min(col("ts_us")).over(
+            Window.partitionBy("user_id", "sid")))
+        .select("event_id", "user_id", "sid", "idx_in_session", "since_us")
+        .orderBy("event_id")
+    }),
+
     // ---- W6: trailing exact MEDIAN window — an order-statistic frame
     // (percentile over ROWS), the frame kind sum/rank windows never hit;
     // integer-cents input makes the interpolated halves bit-exact. -------
@@ -3610,6 +3638,28 @@ object SparkEntry {
         |  CAST(coalesce(big_cnt, 0) AS BIGINT) AS big_cnt
         |FROM urgent FULL OUTER JOIN big ON u_custkey = b_custkey
         |ORDER BY custkey""".stripMargin,
+
+    "w7_session_features" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        | marked AS (SELECT event_id, user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 86400000000 THEN 1
+        |         ELSE 0 END AS is_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)),
+        | sess AS (SELECT event_id, user_id, ts_us,
+        |    CAST(sum(is_start) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS sid
+        |  FROM marked)
+        |SELECT event_id, user_id, sid,
+        |  CAST(row_number() OVER ws AS BIGINT) AS idx_in_session,
+        |  ts_us - min(ts_us) OVER (PARTITION BY user_id, sid)
+        |    AS since_us
+        | FROM sess WINDOW ws AS (PARTITION BY user_id, sid
+        |   ORDER BY ts_us, event_id)
+        | ORDER BY event_id""".stripMargin,
 
     "w6_moving_median" ->
       """SELECT user_id, event_id,
