@@ -2535,6 +2535,24 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- E14: period-over-period growth — revenue per (segment, year)
+    // with the prior year carried in by lag; the delta stays an integer
+    // SUBTRACTION (no ratio: Spark `div` truncates toward zero, DuckDB
+    // `//` floors — they disagree on negative growth, so a bp ratio
+    // would break the oracle; the reader computes ratios downstream) -----
+    "e14_yoy_growth" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          year(to_date(col("o_orderdate"))).cast("long").as("yr"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      val w = Window.partitionBy("segment").orderBy("yr")
+      rev.withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+        .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
+        .orderBy("segment", "yr")
+    }),
+
     // ---- E13: WAU/MAU stickiness — weekly distinct actives against the
     // containing month's distinct actives (week bucketed to the month of
     // its START), ratio in integer basis points ---------------------------
@@ -3885,6 +3903,20 @@ object SparkEntry {
         |  CAST(max(len) AS BIGINT) AS longest_run,
         |  CAST(sum(len) AS BIGINT) AS active_days
         | FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e14_yoy_growth" ->
+      """WITH rev AS (SELECT c_mktsegment AS segment,
+        |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT segment, yr, rev_cents,
+        |  lag(rev_cents) OVER (PARTITION BY segment ORDER BY yr)
+        |    AS prev_cents,
+        |  rev_cents - lag(rev_cents) OVER (PARTITION BY segment
+        |    ORDER BY yr) AS delta_cents
+        | FROM rev ORDER BY segment, yr""".stripMargin,
 
     "e13_active_users" ->
       """WITH ev AS (SELECT user_id,
