@@ -2716,6 +2716,31 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ---- SQL front door: views + registered engine functions ------------
+    // ---- J11: snapshot DIFF — two per-key aggregate snapshots compared
+    // by full-row hash through one full-outer join: added / removed /
+    // changed keys (the data-diff primitive that FEEDS a CDC apply);
+    // unchanged rows never leave the join ---------------------------------
+    "j11_snapshot_diff" -> ((s, dir) => {
+      def snap(from: String, until: String) = t(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) >= lit(from) &&
+          to_date(col("o_orderdate")) < lit(until))
+        .groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("c"))
+        .withColumn("h", md5(concat_ws("|", col("n"), col("c"))))
+      val oldS = snap("1995-01-01", "1998-01-01")
+        .select(col("key").as("ok"), col("h").as("oh"))
+      val newS = snap("1997-01-01", "2002-01-01")
+        .select(col("key").as("nk"), col("h").as("nh"))
+      oldS.join(newS, col("ok") === col("nk"), "full_outer")
+        .withColumn("status",
+          when(col("ok").isNull, "added")
+            .when(col("nk").isNull, "removed")
+            .when(col("oh") =!= col("nh"), "changed"))
+        .filter(col("status").isNotNull)
+        .select(coalesce(col("ok"), col("nk")).as("key"), col("status"))
+        .orderBy("key")
+    }),
+
     // ---- J10: CDC batch apply — a keyed change set (U/D ops with
     // sequence numbers) applied to a base table as TWO set operations:
     // last-change-wins per key (one window), then anti-join survivors ∪
@@ -5809,6 +5834,31 @@ object SparkEntry {
         |  FROM documents d JOIN q USING (source))
         |SELECT doc_id, source FROM ranked WHERE rn <= quota
         | ORDER BY doc_id""".stripMargin,
+
+    "j11_snapshot_diff" ->
+      """WITH olds AS (SELECT o_custkey AS key, count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS c
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        |    AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |  GROUP BY 1),
+        | news AS (SELECT o_custkey AS key, count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS c
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |    AND CAST(o_orderdate AS DATE) < DATE '2002-01-01'
+        |  GROUP BY 1),
+        | oh AS (SELECT key, md5(n || '|' || c) AS h FROM olds),
+        | nh AS (SELECT key, md5(n || '|' || c) AS h FROM news),
+        | fj AS (SELECT oh.key AS ok, oh.h AS ohh, nh.key AS nk, nh.h AS nhh
+        |   FROM oh FULL OUTER JOIN nh ON oh.key = nh.key)
+        |SELECT coalesce(ok, nk) AS key,
+        |  CASE WHEN ok IS NULL THEN 'added'
+        |       WHEN nk IS NULL THEN 'removed'
+        |       WHEN ohh <> nhh THEN 'changed' END AS status
+        | FROM fj
+        | WHERE ok IS NULL OR nk IS NULL OR ohh <> nhh
+        | ORDER BY key""".stripMargin,
 
     "j10_cdc_apply" ->
       """WITH base AS (SELECT c_custkey AS key,
