@@ -894,6 +894,20 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- G5: bounded k-core peeling — 3 rounds of "drop degree < 3"
+    // over the bipartite interaction graph; per round one degree agg +
+    // two semi joins, all equality-keyed --------------------------------
+    "g5_kcore" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      graft.ops.Graph.kCoreRounds(edges, "a", "b", k = 3, rounds = 3)
+        .orderBy("id")
+    }),
+
     // ---- G4: weighted shortest paths (bounded Bellman–Ford) over the
     // customer–supplier bipartite graph, edge weight = min shipped
     // quantity; 3 relaxation rounds, frontier-only re-expansion ----------
@@ -3867,6 +3881,26 @@ object SparkEntry {
         |    SELECT e.dst, 4 FROM edges e JOIN r3 r ON e.src = r.id
         |      WHERE r.d = 3) GROUP BY id)
         |SELECT id, d AS depth FROM r4 ORDER BY id""".stripMargin,
+
+    "g5_kcore" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        | e0 AS (SELECT a AS src, b AS dst FROM pairs
+        |   UNION SELECT b AS src, a AS dst FROM pairs),
+        | k1 AS (SELECT src AS v FROM e0 GROUP BY src
+        |   HAVING count(*) >= 3),
+        | e1 AS (SELECT src, dst FROM e0
+        |   WHERE src IN (SELECT v FROM k1) AND dst IN (SELECT v FROM k1)),
+        | k2 AS (SELECT src AS v FROM e1 GROUP BY src
+        |   HAVING count(*) >= 3),
+        | e2 AS (SELECT src, dst FROM e1
+        |   WHERE src IN (SELECT v FROM k2) AND dst IN (SELECT v FROM k2)),
+        | k3 AS (SELECT src AS v FROM e2 GROUP BY src
+        |   HAVING count(*) >= 3),
+        | e3 AS (SELECT src, dst FROM e2
+        |   WHERE src IN (SELECT v FROM k3) AND dst IN (SELECT v FROM k3))
+        |SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+        | FROM e3 GROUP BY src ORDER BY id""".stripMargin,
 
     "g4_sssp" ->
       """WITH pairs AS (SELECT o_custkey*2 AS a, l_suppkey*2+1 AS b,

@@ -148,6 +148,30 @@ object Graph {
     reached
   }
 
+  /** Bounded k-core peeling: `rounds` iterations of "drop every node
+    * with degree < k" over a symmetric edge list — the degeneracy
+    * decomposition's inner loop, run a fixed number of rounds so the
+    * result is oracle-checkable (for rounds ≥ the peel depth it IS the
+    * k-core). Per round: one degree aggregation + two semi joins
+    * (surviving src, surviving dst) — all equality-keyed, lineage cut
+    * per round as in [[pageRank]]. Returns surviving (id, degree).
+    */
+  def kCoreRounds(edges: DataFrame, srcCol: String, dstCol: String,
+                  k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("v"))
+      e = e.join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Weighted single-source shortest distances using at most `rounds`
     * edges (bounded Bellman–Ford) — the weighted counterpart of
     * [[bfsLevels]]. "Distance within k hops" is a well-defined quantity
