@@ -2779,6 +2779,24 @@ object SparkEntry {
       untouched.unionByName(applied).orderBy("key")
     }),
 
+    // ---- S15: FIXED-WIDTH records — the mainframe-era format every ETL
+    // tool must still parse: encode to padded columns, parse back by
+    // byte offsets (substring + trim + cast), round-trip under the
+    // oracle; all codegen, zero shuffle ----------------------------------
+    "s15_fixed_width" -> ((s, dir) => {
+      val lines = t(s, dir, "customer")
+        .select(concat(
+          rpad(col("c_custkey").cast("string"), 10, " "),
+          rpad(col("c_mktsegment"), 12, " "),
+          rpad(cents(col("c_acctbal")).cast("string"), 14, " "))
+          .as("line"))
+      lines.select(
+          trim(substring(col("line"), 1, 10)).cast("long").as("custkey"),
+          trim(substring(col("line"), 11, 12)).as("segment"),
+          trim(substring(col("line"), 23, 14)).cast("long").as("bal_cents"))
+        .orderBy("custkey")
+    }),
+
     // ---- L11: heterogeneous-source consolidation — unionByName with
     // allowMissingColumns (each source keeps its own schema, absent
     // columns null-fill), then one aggregate over the unified frame; the
@@ -5910,6 +5928,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT key, new_bal FROM last WHERE op <> 'D'
         |ORDER BY key""".stripMargin,
+
+    "s15_fixed_width" ->
+      """WITH lines AS (SELECT
+        |    rpad(CAST(c_custkey AS VARCHAR), 10, ' ') ||
+        |    rpad(c_mktsegment, 12, ' ') ||
+        |    rpad(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR),
+        |      14, ' ') AS line
+        |  FROM customer)
+        |SELECT CAST(trim(substr(line, 1, 10)) AS BIGINT) AS custkey,
+        |  trim(substr(line, 11, 12)) AS segment,
+        |  CAST(trim(substr(line, 23, 14)) AS BIGINT) AS bal_cents
+        | FROM lines ORDER BY custkey""".stripMargin,
 
     "l11_union_by_name" ->
       """WITH u AS (
