@@ -2779,6 +2779,19 @@ object SparkEntry {
       untouched.unionByName(applied).orderBy("key")
     }),
 
+    // ---- S16: custom DataSource V2 connector — range predicates pushed
+    // into the source narrow the scan bounds at PLANNING time (work ∝
+    // selected range, not corpus) and column pruning reaches the reader;
+    // the contract every production service/cursor connector needs
+    // (PlanSpec pins the narrowed bounds in the scan description) --------
+    "s16_custom_source" -> ((s, dir) =>
+      s.read.format("graft.sources.SeqSourceProvider")
+        .option("n", "1000000").option("parts", "8").load()
+        .filter(col("id") >= 100000L && col("id") < 300000L)
+        .groupBy((col("id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"))
+        .orderBy("bucket")),
+
     // ---- S15: FIXED-WIDTH records — the mainframe-era format every ETL
     // tool must still parse: encode to padded columns, parse back by
     // byte offsets (substring + trim + cast), round-trip under the
@@ -5928,6 +5941,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT key, new_bal FROM last WHERE op <> 'D'
         |ORDER BY key""".stripMargin,
+
+    "s16_custom_source" ->
+      """SELECT id % 10 AS bucket, count(*) AS n,
+        |  CAST(sum((id * 2654435761) % 1000000007) AS BIGINT) AS sum_val
+        | FROM range(100000, 300000) t(id)
+        | GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "s15_fixed_width" ->
       """WITH lines AS (SELECT

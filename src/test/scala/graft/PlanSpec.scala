@@ -417,6 +417,14 @@ class PlanSpec extends SparkSpec {
       s"expected two window operators:\n$plan")
   }
 
+  test("custom DSv2 source narrows scan bounds from pushed range filters") {
+    val df = SparkEntry.queries("s16_custom_source")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graftseq[100000,300000)"),
+      s"range filters should narrow the source scan at planning time:\n" +
+        plan.take(3000))
+  }
+
   test("AQE converts a statically-planned SMJ to broadcast at runtime") {
     // Static planning must NOT broadcast (threshold off); the adaptive
     // threshold stays on, so the runtime-measured small side converts the
