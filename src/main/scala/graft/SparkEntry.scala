@@ -2792,6 +2792,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"))
         .orderBy("bucket")),
 
+    // ---- S17: COMPLETE aggregate pushdown into the custom source — a
+    // 50M-row COUNT(*) answered by range arithmetic, one row, O(1): the
+    // service-side `SELECT count(*)` every cursor connector should
+    // forward (PlanSpec pins the graftseq-count scan) --------------------
+    "s17_source_agg_pushdown" -> ((s, dir) =>
+      s.read.format("graft.sources.SeqSourceProvider")
+        .option("n", "50000000").option("parts", "8").load()
+        .filter(col("id") >= 100000L)
+        .agg(count(lit(1)).as("n"))),
+
     // ---- S15: FIXED-WIDTH records — the mainframe-era format every ETL
     // tool must still parse: encode to padded columns, parse back by
     // byte offsets (substring + trim + cast), round-trip under the
@@ -5941,6 +5951,9 @@ object SparkEntry {
         |UNION ALL
         |SELECT key, new_bal FROM last WHERE op <> 'D'
         |ORDER BY key""".stripMargin,
+
+    "s17_source_agg_pushdown" ->
+      """SELECT count(*) AS n FROM range(100000, 50000000)""",
 
     "s16_custom_source" ->
       """SELECT id % 10 AS bucket, count(*) AS n,

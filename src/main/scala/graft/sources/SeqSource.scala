@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -71,11 +72,27 @@ class SeqTable(n: Long, parts: Int) extends Table with SupportsRead {
 }
 
 class SeqScanBuilder(n: Long, parts: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = n
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = SeqSource.Schema
+  private var countPushed = false
+
+  // COUNT(*) over a generated range is arithmetic — COMPLETE pushdown
+  // turns a 50M-row aggregation into a one-row O(1) scan (the service-
+  // side `SELECT count(*)` every cursor connector should forward).
+  // Filters push BEFORE aggregates, so the bounds are already narrowed.
+  private def isBareCountStar(a: Aggregation): Boolean =
+    a.groupByExpressions.isEmpty && a.aggregateExpressions.length == 1 &&
+      a.aggregateExpressions()(0).isInstanceOf[CountStar]
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    isBareCountStar(aggregation)
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (isBareCountStar(aggregation)) { countPushed = true; true }
+    else false
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (taken, residual) = filters.partition {
@@ -91,7 +108,32 @@ class SeqScanBuilder(n: Long, parts: Int) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = SeqScan(lo, math.max(lo, hi), parts, required)
+  override def build(): Scan =
+    if (countPushed) SeqCountScan(lo, math.max(lo, hi))
+    else SeqScan(lo, math.max(lo, hi), parts, required)
+}
+
+/** One-row result of a completely-pushed COUNT(*): the count is range
+  * arithmetic, no row generation at all.
+  */
+case class SeqCountScan(lo: Long, hi: Long) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count_star", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"graftseq-count[$lo,$hi)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SeqRange(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition):
+          PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val r = !emitted; emitted = true; r }
+        override def get(): InternalRow =
+          new GenericInternalRow(Array[Any](hi - lo))
+        override def close(): Unit = ()
+      }
+    }
 }
 
 case class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType)

@@ -425,6 +425,14 @@ class PlanSpec extends SparkSpec {
         plan.take(3000))
   }
 
+  test("complete COUNT(*) pushdown reaches the custom source") {
+    val df = SparkEntry.queries("s17_source_agg_pushdown")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graftseq-count[100000,50000000)"),
+      s"count should be answered by the source, not a row scan:\n" +
+        plan.take(3000))
+  }
+
   test("AQE converts a statically-planned SMJ to broadcast at runtime") {
     // Static planning must NOT broadcast (threshold off); the adaptive
     // threshold stays on, so the runtime-measured small side converts the
