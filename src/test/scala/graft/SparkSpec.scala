@@ -10,7 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
 object SparkSpec {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: allow ONE task retry — WriteCommitSpec's injected
+      // task failure needs the scheduler's retry path (prod default is 4)
+      .master("local[4, 2]")
       .appName("graft-test")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
