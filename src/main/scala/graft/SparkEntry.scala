@@ -894,6 +894,25 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- G6: co-occurrence projection ("frequently bought together"):
+    // the bipartite order–part graph projected to part–part edges
+    // weighted by shared orders. Fan-out is bounded BY CONSTRUCTION
+    // (pairs per order = items², and orders hold ≤7 items) — the
+    // projection that IS quadratic per hub node is exactly what the
+    // k-core/degree-cap guards elsewhere exist to prevent -----------------
+    "g6_copurchase" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = op.select(col("ok"), col("pk").as("part_a"))
+      val b = op.select(col("ok").as("ok_b"), col("pk").as("part_b"))
+      a.join(b, col("ok") === col("ok_b") && col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .orderBy("part_a", "part_b")
+    }),
+
     // ---- G5: bounded k-core peeling — 3 rounds of "drop degree < 3"
     // over the bipartite interaction graph; per round one degree agg +
     // two semi joins, all equality-keyed --------------------------------
@@ -3922,6 +3941,14 @@ object SparkEntry {
         |    SELECT e.dst, 4 FROM edges e JOIN r3 r ON e.src = r.id
         |      WHERE r.d = 3) GROUP BY id)
         |SELECT id, d AS depth FROM r4 ORDER BY id""".stripMargin,
+
+    "g6_copurchase" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem)
+        |SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+        | FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        | GROUP BY 1, 2 HAVING count(*) >= 2
+        | ORDER BY part_a, part_b""".stripMargin,
 
     "g5_kcore" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
