@@ -2686,6 +2686,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")),
 
+    // ---- C12: the corpus CARD — the per-source datasheet row every
+    // published dataset ships (doc/token/punct counts, exact-dup
+    // membership, language spread), all integer aggregates; the exact-dup
+    // flag joins each doc against the corpus-global digest groups --------
+    "c12_corpus_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("digest", md5(col("text")))
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long"))
+        .withColumn("n_punct",
+          TextAnalysis.punctCount(col("text")).cast("long"))
+      val dupGroups = docs.groupBy("digest")
+        .agg(count(lit(1)).as("grp_n"))
+      docs.join(dupGroups, "digest")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_punct")).as("n_punct"),
+          sum(when(col("grp_n") > 1, 1L).otherwise(0L)).as("n_dupped"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("source")
+    }),
+
     // ---- C11: within-doc repeated-span removal — first occurrence wins,
     // document reassembled in order; every shuffle key contains the doc
     // id, so no corpus-global state (contrast d12's cross-corpus pass) ---
@@ -5882,6 +5905,23 @@ object SparkEntry {
         |       THEN 'test' ELSE 'train' END AS split,
         |  count(*) AS n
         |  FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "c12_corpus_card" ->
+      """WITH d AS (SELECT source, lang, md5(text) AS digest,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
+        |      AS n_punct
+        |  FROM documents WHERE text IS NOT NULL),
+        | g AS (SELECT digest, count(*) AS grp_n FROM d GROUP BY digest)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_punct) AS BIGINT) AS n_punct,
+        |  CAST(sum(CASE WHEN grp_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dupped,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        | FROM d JOIN g USING (digest)
+        | GROUP BY source ORDER BY source""".stripMargin,
 
     "c11_indoc_dedup" ->
       """WITH t AS (
