@@ -125,4 +125,55 @@ class PropertySpec extends SparkSpec {
         .count() == 0L
     }, n = 5)
   }
+
+  test("mixture: per-source quota respected, selection ⊆ input, " +
+      "only listed sources") {
+    val gen = Gen.listOfN(60, Gen.chooseNum(0, 3))
+    check(Prop.forAll(gen) { srcIdx =>
+      val rows = srcIdx.zipWithIndex.map { case (sIdx, i) =>
+        (i.toLong, s"s$sIdx") }
+      val df = rows.toDF("id", "source")
+      val weights = Seq("s0" -> 70, "s1" -> 30)
+      val got = graft.ops.Sampling.mixture(df, "source", "id", weights, 50)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val n = rows.size.toLong
+      val quota = Map(
+        "s0" -> (n * 50 / 100) * 70 / 100,
+        "s1" -> (n * 50 / 100) * 30 / 100)
+      val bySrc = got.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      got.forall(rows.contains) &&
+        got.forall(r => weights.exists(_._1 == r._2)) &&
+        bySrc.forall { case (s, c) => c <= quota(s) }
+    }, n = 5)
+  }
+
+  test("interval islands: merged spans are disjoint and count-preserving") {
+    val gen = Gen.listOfN(14, Gen.zip(Gen.chooseNum(0L, 2L),
+      Gen.chooseNum(0L, 60L)))
+    check(Prop.forAll(gen) { ks =>
+      // mirror the x7 shape over generated (key, start) with width 5
+      val iv = ks.toDF("k", "s").withColumn("e", col("s") + 5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("s", "e")
+      val runMax = max(col("e")).over(w.rowsBetween(Long.MinValue, -1))
+      val grouped = iv
+        .withColumn("ni", when(runMax.isNull || col("s") > runMax, 1L)
+          .otherwise(0L))
+        .withColumn("g", sum(col("ni")).over(
+          w.rowsBetween(Long.MinValue, 0)))
+        .groupBy("k", "g")
+        .agg(min(col("s")).as("lo"), max(col("e")).as("hi"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val byKey = grouped.groupBy(_._1)
+      // every input interval lands in exactly one island (counts add up)
+      grouped.map(_._4).sum == ks.size.toLong &&
+        // islands of one key never overlap or touch
+        byKey.values.forall { spans =>
+          val sorted = spans.sortBy(_._2)
+          sorted.zip(sorted.drop(1)).forall { case (a, b) => a._3 < b._2 }
+        }
+    }, n = 5)
+  }
 }
