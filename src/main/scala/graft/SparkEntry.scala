@@ -2686,6 +2686,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")),
 
+    // ---- D17: benchmark LEAKAGE RATE — the evaluation-integrity number
+    // a corpus release quotes: share of benchmark docs sharing any 4-gram
+    // with the corpus, one summary row. The gram join SHUFFLES (corpus is
+    // the big side — the broadcast direction d11 uses is only right when
+    // the reference set is the small side) -------------------------------
+    "d17_leakage_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+      val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+      val corpusGrams = corpus
+        .select(explode(TextAnalysis.wordShingles(col("text"), 4)).as("g"))
+        .distinct()
+      val benchGrams = bench.select(col("doc_id"),
+        explode(TextAnalysis.wordShingles(col("text"), 4)).as("g"))
+      val leaked = benchGrams.join(corpusGrams, "g")
+        .select("doc_id").distinct()
+      bench.agg(count(lit(1)).as("n_bench"))
+        .crossJoin(leaked.agg(count(lit(1)).as("n_leaked")))
+        .select(col("n_bench"), col("n_leaked"),
+          expr("n_leaked * 10000L div n_bench").as("leak_bp"))
+    }),
+
     // ---- C12: the corpus CARD — the per-source datasheet row every
     // published dataset ships (doc/token/punct counts, exact-dup
     // membership, language spread), all integer aggregates; the exact-dup
@@ -4910,6 +4932,27 @@ object SparkEntry {
         |   SELECT md5(text) FROM documents
         |    WHERE doc_id % 10 <> 0 AND text IS NOT NULL)
         | ORDER BY doc_id""".stripMargin,
+
+    "d17_leakage_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+        |    FROM documents WHERE text IS NOT NULL),
+        | pos AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(1, greatest(len(tk) - 3, 0) + 1)) AS i
+        |  FROM toks),
+        | grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(tk, i, i + 3), ' ') AS g
+        |  FROM pos),
+        | cg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 25 <> 0),
+        | bg AS (SELECT doc_id, g FROM grams WHERE doc_id % 25 = 0),
+        | leaked AS (SELECT DISTINCT doc_id FROM bg JOIN cg USING (g)),
+        | nb AS (SELECT count(*) AS n FROM toks WHERE doc_id % 25 = 0)
+        |SELECT (SELECT n FROM nb) AS n_bench,
+        |  (SELECT count(*) FROM leaked) AS n_leaked,
+        |  (SELECT count(*) FROM leaked) * 10000 // (SELECT n FROM nb)
+        |    AS leak_bp""".stripMargin,
 
     "d11_decontaminate" ->
       """WITH toks AS (
