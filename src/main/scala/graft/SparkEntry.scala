@@ -1165,6 +1165,27 @@ object SparkEntry {
     // queried cell as a collision-group count with the same md5 universal
     // hash family. Includes an absent token ('zyzzyva...') whose estimate
     // is pure collision mass. ---------------------------------------------
+    // ---- A19: exact WEIGHTED median per group — no engine has it as a
+    // built-in; the set form is a cumulative-weight window over the
+    // value order: the answer is the smallest value whose running weight
+    // reaches half the group total. All integer (cents × quantity), one
+    // sort per group -----------------------------------------------------
+    "a19_weighted_median" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          cents(col("l_extendedprice")).as("v"),
+          col("l_quantity").cast("long").as("w"))
+      val word = Window.partitionBy("flag").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wtot = Window.partitionBy("flag")
+      li.withColumn("cumw", sum(col("w")).over(word))
+        .withColumn("total", sum(col("w")).over(wtot))
+        .filter(col("cumw") * 2 >= col("total"))
+        .groupBy("flag")
+        .agg(min(col("v")).as("weighted_median_cents"))
+        .orderBy("flag")
+    }),
+
     // ---- A18: exact windowed COUNT DISTINCT — unsupported natively as a
     // window function in either engine; rewritten as max(dense_rank) over
     // the same partitioning (two window passes, ONE exchange: Catalyst
@@ -4325,6 +4346,18 @@ object SparkEntry {
     // CM cells are order-independent sums, so the oracle recomputes each
     // queried cell as the collision-group count under the same md5
     // universal hash family ((2j+1)h + 7919j + 13 mod p mod width).
+    "a19_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        | c AS (SELECT flag, v,
+        |    sum(w) OVER (PARTITION BY flag ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    sum(w) OVER (PARTITION BY flag) AS total FROM li)
+        |SELECT flag, min(v) AS weighted_median_cents
+        | FROM c WHERE cumw * 2 >= total GROUP BY flag
+        | ORDER BY flag""".stripMargin,
+
     "a18_windowed_distinct" ->
       """WITH ev AS (SELECT event_id, event_type, user_id FROM events),
         | d AS (SELECT event_type,
