@@ -2589,6 +2589,22 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- E15: behavior transition matrix — consecutive event-type
+    // bigrams per user (the Markov-chain / sequence-model precursor):
+    // one lead window per user partition, then a global count rollup ----
+    "e15_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // ---- E14: period-over-period growth — revenue per (segment, year)
     // with the prior year carried in by lag; the delta stays an integer
     // SUBTRACTION (no ratio: Spark `div` truncates toward zero, DuckDB
@@ -4096,6 +4112,18 @@ object SparkEntry {
         |  CAST(max(len) AS BIGINT) AS longest_run,
         |  CAST(sum(len) AS BIGINT) AS active_days
         | FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e15_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        | nxt AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS next_type
+        |  FROM e)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  count(*) AS n
+        | FROM nxt WHERE next_type IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
     "e14_yoy_growth" ->
       """WITH rev AS (SELECT c_mktsegment AS segment,
