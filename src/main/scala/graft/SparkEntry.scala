@@ -2943,6 +2943,33 @@ object SparkEntry {
         .orderBy("src")
     }),
 
+    // ---- P23: sequence-gap detection (missing-id ranges) WITHOUT a
+    // global window: in-bucket gaps from a lag partitioned by k div 4096,
+    // boundary gaps from a second window over the per-bucket summary —
+    // the hierarchical two-level pattern that keeps a global-order
+    // computation distributed (the bucket summary is corpus/4096 rows;
+    // contrast the documented global-orderBy collapse at e11) -------------
+    "p23_sequence_gaps" -> ((s, dir) => {
+      val B = 4096L
+      // keys thinned (every 7th dropped) so the detector has real gaps
+      val keys = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"))
+        .filter(col("k") % 7 =!= 0)
+        .withColumn("b", col("k") - (col("k") % B))
+      val wb = Window.partitionBy("b").orderBy("k")
+      val inner = keys.withColumn("prev", lag(col("k"), 1).over(wb))
+        .filter(col("prev").isNotNull && col("k") - col("prev") > 1)
+        .select((col("prev") + 1).as("gap_lo"), (col("k") - 1).as("gap_hi"))
+      val summary = keys.groupBy("b")
+        .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      val ws = Window.orderBy("b") // corpus/4096 rows — driver-scale
+      val boundary = summary
+        .withColumn("prev_hi", lag(col("hi"), 1).over(ws))
+        .filter(col("prev_hi").isNotNull && col("lo") - col("prev_hi") > 1)
+        .select((col("prev_hi") + 1).as("gap_lo"), (col("lo") - 1).as("gap_hi"))
+      inner.unionByName(boundary).orderBy("gap_lo")
+    }),
+
     // ---- P22: rule-based quarantine — the reference's failed-row retry
     // queue as ONE set-based pass: named rules projected as booleans,
     // failing names collected per row; no shuffle (SURVEY §2; reference
@@ -6159,6 +6186,14 @@ object SparkEntry {
         |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
         |  CAST(sum(qty) AS BIGINT) AS sum_qty
         | FROM u GROUP BY src ORDER BY src""".stripMargin,
+
+    "p23_sequence_gaps" ->
+      """WITH k AS (SELECT o_orderkey AS k FROM orders
+        |    WHERE o_orderkey % 7 <> 0),
+        | g AS (SELECT k, lag(k) OVER (ORDER BY k) AS prev FROM k)
+        |SELECT prev + 1 AS gap_lo, k - 1 AS gap_hi
+        | FROM g WHERE prev IS NOT NULL AND k - prev > 1
+        | ORDER BY gap_lo""".stripMargin,
 
     "p22_quarantine" ->
       """WITH t AS (SELECT event_id,
