@@ -2147,6 +2147,15 @@ object SparkEntry {
       StreamOps.sessionizeBatch(s, t(s, dir, "events"), gapSeconds = 86400)
         .toDF().orderBy("user_id")),
 
+    // ---- ST18: streaming transition matrix — ValueState carries each
+    // user's LAST event across micro-batches, so boundary-spanning
+    // transitions count exactly once; equals the batch lead-window form
+    // (e15), which is the oracle --------------------------------------
+    "st18_stream_transitions" -> ((s, dir) =>
+      StreamOps.transitionsBatch(s, dir,
+          queryName = "graft_trans_" + System.nanoTime())
+        .orderBy("from_type", "to_type")),
+
     // ---- ST17: per-(user, day) rate cap through MapState — the quota
     // shape (crawl caps, tenant limits) replayable identically in batch;
     // first 3 events per day admitted in event order, the rest dropped ---
@@ -4139,6 +4148,18 @@ object SparkEntry {
         |  CAST(max(len) AS BIGINT) AS longest_run,
         |  CAST(sum(len) AS BIGINT) AS active_days
         | FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "st18_stream_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        | nxt AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS next_type
+        |  FROM e)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  count(*) AS n
+        | FROM nxt WHERE next_type IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
     "e15_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

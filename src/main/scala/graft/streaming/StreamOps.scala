@@ -545,6 +545,90 @@ object StreamOps {
   /** One admitted event. */
   case class AdmittedRow(user_id: Long, event_id: Long)
 
+  /** Last event seen per user — the carried state for transitions. */
+  case class LastEvent(ts_us: Long, event_id: Long, event_type: String)
+
+  /** One observed consecutive-event transition. */
+  case class TransitionRow(from_type: String, to_type: String)
+
+  /** Streaming twin of the batch transition matrix (`e15_transitions`):
+    * a ValueState carries each user's LAST event across micro-batches, so
+    * a transition spanning a batch boundary is still observed exactly
+    * once — the property a per-batch window cannot give. Rows sort by
+    * event time within the batch (arrival order is not event order);
+    * emissions are the per-pair stream, aggregated downstream.
+    */
+  private class Transitions
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, TransitionRow] {
+    @transient private var last:
+        org.apache.spark.sql.streaming.ValueState[LastEvent] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode):
+        Unit =
+      last = getHandle.getValueState[LastEvent]("last",
+        org.apache.spark.sql.Encoders.product[LastEvent],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[TransitionRow] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val prev = if (last.exists()) Some(last.get()) else None
+        val head = sorted.head
+        val carried = prev.map(p =>
+          TransitionRow(p.event_type, head.event_type)).iterator
+        val within = sorted.sliding(2).collect {
+          case Seq(a, b) => TransitionRow(a.event_type, b.event_type)
+        }
+        val tail = sorted.last
+        last.update(LastEvent(tail.ts_us, tail.event_id, tail.event_type))
+        carried ++ within
+      }
+    }
+  }
+
+  /** Transition matrix via [[Transitions]], driven synchronously — equal
+    * to the batch lead-window form, which is what the oracle computes.
+    */
+  def transitionsBatch(spark: SparkSession, dir: String,
+                       queryName: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val events = eventStream(spark, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[Event]
+      val out = events.groupByKey(_.user_id)
+        .transformWithState(new Transitions,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      withStatePartitions(spark, HarnessStateParts) {
+        val q = out.toDF().writeStream
+          .outputMode(OutputMode.Update)
+          .format("memory").queryName(queryName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      spark.table(queryName)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   /** Per-key per-hour RATE CAP as a MapState — the fourth
     * transformWithState primitive after ValueState (st11), timers (st13)
     * and ListState (st14): state is a MAP the store reads/writes by USER
