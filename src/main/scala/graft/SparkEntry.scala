@@ -700,6 +700,27 @@ object SparkEntry {
     // intervals: collapse runs of the same value (lag), then close each
     // interval with the next change's date (lead). One sort per customer
     // partition serves both window passes. ------------------------------
+    // ---- W8: CONDITIONAL aggregates over a trailing frame — per-event
+    // "purchases/errors among my last 10 events" counters (the rolling
+    // risk features fraud/abuse models consume); the condition lives
+    // inside the summed expression, so one frame serves both counters ----
+    "w8_conditional_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-9, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("recent_purchases",
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(w))
+        .withColumn("recent_errors",
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .over(w))
+        .filter(col("event_id") % 50 === 0)
+        .select("event_id", "user_id", "recent_purchases", "recent_errors")
+        .orderBy("event_id")
+    }),
+
     // ---- W7: session-relative features — the behavioral-model feature
     // block (session ordinal, index within session, microseconds since
     // session start) in two window passes over ONE exchange
@@ -3873,6 +3894,22 @@ object SparkEntry {
         |  CAST(coalesce(big_cnt, 0) AS BIGINT) AS big_cnt
         |FROM urgent FULL OUTER JOIN big ON u_custkey = b_custkey
         |ORDER BY custkey""".stripMargin,
+
+    "w8_conditional_frame" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        | f AS (SELECT event_id, user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER w AS recent_purchases,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      OVER w AS recent_errors
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  CAST(recent_purchases AS BIGINT) AS recent_purchases,
+        |  CAST(recent_errors AS BIGINT) AS recent_errors
+        | FROM f WHERE event_id % 50 = 0 ORDER BY event_id""".stripMargin,
 
     "w7_session_features" ->
       """WITH e AS (SELECT event_id, user_id,
