@@ -1573,8 +1573,10 @@ object SparkEntry {
         .orderBy("vec_id", "rank")),
 
     "d13_semdedup" -> ((s, dir) =>
-      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.45, nCells = 16)
+      // Cells DERIVED from the corpus (∝ N, floor 16) — per-cell refine
+      // stays flat as the corpus grows; oracle derives the same count.
+      Similarity.semDedupAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.45)
         .orderBy("vec_id")),
 
     // ---- D14: bloom-prefiltered incremental admission — the corpus ships
@@ -1609,8 +1611,11 @@ object SparkEntry {
     }),
 
     "d5_embed_neardup" -> ((s, dir) =>
-      Similarity.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id",
-          "embedding", threshold = 0.45, nPlanes = 4)
+      // Plane count DERIVED from the corpus (buckets ∝ N, occupancy ~32) and
+      // hot buckets capped — the gate runs the production-scale plan, not a
+      // pinned small-corpus parameterization (the round-4 regression).
+      Similarity.embeddingNearDuplicatesAuto(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45)
         .orderBy("id_a", "id_b")),
 
     // ---- T12: n-gram CONTAINMENT — asymmetric subset-duplication
@@ -1624,8 +1629,9 @@ object SparkEntry {
     // plane slices), candidates unioned + distinct'd before the one exact
     // refine per pair; recall gain over d5 pinned in OpsSpec --------------
     "d7_lsh_ensemble" -> ((s, dir) =>
-      Similarity.embeddingNearDuplicatesEnsemble(t(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.45, nPlanes = 4, nTables = 2)
+      // Derived per-table planes (clamped to MaxPlanes/nTables) + bucket cap.
+      Similarity.embeddingNearDuplicatesEnsembleAuto(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45, nTables = 2)
         .orderBy("id_a", "id_b")),
 
     // ---- Similarity search (ANN) ----------------------------------------
@@ -3252,16 +3258,22 @@ object SparkEntry {
     * fixed-point cosine, rank r per (vector, centroid)) — shared by
     * `n3_ann_ivf` (probe tail) and `n6_kmeans_iter` (centroid-mean tail).
     */
-  private val IvfAssignCtes: String =
-    """WITH base AS (
+  /** IVF assignment CTE chain (base → cents → cpairs → assign) shared by
+    * the n12/d13 mirrors; `centsCte` picks the centroid count — n12 pins
+    * 16, d13 derives cells from the corpus count exactly like
+    * `Similarity.autoCells` (integer bit-length, occupancy 32, 2^[4,12]).
+    */
+  private def ivfAssignCtesWith(lead: String, centsCte: String): String =
+    "WITH " + lead +
+    """base AS (
       |  SELECT vec_id, embedding AS x,
       |    CAST(list_sum(list_transform(range(1, 65), i ->
       |      CAST(round(CAST(x[i] AS DOUBLE) * CAST(x[i] AS DOUBLE) * 1e12) AS BIGINT)))
       |      AS BIGINT) AS nrm
       |  FROM embeddings),
       | cents AS (
-      |  SELECT vec_id AS cent_id, x AS cv, nrm AS cnrm FROM base
-      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |""".stripMargin + centsCte +
+    """),
       | cpairs AS (
       |  SELECT b.vec_id, b.x, b.nrm, c.cent_id, c.cnrm,
       |    CAST(list_sum(list_transform(range(1, 65), i ->
@@ -3275,6 +3287,21 @@ object SparkEntry {
       |        (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cnrm AS DOUBLE))) DESC,
       |      cent_id) AS r
       |  FROM cpairs),""".stripMargin
+
+  private val IvfAssignCtes: String = ivfAssignCtesWith("",
+    """  SELECT vec_id AS cent_id, x AS cv, nrm AS cnrm FROM base
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16""".stripMargin)
+
+  private val IvfAssignCtesAuto: String = ivfAssignCtesWith(
+    """nc AS (
+      |  SELECT (CAST(1 AS BIGINT) << LEAST(12, GREATEST(4,
+      |    CASE WHEN (count(*) + 31) // 32 <= 1 THEN 1
+      |         ELSE length(bin((count(*) + 31) // 32 - 1)) END))) AS cells
+      |  FROM embeddings),
+      | """.stripMargin,
+    """  SELECT vec_id AS cent_id, x AS cv, nrm AS cnrm FROM base
+      |  QUALIFY row_number() OVER (
+      |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= (SELECT cells FROM nc)""".stripMargin)
 
   /** Priority/revenue rollup of lineitem ⋈ orders — shared by
     * `k1_skew_salted_join` (salted shuffle join) and `b1_bucketed_join`
@@ -4903,10 +4930,18 @@ object SparkEntry {
         | WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
         | ORDER BY id_a, id_b""".stripMargin,
 
+    // Plane count derived from the corpus count exactly as
+    // Similarity.autoPlanes does (integer bit-length, occupancy 32, clamp
+    // [4,16]); degenerate buckets capped at 1000 like the Spark side.
     "d5_embed_neardup" ->
-      """WITH v AS (
+      """WITH np AS (
+        |  SELECT LEAST(16, GREATEST(4,
+        |    CASE WHEN (count(*) + 31) // 32 <= 1 THEN 1
+        |         ELSE length(bin((count(*) + 31) // 32 - 1)) END)) AS p
+        |  FROM embeddings),
+        | v AS (
         |  SELECT vec_id, embedding AS x,
-        |    CAST(list_sum(list_transform(range(0, 4), j ->
+        |    CAST(list_sum(list_transform(range(0, p), j ->
         |      CASE WHEN CAST(list_sum(list_transform(range(0, 64), i ->
         |        (CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' ||
         |             CAST(i AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
@@ -4915,7 +4950,8 @@ object SparkEntry {
         |        AS BIGINT) > 0
         |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
         |      AS BIGINT) AS bucket
-        |  FROM embeddings),
+        |  FROM embeddings, np
+        |  QUALIFY count(*) OVER (PARTITION BY bucket) <= 1000),
         | pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.x AS xa, b.x AS xb
         |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
@@ -5164,7 +5200,7 @@ object SparkEntry {
         |  id_b AS neighbor_id
         | FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin),
 
-    "d13_semdedup" -> (IvfAssignCtes +
+    "d13_semdedup" -> (IvfAssignCtesAuto +
       """
         | cells AS (SELECT vec_id, x, nrm, cent_id FROM assign WHERE r = 1),
         | pairs AS (
@@ -5183,23 +5219,30 @@ object SparkEntry {
         |   CAST(count(*) AS BIGINT) AS n_close
         |  FROM close_pairs GROUP BY id_b, cell ORDER BY vec_id""".stripMargin),
 
-    // Ensemble mirror: table t of 2 uses planes [t*4, t*4+4) of the same
-    // md5-parity sign matrix; candidate pairs distinct'd across tables
-    // BEFORE the one exact scoring per pair (mirrors the Spark plan).
+    // Ensemble mirror: table t of 2 uses planes [t*p, (t+1)*p) of the same
+    // md5-parity sign matrix, p derived from the corpus count (occupancy 32,
+    // clamp [4, MaxPlanes/nTables = 8]); candidate pairs distinct'd across
+    // tables BEFORE the one exact scoring per pair (mirrors the Spark plan).
     "d7_lsh_ensemble" ->
-      """WITH b AS (SELECT vec_id, embedding AS x FROM embeddings),
+      """WITH np AS (
+        |  SELECT LEAST(8, GREATEST(4,
+        |    CASE WHEN (count(*) + 31) // 32 <= 1 THEN 1
+        |         ELSE length(bin((count(*) + 31) // 32 - 1)) END)) AS p
+        |  FROM embeddings),
+        | b AS (SELECT vec_id, embedding AS x FROM embeddings),
         | bk AS (
         |  SELECT vec_id, t,
-        |    CAST(list_sum(list_transform(range(0, 4), j ->
+        |    CAST(list_sum(list_transform(range(0, p), j ->
         |      CASE WHEN CAST(list_sum(list_transform(range(0, 64), i ->
-        |        (CASE WHEN CAST(('0x' || substr(md5(CAST(t*4 + j AS VARCHAR) || '_' ||
+        |        (CASE WHEN CAST(('0x' || substr(md5(CAST(t*p + j AS VARCHAR) || '_' ||
         |             CAST(i AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
         |          THEN 1 ELSE -1 END) *
         |        CAST(round(CAST(x[CAST(i AS INT) + 1] AS DOUBLE) * 1e6) AS BIGINT)))
         |        AS BIGINT) > 0
         |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
         |      AS BIGINT) AS bucket
-        |  FROM b, (SELECT unnest(range(0, 2)) AS t) tt),
+        |  FROM b, (SELECT unnest(range(0, 2)) AS t) tt, np
+        |  QUALIFY count(*) OVER (PARTITION BY t, bucket) <= 1000),
         | pairs AS (
         |  SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
         |  FROM bk a JOIN bk bb

@@ -565,20 +565,87 @@ object Similarity {
     sums
   }
 
+  /** Derived hyperplane count: the smallest p with 2^p buckets giving a
+    * mean occupancy <= `targetOccupancy`, clamped to [minPlanes, maxPlanes].
+    * Bucket count ∝ N keeps per-bucket pair work CONSTANT as the corpus
+    * grows — the scale contract SCALE.md measures (fixed nPlanes=4 made
+    * in-bucket scoring quadratic: 32 s at 10×; derived planes: 1.9 s at
+    * 97.6% recall). Pure integer arithmetic (bit length of
+    * ceil(N/occ) - 1) so the DuckDB oracle reproduces the SAME value from
+    * the SAME count — `length(bin(m - 1))` — with no float-log edge cases
+    * at exact powers of two.
+    */
+  def autoPlanes(n: Long, targetOccupancy: Int = 32, minPlanes: Int = 4,
+                 maxPlanes: Int = graft.functions.VectorFp.MaxPlanes): Int = {
+    require(targetOccupancy >= 1 && minPlanes >= 1 &&
+      maxPlanes >= minPlanes, "bad autoPlanes bounds")
+    // ceil(n/occ) spelled overflow-safe ((n + occ - 1) would wrap at
+    // Long.MaxValue); the oracle's count can't overflow, so it keeps the
+    // direct (n + occ - 1) // occ spelling.
+    val m = (math.max(n, 1L) - 1) / targetOccupancy + 1
+    val raw =
+      if (m <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(maxPlanes, math.max(minPlanes, raw))
+  }
+
+  /** Derived IVF cell count (power of two, occupancy-targeted like
+    * [[autoPlanes]]): cells ∝ N keeps the per-cell quadratic refine flat.
+    * Default bounds [16, 4096] — 16 matches the fixed-cell gates' floor,
+    * 4096 centroids is still a trivially broadcastable table.
+    */
+  def autoCells(n: Long, targetOccupancy: Int = 32, minCells: Int = 16,
+                maxCells: Int = 4096): Int = {
+    require(Integer.bitCount(minCells) == 1 && Integer.bitCount(maxCells) == 1,
+      "cell bounds must be powers of two")
+    1 << autoPlanes(n, targetOccupancy,
+      Integer.numberOfTrailingZeros(minCells),
+      Integer.numberOfTrailingZeros(maxCells))
+  }
+
+  /** Degenerate-bucket guard shared by the embedding LSH paths: drop
+    * buckets whose occupancy exceeds `maxBucket` BEFORE the self-join —
+    * without it one hot bucket (all-zero vectors, crawl spam) absorbs
+    * O(bucket²) pair work however well the plane count is tuned. Mirrors
+    * `MinHashDedup.candidatesFrom`'s cap; `keyCols` is the bucket key
+    * (plus the table id for the ensemble).
+    */
+  private def capBuckets(df: DataFrame, maxBucket: Int,
+                         keyCols: Seq[String]): DataFrame =
+    df.withColumn("__bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)))
+      .filter(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+
+  /** [[embeddingNearDuplicates]] with the plane count derived from the
+    * corpus size (one COUNT job) — the production entry point: the gate
+    * and the 10× corpus run the SAME code and each gets the plan a
+    * 1000-executor cluster would want.
+    */
+  def embeddingNearDuplicatesAuto(vectors: DataFrame, idCol: String,
+                                  vecCol: String, threshold: Double,
+                                  targetOccupancy: Int = 32,
+                                  maxBucket: Int = 1000): DataFrame =
+    embeddingNearDuplicates(vectors, idCol, vecCol, threshold,
+      autoPlanes(vectors.count(), targetOccupancy), maxBucket)
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * bucketed by LSH so the pair generation is an equality join (the scale
     * path; pairs split across buckets are the recall trade-off).
     */
   def embeddingNearDuplicates(vectors: DataFrame, idCol: String,
                               vecCol: String, threshold: Double,
-                              nPlanes: Int = 6): DataFrame = {
+                              nPlanes: Int = 6,
+                              maxBucket: Int = 1000): DataFrame = {
     // Cache: the bucketed frame feeds both sides of the pair join. Norms
     // are computed here, per vector, NOT per candidate pair — scoring a
     // pair is then a single array fold.
-    val v = spread(vectors, idCol)
-      .select(col(idCol), col(vecCol),
-        lshBucket(col(vecCol), nPlanes).as("bucket"),
-        normFp(col(vecCol)).as("norm_fp"))
+    val v = capBuckets(
+      spread(vectors, idCol)
+        .select(col(idCol), col(vecCol),
+          lshBucket(col(vecCol), nPlanes).as("bucket"),
+          normFp(col(vecCol)).as("norm_fp")),
+      maxBucket, Seq("bucket"))
       .cache()
     // Rename the join key per side — shared lineage would otherwise make
     // bucket === bucket trivially true (cross join).
@@ -605,20 +672,38 @@ object Similarity {
     * tables it collided in, and each table is one more equality join — the
     * cost grows linearly in nTables while near-pair recall approaches 1.
     */
+  /** [[embeddingNearDuplicatesEnsemble]] with the per-table plane count
+    * derived from the corpus size; each table's planes are clamped to
+    * MaxPlanes / nTables so the disjoint plane slices still fit the static
+    * sign matrix.
+    */
+  def embeddingNearDuplicatesEnsembleAuto(vectors: DataFrame, idCol: String,
+                                          vecCol: String, threshold: Double,
+                                          nTables: Int = 2,
+                                          targetOccupancy: Int = 32,
+                                          maxBucket: Int = 1000): DataFrame =
+    embeddingNearDuplicatesEnsemble(vectors, idCol, vecCol, threshold,
+      autoPlanes(vectors.count(), targetOccupancy,
+        maxPlanes = graft.functions.VectorFp.MaxPlanes / nTables),
+      nTables, maxBucket)
+
   def embeddingNearDuplicatesEnsemble(vectors: DataFrame, idCol: String,
                                       vecCol: String, threshold: Double,
                                       nPlanes: Int = 4,
-                                      nTables: Int = 2): DataFrame = {
+                                      nTables: Int = 2,
+                                      maxBucket: Int = 1000): DataFrame = {
     require(nTables >= 1 &&
       nTables * nPlanes <= graft.functions.VectorFp.MaxPlanes,
       s"need nTables * nPlanes <= ${graft.functions.VectorFp.MaxPlanes}")
     val v = spread(vectors, idCol)
       .select(col(idCol), col(vecCol), normFp(col(vecCol)).as("norm_fp"))
       .cache()
-    val buckets = v.select(col(idCol),
-      posexplode(array((0 until nTables).map(t =>
-        lshBucket(col(vecCol), nPlanes, t * nPlanes)): _*))
-        .as(Seq("tbl", "bucket")))
+    val buckets = capBuckets(
+      v.select(col(idCol),
+        posexplode(array((0 until nTables).map(t =>
+          lshBucket(col(vecCol), nPlanes, t * nPlanes)): _*))
+          .as(Seq("tbl", "bucket"))),
+      maxBucket, Seq("tbl", "bucket"))
     val left = buckets.select(col(idCol).as("id_a"), col("tbl").as("tbl_a"),
       col("bucket").as("bucket_a"))
     val right = buckets.select(col(idCol).as("id_b"), col("tbl").as("tbl_b"),
@@ -711,6 +796,18 @@ object Similarity {
       .select(col("id_a").as("vec_id"), col("rank").cast("long").as("rank"),
         col("id_b").as("neighbor_id"))
   }
+
+  /** [[semDedup]] with the cell count derived from the corpus size
+    * ([[autoCells]]: cells ∝ N, power of two, floor 16) — the SCALE.md
+    * lesson applied: fixed nCells=16 made the in-cell refine quadratic
+    * (26.4 s at 10×); cells grown with N hold per-cell pair work at the
+    * true-duplicate mass (6.6 s at nCells=128, same output).
+    */
+  def semDedupAuto(vectors: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double,
+                   targetOccupancy: Int = 32): DataFrame =
+    semDedup(vectors, idCol, vecCol, threshold,
+      autoCells(vectors.count(), targetOccupancy))
 
   def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nCells: Int = 16): DataFrame = {

@@ -313,6 +313,104 @@ class SimilaritySpec extends SparkSpec {
     assert(ensemble.subsetOf(truth)) // refine step keeps precision exact
   }
 
+  test("autoPlanes/autoCells: integer-exact derivation and clamps") {
+    // Smallest p with 2^p * occupancy >= N — the same bit-length formula
+    // the DuckDB oracles compute with length(bin(m - 1)).
+    assert(Similarity.autoPlanes(500) === 4)    // sf0.01 corpus: old gate p
+    assert(Similarity.autoPlanes(2000) === 6)   // sf0.1 corpus
+    assert(Similarity.autoPlanes(20000) === 10) // 10x corpus: SCALE.md's 1.9s
+    assert(Similarity.autoPlanes(1) === 4)      // floor clamp
+    assert(Similarity.autoPlanes(Long.MaxValue) === 16) // overflow-safe clamp
+    assert(Similarity.autoPlanes(20000, maxPlanes = 8) === 8) // ensemble clamp
+    // exact power-of-two boundary: N/occ = 64 needs exactly 6 planes
+    assert(Similarity.autoPlanes(2048) === 6)
+    assert(Similarity.autoPlanes(2049) === 7)
+    assert(Similarity.autoCells(500) === 16)    // sf0.01: unchanged floor
+    assert(Similarity.autoCells(2000) === 64)   // sf0.1
+    assert(Similarity.autoCells(20000) === 1024) // 10x corpus
+  }
+
+  test("auto-derived LSH keeps >= 97% of the fixed-parameter pair set") {
+    // The round-4 lesson as a pinned contract, on the kind of corpus the
+    // derivation exists for: a clone-heavy corpus (each vector replicated
+    // 4x with shifted ids, the scripts/make_scale10.py discipline). The
+    // derived plane count (p=6 at N=2000 vs the fixed gate's p=4) must
+    // keep >= 97% of the fixed-parameter pair set — SCALE.md measured the
+    // same trade at 97.6-97.8% on the 10x corpus. Exact clones share a
+    // bucket at ANY plane count, so what the bound polices is the
+    // moderate-similarity tail, the pairs bucket-splitting can lose.
+    val base = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val emb = (0 until 4).map(r =>
+        base.select(($"vec_id" + lit(r * 10000L)).as("vec_id"),
+          $"embedding"))
+      .reduce(_ unionAll _)
+    assert(Similarity.autoPlanes(emb.count()) === 6)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = pairs(Similarity.embeddingNearDuplicates(emb,
+      "vec_id", "embedding", threshold = 0.45, nPlanes = 4))
+    val auto = pairs(Similarity.embeddingNearDuplicatesAuto(emb,
+      "vec_id", "embedding", threshold = 0.45))
+    assert(fixed.size >= 3000, s"clone corpus too thin: ${fixed.size}")
+    val kept =
+      if (fixed.isEmpty) 1.0 else (auto & fixed).size.toDouble / fixed.size
+    assert(kept >= 0.97, s"auto-derived LSH kept only $kept of fixed pairs")
+    // precision is exact either way: the refine step verifies candidates
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val truth = pairs(a.join(b, $"id_a" < $"id_b")
+      .withColumn("cos", Similarity.cosine($"va", $"vb"))
+      .filter($"cos" >= 0.45).select("id_a", "id_b"))
+    assert(auto.subsetOf(truth))
+    // the ensemble auto path (OR-amplified) can only add candidates over
+    // one of its tables; precision stays exact
+    val autoEns = pairs(Similarity.embeddingNearDuplicatesEnsembleAuto(emb,
+      "vec_id", "embedding", threshold = 0.45, nTables = 2))
+    assert(autoEns.subsetOf(truth))
+    val keptEns =
+      if (fixed.isEmpty) 1.0 else (autoEns & fixed).size.toDouble / fixed.size
+    assert(keptEns >= kept, s"ensemble below single table: $keptEns < $kept")
+  }
+
+  test("embedding LSH bucket cap drops degenerate buckets, keeps the rest") {
+    // A crawl-spam corpus: 60 identical vectors (one hot bucket) plus two
+    // genuine near-dup pairs elsewhere. With maxBucket below 60 the hot
+    // bucket must contribute NO pairs — and the genuine pairs survive.
+    val rng = new scala.util.Random(11)
+    val spam = Array.fill(64)(rng.nextFloat() * 2 - 1)
+    def jitter(base: Array[Float], eps: Float): Array[Float] = {
+      val r = new scala.util.Random(17)
+      base.map(x => x + (r.nextFloat() - 0.5f) * eps)
+    }
+    val pairA = Array.fill(64)(rng.nextFloat() * 2 - 1)
+    val pairB = Array.fill(64)(rng.nextFloat() * 2 - 1)
+    val rows =
+      (0L until 60L).map(i => (i, spam)) ++
+      Seq((100L, pairA), (101L, jitter(pairA, 0.01f)),
+          (200L, pairB), (201L, jitter(pairB, 0.01f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Similarity.embeddingNearDuplicates(emb,
+      "vec_id", "embedding", threshold = 0.45, nPlanes = 8,
+      maxBucket = 1000000))
+    val capped = pairs(Similarity.embeddingNearDuplicates(emb,
+      "vec_id", "embedding", threshold = 0.45, nPlanes = 8, maxBucket = 50))
+    assert(uncapped.exists(p => p._1 < 60 && p._2 < 60)) // spam pairs exist
+    assert(!capped.exists(p => p._1 < 60 && p._2 < 60),
+      "capped result still contains hot-bucket pairs")
+    assert(capped.contains((100L, 101L)) && capped.contains((200L, 201L)),
+      s"cap lost genuine pairs: $capped")
+    // same guard on the ensemble path
+    val cappedEns = pairs(Similarity.embeddingNearDuplicatesEnsemble(emb,
+      "vec_id", "embedding", threshold = 0.45, nPlanes = 8, nTables = 2,
+      maxBucket = 50))
+    assert(!cappedEns.exists(p => p._1 < 60 && p._2 < 60))
+    assert(cappedEns.contains((100L, 101L)))
+  }
+
   test("PQ with a perfect codebook reproduces exact search bit-for-bit") {
     // When the corpus IS the sampled codeword set (16 vectors), every
     // vector reconstructs exactly, so ADC == the true dot and the PQ
