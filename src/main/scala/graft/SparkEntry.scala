@@ -2778,7 +2778,11 @@ object SparkEntry {
       bench.agg(count(lit(1)).as("n_bench"))
         .crossJoin(leaked.agg(count(lit(1)).as("n_leaked")))
         .select(col("n_bench"), col("n_leaked"),
-          expr("n_leaked * 10000L div n_bench").as("leak_bp"))
+          // Guarded: an empty bench set yields NULL on both engines
+          // (Spark div-by-zero is NULL, DuckDB // raises) — degrade, don't
+          // diverge.
+          expr("CASE WHEN n_bench > 0 THEN n_leaked * 10000L div n_bench END")
+            .as("leak_bp"))
     }),
 
     // ---- C12: the corpus CARD — the per-source datasheet row every
@@ -2834,24 +2838,40 @@ object SparkEntry {
     }),
 
     // ---- D16: LSH recall measured IN-ENGINE — the banding scheme's raw
-    // candidates joined against exact-Jaccard truth (inverted-index, no
-    // blocking): the tuning measurement for every LSH deployment, as one
-    // integer-exact summary row --------------------------------------------
+    // candidates audited against exact-Jaccard truth computed over a
+    // DETERMINISTIC HASH SAMPLE of the corpus (both pair endpoints
+    // sampled ⇒ pair rate p²): the exact inverted-index truth join costs
+    // Σ df² over shingles — corpus-quadratic on popular shingles — so at
+    // 100 TB the audit runs on the sample, never the full corpus. Sample
+    // membership is a pure id-hash predicate (first md5 hex < 8 ⇒ p=1/2),
+    // independent of candidate structure, so restricting BOTH candidates
+    // and truth to sampled endpoints gives unbiased recall/precision
+    // estimators (pinned vs full truth in CurationSpec). Division guarded:
+    // an empty sampled truth/candidate set degrades to NULL identically in
+    // Spark and DuckDB instead of diverging ---------------------------------
     "d16_lsh_recall" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      def inSample(c: Column): Column =
+        conv(substring(md5(c.cast("string")), 1, 1), 16, 10)
+          .cast("long") < 8
       val cand = MinHashDedup.lshCandidatePairs(docs, "doc_id", "text",
         k = 3, m = 16, nBands = 4, maxBucket = 1000)
+      val candS = cand.filter(inSample(col("id_a")) && inSample(col("id_b")))
       val truth = MinHashDedup.ngramJaccardPairs(
-          docs.withColumn("__blk", lit(0)), "doc_id", "text", "__blk",
-          k = 3, threshold = 0.3)
+          docs.filter(inSample(col("doc_id"))).withColumn("__blk", lit(0)),
+          "doc_id", "text", "__blk", k = 3, threshold = 0.3)
         .select("id_a", "id_b")
-      val tp = cand.join(truth, Seq("id_a", "id_b"))
+      val tp = candS.join(truth, Seq("id_a", "id_b"))
       cand.agg(count(lit(1)).as("n_cand"))
-        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-        .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
-        .select(col("n_truth"), col("n_cand"), col("n_tp"),
-          expr("n_tp * 10000L div n_truth").as("recall_bp"),
-          expr("n_tp * 10000L div n_cand").as("precision_bp"))
+        .crossJoin(candS.agg(count(lit(1)).as("n_cand_s")))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth_s")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_tp_s")))
+        .select(col("n_truth_s"), col("n_cand"), col("n_cand_s"),
+          col("n_tp_s"),
+          expr("CASE WHEN n_truth_s > 0 THEN n_tp_s * 10000L div n_truth_s END")
+            .as("recall_bp"),
+          expr("CASE WHEN n_cand_s > 0 THEN n_tp_s * 10000L div n_cand_s END")
+            .as("precision_bp"))
     }),
 
     // ---- C9: training-data MIXTURE — fill 8% of the corpus from
@@ -4759,25 +4779,40 @@ object SparkEntry {
 
     // Pairs (d2's mirror, shared CTEs) closed under transitivity by a
     // recursive min-label walk — the SQL twin of label propagation.
+    // Truth restricted to the id-hash sample (first md5 hex < 8) — mirror
+    // of the Spark side's sampled audit; guarded division degrades to NULL.
     "d16_lsh_recall" -> (MinHashScoredCtes +
       """,
+        | sig_s AS (
+        |  SELECT * FROM sig
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+        |    AS BIGINT) < 8),
         | truth AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sig) a
-        |  JOIN (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sig) b
+        |  FROM (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sig_s) a
+        |  JOIN (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sig_s) b
         |    ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
         |  HAVING CAST(count(*) AS DOUBLE) /
         |    CAST(a.sz + b.sz - count(*) AS DOUBLE) >= 0.3),
-        | tp AS (SELECT p.id_a, p.id_b FROM pairs p
+        | cand_s AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  WHERE CAST(('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 1))
+        |      AS BIGINT) < 8
+        |    AND CAST(('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 1))
+        |      AS BIGINT) < 8),
+        | tp AS (SELECT p.id_a, p.id_b FROM cand_s p
         |   JOIN truth t ON p.id_a = t.id_a AND p.id_b = t.id_b)
-        |SELECT (SELECT count(*) FROM truth) AS n_truth,
+        |SELECT (SELECT count(*) FROM truth) AS n_truth_s,
         |  (SELECT count(*) FROM pairs) AS n_cand,
-        |  (SELECT count(*) FROM tp) AS n_tp,
-        |  (SELECT count(*) FROM tp) * 10000
-        |    // (SELECT count(*) FROM truth) AS recall_bp,
-        |  (SELECT count(*) FROM tp) * 10000
-        |    // (SELECT count(*) FROM pairs) AS precision_bp""".stripMargin),
+        |  (SELECT count(*) FROM cand_s) AS n_cand_s,
+        |  (SELECT count(*) FROM tp) AS n_tp_s,
+        |  CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+        |    (SELECT count(*) FROM tp) * 10000
+        |      // (SELECT count(*) FROM truth) END AS recall_bp,
+        |  CASE WHEN (SELECT count(*) FROM cand_s) > 0 THEN
+        |    (SELECT count(*) FROM tp) * 10000
+        |      // (SELECT count(*) FROM cand_s) END AS precision_bp""".stripMargin),
 
     "d6_dup_clusters" -> (MinHashScoredCtes +
       """,
@@ -5133,8 +5168,9 @@ object SparkEntry {
         | nb AS (SELECT count(*) AS n FROM toks WHERE doc_id % 25 = 0)
         |SELECT (SELECT n FROM nb) AS n_bench,
         |  (SELECT count(*) FROM leaked) AS n_leaked,
-        |  (SELECT count(*) FROM leaked) * 10000 // (SELECT n FROM nb)
-        |    AS leak_bp""".stripMargin,
+        |  CASE WHEN (SELECT n FROM nb) > 0 THEN
+        |    (SELECT count(*) FROM leaked) * 10000 // (SELECT n FROM nb)
+        |  END AS leak_bp""".stripMargin,
 
     "d11_decontaminate" ->
       """WITH toks AS (

@@ -158,4 +158,40 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     assert(out.toSeq === Seq((1L, 0L, 1L)))
   }
+
+  test("sampled LSH recall estimate tracks the full-corpus truth") {
+    // The d16 gate's audit discipline, validated against the thing it
+    // replaces: exact Jaccard truth over the WHOLE sf0.01 corpus (cheap
+    // here, corpus-quadratic at scale) vs truth over the deterministic
+    // id-hash half-sample (pair rate 1/4). The estimator restricts both
+    // candidates and truth to sampled endpoints, so sample membership is
+    // independent of LSH bucketing and the estimate must land near the
+    // full number.
+    import graft.ops.MinHashDedup
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    def inSample(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 1), 16, 10)
+        .cast("long") < 8
+    val cand = MinHashDedup.lshCandidatePairs(docs, "doc_id", "text",
+      k = 3, m = 16, nBands = 4, maxBucket = 1000).cache()
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullTruth = pairSet(MinHashDedup.ngramJaccardPairs(
+      docs.withColumn("__blk", lit(0)), "doc_id", "text", "__blk",
+      k = 3, threshold = 0.3))
+    val sampTruth = pairSet(MinHashDedup.ngramJaccardPairs(
+      docs.filter(inSample(col("doc_id"))).withColumn("__blk", lit(0)),
+      "doc_id", "text", "__blk", k = 3, threshold = 0.3))
+    // sampled truth IS the full truth restricted to sampled endpoints
+    assert(sampTruth.subsetOf(fullTruth))
+    assert(sampTruth.nonEmpty, "sample too thin to audit at sf0.01")
+    val candAll = pairSet(cand)
+    val candS = pairSet(
+      cand.filter(inSample(col("id_a")) && inSample(col("id_b"))))
+    val fullRecallBp = (candAll & fullTruth).size * 10000L / fullTruth.size
+    val estRecallBp = (candS & sampTruth).size * 10000L / sampTruth.size
+    assert(math.abs(estRecallBp - fullRecallBp) <= 1000L,
+      s"sampled estimate $estRecallBp vs full $fullRecallBp")
+  }
 }
