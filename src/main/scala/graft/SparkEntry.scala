@@ -6042,7 +6042,8 @@ object SparkEntry {
         | filled AS (
         |  SELECT user_id, purchase_id,
         |    first_value(error_id IGNORE NULLS) OVER (
-        |      PARTITION BY user_id ORDER BY ts_us, side
+        |      PARTITION BY user_id
+        |      ORDER BY ts_us, side, error_id ASC NULLS LAST
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS error_id
         |  FROM u)
         |SELECT purchase_id, user_id, error_id FROM filled

@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * Tie semantics: a right row at exactly the left row's time MATCHES
   * (tag ordering puts right rows first at equal times) — same as DuckDB's
   * `ASOF JOIN ... ON l.ts >= r.ts`, which the oracle uses.
+  *
+  * Determinism among tied RIGHT rows (same key and time): the window
+  * additionally orders by `valueCols.head` (nulls last, so left rows are
+  * unaffected), and the backward/forward pick resolves to the
+  * max/min-valued right row respectively. Without this the pick would be
+  * partition-order-dependent. Full determinism requires `valueCols.head`
+  * to be unique per (key, time) on the right side — true for id-like
+  * payload columns.
   */
 object AsOfJoin {
 
@@ -46,8 +54,11 @@ object AsOfJoin {
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
         valueCols.map(col): _*)
     val unioned = l.unionByName(r)
+    // Third key breaks ties among right rows sharing (key, time): `last`
+    // then deterministically picks the max-valued one. Left rows carry
+    // null there (nulls last) so their relative order is unchanged.
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col(valueCols.head).asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = valueCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
@@ -82,8 +93,11 @@ object AsOfJoin {
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
         valueCols.map(col): _*)
     val unioned = l.unionByName(r)
+    // Third key breaks ties among right rows sharing (key, time): `first`
+    // then deterministically picks the min-valued one (mirrored in the
+    // x6 oracle's window ORDER BY).
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col(valueCols.head).asc_nulls_last)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val filled = valueCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(c, first(col(c), ignoreNulls = true).over(w))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** PageRank over an edge list — the link-analysis counterpart to
@@ -99,13 +99,20 @@ object Graph {
       .union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     // rank packs (degree, id) into one BIGINT so the orientation is a
-    // total order without struct comparisons in the join keys
+    // total order without struct comparisons in the join keys. The packing
+    // assumes 0 <= id < 2^31 (id in the low 31 bits; degree < |V| <= 2^31
+    // then fits the high bits without overflow) — guarded per row below as
+    // a codegen'd check, not an extra pass, because an out-of-range id
+    // would silently bleed into the degree bits and corrupt the count.
+    val inRange = (c: Column) => when(c >= 0L && c < 2147483648L, c)
+      .otherwise(raise_error(lit(
+        "triangleCount: vertex id out of [0, 2^31) — rank packing invalid")))
     val ranked = und
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
       .select(col("a"), col("b"),
-        (col("da") * 2147483648L + col("a")).as("ra"),
-        (col("db") * 2147483648L + col("b")).as("rb"))
+        (col("da") * 2147483648L + inRange(col("a"))).as("ra"),
+        (col("db") * 2147483648L + inRange(col("b"))).as("rb"))
     val oriented = ranked.select(
       when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
       when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("w"),

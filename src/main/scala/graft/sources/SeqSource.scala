@@ -95,11 +95,15 @@ class SeqScanBuilder(n: Long, parts: Int) extends ScanBuilder
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // v + 1 would overflow at Long.MaxValue and flip the bound; such
+    // filters stay residual (Spark evaluates them row-side, still correct).
     val (taken, residual) = filters.partition {
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
-      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThan("id", v: Long) if v != Long.MaxValue =>
+        lo = math.max(lo, v + 1); true
       case LessThan("id", v: Long) => hi = math.min(hi, v); true
-      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1); true
+      case LessThanOrEqual("id", v: Long) if v != Long.MaxValue =>
+        hi = math.min(hi, v + 1); true
       case _ => false
     }
     accepted = taken

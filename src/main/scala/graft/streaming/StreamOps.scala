@@ -557,6 +557,15 @@ object StreamOps {
     * once — the property a per-batch window cannot give. Rows sort by
     * event time within the batch (arrival order is not event order);
     * emissions are the per-pair stream, aggregated downstream.
+    *
+    * Scale note: `rows.toSeq.sortBy` buffers ONE KEY's rows for ONE
+    * micro-batch on the executor heap — fine at harness volume, but at
+    * 100 TB a hot key's per-trigger volume can exceed memory. The
+    * 1000-executor variant bounds the trigger (`maxFilesPerTrigger` /
+    * `maxOffsetsPerTrigger`) so per-key-per-batch stays small, or accepts
+    * within-batch arrival order (dropping the sort) when the source is
+    * already time-ordered per key, as Kafka-by-key is. Same applies to
+    * [[RateCap]] below.
     */
   private class Transitions
       extends org.apache.spark.sql.streaming.StatefulProcessor[
