@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.workloads.{MigrateConjoint, MigrateUsers}
+import graft.workloads.{MigrateConjoint, MigrateEmployeurUsers, MigrateUsers}
 
 class MigrateConjointSpec extends SparkSpec {
   import spark.implicits._
@@ -35,6 +35,49 @@ class MigrateConjointSpec extends SparkSpec {
     // shared surrogate id links person ↔ bound
     assert(bounds.head.getAs[String]("person_id") ===
       persons.head.getAs[String]("id"))
+  }
+}
+
+class MigrateEmployeurUsersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("employeur variant: contact gate, link independent of auth insert") {
+    val users = Seq(
+      (1, "a@x.tg", "pw1", Option("S1"), 0, 1, Option("991"), 1),
+      (2, "not-an-email", "pw2", Option("S1"), 0, 1, Option("992"), 1),
+      (3, "c@x.gh", "pw3", None: Option[String], 0, 1, Option("993"), 1),
+      (4, "d@x.tg", "pw4", Option("S9"), 0, 1, Option("994"), 1), // sin unresolved
+      (5, "e@x.tg", "pw5", Option("S1"), 0, 1, None: Option[String], 1),
+      (6, "f@x.tg", "pw6", Option("S1"), 0, 1, Option("996"), 2), // wrong type
+      (7, "g@x.tg", "pw7", Option("S1"), 0, 1, Option("997"), 1), // auth exists
+      (8, "h@x.tg", "pw8", Option("S1"), 0, 1, Option("998"), 1)  // link exists
+    ).toDF("id", "username", "password", "numero_assurance",
+      "double_auth_active", "is_active", "contact", "type_partenaire")
+    val registrants = Seq(("R1", "S1")).toDF("id", "sin")
+    val existingAuth = Seq(7).toDF("user_id")
+    val existingLinks = Seq(8).toDF("user_id")
+
+    val out = MigrateEmployeurUsers.run(users, registrants, existingAuth,
+      existingLinks)
+
+    // auth: 6 filtered by partner type, 7 already present
+    assert(out.authUsers.collect().map(_.getInt(0)).sorted.toSeq ===
+      Seq(1, 2, 3, 4, 5, 8))
+    // unlike the assure variant, login_attempts is NULL (reference :185)
+    assert(out.authUsers.collect().forall(_.isNullAt(
+      out.authUsers.columns.indexOf("login_attempts"))))
+    // details need email shape AND a present contact: drops 2 (not an
+    // email) and 5 (null contact)
+    assert(out.userDetails.collect().map(_.getInt(0)).sorted.toSeq ===
+      Seq(1, 3, 4, 8))
+    // links are guarded on user_id alone and run even when the auth row
+    // already existed (7 links; 8 skipped; 4's sin never resolves)
+    assert(out.links.collect().map(_.getInt(0)).sorted.toSeq ===
+      Seq(1, 2, 5, 7))
+    assert(out.links.collect().forall(
+      _.getAs[String]("registrant_id") === "R1"))
+    // only a NULL sin is surfaced; an unresolved sin (4) drops silently
+    assert(out.missingSin.collect().map(_.getInt(0)).toSeq === Seq(3))
   }
 }
 
