@@ -1963,7 +1963,7 @@ object SparkEntry {
     "d6_dup_clusters" -> ((s, dir) => {
       val pairs = MinHashDedup.nearDuplicates(t(s, dir, "documents"),
         "doc_id", "text", k = 3, m = 16, nBands = 4, threshold = 0.5)
-      graft.ops.ConnectedComponents.labelPropagation(pairs, "id_a", "id_b")
+      graft.ops.ConnectedComponents.run(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     }),
@@ -1982,7 +1982,7 @@ object SparkEntry {
       val pairs = MinHashDedup.nearDuplicates(docs, "doc_id", "text",
         k = 3, m = 16, nBands = 4, threshold = 0.5)
       val losers = graft.ops.ConnectedComponents
-        .labelPropagation(pairs, "id_a", "id_b")
+        .run(pairs, "id_a", "id_b")
         .filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
       docs.join(losers, Seq("doc_id"), "left_anti")

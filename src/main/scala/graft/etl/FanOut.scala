@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   * retryable error instead of silently corrupted linkage.
   *
   * Scale note: the checkpoint holds source-width rows once, not once per
-  * destination; at 100 TB prefer a reliable checkpoint or persisting to
-  * storage (`df.write.parquet` then re-read) over executor-local blocks —
-  * `withIds` takes the already-materialized frame either way, keeping the
-  * operator itself scan-shaped and shuffle-free (pure projections).
+  * destination; at 100 TB set `spark.graft.checkpointDir` so
+  * [[graft.Checkpoints.sever]] writes a reliable checkpoint instead of
+  * executor-local blocks — `withIds` takes the already-materialized frame
+  * either way, keeping the operator itself scan-shaped and shuffle-free
+  * (pure projections).
   */
 object FanOut {
 
@@ -30,8 +31,9 @@ object FanOut {
     * observes identical ids — under recomputation too.
     */
   def withIds(df: DataFrame, idCols: Seq[String]): DataFrame =
-    idCols.foldLeft(df)((d, c) => d.withColumn(c, expr("uuid()")))
-      .localCheckpoint(eager = true)
+    graft.Checkpoints.sever(
+      idCols.foldLeft(df)((d, c) => d.withColumn(c, expr("uuid()"))),
+      eager = true)
 
   /** Project the id-augmented frame into each destination shape. */
   def apply(withIds: DataFrame,

@@ -22,17 +22,19 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes for the 100 TB case:
   *   - The edge list is persisted once and reused every round; labels
-  *     are `localCheckpoint`ed every round — iterative lineage otherwise
-  *     grows a plan per round and planning cost explodes (the classic
-  *     iterative-Spark trap). On a cluster use reliable `checkpoint`
-  *     (HDFS) instead so lost executors don't recompute the chain.
-  *   - For adversarial graphs with large diameter (long chains), swap
-  *     the round body for the large-star/small-star alternation of
-  *     Kiveris et al., "Connected Components in MapReduce and Beyond"
-  *     (SoCC '14), which converges in O(log n) rounds with the same
-  *     per-round shuffle shape. Dedup graphs don't need it: a chain of
-  *     near-duplicates longer than a few hops means the threshold is
-  *     set too low, not that the algorithm must absorb it.
+  *     are checkpointed every round — iterative lineage otherwise grows
+  *     a plan per round and planning cost explodes (the classic
+  *     iterative-Spark trap). Checkpoints go through
+  *     [[graft.Checkpoints.sever]]: executor-local by default, reliable
+  *     (HDFS/object store) when `spark.graft.checkpointDir` is set, so
+  *     on a cluster lost executors re-read instead of failing the round.
+  *   - For adversarial graphs with large diameter (long chains),
+  *     [[run]] automatically hands over to [[alternatingStar]] — the
+  *     large-star/small-star alternation of Kiveris et al., "Connected
+  *     Components in MapReduce and Beyond" (SoCC '14), which converges
+  *     in O(log n) rounds with the same per-round shuffle shape. Dedup
+  *     graphs rarely need it: a chain of near-duplicates longer than a
+  *     few hops usually means the threshold is set too low.
   *   - Convergence is detected from the TOTAL of all labels, observed
   *     via a `CollectMetrics` node inside the same job that materializes
   *     the round's checkpoint: labels only ever decrease, so the sum
@@ -51,12 +53,30 @@ object ConnectedComponents {
     */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
                        maxRounds: Int = 50): DataFrame = {
+    val (labels, converged) = propagate(pairs, aCol, bCol, maxRounds)
+    // Fail FAST on an unconverged run: a partial labeling silently keeps
+    // extra "representatives" downstream (c4 would under-dedup), which is
+    // worse than an exception telling the caller to raise maxRounds or
+    // switch to [[alternatingStar]] (or [[run]], which switches itself).
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxRounds rounds " +
+        "(the label total was still decreasing) — component diameter " +
+        "exceeds the round budget; raise maxRounds or use alternatingStar")
+    labels
+  }
+
+  /** Propagation core shared by [[labelPropagation]] (throws when the
+    * budget runs out) and [[run]] (falls back to the star algorithm).
+    * Returns the labeling plus whether it reached the fixpoint.
+    */
+  private def propagate(pairs: DataFrame, aCol: String, bCol: String,
+                        maxRounds: Int): (DataFrame, Boolean) = {
     val edges = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist()
-    // Seed: every endpoint labels itself. localCheckpoint also severs the
+    // Seed: every endpoint labels itself. The checkpoint also severs the
     // lineage back to `edges`, so the per-round join below is not a
     // same-lineage self-join (the trap GraftChecks rejects).
     // Each round's label sum is observed DURING the checkpoint
@@ -64,9 +84,8 @@ object ConnectedComponents {
     // non-increasing, so sum(next) == sum(prev) IS the fixpoint test.
     def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
       val obs = org.apache.spark.sql.Observation()
-      val ckpt = df
-        .observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("lbl_sum"))
-        .localCheckpoint()
+      val ckpt = graft.Checkpoints.sever(df
+        .observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("lbl_sum")))
       (ckpt, obs.get("lbl_sum").asInstanceOf[java.math.BigDecimal])
     }
     var (labels, prevSum) = checkpointWithSum(
@@ -86,15 +105,35 @@ object ConnectedComponents {
       round += 1
     }
     edges.unpersist()
-    // Fail FAST on an unconverged run: a partial labeling silently keeps
-    // extra "representatives" downstream (c4 would under-dedup), which is
-    // worse than an exception telling the caller to raise maxRounds or
-    // switch to [[alternatingStar]].
-    if (changed) throw new IllegalStateException(
-      s"connected components did not converge in $maxRounds rounds " +
-        "(the label total was still decreasing) — component diameter " +
-        "exceeds the round budget; raise maxRounds or use alternatingStar")
-    labels.select(col("id"), col("lbl").as("cluster_id"))
+    (labels.select(col("id"), col("lbl").as("cluster_id")), !changed)
+  }
+
+  /** Automatic algorithm selection: min-label propagation for up to
+    * `propagationRounds` rounds — optimal for the tiny star/chain
+    * components of a dedup graph, where one round per diameter hop
+    * means 2-4 rounds total — then, if the label total is still
+    * decreasing (some component's diameter exceeds the budget), restart
+    * with [[alternatingStar]], whose round count is O(log n) regardless
+    * of diameter. The propagation rounds already paid are wasted but
+    * bounded: `propagationRounds` × one shuffle, a constant prefix of
+    * the O(log n) star run it hands over to. This is the production
+    * entry point — callers need not know the diameter in advance.
+    */
+  def run(pairs: DataFrame, aCol: String, bCol: String,
+          propagationRounds: Int = 12, starRounds: Int = 30): DataFrame = {
+    val (labels, converged) = propagate(pairs, aCol, bCol, propagationRounds)
+    if (converged) labels
+    else {
+      // The star form works on the canonical self-loop-free edge set, so
+      // a node appearing only in self-pairs vanishes there; restore every
+      // endpoint as its own singleton to match propagation's output.
+      val nodes = pairs.select(col(aCol).as("id"))
+        .union(pairs.select(col(bCol).as("id"))).distinct()
+      val star = alternatingStar(pairs, aCol, bCol, starRounds)
+      nodes.join(star, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    }
   }
 
   /** Cluster assignment via alternating large-star/small-star (Kiveris
@@ -139,13 +178,13 @@ object ConnectedComponents {
           .union(m.select(col("src"), col("m").as("dst")))
       canon(attached)
     }
-    var edges = canon(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
-      .localCheckpoint()
+    var edges = graft.Checkpoints.sever(
+      canon(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = star(star(edges, large = true), large = false)
-        .localCheckpoint()
+      val next = graft.Checkpoints.sever(
+        star(star(edges, large = true), large = false))
       converged = next.exceptAll(edges).isEmpty &&
         edges.exceptAll(next).isEmpty
       edges = next
@@ -170,7 +209,7 @@ object ConnectedComponents {
     * drop BOTH endpoints of a pair whose ids chain transitively).
     */
   def keepers(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
-    labelPropagation(pairs, aCol, bCol)
+    run(pairs, aCol, bCol)
       .filter(col("id") === col("cluster_id"))
       .select(col("id"))
 }

@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   *     carries its out-degree, so the join is 2-way, not 3-way), then
   *     `groupBy(dst).sum` — partial aggregation combines map-side;
   *   - the edge list is persisted once and reused every round; scores are
-  *     `localCheckpoint`ed per round to sever iterative lineage (reliable
-  *     `checkpoint` on a cluster);
+  *     checkpointed per round to sever iterative lineage via
+  *     [[graft.Checkpoints.sever]] (executor-local by default, reliable
+  *     when `spark.graft.checkpointDir` is set);
   *   - the node count enters as a one-row broadcast, never a driver
   *     constant baked into the plan before the data is known;
   *   - symmetric graphs have no dangling nodes; for directed inputs with
@@ -58,7 +59,7 @@ object Graph {
     val teleportNum = Scale / 100 * (100 - damping) // e.g. 0.15 * Scale
     var scores = nodes.crossJoin(broadcast(n))
       .select(col("id"), expr(s"${Scale}L div n_nodes").as("score"))
-      .localCheckpoint()
+      .transform(df => graft.Checkpoints.sever(df))
     for (_ <- 1 to iterations) {
       scores = withDeg
         .join(scores, withDeg("src") === scores("id"))
@@ -69,7 +70,7 @@ object Graph {
         .select(col("dst").as("id"),
           (expr(s"${teleportNum}L div n_nodes") + col("in_mass"))
             .as("score"))
-        .localCheckpoint()
+        .transform(df => graft.Checkpoints.sever(df))
     }
     withDeg.unpersist()
     scores
@@ -129,8 +130,8 @@ object Graph {
   /** Unweighted single-source shortest-path levels (BFS) to `maxDepth`.
     *
     * Per round ONE equi-join (previous round's frontier against the edge
-    * list) + one min-aggregation; `localCheckpoint` severs the iterative
-    * lineage exactly as [[pageRank]]. The frontier filter keeps each round
+    * list) + one min-aggregation; [[graft.Checkpoints.sever]] cuts the
+    * iterative lineage exactly as [[pageRank]]. The frontier filter keeps each round
     * linear in newly reached nodes — already-settled nodes never re-expand,
     * so total work is O(m · 1) across all rounds, not O(m · depth).
     * Depths are BIGINT so the hash gate sees identical types in both
@@ -142,14 +143,14 @@ object Graph {
       .distinct().persist()
     var reached = e.sparkSession.range(1)
       .select(lit(source).as("id"), lit(0L).as("depth"))
-      .localCheckpoint()
+      .transform(df => graft.Checkpoints.sever(df))
     for (k <- 1 to maxDepth) {
       val frontier = reached.filter(col("depth") === (k - 1))
       val next = frontier.join(e, frontier("id") === e("src"))
         .select(col("dst").as("id"), lit(k.toLong).as("depth"))
       reached = reached.union(next)
         .groupBy("id").agg(min(col("depth")).as("depth"))
-        .localCheckpoint()
+        .transform(df => graft.Checkpoints.sever(df))
     }
     e.unpersist()
     reached
@@ -167,14 +168,14 @@ object Graph {
                   k: Int, rounds: Int): DataFrame = {
     var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint()
+      .transform(df => graft.Checkpoints.sever(df))
     for (_ <- 1 to rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("src").as("v"))
       e = e.join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
-        .localCheckpoint()
+        .transform(df => graft.Checkpoints.sever(df))
     }
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
   }
@@ -196,7 +197,7 @@ object Graph {
     * can never win a relaxation). At 1000-executor scale the same shape
     * holds — the classic refinement is delta-stepping, which only
     * changes WHICH frontier subset expands per round, not the join
-    * shape; `localCheckpoint` severs per-round lineage as in
+    * shape; [[graft.Checkpoints.sever]] cuts per-round lineage as in
     * [[pageRank]].
     */
   def ssspRounds(edges: DataFrame, srcCol: String, dstCol: String,
@@ -207,19 +208,19 @@ object Graph {
       .persist()
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("id"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .transform(df => graft.Checkpoints.sever(df))
     var frontier = dist
     for (_ <- 1 to rounds) {
       val relaxed = frontier.join(e, frontier("id") === e("src"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
       val next = dist.union(relaxed)
         .groupBy("id").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .transform(df => graft.Checkpoints.sever(df))
       frontier = next.join(
           dist.select(col("id"), col("dist").as("prev")), Seq("id"), "left")
         .filter(col("prev").isNull || col("dist") < col("prev"))
         .select("id", "dist")
-        .localCheckpoint()
+        .transform(df => graft.Checkpoints.sever(df))
       dist = next
     }
     e.unpersist()

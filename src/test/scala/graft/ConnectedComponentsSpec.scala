@@ -68,6 +68,35 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("run() falls back to alternating star on an adversarial long chain") {
+    // Path 0-1-…-199: diameter 199. Propagation alone would need 200
+    // rounds; run() must detect the blown budget after its small prefix
+    // and hand over to the star algorithm, which collapses the chain in
+    // O(log n) rounds (starRounds = 10 >= ~log2(200) forces that bound —
+    // a diameter-walking fallback would throw here).
+    val path = (0L until 199L).map(i => (i, i + 1))
+    val got = ConnectedComponents.run(path.toDF("a", "b"), "a", "b",
+        propagationRounds = 5, starRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 199L).map(_ -> 0L).toMap)
+  }
+
+  test("run() fallback labels match label propagation exactly") {
+    // 64-chain plus a disjoint triangle and a self-loop singleton: the
+    // fallback path must reproduce propagation's labeling bit-for-bit,
+    // including the self-loop-only node the star form drops internally.
+    val edges = (100L until 163L).map(i => (i, i + 1)) ++
+      Seq((7L, 9L), (9L, 3L), (3L, 7L), (500L, 500L))
+    val viaStar = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b",
+        propagationRounds = 4, starRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = ConnectedComponents.labelPropagation(
+        edges.toDF("a", "b"), "a", "b", maxRounds = 80)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar === viaProp)
+    assert(viaStar(500L) === 500L) // singleton restored
+  }
+
   test("exact keeper policy vs c2's one-pass approximation") {
     // Pairs (1,2) and (2,3): one-pass drops every id_b {2,3}; the exact
     // policy also keeps only 1 — they agree here. But pairs (2,3),(1,3)
