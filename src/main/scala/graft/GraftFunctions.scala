@@ -113,7 +113,11 @@ object GraftFunctions {
         litInt("bloom_might_contain", exprs(2)))),
     // z_order(x, y) — Morton interleave for 2-D data layout clustering
     "z_order" -> arity("z_order", 2)(exprs =>
-      graft.functions.ZOrder2(exprs(0), exprs(1))))
+      graft.functions.ZOrder2(exprs(0), exprs(1))),
+    // media_dims(binary) — container magic + pixel dimensions from the
+    // payload's leading bytes (PNG/JPEG/GIF/BMP), codegen'd header sniff
+    "media_dims" -> arity("media_dims", 1)(exprs =>
+      graft.functions.MediaDims(exprs.head)))
 
   /** Register on a live session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

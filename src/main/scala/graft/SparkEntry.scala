@@ -1742,9 +1742,14 @@ object SparkEntry {
         .orderBy("cent_id", "dim")),
 
     // ---- Multimodal columns ---------------------------------------------
+    // M1 carries REAL header decode: the corpus text payloads (no magic →
+    // NULL dims) unioned with hand-assembled PNG/JPEG/GIF/BMP fixture
+    // headers whose dimensions the native MediaDims expression must read
+    // back exactly (the oracle pins the hand-computed values).
     "m1_media_meta" -> ((s, dir) =>
-      Multimodal.payloadMetadata(
-          Multimodal.toMediaTable(t(s, dir, "documents")))
+      Multimodal.headerMetadata(
+          Multimodal.toMediaTable(t(s, dir, "documents"))
+            .unionByName(Multimodal.fixtureMedia(s)))
         .orderBy("doc_id")),
 
     "m2_media_features" -> ((s, dir) =>
@@ -5717,10 +5722,35 @@ object SparkEntry {
         |  FROM (SELECT cent_id, x FROM assign2 WHERE r = 1), range(1, 65) t(i)
         |  GROUP BY cent_id, dim ORDER BY cent_id, dim""".stripMargin),
 
+    // Fixture rows pin the header decoder against hand-computed constants:
+    // the bytes are VALUES-listed above in fixtureMedia (hex), so the
+    // expected format/width/height and sha256 are literal facts of those
+    // bytes, not a re-implementation of the decoder in SQL.
     "m1_media_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-        |  sha256(text) AS sha256
-        |  FROM documents ORDER BY doc_id""".stripMargin,
+        |  sha256(text) AS sha256,
+        |  CAST(NULL AS VARCHAR) AS format,
+        |  CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height
+        |  FROM documents
+        |UNION ALL
+        |SELECT * FROM (VALUES
+        |  (CAST(-5 AS BIGINT), CAST(33 AS BIGINT),
+        |   'e0e6fd836f2c429c829e082ee65f96870ef1ac2b9a72f83860398ad2b86c62e6',
+        |   'png', CAST(640 AS BIGINT), CAST(480 AS BIGINT)),
+        |  (-4, 41,
+        |   '576d9f1c577762883f0cf8e7b9a10f26ea91a316b439c93dfb7cf72ba59f3458',
+        |   'jpeg', 320, 240),
+        |  (-3, 13,
+        |   'c063181f9c09f08a90c17635edc70b41a8c92217233e23eeac5d54a37096b1ff',
+        |   'gif', 320, 200),
+        |  (-2, 30,
+        |   '258bc3e002aeba581cf05d17a493e4d0d540d66c291a4b1c70c0c5c32ada8efd',
+        |   'bmp', 100, 50),
+        |  (-1, 5,
+        |   'e2867e538491f86ac5906b12ac667abf7761171d1ae94d867c231df82b0c7c90',
+        |   NULL, NULL, NULL)
+        |) t(doc_id, n_bytes, sha256, format, width, height)
+        |ORDER BY doc_id""".stripMargin,
 
     "m2_media_features" ->
       """SELECT doc_id,

@@ -84,6 +84,55 @@ object Multimodal {
       length(col("payload")).cast("long").as("n_bytes"),
       sha2(col("payload"), 256).as("sha256"))
 
+  /** [[payloadMetadata]] plus REAL container metadata: format and pixel
+    * dimensions parsed from the payload's header bytes by the native
+    * [[graft.functions.MediaDims]] expression (PNG IHDR, JPEG SOF walk,
+    * GIF logical screen, BMP DIB — no media library involved). Unlike the
+    * stubbed feature decoder, this column is the genuine article: the
+    * same bytes any image tool would read, NULL for non-media payloads.
+    * One codegen projection, no shuffle, no per-row driver work.
+    */
+  def headerMetadata(media: DataFrame): DataFrame = {
+    val dims = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MediaDims(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("payload"))))
+    media.select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("payload"), 256).as("sha256"),
+        dims.as("dims"))
+      .select(col("doc_id"), col("n_bytes"), col("sha256"),
+        col("dims.format").as("format"),
+        col("dims.width").cast("long").as("width"),
+        col("dims.height").cast("long").as("height"))
+  }
+
+  /** Deterministic header fixtures — hand-assembled minimal headers of
+    * each container the decoder knows, plus one unrecognizable payload.
+    * Negative doc_ids keep them disjoint from any real corpus. These give
+    * the oracle gate REAL bytes with hand-computable expected dimensions.
+    */
+  def fixtureMedia(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      // PNG 640x480: signature + IHDR(len 13) + 5 param bytes + CRC
+      (-5L, "89504E470D0A1A0A0000000D4948445200000280000001E0080600000000000000",
+        "image/png"),
+      // JPEG 320x240: SOI + APP0(JFIF) + SOF0(8-bit, 3 components) + EOI
+      (-4L, "FFD8FFE000104A46494600010100000100010000" +
+        "FFC000110800F0014003012200021101031101FFD9", "image/jpeg"),
+      // GIF89a 320x200 logical screen + flags/background/aspect
+      (-3L, "4749463839614001C800F70000", "image/gif"),
+      // BMP 100x50: BM + file header + BITMAPINFOHEADER prefix
+      (-2L, "424D000000000000000036000000280000006400000032000000" +
+        "01001800", "image/bmp"),
+      // no known magic → NULL struct
+      (-1L, "DEADBEEF00", "application/octet-stream")
+    ).toDF("doc_id", "hex", "media_type")
+      .select(col("doc_id"), unhex(col("hex")).as("payload"),
+        col("media_type"))
+  }
+
   /** Batch feature extraction via mapPartitions (the mapInPandas analogue).
     * Partition-parallel, no shuffle; output is a typed Dataset.
     */

@@ -560,6 +560,47 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(spark, media).collect()
     assert(feats.map(_.n_bytes).sorted.toSeq === Seq(3L, 10L))
   }
+
+  private def dims(hex: String): (String, Any, Any) = {
+    import org.apache.spark.sql.functions.{col, expr, unhex}
+    val r = Seq(hex).toDF("hex")
+      .select(expr("media_dims(unhex(hex))").as("d"))
+      .select(col("d.format"), col("d.width"), col("d.height"))
+      .collect().head
+    (r.getString(0), r.get(1), r.get(2))
+  }
+
+  test("media_dims: real header decode for the four containers") {
+    // the same fixtures the m1 oracle pins
+    assert(dims("89504E470D0A1A0A0000000D49484452" +
+      "00000280000001E0080600000000000000") === ("png", 640, 480))
+    assert(dims("FFD8FFE000104A46494600010100000100010000" +
+      "FFC000110800F0014003012200021101031101FFD9") === ("jpeg", 320, 240))
+    assert(dims("4749463839614001C800F70000") === ("gif", 320, 200))
+    assert(dims("474946383837614001C800") !== ("gif", 320, 200)) // GIF88 bad
+    assert(dims("4749463837610A001400") === ("gif", 10, 20)) // GIF87a
+    assert(dims("424D000000000000000036000000280000006400000032000000" +
+      "01001800") === ("bmp", 100, 50))
+  }
+
+  test("media_dims: malformed and truncated payloads degrade, never throw") {
+    import org.apache.spark.sql.functions.expr
+    // unknown magic → NULL struct
+    val unknown = Seq("DEADBEEF00").toDF("hex")
+      .select(expr("media_dims(unhex(hex))").as("d")).collect().head
+    assert(unknown.isNullAt(0))
+    // PNG magic but truncated before IHDR → format known, dims NULL
+    assert(dims("89504E470D0A1A0A00") === ("png", null, null))
+    // JPEG with no SOF before EOI → format known, dims NULL
+    assert(dims("FFD8FFD9") === ("jpeg", null, null))
+    // BMP with top-down (negative) height reports the magnitude
+    assert(dims("424D0000000000000000360000002800000064000000CEFFFFFF" +
+      "01001800") === ("bmp", 100, 50))
+    // empty / single byte
+    val tiny = Seq("").toDF("hex")
+      .select(expr("media_dims(unhex(hex))").as("d")).collect().head
+    assert(tiny.isNullAt(0))
+  }
 }
 
 class StreamOpsSpec extends SparkSpec {
