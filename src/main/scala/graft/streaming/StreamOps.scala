@@ -46,9 +46,36 @@ object StreamOps {
   private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
+    val prevProvider = spark.conf.getOption(StateStoreProviderKey)
     spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+    // The battery-wide state-store knob: `spark.graft.stateStore=rocksdb`
+    // switches EVERY harness query (windowed aggs, dedup, stream-stream
+    // joins) onto the RocksDB provider — at 100 TB keyed state must live
+    // off-heap/on-disk, not in an executor-heap HashMap. Results are
+    // bit-identical under either provider (StateStoreSpec asserts);
+    // transformWithState ops force RocksDB regardless (API requirement),
+    // which an unset knob leaves untouched.
+    if (spark.conf.getOption(GraftStateStoreConf)
+        .exists(_.equalsIgnoreCase("rocksdb")))
+      spark.conf.set(StateStoreProviderKey, RocksDbProvider)
+    try body finally {
+      spark.conf.set(key, prev)
+      prevProvider match {
+        case Some(v) => spark.conf.set(StateStoreProviderKey, v)
+        case None => spark.conf.unset(StateStoreProviderKey)
+      }
+    }
   }
+
+  /** Session conf selecting the state-store backend for the streaming
+    * battery: "rocksdb" → RocksDB provider, anything else/unset → Spark's
+    * default (HDFS-backed executor-heap maps).
+    */
+  val GraftStateStoreConf = "spark.graft.stateStore"
+  private val StateStoreProviderKey =
+    "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   /** State partitions for the synchronous harness queries below: the events
     * table is one file and every stateful op's keyed state fits trivially,
@@ -647,7 +674,9 @@ object StreamOps {
     * (per-domain crawl caps, per-tenant ingest limits) that must behave
     * identically replayed in batch. In production the hour entries get a
     * TTL (TTLConfig) so state is O(active hours) per key; the synchronous
-    * harness keeps NONE.
+    * harness keeps NONE. The `rows.toSeq.sortBy` below buffers one key's
+    * rows for one micro-batch on the heap — see the [[Transitions]] scale
+    * note for the bounded-trigger / pre-ordered-source variants at 100 TB.
     */
   private class RateCap(k: Int, bucketUs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
