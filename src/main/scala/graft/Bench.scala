@@ -17,8 +17,59 @@ import org.apache.spark.sql.SparkSession
   * object (`metric`/`value`/`unit`/`sf`) that survives tail-capture
   * truncation; the full per-query map is printed on the line before it AND
   * written to `bench_full.json` (override with SPARK_GRAFT_BENCH_OUT).
+  *
+  * Regression net: before overwriting `bench_full.json`, the previous
+  * run's per-query times (same sf only) become the baseline, and any
+  * query that got >= 1.5x slower is flagged in a `regressions` field of
+  * the new artifact — so a parameterization surprise (the d5 lesson:
+  * 1.8 s -> 13.7 s went unflagged for a whole round) is caught by the
+  * artifact itself, not by a human diffing two JSON blobs.
   */
 object Bench {
+
+  /** Noise floor: a query must have taken at least this long in the
+    * baseline before a ratio means anything (0.15 s -> 0.25 s is jitter,
+    * not a regression).
+    */
+  val RegressionFloorSec = 0.2
+
+  /** Flag threshold on now/prev. */
+  val RegressionRatio = 1.5
+
+  /** Queries >= 1.5x slower than the baseline, above the noise floor.
+    * Returns name -> (prev, now, ratio).
+    */
+  def regressions(prev: Map[String, Double],
+                  now: Map[String, Double]): Map[String, (Double, Double, Double)] =
+    now.flatMap { case (name, n) =>
+      prev.get(name) match {
+        case Some(p) if p >= RegressionFloorSec && n >= 0 &&
+            n / p >= RegressionRatio =>
+          Some(name -> (p, n, n / p))
+        case _ => None
+      }
+    }
+
+  /** Parse the per-query map out of a previous bench artifact — our own
+    * fixed single-line format, so a scoped regex beats dragging in a JSON
+    * parser. Returns empty when the file is absent or was run at a
+    * different sf (cross-sf ratios are meaningless).
+    */
+  def previousQueryTimes(path: String, sfDir: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+      else {
+        val start = txt.indexOf("\"queries\":{")
+        val end = if (start < 0) -1 else txt.indexOf("}", start)
+        if (end < 0) Map.empty
+        else "\"([A-Za-z0-9_]+)\":(-?[0-9]+(?:\\.[0-9]+)?)".r
+          .findAllMatchIn(txt.substring(start + 11, end))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -59,10 +110,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = r3(results.collect { case (_, v) if v >= 0 => v }.sum)
-    val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_full.json")
+    // Regression net vs the artifact this run is about to overwrite.
+    val regs = regressions(previousQueryTimes(outPath, sfDir),
+      results.toMap)
+    val regsJson = regs.toSeq.sortBy(_._1).map { case (k, (p, n, r)) =>
+      "\"" + k + "\":{\"prev\":" + r3(p) + ",\"now\":" + r3(n) +
+        ",\"ratio\":" + r3(r) + "}"
+    }.mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regsJson,"sf":"$sfDir"}"""
     val wrote =
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -74,7 +132,7 @@ object Bench {
     // parses even when the full line above is truncated. The file pointer
     // appears only when the file was actually written.
     val filePart = if (wrote) s""","queries_file":"$outPath"""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"$filePart}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_regressions":${regs.size},"sf":"$sfDir"$filePart}""")
     spark.stop()
   }
 }
