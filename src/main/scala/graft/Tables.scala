@@ -13,20 +13,34 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The events table stores TIMESTAMP(NANOS) which Spark's vectorized
-    // parquet reader rejects; read nanos as long and convert to the engine's
-    // microsecond TimestampType.
+    // The events table's `ts` encoding has varied across testdata
+    // generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    // rejects — read nanos as long), plain TIMESTAMP_NTZ micros, or an
+    // already-session-zoned TIMESTAMP. Normalize all three to the engine's
+    // microsecond TimestampType so every downstream query sees one type.
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Coerce an events frame's `ts` to microsecond TimestampType regardless
+    * of the on-disk encoding. With the session timezone pinned to UTC the
+    * NTZ→TZ cast is instant-preserving, matching DuckDB's `epoch_us(ts)`
+    * on the same file.
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
       // Integral `div`, NOT `/`: Column./ is double division, and nanos
       // epochs (~1.7e18) exceed a double's 2^53 integer range — the
       // truncated microsecond would round up by 1 on roughly half the rows
       // (DuckDB's epoch_us floors exactly).
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` works against the

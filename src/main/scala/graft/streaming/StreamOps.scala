@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -16,18 +17,18 @@ object StreamOps {
 
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 
-  /** Streaming source over the events parquet: nanos-as-long read, micros
-    * conversion via integral `div` (double division loses precision past
-    * 2^53 — see Tables.load), directory + pathGlobFilter because the file
+  /** Streaming source over the events parquet: schema-adaptive `ts`
+    * normalization (nanos-as-long, NTZ micros, or zoned micros — see
+    * Tables.normalizeEventTs), directory + pathGlobFilter because the file
     * stream source needs a directory. The ONE ingest convention every
     * streaming query shares.
     */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** Runs `body` (which starts and finishes a streaming query) with
@@ -921,9 +922,8 @@ object StreamOps {
     */
   def streamStreamLeftOuter(spark: SparkSession, dir: String,
                             queryName: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val maxUs = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max(expr("ts div 1000"))).collect().head.getLong(0)
+    val maxUs = Tables.load(spark, dir, "events")
+      .agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
     val cutoffUs = maxUs - 4L * 3600L * 1000000L
     val purchases = eventStream(spark, dir)
       .filter(col("event_type") === "purchase")
