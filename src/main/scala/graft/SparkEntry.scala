@@ -1316,6 +1316,13 @@ object SparkEntry {
             expr("n_bpe * 10000L div n_words")))
         .orderBy("doc_id")),
 
+    // ---- T17: unigram-LM surprisal — the cheap perplexity-filter shape:
+    // corpus token counts → broadcast unigram LM → per-doc mean NLL in
+    // 1e-9 fixed point (integer reduce, engine-exact) ---------------------
+    "t17_unigram_surprisal" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "t2_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1571,6 +1578,17 @@ object SparkEntry {
       Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
           k = 3, nCells = 16)
         .orderBy("vec_id", "rank")),
+
+    // ---- N13: filtered vector search — metadata predicate applied
+    // BEFORE scoring (exact recall over the qualifying set; post-filtering
+    // a fixed-k ANN result starves under selective predicates, and the
+    // predicate prunes at the parquet scan) -------------------------------
+    "n13_ann_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 8),
+          col("label") % 2 === 0, "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rank")
+    }),
 
     "d13_semdedup" -> ((s, dir) =>
       // Cells DERIVED from the corpus (∝ N, floor 16) — per-cell refine
@@ -2446,6 +2464,22 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
+    // ---- X8: NEAREST as-of — each purchase picks the user's closest
+    // error in EITHER direction (backward wins ties); both directional
+    // carries ride the SAME single exchange — see AsOfJoin.nearest --------
+    "x8_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"),
+          col("event_id").as("error_id"))
+      AsOfJoin.nearest(purchases, errors, "user_id", "ts", "err_ts",
+          Seq("error_id"))
+        .select(col("purchase_id"), col("user_id"), col("error_id"))
+        .orderBy("purchase_id")
+    }),
+
     // ---- Streaming-adjacent: session windows, sliding windows, pivot ----
     "st4_stream_static_join" -> ((s, dir) =>
       StreamOps.streamStaticSegmentCounts(s, dir,
@@ -2789,6 +2823,17 @@ object SparkEntry {
           expr("CASE WHEN n_bench > 0 THEN n_leaked * 10000L div n_bench END")
             .as("leak_bp"))
     }),
+
+    // ---- D18: substring-level dup-span fraction — every sliding word
+    // 8-gram of a doc checked for presence in ANOTHER doc (the
+    // exact-substring dedup signal: catches a verbatim quote inside an
+    // otherwise-novel document, which whole-doc MinHash misses); doc
+    // frequency via ONE window count over the gram partition — no doc
+    // pair ever materializes ----------------------------------------------
+    "d18_substring_dup" -> ((s, dir) =>
+      Curation.substringDupStats(t(s, dir, "documents"), "doc_id", "text",
+          k = 8)
+        .orderBy("doc_id")),
 
     // ---- C12: the corpus CARD — the per-source datasheet row every
     // published dataset ships (doc/token/punct counts, exact-dup
@@ -4617,6 +4662,30 @@ object SparkEntry {
         |    AS bpe_per_word_bp
         | FROM c ORDER BY doc_id""".stripMargin,
 
+    // Per-token −ln p rounded to 1e-9 fixed point BEFORE the sum — the
+    // per-doc aggregate is an integer reduce, so both engines agree
+    // bit-for-bit; the one double division producing avg_nll runs once
+    // per output row from identical integers.
+    "t17_unigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        | c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM toks GROUP BY tok),
+        | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
+        | scored AS (
+        |  SELECT doc_id,
+        |    CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total) * 1e9) AS BIGINT)
+        |      AS nll_fp
+        |  FROM toks JOIN c USING (tok) CROSS JOIN tot),
+        | per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(nll_fp) AS BIGINT) AS sum_nll_fp
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, sum_nll_fp,
+        |  CAST(sum_nll_fp AS DOUBLE) / 1e9 / n_tokens AS avg_nll
+        | FROM per ORDER BY doc_id""".stripMargin,
+
     "t2_quality" ->
       """SELECT doc_id,
         |  least(1.0, CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) / 100.0) * 0.5
@@ -5177,6 +5246,28 @@ object SparkEntry {
         |    (SELECT count(*) FROM leaked) * 10000 // (SELECT n FROM nb)
         |  END AS leak_bp""".stripMargin,
 
+    // Grams are DISTINCT per doc, so per-gram row count = document
+    // frequency — the dup flag is ndocs >= 2, no doc pair materialized.
+    "d18_substring_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        | e AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+        |      i -> array_to_string(list_slice(tk, i, i + 7), ' ')))) AS gram
+        |  FROM toks WHERE len(tk) >= 8),
+        | g AS (SELECT gram, CAST(count(*) AS BIGINT) AS ndocs
+        |       FROM e GROUP BY gram),
+        | per AS (
+        |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN g.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup
+        |  FROM e JOIN g USING (gram) GROUP BY e.doc_id)
+        |SELECT doc_id, n_grams, n_dup,
+        |  CAST(n_dup AS DOUBLE) / n_grams AS dup_frac
+        | FROM per ORDER BY doc_id""".stripMargin,
+
     "d11_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
@@ -5411,6 +5502,34 @@ object SparkEntry {
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
         |            WHERE vec_id < 8),
         | c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+        | scored AS (
+        |  SELECT q_id, c_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS dot_fp,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS na_fp,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS nb_fp
+        |  FROM q JOIN c ON q_id <> c_id),
+        | ranked AS (
+        |  SELECT q_id, c_id,
+        |    CAST(dot_fp AS DOUBLE) /
+        |      (sqrt(CAST(na_fp AS DOUBLE)) * sqrt(CAST(nb_fp AS DOUBLE))) AS cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dot_fp DESC, c_id) AS rank
+        |  FROM scored)
+        | SELECT q_id, c_id, rank, cos FROM ranked
+        |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // n1's brute-force statement with the metadata predicate on the
+    // candidate side — pre-filter semantics, exact over the qualifying set.
+    "n13_ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+        |            WHERE vec_id < 8),
+        | c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+        |        WHERE label % 2 = 0),
         | scored AS (
         |  SELECT q_id, c_id,
         |    CAST(list_sum(list_transform(range(1, 65), i ->
@@ -6078,6 +6197,38 @@ object SparkEntry {
         |  FROM u)
         |SELECT purchase_id, user_id, error_id FROM filled
         | WHERE purchase_id IS NOT NULL ORDER BY purchase_id""".stripMargin,
+
+    // Mirrors AsOfJoin.nearest: both directional carries under ONE sort
+    // (purchase side = 1 so an equal-time error lands in the backward
+    // frame at distance 0 — which the tie rule prefers anyway).
+    "x8_asof_nearest" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+        |    CASE WHEN event_type = 'purchase' THEN event_id END
+        |      AS purchase_id,
+        |    CASE WHEN event_type = 'error' THEN event_id END AS error_id,
+        |    CASE WHEN event_type = 'error' THEN CAST(epoch_us(ts) AS BIGINT)
+        |      END AS rt_us
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        | filled AS (
+        |  SELECT user_id, purchase_id, ts_us,
+        |    last_value(rt_us IGNORE NULLS) OVER wb AS bt,
+        |    first_value(rt_us IGNORE NULLS) OVER wf AS ft,
+        |    last_value(error_id IGNORE NULLS) OVER wb AS b_id,
+        |    first_value(error_id IGNORE NULLS) OVER wf AS f_id
+        |  FROM u
+        |  WINDOW wb AS (PARTITION BY user_id
+        |      ORDER BY ts_us, side, error_id ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id
+        |      ORDER BY ts_us, side, error_id ASC NULLS LAST
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT purchase_id, user_id,
+        |  CASE WHEN bt IS NOT NULL AND (ft IS NULL OR ts_us - bt <= ft - ts_us)
+        |       THEN b_id ELSE f_id END AS error_id
+        | FROM filled WHERE purchase_id IS NOT NULL
+        | ORDER BY purchase_id""".stripMargin,
 
     "x1_asof_join" ->
       """WITH o AS (

@@ -105,4 +105,64 @@ object AsOfJoin {
     filled.filter(col("__side") === 0)
       .select(leftCols.map(col) ++ valueCols.map(col): _*)
   }
+
+  /** NEAREST as-of: for each row of `left`, attach `valueCols` from the
+    * right row with the same `key` minimizing `|rightTime - leftTime|`;
+    * equidistant candidates resolve to the PRIOR (backward) row — the
+    * convention time-series libraries document for `nearest`.
+    *
+    * Still ONE hash exchange: the union carries BOTH a backward pick
+    * (`last_value` over the preceding frame) and a forward pick
+    * (`first_value` over the following frame) under the same partitioning
+    * and sort; choosing between them is per-row arithmetic on the two
+    * carried right-side times. A right row at exactly the left row's time
+    * sorts before it (backward convention), so it lands in the backward
+    * frame with distance 0 — which the tie rule prefers anyway.
+    *
+    * Determinism mirrors [[apply]]/[[forward]]: among right rows tied on
+    * (key, time), the backward pick resolves to the max-`valueCols.head`
+    * row and the forward pick to the min — the same sort key both frames
+    * share.
+    */
+  def nearest(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String,
+              valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // tag 0 = right side (sorts first at equal times, as in apply());
+    // __rt carries the right row's own time so the pick can compare
+    // distances after the carry.
+    val l = left.select(
+      (col(key).as("__k") +: col(leftTime).cast("timestamp").as("__t") +:
+        lit(1).as("__side") +:
+        lit(null).cast("timestamp").as("__rt") +:
+        leftCols.map(col)) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      (col(key).as("__k") +: col(rightTime).cast("timestamp").as("__t") +:
+        lit(0).as("__side") +:
+        col(rightTime).cast("timestamp").as("__rt") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
+        valueCols.map(col): _*)
+    val unioned = l.unionByName(r)
+    val ord = Seq(col("__t"), col("__side"), col(valueCols.head).asc_nulls_last)
+    val wb = Window.partitionBy(col("__k")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("__k")).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withTimes = unioned
+      .withColumn("__bt", last(col("__rt"), ignoreNulls = true).over(wb))
+      .withColumn("__ft", first(col("__rt"), ignoreNulls = true).over(wf))
+    // Backward wins when it exists and is at most as far as the forward
+    // candidate (micros arithmetic — exact).
+    val useB = col("__bt").isNotNull && (col("__ft").isNull ||
+      unix_micros(col("__t")) - unix_micros(col("__bt")) <=
+        unix_micros(col("__ft")) - unix_micros(col("__t")))
+    val filled = valueCols.foldLeft(withTimes) { (df, c) =>
+      df.withColumn(c,
+        when(useB, last(col(c), ignoreNulls = true).over(wb))
+          .otherwise(first(col(c), ignoreNulls = true).over(wf)))
+    }
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
 }

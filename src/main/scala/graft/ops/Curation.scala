@@ -110,6 +110,40 @@ object Curation {
         count(lit(1)).as("n_kept"))
   }
 
+  /** Cross-corpus duplicated-SPAN statistics per document — the
+    * substring-level dedup signal (the "how much of this doc is copied
+    * from elsewhere" measure behind exact-substring training-data dedup):
+    * every sliding word `k`-gram window of a document is checked for
+    * existence in any OTHER document, and the doc is scored by the
+    * fraction of its windows that are so shared. Downstream policy then
+    * drops/trims high-fraction docs — unlike MinHash (whole-doc
+    * similarity), this catches a long verbatim quote inside an otherwise
+    * novel document.
+    *
+    * Shape: the fused shingle expression emits each doc's DISTINCT
+    * k-grams (one codegen pass per row), so per-gram row count IS the
+    * gram's document frequency — a window count over the gram partition
+    * replaces a groupBy+join-back, leaving exactly two exchanges: one on
+    * the gram, one back on the doc id. No pair of documents is ever
+    * materialized, so (unlike an all-pairs overlap join) cost is linear
+    * in corpus gram mass even when one boilerplate span appears in
+    * millions of docs.
+    */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8): DataFrame = {
+    val grams = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(TextAnalysis.wordShingles(col(textCol), k)).as("gram"))
+    val perGram = Window.partitionBy(col("gram"))
+    grams
+      .withColumn("ndocs", count(lit(1)).over(perGram))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup").cast("double") / col("n_grams"))
+  }
+
   /** Benchmark decontamination — flag training documents sharing any word
     * `k`-gram with an evaluation/benchmark document (the overlap check
     * every serious LM training run performs; 13-gram on real corpora,

@@ -98,6 +98,18 @@ object Similarity {
     scoreTopK(c, q, col("q_id") =!= col("c_id"), k)
   }
 
+  /** Filtered vector search: a metadata predicate applied BEFORE scoring
+    * (pre-filter semantics). Recall over the qualifying set is exact —
+    * unlike post-filtering a fixed-k ANN result, which starves when the
+    * predicate is selective — and the predicate prunes at the scan
+    * (pushed to the parquet reader when it references scan columns), so
+    * a 1%-selective filter cuts scoring cost 100× rather than adding a
+    * pass.
+    */
+  def filteredTopK(candidates: DataFrame, queries: DataFrame, pred: Column,
+                   idCol: String, vecCol: String, k: Int): DataFrame =
+    bruteForceTopK(candidates.filter(pred), queries, idCol, vecCol, k)
+
   /** LSH bucket key: bit j set when (plane_j · x) > 0, computed in exact
     * fixed-point (1e-6 per element — products of ±1 with unit-scale
     * floats). A native codegen expression ([[graft.functions.LshBucket]])

@@ -175,6 +175,43 @@ object TextAnalysis {
           col("n_ngrams").cast("double"))
       .select(col(idCol), col("n_ngrams"), col("n_distinct"), col("dup_frac"))
 
+  /** Unigram-LM surprisal per document — the cheap "perplexity filter"
+    * shape LLM pipelines run before a real LM is affordable: token
+    * probabilities come from corpus-wide counts, each doc is scored by
+    * the mean negative log-likelihood of its tokens. Low-surprisal docs
+    * are boilerplate/templated; high-surprisal docs are noise — both
+    * tails get dropped by downstream policy.
+    *
+    * Determinism: each token's −ln p is rounded to 1e-9 fixed point
+    * BEFORE summation, so the per-doc sum is an integer reduce —
+    * order-independent and engine-exact; the single double division
+    * producing `avg_nll` happens once per output row from identical
+    * integers.
+    *
+    * Shape: one partial-agg exchange builds the vocabulary count table
+    * (vocab-sized — tiny relative to any corpus), which broadcast-joins
+    * back onto the exploded corpus (map-side, no corpus shuffle); the
+    * per-doc reduce is the only other exchange. The corpus total rides
+    * along as a one-row broadcast, not a driver collect.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("n_total"))
+    toks
+      .join(broadcast(counts), "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("nll_fp",
+        round(-log(col("cnt").cast("double") / col("n_total")) * lit(1e9))
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("nll_fp").as("sum_nll_fp"))
+      .withColumn("avg_nll",
+        col("sum_nll_fp").cast("double") / lit(1e9) / col("n_tokens"))
+  }
+
   // PII patterns written in the Java/RE2 common subset so the DuckDB
   // oracle applies the identical regex.
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

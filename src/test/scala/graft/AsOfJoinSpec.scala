@@ -46,4 +46,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.map(r => Option(r.get(r.fieldIndex("px")))).toSeq ===
       Seq(Some(11.0), None, Some(10.0), Some(20.0)))
   }
+
+  test("nearest as-of picks the closest row either direction; " +
+      "backward wins ties; equal time is distance 0") {
+    val probes = Seq(
+      (1L, "A", ts("2026-01-01 10:00:00")), // 09:58 (2min) vs 10:03 (3min) → backward
+      (2L, "A", ts("2026-01-01 10:02:00")), // 09:58 (4min) vs 10:03 (1min) → forward
+      (3L, "A", ts("2026-01-01 09:00:00")), // nothing before → forward 09:58
+      (4L, "A", ts("2026-01-01 11:00:00")), // nothing after → backward 10:03
+      (5L, "B", ts("2026-01-01 10:00:00")), // equal time → that row
+      (6L, "B", ts("2026-01-01 10:02:00")), // 10:00 (2min) vs 10:04 (2min) tie → backward
+      (7L, "C", ts("2026-01-01 10:00:00"))  // no right rows at all → null
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", ts("2026-01-01 09:58:00"), 10.0),
+      ("A", ts("2026-01-01 10:03:00"), 11.0),
+      ("B", ts("2026-01-01 10:00:00"), 20.0),
+      ("B", ts("2026-01-01 10:04:00"), 21.0)
+    ).toDF("sym", "qt", "px")
+
+    val out = AsOfJoin.nearest(probes, quotes, "sym", "t", "qt", Seq("px"))
+      .orderBy("trade_id").collect()
+    assert(out.map(r => Option(r.get(r.fieldIndex("px")))).toSeq ===
+      Seq(Some(10.0), Some(11.0), Some(10.0), Some(11.0), Some(20.0),
+        Some(20.0), None))
+  }
 }

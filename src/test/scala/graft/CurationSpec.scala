@@ -9,6 +9,37 @@ import graft.ops.{Curation, Similarity}
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- substringDupStats -------------------------------------------------
+
+  test("substring dup stats: shared sliding k-grams counted per doc, " +
+      "short docs dropped, all-unique doc scores zero") {
+    val docs = Seq(
+      (1L, "a b c d e"),   // grams: "a b c", "b c d", "c d e"
+      (2L, "x b c d y"),   // shares "b c d" with doc 1
+      (3L, "p q r s t"),   // no shared grams → dup_frac 0
+      (4L, "too short")    // < 3 tokens of gram space? 2 tokens → dropped
+    ).toDF("doc_id", "text")
+    val out = Curation.substringDupStats(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byId(1L) === ((3L, 1L, 1.0 / 3)))
+    assert(byId(2L) === ((3L, 1L, 1.0 / 3)))
+    assert(byId(3L) === ((3L, 0L, 0.0)))
+  }
+
+  test("substring dup stats: in-doc repetition alone does not mark a " +
+      "gram duplicated (grams are distinct per doc)") {
+    val docs = Seq(
+      (1L, "a b c a b c"), // "a b c" twice in the SAME doc only
+      (2L, "z z z z z z")
+    ).toDF("doc_id", "text")
+    val out = Curation.substringDupStats(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getLong(2) == 0L)) // n_dup = 0 for both
+  }
+
   // ---- paragraphDedup ----------------------------------------------------
 
   test("paragraph dedup: first occurrence wins globally, docs reassemble") {

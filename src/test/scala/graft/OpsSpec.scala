@@ -118,6 +118,36 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(cs(1)) < 1e-9)
   }
 
+  test("unigram surprisal: rarer tokens score higher; fixed-point sum " +
+      "matches the closed form") {
+    val docs = Seq(
+      (1L, "the the the the"), // 4 of the commonest token → lowest avg_nll
+      (2L, "the the rare word") // two singletons → strictly higher
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(4L, 4L)) // n_tokens
+    // p(the) = 6/8, p(rare) = p(word) = 1/8; per-token fp = round(-ln p * 1e9)
+    val nllThe = math.round(-math.log(6.0 / 8) * 1e9)
+    val nllRare = math.round(-math.log(1.0 / 8) * 1e9)
+    assert(out(0).getLong(2) === 4 * nllThe)
+    assert(out(1).getLong(2) === 2 * nllThe + 2 * nllRare)
+    assert(out(0).getDouble(3) < out(1).getDouble(3))
+  }
+
+  test("filtered top-k: predicate excludes candidates before ranking") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 1), // best match but filtered out
+      (2L, Array(0.5f, 0.5f), 0),
+      (3L, Array(0.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.filteredTopK(vecs, vecs.filter($"vec_id" === 0),
+        $"label" === 0, "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(r.map(_.getLong(1)).toSeq === Seq(2L, 3L)) // 1L never scored
+  }
+
   test("brute-force top-k excludes self and ranks by similarity") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),
