@@ -117,7 +117,11 @@ object GraftFunctions {
     // media_dims(binary) — container magic + pixel dimensions from the
     // payload's leading bytes (PNG/JPEG/GIF/BMP), codegen'd header sniff
     "media_dims" -> arity("media_dims", 1)(exprs =>
-      graft.functions.MediaDims(exprs.head)))
+      graft.functions.MediaDims(exprs.head)),
+    // audio_meta(binary) — container magic + stream parameters from the
+    // payload's leading bytes (WAV/FLAC/MP3), codegen'd header sniff
+    "audio_meta" -> arity("audio_meta", 1)(exprs =>
+      graft.functions.AudioMeta(exprs.head)))
 
   /** Register on a live session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

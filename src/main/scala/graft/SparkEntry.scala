@@ -1792,6 +1792,16 @@ object SparkEntry {
           Multimodal.toMediaTable(t(s, dir, "documents")), nTiles = 4)
         .orderBy("doc_id")),
 
+    // ---- M6: REAL audio header decode — WAV chunk walk, FLAC
+    // STREAMINFO, MP3 frame header as a codegen expression; corpus text
+    // payloads (no magic → NULL row) unioned with hand-assembled fixture
+    // headers whose parameters the oracle pins ---------------------------
+    "m6_audio_meta" -> ((s, dir) =>
+      Multimodal.audioMetadata(
+          Multimodal.toMediaTable(t(s, dir, "documents"))
+            .unionByName(Multimodal.fixtureAudio(s)))
+        .orderBy("doc_id")),
+
     // ---- C3: context-window chunking (50-token windows, 10 overlap).
     // Null texts are filtered on BOTH sides — the engines' null-propagation
     // through slice/concat paths differs, so neither should see them ------
@@ -5869,6 +5879,21 @@ object SparkEntry {
         |   'e2867e538491f86ac5906b12ac667abf7761171d1ae94d867c231df82b0c7c90',
         |   NULL, NULL, NULL)
         |) t(doc_id, n_bytes, sha256, format, width, height)
+        |ORDER BY doc_id""".stripMargin,
+
+    "m6_audio_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  CAST(NULL AS VARCHAR) AS format, CAST(NULL AS BIGINT) AS channels,
+        |  CAST(NULL AS BIGINT) AS sample_rate, CAST(NULL AS BIGINT) AS bits,
+        |  CAST(NULL AS BIGINT) AS duration_ms
+        |  FROM documents
+        |UNION ALL
+        |SELECT * FROM (VALUES
+        |  (CAST(-13 AS BIGINT), CAST(44 AS BIGINT), 'wav', CAST(2 AS BIGINT),
+        |   CAST(44100 AS BIGINT), CAST(16 AS BIGINT), CAST(500 AS BIGINT)),
+        |  (-12, 26, 'flac', 2, 48000, 16, 10000),
+        |  (-11, 4, 'mp3', 2, 44100, NULL, NULL)
+        |) a(doc_id, n_bytes, format, channels, sample_rate, bits, duration_ms)
         |ORDER BY doc_id""".stripMargin,
 
     "m2_media_features" ->

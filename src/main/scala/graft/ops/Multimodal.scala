@@ -133,6 +133,54 @@ object Multimodal {
         col("media_type"))
   }
 
+  /** Audio-header metadata — the audio sibling of [[headerMetadata]]:
+    * format, channels, sample rate, bit depth, duration parsed from the
+    * payload's leading bytes by the native codegen expression
+    * ([[graft.functions.AudioMeta]]: WAV chunk walk, FLAC STREAMINFO,
+    * MP3 frame header). Pure map-only projection — header sniffing a
+    * 100 TB audio column never leaves whole-stage codegen.
+    */
+  def audioMetadata(media: DataFrame): DataFrame = {
+    val meta = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.AudioMeta(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("payload"))))
+    media.select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        meta.as("m"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("m.format").as("format"),
+        col("m.channels").cast("long").as("channels"),
+        col("m.sample_rate").cast("long").as("sample_rate"),
+        col("m.bits").cast("long").as("bits"),
+        col("m.duration_ms").as("duration_ms"))
+  }
+
+  /** Deterministic audio-header fixtures — hand-assembled minimal WAV /
+    * FLAC / MP3 headers with hand-computable stream parameters (the audio
+    * analogue of [[fixtureMedia]]); the m6 oracle pins the hand-computed
+    * values. Negative doc_ids keep them disjoint from any real corpus.
+    */
+  def fixtureAudio(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      // WAV PCM 44.1 kHz stereo 16-bit: RIFF/WAVE + fmt(16) + data header;
+      // data size 88200 over byte rate 176400 → 500 ms
+      (-13L, "524946462400000057415645" + "666D742010000000" +
+        "01000200" + "44AC0000" + "10B10200" + "04001000" +
+        "6461746188580100", "audio/wav"),
+      // FLAC STREAMINFO (truncated before the MD5 — still parseable):
+      // 48 kHz stereo 16-bit, 480000 samples → 10000 ms
+      (-12L, "664C614300000022" + "10001000" + "000000000000" +
+        "0BB802F0" + "00075300", "audio/flac"),
+      // MP3 MPEG1 Layer III frame header: 44.1 kHz, stereo mode;
+      // bits/duration NULL by design (compressed, VBR)
+      (-11L, "FFFB9000", "audio/mpeg")
+    ).toDF("doc_id", "hex", "media_type")
+      .select(col("doc_id"), unhex(col("hex")).as("payload"),
+        col("media_type"))
+  }
+
   /** Batch feature extraction via mapPartitions (the mapInPandas analogue).
     * Partition-parallel, no shuffle; output is a typed Dataset.
     */

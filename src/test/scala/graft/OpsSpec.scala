@@ -631,6 +631,44 @@ class MultimodalSpec extends SparkSpec {
       .select(expr("media_dims(unhex(hex))").as("d")).collect().head
     assert(tiny.isNullAt(0))
   }
+
+  private def audio(hex: String): (String, Any, Any, Any, Any) = {
+    import org.apache.spark.sql.functions.{col, expr, unhex}
+    val r = Seq(hex).toDF("hex")
+      .select(expr("audio_meta(unhex(hex))").as("a"))
+      .select(col("a.format"), col("a.channels"), col("a.sample_rate"),
+        col("a.bits"), col("a.duration_ms"))
+      .collect().head
+    (r.getString(0), r.get(1), r.get(2), r.get(3), r.get(4))
+  }
+
+  test("audio_meta: real header decode for WAV, FLAC, MP3") {
+    // the same fixtures the m6 oracle pins
+    assert(audio("524946462400000057415645666D742010000000" +
+      "0100020044AC000010B1020004001000" +
+      "6461746188580100") === ("wav", 2, 44100, 16, 500L))
+    assert(audio("664C61430000002210001000000000000000" +
+      "0BB802F000075300") === ("flac", 2, 48000, 16, 10000L))
+    assert(audio("FFFB9000") === ("mp3", 2, 44100, null, null))
+    // MP3 mono (mode bits 3), MPEG2 halves the rate table entry
+    assert(audio("FFF390C0") === ("mp3", 1, 22050, null, null))
+  }
+
+  test("audio_meta: malformed and truncated payloads degrade, never throw") {
+    import org.apache.spark.sql.functions.expr
+    val unknown = Seq("DEADBEEF00").toDF("hex")
+      .select(expr("audio_meta(unhex(hex))").as("a")).collect().head
+    assert(unknown.isNullAt(0))
+    // RIFF/WAVE magic but no fmt chunk yet → format known, params NULL
+    assert(audio("524946462400000057415645") ===
+      ("wav", null, null, null, null))
+    // fLaC magic but truncated STREAMINFO → format known, params NULL
+    assert(audio("664C614300000022") === ("flac", null, null, null, null))
+    // frame sync with reserved version bits → false positive, NULL
+    val reserved = Seq("FFEB9000").toDF("hex")
+      .select(expr("audio_meta(unhex(hex))").as("a")).collect().head
+    assert(reserved.isNullAt(0))
+  }
 }
 
 class StreamOpsSpec extends SparkSpec {
