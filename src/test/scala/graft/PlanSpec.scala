@@ -525,4 +525,41 @@ class PlanSpec extends SparkSpec {
       s"expected a dynamic partition pruning filter on the fact scan:\n" +
         plan.take(4000))
   }
+
+  test("substring dedup plans no join at all — window over the gram " +
+      "partition, never a doc-pair materialization") {
+    val plan = planOf("d18_substring_dup")
+    assert(!plan.contains("Join"), s"d18 must not join:\n$plan")
+    assert(plan.contains("Window"), s"expected a window count:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan should prune to (doc_id, text):\n$plan")
+  }
+
+  test("unigram surprisal broadcasts the vocabulary count table") {
+    val plan = planOf("t17_unigram_surprisal")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join should broadcast:\n$plan")
+  }
+
+  test("filtered ANN pushes the metadata predicate into the parquet scan") {
+    val plan = planOf("n13_ann_filtered")
+    // label % 2 = 0 itself isn't a source filter, but its IsNotNull guard
+    // must reach the scan and the modulo must sit in the scan's Filter
+    // node, before any scoring project
+    assert(plan.contains("PushedFilters: [IsNotNull(label)]") ||
+      plan.contains("IsNotNull(label)"),
+      s"label filter should reach the candidate scan:\n$plan")
+  }
+
+  test("nearest as-of runs both directional carries on ONE exchange") {
+    val plan = planOf("x8_asof_nearest")
+    // one hash exchange for the union'd key partition (plus the final
+    // presentation sort's range exchange) — a second hashpartitioning on
+    // the key would mean the two window frames split the shuffle
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange, got $hashExchanges:\n" +
+        plan.take(4000))
+  }
 }
