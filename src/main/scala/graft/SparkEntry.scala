@@ -1323,6 +1323,13 @@ object SparkEntry {
       TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // ---- T18: Shannon character entropy — the gibberish/noise signal;
+    // same fixed-point integer-reduce discipline as t17, both exchanges
+    // keyed on the doc id (no corpus-global state) ------------------------
+    "t18_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "t2_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -4694,6 +4701,29 @@ object SparkEntry {
         |  FROM scored GROUP BY doc_id)
         |SELECT doc_id, n_tokens, sum_nll_fp,
         |  CAST(sum_nll_fp AS DOUBLE) / 1e9 / n_tokens AS avg_nll
+        | FROM per ORDER BY doc_id""".stripMargin,
+
+    // Each distinct char contributes cnt * round(ln(n/cnt)*1e9) — exact
+    // integers, so the sum is engine-exact; one double division per row.
+    "t18_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        | pc AS (
+        |  SELECT doc_id, n_chars, ch, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM chars GROUP BY doc_id, n_chars, ch),
+        | terms AS (
+        |  SELECT doc_id, n_chars,
+        |    cnt * CAST(round(ln(CAST(n_chars AS DOUBLE) / cnt) * 1e9)
+        |      AS BIGINT) AS term_fp
+        |  FROM pc),
+        | per AS (
+        |  SELECT doc_id, max(n_chars) AS n_chars,
+        |    CAST(sum(term_fp) AS BIGINT) AS entropy_fp
+        |  FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_chars, entropy_fp,
+        |  CAST(entropy_fp AS DOUBLE) / 1e9 / n_chars AS entropy_nats
         | FROM per ORDER BY doc_id""".stripMargin,
 
     "t2_quality" ->

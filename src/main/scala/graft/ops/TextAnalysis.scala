@@ -212,6 +212,41 @@ object TextAnalysis {
         col("sum_nll_fp").cast("double") / lit(1e9) / col("n_tokens"))
   }
 
+  /** Shannon character entropy per document (nats) — the classic
+    * gibberish/noise signal: near-zero for single-char spam, ~log of the
+    * alphabet size for natural text, maximal for random bytes rendered
+    * as text. Both tails are drop candidates.
+    *
+    * Same fixed-point discipline as [[unigramSurprisal]]: each distinct
+    * character contributes `cnt · round(ln(n/cnt)·1e9)` — an exact
+    * integer — so the per-doc sum is order-independent and engine-exact;
+    * H = Σ (cnt/n)·ln(n/cnt) emerges from one double division per
+    * output row.
+    *
+    * Shape: char explode → per-(doc, char) counts (partial agg absorbs
+    * the 26-ish alphabet) → per-doc reduce. Both exchanges key on the
+    * doc id (char rides along), so the operator is embarrassingly
+    * parallel across documents — no corpus-global state at all.
+    */
+  def charEntropy(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val chars = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), length(col(textCol)).cast("long").as("n_chars"),
+        explode(split(col(textCol), "")).as("ch"))
+    chars.groupBy(col(idCol), col("n_chars"), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("term_fp",
+        col("cnt") *
+          round(log(col("n_chars").cast("double") / col("cnt")) * lit(1e9))
+            .cast("long"))
+      .groupBy(col(idCol))
+      .agg(max(col("n_chars")).as("n_chars"),
+        sum(col("term_fp")).as("entropy_fp"))
+      .withColumn("entropy_nats",
+        col("entropy_fp").cast("double") / lit(1e9) / col("n_chars"))
+  }
+
   // PII patterns written in the Java/RE2 common subset so the DuckDB
   // oracle applies the identical regex.
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

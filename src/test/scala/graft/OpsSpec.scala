@@ -33,6 +33,19 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.langId($"text")).head().getString(0)
     assert(tie === "en")
   }
+
+  test("char entropy: zero for a single repeated char, ln(2) for a " +
+      "two-char balance, empty/null docs dropped") {
+    val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L)) // empty dropped
+    assert(out(0).getLong(2) === 0L) // entropy_fp: ln(4/4) = 0
+    // "ab": each char contributes 1 * round(ln(2)*1e9)
+    val ln2fp = math.round(math.log(2.0) * 1e9)
+    assert(out(1).getLong(2) === 2 * ln2fp)
+    assert(math.abs(out(1).getDouble(3) - math.log(2.0)) < 1e-6)
+  }
 }
 
 class RollingHashSpec extends SparkSpec {
