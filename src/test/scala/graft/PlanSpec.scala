@@ -551,6 +551,13 @@ class PlanSpec extends SparkSpec {
       s"label filter should reach the candidate scan:\n$plan")
   }
 
+  test("audio header decode is map-only: no hash exchange before the " +
+      "presentation sort") {
+    val plan = planOf("m6_audio_meta")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"header sniffing must not shuffle:\n${plan.take(4000)}")
+  }
+
   test("nearest as-of runs both directional carries on ONE exchange") {
     val plan = planOf("x8_asof_nearest")
     // one hash exchange for the union'd key partition (plus the final
