@@ -100,7 +100,15 @@ object Bench {
             (System.nanoTime() - t0) / 1e9
           }
           val first = timed()
-          if (first >= 2.0) first
+          // Heavy queries get one more pass and report the MIN: on a
+          // shared VM a single pass occasionally absorbs a 2-4x I/O or
+          // CPU-steal spike (observed round to round: a DIFFERENT subset
+          // of the >2 s queries inflates each run and reverts the next),
+          // and a structural regression slows every pass, so min keeps
+          // the signal while shedding one-off noise at a bounded
+          // +1-pass cost. Light queries keep median-of-3 (fixed jitter
+          // dominates small numbers).
+          if (first >= 2.0) math.min(first, timed())
           else Seq(first, timed(), timed()).sorted.apply(1) // median of 3
         } catch { case _: Throwable => -1.0 }
       spark.catalog.clearCache()

@@ -1330,6 +1330,17 @@ object SparkEntry {
       TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // ---- T19: Stupid Backoff bigram surprisal — the cheap LM-quality
+    // filter (Brants 2007) in the CCNet shape: count LM trained on the
+    // even-id half, every doc scored against it (unseen continuation →
+    // alpha-discounted unigram, OOV → pseudo-count); per-token -ln p in
+    // 1e-9 fixed point before the per-doc reduce; vocab broadcast, bigram
+    // table hash-partitioned ---------------------------------------------
+    "t19_backoff_surprisal" -> ((s, dir) =>
+      TextAnalysis.backoffSurprisal(t(s, dir, "documents"), "doc_id", "text",
+          trainFilter = col("doc_id") % 2 === 0)
+        .orderBy("doc_id")),
+
     "t2_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1595,6 +1606,16 @@ object SparkEntry {
       Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 8),
           col("label") % 2 === 0, "vec_id", "embedding", k = 5)
         .orderBy("q_id", "rank")
+    }),
+
+    // ---- N14: RANGE search (FAISS range_search semantics) — every
+    // candidate within the cosine radius, not a fixed k; broadcast query
+    // side keeps the candidate scan map-only at any corpus size ----------
+    "n14_range_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.rangeSearch(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", threshold = 0.3)
+        .orderBy("q_id", "c_id")
     }),
 
     "d13_semdedup" -> ((s, dir) =>
@@ -2494,6 +2515,22 @@ object SparkEntry {
       AsOfJoin.nearest(purchases, errors, "user_id", "ts", "err_ts",
           Seq("error_id"))
         .select(col("purchase_id"), col("user_id"), col("error_id"))
+        .orderBy("purchase_id")
+    }),
+
+    // ---- X9: linear-interpolation as-of — reconstruct the page_view
+    // value series at each purchase time from the bracketing readings;
+    // one-sided carry at the edges. Single hash exchange (two frames over
+    // one sort), like x8.
+    "x9_asof_interpolate" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "page_view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("value"))
+      AsOfJoin.interpolate(purchases, views, "user_id", "ts", "view_ts",
+          "value")
+        .select(col("purchase_id"), col("user_id"), col("value_interp"))
         .orderBy("purchase_id")
     }),
 
@@ -4703,6 +4740,54 @@ object SparkEntry {
         |  CAST(sum_nll_fp AS DOUBLE) / 1e9 / n_tokens AS avg_nll
         | FROM per ORDER BY doc_id""".stripMargin,
 
+    // Stupid Backoff, CCNet shape: LM counts from the even-id half; seen
+    // bigram → cnt_b/cnt_prev, unseen → 0.4·U(tok), doc-initial → U(tok),
+    // U = cnt_u/N with pseudo-count 1 when OOV; per-token -ln p rounded to
+    // 1e-9 units before the per-doc sum (order-independent integer
+    // reduce). Parallel unnests zip positionally, pairing each token with
+    // its predecessor.
+    "t19_backoff_surprisal" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        | tp AS (
+        |  SELECT doc_id, unnest(tk) AS tok,
+        |    unnest(list_transform(range(1, len(tk) + 1), i ->
+        |      CASE WHEN i > 1 THEN tk[i - 1] END)) AS prev
+        |  FROM d),
+        | tr AS (SELECT * FROM tp WHERE doc_id % 2 = 0),
+        | uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt_u
+        |         FROM tr GROUP BY tok),
+        | tot AS (SELECT CAST(sum(cnt_u) AS BIGINT) AS n_total FROM uni),
+        | bi AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cnt_b
+        |        FROM tr WHERE prev IS NOT NULL GROUP BY prev, tok),
+        | scored AS (
+        |  SELECT tp.doc_id,
+        |    CASE WHEN bi.cnt_b IS NOT NULL THEN
+        |      CAST(round(-ln(CAST(bi.cnt_b AS DOUBLE) / up.cnt_u) * 1e9)
+        |        AS BIGINT)
+        |    WHEN tp.prev IS NULL THEN
+        |      CAST(round(-ln(CAST(coalesce(u.cnt_u, 1) AS DOUBLE) / n_total)
+        |        * 1e9) AS BIGINT)
+        |    ELSE
+        |      CAST(round(-ln(0.4 * (CAST(coalesce(u.cnt_u, 1) AS DOUBLE)
+        |        / n_total)) * 1e9) AS BIGINT)
+        |    END AS nll_fp,
+        |    CASE WHEN tp.prev IS NOT NULL AND bi.cnt_b IS NULL
+        |      THEN 1 ELSE 0 END AS is_b,
+        |    CASE WHEN u.cnt_u IS NULL THEN 1 ELSE 0 END AS is_oov
+        |  FROM tp
+        |  LEFT JOIN uni u ON u.tok = tp.tok
+        |  LEFT JOIN uni up ON up.tok = tp.prev
+        |  LEFT JOIN bi ON bi.prev = tp.prev AND bi.tok = tp.tok
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(is_b) AS BIGINT) AS n_backoff,
+        |  CAST(sum(is_oov) AS BIGINT) AS n_oov,
+        |  CAST(sum(nll_fp) AS BIGINT) AS sum_nll_fp,
+        |  CAST(sum(nll_fp) AS DOUBLE) / 1e9 / count(*) AS avg_nll
+        | FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Each distinct char contributes cnt * round(ln(n/cnt)*1e9) — exact
     // integers, so the sum is engine-exact; one double division per row.
     "t18_char_entropy" ->
@@ -5591,6 +5676,33 @@ object SparkEntry {
         | SELECT q_id, c_id, rank, cos FROM ranked
         |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
+    // n1's scored-pairs CTE with a radius predicate instead of a rank cut:
+    // range semantics — the result set is every pair above the cosine
+    // threshold, data-driven in size.
+    "n14_range_search" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+        |            WHERE vec_id < 8),
+        | c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+        | scored AS (
+        |  SELECT q_id, c_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS dot_fp,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS na_fp,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS nb_fp
+        |  FROM q JOIN c ON q_id <> c_id)
+        | SELECT q_id, c_id,
+        |   CAST(dot_fp AS DOUBLE) /
+        |     (sqrt(CAST(na_fp AS DOUBLE)) * sqrt(CAST(nb_fp AS DOUBLE))) AS cos
+        |  FROM scored
+        |  WHERE CAST(dot_fp AS DOUBLE) /
+        |     (sqrt(CAST(na_fp AS DOUBLE)) * sqrt(CAST(nb_fp AS DOUBLE))) >= 0.3
+        |  ORDER BY q_id, c_id""".stripMargin,
+
     // Single-probe and multi-probe LSH share the bucket CTE and the
     // scoring/ranking tail — only the query-side probe set differs.
     "n2_ann_lsh" -> (LshBucketCte +
@@ -6282,6 +6394,42 @@ object SparkEntry {
         |SELECT purchase_id, user_id,
         |  CASE WHEN bt IS NOT NULL AND (ft IS NULL OR ts_us - bt <= ft - ts_us)
         |       THEN b_id ELSE f_id END AS error_id
+        | FROM filled WHERE purchase_id IS NOT NULL
+        | ORDER BY purchase_id""".stripMargin,
+
+    // Mirrors AsOfJoin.interpolate: both (time, value) carries under ONE
+    // sort; blend = bv + (fv-bv)·(t-tb)/(tf-tb) with every operand a
+    // micros-exact double, degrading to the one-sided carry at the edges.
+    "x9_asof_interpolate" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+        |    CASE WHEN event_type = 'purchase' THEN event_id END
+        |      AS purchase_id,
+        |    CASE WHEN event_type = 'page_view' THEN CAST(epoch_us(ts)
+        |      AS BIGINT) END AS rt_us,
+        |    CASE WHEN event_type = 'page_view' THEN CAST(value AS DOUBLE)
+        |      END AS v
+        |  FROM events WHERE event_type IN ('purchase', 'page_view')),
+        | filled AS (
+        |  SELECT user_id, purchase_id, ts_us,
+        |    last_value(rt_us IGNORE NULLS) OVER wb AS bt,
+        |    first_value(rt_us IGNORE NULLS) OVER wf AS ft,
+        |    last_value(v IGNORE NULLS) OVER wb AS bv,
+        |    first_value(v IGNORE NULLS) OVER wf AS fv
+        |  FROM u
+        |  WINDOW wb AS (PARTITION BY user_id
+        |      ORDER BY ts_us, side, v ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id
+        |      ORDER BY ts_us, side, v ASC NULLS LAST
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT purchase_id, user_id,
+        |  CASE WHEN bt IS NOT NULL AND ft IS NOT NULL THEN
+        |    bv + (fv - bv) * ((CAST(ts_us AS DOUBLE) - CAST(bt AS DOUBLE)) /
+        |      (CAST(ft AS DOUBLE) - CAST(bt AS DOUBLE)))
+        |  WHEN bt IS NOT NULL THEN bv
+        |  WHEN ft IS NOT NULL THEN fv END AS value_interp
         | FROM filled WHERE purchase_id IS NOT NULL
         | ORDER BY purchase_id""".stripMargin,
 

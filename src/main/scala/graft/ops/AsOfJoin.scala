@@ -165,4 +165,65 @@ object AsOfJoin {
     filled.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ valueCols.map(col): _*)
   }
+
+  /** Linear INTERPOLATION as-of: for each left row, reconstruct the right
+    * series' value at the left row's time from the bracketing right rows —
+    * `vb + (vf - vb) * (t - tb) / (tf - tb)` — the time-series alignment
+    * primitive (pandas `merge_asof` + `interpolate`, but in one pass).
+    * A right row exactly at the left time contributes its own value
+    * (ratio 0); a missing bracket degrades to the one-sided carry
+    * (backward-only → vb, forward-only → vf, neither → null).
+    *
+    * Same single-exchange shape as [[nearest]]: both the backward and the
+    * forward (time, value) carries are frames over ONE hash partition +
+    * sort of the unioned sides; the blend is per-row arithmetic. The
+    * division is guarded — when both brackets exist, `tf > t >= tb` by
+    * construction (right rows tied with the left time sort into the
+    * backward frame), so `tf - tb > 0`.
+    *
+    * Determinism among right rows tied on (key, time) mirrors [[nearest]]:
+    * the shared sort tie-breaks on the value column, so the backward pick
+    * is the max-value row and the forward pick the min — reproduced by
+    * the oracle's window ORDER BY.
+    */
+  def interpolate(left: DataFrame, right: DataFrame, key: String,
+                  leftTime: String, rightTime: String,
+                  valueCol: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left.select(
+      col(key).as("__k") +: col(leftTime).cast("timestamp").as("__t") +:
+        lit(1).as("__side") +:
+        lit(null).cast("timestamp").as("__rt") +:
+        lit(null).cast("double").as("__v") +:
+        leftCols.map(col): _*)
+    val r = right.select(
+      col(key).as("__k") +: col(rightTime).cast("timestamp").as("__t") +:
+        lit(0).as("__side") +:
+        col(rightTime).cast("timestamp").as("__rt") +:
+        col(valueCol).cast("double").as("__v") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val unioned = l.unionByName(r)
+    val ord = Seq(col("__t"), col("__side"), col("__v").asc_nulls_last)
+    val wb = Window.partitionBy(col("__k")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("__k")).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = unioned
+      .withColumn("__bt", last(col("__rt"), ignoreNulls = true).over(wb))
+      .withColumn("__ft", first(col("__rt"), ignoreNulls = true).over(wf))
+      .withColumn("__bv", last(col("__v"), ignoreNulls = true).over(wb))
+      .withColumn("__fv", first(col("__v"), ignoreNulls = true).over(wf))
+    val t = unix_micros(col("__t")).cast("double")
+    val tb = unix_micros(col("__bt")).cast("double")
+    val tf = unix_micros(col("__ft")).cast("double")
+    val blend = col("__bv") +
+      (col("__fv") - col("__bv")) * ((t - tb) / (tf - tb))
+    val interp =
+      when(col("__bt").isNotNull && col("__ft").isNotNull, blend)
+        .when(col("__bt").isNotNull, col("__bv"))
+        .when(col("__ft").isNotNull, col("__fv"))
+    carried.filter(col("__side") === 1)
+      .withColumn(valueCol + "_interp", interp)
+      .select(leftCols.map(col) :+ col(valueCol + "_interp"): _*)
+  }
 }

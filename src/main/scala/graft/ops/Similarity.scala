@@ -98,6 +98,37 @@ object Similarity {
     scoreTopK(c, q, col("q_id") =!= col("c_id"), k)
   }
 
+  /** RANGE search (the FAISS `range_search` semantics): every candidate
+    * within a similarity radius of each query — cosine >= `threshold` —
+    * rather than a fixed k. The result-set size is data-driven, which is
+    * the honest contract for dedup-style retrieval ("everything this
+    * close") where top-k either truncates dense neighborhoods or pads
+    * sparse ones.
+    *
+    * Plan shape: the query side is broadcast, so the scan of the
+    * candidate table is MAP-ONLY — no shuffle at any corpus size; scoring
+    * is the exact fixed-point dot ([[dotFp]], codegen) and the radius
+    * test one double compare. At 100 TB this scales linearly with the
+    * candidate scan and is embarrassingly parallel; only a LARGE query
+    * set would force the bucketed-LSH path instead
+    * ([[embeddingNearDuplicates]] handles that corpus-vs-corpus case).
+    */
+  def rangeSearch(candidates: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      normFp(col(vecCol)).as("q_norm"))
+    val c = spread(candidates, idCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        normFp(col(vecCol)).as("c_norm"))
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("dot_fp", dotFp(col("q_vec"), col("c_vec")))
+      .withColumn("cos", cosineFromFp(col("dot_fp"),
+        col("q_norm"), col("c_norm")))
+      .filter(col("cos") >= threshold)
+      .select("q_id", "c_id", "cos")
+  }
+
   /** Filtered vector search: a metadata predicate applied BEFORE scoring
     * (pre-filter semantics). Recall over the qualifying set is exact —
     * unlike post-filtering a fixed-k ANN result, which starves when the

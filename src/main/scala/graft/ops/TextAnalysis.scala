@@ -212,6 +212,75 @@ object TextAnalysis {
         col("sum_nll_fp").cast("double") / lit(1e9) / col("n_tokens"))
   }
 
+  /** Stupid Backoff bigram surprisal per document (Brants et al. 2007,
+    * "Large Language Models in Machine Translation") — the cheap
+    * LM-quality filter one tier above [[unigramSurprisal]], in the CCNet
+    * shape: the count LM is trained on a REFERENCE subset
+    * (`trainFilter`), every document is scored against it. A token seen
+    * after its actual predecessor in the reference scores the bigram
+    * ratio `count(prev tok) / count(prev)`; an unseen continuation backs
+    * off to `alpha * U(tok)` (alpha = 0.4, the published constant); a
+    * document's first token has no context and scores `U(tok)` directly.
+    * `U(w) = count(w) / N` with a pseudo-count of 1 for out-of-vocabulary
+    * tokens. High mean NLL = word sequences the reference corpus finds
+    * improbable (boilerplate soup, OCR damage, wrong language); the
+    * backoff and OOV fractions are their own quality signals.
+    *
+    * Training on the scored corpus itself (trainFilter = lit(true)) makes
+    * the backoff branch unreachable — every bigram then has count >= 1 —
+    * which is why the gate trains on a held-out half.
+    *
+    * Fixed-point discipline as [[unigramSurprisal]]: each token's -ln p is
+    * rounded to 1e-9 integer units BEFORE the per-doc sum, so the reduce
+    * is order-independent and engine-exact.
+    *
+    * Scale shape: the bigram pairing is a `lag` window partitioned by doc
+    * (the same per-doc exchange every doc-keyed op here pays — no corpus-
+    * global sort); the unigram vocabulary is BROADCAST twice (token and
+    * context side — Zipf keeps vocab ≪ corpus); the bigram count table is
+    * the one genuinely corpus-sized model, and it joins hash-partitioned
+    * on (prev, tok) — exactly how a distributed LM count table shards.
+    */
+  def backoffSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                       trainFilter: Column,
+                       alpha: Double = 0.4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    def tokenize(df: DataFrame) = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val withPrev = tokenize(docs).withColumn("prev", lag(col("tok"), 1).over(w))
+    val train = tokenize(docs.filter(trainFilter))
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+    val uni = train.groupBy("tok").agg(count(lit(1)).as("cnt_u"))
+    val total = uni.agg(sum("cnt_u").as("n_total"))
+    val bi = train.filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("cnt_b"))
+    // U(tok): reference unigram prob, pseudo-count 1 when OOV.
+    val u = coalesce(col("cnt_u"), lit(1L)).cast("double") / col("n_total")
+    val nllFp =
+      when(col("cnt_b").isNotNull,
+        round(-log(col("cnt_b").cast("double") / col("cnt_prev")) * lit(1e9)))
+        .when(col("prev").isNull, round(-log(u) * lit(1e9)))
+        .otherwise(round(-log(lit(alpha) * u) * lit(1e9)))
+    withPrev
+      .join(broadcast(uni), Seq("tok"), "left")
+      .join(broadcast(uni.select(col("tok").as("prev"),
+        col("cnt_u").as("cnt_prev"))), Seq("prev"), "left")
+      .join(bi, Seq("prev", "tok"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("nll_fp", nllFp.cast("long"))
+      .withColumn("is_backoff",
+        (col("prev").isNotNull && col("cnt_b").isNull).cast("long"))
+      .withColumn("is_oov", col("cnt_u").isNull.cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("is_backoff")).as("n_backoff"),
+        sum(col("is_oov")).as("n_oov"),
+        sum(col("nll_fp")).as("sum_nll_fp"))
+      .withColumn("avg_nll",
+        col("sum_nll_fp").cast("double") / lit(1e9) / col("n_tokens"))
+  }
+
   /** Shannon character entropy per document (nats) — the classic
     * gibberish/noise signal: near-zero for single-char spam, ~log of the
     * alphabet size for natural text, maximal for random bytes rendered

@@ -71,4 +71,24 @@ class AsOfJoinSpec extends SparkSpec {
       Seq(Some(10.0), Some(11.0), Some(10.0), Some(11.0), Some(20.0),
         Some(20.0), None))
   }
+
+  test("interpolate blends the bracketing rows linearly; one-sided carry " +
+      "at the edges; exact-time row passes through; null when no rows") {
+    val probes = Seq(
+      (1L, "A", ts("2026-01-01 10:01:00")), // 1/3 of 10:00→10:03: 10 + 3*(1/3)
+      (2L, "A", ts("2026-01-01 10:00:00")), // exact match → 10.0
+      (3L, "A", ts("2026-01-01 09:00:00")), // before first → forward carry 10.0
+      (4L, "A", ts("2026-01-01 11:00:00")), // after last → backward carry 13.0
+      (5L, "C", ts("2026-01-01 10:00:00"))  // no right rows → null
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", ts("2026-01-01 10:00:00"), 10.0),
+      ("A", ts("2026-01-01 10:03:00"), 13.0)
+    ).toDF("sym", "qt", "px")
+
+    val out = AsOfJoin.interpolate(probes, quotes, "sym", "t", "qt", "px")
+      .orderBy("trade_id").collect()
+    assert(out.map(r => Option(r.get(r.fieldIndex("px_interp")))).toSeq ===
+      Seq(Some(11.0), Some(10.0), Some(10.0), Some(13.0), None))
+  }
 }

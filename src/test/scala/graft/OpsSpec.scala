@@ -161,6 +161,48 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_.getLong(1)).toSeq === Seq(2L, 3L)) // 1L never scored
   }
 
+  test("backoff surprisal: seen bigram scores the ratio, unseen " +
+      "continuation backs off with alpha, OOV pays the pseudo-count") {
+    val docs = Seq(
+      (0L, "a b a b"), // the reference half: unigrams a=2 b=2, bigram a-b=2, b-a=1
+      (1L, "b b c")    // scored against it: b-b unseen → backoff; c OOV
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.backoffSurprisal(docs, "doc_id", "text",
+        trainFilter = $"doc_id" % 2 === 0)
+      .orderBy("doc_id").collect()
+    val fp = (p: Double) => math.round(-math.log(p) * 1e9)
+    // doc 0 (in-reference): init a = -ln(2/4); b|a = -ln(2/2);
+    // a|b = -ln(1/2); b|a = -ln(2/2) — no backoff, no OOV
+    assert(out(0).getLong(1) === 4L) // n_tokens
+    assert(out(0).getLong(2) === 0L) // n_backoff
+    assert(out(0).getLong(3) === 0L) // n_oov
+    assert(out(0).getLong(4) === fp(2.0 / 4) + fp(2.0 / 2) + fp(1.0 / 2)
+      + fp(2.0 / 2))
+    // doc 1: init b = -ln(2/4); b|b unseen → -ln(0.4·(2/4)); c OOV after b
+    // → -ln(0.4·(1/4)) — two backoffs, one OOV
+    assert(out(1).getLong(2) === 2L)
+    assert(out(1).getLong(3) === 1L)
+    assert(out(1).getLong(4) === fp(2.0 / 4) +
+      math.round(-math.log(0.4 * (2.0 / 4)) * 1e9) +
+      math.round(-math.log(0.4 * (1.0 / 4)) * 1e9))
+  }
+
+  test("range search returns every candidate in the radius, no self") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),  // cos ~0.994
+      (2L, Array(0.5f, 0.5f)),  // cos ~0.707
+      (3L, Array(0.0f, 1.0f))   // cos 0
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.rangeSearch(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", threshold = 0.5).orderBy("c_id").collect()
+    assert(r.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+    // tightening the radius can only shrink the result set
+    val tight = Similarity.rangeSearch(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", threshold = 0.9).collect()
+    assert(tight.map(_.getLong(1)).toSet === Set(1L))
+  }
+
   test("brute-force top-k excludes self and ranks by similarity") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),

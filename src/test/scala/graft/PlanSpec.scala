@@ -569,4 +569,40 @@ class PlanSpec extends SparkSpec {
       s"expected exactly 1 hash exchange, got $hashExchanges:\n" +
         plan.take(4000))
   }
+
+  test("interpolation as-of shares the single-exchange shape of nearest") {
+    val plan = planOf("x9_asof_interpolate")
+    // all four carries (backward/forward time and value) are frames over
+    // the same partition + sort — one hash exchange total
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange, got $hashExchanges:\n" +
+        plan.take(4000))
+  }
+
+  test("range search broadcasts the query side — no post-join exchange") {
+    val plan = planOf("n14_range_search")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"query side should broadcast:\n${plan.take(4000)}")
+    // scoring and the radius filter must add no exchange of their own:
+    // the plan prints top-down, so nothing above the join line may hash-
+    // partition (the only hash exchanges allowed are the spread()
+    // repartition INSIDE the cached candidate relation — a no-op on a
+    // real multi-split corpus)
+    val aboveJoin = plan.substring(0, plan.indexOf("Join"))
+    assert(!aboveJoin.contains("Exchange hashpartitioning"),
+      s"scoring must not shuffle the candidate corpus:\n${plan.take(4000)}")
+  }
+
+  test("backoff surprisal broadcasts both unigram sides; only the bigram " +
+      "model and the doc windows hash-partition") {
+    val plan = planOf("t19_backoff_surprisal")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    // tok-side vocab, prev-side vocab, and the one-row total
+    assert(broadcasts >= 2,
+      s"expected the two vocab joins to broadcast, got $broadcasts:\n" +
+        plan.take(4000))
+  }
 }
