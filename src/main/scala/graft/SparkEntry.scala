@@ -1618,6 +1618,30 @@ object SparkEntry {
         .orderBy("q_id", "c_id")
     }),
 
+    // ---- N15: range-search recall audit — the LSH-bucketed range path
+    // (per-query cost = bucket occupancy, the scale route when the query
+    // side is large) measured in-engine against the exact n14 result;
+    // refinement is exact so the approximate result is a subset and the
+    // audit reduces to "which true pairs shared a bucket" ---------------
+    "n15_range_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.rangeSearch(emb, qs, "vec_id", "embedding",
+          threshold = 0.3)
+        .select(col("q_id"), col("c_id"))
+      val approx = Similarity.lshRangeSearch(emb, qs, "vec_id", "embedding",
+          threshold = 0.3, nPlanes = 4)
+        .select(col("q_id").as("a_q"), col("c_id").as("a_c"),
+          lit(1).as("hit"))
+      exact.join(approx,
+          col("q_id") === col("a_q") && col("c_id") === col("a_c"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
+        .withColumn("recall",
+          col("n_hit").cast("double") / col("n_true"))
+        .orderBy("q_id")
+    }),
+
     "d13_semdedup" -> ((s, dir) =>
       // Cells DERIVED from the corpus (∝ N, floor 16) — per-cell refine
       // stays flat as the corpus grows; oracle derives the same count.
@@ -2539,6 +2563,14 @@ object SparkEntry {
       StreamOps.streamStaticSegmentCounts(s, dir,
           queryName = "graft_ss_" + System.nanoTime())
         .orderBy("c_mktsegment")),
+
+    // ---- ST19: streaming SCD2 enrichment — each event joins the dim row
+    // current at its event time (last interval open-ended, the "current
+    // record" convention); stateless stream-static broadcast join --------
+    "st19_stream_temporal_lookup" -> ((s, dir) =>
+      StreamOps.streamTemporalLookup(s, dir,
+          queryName = "graft_stl_" + System.nanoTime())
+        .orderBy("event_id")),
 
     "st3_session_window" -> ((s, dir) =>
       t(s, dir, "events")
@@ -5703,6 +5735,37 @@ object SparkEntry {
         |     (sqrt(CAST(na_fp AS DOUBLE)) * sqrt(CAST(nb_fp AS DOUBLE))) >= 0.3
         |  ORDER BY q_id, c_id""".stripMargin,
 
+    // Refinement is exact, so the LSH range result is precisely the true
+    // range pairs that shared a bucket — the oracle re-derives the exact
+    // pairs, marks bucket agreement, and aggregates; no second scoring
+    // pass needed.
+    "n15_range_recall" -> (LshBucketCte +
+      """
+        | q AS (SELECT vec_id AS q_id, x AS qv, bucket AS qb FROM b
+        |        WHERE vec_id < 8),
+        | c AS (SELECT vec_id AS c_id, x AS cv, bucket AS cb FROM b),
+        | scored AS (
+        |  SELECT q_id, c_id, qb, cb,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS dot_fp,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS na_fp,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS nb_fp
+        |  FROM q JOIN c ON q_id <> c_id),
+        | exact AS (
+        |  SELECT q_id, c_id, qb, cb FROM scored
+        |  WHERE CAST(dot_fp AS DOUBLE) /
+        |    (sqrt(CAST(na_fp AS DOUBLE)) * sqrt(CAST(nb_fp AS DOUBLE))) >= 0.3)
+        |SELECT q_id, CAST(count(*) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN qb = cb THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN qb = cb THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    count(*) AS recall
+        | FROM exact GROUP BY q_id ORDER BY q_id""".stripMargin),
+
     // Single-probe and multi-probe LSH share the bucket CTE and the
     // scoring/ranking tail — only the query-side probe set differs.
     "n2_ann_lsh" -> (LshBucketCte +
@@ -6461,6 +6524,34 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n
         |  FROM events JOIN customer ON user_id = c_custkey
         |  GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // scd2_temporal_lookup's history construction, but the last interval
+    // is open-ended (the "current record" convention) and the probes are
+    // the event stream's event times — the batch replay of st19's
+    // stream-static SCD2 enrichment.
+    "st19_stream_temporal_lookup" ->
+      """WITH dedup AS (SELECT o_custkey AS custkey, o_orderdate,
+        |    o_orderkey, o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        | changes AS (SELECT * FROM dedup
+        |   WHERE prev IS NULL OR prev <> o_orderpriority),
+        | hist AS (SELECT custkey, o_orderpriority,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS from_day,
+        |    coalesce(date_diff('day', DATE '1970-01-01',
+        |        CAST(lead(o_orderdate) OVER (PARTITION BY custkey
+        |          ORDER BY o_orderdate, o_orderkey) AS DATE)) - 1,
+        |      2147483647) AS to_incl
+        |  FROM changes)
+        |SELECT e.event_id, e.user_id, h.o_orderpriority AS priority
+        | FROM events e JOIN hist h ON e.user_id = h.custkey
+        |  AND date_diff('day', DATE '1970-01-01', CAST(e.ts AS DATE))
+        |    >= h.from_day
+        |  AND date_diff('day', DATE '1970-01-01', CAST(e.ts AS DATE))
+        |    <= h.to_incl
+        | ORDER BY event_id""".stripMargin,
 
     // ONE attribution mirror for both spellings — x2 (batch bucketized
     // range join) and st7 (watermarked stream-stream join) pin the SAME

@@ -172,6 +172,36 @@ object Similarity {
       col("q_id") =!= col("c_id") && q("bucket") === c("bucket"), k)
   }
 
+  /** Approximate RANGE search — [[rangeSearch]] semantics through the LSH
+    * bucket index: only candidates sharing the query's hyperplane bucket
+    * are exact-refined against the radius, so the per-query cost is the
+    * bucket occupancy, not the corpus. This is the scale path when the
+    * query side is too large to make the brute-force scan affordable;
+    * recall is what the bucket geometry gives up (a true neighbour on the
+    * other side of any plane is missed — `n15_range_recall` measures
+    * exactly that in-engine, the same audit discipline as n11/d16).
+    * Refinement is exact, so the result is always a SUBSET of the true
+    * range result — precision 1 by construction.
+    */
+  def lshRangeSearch(candidates: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, threshold: Double,
+                     nPlanes: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      lshBucket(col(vecCol), nPlanes).as("bucket"),
+      normFp(col(vecCol)).as("q_norm"))
+    val c = spread(candidates, idCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        lshBucket(col(vecCol), nPlanes).as("bucket"),
+        normFp(col(vecCol)).as("c_norm"))
+    c.join(broadcast(q),
+        q("bucket") === c("bucket") && col("q_id") =!= col("c_id"))
+      .withColumn("dot_fp", dotFp(col("q_vec"), col("c_vec")))
+      .withColumn("cos", cosineFromFp(col("dot_fp"),
+        col("q_norm"), col("c_norm")))
+      .filter(col("cos") >= threshold)
+      .select("q_id", "c_id", "cos")
+  }
+
   /** Multi-probe LSH top-k: each query searches its own bucket PLUS the
     * `nPlanes` buckets at Hamming distance 1 (one sign bit flipped) —
     * the standard recall repair for hyperplane LSH (Lv et al.,

@@ -229,6 +229,61 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** Streaming SCD2 enrichment: each event joins the (static, broadcast)
+    * slowly-changing-dimension row CURRENT at its event time — the
+    * classic click-stream-enrichment shape. The dimension here is the
+    * per-customer order-priority history derived change-on-write from
+    * `orders` (the scd2_temporal_lookup construction), with the LAST
+    * interval left OPEN-ENDED — the "current record valid until further
+    * notice" SCD2 convention — so live events (whose times are after the
+    * dimension's last change) enrich with the latest value rather than
+    * falling off the end of the history.
+    *
+    * Stateless per micro-batch: a stream-static broadcast hash join on
+    * the customer key with the interval containment as residual — no
+    * streaming state at all, which is what makes the shape hold at any
+    * stream rate (the scaling knob is the dimension snapshot's broadcast
+    * size, refreshed per batch on a real cluster).
+    */
+  def streamTemporalLookup(spark: SparkSession, dir: String,
+                           queryName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("custkey").orderBy("o_orderdate", "o_orderkey")
+    val hist = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_orderdate"),
+        col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      .withColumn("from_day",
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+      .withColumn("to_incl",
+        coalesce(
+          datediff(to_date(lead(col("o_orderdate"), 1).over(w)),
+            lit("1970-01-01")) - 1,
+          lit(Int.MaxValue)))
+      .select("custkey", "o_orderpriority", "from_day", "to_incl")
+    val stream = eventStream(spark, dir)
+      .withColumn("event_day",
+        datediff(to_date(col("ts")), lit("1970-01-01")))
+      .select(col("event_id"), col("user_id"), col("event_day"))
+    val joined = stream.join(broadcast(hist),
+        col("user_id") === col("custkey") &&
+          col("event_day") >= col("from_day") &&
+          col("event_day") <= col("to_incl"))
+      .select(col("event_id"), col("user_id"),
+        col("o_orderpriority").as("priority"))
+    withStatePartitions(spark, HarnessStateParts) {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(queryName)
+  }
+
   case class SessionState(startUs: Long, lastUs: Long, n: Long)
   case class CompletedSession(user_id: Long, start_us: Long, end_us: Long,
                               n_events: Long)

@@ -203,6 +203,25 @@ class SimilaritySpec extends SparkSpec {
     assert(tight.map(_.getLong(1)).toSet === Set(1L))
   }
 
+  test("LSH range search is a subset of exact range search with " +
+      "precision 1, and equals it restricted to shared buckets") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.rangeSearch(emb, qs,
+      "vec_id", "embedding", threshold = 0.3))
+    val approx = pairs(Similarity.lshRangeSearch(emb, qs,
+      "vec_id", "embedding", threshold = 0.3, nPlanes = 4))
+    assert(approx.subsetOf(exact)) // exact refine → precision 1
+    // the subset is exactly the true pairs whose endpoints share a bucket
+    val buckets = emb.select($"vec_id",
+      Similarity.lshBucket($"embedding", 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = exact.filter { case (q, c) => buckets(q) == buckets(c) }
+    assert(approx === expected)
+  }
+
   test("brute-force top-k excludes self and ranks by similarity") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),
@@ -755,6 +774,38 @@ class StreamOpsSpec extends SparkSpec {
     val b = batch.orderBy("hour_str").collect()
     assert(a.map(r => (r.getString(0), r.getLong(1))).toSeq ===
       b.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("streaming SCD2 enrichment equals the batch temporal join, and " +
+      "live events land in the open-ended current interval") {
+    val out = StreamOps.streamTemporalLookup(spark, sf,
+      queryName = "stl_" + System.nanoTime())
+    // batch replay: same open-ended history, same containment join
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("custkey").orderBy("o_orderdate", "o_orderkey")
+    val hist = Tables.load(spark, sf, "orders")
+      .select($"o_custkey".as("custkey"), $"o_orderdate", $"o_orderkey",
+        $"o_orderpriority")
+      .withColumn("prev", lag($"o_orderpriority", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"o_orderpriority")
+      .withColumn("from_day", datediff(to_date($"o_orderdate"),
+        lit("1970-01-01")))
+      .withColumn("to_incl", coalesce(
+        datediff(to_date(lead($"o_orderdate", 1).over(w)),
+          lit("1970-01-01")) - 1, lit(Int.MaxValue)))
+    val batch = Tables.load(spark, sf, "events")
+      .withColumn("event_day", datediff(to_date($"ts"), lit("1970-01-01")))
+      .join(hist, $"user_id" === $"custkey" &&
+        $"event_day" >= $"from_day" && $"event_day" <= $"to_incl")
+      .select($"event_id", $"user_id", $"o_orderpriority".as("priority"))
+    val a = out.orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val b = batch.orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(a.nonEmpty) // the open end catches 2024 events
+    assert(a === b)
+    // every enriched event got exactly one dim row (intervals partition)
+    assert(a.map(_._1).distinct.size === a.size)
   }
 
   test("streaming dedup drops duplicate keys within the watermark") {
