@@ -1529,6 +1529,14 @@ object SparkEntry {
           k = 3, m = 16, nBands = 4, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // ---- D19: cross-shard duplicate matrix — near-dup pair counts by
+    // (unordered) source pair; tells a 100 TB pipeline whether dedup must
+    // shuffle across shards or per-shard dedup suffices ------------------
+    "d19_shard_dup_matrix" -> ((s, dir) =>
+      Curation.crossShardDupMatrix(t(s, dir, "documents"), "doc_id", "text",
+          shardCol = "source", k = 3, m = 16, nBands = 4, threshold = 0.5)
+        .orderBy("shard_a", "shard_b")),
+
     "d3_simhash" -> ((s, dir) =>
       SimHash.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
           maxDistance = 6)
@@ -5007,6 +5015,19 @@ object SparkEntry {
       """
         | SELECT id_a, id_b, est_jaccard, jaccard FROM scored
         |  WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin),
+
+    // d2's pairs attributed to their endpoints' sources (unordered pair
+    // via least/greatest), aggregated to the shard matrix.
+    "d19_shard_dup_matrix" -> (MinHashScoredCtes +
+      """,
+        | p AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+        | s AS (SELECT doc_id, source FROM documents)
+        |SELECT least(sa.source, sb.source) AS shard_a,
+        |  greatest(sa.source, sb.source) AS shard_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        | FROM p JOIN s sa ON p.id_a = sa.doc_id
+        |        JOIN s sb ON p.id_b = sb.doc_id
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // Pairs (d2's mirror, shared CTEs) closed under transitivity by a
     // recursive min-label walk — the SQL twin of label propagation.

@@ -231,4 +231,36 @@ object Curation {
         expr(s"prefix_before div ${budget}L").as("seq_no"),
         pmod(col("prefix_before"), lit(budget.toLong)).as("seq_offset"))
   }
+
+  /** Cross-shard duplicate matrix — the corpus-health dashboard behind a
+    * dedup run: near-duplicate pair counts bucketed by the (unordered)
+    * shard pair of their endpoints. Off-diagonal mass tells you WHERE the
+    * duplication lives: a hot (crawlA, crawlB) cell means two ingests
+    * overlap (dedup across them pays for itself), a hot diagonal cell
+    * means a source self-duplicates (fix the extractor), and a clean
+    * matrix means shard-local dedup would have been enough — exactly the
+    * decision a 100 TB pipeline needs before committing to a global
+    * (cross-shard shuffle) dedup versus a cheap per-shard one.
+    *
+    * Cost: the pair generation IS [[MinHashDedup.nearDuplicates]] (banded
+    * equality joins, bucket caps — never all-pairs); attributing shards
+    * adds two hash joins on the doc id against the (id, shard) projection,
+    * and the matrix itself aggregates to at most |shards|² rows.
+    */
+  def crossShardDupMatrix(docs: DataFrame, idCol: String, textCol: String,
+                          shardCol: String, k: Int, m: Int, nBands: Int,
+                          threshold: Double): DataFrame = {
+    val pairs = MinHashDedup.nearDuplicates(docs, idCol, textCol,
+      k, m, nBands, threshold)
+    val shards = docs.select(col(idCol), col(shardCol))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(shards.select(col(idCol).as("id_a"),
+        col(shardCol).as("shard_x")), "id_a")
+      .join(shards.select(col(idCol).as("id_b"),
+        col(shardCol).as("shard_y")), "id_b")
+      .select(least(col("shard_x"), col("shard_y")).as("shard_a"),
+        greatest(col("shard_x"), col("shard_y")).as("shard_b"))
+      .groupBy("shard_a", "shard_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -116,6 +116,23 @@ class CurationSpec extends SparkSpec {
 
   // ---- domainCap ---------------------------------------------------------
 
+  test("cross-shard dup matrix attributes each near-dup pair to its " +
+      "unordered shard pair") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, txt, "s1"),          // dup cluster {1,2,3}: s1-s2 + s1-s2 + s2-s2
+      (2L, txt, "s2"),
+      (3L, txt, "s2"),
+      (4L, "totally different words here entirely", "s1") // no dups
+    ).toDF("doc_id", "text", "source")
+    val m = Curation.crossShardDupMatrix(docs, "doc_id", "text", "source",
+        k = 3, m = 16, nBands = 4, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // pairs (1,2) and (1,3) cross shards; (2,3) is shard-local
+    assert(m === Map(("s1", "s2") -> 2L, ("s2", "s2") -> 1L))
+  }
+
   test("domain cap keeps the longest `cap` docs per source") {
     val docs = Seq(
       (1L, "a", 100L), (2L, "a", 300L), (3L, "a", 200L),
