@@ -1341,6 +1341,14 @@ object SparkEntry {
           trainFilter = col("doc_id") % 2 === 0)
         .orderBy("doc_id")),
 
+    // ---- T20: BPE tokenizer training — first 4 merge rules learned from
+    // the corpus; one corpus pass to the (word, count) vocab, then every
+    // round is vocab-sized (pair-count shuffle + one-row argmax + codegen
+    // fold applying the merge); deterministic tie-break ------------------
+    "t20_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", nMerges = 4)
+        .orderBy("merge_rank")),
+
     "t2_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -3337,6 +3345,47 @@ object SparkEntry {
       |    AS BIGINT) AS simhash
       |  FROM hashes)""".stripMargin
 
+  /** DuckDB mirror of [[graft.ops.TextAnalysis.bpeTrain]]: per round, a
+    * weighted pair count + argmax CTE pair, and the greedy left-to-right
+    * merge fold spelled as a per-word recursive walk over symbol
+    * positions (the same leftmost-non-overlapping rule as the Spark
+    * `aggregate` lambda).
+    */
+  private def BpeTrainSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH RECURSIVE toks AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
+      |  FROM documents WHERE text IS NOT NULL),
+      | v0 AS (SELECT word, string_split(word, '') AS rep,
+      |        CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY word)""".stripMargin
+    for (j <- 1 to nMerges) {
+      val p = j - 1
+      sb ++= s""",
+      | p$j AS (SELECT unnest(list_transform(range(1, len(rep)), i ->
+      |     struct_pack(a := rep[i], b := rep[i+1]))) AS pr, n FROM v$p),
+      | p${j}c AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(n) AS BIGINT) AS cnt
+      |           FROM p$j GROUP BY 1, 2),
+      | b$j AS (SELECT a, b, cnt FROM p${j}c ORDER BY cnt DESC, a, b LIMIT 1),
+      | r$j AS (
+      |  SELECT word, n, 1 AS i, [rep[1]] AS out, rep FROM v$p
+      |  UNION ALL
+      |  SELECT word, n, i + 1,
+      |    CASE WHEN out[-1] = (SELECT a FROM b$j)
+      |          AND rep[i+1] = (SELECT b FROM b$j)
+      |      THEN list_append(out[:len(out)-1], out[-1] || rep[i+1])
+      |      ELSE list_append(out, rep[i+1]) END,
+      |    rep
+      |  FROM r$j WHERE i < len(rep)),
+      | v$j AS (SELECT word, n, out AS rep FROM r$j WHERE i = len(rep))""".stripMargin
+    }
+    sb ++= (1 to nMerges).map(j =>
+      s"\nSELECT CAST($j AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b, " +
+        s"a || b AS merged, cnt FROM b$j")
+      .mkString("", " UNION ALL", "")
+    sb ++= "\n ORDER BY merge_rank"
+    sb.toString
+  }
+
   private val MinHashScoredCtes: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
@@ -4779,6 +4828,8 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, sum_nll_fp,
         |  CAST(sum_nll_fp AS DOUBLE) / 1e9 / n_tokens AS avg_nll
         | FROM per ORDER BY doc_id""".stripMargin,
+
+    "t20_bpe_train" -> BpeTrainSql(4),
 
     // Stupid Backoff, CCNet shape: LM counts from the even-id half; seen
     // bigram → cnt_b/cnt_prev, unseen → 0.4·U(tok), doc-initial → U(tok),

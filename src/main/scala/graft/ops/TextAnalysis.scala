@@ -281,6 +281,66 @@ object TextAnalysis {
         col("sum_nll_fp").cast("double") / lit(1e9) / col("n_tokens"))
   }
 
+  /** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units"): learn the
+    * first `nMerges` merge rules from the corpus. One corpus-sized pass
+    * builds the (word, count) vocabulary; every subsequent step is
+    * VOCAB-sized — the property that makes BPE training tractable at
+    * 100 TB (Zipf keeps distinct words orders of magnitude below corpus
+    * tokens). Each round: weighted adjacent-pair counts (one vocab-sized
+    * shuffle), a one-row argmax to the driver (tie-break: count desc,
+    * then pair lexicographic — deterministic), and the merge applied to
+    * every word representation by a greedy left-to-right fold (a codegen
+    * `aggregate` lambda: the pair merges where its left symbol is the
+    * fold's last output — exactly BPE's leftmost-non-overlapping rule,
+    * including chains like "a a a" → "aa a"). Lineage is severed per
+    * round ([[graft.Checkpoints]]), the same discipline as the iterative
+    * graph ops.
+    *
+    * Returns the merge table (merge_rank, sym_a, sym_b, merged, cnt) —
+    * the artifact a tokenizer ships.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def q(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    var cur = docs.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(split(col("word"), "").as("rep"), col("n"))
+    val learned =
+      scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val best = cur
+        .select(explode(expr(
+          "CASE WHEN size(rep) < 2 THEN cast(array() as array<struct<a:string,b:string>>) " +
+            "ELSE transform(sequence(1, size(rep) - 1), i -> " +
+            "struct(element_at(rep, i) AS a, element_at(rep, i + 1) AS b)) END"))
+          .as("pr"), col("n"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((rank.toLong, a, b, a + b, cnt))
+        cur = graft.Checkpoints.sever(cur.withColumn("rep", expr(
+          s"aggregate(rep, cast(array() as array<string>), (acc, x) -> " +
+            s"IF(size(acc) > 0 AND element_at(acc, -1) = ${q(a)} " +
+            s"AND x = ${q(b)}, " +
+            s"concat(slice(acc, 1, size(acc) - 1), " +
+            s"array(concat(element_at(acc, -1), x))), " +
+            s"concat(acc, array(x))))")))
+        rank += 1
+      }
+    }
+    learned.toSeq.toDF("merge_rank", "sym_a", "sym_b", "merged", "cnt")
+  }
+
   /** Shannon character entropy per document (nats) — the classic
     * gibberish/noise signal: near-zero for single-char spam, ~log of the
     * alphabet size for natural text, maximal for random bytes rendered

@@ -161,6 +161,33 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_.getLong(1)).toSeq === Seq(2L, 3L)) // 1L never scored
   }
 
+  test("BPE training learns the classic low/lower merges in order and " +
+      "applies each merge greedily left-to-right") {
+    // counts: 'lo' pair appears in low(x3)+lower+lowest = 5 → first merge;
+    // then 'low' = 5 → second; then 'e'+'l' from hello(x3)+help = 4
+    val docs = Seq(
+      (1L, "hello hello help low lower lowest"),
+      (2L, "low low hello")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(docs, "text", nMerges = 4)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(m.toSeq === Seq(("l", "o", 8L), ("lo", "w", 5L),
+      ("e", "l", 4L), ("h", "el", 4L)))
+  }
+
+  test("BPE merge fold is leftmost-non-overlapping: a chain 'a a a' " +
+      "merges the first pair only") {
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    // round 1 learns (a,a) with weight 2 docs × 2 adjacent pairs = 4;
+    // applying it to "a a a" must yield [aa, a], so round 2 sees the
+    // (aa, a) pair — not a second (a, a)
+    val m = TextAnalysis.bpeTrain(docs, "text", nMerges = 2)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(m.toSeq === Seq(("a", "a"), ("aa", "a")))
+  }
+
   test("backoff surprisal: seen bigram scores the ratio, unseen " +
       "continuation backs off with alpha, OOV pays the pseudo-count") {
     val docs = Seq(
