@@ -1349,6 +1349,18 @@ object SparkEntry {
       TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", nMerges = 4)
         .orderBy("merge_rank")),
 
+    // ---- T21: BPE encoding — the trained merge table applied back to the
+    // corpus: per-doc size under the subword vocabulary (the compression
+    // readout and the true sequence-length input for packing) ------------
+    "t21_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 4)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     "t2_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -3386,6 +3398,24 @@ object SparkEntry {
     sb.toString
   }
 
+  /** t21: the same trained CTE chain, but the output is each document's
+    * size under the final segmentation v{nMerges} — words re-exploded
+    * WITH their doc ids, joined to the per-word segmentation, reduced.
+    */
+  private def BpeEncodeSql(nMerges: Int): String = {
+    val train = BpeTrainSql(nMerges)
+    val prefix = train.substring(0, train.indexOf("\nSELECT CAST(1 AS BIGINT)"))
+    prefix + s""",
+      | toksd AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(len(rep)) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(sum(len(word)) AS BIGINT) AS n_chars
+      | FROM toksd JOIN v$nMerges USING (word)
+      | GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   private val MinHashScoredCtes: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
@@ -4830,6 +4860,8 @@ object SparkEntry {
         | FROM per ORDER BY doc_id""".stripMargin,
 
     "t20_bpe_train" -> BpeTrainSql(4),
+
+    "t21_bpe_encode" -> BpeEncodeSql(4),
 
     // Stupid Backoff, CCNet shape: LM counts from the even-id half; seen
     // bigram → cnt_b/cnt_prev, unseen → 0.4·U(tok), doc-initial → U(tok),

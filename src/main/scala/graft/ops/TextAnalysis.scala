@@ -303,7 +303,6 @@ object TextAnalysis {
   def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    def q(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     var cur = docs.filter(col(textCol).isNotNull)
       .select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
@@ -328,17 +327,54 @@ object TextAnalysis {
         val (a, b, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         learned += ((rank.toLong, a, b, a + b, cnt))
-        cur = graft.Checkpoints.sever(cur.withColumn("rep", expr(
-          s"aggregate(rep, cast(array() as array<string>), (acc, x) -> " +
-            s"IF(size(acc) > 0 AND element_at(acc, -1) = ${q(a)} " +
-            s"AND x = ${q(b)}, " +
-            s"concat(slice(acc, 1, size(acc) - 1), " +
-            s"array(concat(element_at(acc, -1), x))), " +
-            s"concat(acc, array(x))))")))
+        cur = graft.Checkpoints.sever(
+          cur.withColumn("rep", expr(mergeFoldSql(a, b))))
         rank += 1
       }
     }
     learned.toSeq.toDF("merge_rank", "sym_a", "sym_b", "merged", "cnt")
+  }
+
+  /** The greedy left-to-right merge fold as a SQL `aggregate` lambda:
+    * pair (a, b) merges wherever the fold's last output symbol is `a` and
+    * the next input is `b` — BPE's leftmost-non-overlapping rule.
+    */
+  private def mergeFoldSql(a: String, b: String): String = {
+    def q(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    s"aggregate(rep, cast(array() as array<string>), (acc, x) -> " +
+      s"IF(size(acc) > 0 AND element_at(acc, -1) = ${q(a)} " +
+      s"AND x = ${q(b)}, " +
+      s"concat(slice(acc, 1, size(acc) - 1), " +
+      s"array(concat(element_at(acc, -1), x))), " +
+      s"concat(acc, array(x))))"
+  }
+
+  /** BPE ENCODING with a learned merge table ([[bpeTrain]]'s output, in
+    * rank order): segment every document and report its size under the
+    * subword vocabulary — the compression readout (chars per BPE token)
+    * that tokenizer evaluations quote, and the sequence-length input
+    * that batch packing actually needs.
+    *
+    * The merges are applied to the DISTINCT-word table only (vocab-sized
+    * work, like training); documents then join their words to the final
+    * segmentation — one hash join on the word — and reduce per doc. At
+    * 100 TB the segmentation table is the thing a real pipeline
+    * broadcasts or bucket-joins; Spark picks from the size estimate.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+    var rep = words.select(col("word")).distinct()
+      .withColumn("rep", split(col("word"), ""))
+    merges.foreach { case (a, b) =>
+      rep = rep.withColumn("rep", expr(mergeFoldSql(a, b)))
+    }
+    words.join(rep, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("rep"))).cast("long").as("n_bpe_tokens"),
+        sum(length(col("word"))).cast("long").as("n_chars"))
   }
 
   /** Shannon character entropy per document (nats) — the classic

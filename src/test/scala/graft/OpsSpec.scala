@@ -176,6 +176,23 @@ class SimilaritySpec extends SparkSpec {
       ("e", "l", 4L), ("h", "el", 4L)))
   }
 
+  test("BPE encode applies the learned merges in rank order and reports " +
+      "per-doc subword counts") {
+    val docs = Seq(
+      (1L, "hello hello help low lower lowest"),
+      (2L, "low low hello")
+    ).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 4)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // merges (l,o)(lo,w)(e,l)(h,el): hello→[hel,lo]=2, help→[hel,p]=2,
+    // low→[low]=1, lower→[low,e,r]=3, lowest→[low,e,s,t]=4
+    assert(out.toSeq === Seq((1L, 6L, 14L, 28L), (2L, 3L, 4L, 11L)))
+  }
+
   test("BPE merge fold is leftmost-non-overlapping: a chain 'a a a' " +
       "merges the first pair only") {
     val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
