@@ -964,6 +964,27 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- G7: common-neighbor LINK PREDICTION over the co-purchase graph
+    // (Liben-Nowell 2003): non-adjacent part pairs sharing >= 2 co-buy
+    // neighbors, Jaccard-scored in exact integer arithmetic. Wedge join
+    // bounded by the middle-degree cap (the hub guard — same argument as
+    // the MinHash degenerate-bucket cap) ---------------------------------
+    "g7_link_prediction" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = op.select(col("ok"), col("pk").as("part_a"))
+      val b = op.select(col("ok").as("ok_b"), col("pk").as("part_b"))
+      val edges = a.join(b,
+          col("ok") === col("ok_b") && col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+      graft.ops.Graph.linkPrediction(edges, "part_a", "part_b",
+          minCommon = 2, maxMiddleDegree = 1000)
+        .orderBy("x", "y")
+    }),
+
     // ---- S13: ORC source/sink round trip — the engine's second columnar
     // format; schema, doubles, and timestamps survive bit-exactly. -------
     "s13_orc_roundtrip" -> ((s, dir) => {
@@ -1328,6 +1349,25 @@ object SparkEntry {
     // keyed on the doc id (no corpus-global state) ------------------------
     "t18_char_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ---- T22: the GOPHER quality-rule battery (Rae 2021 App. A) — every
+    // published rule as a cross-multiplied integer verdict, map-only (one
+    // codegen'd projection; filtering 100 TB with this costs one pass).
+    // minStopwords adapted to the synthetic vocabulary (only "the" of
+    // Gopher's 8 required stopwords occurs in it) -------------------------
+    "t22_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(
+          t(s, dir, "documents").filter(col("text").isNotNull),
+          "doc_id", "text", minStopwords = 1)
+        .orderBy("doc_id")),
+
+    // ---- T23: conjunctive boolean retrieval — inverted index (term, doc,
+    // tf) + docs-containing-ALL-terms as ONE doc-keyed count aggregation
+    // (posting intersection without a k-way self-join) --------------------
+    "t23_boolean_search" -> ((s, dir) =>
+      TextAnalysis.booleanSearch(t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("spark", "join", "hash"))
         .orderBy("doc_id")),
 
     // ---- T19: Stupid Backoff bigram surprisal — the cheap LM-quality
@@ -2912,6 +2952,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")),
 
+    // ---- S18: temperature-scaled mixture (XLM-R sampling law, alpha=0.5)
+    // — source quota ∝ sqrt(n_s) in 1e-9 fixed point (sqrt is the one
+    // power IEEE requires correctly rounded → engine-exact quotas),
+    // realized in hash order --------------------------------------------
+    // (stratum = lang: language sizes are genuinely skewed, so the sqrt
+    // law visibly reweights; the synthetic sources are uniform)
+    "s18_temperature_mix" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureMixture(
+          t(s, dir, "documents"), "lang", "doc_id", budgetRows = 120)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")),
+
+    // ---- V1: k-anonymity / l-diversity release audit — one hash agg
+    // keyed on the quasi-identifier tuple; groups below k are the
+    // re-identifiable tail, single-sensitive-value groups leak under
+    // homogeneity. 100 TB cost: one pass, |distinct QID| output rows -----
+    "v1_k_anonymity" -> ((s, dir) =>
+      graft.ops.Governance.kAnonymityAudit(
+          t(s, dir, "documents"),
+          qidCols = Seq(col("source"), expr("n_chars div 100")),
+          qidNames = Seq("source", "len_bucket"),
+          sensitive = col("lang"), k = 5, l = 3)
+        .orderBy("source", "len_bucket")),
+
     // ---- D17: benchmark LEAKAGE RATE — the evaluation-integrity number
     // a corpus release quotes: share of benchmark docs sharing any 4-gram
     // with the corpus, one summary row. The gram join SHUFFLES (corpus is
@@ -4375,6 +4439,34 @@ object SparkEntry {
         | GROUP BY 1, 2 HAVING count(*) >= 2
         | ORDER BY part_a, part_b""".stripMargin,
 
+    // Link prediction over g6's graph: wedge-join candidates, minus
+    // existing edges, Jaccard in exact integers (the gate's middle-degree
+    // cap of 1000 exceeds the graph's max degree, so the oracle need not
+    // model it).
+    "g7_link_prediction" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem),
+        | ed AS (SELECT a.pk AS pa, b.pk AS pb,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | und AS (SELECT pa AS a, pb AS b FROM ed
+        |   UNION ALL SELECT pb, pa FROM ed),
+        | deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d
+        |   FROM und GROUP BY a),
+        | cand AS (SELECT w1.b AS x, w2.b AS y,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM und w1 JOIN und w2 ON w1.a = w2.a AND w1.b < w2.b
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | ne AS (SELECT cand.x, cand.y, cand.n_common FROM cand
+        |   ANTI JOIN ed ON cand.x = ed.pa AND cand.y = ed.pb)
+        |SELECT ne.x, ne.y, ne.n_common,
+        |  dx.d + dy.d - ne.n_common AS n_union,
+        |  CAST(ne.n_common AS DOUBLE) / (dx.d + dy.d - ne.n_common)
+        |    AS jaccard
+        | FROM ne JOIN deg dx ON ne.x = dx.v JOIN deg dy ON ne.y = dy.v
+        | ORDER BY ne.x, ne.y""".stripMargin,
+
     "g5_kcore" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
         |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -4933,6 +5025,67 @@ object SparkEntry {
         |SELECT doc_id, n_chars, entropy_fp,
         |  CAST(entropy_fp AS DOUBLE) / 1e9 / n_chars AS entropy_nats
         | FROM per ORDER BY doc_id""".stripMargin,
+
+    // Gopher rule battery: every verdict is cross-multiplied integer
+    // arithmetic, so both engines compute identical booleans.
+    "t22_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '\S+') AS tk,
+        |    string_split(text, chr(10)) AS ln
+        |  FROM documents WHERE text IS NOT NULL),
+        | m AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(tk, t -> len(t))), 0)
+        |      AS BIGINT) AS wchars,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+        |      AS n_sym,
+        |    CAST(len(ln) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ln, l -> regexp_matches(l, '^\s*[-*•]')))
+        |      AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(ln,
+        |      l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS n_ell,
+        |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_intersect(list_distinct(tk),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+        |      AS n_stop
+        |  FROM d)
+        |SELECT doc_id, n_words,
+        |  n_words >= 50 AND n_words <= 100000 AS r_word_count,
+        |  wchars >= n_words * 3 AND wchars <= n_words * 10 AS r_mean_wordlen,
+        |  n_sym * 10 <= n_words AS r_symbol_ratio,
+        |  n_bullet * 10 <= n_lines * 9 AS r_bullet_lines,
+        |  n_ell * 10 <= n_lines * 3 AS r_ellipsis_lines,
+        |  n_alpha * 10 >= n_words * 8 AS r_alpha_words,
+        |  n_stop >= 1 AS r_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND (wchars >= n_words * 3 AND wchars <= n_words * 10)
+        |    AND n_sym * 10 <= n_words
+        |    AND n_bullet * 10 <= n_lines * 9
+        |    AND n_ell * 10 <= n_lines * 3
+        |    AND n_alpha * 10 >= n_words * 8
+        |    AND n_stop >= 1 AS gopher_pass
+        | FROM m ORDER BY doc_id""".stripMargin,
+
+    // Conjunctive retrieval: postings restricted to the query terms, then
+    // docs with a full intersection; tf_total is the crude relevance key.
+    "t23_boolean_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+'))
+        |    AS term
+        |  FROM documents),
+        | post AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY doc_id, term),
+        | hit AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+        |    CAST(sum(tf) AS BIGINT) AS tf_total
+        |  FROM post WHERE term IN ('spark', 'join', 'hash')
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_terms_hit, tf_total FROM hit
+        | WHERE n_terms_hit = 3 ORDER BY doc_id""".stripMargin,
 
     "t2_quality" ->
       """SELECT doc_id,
@@ -6753,6 +6906,36 @@ object SparkEntry {
         |       THEN 'test' ELSE 'train' END AS split,
         |  count(*) AS n
         |  FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // Temperature mixture: quota ∝ round(sqrt(n)·1e9) over integer-div —
+    // sqrt is IEEE-correctly-rounded, so quotas are engine-exact.
+    "s18_temperature_mix" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_rows
+        |    FROM documents GROUP BY lang),
+        | w AS (SELECT lang,
+        |    CAST(round(sqrt(CAST(n_rows AS DOUBLE)) * 1e9) AS BIGINT)
+        |      AS w_fp FROM n),
+        | tot AS (SELECT CAST(sum(w_fp) AS BIGINT) AS w_tot FROM w),
+        | q AS (SELECT lang, 120 * w_fp // w_tot AS quota
+        |   FROM w CROSS JOIN tot),
+        | r AS (SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+        | FROM r JOIN q USING (lang) WHERE rn <= quota
+        | GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // k-anonymity / l-diversity audit: one grouped aggregation over the
+    // quasi-identifier tuple; verdicts are integer comparisons.
+    "v1_k_anonymity" ->
+      """SELECT source, n_chars // 100 AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS k_of_group,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive,
+        |  count(*) >= 5 AS k_ok,
+        |  count(DISTINCT lang) >= 3 AS l_ok
+        | FROM documents GROUP BY source, len_bucket
+        | ORDER BY source, len_bucket""".stripMargin,
 
     "c12_corpus_card" ->
       """WITH d AS (SELECT source, lang, md5(text) AS digest,

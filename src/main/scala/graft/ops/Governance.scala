@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-governance audits for training corpora — the re-identification
+  * checks a corpus release runs before shipping (Sweeney 2002 k-anonymity;
+  * Machanavajjhala et al. 2007 l-diversity).
+  *
+  * A quasi-identifier (QID) is a column combination that could single a
+  * record out when joined against outside data. The audit answers, per
+  * distinct QID combination:
+  *
+  *  - k-anonymity: how many records share this combination (`k_of_group`)
+  *    — a group smaller than k is re-identifiable;
+  *  - l-diversity: how many distinct SENSITIVE values the group carries —
+  *    a group where everyone shares one sensitive value leaks it even
+  *    when k is satisfied (the homogeneity attack).
+  *
+  * Scale shape: ONE hash aggregation keyed on the QID tuple (distinct
+  * sensitive count rides the same exchange via count(distinct) partial
+  * aggregation — Spark plans it as a two-phase expand+agg, still a single
+  * shuffle of QID-keyed rows); output is |distinct QID| rows, orders of
+  * magnitude smaller than the corpus. No joins, no windows — the audit of
+  * a 100 TB table costs one pass.
+  */
+object Governance {
+
+  /** Per-QID-group audit row: every QID column, `k_of_group`,
+    * `n_sensitive`, and the two verdicts against the supplied thresholds.
+    */
+  def kAnonymityAudit(df: DataFrame, qidCols: Seq[Column],
+                      qidNames: Seq[String], sensitive: Column,
+                      k: Int, l: Int): DataFrame = {
+    val named = qidCols.zip(qidNames).map { case (c, n) => c.as(n) }
+    df.select(named :+ sensitive.as("__sens"): _*)
+      .groupBy(qidNames.map(col): _*)
+      .agg(
+        count(lit(1)).as("k_of_group"),
+        countDistinct(col("__sens")).as("n_sensitive"))
+      .withColumn("k_ok", col("k_of_group") >= k)
+      .withColumn("l_ok", col("n_sensitive") >= l)
+  }
+
+  /** The release decision the audit feeds: rows whose QID group violates
+    * k-anonymity (SUPPRESSION set — drop or generalize before release).
+    * Broadcast of the violating groups keeps the corpus side map-only
+    * when the violator set is small (it is, by definition of "tail").
+    */
+  def suppressionSet(df: DataFrame, qidCols: Seq[Column],
+                     qidNames: Seq[String], sensitive: Column,
+                     k: Int): DataFrame = {
+    val audit = kAnonymityAudit(df, qidCols, qidNames, sensitive, k, l = 1)
+      .filter(!col("k_ok"))
+      .select(qidNames.map(col): _*)
+    val keyed = df.withColumns(
+      qidNames.zip(qidCols).map { case (n, c) => n -> c }.toMap)
+    keyed.join(broadcast(audit), qidNames, "left_semi")
+  }
+}

@@ -226,4 +226,56 @@ object Graph {
     e.unpersist()
     dist
   }
+
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003):
+    * for every NON-adjacent pair sharing at least `minCommon` neighbors,
+    * the common-neighbor count and Jaccard coefficient
+    * |N(a)∩N(b)| / |N(a)∪N(b)| — the classic "you may also like" /
+    * missing-edge scorer.
+    *
+    * Shape: candidate pairs come from a WEDGE self-join on the middle
+    * node (two neighbors of the same vertex), exactly [[triangleCount]]'s
+    * join — so candidate cost is Σ_v d(v)², concentrated on hubs. The
+    * `maxMiddleDegree` cap excludes middles above the cap from PAIR
+    * GENERATION (a node connected to everything certifies no similarity
+    * — the same argument as MinHash's degenerate-bucket cap), bounding
+    * the join at Σ min(d, cap)². Existing edges leave via one anti-join;
+    * the Jaccard denominator is exact integer arithmetic
+    * (d(a) + d(b) − common); the single double division at the end is
+    * deterministic (one operation, no reassociation).
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     minCommon: Int = 2,
+                     maxMiddleDegree: Int = 10000): DataFrame = {
+    val und0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = und0.union(und0.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    val deg = und.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+    // wedge: (n1, n2) both neighbors of middle m, ordered to emit each
+    // unordered candidate pair once
+    val adj = und.join(deg.select(col("v").as("a"), col("d").as("dm")), "a")
+      .filter(col("dm") <= maxMiddleDegree)
+      .select(col("a").as("m"), col("b").as("n"))
+    val cand = adj.select(col("m"), col("n").as("x"))
+      .join(adj.select(col("m"), col("n").as("y")), Seq("m"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    val nonEdges = cand.join(
+      und0.select(col("a").as("x"), col("b").as("y")),
+      Seq("x", "y"), "left_anti")
+    val scored = nonEdges
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), "y")
+      .select(col("x"), col("y"), col("n_common"),
+        (col("dx") + col("dy") - col("n_common")).as("n_union"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / col("n_union"))
+    und.unpersist()
+    scored
+  }
 }

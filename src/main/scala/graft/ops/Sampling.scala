@@ -95,4 +95,44 @@ object Sampling {
       .filter(col("__rn") <= col("__quota"))
       .select(df.columns.map(col).toIndexedSeq: _*) // original column order
   }
+
+  /** Temperature-scaled source mixture (the XLM-R / mT5 sampling law,
+    * Conneau et al. 2020): source s contributes proportionally to
+    * n_s^alpha instead of n_s, up-weighting small sources so the model
+    * sees low-resource data. This implementation pins alpha = 0.5 —
+    * XLM-R's low-resource setting — because sqrt is the one power IEEE
+    * 754 requires to be CORRECTLY ROUNDED: `sqrt(n)` is bit-identical in
+    * every engine, where `pow(n, 0.3)` is not. The weight arithmetic is
+    * then fixed-point:
+    *
+    *   w_fp(s)   = round(sqrt(n_s) * 1e9)          — exact, portable
+    *   target(s) = budgetRows * w_fp(s) div SUM w_fp  — integer div
+    *
+    * so the realized per-source quota is engine-exact and the whole op
+    * sits under a hash-equality oracle — the property that makes a
+    * training-mixture recipe REPRODUCIBLE, not just approximately right.
+    *
+    * Realization is hash-order (md5 of the id) like [[mixture]]: quota
+    * rows per source in [[hashRank]] order, so growing a source never
+    * swaps already-selected documents. Scale shape: one count aggregation
+    * (source-keyed, tiny), quota table broadcast, one window exchange on
+    * the source key — same as every per-stratum op here.
+    */
+  def temperatureMixture(df: DataFrame, sourceCol: String, idCol: String,
+                         budgetRows: Long): DataFrame = {
+    val wFp = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w_fp",
+        round(sqrt(col("__n").cast("double")) * lit(1e9)).cast("long"))
+    val tot = wFp.agg(sum("__w_fp").as("__w_tot"))
+    val quotas = wFp.crossJoin(broadcast(tot))
+      .select(col(sourceCol),
+        expr(s"$budgetRows * __w_fp div __w_tot").as("__quota"))
+    val win = Window.partitionBy(col(sourceCol))
+      .orderBy(hashRank(col(idCol)), col(idCol))
+    df.join(broadcast(quotas), sourceCol)
+      .withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= col("__quota"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

@@ -427,4 +427,101 @@ object TextAnalysis {
     regexp_replace(
       regexp_replace(text, EmailPattern, "[EMAIL]"),
       PhonePattern, "[PHONE]")
+
+  /** The eight stopwords whose presence Gopher requires (Rae et al. 2021,
+    * "Scaling Language Models", Appendix A quality heuristics).
+    */
+  val GopherStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-rule battery (Rae et al. 2021, Appendix A) — the
+    * published heuristic filter most LLM data pipelines start from. One
+    * row per document with every rule's verdict and the conjunction:
+    *
+    *  - `r_word_count`:   50 <= word count <= 100,000
+    *  - `r_mean_wordlen`: mean word length in [3, 10] characters
+    *  - `r_symbol_ratio`: ('#' + '...') occurrences <= 0.1 * words
+    *  - `r_bullet_lines`: <= 90% of lines start with a bullet
+    *  - `r_ellipsis_lines`: <= 30% of lines end with an ellipsis
+    *  - `r_alpha_words`:  >= 80% of words contain an alphabetic character
+    *  - `r_stopwords`:    >= 2 distinct of Gopher's 8 required stopwords
+    *
+    * Every comparison is cross-multiplied INTEGER arithmetic (e.g.
+    * `3*words <= chars <= 10*words` instead of a float mean), so the
+    * verdicts are bit-identical in any engine — the discipline that lets
+    * a heuristic filter sit under a hash-equality oracle.
+    *
+    * Scale shape: pure projection — filtering a 100 TB corpus with this
+    * battery is a map-only pass with every rule fused into one
+    * whole-stage-codegen stage; no exchange of any kind.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minStopwords: Int = 2): DataFrame = {
+    val text = col(textCol)
+    val tk = tokens(text)
+    val lines = split(text, "\n")
+    val nWords = size(tk).cast("long")
+    val nLines = size(lines).cast("long")
+    // total characters across words (whitespace excluded — the paper
+    // measures word length, not raw length)
+    val wordChars = aggregate(tk, lit(0L),
+      (acc, t) => acc + length(t).cast("long"))
+    val nSymbols =
+      size(call_function("regexp_extract_all", text,
+        lit("#|\\.\\.\\."), lit(0))).cast("long")
+    val nBullet = size(filter(lines,
+      l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val nEllipsis = size(filter(lines,
+      l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    val nAlphaWords = size(filter(tk, t => t.rlike("[a-z]"))).cast("long")
+    val nGopherStop = size(array_intersect(
+      array_distinct(tk),
+      array(GopherStop.map(lit): _*))).cast("long")
+    docs.select(
+      col(idCol),
+      nWords.as("n_words"),
+      (nWords >= 50 && nWords <= 100000).as("r_word_count"),
+      (wordChars >= nWords * 3 && wordChars <= nWords * 10)
+        .as("r_mean_wordlen"),
+      (nSymbols * 10 <= nWords).as("r_symbol_ratio"),
+      (nBullet * 10 <= nLines * 9).as("r_bullet_lines"),
+      (nEllipsis * 10 <= nLines * 3).as("r_ellipsis_lines"),
+      (nAlphaWords * 10 >= nWords * 8).as("r_alpha_words"),
+      (nGopherStop >= minStopwords).as("r_stopwords"))
+      .withColumn("gopher_pass",
+        col("r_word_count") && col("r_mean_wordlen") &&
+          col("r_symbol_ratio") && col("r_bullet_lines") &&
+          col("r_ellipsis_lines") && col("r_alpha_words") &&
+          col("r_stopwords"))
+  }
+
+  /** Conjunctive boolean retrieval over an inverted index — the "docs
+    * containing ALL query terms" primitive (search, contamination probes,
+    * targeted corpus slicing). Two stages:
+    *
+    *  1. the INVERTED INDEX: one row per (term, doc) with the term
+    *     frequency — built by explode + one hash aggregation (at 100 TB
+    *     this table is materialized once, partitioned by term, and every
+    *     query after reads only its terms' postings — the `.isin` prune
+    *     below reaches the parquet scan as an In filter);
+    *  2. the QUERY: restrict to the query's terms, then a doc-keyed
+    *     count(distinct term) == |terms| intersection — posting-list
+    *     intersection as one aggregation, never a self-join (a k-way
+    *     join of postings would shuffle k times; the count form shuffles
+    *     once on doc id).
+    *
+    * Returns (doc_id, n_terms_hit, tf_total) for matching docs; rank by
+    * `tf_total` for a crude relevance order (t14 has the BM25 weighting).
+    */
+  def booleanSearch(docs: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String]): DataFrame = {
+    val postings = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    postings
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms_hit"), sum("tf").as("tf_total"))
+      .filter(col("n_terms_hit") === terms.size)
+  }
 }

@@ -605,4 +605,39 @@ class PlanSpec extends SparkSpec {
       s"expected the two vocab joins to broadcast, got $broadcasts:\n" +
         plan.take(4000))
   }
+
+  test("gopher rule battery is a pure projection — zero exchanges before " +
+      "the presentation sort") {
+    val plan = planOf("t22_gopher_rules")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"rule evaluation must not shuffle:\n${plan.take(4000)}")
+    assert(!plan.contains("Join"), s"no join belongs here:\n${plan.take(4000)}")
+  }
+
+  test("boolean search prunes postings to the query terms BEFORE the " +
+      "doc-keyed intersection aggregate") {
+    val plan = planOf("t23_boolean_search")
+    // the In(term) filter must sit under the first HashAggregate — i.e.
+    // appear in the plan text AFTER it (formatted plans list operators
+    // top-down, children after parents in the tree section)
+    assert(plan.contains("spark,join,hash") || plan.contains("term IN"),
+      s"expected the query-term In filter:\n${plan.take(4000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"posting intersection must aggregate, not join:\n${plan.take(4000)}")
+  }
+
+  test("k-anonymity audit is one QID-keyed aggregation pass — no joins, " +
+      "no windows") {
+    val plan = planOf("v1_k_anonymity")
+    assert(!plan.contains("Join"), s"audit must not join:\n${plan.take(4000)}")
+    assert(!plan.contains("Window"),
+      s"audit must not window:\n${plan.take(4000)}")
+  }
+
+  test("temperature mixture broadcasts the quota table — corpus side " +
+      "exchanges only on the stratum key") {
+    val plan = planOf("s18_temperature_mix")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"quota join should broadcast:\n${plan.take(4000)}")
+  }
 }

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Governance, Graph, Sampling, TextAnalysis}
+
+/** Semantics of the round-6 operator batch: Gopher rules, boolean
+  * retrieval, temperature mixture, k-anonymity, link prediction.
+  */
+class Round6OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Gopher rule battery ----------------------------------------------
+
+  private def gopher(rows: (Long, String)*) =
+    TextAnalysis.gopherRules(rows.toSeq.toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("gopher: word-count bounds catch short documents") {
+    val longDoc = ("the word with data " * 20).trim // 80 words, 2 stopwords
+    val r = gopher(1L -> "too short", 2L -> longDoc)
+    assert(!r(1L).getAs[Boolean]("r_word_count"))
+    assert(r(2L).getAs[Boolean]("r_word_count"))
+    assert(r(2L).getAs[Boolean]("gopher_pass"))
+  }
+
+  test("gopher: symbol ratio counts # and ellipses against words") {
+    // 4 words, 1 '#': 1*10 > 4 → fail; clean text passes
+    val r = gopher(1L -> "spam # spam spam", 2L -> "clean words only here")
+    assert(!r(1L).getAs[Boolean]("r_symbol_ratio"))
+    assert(r(2L).getAs[Boolean]("r_symbol_ratio"))
+  }
+
+  test("gopher: bullet and ellipsis line rules fire per line") {
+    val bullets = (1 to 10).map(i => s"- item $i").mkString("\n")
+    val ell = (1 to 10).map(i =>
+      if (i <= 4) s"line $i..." else s"line $i").mkString("\n")
+    val r = gopher(1L -> bullets, 2L -> ell)
+    assert(!r(1L).getAs[Boolean]("r_bullet_lines")) // 100% > 90%
+    assert(!r(2L).getAs[Boolean]("r_ellipsis_lines")) // 40% > 30%
+  }
+
+  test("gopher: mean word length and alpha-word rules") {
+    val acronymSoup = Seq.fill(60)("a").mkString(" ") // mean len 1 < 3
+    val numberSoup = (1 to 60).map(_.toString).mkString(" ") // no alpha
+    val r = gopher(1L -> acronymSoup, 2L -> numberSoup)
+    assert(!r(1L).getAs[Boolean]("r_mean_wordlen"))
+    assert(!r(2L).getAs[Boolean]("r_alpha_words"))
+  }
+
+  test("gopher: required-stopword rule at the published threshold") {
+    val two = "the cat sat with " + Seq.fill(50)("cat").mkString(" ")
+    val none = Seq.fill(54)("cat").mkString(" ")
+    val r = gopher(1L -> two, 2L -> none)
+    assert(r(1L).getAs[Boolean]("r_stopwords")) // 'the' + 'with' = 2
+    assert(!r(2L).getAs[Boolean]("r_stopwords"))
+  }
+
+  // ---- Boolean retrieval ------------------------------------------------
+
+  test("boolean search: only docs containing ALL terms, tf summed") {
+    val docs = Seq(
+      (1L, "spark join hash spark"), // all 3, tf_total 4
+      (2L, "spark join"),            // missing 'hash'
+      (3L, "hash join spark extra words")).toDF("id", "text")
+    val out = TextAnalysis.booleanSearch(docs, "id", "text",
+        Seq("spark", "join", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet === Set((1L, 3L, 4L), (3L, 3L, 3L)))
+  }
+
+  // ---- Temperature mixture ----------------------------------------------
+
+  test("temperature mixture: sqrt law up-weights the small stratum") {
+    // 900 vs 100 rows: proportional would be 9:1; sqrt law gives 3:1
+    val df = ((1 to 900).map(i => ("big", i.toLong)) ++
+      (1001 to 1100).map(i => ("small", i.toLong))).toDF("src", "id")
+    val got = Sampling.temperatureMixture(df, "src", "id", budgetRows = 200)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quotas: 200*sqrt(900)/(sqrt(900)+sqrt(100)) = 150; small = 50
+    assert(got("big") === 150L, s"got $got")
+    assert(got("small") === 50L, s"got $got")
+  }
+
+  test("temperature mixture: rerun- and partitioning-stable") {
+    val df = (1 to 500).map(i => (s"s${i % 3}", i.toLong)).toDF("src", "id")
+    val a = Sampling.temperatureMixture(df, "src", "id", 90)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.temperatureMixture(df.repartition(7), "src", "id", 90)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
+  // ---- k-anonymity / l-diversity ---------------------------------------
+
+  test("k-anonymity: group size and sensitive-diversity verdicts") {
+    val df = Seq(
+      ("a", 1L, "en"), ("a", 1L, "fr"), ("a", 1L, "de"), // k=3, l=3
+      ("b", 2L, "en"), ("b", 2L, "en")                   // k=2, l=1
+    ).toDF("src", "bucket", "lang")
+    val audit = Governance.kAnonymityAudit(df,
+        Seq(col("src"), col("bucket")), Seq("src", "bucket"),
+        col("lang"), k = 3, l = 2)
+      .collect().map(r => (r.getAs[String]("src"),
+        r.getAs[Long]("k_of_group"), r.getAs[Long]("n_sensitive"),
+        r.getAs[Boolean]("k_ok"), r.getAs[Boolean]("l_ok"))).toSet
+    assert(audit === Set(("a", 3L, 3L, true, true),
+      ("b", 2L, 1L, false, false)))
+  }
+
+  test("suppression set: exactly the rows of violating groups") {
+    val df = (1 to 10).map(i => ("common", i.toLong)).toDF("g", "id")
+      .union(Seq(("rare", 99L)).toDF("g", "id"))
+    val sup = Governance.suppressionSet(df, Seq(col("g")), Seq("g"),
+        col("id"), k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(sup === Set(99L))
+  }
+
+  // ---- Link prediction --------------------------------------------------
+
+  private def lp(edges: Seq[(Long, Long)], minCommon: Int = 2,
+                 cap: Int = 10000) =
+    Graph.linkPrediction(edges.toDF("s", "d"), "s", "d", minCommon, cap)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+
+  test("4-cycle: opposite corners predicted with jaccard 1") {
+    // 1-2-3-4-1: (1,3) share {2,4}, deg 2 each → jaccard 2/(2+2-2)=1
+    val r = lp(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L))
+    assert(r.keySet === Set((1L, 3L), (2L, 4L)))
+    assert(r((1L, 3L)) === ((2L, 2L, 1.0)))
+  }
+
+  test("existing edges are never predicted; minCommon prunes paths") {
+    // triangle 1-2-3 plus pendant 3-4: (1,3) is an edge; (1,4) shares
+    // only node 3 → below minCommon=2
+    val r = lp(Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L))
+    assert(r.isEmpty, s"got $r")
+  }
+
+  test("middle-degree cap excludes hub-generated candidate pairs") {
+    // star: hub 0 connected to 1..5; all pairs share only the hub
+    val star = (1L to 5L).map(0L -> _)
+    val uncapped = lp(star, minCommon = 1)
+    assert(uncapped.size === 10) // C(5,2) through the hub
+    val capped = lp(star, minCommon = 1, cap = 4)
+    assert(capped.isEmpty) // hub degree 5 > 4 → no wedges survive
+  }
+}
