@@ -2323,6 +2323,15 @@ object SparkEntry {
           queryName = "graft_hourly_" + System.nanoTime())
         .orderBy("hour_str")),
 
+    // ---- ST20: the custom DSv2 MicroBatchStream — offset-tracked,
+    // admission-controlled (ReadLimit.maxRows), drained under
+    // Trigger.AvailableNow in 2500-row micro-batches; batch read over
+    // the identical domain is the exact replay oracle -------------------
+    "st20_custom_stream_source" -> ((s, dir) =>
+      StreamOps.seqStreamAgg(s, n = 10000L, parts = 4, batchRows = 2500L,
+          queryName = "graft_seqstream_" + System.nanoTime())
+        ._1.orderBy("bucket")),
+
     "st2_sessionize" -> ((s, dir) =>
       StreamOps.sessionizeBatch(s, t(s, dir, "events"), gapSeconds = 86400)
         .toDF().orderBy("user_id")),
@@ -7057,6 +7066,14 @@ object SparkEntry {
       """SELECT id % 10 AS bucket, count(*) AS n,
         |  CAST(sum((id * 2654435761) % 1000000007) AS BIGINT) AS sum_val
         | FROM range(100000, 300000) t(id)
+        | GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Streaming drain of the same generated domain == batch aggregate
+    // over it (exact replay; the micro-batching must not change results).
+    "st20_custom_stream_source" ->
+      """SELECT id % 10 AS bucket, count(*) AS n,
+        |  CAST(sum((id * 2654435761) % 1000000007) AS BIGINT) AS sum_val
+        | FROM range(0, 10000) t(id)
         | GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "s15_fixed_width" ->

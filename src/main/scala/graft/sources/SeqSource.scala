@@ -48,7 +48,8 @@ class SeqSourceProvider extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     val n = properties.getOrDefault("n", "1000").toLong
     val parts = properties.getOrDefault("parts", "4").toInt
-    new SeqTable(n, parts)
+    val batchRows = properties.getOrDefault("batchRows", n.toString).toLong
+    new SeqTable(n, parts, batchRows)
   }
 }
 
@@ -61,17 +62,20 @@ object SeqSource {
   def valOf(id: Long): Long = (id * 2654435761L) % 1000000007L
 }
 
-class SeqTable(n: Long, parts: Int) extends Table with SupportsRead {
+class SeqTable(n: Long, parts: Int, batchRows: Long = Long.MaxValue)
+    extends Table with SupportsRead {
   require(n <= SeqSource.MaxN, s"n=$n exceeds the overflow-safe domain")
   override def name(): String = s"graftseq($n)"
   override def schema(): StructType = SeqSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(n, parts)
+    new SeqScanBuilder(n, parts, batchRows)
 }
 
-class SeqScanBuilder(n: Long, parts: Int) extends ScanBuilder
+class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = Long.MaxValue)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var lo = 0L
@@ -114,7 +118,7 @@ class SeqScanBuilder(n: Long, parts: Int) extends ScanBuilder
     required = requiredSchema
   override def build(): Scan =
     if (countPushed) SeqCountScan(lo, math.max(lo, hi))
-    else SeqScan(lo, math.max(lo, hi), parts, required)
+    else SeqScan(lo, math.max(lo, hi), parts, required, batchRows)
 }
 
 /** One-row result of a completely-pushed COUNT(*): the count is range
@@ -140,10 +144,14 @@ case class SeqCountScan(lo: Long, hi: Long) extends Scan with Batch {
     }
 }
 
-case class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType)
+case class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
+                   batchRows: Long = Long.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SeqMicroBatchStream(lo, hi, parts, batchRows, required)
   override def description(): String = s"graftseq[$lo,$hi) cols=" +
     required.fieldNames.mkString(",")
 

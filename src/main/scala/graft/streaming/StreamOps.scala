@@ -108,6 +108,38 @@ object StreamOps {
       col("n"), col("value_cents"))
   }
 
+  /** Aggregate the custom DSv2 micro-batch source
+    * ([[graft.sources.SeqMicroBatchStream]]) to completion: `n` rows
+    * drained in `batchRows`-sized admission-controlled triggers, bucketed
+    * modulo-10 count/sum. Returns the finished batch DataFrame plus the
+    * number of micro-batches the drain actually took (> 1 proves the
+    * ReadLimit was honored — one trigger did NOT swallow the backlog).
+    */
+  def seqStreamAgg(spark: SparkSession, n: Long, parts: Int,
+                   batchRows: Long,
+                   queryName: String): (DataFrame, Long) = {
+    val src = spark.readStream
+      .format("graft.sources.SeqSourceProvider")
+      .option("n", n.toString)
+      .option("parts", parts.toString)
+      .option("batchRows", batchRows.toString)
+      .load()
+    val agg = src.groupBy((col("id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"))
+    var batches = 0L
+    withStatePartitions(spark, HarnessStateParts) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+      q.stop()
+    }
+    (spark.table(queryName).select("bucket", "n", "sum_val"), batches)
+  }
+
   /** Gap-based sessionization, batch form: sessions break when consecutive
     * events of a user are more than `gapSeconds` apart. Exact integer
     * (microsecond) comparisons throughout.
