@@ -1787,6 +1787,18 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // ---- N16: maximum-inner-product top-k (two-tower retrieval order —
+    // magnitude matters, cosine is wrong): ranked by the exact fixed-
+    // point dot, broadcast query side, map-only candidate scan. The
+    // norm-augmentation reduction to cosine (the bucketed-index bridge)
+    // is spec-pinned in Round6OpsSpec --------------------------------------
+    "n16_mips" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mipsTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
     "n3_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
@@ -3122,6 +3134,24 @@ object SparkEntry {
           budgetPct = 8)
         .select("doc_id", "source")
         .orderBy("doc_id")),
+
+    // ---- J12: incremental aggregate MAINTENANCE — the materialized-view
+    // refresh: merge the stored per-key summary with the delta's summary
+    // (both agg-sized) instead of rescanning history; count/sum/min/max
+    // are each closed under merge, avg derives at readout. Oracle is the
+    // full recompute — maintained == recomputed, hash-exact -------------
+    "j12_delta_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("v", cents(col("l_extendedprice")))
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val base = graft.ops.Incremental.partial(
+        li.filter(col("l_orderkey") % 10 =!= 0), keys, "v")
+      val delta = graft.ops.Incremental.partial(
+        li.filter(col("l_orderkey") % 10 === 0), keys, "v")
+      graft.ops.Incremental.withAvg(
+          graft.ops.Incremental.merge(base, delta, keys))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
 
     // ---- SQL front door: views + registered engine functions ------------
     // ---- J11: snapshot DIFF — two per-key aggregate snapshots compared
@@ -5945,6 +5975,42 @@ object SparkEntry {
         |  FROM scored)
         | SELECT q_id, c_id, rank, cos FROM ranked
         |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // MIPS: n1's scored pairs ranked by the raw fixed-point dot (inner
+    // product), no normalization; ip is the one descale division.
+    "n16_mips" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+        |            WHERE vec_id < 8),
+        | c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+        | scored AS (
+        |  SELECT q_id, c_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS ip_fp
+        |  FROM q JOIN c ON q_id <> c_id),
+        | ranked AS (
+        |  SELECT q_id, c_id, ip_fp,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY ip_fp DESC, c_id)
+        |      AS rank
+        |  FROM scored)
+        | SELECT q_id, c_id, rank, CAST(ip_fp AS DOUBLE) / 1e12 AS ip
+        |  FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // Incremental maintenance oracle: the FULL recompute — the merged
+    // summary must be indistinguishable from never having split the data.
+    "j12_delta_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_v,
+        |  CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS min_v,
+        |  CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS max_v,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / count(*) AS avg_v
+        | FROM lineitem GROUP BY l_returnflag, l_linestatus
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // n1's brute-force statement with the metadata predicate on the
     // candidate side — pre-filter semantics, exact over the qualifying set.

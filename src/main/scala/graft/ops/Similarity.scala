@@ -141,6 +141,57 @@ object Similarity {
                    idCol: String, vecCol: String, k: Int): DataFrame =
     bruteForceTopK(candidates.filter(pred), queries, idCol, vecCol, k)
 
+  /** Maximum-inner-product top-k (MIPS) — the retrieval objective of
+    * two-tower recommender and retrieval-augmentation models, where
+    * vector MAGNITUDE carries signal (popularity, confidence) and cosine
+    * is the wrong order. Exact: rank by the fixed-point dot itself; `ip`
+    * is the one deterministic descale division. Same broadcast-query
+    * map-only scan shape as [[bruteForceTopK]].
+    */
+  def mipsTopK(candidates: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = spread(candidates, idCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("ip_fp", dotFp(col("q_vec"), col("c_vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("ip_fp").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("ip", col("ip_fp").cast("double") / lit(Scale))
+      .select("q_id", "c_id", "rank", "ip")
+  }
+
+  /** The norm-augmentation reduction (Bachrach et al. 2014; Neyshabur &
+    * Srebro 2015) that turns MIPS into cosine search — the bridge that
+    * lets every bucketed index here (LSH, IVF, PQ) serve inner-product
+    * retrieval: append sqrt(M² − ‖x‖²) to each candidate (M = max norm,
+    * computed as a one-row broadcast, never a driver constant) and 0 to
+    * each query; augmented-cosine order then equals inner-product order.
+    * Map-only transform. The appended coordinate is float — fine for
+    * BUCKETING (which is approximate by construction); final ranking
+    * must re-score with [[dotFp]] on the original vectors, which is how
+    * the equivalence spec pins this transform.
+    */
+  def augmentForMips(candidates: DataFrame, vecCol: String,
+                     isQuery: Boolean = false): DataFrame = {
+    if (isQuery)
+      candidates.withColumn(s"${vecCol}_aug",
+        concat(col(vecCol), array(lit(0.0f))))
+    else {
+      val n2 = candidates.withColumn("__n2_fp", normFp(col(vecCol)))
+      val m = n2.agg(max("__n2_fp").as("__m2_fp"))
+      n2.crossJoin(broadcast(m))
+        .withColumn(s"${vecCol}_aug",
+          concat(col(vecCol), array(
+            sqrt((col("__m2_fp") - col("__n2_fp")).cast("double") /
+              lit(Scale)).cast("float"))))
+        .drop("__n2_fp", "__m2_fp")
+    }
+  }
+
   /** LSH bucket key: bit j set when (plane_j · x) > 0, computed in exact
     * fixed-point (1e-6 per element — products of ±1 with unit-scale
     * floats). A native codegen expression ([[graft.functions.LshBucket]])

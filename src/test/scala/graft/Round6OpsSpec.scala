@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Governance, Graph, Sampling, TextAnalysis}
+import graft.ops.{Governance, Graph, Incremental, Sampling, Similarity, TextAnalysis}
 
 /** Semantics of the round-6 operator batch: Gopher rules, boolean
   * retrieval, temperature mixture, k-anonymity, link prediction.
@@ -138,6 +138,73 @@ class Round6OpsSpec extends SparkSpec {
     // only node 3 → below minCommon=2
     val r = lp(Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L))
     assert(r.isEmpty, s"got $r")
+  }
+
+  // ---- MIPS --------------------------------------------------------------
+
+  test("MIPS ranks by inner product, not cosine") {
+    // unit-ish vector vs a long vector pointing the same way: cosine
+    // prefers the aligned unit vector, MIPS the long one
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),          // query
+      (1L, Array(0.9f, 0.1f)),          // well aligned, short
+      (2L, Array(5.0f, 3.0f))           // less aligned, long: ip 5.0
+    ).toDF("id", "vec")
+    val q = vecs.filter($"id" === 0L)
+    val top = Similarity.mipsTopK(vecs, q, "id", "vec", k = 2)
+      .orderBy("rank")
+      .select("c_id", "ip").as[(Long, Double)].collect().toSeq
+    assert(top.map(_._1) === Seq(2L, 1L))
+    assert(top.head._2 === 5.0) // exact fixed-point descale
+  }
+
+  test("norm augmentation: augmented-cosine order equals MIPS order") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)((rnd.nextFloat() - 0.5f) * (1 + i % 5)))).toDF("id", "vec")
+    val queries = vecs.filter($"id" < 4L)
+    val mips = Similarity.mipsTopK(vecs, queries, "id", "vec", k = 3)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    val cAug = Similarity.augmentForMips(vecs, "vec")
+      .select($"id", $"vec_aug".as("vec"))
+    val qAug = Similarity.augmentForMips(queries, "vec", isQuery = true)
+      .select($"id", $"vec_aug".as("vec"))
+    val viaCos = Similarity.bruteForceTopK(cAug, qAug, "id", "vec", k = 3)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(viaCos === mips,
+      s"augmented cosine must reproduce MIPS order\n mips=$mips\n cos=$viaCos")
+  }
+
+  // ---- Incremental aggregate maintenance ---------------------------------
+
+  test("merge(partial(A), partial(B)) == partial(A ∪ B) for any split") {
+    val rows = (1 to 300).map(i => (s"k${i % 7}", (i * 37 % 100).toLong))
+      .toDF("k", "v")
+    val (a, b) = (rows.filter($"v" < 50), rows.filter($"v" >= 50))
+    val merged = Incremental.merge(
+        Incremental.partial(a, Seq("k"), "v"),
+        Incremental.partial(b, Seq("k"), "v"), Seq("k"))
+      .orderBy("k").collect().map(_.toSeq)
+    val full = Incremental.partial(rows, Seq("k"), "v")
+      .orderBy("k").collect().map(_.toSeq)
+    assert(merged === full)
+  }
+
+  test("delta-only keys enter the summary; empty delta is the identity") {
+    val base = Seq(("a", 1L), ("a", 3L)).toDF("k", "v")
+    val delta = Seq(("b", 9L)).toDF("k", "v")
+    val pBase = Incremental.partial(base, Seq("k"), "v")
+    val merged = Incremental.merge(pBase,
+        Incremental.partial(delta, Seq("k"), "v"), Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged === Seq(("a", 2L, 4L), ("b", 1L, 9L)))
+    val ident = Incremental.merge(pBase,
+        Incremental.partial(delta.filter($"v" < 0), Seq("k"), "v"), Seq("k"))
+      .orderBy("k").collect().map(_.toSeq)
+    assert(ident === pBase.orderBy("k").collect().map(_.toSeq))
   }
 
   test("middle-degree cap excludes hub-generated candidate pairs") {
