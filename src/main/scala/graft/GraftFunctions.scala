@@ -121,7 +121,11 @@ object GraftFunctions {
     // audio_meta(binary) — container magic + stream parameters from the
     // payload's leading bytes (WAV/FLAC/MP3), codegen'd header sniff
     "audio_meta" -> arity("audio_meta", 1)(exprs =>
-      graft.functions.AudioMeta(exprs.head)))
+      graft.functions.AudioMeta(exprs.head)),
+    // dhash56(string) — 56-bit perceptual difference hash over the
+    // payload's code points (stub-pixel contract; Hamming-joinable)
+    "dhash56" -> arity("dhash56", 1)(exprs =>
+      graft.functions.DHash56(exprs.head)))
 
   /** Register on a live session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

@@ -1934,6 +1934,15 @@ object SparkEntry {
             .unionByName(Multimodal.fixtureAudio(s)))
         .orderBy("doc_id")),
 
+    // ---- M7: perceptual dHash fingerprints — 9×7 grid averages over the
+    // payload's code points, 56 neighbor-compare bits (codegen, map-only);
+    // the hash feeds the same pigeonhole Hamming join as SimHash (d8) ----
+    "m7_phash" -> ((s, dir) =>
+      Multimodal.perceptualHash(
+          Multimodal.toMediaTable(
+            t(s, dir, "documents").filter(col("text").isNotNull)))
+        .orderBy("doc_id")),
+
     // ---- C3: context-window chunking (50-token windows, 10 overlap).
     // Null texts are filtered on BOTH sides — the engines' null-propagation
     // through slice/concat paths differs, so neither should see them ------
@@ -6416,6 +6425,36 @@ object SparkEntry {
         |   'e2867e538491f86ac5906b12ac667abf7761171d1ae94d867c231df82b0c7c90',
         |   NULL, NULL, NULL)
         |) t(doc_id, n_bytes, sha256, format, width, height)
+        |ORDER BY doc_id""".stripMargin,
+
+    // dHash56 replay: 9×7 grid of code-point means (integer div), 56
+    // neighbor-compare bits packed little-endian by (row, col); payloads
+    // shorter than 63 code points are NULL (undecodable thumbnail).
+    "m7_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    length(text) // 63 AS q
+        |  FROM documents WHERE text IS NOT NULL),
+        | grid AS (
+        |  SELECT doc_id, n_bytes,
+        |    list_transform(range(0, 63), t ->
+        |      list_sum(list_transform(
+        |        string_split(substr(text, t * q + 1, q), ''),
+        |        c -> unicode(c))) // q) AS v
+        |  FROM d WHERE q > 0),
+        | hashed AS (
+        |  SELECT doc_id, n_bytes,
+        |    CAST(list_sum(list_transform(range(0, 56), b ->
+        |      CASE WHEN v[(b // 8) * 9 + (b % 8) + 1] >
+        |                v[(b // 8) * 9 + (b % 8) + 2]
+        |        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
+        |      AS phash
+        |  FROM grid)
+        |SELECT doc_id, n_bytes, phash FROM hashed
+        |UNION ALL
+        |SELECT doc_id, n_bytes, CAST(NULL AS BIGINT) AS phash
+        | FROM d WHERE q = 0
         |ORDER BY doc_id""".stripMargin,
 
     "m6_audio_meta" ->

@@ -207,6 +207,26 @@ object Multimodal {
           lit(frameSize)).as("frame_bytes"))
       .filter(length(col("frame_bytes")) > 0)
 
+  /** Perceptual fingerprint per payload: the 56-bit dHash
+    * ([[graft.functions.DHash56]] — grid-average + neighbor-compare over
+    * the payload's code points, the stub-pixel contract). Pure codegen
+    * projection; the hash column feeds the SAME pigeonhole Hamming
+    * similarity join SimHash text dedup uses
+    * ([[graft.plans.HammingJoinRewrite]]), which is the point: media
+    * near-dup at 100 TB is a solved join once payloads collapse to
+    * Hamming-comparable fingerprints.
+    */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val ph = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.DHash56(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          col("payload").cast("string"))))
+    media.select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      ph.as("phash"))
+  }
+
   /** Resize/thumbnail stub: the payload is cut into `nTiles` equal tiles
     * (tail remainder dropped, as a real downsampler drops edge pixels)
     * and each tile reduced to its digest — standing in for per-tile pixel

@@ -177,6 +177,36 @@ class Round6OpsSpec extends SparkSpec {
       s"augmented cosine must reproduce MIPS order\n mips=$mips\n cos=$viaCos")
   }
 
+  // ---- Perceptual dHash --------------------------------------------------
+
+  test("dhash56: small perturbations stay within a few Hamming bits; " +
+      "unrelated payloads do not") {
+    val base = (1 to 300).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val nearDup = base.updated(40, 'z').updated(200, 'q')
+    val unrelated = (1 to 300).map(i => ('a' + (i * 11) % 26).toChar).mkString
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    graft.functions.DHash56.register(spark)
+    val h = df.selectExpr("doc_id", "dhash56(text) AS h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(h(1L), h(2L)) <= 6,
+      s"near-dup drifted ${dist(h(1L), h(2L))} bits")
+    assert(dist(h(1L), h(3L)) > 6,
+      s"unrelated collided at ${dist(h(1L), h(3L))} bits")
+    assert((h(1L) & (0xFFL << 56)) === 0L) // strictly 56 bits — positive
+  }
+
+  test("dhash56: payloads under one code point per cell are NULL") {
+    val df = Seq((1L, "short"), (2L, "x" * 63)).toDF("doc_id", "text")
+    val rows = graft.ops.Multimodal.perceptualHash(
+        graft.ops.Multimodal.toMediaTable(df))
+      .orderBy("doc_id").collect()
+    assert(rows(0).isNullAt(2))
+    assert(!rows(1).isNullAt(2)) // uniform payload: all-compare-false = 0
+    assert(rows(1).getLong(2) === 0L)
+  }
+
   // ---- Incremental aggregate maintenance ---------------------------------
 
   test("merge(partial(A), partial(B)) == partial(A ∪ B) for any split") {
