@@ -3144,6 +3144,16 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // ---- C13: CCNet head/middle/tail — per-language ntile(3) over LM
+    // surprisal (deterministic (avg_nll, id) order makes the quantile
+    // hash-gateable); the 100 TB variant broadcasts approx cutpoints
+    // instead of windowing (documented in Curation.ccnetBuckets) --------
+    "c13_ccnet_buckets" -> ((s, dir) =>
+      graft.ops.Curation.ccnetBuckets(
+          t(s, dir, "documents").filter(col("text").isNotNull),
+          "doc_id", "text", "lang")
+        .orderBy("doc_id")),
+
     // ---- J12: incremental aggregate MAINTENANCE — the materialized-view
     // refresh: merge the stored per-key summary with the delta's summary
     // (both agg-sized) instead of rescanning history; count/sum/min/max
@@ -4998,6 +5008,38 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, sum_nll_fp,
         |  CAST(sum_nll_fp AS DOUBLE) / 1e9 / n_tokens AS avg_nll
         | FROM per ORDER BY doc_id""".stripMargin,
+
+    // CCNet bucketing: t17's surprisal statement + per-language ntile(3)
+    // with the deterministic (avg_nll, doc_id) order.
+    "c13_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        | c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM toks GROUP BY tok),
+        | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
+        | scored AS (
+        |  SELECT doc_id,
+        |    CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total) * 1e9) AS BIGINT)
+        |      AS nll_fp
+        |  FROM toks JOIN c USING (tok) CROSS JOIN tot),
+        | per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(nll_fp) AS BIGINT) AS sum_nll_fp
+        |  FROM scored GROUP BY doc_id),
+        | b AS (
+        |  SELECT per.doc_id, d.lang,
+        |    CAST(sum_nll_fp AS DOUBLE) / 1e9 / n_tokens AS avg_nll
+        |  FROM per JOIN documents d USING (doc_id)),
+        | ranked AS (
+        |  SELECT doc_id, lang, avg_nll,
+        |    CAST(ntile(3) OVER (PARTITION BY lang
+        |      ORDER BY avg_nll, doc_id) AS BIGINT) AS bucket
+        |  FROM b)
+        |SELECT doc_id, lang, avg_nll, bucket,
+        |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket_name
+        | FROM ranked ORDER BY doc_id""".stripMargin,
 
     "t20_bpe_train" -> BpeTrainSql(4),
 

@@ -263,4 +263,41 @@ object Curation {
       .groupBy("shard_a", "shard_b")
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020): per LANGUAGE,
+    * rank documents by language-model surprisal and cut into three
+    * equal-population buckets — head (most fluent) trains first-tier
+    * models, tail gets dropped or demoted. The LM here is the engine's
+    * [[TextAnalysis.unigramSurprisal]] (CCNet uses a 5-gram KenLM; the
+    * bucketing machinery is identical, and t19's backoff bigram LM slots
+    * in unchanged).
+    *
+    * Ordering is (avg_nll, doc id): the division is one deterministic
+    * double op, and the id tie-break makes ntile assignment total — both
+    * engines agree bucket-for-bucket, which is what lets a QUANTILE
+    * operator sit under a hash gate.
+    *
+    * Scale shape: surprisal's own two exchanges, one lang-keyed window
+    * for the ntile. A per-language window serializes each language on
+    * one reducer — fine up to ~10⁸ docs/lang; past that, production
+    * computes approximate surprisal quantiles per language
+    * (percentile_approx, a8/a10 machinery), broadcasts the two
+    * cutpoints, and assigns buckets map-side — same output contract,
+    * no total order anywhere.
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String): DataFrame = {
+    val sur = TextAnalysis.unigramSurprisal(docs, idCol, textCol)
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("avg_nll"), col(idCol))
+    docs.select(col(idCol), col(langCol))
+      .join(sur, idCol)
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .withColumn("bucket_name",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col(langCol), col("avg_nll"),
+        col("bucket"), col("bucket_name"))
+  }
 }

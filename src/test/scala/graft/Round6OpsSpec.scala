@@ -177,6 +177,29 @@ class Round6OpsSpec extends SparkSpec {
       s"augmented cosine must reproduce MIPS order\n mips=$mips\n cos=$viaCos")
   }
 
+  // ---- CCNet buckets -----------------------------------------------------
+
+  test("ccnet buckets: per-language thirds, head = lowest surprisal") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull)
+    val b = graft.ops.Curation.ccnetBuckets(docs, "doc_id", "text", "lang")
+    val sizes = b.groupBy("lang", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val langs = sizes.keys.map(_._1).toSet
+    langs.foreach { l =>
+      val s = (1L to 3L).map(i => sizes.getOrElse((l, i), 0L))
+      assert(s.max - s.min <= 1, s"$l buckets unbalanced: $s")
+    }
+    // head mean surprisal strictly below tail mean, every language
+    val means = b.groupBy("lang", "bucket").agg(avg("avg_nll").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    langs.foreach { l =>
+      assert(means((l, 1L)) < means((l, 3L)), s"$l head !< tail")
+    }
+  }
+
   // ---- Perceptual dHash --------------------------------------------------
 
   test("dhash56: small perturbations stay within a few Hamming bits; " +
