@@ -2864,6 +2864,32 @@ object SparkEntry {
         .orderBy("from_type", "to_type")
     }),
 
+    // ---- E16: time-weighted average (TWAP) — each observation holds
+    // until the next one, so the mean weights value by HOLD DURATION, not
+    // by tick count (the finance/metrics standard for irregular series).
+    // Integral = Σ dur_µs × v_cents, exact integers (term bound
+    // dur < 2^45 µs × |cents| < 2^17 per row; the per-user sum stays
+    // far under 2^63 for any plausible per-key history); the one double
+    // division is the readout. Same per-user lead-window exchange as
+    // e15 — no global sort, skew bounded by per-user event counts ------
+    "e16_twap" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          cents(col("value")).as("v_cents"))
+        .withColumn("dur_us",
+          lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .filter(col("dur_us").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(col("dur_us")).as("span_us"),
+          sum(col("dur_us") * col("v_cents")).as("weighted_fp"))
+        .filter(col("span_us") > 0)
+        .withColumn("twap_cents",
+          col("weighted_fp").cast("double") / col("span_us"))
+        .orderBy("user_id")
+    }),
+
     // ---- E14: period-over-period growth — revenue per (segment, year)
     // with the prior year carried in by lag; the delta stays an integer
     // SUBTRACTION (no ratio: Spark `div` truncates toward zero, DuckDB
@@ -3005,6 +3031,16 @@ object SparkEntry {
           qidNames = Seq("source", "len_bucket"),
           sensitive = col("lang"), k = 5, l = 3)
         .orderBy("source", "len_bucket")),
+
+    // ---- V2: domain GENERALIZATION ladder — the k-anonymity remediation:
+    // coarsen the numeric QID through widths {50,100,200,400,800} and
+    // report per-level violations; smallest clean width is the minimal
+    // generalization (chosen). One pass per level, |widths| output rows -
+    "v2_generalization" -> ((s, dir) =>
+      graft.ops.Governance.numericGeneralization(
+          t(s, dir, "documents"), Seq("lang"), "n_chars",
+          widths = Seq(50L, 100L, 200L, 400L, 800L), k = 5)
+        .orderBy("width")),
 
     // ---- D17: benchmark LEAKAGE RATE — the evaluation-integrity number
     // a corpus release quotes: share of benchmark docs sharing any 4-gram
@@ -4629,6 +4665,23 @@ object SparkEntry {
         |  count(*) AS n
         | FROM nxt WHERE next_type IS NOT NULL
         | GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    // TWAP: duration-weighted integral in exact integer µs × cents.
+    "e16_twap" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS v_cents FROM events),
+        | seg AS (SELECT user_id, v_cents,
+        |    lead(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) - ts_us AS dur_us
+        |  FROM e),
+        | agg AS (SELECT user_id,
+        |    CAST(sum(dur_us) AS BIGINT) AS span_us,
+        |    CAST(sum(dur_us * v_cents) AS BIGINT) AS weighted_fp
+        |  FROM seg WHERE dur_us IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, span_us, weighted_fp,
+        |  CAST(weighted_fp AS DOUBLE) / span_us AS twap_cents
+        | FROM agg WHERE span_us > 0 ORDER BY user_id""".stripMargin,
 
     "e14_yoy_growth" ->
       """WITH rev AS (SELECT c_mktsegment AS segment,
@@ -7081,6 +7134,29 @@ object SparkEntry {
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
         | FROM r JOIN q USING (lang) WHERE rn <= quota
         | GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Generalization ladder: per-width grouped counts folded to a
+    // one-row readout each, then the minimal clean width marked.
+    "v2_generalization" ->
+      """WITH lv AS (
+        |  SELECT w.width, lang, n_chars // w.width AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest([50, 100, 200, 400, 800]) AS width) w
+        |  GROUP BY 1, 2, 3),
+        | per AS (
+        |  SELECT CAST(width AS BIGINT) AS width,
+        |    CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(min(n) AS BIGINT) AS min_group,
+        |    CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations
+        |  FROM lv GROUP BY width),
+        | ok AS (SELECT min(width) AS min_ok FROM per
+        |   WHERE n_violations = 0)
+        |SELECT width, n_groups, min_group, n_violations,
+        |  n_violations = 0 AS k_anonymous,
+        |  coalesce(width = (SELECT min_ok FROM ok), FALSE) AS chosen
+        | FROM per ORDER BY width""".stripMargin,
 
     // k-anonymity / l-diversity audit: one grouped aggregation over the
     // quasi-identifier tuple; verdicts are integer comparisons.

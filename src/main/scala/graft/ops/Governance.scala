@@ -42,6 +42,42 @@ object Governance {
       .withColumn("l_ok", col("n_sensitive") >= l)
   }
 
+  /** Domain generalization — the k-anonymity REMEDIATION step (Sweeney's
+    * generalization lattice, one numeric dimension): coarsen the numeric
+    * quasi-identifier through a ladder of bucket widths and report, per
+    * width, how close the release is to k-anonymous. The smallest width
+    * with zero violations is the minimal generalization — publish at
+    * that granularity.
+    *
+    * One grouped aggregation PER WIDTH (the ladder is a handful of
+    * levels, each a single pass; at 100 TB run the levels as one pass
+    * with a grouping-sets expand if the scan dominates); each level's
+    * readout is aggregate-of-aggregate over group-count rows, so output
+    * is |widths| rows.
+    */
+  def numericGeneralization(df: DataFrame, groupCols: Seq[String],
+                            numCol: String, widths: Seq[Long],
+                            k: Int): DataFrame = {
+    val perWidth = widths.map { w =>
+      df.groupBy((groupCols.map(col) :+
+          expr(s"$numCol div $w").as("__bucket")): _*)
+        .agg(count(lit(1)).as("__n"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          min(col("__n")).as("min_group"),
+          sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(w).as("width"), col("n_groups"), col("min_group"),
+          col("n_violations"))
+    }.reduce(_ unionByName _)
+    val minOk = perWidth.filter(col("n_violations") === 0)
+      .agg(min(col("width")).as("__min_ok"))
+    perWidth.crossJoin(broadcast(minOk))
+      .withColumn("k_anonymous", col("n_violations") === 0)
+      .withColumn("chosen",
+        coalesce(col("width") === col("__min_ok"), lit(false)))
+      .drop("__min_ok")
+  }
+
   /** The release decision the audit feeds: rows whose QID group violates
     * k-anonymity (SUPPRESSION set — drop or generalize before release).
     * Broadcast of the violating groups keeps the corpus side map-only

@@ -117,6 +117,49 @@ class Round6OpsSpec extends SparkSpec {
     assert(sup === Set(99L))
   }
 
+  // ---- Generalization ladder ---------------------------------------------
+
+  test("generalization ladder: chosen marks the smallest clean width") {
+    // values 0..19 in one lang: width 1 → 20 singleton groups (k=5
+    // fails); width 10 → groups of 10 (clean); width 100 → one group
+    val df = (0 until 20).map(i => ("en", i.toLong)).toDF("lang", "n")
+    val out = graft.ops.Governance.numericGeneralization(
+        df, Seq("lang"), "n", widths = Seq(1L, 10L, 100L), k = 5)
+      .orderBy("width").collect()
+      .map(r => (r.getLong(0), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(out === Array((1L, 20L, false, false),
+      (10L, 0L, true, true), (100L, 0L, true, false)))
+  }
+
+  // ---- Time-weighted average ---------------------------------------------
+
+  test("TWAP weights by hold duration, not tick count") {
+    val ev = Seq(
+      (1L, 101L, "2024-01-01 00:00:00", 10.0),
+      (1L, 102L, "2024-01-01 00:00:01", 30.0), // held 3x as long
+      (1L, 103L, "2024-01-01 00:00:04", 999.0) // terminal: no duration
+    ).toDF("user_id", "event_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    val out = ev
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("v_cents"))
+      .withColumn("dur_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dur_us").isNotNull)
+      .groupBy("user_id")
+      .agg(sum("dur_us").as("span_us"),
+        sum(col("dur_us") * col("v_cents")).as("weighted_fp"))
+      .withColumn("twap_cents",
+        col("weighted_fp").cast("double") / col("span_us"))
+      .collect()(0)
+    assert(out.getAs[Long]("span_us") === 4000000L)
+    // (1s·1000c + 3s·3000c) / 4s = 2500c — the tick mean would be 2000c
+    assert(out.getAs[Double]("twap_cents") === 2500.0)
+  }
+
   // ---- Link prediction --------------------------------------------------
 
   private def lp(edges: Seq[(Long, Long)], minCommon: Int = 2,
