@@ -1370,6 +1370,15 @@ object SparkEntry {
           terms = Seq("spark", "join", "hash"))
         .orderBy("doc_id")),
 
+    // ---- T24: hashed-feature linear classifier — the fastText/WebText
+    // quality-filter shape: hashing-trick buckets (no vocabulary),
+    // deterministic stand-in weights, integer score, sign = label.
+    // Explode + one doc-keyed agg; memory O(dim) regardless of corpus --
+    "t24_hashed_classifier" -> ((s, dir) =>
+      TextAnalysis.hashedLinearScore(t(s, dir, "documents"),
+          "doc_id", "text", dim = 1024)
+        .orderBy("doc_id")),
+
     // ---- T19: Stupid Backoff bigram surprisal — the cheap LM-quality
     // filter (Brants 2007) in the CCNet shape: count LM trained on the
     // even-id half, every doc scored against it (unseen continuation →
@@ -5097,6 +5106,26 @@ object SparkEntry {
     "t20_bpe_train" -> BpeTrainSql(4),
 
     "t21_bpe_encode" -> BpeEncodeSql(4),
+
+    // Hashing-trick classifier: md5-prefix bucket, Knuth weight,
+    // integer sum, sign label — replayed bucket-for-bucket.
+    "t24_hashed_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+'))
+        |    AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        | w AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024
+        |      AS bucket
+        |  FROM toks),
+        | s AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum((bucket * 2654435761) % 1000000007 - 500000000)
+        |      AS BIGINT) AS score_fp
+        |  FROM w GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, score_fp, score_fp > 0 AS label
+        | FROM s ORDER BY doc_id""".stripMargin,
 
     // Stupid Backoff, CCNet shape: LM counts from the even-id half; seen
     // bigram → cnt_b/cnt_prev, unseen → 0.4·U(tok), doc-initial → U(tok),

@@ -494,6 +494,43 @@ object TextAnalysis {
           col("r_stopwords"))
   }
 
+  /** Hashed-feature linear classifier scoring — the fastText-shaped
+    * quality-classifier stage (the GPT-3/WebText "looks like reference
+    * text?" filter, Joulin et al. 2016): each token hashes into a
+    * `dim`-bucket feature space (the hashing trick — no vocabulary table
+    * at all), the document's score is the sum of its buckets' weights,
+    * and the label is the score's sign. Weights here are a DETERMINISTIC
+    * function of the bucket (Knuth-multiplicative, zero-centered) —
+    * standing in for trained values exactly like the Multimodal stub
+    * decoder stands in for a codec: the data path (hash → weight lookup
+    * → per-doc reduce → sign) is the production architecture; a trained
+    * model swaps the weight formula for a `dim`-row broadcast table and
+    * nothing else moves.
+    *
+    * Everything is integer: bucket = md5-prefix mod dim, weight =
+    * (bucket·2654435761) mod 1e9+7 − 5e8, score = Σ weights — exact
+    * under any partitioning and reproducible in any engine (no float
+    * sigmoid; the sign IS the decision, the monotone score the margin).
+    *
+    * Scale shape: explode + one doc-keyed aggregation — the same two
+    * exchanges as every per-doc text op here; no join, no broadcast, no
+    * vocabulary (the hashing trick's point: memory is O(dim), fixed).
+    */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+                        dim: Int = 1024): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+      lit(dim.toLong))
+    val weight = (bucket * lit(2654435761L)) % lit(1000000007L) -
+      lit(500000000L)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), weight.as("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score_fp"))
+      .withColumn("label", col("score_fp") > 0)
+  }
+
   /** Conjunctive boolean retrieval over an inverted index — the "docs
     * containing ALL query terms" primitive (search, contamination probes,
     * targeted corpus slicing). Two stages:

@@ -55,6 +55,21 @@ class Round6OpsSpec extends SparkSpec {
     assert(!r(2L).getAs[Boolean]("r_stopwords"))
   }
 
+  // ---- Hashed classifier -------------------------------------------------
+
+  test("hashed classifier: order-invariant, multiplicity-linear scores") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),   // permutation: identical score
+      (3L, "alpha alpha"),        // 2x the weight of one 'alpha'
+      (4L, "alpha")
+    ).toDF("doc_id", "text")
+    val s = graft.ops.TextAnalysis.hashedLinearScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s(1L) === s(2L))
+    assert(s(3L) === 2 * s(4L))
+  }
+
   // ---- Boolean retrieval ------------------------------------------------
 
   test("boolean search: only docs containing ALL terms, tf summed") {
