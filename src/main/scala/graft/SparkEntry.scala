@@ -2232,6 +2232,27 @@ object SparkEntry {
     // parse_url (codegen'd built-in, no UDF); the oracle computes the
     // expected components from the same source columns, so the parse is
     // checked against construction ground truth. --------------------------
+    // ---- D20: URL-canonical dedup — the crawl staple: host case,
+    // trailing slash, param order, and utm_* decoration all collapse to
+    // one canonical form (regexp-only, map-only projection); first-wins
+    // keeper via min-id aggregation on the canonical key ----------------
+    "d20_url_dedup" -> ((s, dir) => {
+      val withUrl = t(s, dir, "customer").withColumn("url",
+        concat(lit("https://"),
+          when(col("c_custkey") % 2 === 0, lit("Example.COM"))
+            .otherwise(lit("example.com")),
+          lit("/cust/"), col("c_custkey") % 500,
+          when(col("c_custkey") % 3 === 0, lit("/")).otherwise(lit("")),
+          lit("?"),
+          when(col("c_custkey") % 2 === 0,
+            concat(lit("id="), col("c_custkey") % 500,
+              lit("&utm_source=mail&ref=nav")))
+            .otherwise(concat(lit("ref=nav&id="),
+              col("c_custkey") % 500))))
+      graft.ops.UrlNormalize.dedupByCanonical(withUrl, "c_custkey", "url")
+        .orderBy("canonical_url")
+    }),
+
     "p20_url_parse" -> ((s, dir) => {
       val withUrl = t(s, dir, "customer").withColumn("url",
         concat(lit("https://"), lower(col("c_mktsegment")),
@@ -7163,6 +7184,42 @@ object SparkEntry {
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
         | FROM r JOIN q USING (lang) WHERE rn <= quota
         | GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // URL canonicalization replayed with the identical regexes (the
+    // Java/RE2 common subset; no parse_url on either side).
+    "d20_url_dedup" ->
+      """WITH u AS (
+        |  SELECT c_custkey,
+        |    'https://' ||
+        |    CASE WHEN c_custkey % 2 = 0 THEN 'Example.COM'
+        |         ELSE 'example.com' END ||
+        |    '/cust/' || CAST(c_custkey % 500 AS VARCHAR) ||
+        |    CASE WHEN c_custkey % 3 = 0 THEN '/' ELSE '' END || '?' ||
+        |    CASE WHEN c_custkey % 2 = 0
+        |      THEN 'id=' || CAST(c_custkey % 500 AS VARCHAR) ||
+        |        '&utm_source=mail&ref=nav'
+        |      ELSE 'ref=nav&id=' || CAST(c_custkey % 500 AS VARCHAR) END
+        |      AS url
+        |  FROM customer),
+        | q AS (
+        |  SELECT c_custkey, url,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      p -> NOT starts_with(p, 'utm_') AND p <> '')), '&')
+        |      AS canon_q
+        |  FROM u),
+        | c AS (
+        |  SELECT c_custkey,
+        |    lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) ||
+        |    regexp_replace(
+        |      regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+        |      '/+$', '') ||
+        |    CASE WHEN canon_q <> '' THEN '?' || canon_q ELSE '' END
+        |      AS canonical_url
+        |  FROM q)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
+        |  CAST(min(c_custkey) AS BIGINT) AS keeper_id
+        | FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
 
     // Generalization ladder: per-width grouped counts folded to a
     // one-row readout each, then the minimal clean width marked.

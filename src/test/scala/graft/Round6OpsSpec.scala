@@ -55,6 +55,24 @@ class Round6OpsSpec extends SparkSpec {
     assert(!r(2L).getAs[Boolean]("r_stopwords"))
   }
 
+  // ---- URL canonicalization ----------------------------------------------
+
+  test("url canonical: case, slash, utm, param order, fragment collapse") {
+    val urls = Seq(
+      (1L, "https://EXAMPLE.com/a/b/?b=2&a=1&utm_campaign=x#frag"),
+      (2L, "https://example.com/a/b?a=1&b=2"),
+      (3L, "https://example.com/a/b?utm_source=y"), // params all tracking
+      (4L, "https://example.com/a/b")
+    ).toDF("id", "url")
+    val c = urls.select(col("id"),
+        graft.ops.UrlNormalize.canonical(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(c(1L) === "example.com/a/b?a=1&b=2")
+    assert(c(1L) === c(2L))
+    assert(c(3L) === "example.com/a/b")
+    assert(c(3L) === c(4L))
+  }
+
   // ---- Hashed classifier -------------------------------------------------
 
   test("hashed classifier: order-invariant, multiplicity-linear scores") {
