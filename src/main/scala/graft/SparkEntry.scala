@@ -2387,6 +2387,16 @@ object SparkEntry {
       StreamOps.sessionizeBatch(s, t(s, dir, "events"), gapSeconds = 86400)
         .toDF().orderBy("user_id")),
 
+    // ---- ST21: event-time windows over the custom DSv2 stream — hourly
+    // windows accumulate ACROSS 4 admission-controlled micro-batches
+    // (windowed state merges over trigger boundaries); synthetic event
+    // time = epoch + id seconds; batch replay is the exact oracle ------
+    "st21_stream_windowed_seq" -> ((s, dir) =>
+      StreamOps.seqStreamWindowed(s, n = 20000L, parts = 4,
+          batchRows = 5000L, epoch = 1704067200L,
+          queryName = "graft_seqwin_" + System.nanoTime())
+        ._1.orderBy("hour_str")),
+
     // ---- ST18: streaming transition matrix — ValueState carries each
     // user's LAST event across micro-batches, so boundary-spanning
     // transitions count exactly once; equals the batch lead-window form
@@ -7376,6 +7386,17 @@ object SparkEntry {
         |  CAST(sum((id * 2654435761) % 1000000007) AS BIGINT) AS sum_val
         | FROM range(100000, 300000) t(id)
         | GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Windowed replay: hour buckets over the derived event time, exact
+    // integer sums — window state merged across triggers must vanish.
+    "st21_stream_windowed_seq" ->
+      """SELECT strftime(
+        |    to_timestamp((1704067200 + id) // 3600 * 3600),
+        |    '%Y-%m-%d %H:%M:%S') AS hour_str,
+        |  count(*) AS n,
+        |  CAST(sum((id * 2654435761) % 1000000007) AS BIGINT) AS sum_val
+        | FROM range(0, 20000) t(id)
+        | GROUP BY hour_str ORDER BY hour_str""".stripMargin,
 
     // Streaming drain of the same generated domain == batch aggregate
     // over it (exact replay; the micro-batching must not change results).

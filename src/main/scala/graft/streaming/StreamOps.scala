@@ -140,6 +140,45 @@ object StreamOps {
     (spark.table(queryName).select("bucket", "n", "sum_val"), batches)
   }
 
+  /** Event-time windowed aggregation over the custom DSv2 micro-batch
+    * source: each generated row gets a synthetic event time (epoch +
+    * id seconds), the stream carries a watermark, and hourly windows
+    * accumulate ACROSS the admission-controlled micro-batches — the
+    * combination st20's stateless-complete shape doesn't exercise:
+    * windowed state must merge correctly when one window's rows arrive
+    * split over several triggers. Batch replay over the same derived
+    * timestamps is the exact oracle.
+    */
+  def seqStreamWindowed(spark: SparkSession, n: Long, parts: Int,
+                        batchRows: Long, epoch: Long,
+                        queryName: String): (DataFrame, Long) = {
+    val src = spark.readStream
+      .format("graft.sources.SeqSourceProvider")
+      .option("n", n.toString)
+      .option("parts", parts.toString)
+      .option("batchRows", batchRows.toString)
+      .load()
+      .withColumn("ts", timestamp_seconds(lit(epoch) + col("id")))
+      .withWatermark("ts", "10 seconds")
+    val agg = src.groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"))
+    var batches = 0L
+    withStatePartitions(spark, HarnessStateParts) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+      q.stop()
+    }
+    (spark.table(queryName).select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_str"),
+      col("n"), col("sum_val")), batches)
+  }
+
   /** Gap-based sessionization, batch form: sessions break when consecutive
     * events of a user are more than `gapSeconds` apart. Exact integer
     * (microsecond) comparisons throughout.

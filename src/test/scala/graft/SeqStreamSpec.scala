@@ -32,6 +32,21 @@ class SeqStreamSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SeqOffset.parse("{}") }
   }
 
+  test("event-time windows merge state across admission-controlled " +
+      "triggers: 3600-row hours split over 2000-row batches") {
+    // every hourly window's rows span two triggers (3600 > 2000, not a
+    // multiple) — the windowed state MUST merge across batches
+    val (df, batches) = StreamOps.seqStreamWindowed(spark, n = 7200L,
+      parts = 2, batchRows = 2000L, epoch = 1704067200L,
+      queryName = "seqwin_spec")
+    assert(batches >= 4L, s"drained in $batches batches")
+    val rows = df.orderBy("hour_str").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(_._2).toSeq === Seq(3600L, 3600L))
+    assert(rows.map(_._1).toSeq ===
+      Seq("2024-01-01 00:00:00", "2024-01-01 01:00:00"))
+  }
+
   test("without a batchRows limit the drain is a single micro-batch") {
     val (df, batches) = StreamOps.seqStreamAgg(spark, n = 5000L,
       parts = 2, batchRows = Long.MaxValue,
