@@ -1370,6 +1370,34 @@ object SparkEntry {
           terms = Seq("spark", "join", "hash"))
         .orderBy("doc_id")),
 
+    // ---- T25: Unicode canonicalization — NFC + accent fold, the first
+    // normalization pass of a multilingual pipeline (NFD-vs-NFC variants
+    // of the same word are byte-different until normalized). Native JDK
+    // Normalizer expressions, map-only; fixtures pin NFD==NFC collapse --
+    "t25_unicode_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = Seq(
+        (-22L, "café crème Noël"), // precomposed (NFC)
+        (-21L, "café crème Nöel") // decomposed (NFD)
+      ).toDF("doc_id", "text")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+        .unionByName(fixtures)
+      val nfcC = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.NfcNormalize(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("text"))))
+      def strip(c: Column) =
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.AccentStrip(
+            org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+      docs.select(col("doc_id"),
+          nfcC.as("nfc_text"),
+          strip(lower(nfcC)).as("folded"),
+          (nfcC =!= col("text")).as("changed"))
+        .orderBy("doc_id")
+    }),
+
     // ---- T24: hashed-feature linear classifier — the fastText/WebText
     // quality-filter shape: hashing-trick buckets (no vocabulary),
     // deterministic stand-in weights, integer score, sign = label.
@@ -5137,6 +5165,21 @@ object SparkEntry {
     "t20_bpe_train" -> BpeTrainSql(4),
 
     "t21_bpe_encode" -> BpeEncodeSql(4),
+
+    // Unicode canonicalization via DuckDB's nfc_normalize/strip_accents
+    // builtins — parity with the JDK Normalizer expressions pinned on
+    // the NFD fixture (combining marks embedded in the literal).
+    "t25_unicode_normalize" -> (
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(-22 AS BIGINT), 'café crème Noël'),
+        |    (CAST(-21 AS BIGINT), 'cafe""" + "́" + """ cre""" +
+        "̀" + """me No""" + "̈" + """el')) t(doc_id, text))
+        |SELECT doc_id, nfc_normalize(text) AS nfc_text,
+        |  strip_accents(lower(nfc_normalize(text))) AS folded,
+        |  nfc_normalize(text) <> text AS changed
+        | FROM d ORDER BY doc_id""").stripMargin,
 
     // Hashing-trick classifier: md5-prefix bucket, Knuth weight,
     // integer sum, sign label — replayed bucket-for-bucket.

@@ -55,6 +55,28 @@ class Round6OpsSpec extends SparkSpec {
     assert(!r(2L).getAs[Boolean]("r_stopwords"))
   }
 
+  // ---- Unicode canonicalization ------------------------------------------
+
+  test("unicode: NFD and NFC spellings collapse; accents fold; " +
+      "non-decomposable characters pass through") {
+    import graft.functions.UnicodeNorm
+    val nfd = "café crème Nöel"
+    val nfc = "café crème Nöel"
+    assert(nfd !== nfc) // byte-different before normalization
+    assert(UnicodeNorm.nfc(nfd) === nfc)
+    assert(UnicodeNorm.stripAccents(nfc) === "cafe creme Noel")
+    assert(UnicodeNorm.stripAccents(nfd) === "cafe creme Noel")
+    // ø, ß, ł have no canonical decomposition — kept (the DuckDB
+    // strip_accents contract, probed directly)
+    assert(UnicodeNorm.stripAccents("søß łódź") === "søß łodz")
+    // codegen path agrees with the helper
+    UnicodeNorm.register(spark)
+    val out = Seq((1L, nfd)).toDF("id", "t")
+      .selectExpr("accent_strip(lower(nfc_normalize(t))) AS f")
+      .collect()(0).getString(0)
+    assert(out === "cafe creme noel")
+  }
+
   // ---- URL canonicalization ----------------------------------------------
 
   test("url canonical: case, slash, utm, param order, fragment collapse") {
