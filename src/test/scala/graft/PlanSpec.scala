@@ -640,4 +640,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"quota join should broadcast:\n${plan.take(4000)}")
   }
+
+  test("TWAP: the doc-keyed aggregate reuses the window's exchange — " +
+      "ONE hash exchange end to end") {
+    val plan = planOf("e16_twap")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, s"expected 1 hash exchange, got $n:\n${plan.take(4000)}")
+  }
+
+  test("incremental merge: two partial-summary exchanges, the merge " +
+      "itself adds none, and nothing joins") {
+    val plan = planOf("j12_delta_agg")
+    assert(!plan.contains("Join"), s"maintenance must not join:\n" +
+      plan.take(4000))
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 2,
+      s"expected the 2 partial exchanges only, got $n:\n${plan.take(4000)}")
+  }
+
+  test("url dedup: canonicalization is projection-only; one hash " +
+      "exchange for the canonical-key aggregate") {
+    val plan = planOf("d20_url_dedup")
+    assert(!plan.contains("Join"), s"no join belongs here:\n" +
+      plan.take(4000))
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, s"expected 1 hash exchange, got $n:\n${plan.take(4000)}")
+  }
 }
