@@ -964,6 +964,23 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- G8: PERSONALIZED PageRank — random walk with restart to a
+    // 4-customer seed set over the customer↔supplier graph: proximity-
+    // to-seeds ranking, teleport via UNION ALL + grouped sum (no outer
+    // join), mass spreads outward from the seeds only -------------------
+    "g8_personalized_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      val seeds = Seq(2L, 4L, 6L, 8L).toDF("id")
+      graft.ops.Graph.personalizedPageRank(edges, "a", "b", seeds, "id")
+        .orderBy(col("score").desc, col("id")).limit(20)
+    }),
+
     // ---- G7: common-neighbor LINK PREDICTION over the co-purchase graph
     // (Liben-Nowell 2003): non-adjacent part pairs sharing >= 2 co-buy
     // neighbors, Jaccard-scored in exact integer arithmetic. Wedge join
@@ -4552,6 +4569,48 @@ object SparkEntry {
         |        AS score
         |    FROM edges e JOIN r2 r ON e.src = r.id
         |    JOIN deg d ON e.src = d.src GROUP BY e.dst)
+        |SELECT id, score FROM r3 ORDER BY score DESC, id LIMIT 20"""
+        .stripMargin,
+
+    // PPR replay: seeds-only start, teleport to seeds via UNION ALL +
+    // grouped sum, three unrolled rounds of the same integer arithmetic.
+    "g8_personalized_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |  edges AS (SELECT a AS src, b AS dst FROM pairs
+        |    UNION SELECT b AS src, a AS dst FROM pairs),
+        |  deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |  seeds AS (SELECT CAST(unnest([2, 4, 6, 8]) AS BIGINT) AS id),
+        |  ns AS (SELECT count(*) AS n_seeds FROM seeds),
+        |  r0 AS (SELECT id,
+        |    1000000000000 // (SELECT n_seeds FROM ns) AS score FROM seeds),
+        |  c1 AS (SELECT e.dst AS id,
+        |      CAST(sum((r.score * 85 // 100) // d.outdeg) AS BIGINT)
+        |        AS score
+        |    FROM edges e JOIN r0 r ON e.src = r.id
+        |    JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |  r1 AS (SELECT id, CAST(sum(score) AS BIGINT) AS score FROM (
+        |    SELECT * FROM c1 UNION ALL
+        |    SELECT id, 150000000000 // (SELECT n_seeds FROM ns) AS score
+        |      FROM seeds) GROUP BY id),
+        |  c2 AS (SELECT e.dst AS id,
+        |      CAST(sum((r.score * 85 // 100) // d.outdeg) AS BIGINT)
+        |        AS score
+        |    FROM edges e JOIN r1 r ON e.src = r.id
+        |    JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |  r2 AS (SELECT id, CAST(sum(score) AS BIGINT) AS score FROM (
+        |    SELECT * FROM c2 UNION ALL
+        |    SELECT id, 150000000000 // (SELECT n_seeds FROM ns) AS score
+        |      FROM seeds) GROUP BY id),
+        |  c3 AS (SELECT e.dst AS id,
+        |      CAST(sum((r.score * 85 // 100) // d.outdeg) AS BIGINT)
+        |        AS score
+        |    FROM edges e JOIN r2 r ON e.src = r.id
+        |    JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |  r3 AS (SELECT id, CAST(sum(score) AS BIGINT) AS score FROM (
+        |    SELECT * FROM c3 UNION ALL
+        |    SELECT id, 150000000000 // (SELECT n_seeds FROM ns) AS score
+        |      FROM seeds) GROUP BY id)
         |SELECT id, score FROM r3 ORDER BY score DESC, id LIMIT 20"""
         .stripMargin,
 

@@ -238,6 +238,29 @@ class Round6OpsSpec extends SparkSpec {
     assert(r.isEmpty, s"got $r")
   }
 
+  // ---- Personalized PageRank ---------------------------------------------
+
+  test("PPR: proximity to the seed decays with distance; unreachable " +
+      "components get nothing") {
+    // path 0-1-2-3 plus a disconnected pair 10-11; seed {0}
+    val base = Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 10L -> 11L)
+    val edges = (base ++ base.map(_.swap)).toDF("s", "d")
+    val r = graft.ops.Graph.personalizedPageRank(edges, "s", "d",
+        Seq(0L).toDF("id"), "id", iterations = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // finite unconverged rounds oscillate on a bipartite path (mass
+    // parity), so per-node monotonicity is NOT guaranteed — the invariants
+    // are: the seed dominates, mass is conserved, unreachable gets none
+    assert(r.keySet === Set(0L, 1L, 2L, 3L), s"reachable set wrong: $r")
+    assert(r(0L) === r.values.max, s"seed must dominate: $r")
+    val total = r.values.sum
+    assert(total <= graft.ops.Graph.Scale &&
+      total >= graft.ops.Graph.Scale - 1000L,
+      s"mass leaked: $total vs ${graft.ops.Graph.Scale}")
+    assert(!r.contains(10L) && !r.contains(11L),
+      s"unreachable nodes must hold no mass: $r")
+  }
+
   // ---- MIPS --------------------------------------------------------------
 
   test("MIPS ranks by inner product, not cosine") {
