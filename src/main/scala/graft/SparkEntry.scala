@@ -981,6 +981,21 @@ object SparkEntry {
         .orderBy(col("score").desc, col("id")).limit(20)
     }),
 
+    // ---- G9: HITS hub/authority (Kleinberg 1999) over the DIRECTED
+    // customer→supplier purchase graph: customers score as hubs,
+    // suppliers as authorities — the two-sided ranking PageRank's single
+    // stationary distribution can't express. Exact 1e12 fixed point;
+    // per-round L1 normalization by a one-row broadcast total ------------
+    "g9_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      graft.ops.Graph.hits(edges, "a", "b", iterations = 2)
+        .orderBy(col("auth").desc, col("hub").desc, col("id")).limit(30)
+    }),
+
     // ---- G7: common-neighbor LINK PREDICTION over the co-purchase graph
     // (Liben-Nowell 2003): non-adjacent part pairs sharing >= 2 co-buy
     // neighbors, Jaccard-scored in exact integer arithmetic. Wedge join
@@ -1367,6 +1382,37 @@ object SparkEntry {
     "t18_char_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // ---- T26: Zipf power-law fit — the corpus-health check that the
+    // token frequency curve follows rank^(-s) (a corpus that DOESN'T is
+    // usually TEMPLATED: boilerplate, logs, spam). OLS slope of
+    // log2(count) on log2(rank) over the top-1024 vocab, with the logs
+    // taken as EXACT integer floor-log2 (length(bin(x))-1 — no libm, so
+    // both engines agree bit-for-bit) and the slope emitted as the
+    // cross-multiplied (num, den) rational. Vocab top-K is
+    // TakeOrderedAndProject (no global sort of the vocabulary); the rank
+    // window runs on the bounded 1024-row set ---------------------------
+    "t26_zipf_fit" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(1024)
+      val w = Window.orderBy(col("n").desc, col("token"))
+      val pts = vocab
+        .withColumn("r", row_number().over(w).cast("long"))
+        .select((length(bin(col("r"))) - 1).cast("long").as("x"),
+          (length(bin(col("n"))) - 1).cast("long").as("y"))
+      pts.agg(
+          count(lit(1)).as("n_pts"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n_pts"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+          (col("n_pts") * col("sxy") - col("sx") * col("sy"))
+            .as("slope_num"),
+          (col("n_pts") * col("sxx") - col("sx") * col("sx"))
+            .as("slope_den"))
+    }),
 
     // ---- T22: the GOPHER quality-rule battery (Rae 2021 App. A) — every
     // published rule as a cross-multiplied integer verdict, map-only (one
@@ -1788,6 +1834,30 @@ object SparkEntry {
     // O(n²) hamming predicate; graft.plans.HammingJoinRewrite re-plans it
     // into the chunked equality join (no nested loop; plan pinned in
     // HammingJoinSpec/PlanSpec). Exact for d <= chunks-1 by pigeonhole ----
+    // ---- M8: MEDIA near-duplicate pairs — the d8 Hamming machinery
+    // applied to the m7 PERCEPTUAL hashes: payload pairs whose 56-bit
+    // dHash differs in <= 8 bits (re-encoded/resized variants of the
+    // same image land within a few bits; unrelated images are ~28 apart).
+    // The declarative bit_count predicate is re-planned by
+    // HammingJoinRewrite into the pigeonhole chunk-equality join — no
+    // all-pairs comparison at any corpus size ---------------------------
+    "m8_media_neardup" -> ((s, dir) => {
+      val ph = Multimodal.perceptualHash(
+          Multimodal.toMediaTable(
+            t(s, dir, "documents").filter(col("text").isNotNull)))
+        .filter(col("phash").isNotNull)
+        .cache()
+      val a = ph.select(col("doc_id").as("id_a"), col("phash").as("ph_a"))
+      val b = ph.select(col("doc_id").as("id_b"), col("phash").as("ph_b"))
+      a.join(b,
+          SimHash.hammingLE(col("ph_a"), col("ph_b"), 8) &&
+            col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long")
+            .as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "d8_auto_hamming_join" -> ((s, dir) => {
       val sk = SimHash.sketch(t(s, dir, "documents"), "doc_id", "text")
         .cache()
@@ -2975,6 +3045,32 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- E17: EWMA smoothing — the classic α=1/2 exponential filter
+    // with DYADIC weights (2^15, 2^14, …, 1 over the trailing 16 samples)
+    // so the smoothed value is an exact integer pair (weighted sum,
+    // weight sum) instead of a float recurrence: the truncated-tail
+    // error is < 2^-16 of the signal, and the reader divides downstream
+    // (same no-ratio discipline as e14). Per-key window, 16 lag taps,
+    // one codegen'd Window — the sort never leaves the user partition --
+    "e17_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val base = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          cents(col("value")).as("v_cents"))
+      val taps = (0 to 15).map { i =>
+        val weight = 1L << (15 - i)
+        val v = if (i == 0) col("v_cents") else lag(col("v_cents"), i).over(w)
+        (when(v.isNotNull, v * weight).otherwise(0L),
+          when(v.isNotNull, lit(weight)).otherwise(lit(0L)))
+      }
+      base
+        .withColumn("ewma_num", taps.map(_._1).reduce(_ + _))
+        .withColumn("ewma_den", taps.map(_._2).reduce(_ + _).cast("long"))
+        .select("user_id", "event_id", "v_cents", "ewma_num", "ewma_den")
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- E14: period-over-period growth — revenue per (segment, year)
     // with the prior year carried in by lag; the delta stays an integer
     // SUBTRACTION (no ratio: Spark `div` truncates toward zero, DuckDB
@@ -3126,6 +3222,19 @@ object SparkEntry {
           t(s, dir, "documents"), Seq("lang"), "n_chars",
           widths = Seq(50L, 100L, 200L, 400L, 800L), k = 5)
         .orderBy("width")),
+
+    // ---- V3: t-CLOSENESS audit (Li 2007) — the skewness-attack check
+    // after k-anonymity/l-diversity: per-QID-group total-variation
+    // distance of the sensitive (lang) distribution from the corpus-wide
+    // one, in cross-multiplied exact integers (num/den pair + basis
+    // points). One (QID, sens) shuffle; global histogram broadcasts ------
+    "v3_t_closeness" -> ((s, dir) =>
+      graft.ops.Governance.tClosenessAudit(
+          t(s, dir, "documents"),
+          qidCols = Seq(col("source"), expr("n_chars div 100")),
+          qidNames = Seq("source", "len_bucket"),
+          sensitive = col("lang"), tBasisPoints = 2500)
+        .orderBy("source", "len_bucket")),
 
     // ---- D17: benchmark LEAKAGE RATE — the evaluation-integrity number
     // a corpus release quotes: share of benchmark docs sharing any 4-gram
@@ -4614,6 +4723,44 @@ object SparkEntry {
         |SELECT id, score FROM r3 ORDER BY score DESC, id LIMIT 20"""
         .stripMargin,
 
+    // HITS replay: two unrolled power-iteration rounds, L1-normalized
+    // per pass by integer division with a one-row total — all values
+    // positive, so DuckDB's flooring // matches Spark's truncating div.
+    "g9_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |  h0 AS (SELECT id, 1000000000000 AS hub FROM (
+        |    SELECT src AS id FROM e UNION SELECT dst FROM e)),
+        |  a1r AS (SELECT e.dst AS id, CAST(sum(h.hub) AS BIGINT) AS auth
+        |    FROM e JOIN h0 h ON e.src = h.id GROUP BY e.dst),
+        |  a1 AS (SELECT id, auth // greatest(1, CAST(
+        |      (SELECT sum(auth) FROM a1r) AS BIGINT) // 1000000000000)
+        |      AS auth
+        |    FROM a1r),
+        |  h1r AS (SELECT e.src AS id, CAST(sum(a.auth) AS BIGINT) AS hub
+        |    FROM e JOIN a1 a ON e.dst = a.id GROUP BY e.src),
+        |  h1 AS (SELECT id, hub // greatest(1, CAST(
+        |      (SELECT sum(hub) FROM h1r) AS BIGINT) // 1000000000000)
+        |      AS hub
+        |    FROM h1r),
+        |  a2r AS (SELECT e.dst AS id, CAST(sum(h.hub) AS BIGINT) AS auth
+        |    FROM e JOIN h1 h ON e.src = h.id GROUP BY e.dst),
+        |  a2 AS (SELECT id, auth // greatest(1, CAST(
+        |      (SELECT sum(auth) FROM a2r) AS BIGINT) // 1000000000000)
+        |      AS auth
+        |    FROM a2r),
+        |  h2r AS (SELECT e.src AS id, CAST(sum(a.auth) AS BIGINT) AS hub
+        |    FROM e JOIN a2 a ON e.dst = a.id GROUP BY e.src),
+        |  h2 AS (SELECT id, hub // greatest(1, CAST(
+        |      (SELECT sum(hub) FROM h2r) AS BIGINT) // 1000000000000)
+        |      AS hub
+        |    FROM h2r)
+        |SELECT coalesce(a.id, h.id) AS id,
+        |    coalesce(a.auth, CAST(0 AS BIGINT)) AS auth,
+        |    coalesce(h.hub, CAST(0 AS BIGINT)) AS hub
+        |  FROM a2 a FULL OUTER JOIN h2 h ON a.id = h.id
+        |  ORDER BY auth DESC, hub DESC, id LIMIT 30""".stripMargin,
+
     // Naive oriented (a<b) three-way join — the degree orientation the
     // engine uses changes intermediate sizes, never the count.
     "g2_triangles" ->
@@ -4794,6 +4941,29 @@ object SparkEntry {
         | GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
     // TWAP: duration-weighted integral in exact integer µs × cents.
+    // EWMA replay: the 16 dyadic lag taps written out longhand.
+    "e17_ewma" -> {
+      val taps = (0 to 15).map { i =>
+        val weight = 1L << (15 - i)
+        if (i == 0) (s"v_cents * $weight", s"$weight")
+        else (s"coalesce(l$i * $weight, 0)",
+          s"CASE WHEN l$i IS NULL THEN 0 ELSE $weight END")
+      }
+      val lags = (1 to 15).map(i => s"lag(v_cents, $i) OVER w AS l$i")
+        .mkString(",\n    ")
+      s"""WITH base AS (SELECT user_id, event_id,
+         |    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         |    CAST(round(value * 100) AS BIGINT) AS v_cents FROM events),
+         | lagged AS (SELECT user_id, event_id, v_cents,
+         |    $lags
+         |  FROM base WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id))
+         |SELECT user_id, event_id, v_cents,
+         |  CAST(${taps.map(_._1).mkString(" + ")} AS BIGINT) AS ewma_num,
+         |  CAST(${taps.map(_._2).mkString(" + ")} AS BIGINT) AS ewma_den
+         | FROM lagged ORDER BY user_id, event_id""".stripMargin
+    },
+
     "e16_twap" ->
       """WITH e AS (SELECT user_id, event_id,
         |    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
@@ -5445,6 +5615,27 @@ object SparkEntry {
         |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
         |   AND a.p_partkey < b.p_partkey)
         | WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // Zipf replay: integer floor-log2 via binary-string length on both
+    // engines (bin() in Spark, format('{:b}') in DuckDB) — no libm log.
+    "t26_zipf_fit" ->
+      """WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),
+        |    '\S+')) AS token FROM documents),
+        | vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks
+        |   GROUP BY token ORDER BY n DESC, token LIMIT 1024),
+        | ranked AS (SELECT n, CAST(row_number() OVER (
+        |     ORDER BY n DESC, token) AS BIGINT) AS r FROM vocab),
+        | pts AS (SELECT
+        |   CAST(length(format('{:b}', r)) - 1 AS BIGINT) AS x,
+        |   CAST(length(format('{:b}', n)) - 1 AS BIGINT) AS y
+        |  FROM ranked),
+        | agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pts,
+        |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |   CAST(sum(x*y) AS BIGINT) AS sxy,
+        |   CAST(sum(x*x) AS BIGINT) AS sxx FROM pts)
+        |SELECT n_pts, sx, sy, sxy, sxx,
+        |  n_pts*sxy - sx*sy AS slope_num,
+        |  n_pts*sxx - sx*sx AS slope_den FROM agg""".stripMargin,
 
     "t7_vocab_topk" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
@@ -6687,6 +6878,34 @@ object SparkEntry {
     // dHash56 replay: 9×7 grid of code-point means (integer div), 56
     // neighbor-compare bits packed little-endian by (row, col); payloads
     // shorter than 63 code points are NULL (undecodable thumbnail).
+    // Media near-dup replay: m7's dHash grid verbatim, then the naive
+    // all-pairs bit_count join — the engine's pigeonhole rewrite changes
+    // candidate generation, never the matched set.
+    "m8_media_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) // 63 AS q
+        |  FROM documents WHERE text IS NOT NULL),
+        | grid AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 63), t ->
+        |      list_sum(list_transform(
+        |        string_split(substr(text, t * q + 1, q), ''),
+        |        c -> unicode(c))) // q) AS v
+        |  FROM d WHERE q > 0),
+        | hashed AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 56), b ->
+        |      CASE WHEN v[(b // 8) * 9 + (b % 8) + 1] >
+        |                v[(b // 8) * 9 + (b % 8) + 2]
+        |        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
+        |      AS phash
+        |  FROM grid)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        | FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.phash, b.phash)) <= 8
+        | ORDER BY id_a, id_b""".stripMargin,
+
     "m7_phash" ->
       """WITH d AS (
         |  SELECT doc_id, text,
@@ -7366,6 +7585,37 @@ object SparkEntry {
         |  count(DISTINCT lang) >= 3 AS l_ok
         | FROM documents GROUP BY source, len_bucket
         | ORDER BY source, len_bucket""".stripMargin,
+
+    // t-closeness replay: the same cross-multiplied TVD algebra; the
+    // absent-values term folds in via N_g·(N − Σ n_v over present).
+    "v3_t_closeness" ->
+      """WITH base AS (SELECT source, n_chars // 100 AS len_bucket,
+        |    coalesce(CAST(lang AS VARCHAR), '~null~') AS sens
+        |  FROM documents),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM base),
+        | gv AS (SELECT source, len_bucket, sens,
+        |    CAST(count(*) AS BIGINT) AS n_gv
+        |  FROM base GROUP BY source, len_bucket, sens),
+        | v AS (SELECT sens, CAST(count(*) AS BIGINT) AS n_v
+        |  FROM base GROUP BY sens),
+        | g AS (SELECT source, len_bucket,
+        |    CAST(sum(n_gv) AS BIGINT) AS n_g,
+        |    CAST(sum(n_v) AS BIGINT) AS sum_v_present
+        |  FROM gv JOIN v USING (sens) GROUP BY source, len_bucket),
+        | agg AS (SELECT gv.source, gv.len_bucket,
+        |    CAST(max(g.n_g) AS BIGINT) AS k_of_group,
+        |    CAST(sum(abs(n_gv * (SELECT n_total FROM tot) - n_v * g.n_g))
+        |      + max(g.n_g * ((SELECT n_total FROM tot) - g.sum_v_present))
+        |      AS BIGINT) AS tvd_num,
+        |    CAST(max(2 * g.n_g * (SELECT n_total FROM tot)) AS BIGINT)
+        |      AS tvd_den
+        |  FROM gv JOIN v USING (sens)
+        |    JOIN g ON gv.source = g.source AND gv.len_bucket = g.len_bucket
+        |  GROUP BY gv.source, gv.len_bucket)
+        |SELECT source, len_bucket, k_of_group, tvd_num, tvd_den,
+        |  tvd_num * 10000 // tvd_den AS tvd_bp,
+        |  tvd_num * 10000 // tvd_den <= 2500 AS t_ok
+        | FROM agg ORDER BY source, len_bucket""".stripMargin,
 
     "c12_corpus_card" ->
       """WITH d AS (SELECT source, lang, md5(text) AS digest,

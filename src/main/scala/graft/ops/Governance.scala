@@ -78,6 +78,58 @@ object Governance {
       .drop("__min_ok")
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the privacy-audit ladder after k-anonymity and l-diversity:
+    * a group can satisfy both and still leak if its SENSITIVE-VALUE
+    * DISTRIBUTION deviates from the corpus-wide one (the skewness
+    * attack: "everyone in this small town has *some* diagnosis" vs
+    * "90% of this QID group has diagnosis X"). The distance is total
+    * variation: TVD(g) = ½ Σ_v |p_g(v) − p(v)|.
+    *
+    * Exact integers under the hash gate: cross-multiplied form
+    * `tvd_num = Σ_v |n_gv·N − n_v·N_g| + N_g·(N − Σ_{v∈g} n_v)` over
+    * `tvd_den = 2·N_g·N` (the second term folds all sensitive values
+    * ABSENT from the group without enumerating them), plus basis points
+    * `tvd_num·10⁴ div tvd_den` — all positive, so truncation agrees
+    * across engines. Magnitudes stay ≤ n²·10⁴, far under BIGINT even at
+    * 10¹² rows would overflow — at that scale drop the bp column and
+    * compare num·10⁴ against den·t directly.
+    *
+    * Scale shape: one hash aggregation on (QID, sensitive), the global
+    * sensitive histogram enters as a BROADCAST (|distinct sensitive|
+    * rows), corpus total as a one-row broadcast — the audit of a 100 TB
+    * table costs one shuffle of (QID, sensitive)-keyed counts.
+    */
+  def tClosenessAudit(df: DataFrame, qidCols: Seq[Column],
+                      qidNames: Seq[String], sensitive: Column,
+                      tBasisPoints: Int): DataFrame = {
+    val named = qidCols.zip(qidNames).map { case (c, n) => c.as(n) }
+    val base = df.select(named :+
+      coalesce(sensitive.cast("string"), lit("~null~")).as("__sens"): _*)
+    // (QID, sensitive) histogram — THE one corpus-sized shuffle
+    val gv = base.groupBy((qidNames.map(col) :+ col("__sens")): _*)
+      .agg(count(lit(1)).as("n_gv"))
+    // global sensitive histogram + corpus total ride in as broadcasts
+    val v = base.groupBy(col("__sens")).agg(count(lit(1)).as("n_v"))
+    val total = base.agg(count(lit(1)).as("n_total"))
+    val joined = gv.join(broadcast(v), "__sens").crossJoin(broadcast(total))
+    // per-group totals, then joined back on the SAME qid key (the join
+    // reuses gv's exchange partitioning; the g side is |groups| rows)
+    val g = joined.groupBy(qidNames.map(col): _*)
+      .agg(sum(col("n_gv")).as("n_g"),
+        sum(col("n_v")).as("sum_v_present"))
+    joined.join(g, qidNames)
+      .groupBy(qidNames.map(col): _*)
+      .agg(
+        first(col("n_g")).as("k_of_group"),
+        (sum(abs(col("n_gv") * col("n_total") - col("n_v") * col("n_g")))
+          + first(col("n_g") * (col("n_total") - col("sum_v_present"))))
+          .as("tvd_num"),
+        first(lit(2L) * col("n_g") * col("n_total")).as("tvd_den"))
+      .withColumn("tvd_bp", expr("tvd_num * 10000L div tvd_den"))
+      .withColumn("t_ok", col("tvd_bp") <= tBasisPoints)
+  }
+
   /** The release decision the audit feeds: rows whose QID group violates
     * k-anonymity (SUPPRESSION set — drop or generalize before release).
     * Broadcast of the violating groups keeps the corpus side map-only
