@@ -996,6 +996,26 @@ object SparkEntry {
         .orderBy(col("auth").desc, col("hub").desc, col("id")).limit(30)
     }),
 
+    // ---- G10: Newman MODULARITY of the nation partition over the
+    // customer↔supplier purchase graph — "is trade nation-assortative?"
+    // Per-community exact rational (4·m·m_c − d_c², / 4m²); label
+    // attachment is two joins, then ONE community-keyed aggregation ------
+    "g10_modularity" -> ((s, dir) => {
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val labels = t(s, dir, "customer")
+        .select((col("c_custkey") * 2).as("node"),
+          col("c_nationkey").as("community"))
+        .unionByName(t(s, dir, "supplier")
+          .select((col("s_suppkey") * 2 + 1).as("node"),
+            col("s_nationkey").as("community")))
+      graft.ops.Graph.modularity(e, "a", "b", labels, "node", "community")
+        .orderBy("community")
+    }),
+
     // ---- G7: common-neighbor LINK PREDICTION over the co-purchase graph
     // (Liben-Nowell 2003): non-adjacent part pairs sharing >= 2 co-buy
     // neighbors, Jaccard-scored in exact integer arithmetic. Wedge join
@@ -1382,6 +1402,15 @@ object SparkEntry {
     "t18_char_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // ---- T27: RAKE keyword extraction (Rose 2010) — frequency-derived
+    // stoplist as phrase delimiters, gaps-and-islands phrase runs per
+    // doc, degree-scored in exact integers. The "what is this corpus
+    // about" signal next to t9's tf-idf. nStopwords adapted to the
+    // synthetic 31-word vocabulary (top-5; a natural corpus uses ~50) ----
+    "t27_rake_keywords" -> ((s, dir) =>
+      TextAnalysis.rakeKeywords(t(s, dir, "documents"), "doc_id", "text",
+        nStopwords = 5)),
 
     // ---- T26: Zipf power-law fit — the corpus-health check that the
     // token frequency curve follows rank^(-s) (a corpus that DOESN'T is
@@ -1834,6 +1863,25 @@ object SparkEntry {
     // O(n²) hamming predicate; graft.plans.HammingJoinRewrite re-plans it
     // into the chunked equality join (no nested loop; plan pinned in
     // HammingJoinSpec/PlanSpec). Exact for d <= chunks-1 by pigeonhole ----
+    // ---- D21: CONTENT-DEFINED CHUNK dedup (LBFS/FastCDC) — boundaries
+    // where the 8-point rolling hash hits h%64==0, so chunk digests
+    // survive insertions/shifts that would re-digest every fixed-size
+    // block; the cross-doc digest table IS the storage-dedup map. One
+    // codegen'd chunking pass, one digest-keyed aggregation ------------
+    "d21_cdc_chunks" -> ((s, dir) => {
+      val chunks = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.CdcChunks(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("text"))))
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(chunks).as("c"))
+        .select(col("doc_id"), col("c.digest").as("digest"))
+        .groupBy("digest")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_occ").desc, col("digest")).limit(100)
+    }),
+
     // ---- M8: MEDIA near-duplicate pairs — the d8 Hamming machinery
     // applied to the m7 PERCEPTUAL hashes: payload pairs whose 56-bit
     // dHash differs in <= 8 bits (re-encoded/resized variants of the
@@ -4723,6 +4771,30 @@ object SparkEntry {
         |SELECT id, score FROM r3 ORDER BY score DESC, id LIMIT 20"""
         .stripMargin,
 
+    // Modularity replay: the same per-community rational; m via scalar
+    // subquery (the engine's one-row broadcast).
+    "g10_modularity" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |  lab AS (SELECT c_custkey*2 AS node, c_nationkey AS community
+        |      FROM customer
+        |    UNION ALL
+        |    SELECT s_suppkey*2+1, s_nationkey FROM supplier),
+        |  led AS (SELECT la.community AS ca, lb.community AS cb
+        |    FROM pairs JOIN lab la ON pairs.a = la.node
+        |      JOIN lab lb ON pairs.b = lb.node),
+        |  m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM led),
+        |  sides AS (SELECT ca AS community,
+        |      CASE WHEN ca = cb THEN 1 ELSE 0 END AS intra FROM led
+        |    UNION ALL SELECT cb, 0 FROM led),
+        |  agg AS (SELECT community, CAST(count(*) AS BIGINT) AS d_c,
+        |      CAST(sum(intra) AS BIGINT) AS m_c
+        |    FROM sides GROUP BY community)
+        |SELECT community, m_c, d_c, (SELECT m FROM m) AS m,
+        |  4*(SELECT m FROM m)*m_c - d_c*d_c AS q_num,
+        |  4*(SELECT m FROM m)*(SELECT m FROM m) AS q_den
+        | FROM agg ORDER BY community""".stripMargin,
+
     // HITS replay: two unrolled power-iteration rounds, L1-normalized
     // per pass by integer division with a one-row total — all values
     // positive, so DuckDB's flooring // matches Spark's truncating div.
@@ -5615,6 +5687,47 @@ object SparkEntry {
         |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
         |   AND a.p_partkey < b.p_partkey)
         | WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // RAKE replay: same frequency stoplist, islands segmentation via
+    // pos - row_number(), degree scoring — all integer.
+    "t27_rake_keywords" ->
+      """WITH base AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '\S+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        | toks0 AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+        |   SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |     i -> struct_pack(pos := i,
+        |       w := regexp_replace(t[CAST(i AS INT)], '[^a-z0-9]', '',
+        |         'g')))) AS u
+        |   FROM base) WHERE u.w <> ''),
+        | stop AS (SELECT w FROM (SELECT w, count(*) AS n FROM toks0
+        |   GROUP BY w ORDER BY n DESC, w LIMIT 5)),
+        | runs AS (SELECT doc_id, pos, w,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS phrase_id
+        |  FROM toks0 WHERE w NOT IN (SELECT w FROM stop)),
+        | phrases AS (SELECT doc_id, phrase_id,
+        |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS n_words
+        |  FROM runs GROUP BY doc_id, phrase_id HAVING count(*) <= 8),
+        | wip AS (SELECT r.doc_id, r.phrase_id, r.w, p.n_words
+        |  FROM runs r JOIN phrases p
+        |    ON r.doc_id = p.doc_id AND r.phrase_id = p.phrase_id),
+        | deg AS (SELECT w, CAST(sum(n_words) AS BIGINT) AS deg
+        |  FROM wip GROUP BY w),
+        | scored AS (SELECT wip.doc_id, wip.phrase_id,
+        |    CAST(sum(deg.deg) AS BIGINT) AS score
+        |  FROM wip JOIN deg ON wip.w = deg.w
+        |  GROUP BY wip.doc_id, wip.phrase_id),
+        | agg AS (SELECT p.phrase,
+        |    CAST(max(p.n_words) AS BIGINT) AS n_words,
+        |    CAST(count(*) AS BIGINT) AS n_occ,
+        |    CAST(max(s.score) AS BIGINT) AS score
+        |  FROM scored s JOIN phrases p
+        |    ON s.doc_id = p.doc_id AND s.phrase_id = p.phrase_id
+        |  GROUP BY p.phrase)
+        |SELECT phrase, n_words, n_occ, score FROM agg
+        | ORDER BY score DESC, phrase LIMIT 40""".stripMargin,
 
     // Zipf replay: integer floor-log2 via binary-string length on both
     // engines (bin() in Spark, format('{:b}') in DuckDB) — no libm log.
@@ -6878,6 +6991,38 @@ object SparkEntry {
     // dHash56 replay: 9×7 grid of code-point means (integer div), 56
     // neighbor-compare bits packed little-endian by (row, col); payloads
     // shorter than 63 code points are NULL (undecodable thumbnail).
+    // CDC replay: per-position 8-point window hash via list_reduce over
+    // a code-point slice; boundary iff h%64==0; md5 per chunk substring.
+    "d21_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(length(text) AS BIGINT) AS n,
+        |    list_transform(range(1, length(text) + 1), i ->
+        |      CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+        |      AS cps
+        |  FROM documents WHERE text IS NOT NULL),
+        | bnd AS (SELECT doc_id, text, n,
+    |    list_concat(list_concat(
+        |      [CAST(0 AS BIGINT)],
+        |      list_filter(range(8, n + 1), i ->
+        |        list_reduce(
+        |          list_prepend(CAST(0 AS BIGINT),
+        |            list_slice(cps, CAST(i - 7 AS INT), CAST(i AS INT))),
+        |          (acc, cp) -> (acc * 31 + cp) % 1000000007) % 64 = 0)),
+        |      CASE WHEN n > 0 THEN [n] ELSE [] END) AS bs
+        |  FROM d),
+        | chunks AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(bs)), k ->
+        |      CASE WHEN bs[CAST(k + 1 AS INT)] > bs[CAST(k AS INT)]
+        |        THEN md5(substr(text, CAST(bs[CAST(k AS INT)] + 1 AS INT),
+        |          CAST(bs[CAST(k + 1 AS INT)] - bs[CAST(k AS INT)] AS INT)))
+        |        END)) AS digest
+        |  FROM bnd),
+        | agg AS (SELECT digest, CAST(count(*) AS BIGINT) AS n_occ,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM chunks WHERE digest IS NOT NULL GROUP BY digest)
+        |SELECT digest, n_occ, n_docs FROM agg WHERE n_docs >= 2
+        | ORDER BY n_occ DESC, digest LIMIT 100""".stripMargin,
+
     // Media near-dup replay: m7's dHash grid verbatim, then the naive
     // all-pairs bit_count join — the engine's pigeonhole rewrite changes
     // candidate generation, never the matched set.

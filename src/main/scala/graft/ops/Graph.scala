@@ -324,6 +324,52 @@ object Graph {
     scored
   }
 
+  /** Newman modularity of a node partition (Newman & Girvan 2004) — the
+    * standard "is this community structure real?" score: for partition c,
+    * Q = Σ_c [ m_c/m − (d_c/2m)² ] where m = |edges|, m_c = intra-
+    * community edges, d_c = total degree of community c. Q ≈ 0 means the
+    * partition explains nothing beyond random chance at the same degree
+    * sequence; Q > 0.3 is conventionally "strong structure". Takes the
+    * partition as DATA (a node→community labeling — nation, component
+    * label from [[ConnectedComponents]], cluster id), so it composes
+    * with any upstream grouping.
+    *
+    * Exact integer rational under the hash gate: per-community
+    * contribution `q_num = 4·m·m_c − d_c²` over the shared `q_den = 4m²`
+    * (Σ q_num / q_den = Q). Magnitudes ≤ 4m² — BIGINT-safe to ~10⁹
+    * edges; past that, emit (m_c, d_c, m) and let the reader divide.
+    *
+    * Scale shape: label attachment is two equi-joins against the node→
+    * community map (hash-partitioned on node id — broadcast when the
+    * map is a dimension), then ONE community-keyed aggregation; `m`
+    * enters as a one-row broadcast. No self-joins, no windows.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, nodeCol: String,
+                 communityCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val lab = labels.select(col(nodeCol).as("node"),
+      col(communityCol).as("community"))
+    val labeled = e
+      .join(lab.select(col("node").as("a"), col("community").as("ca")), "a")
+      .join(lab.select(col("node").as("b"), col("community").as("cb")), "b")
+      .persist()
+    val m = labeled.agg(count(lit(1)).as("m"))
+    // degree mass: each edge endpoint contributes 1 to its community;
+    // intra edges contribute 1 to m_c — one union + one aggregation
+    val sides = labeled.select(col("ca").as("community"),
+        when(col("ca") === col("cb"), 1L).otherwise(0L).as("intra"))
+      .unionAll(labeled.select(col("cb").as("community"), lit(0L).as("intra")))
+    sides.groupBy("community")
+      .agg(count(lit(1)).as("d_c"), sum(col("intra")).as("m_c"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("m_c"), col("d_c"), col("m"),
+        (lit(4L) * col("m") * col("m_c") - col("d_c") * col("d_c"))
+          .as("q_num"),
+        (lit(4L) * col("m") * col("m")).as("q_den"))
+  }
+
   /** HITS hub/authority scores (Kleinberg 1999) over a DIRECTED edge
     * list — the second classic link-analysis ranking next to
     * [[pageRank]]: a good HUB points at many good authorities, a good

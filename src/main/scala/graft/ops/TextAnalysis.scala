@@ -561,4 +561,59 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms_hit"), sum("tf").as("tf_total"))
       .filter(col("n_terms_hit") === terms.size)
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010) with the paper's
+    * frequency-derived stoplist: the corpus' `nStopwords` most frequent
+    * tokens become phrase DELIMITERS, candidate phrases are the maximal
+    * runs of non-stoplist tokens between them, and each phrase scores
+    * by the degree variant — Σ over its words of deg(w), where deg(w)
+    * is the total length of all phrases containing w (co-occurrence
+    * degree). Degree scoring keeps the whole computation exact-integer
+    * (the deg/freq ratio variant would sum unlike fractions), which is
+    * what lets a ranking heuristic sit under the hash-equality gate.
+    *
+    * Phrase segmentation is the gaps-and-islands trick: after dropping
+    * delimiter tokens, `pos − row_number() over (doc, pos)` is constant
+    * exactly within a consecutive run — a per-DOC window (the sort
+    * never leaves the doc partition), not a corpus sort. Word-degree
+    * aggregation is one token-keyed shuffle; the stoplist is a 50-row
+    * broadcast anti-join. Phrases longer than `maxWords` are discarded
+    * before scoring (original RAKE's phrase-length cap).
+    */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+                   nStopwords: Int = 50, maxWords: Int = 8,
+                   topK: Int = 40): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks0 = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))))
+      .select(col("doc_id"), col("pos"),
+        regexp_replace(col("col"), "[^a-z0-9]", "").as("w"))
+      .filter(col("w") =!= "")
+    val stop = toks0.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(nStopwords)
+      .select("w")
+    val runs = toks0.join(broadcast(stop), Seq("w"), "left_anti")
+      .withColumn("phrase_id", col("pos") - row_number().over(win))
+    val phrases = runs.groupBy("doc_id", "phrase_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("ws"))
+      .select(col("doc_id"), col("phrase_id"),
+        expr("array_join(transform(ws, x -> x.w), ' ')").as("phrase"),
+        size(col("ws")).cast("long").as("n_words"))
+      .filter(col("n_words") <= maxWords)
+    val wip = runs.join(
+      phrases.select("doc_id", "phrase_id", "n_words"),
+      Seq("doc_id", "phrase_id"))
+    val deg = wip.groupBy("w").agg(sum(col("n_words")).as("deg"))
+    val scored = wip.join(deg, "w")
+      .groupBy("doc_id", "phrase_id")
+      .agg(sum(col("deg")).as("score"))
+      .join(phrases, Seq("doc_id", "phrase_id"))
+    // identical phrase strings carry identical scores (the words decide)
+    // — max() is just the hash-stable way to pick the shared value
+    scored.groupBy("phrase")
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occ"), max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("phrase")).limit(topK)
+  }
 }

@@ -81,6 +81,105 @@ class Round6bOpsSpec extends SparkSpec {
     assert(r("a").getAs[Long]("tvd_bp") >= 1250L)
   }
 
+  // ---- CDC chunking -----------------------------------------------------
+
+  private def digests(s: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val arr = graft.functions.CdcChunks.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      .asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map { i =>
+      arr.getStruct(i, 3).getUTF8String(2).toString
+    }
+  }
+
+  test("cdc: chunks cover the document exactly, in order") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val s = ("spark join hash batch " * 40).trim
+    val arr = graft.functions.CdcChunks.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      .asInstanceOf[ArrayData]
+    var expectStart = 0L
+    (0 until arr.numElements()).foreach { i =>
+      val r = arr.getStruct(i, 3)
+      assert(r.getLong(0) == expectStart, "chunks must tile the doc")
+      expectStart += r.getLong(1)
+    }
+    assert(expectStart == s.length.toLong)
+  }
+
+  test("cdc: boundaries re-synchronize after a front insertion") {
+    // THE content-defined property: prepend bytes and the tail chunks
+    // keep their digests (fixed-size blocking would re-digest all)
+    // aperiodic content so chunk digests are distinct
+    val base = (1 to 400).map(i => s"w${i * 7919}").mkString(" ")
+    val a = digests(base)
+    val b = digests("XYZPREFIX " + base)
+    assert(a.size > 3, s"need several chunks, got ${a.size}")
+    val shared = a.toSet intersect b.toSet
+    assert(shared.size >= a.toSet.size - 2,
+      s"only ${shared.size}/${a.toSet.size} chunk digests survived the shift")
+  }
+
+  test("cdc: short and empty docs degrade to whole-doc / no chunks") {
+    assert(digests("") === Seq())
+    val one = digests("tiny")
+    assert(one.size == 1)
+  }
+
+  // ---- Modularity -------------------------------------------------------
+
+  test("modularity: two clean cliques under the true partition score " +
+      "positive; under a cross-cutting partition they score negative") {
+    // cliques {0,1,2} and {3,4,5}, one bridge 2-3
+    val cl = Seq(0L -> 1L, 0L -> 2L, 1L -> 2L, 3L -> 4L, 3L -> 5L,
+      4L -> 5L, 2L -> 3L)
+    val edges = cl.toDF("a", "b")
+    val good = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L),
+      (5L, 1L)).toDF("node", "community")
+    val qGood = Graph.modularity(edges, "a", "b", good, "node", "community")
+      .agg(sum(col("q_num")).as("n"), first(col("q_den")).as("d"))
+      .collect().head
+    assert(qGood.getLong(0) > 0, s"true partition must score Q > 0: $qGood")
+    // pairing one node from each clique: worse than chance
+    val bad = Seq((0L, 0L), (3L, 0L), (1L, 1L), (4L, 1L), (2L, 2L),
+      (5L, 2L)).toDF("node", "community")
+    val qBad = Graph.modularity(edges, "a", "b", bad, "node", "community")
+      .agg(sum(col("q_num")).as("n")).collect().head
+    assert(qBad.getLong(0) < qGood.getLong(0))
+  }
+
+  test("modularity: a single community scores exactly 0") {
+    // Q = m/m - (2m/2m)^2 = 0 — the no-information partition
+    val edges = Seq(0L -> 1L, 1L -> 2L, 2L -> 3L).toDF("a", "b")
+    val lab = (0L to 3L).map(i => (i, 7L)).toDF("node", "community")
+    val r = Graph.modularity(edges, "a", "b", lab, "node", "community")
+      .collect()
+    assert(r.length == 1 && r.head.getAs[Long]("q_num") == 0L)
+  }
+
+  // ---- RAKE -------------------------------------------------------------
+
+  test("rake: delimiter tokens split phrases and degree scoring ranks " +
+      "the long co-occurring phrase first") {
+    import graft.ops.TextAnalysis
+    // 'the' dominates → stoplist(1) = {the}; phrases split on it
+    val docs = Seq(
+      (1L, "the quick brown fox the quick brown fox the lazy dog"),
+      (2L, "the quick brown fox the lazy dog the lazy dog"))
+      .toDF("id", "text")
+    val r = TextAnalysis.rakeKeywords(docs, "id", "text",
+      nStopwords = 1, maxWords = 8, topK = 10).collect()
+    val byPhrase = r.map(x => x.getString(0) ->
+      (x.getAs[Long]("n_occ"), x.getAs[Long]("score"))).toMap
+    assert(byPhrase.contains("quick brown fox"))
+    assert(byPhrase.contains("lazy dog"))
+    // deg: quick/brown/fox each in 3 phrases of len 3 → deg 9 each;
+    // phrase score 27. lazy/dog in 3 phrases of len 2 → deg 6; score 12.
+    assert(byPhrase("quick brown fox") === ((3L, 27L)))
+    assert(byPhrase("lazy dog") === ((3L, 12L)))
+  }
+
   // ---- SparkEntry-level invariants (e17 / t26 / m8 / g9) ----------------
 
   test("e17 ewma: weight telescope — den is 2^16 - 2^(15-k) for k < 16") {
