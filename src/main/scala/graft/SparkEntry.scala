@@ -996,6 +996,18 @@ object SparkEntry {
         .orderBy(col("auth").desc, col("hub").desc, col("id")).limit(30)
     }),
 
+    // ---- G11: degree ASSORTATIVITY of the purchase graph — do heavy
+    // customers buy from heavy suppliers? One-row exact moment vector
+    // with the Pearson r as a cross-multiplied (num, den) rational ------
+    "g11_assortativity" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      graft.ops.Graph.assortativity(pairs, "a", "b")
+    }),
+
     // ---- G10: Newman MODULARITY of the nation partition over the
     // customer↔supplier purchase graph — "is trade nation-assortative?"
     // Per-community exact rational (4·m·m_c − d_c², / 4m²); label
@@ -2536,6 +2548,15 @@ object SparkEntry {
       StreamOps.hourlyCounts(s, dir,
           queryName = "graft_hourly_" + System.nanoTime())
         .orderBy("hour_str")),
+
+    // ---- ST22: streaming CDC APPLY — j10's change-log materialization
+    // as transformWithState: a ValueState holds each key's CURRENT row
+    // (O(entities) state, not O(changes)), tombstones drop keys, every
+    // batch emits the post-batch snapshot; batch replay is the oracle ---
+    "st22_stream_cdc_apply" -> ((s, dir) =>
+      StreamOps.cdcApplyBatch(s, dir,
+          queryName = "graft_cdc_" + System.nanoTime())
+        .orderBy("user_id")),
 
     // ---- ST20: the custom DSv2 MicroBatchStream — offset-tracked,
     // admission-controlled (ReadLimit.maxRows), drained under
@@ -4771,6 +4792,25 @@ object SparkEntry {
         |SELECT id, score FROM r3 ORDER BY score DESC, id LIMIT 20"""
         .stripMargin,
 
+    // Assortativity replay: degrees ride the symmetrized edge list, one
+    // moment reduce, cross-multiplied Pearson r.
+    "g11_assortativity" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |  und AS (SELECT a, b FROM pairs
+        |    UNION ALL SELECT b, a FROM pairs),
+        |  deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d
+        |    FROM und GROUP BY a),
+        |  agg AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+        |      CAST(sum(dj.d) AS BIGINT) AS sum_j,
+        |      CAST(sum(dj.d * dk.d) AS BIGINT) AS sum_jk,
+        |      CAST(sum(dj.d * dj.d) AS BIGINT) AS sum_j2
+        |    FROM und JOIN deg dj ON und.a = dj.v
+        |      JOIN deg dk ON und.b = dk.v)
+        |SELECT m2, sum_j, sum_jk, sum_j2,
+        |  m2*sum_jk - sum_j*sum_j AS r_num,
+        |  m2*sum_j2 - sum_j*sum_j AS r_den FROM agg""".stripMargin,
+
     // Modularity replay: the same per-community rational; m via scalar
     // subquery (the engine's one-row broadcast).
     "g10_modularity" ->
@@ -4987,6 +5027,25 @@ object SparkEntry {
         |  CAST(max(len) AS BIGINT) AS longest_run,
         |  CAST(sum(len) AS BIGINT) AS active_days
         | FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Streaming CDC apply replay: last change per key in event order,
+    // tombstones drop the key, change count rides along.
+    "st22_stream_cdc_apply" ->
+      """WITH ch AS (SELECT user_id, event_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS v_cents,
+        |    event_id % 17 = 0 AS del
+        |  FROM events),
+        | cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_changes
+        |  FROM ch GROUP BY user_id),
+        | last AS (SELECT user_id, v_cents, del FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts_us DESC, event_id DESC) AS rn
+        |   FROM ch) WHERE rn = 1)
+        |SELECT l.user_id, CASE WHEN l.del THEN 0 ELSE l.v_cents END
+        |    AS bal_cents, c.n_changes
+        | FROM last l JOIN cnt c USING (user_id)
+        | WHERE NOT l.del ORDER BY user_id""".stripMargin,
 
     "st18_stream_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

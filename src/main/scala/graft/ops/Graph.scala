@@ -324,6 +324,47 @@ object Graph {
     scored
   }
 
+  /** Degree assortativity (Newman 2002) — the Pearson correlation of
+    * endpoint degrees across edges: do hubs link to hubs (r > 0, social
+    * graphs) or to leaves (r < 0, the web, biological and — typically —
+    * purchase graphs)? The single number that distinguishes those regimes
+    * decides which skew strategy a join over the edge list needs.
+    *
+    * Exact integers via the a14 cross-multiplication: with M = 2·|edges|
+    * endpoint pairs (each undirected edge counted in both orientations,
+    * the standard symmetrization), r = num/den where
+    * `num = M·Σjk − (Σj)²` and `den = M·Σj² − (Σj)²` over the oriented
+    * pair list (j = source degree, k = target degree; symmetry makes
+    * Σj = Σk and Σj² = Σk²). Magnitude bound M·Σjk ≤ 2m·(2m·d_max²):
+    * BIGINT-safe to ~10⁸ edges at d_max 10³; past that emit the moment
+    * columns and divide in the reader.
+    *
+    * Shape: one degree aggregation, two joins to ride degrees onto the
+    * edge list, ONE global moment reduce (single row out) — no
+    * self-joins, no windows.
+    */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val und0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = und0.union(und0.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+    und
+      .join(deg.select(col("v").as("a"), col("d").as("j")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("k")), "b")
+      .agg(count(lit(1)).as("m2"),
+        sum(col("j")).as("sum_j"),
+        sum(col("j") * col("k")).as("sum_jk"),
+        sum(col("j") * col("j")).as("sum_j2"))
+      .select(col("m2"), col("sum_j"), col("sum_jk"), col("sum_j2"),
+        (col("m2") * col("sum_jk") - col("sum_j") * col("sum_j"))
+          .as("r_num"),
+        (col("m2") * col("sum_j2") - col("sum_j") * col("sum_j"))
+          .as("r_den"))
+  }
+
   /** Newman modularity of a node partition (Newman & Girvan 2004) — the
     * standard "is this community structure real?" score: for partition c,
     * Q = Σ_c [ m_c/m − (d_c/2m)² ] where m = |edges|, m_c = intra-

@@ -792,6 +792,108 @@ object StreamOps {
     }
   }
 
+  /** Materialized CDC state per key: last applied change + live flag. */
+  case class CdcState(lastEventId: Long, deleted: Boolean,
+                      balCents: Long, nChanges: Long)
+
+  /** One per-key CDC snapshot emission (per micro-batch). */
+  case class CdcRow(user_id: Long, last_event_id: Long, deleted: Boolean,
+                    bal_cents: Long, n_changes: Long)
+
+  /** Streaming CDC APPLY — the materialized-view-maintenance shape of
+    * the batch `j10_cdc_apply`: each user's change log (U upserts a new
+    * balance, D tombstones the key; `event_id % 17 == 0` plays the
+    * delete marker, as in j10) folds into a ValueState holding the
+    * CURRENT row, and every micro-batch emits the key's post-batch
+    * snapshot. A change sequence spanning batch boundaries materializes
+    * identically to a batch replay — the exactly-once-per-key property
+    * that makes a streaming CDC sink trustworthy. State is O(1) per key
+    * (the current row, not the log), so keyed state scales with the
+    * ENTITY count, not the change volume — the property that holds at
+    * 100 TB of changes.
+    */
+  private class CdcApply
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, CdcRow] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[CdcState] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode):
+        Unit =
+      st = getHandle.getValueState[CdcState]("cdc",
+        org.apache.spark.sql.Encoders.product[CdcState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[CdcRow] = {
+      // event order within the batch (see Transitions' scale note on
+      // the per-key-per-batch buffer)
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        var cur = if (st.exists()) st.get()
+          else CdcState(0L, deleted = true, 0L, 0L)
+        sorted.foreach { e =>
+          val del = e.event_id % 17 == 0
+          // value arrives pre-rounded to cents (engine-side round(),
+          // exact in a double) — no JVM-vs-SQL rounding divergence here
+          cur = CdcState(e.event_id, del,
+            if (del) 0L else e.value.toLong,
+            cur.nChanges + 1)
+        }
+        st.update(cur)
+        Iterator.single(CdcRow(uid, cur.lastEventId, cur.deleted,
+          cur.balCents, cur.nChanges))
+      }
+    }
+  }
+
+  /** Live materialized rows via [[CdcApply]], driven synchronously; the
+    * downstream picks each key's LAST emission (later batches supersede)
+    * and drops tombstoned keys — equal to the batch last-change replay,
+    * which is what the oracle computes.
+    */
+  def cdcApplyBatch(spark: SparkSession, dir: String,
+                    queryName: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val events = eventStream(spark, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").cast("double").as("value"))
+        .as[Event]
+      val out = events.groupByKey(_.user_id)
+        .transformWithState(new CdcApply,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      withStatePartitions(spark, HarnessStateParts) {
+        val q = out.toDF().writeStream
+          .outputMode(OutputMode.Update)
+          .format("memory").queryName(queryName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("last_event_id").desc)
+      spark.table(queryName)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(!col("deleted"))
+        .select(col("user_id"), col("bal_cents"), col("n_changes"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   /** Per-key per-hour RATE CAP as a MapState — the fourth
     * transformWithState primitive after ValueState (st11), timers (st13)
     * and ListState (st14): state is a MAP the store reads/writes by USER

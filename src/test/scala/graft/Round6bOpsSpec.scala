@@ -158,6 +158,49 @@ class Round6bOpsSpec extends SparkSpec {
     assert(r.length == 1 && r.head.getAs[Long]("q_num") == 0L)
   }
 
+  // ---- Assortativity ----------------------------------------------------
+
+  test("assortativity: a star is perfectly disassortative (r = -1)") {
+    val star = (1L to 6L).map(i => (0L, i)).toDF("a", "b")
+    val r = Graph.assortativity(star, "a", "b").collect().head
+    // r_num/r_den = -1 exactly: hub(6)–leaf(1) on every edge
+    assert(r.getAs[Long]("r_num") == -r.getAs[Long]("r_den"))
+    assert(r.getAs[Long]("r_den") > 0)
+  }
+
+  test("assortativity: a clique has zero degree variance (r_den = 0)") {
+    val k4 = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 2L, 1L -> 3L,
+      2L -> 3L).toDF("a", "b")
+    val r = Graph.assortativity(k4, "a", "b").collect().head
+    assert(r.getAs[Long]("r_den") == 0L && r.getAs[Long]("r_num") == 0L)
+  }
+
+  // ---- Streaming CDC apply ----------------------------------------------
+
+  test("st22: tombstoned keys are absent and balances match the last " +
+      "change in event order") {
+    val rows = SparkEntry.queries("st22_stream_cdc_apply")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // batch replay reference straight off the parquet
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("v_cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    byUser.foreach { case (uid, es) =>
+      val last = es.maxBy(e => (e._3, e._2))
+      if (last._2 % 17 == 0) assert(!rows.contains(uid),
+        s"user $uid ended on a delete but survived")
+      else {
+        assert(rows(uid)._1 == last._4, s"user $uid balance")
+        assert(rows(uid)._2 == es.length.toLong, s"user $uid change count")
+      }
+    }
+  }
+
   // ---- RAKE -------------------------------------------------------------
 
   test("rake: delimiter tokens split phrases and degree scoring ranks " +
