@@ -1276,6 +1276,30 @@ object SparkEntry {
     // value order: the answer is the smallest value whose running weight
     // reaches half the group total. All integer (cents × quantity), one
     // sort per group -----------------------------------------------------
+    // ---- A20: GINI revenue concentration per segment — the inequality
+    // number a curation/mixture audit quotes ("how head-heavy is this
+    // source?"). Exact integers: G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx)
+    // over per-customer revenue ranked within the segment — the rank
+    // window partitions by SEGMENT (per-segment sort, never global) -----
+    "a20_gini" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          col("c_custkey").as("ck"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      val w = Window.partitionBy("segment")
+        .orderBy(col("rev_cents"), col("ck"))
+      rev.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"), sum(col("rev_cents")).as("sum_cents"),
+          sum(col("i") * col("rev_cents")).as("weighted"))
+        .select(col("segment"), col("n"), col("sum_cents"),
+          (lit(2L) * col("weighted") - (col("n") + 1L) * col("sum_cents"))
+            .as("g_num"),
+          (col("n") * col("sum_cents")).as("g_den"))
+        .orderBy("segment")
+    }),
+
     "a19_weighted_median" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
@@ -3112,6 +3136,59 @@ object SparkEntry {
         .withColumn("twap_cents",
           col("weighted_fp").cast("double") / col("span_us"))
         .orderBy("user_id")
+    }),
+
+    // ---- E18: LINEAR multi-touch attribution — e10's last-touch is the
+    // degenerate case; here each purchase's value splits EQUALLY across
+    // the view/click touches since the previous purchase (direct when
+    // none). Conversion windows via one reverse cumulative count (the
+    // same user-keyed exchange everything else in the family uses);
+    // credit is integer cents truncated per purchase — positive, so both
+    // engines agree. Marketing's standard position-free model ------------
+    "e18_linear_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"),
+          cents(col("value")).as("v_cents"))
+        .withColumn("conv_group",
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(w))
+        .filter(col("conv_group") > 0)
+      val groups = ev.groupBy("user_id", "conv_group")
+        .agg(
+          sum(when(col("event_type") === "purchase", col("v_cents"))
+            .otherwise(0L)).as("purchase_cents"),
+          sum(when(col("event_type").isin("view", "click"), 1L)
+            .otherwise(0L)).as("n_touches"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("n_view"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("n_click"))
+      val credits = groups.select(
+          explode(array(
+            struct(lit("view").as("touch_type"),
+              when(col("n_touches") > 0,
+                expr("purchase_cents * n_view div n_touches"))
+                .otherwise(0L).as("credit"),
+              when(col("n_view") > 0, 1L).otherwise(0L).as("hit")),
+            struct(lit("click").as("touch_type"),
+              when(col("n_touches") > 0,
+                expr("purchase_cents * n_click div n_touches"))
+                .otherwise(0L).as("credit"),
+              when(col("n_click") > 0, 1L).otherwise(0L).as("hit")),
+            struct(lit("(direct)").as("touch_type"),
+              when(col("n_touches") === 0, col("purchase_cents"))
+                .otherwise(0L).as("credit"),
+              when(col("n_touches") === 0, 1L).otherwise(0L).as("hit"))))
+            .as("c"))
+        .select(col("c.touch_type").as("touch_type"),
+          col("c.credit").as("credit"), col("c.hit").as("hit"))
+      credits.groupBy("touch_type")
+        .agg(sum(col("credit")).as("credit_cents"),
+          sum(col("hit")).as("n_conversions"))
+        .orderBy("touch_type")
     }),
 
     // ---- E17: EWMA smoothing — the classic α=1/2 exponential filter
@@ -5072,6 +5149,44 @@ object SparkEntry {
         | GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
     // TWAP: duration-weighted integral in exact integer µs × cents.
+    // Linear attribution replay: reverse cumulative purchase count makes
+    // the conversion windows; per-purchase truncated integer split.
+    "e18_linear_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type,
+        |    CAST(round(value*100) AS BIGINT) AS v_cents FROM events),
+        | grp AS (SELECT *, sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us DESC, event_id DESC) AS conv_group
+        |  FROM ev),
+        | g AS (SELECT user_id, conv_group,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN v_cents
+        |      ELSE 0 END) AS BIGINT) AS purchase_cents,
+        |    CAST(sum(CASE WHEN event_type IN ('view', 'click') THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n_touches,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_view,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_click
+        |  FROM grp WHERE conv_group > 0 GROUP BY user_id, conv_group),
+        | credits AS (
+        |  SELECT 'view' AS touch_type,
+        |    CASE WHEN n_touches > 0
+        |      THEN purchase_cents * n_view // n_touches ELSE 0 END
+        |      AS credit,
+        |    CASE WHEN n_view > 0 THEN 1 ELSE 0 END AS hit FROM g
+        |  UNION ALL
+        |  SELECT 'click', CASE WHEN n_touches > 0
+        |      THEN purchase_cents * n_click // n_touches ELSE 0 END,
+        |    CASE WHEN n_click > 0 THEN 1 ELSE 0 END FROM g
+        |  UNION ALL
+        |  SELECT '(direct)', CASE WHEN n_touches = 0
+        |      THEN purchase_cents ELSE 0 END,
+        |    CASE WHEN n_touches = 0 THEN 1 ELSE 0 END FROM g)
+        |SELECT touch_type, CAST(sum(credit) AS BIGINT) AS credit_cents,
+        |  CAST(sum(hit) AS BIGINT) AS n_conversions
+        | FROM credits GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+
     // EWMA replay: the 16 dyadic lag taps written out longhand.
     "e17_ewma" -> {
       val taps = (0 to 15).map { i =>
@@ -5360,6 +5475,27 @@ object SparkEntry {
     // CM cells are order-independent sums, so the oracle recomputes each
     // queried cell as the collision-group count under the same md5
     // universal hash family ((2j+1)h + 7919j + 13 mod p mod width).
+    // Gini replay: per-segment rank over per-customer revenue, the same
+    // cross-multiplied rational.
+    "a20_gini" ->
+      """WITH rev AS (SELECT c_mktsegment AS segment, c_custkey AS ck,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY segment, ck),
+        | ranked AS (SELECT segment, rev_cents,
+        |    CAST(row_number() OVER (PARTITION BY segment
+        |      ORDER BY rev_cents, ck) AS BIGINT) AS i
+        |  FROM rev),
+        | agg AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(rev_cents) AS BIGINT) AS sum_cents,
+        |    CAST(sum(i * rev_cents) AS BIGINT) AS weighted
+        |  FROM ranked GROUP BY segment)
+        |SELECT segment, n, sum_cents,
+        |  2*weighted - (n+1)*sum_cents AS g_num,
+        |  n*sum_cents AS g_den
+        | FROM agg ORDER BY segment""".stripMargin,
+
     "a19_weighted_median" ->
       """WITH li AS (SELECT l_returnflag AS flag,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,

@@ -666,4 +666,57 @@ class PlanSpec extends SparkSpec {
     val n = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(n == 1, s"expected 1 hash exchange, got $n:\n${plan.take(4000)}")
   }
+
+  test("media near-dup: the bit_count predicate is re-planned to the " +
+      "pigeonhole chunk equi-join — no cartesian, no BNLJ") {
+    val plan = planOf("m8_media_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"hamming rewrite must fire:\n${plan.take(4000)}")
+    assert(plan.contains("hammingle") || plan.contains("HammingLE") ||
+      plan.contains("chunk"),
+      s"expected chunked hamming join markers:\n${plan.take(4000)}")
+  }
+
+  test("zipf fit: vocab top-K is TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("t26_zipf_fit")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must avoid a global sort:\n${plan.take(4000)}")
+  }
+
+  test("modularity: label map attaches via equi-joins and ONE " +
+      "community-keyed aggregation; m rides in as a broadcast") {
+    val plan = planOf("g10_modularity")
+    assert(plan.contains("BroadcastExchange"),
+      s"the one-row m must broadcast:\n${plan.take(4000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian belongs here:\n${plan.take(4000)}")
+  }
+
+  test("t-closeness: global sensitive histogram and corpus total enter " +
+      "as broadcasts — the corpus shuffles once on (QID, sens)") {
+    val plan = planOf("v3_t_closeness")
+    assert(plan.contains("BroadcastExchange"),
+      s"histogram must broadcast:\n${plan.take(4000)}")
+  }
+
+  test("ewma: the 16 lag taps run in ONE window pass — a single " +
+      "user-keyed exchange, no joins") {
+    val plan = planOf("e17_ewma")
+    assert(!plan.contains("Join"), s"no join belongs here:\n" +
+      plan.take(4000))
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, s"expected 1 hash exchange, got $n:\n${plan.take(4000)}")
+    val w = "RunningWindowFunction|Window".r.findAllIn(plan).size
+    assert(w >= 1, s"expected a window operator:\n${plan.take(4000)}")
+  }
+
+  test("cdc chunking: the chunker is projection-only — one digest-keyed " +
+      "exchange pair for the two-level aggregate, no joins") {
+    val plan = planOf("d21_cdc_chunks")
+    assert(!plan.contains("Join"), s"no join belongs here:\n" +
+      plan.take(4000))
+    assert(plan.contains("cdc_chunks"),
+      s"native chunker must appear in the plan:\n${plan.take(4000)}")
+  }
 }

@@ -223,6 +223,41 @@ class Round6bOpsSpec extends SparkSpec {
     assert(byPhrase("lazy dog") === ((3L, 12L)))
   }
 
+  // ---- Linear attribution / Gini ----------------------------------------
+
+  test("e18: credit conserves purchase value up to per-purchase " +
+      "truncation, and every channel is a known one") {
+    val rows = SparkEntry.queries("e18_linear_attribution")(spark, sf)
+      .collect()
+    val types = rows.map(_.getString(0)).toSet
+    assert(types.subsetOf(Set("view", "click", "(direct)")))
+    val credited = rows.map(_.getAs[Long]("credit_cents")).sum
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"),
+        round(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    // attributable purchases: every purchase EXCEPT... none — each one
+    // lands in a conv_group; total purchase cents bounds credit above
+    val purchaseTotal = ev.filter(_._4 == "purchase").map(_._5).sum
+    val nPurchases = ev.count(_._4 == "purchase")
+    assert(credited <= purchaseTotal)
+    // integer split loses < 1 cent per (purchase, channel) pair
+    assert(purchaseTotal - credited <= 2L * nPurchases,
+      s"lost ${purchaseTotal - credited} cents over $nPurchases purchases")
+  }
+
+  test("a20: Gini stays in [0, 1) per segment") {
+    SparkEntry.queries("a20_gini")(spark, sf).collect().foreach { r =>
+      val num = r.getAs[Long]("g_num")
+      val den = r.getAs[Long]("g_den")
+      assert(den > 0)
+      assert(num >= 0 && num < den,
+        s"segment ${r.getString(0)}: G = $num/$den out of range")
+    }
+  }
+
   // ---- SparkEntry-level invariants (e17 / t26 / m8 / g9) ----------------
 
   test("e17 ewma: weight telescope — den is 2^16 - 2^(15-k) for k < 16") {
