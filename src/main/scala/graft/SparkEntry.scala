@@ -1276,6 +1276,36 @@ object SparkEntry {
     // value order: the answer is the smallest value whose running weight
     // reaches half the group total. All integer (cents × quantity), one
     // sort per group -----------------------------------------------------
+    // ---- A21: MAD robust outliers — e12's z-score breaks down when the
+    // outliers themselves inflate σ (masking); median absolute deviation
+    // has a 50% breakdown point. Low-median (a15's rank trick) twice —
+    // value, then |value − med| — keeps everything exact-integer; flag
+    // |x − med| > 3·MAD. Both medians and both join-backs ride the SAME
+    // user-keyed partitioning, so the op costs one logical exchange ------
+    "a21_mad_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          cents(col("value")).as("v"))
+      def lowMedian(df: DataFrame, valCol: String,
+                    out: String): DataFrame = {
+        val w = Window.partitionBy("user_id").orderBy(valCol, "event_id")
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("cnt",
+            count(lit(1)).over(Window.partitionBy("user_id")))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("user_id"), col(valCol).as(out))
+      }
+      val med = lowMedian(ev, "v", "med_cents")
+      val dev = ev.join(med, "user_id")
+        .withColumn("dev", abs(col("v") - col("med_cents")))
+      val mad = lowMedian(dev, "dev", "mad_cents")
+      dev.join(mad, "user_id")
+        .filter(col("dev") > lit(3L) * col("mad_cents"))
+        .select(col("user_id"), col("event_id"), col("v").as("v_cents"),
+          col("med_cents"), col("mad_cents"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- A20: GINI revenue concentration per segment — the inequality
     // number a curation/mixture audit quotes ("how head-heavy is this
     // source?"). Exact integers: G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx)
@@ -2046,6 +2076,17 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 8),
           "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // ---- N17: two-stage retrieval CASCADE — int8 coarse shortlist
+    // (memory-bound scan, 4× less traffic) then exact float rerank of
+    // the shortlist only; the serving shape every production ANN stack
+    // runs. Float table touched for |q|·coarseK rows, not the corpus ---
+    "n17_cascade_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cascadeTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, coarseK = 20)
         .orderBy("q_id", "rank")
     }),
 
@@ -5475,6 +5516,32 @@ object SparkEntry {
     // CM cells are order-independent sums, so the oracle recomputes each
     // queried cell as the collision-group count under the same md5
     // universal hash family ((2j+1)h + 7919j + 13 mod p mod width).
+    // MAD replay: the low-median rank trick twice, deterministic
+    // (value, event_id) order both times.
+    "a21_mad_outliers" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS v FROM events),
+        | med AS (SELECT user_id, v AS med_cents FROM (
+        |   SELECT user_id, v,
+        |     row_number() OVER (PARTITION BY user_id
+        |       ORDER BY v, event_id) AS rn,
+        |     count(*) OVER (PARTITION BY user_id) AS cnt
+        |   FROM ev) WHERE rn = (cnt + 1) // 2),
+        | dev AS (SELECT ev.user_id, ev.event_id, ev.v, med.med_cents,
+        |    abs(ev.v - med.med_cents) AS dev
+        |  FROM ev JOIN med ON ev.user_id = med.user_id),
+        | mad AS (SELECT user_id, dev AS mad_cents FROM (
+        |   SELECT user_id, dev,
+        |     row_number() OVER (PARTITION BY user_id
+        |       ORDER BY dev, event_id) AS rn,
+        |     count(*) OVER (PARTITION BY user_id) AS cnt
+        |   FROM dev) WHERE rn = (cnt + 1) // 2)
+        |SELECT d.user_id, d.event_id, d.v AS v_cents, d.med_cents,
+        |  m.mad_cents
+        | FROM dev d JOIN mad m ON d.user_id = m.user_id
+        | WHERE d.dev > 3 * m.mad_cents
+        | ORDER BY d.user_id, d.event_id""".stripMargin,
+
     // Gini replay: per-segment rank over per-customer revenue, the same
     // cross-multiplied rational.
     "a20_gini" ->
@@ -6968,6 +7035,58 @@ object SparkEntry {
 
     // Int8 quantization mirror: per-vector scale max|x|/127 (floored at
     // 1e-30), elements round(x/s), integer dot, rank by (s_q*s_c)*idot.
+    // Cascade replay: n7's int8 coarse CTEs cut at coarseK=20, then
+    // n1's exact fixed-point scoring restricted to the survivors.
+    "n17_cascade_rerank" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding AS x,
+        |    greatest(list_max(list_transform(embedding,
+        |      v -> abs(CAST(v AS DOUBLE)))), 1e-30) / 127.0 AS s
+        |  FROM embeddings),
+        | qz AS (
+        |  SELECT vec_id, s,
+        |    list_transform(x, v ->
+        |      CAST(round(CAST(v AS DOUBLE) / s) AS BIGINT)) AS q8
+        |  FROM m),
+        | qq AS (SELECT vec_id AS q_id, s AS qs, q8 AS qv FROM qz
+        |        WHERE vec_id < 8),
+        | cc AS (SELECT vec_id AS c_id, s AS cs, q8 AS cv FROM qz),
+        | coarse AS (
+        |  SELECT q_id, c_id FROM (
+        |   SELECT q_id, c_id,
+        |     row_number() OVER (PARTITION BY q_id
+        |       ORDER BY (qs * cs) * CAST(list_sum(list_transform(
+        |         range(1, 65), i -> qv[i] * cv[i])) AS DOUBLE) DESC, c_id)
+        |       AS crank
+        |   FROM qq JOIN cc ON q_id <> c_id)
+        |  WHERE crank <= 20),
+        | fq AS (SELECT vec_id AS q_id, embedding AS fqv FROM embeddings
+        |        WHERE vec_id < 8),
+        | fc AS (SELECT vec_id AS c_id, embedding AS fcv FROM embeddings),
+        | scored AS (
+        |  SELECT coarse.q_id, coarse.c_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(fqv[i] AS DOUBLE) * CAST(fcv[i] AS DOUBLE)
+        |        * 1e12) AS BIGINT))) AS BIGINT) AS dot_fp,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(fqv[i] AS DOUBLE) * CAST(fqv[i] AS DOUBLE)
+        |        * 1e12) AS BIGINT))) AS BIGINT) AS na_fp,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(fcv[i] AS DOUBLE) * CAST(fcv[i] AS DOUBLE)
+        |        * 1e12) AS BIGINT))) AS BIGINT) AS nb_fp
+        |  FROM coarse JOIN fq ON coarse.q_id = fq.q_id
+        |    JOIN fc ON coarse.c_id = fc.c_id),
+        | ranked AS (
+        |  SELECT q_id, c_id,
+        |    CAST(dot_fp AS DOUBLE) /
+        |      (sqrt(CAST(na_fp AS DOUBLE)) * sqrt(CAST(nb_fp AS DOUBLE)))
+        |      AS cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY dot_fp DESC, c_id) AS rank
+        |  FROM scored)
+        | SELECT q_id, c_id, CAST(rank AS BIGINT) AS rank, cos FROM ranked
+        |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
     "n7_ann_quantized" ->
       """WITH m AS (
         |  SELECT vec_id, embedding AS x,

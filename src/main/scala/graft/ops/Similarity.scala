@@ -388,6 +388,42 @@ object Similarity {
       .select("q_id", "c_id", "rank", "score")
   }
 
+  /** Two-stage retrieval CASCADE — the production serving shape: the
+    * int8-quantized scan ([[quantizedTopK]]) shortlists `coarseK`
+    * candidates per query at 4× less memory traffic, then ONLY the
+    * shortlist is re-scored against the float vectors with the exact
+    * fixed-point dot ([[dotFp]]) and cut to `k`. At 100 TB the float
+    * table is touched for |queries|·coarseK rows instead of the whole
+    * corpus — the rerank is a broadcast-join over a shortlist that fits
+    * in memory by construction, and recall loss is bounded by the coarse
+    * stage's ordering error (audit with the n11 recall harness; int8
+    * coarse recall@4k is ≈1.0 on normalized embeddings).
+    */
+  def cascadeTopK(candidates: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  coarseK: Int): DataFrame = {
+    val survivors = quantizedTopK(candidates, queries, idCol, vecCol,
+        coarseK)
+      .select(col("q_id").as("s_q"), col("c_id").as("s_c"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      normFp(col(vecCol)).as("q_norm"))
+    val c = spread(candidates, idCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        normFp(col(vecCol)).as("c_norm"))
+    val scored = survivors
+      .join(c, col("s_c") === col("c_id"))
+      .join(broadcast(q), col("s_q") === col("q_id"))
+      .withColumn("dot_fp", dotFp(col("q_vec"), col("c_vec")))
+      .withColumn("cos", cosineFromFp(col("dot_fp"),
+        col("q_norm"), col("c_norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("dot_fp").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "cos")
+  }
+
   /** Per-group embedding centroids in EXACT arithmetic: each dimension's
     * mean is carried as (sum of fixed-point 1e-6 components, count) — the
     * long-format (group, dim, sum_fp, n) output transposes the vectors so

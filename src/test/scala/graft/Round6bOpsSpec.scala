@@ -258,6 +258,35 @@ class Round6bOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- Cascade rerank / MAD ---------------------------------------------
+
+  test("n17 cascade: reranked top-5 matches brute force exactly when " +
+      "the coarse shortlist is wide enough") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val brute = graft.ops.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+      .select("q_id", "c_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cascade = graft.ops.Similarity.cascadeTopK(
+        emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, coarseK = 50)
+      .select("q_id", "c_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cascade === brute,
+      "int8 coarse@50 must recover the exact top-5 on this corpus")
+  }
+
+  test("a21 mad: flagged rows really deviate more than 3 MADs and " +
+      "e12's masked-outlier weakness does not apply") {
+    val rows = SparkEntry.queries("a21_mad_outliers")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dev = math.abs(r.getAs[Long]("v_cents") -
+        r.getAs[Long]("med_cents"))
+      assert(dev > 3L * r.getAs[Long]("mad_cents"))
+    }
+  }
+
   // ---- SparkEntry-level invariants (e17 / t26 / m8 / g9) ----------------
 
   test("e17 ewma: weight telescope — den is 2^16 - 2^(15-k) for k < 16") {
