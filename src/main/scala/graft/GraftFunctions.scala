@@ -125,7 +125,11 @@ object GraftFunctions {
     // dhash56(string) — 56-bit perceptual difference hash over the
     // payload's code points (stub-pixel contract; Hamming-joinable)
     "dhash56" -> arity("dhash56", 1)(exprs =>
-      graft.functions.DHash56(exprs.head)))
+      graft.functions.DHash56(exprs.head)),
+    // cdc_chunks(string) — content-defined chunk structs
+    // (start, len, digest); FastCDC-style rolling-hash boundaries
+    "cdc_chunks" -> arity("cdc_chunks", 1)(exprs =>
+      graft.functions.CdcChunks(exprs.head)))
 
   /** Register on a live session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

@@ -770,6 +770,33 @@ object SparkEntry {
     // are capped at a date past the corpus so no interval explodes into
     // thousands of bins (the degenerate-interval hazard in RangeJoin's
     // contract). ----------------------------------------------------------
+    // ---- SCD4: BITEMPORAL as-of — scd2 answers "what was true at V";
+    // this answers "what did we BELIEVE at T about what was true at V",
+    // the reproducibility contract a training-data snapshot needs (a
+    // late-arriving correction must not rewrite an already-cut dataset).
+    // Change log: orders as profile versions, valid_from = orderdate,
+    // tx visible orderkey%5 days later (deterministic late arrivals).
+    // One key-partitioned window after two pushed-down filters ----------
+    "scd4_bitemporal" -> ((s, dir) => {
+      val validCut = 9307 // 1995-06-26 as days since epoch
+      val txCut = 9322 // 1995-07-11: what we knew two weeks later
+      val log = t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("valid_from"),
+          cents(col("o_totalprice")).as("bal_cents"))
+        .withColumn("tx_from", col("valid_from") + col("o_orderkey") % 5)
+      val w = Window.partitionBy("custkey")
+        .orderBy(col("valid_from").desc, col("o_orderkey").desc)
+      log.filter(col("tx_from") <= txCut)
+        .filter(col("valid_from") <= validCut)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("custkey"), col("o_orderkey").as("version_key"),
+          col("valid_from"), col("tx_from"), col("bal_cents"))
+        .orderBy("custkey")
+    }),
+
     "scd2_temporal_lookup" -> ((s, dir) => {
       val ordersSel = t(s, dir, "orders")
         .select(col("o_custkey").as("custkey"), col("o_orderdate"),
@@ -3785,6 +3812,21 @@ object SparkEntry {
           |ORDER BY n_name""".stripMargin)
     }),
 
+    // ---- SQL3: the session's native expressions exercised through the
+    // pure SQL surface — a SQL-only user gets cdc_chunks() like any
+    // built-in (per-source storage-dedup ratio, no DataFrame code) ------
+    "sql3_sql_native_fns" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      GraftFunctions.registerAll(s)
+      s.sql(
+        """SELECT source,
+          |  count(*) AS n_chunks,
+          |  count(DISTINCT c.digest) AS n_distinct
+          |FROM (SELECT source, explode(cdc_chunks(text)) AS c
+          |      FROM documents WHERE text IS NOT NULL)
+          |GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
     "sql1_engine_sql" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       GraftFunctions.registerAll(s)
@@ -4791,6 +4833,24 @@ object SparkEntry {
         |  '9999-12-31' AS eff_to FROM snap
         | WHERE custkey NOT IN (SELECT custkey FROM open_)
         |ORDER BY custkey, eff_from, eff_to, prio""".stripMargin,
+
+    // Bitemporal replay: same two cuts, latest valid version among the
+    // records KNOWN by the tx cut.
+    "scd4_bitemporal" ->
+      """WITH log AS (SELECT o_custkey AS custkey, o_orderkey,
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS valid_from,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS bal_cents
+        |  FROM orders),
+        | vis AS (SELECT *, valid_from + o_orderkey % 5 AS tx_from
+        |  FROM log),
+        | cut AS (SELECT * FROM vis
+        |  WHERE tx_from <= 9322 AND valid_from <= 9307),
+        | ranked AS (SELECT *, row_number() OVER (PARTITION BY custkey
+        |    ORDER BY valid_from DESC, o_orderkey DESC) AS rn FROM cut)
+        |SELECT custkey, o_orderkey AS version_key, valid_from, tx_from,
+        |  bal_cents
+        | FROM ranked WHERE rn = 1 ORDER BY custkey""".stripMargin,
 
     "scd2_temporal_lookup" ->
       """WITH dedup AS (SELECT o_custkey AS custkey, o_orderdate,
@@ -8292,6 +8352,36 @@ object SparkEntry {
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+
+    // SQL-surface natives replay: d21's chunk CTEs grouped per source.
+    "sql3_sql_native_fns" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |    CAST(length(text) AS BIGINT) AS n,
+        |    list_transform(range(1, length(text) + 1), i ->
+        |      CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+        |      AS cps
+        |  FROM documents WHERE text IS NOT NULL),
+        | bnd AS (SELECT doc_id, source, text, n,
+        |    list_concat(list_concat(
+        |      [CAST(0 AS BIGINT)],
+        |      list_filter(range(8, n + 1), i ->
+        |        list_reduce(
+        |          list_prepend(CAST(0 AS BIGINT),
+        |            list_slice(cps, CAST(i - 7 AS INT), CAST(i AS INT))),
+        |          (acc, cp) -> (acc * 31 + cp) % 1000000007) % 64 = 0)),
+        |      CASE WHEN n > 0 THEN [n] ELSE [] END) AS bs
+        |  FROM d),
+        | chunks AS (SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(bs)), k ->
+        |      CASE WHEN bs[CAST(k + 1 AS INT)] > bs[CAST(k AS INT)]
+        |        THEN md5(substr(text, CAST(bs[CAST(k AS INT)] + 1 AS INT),
+        |          CAST(bs[CAST(k + 1 AS INT)] - bs[CAST(k AS INT)] AS INT)))
+        |        END)) AS digest
+        |  FROM bnd)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(DISTINCT digest) AS BIGINT) AS n_distinct
+        | FROM chunks WHERE digest IS NOT NULL
+        | GROUP BY source ORDER BY source""".stripMargin,
 
     "sql1_engine_sql" ->
       """SELECT p_partkey,
