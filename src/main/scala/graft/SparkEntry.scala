@@ -1977,11 +1977,14 @@ object SparkEntry {
 
     // ---- M8: MEDIA near-duplicate pairs — the d8 Hamming machinery
     // applied to the m7 PERCEPTUAL hashes: payload pairs whose 56-bit
-    // dHash differs in <= 8 bits (re-encoded/resized variants of the
+    // dHash differs in <= 4 bits (re-encoded/resized variants of the
     // same image land within a few bits; unrelated images are ~28 apart).
     // The declarative bit_count predicate is re-planned by
-    // HammingJoinRewrite into the pigeonhole chunk-equality join — no
-    // all-pairs comparison at any corpus size ---------------------------
+    // HammingJoinRewrite into the pigeonhole chunk-equality join.
+    // Radius matters at scale: r=4 → 5 chunks of ~11 bits (2048-value
+    // alphabet); r=8 would force 9 chunks of 7 bits (128 values) whose
+    // buckets go quadratic — measured 133 s vs 3.9 s at 10× for the
+    // IDENTICAL matched set (the d5 parameter lesson, Hamming edition) --
     "m8_media_neardup" -> ((s, dir) => {
       val ph = Multimodal.perceptualHash(
           Multimodal.toMediaTable(
@@ -1991,7 +1994,7 @@ object SparkEntry {
       val a = ph.select(col("doc_id").as("id_a"), col("phash").as("ph_a"))
       val b = ph.select(col("doc_id").as("id_b"), col("phash").as("ph_b"))
       a.join(b,
-          SimHash.hammingLE(col("ph_a"), col("ph_b"), 8) &&
+          SimHash.hammingLE(col("ph_a"), col("ph_b"), 4) &&
             col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long")
@@ -7422,7 +7425,7 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
         | FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
-        | WHERE bit_count(xor(a.phash, b.phash)) <= 8
+        | WHERE bit_count(xor(a.phash, b.phash)) <= 4
         | ORDER BY id_a, id_b""".stripMargin,
 
     "m7_phash" ->

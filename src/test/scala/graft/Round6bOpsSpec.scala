@@ -310,7 +310,7 @@ class Round6bOpsSpec extends SparkSpec {
   test("m8 media near-dup: every pair is within the radius and ordered") {
     val rows = SparkEntry.queries("m8_media_neardup")(spark, sf).collect()
     rows.foreach { r =>
-      assert(r.getAs[Long]("hamming") <= 8L)
+      assert(r.getAs[Long]("hamming") <= 4L)
       assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
     }
   }
