@@ -2644,6 +2644,15 @@ object SparkEntry {
           queryName = "graft_hourly_" + System.nanoTime())
         .orderBy("hour_str")),
 
+    // ---- ST23: streaming APPROX DISTINCT — HLL sketch state per group,
+    // register-merged across micro-batches (order-insensitive, so the
+    // estimate equals the batch sketch under any trigger split); state
+    // is O(sketch) per key where exact distinct grows with cardinality.
+    // a7's envelope gate: exact count + drift boolean -------------------
+    "st23_stream_approx_distinct" -> ((s, dir) =>
+      StreamOps.streamApproxDistinct(s, dir,
+        queryName = "graft_hll_" + System.nanoTime())),
+
     // ---- ST22: streaming CDC APPLY — j10's change-log materialization
     // as transformWithState: a ValueState holds each key's CURRENT row
     // (O(entities) state, not O(changes)), tombstones drop keys, every
@@ -3207,6 +3216,32 @@ object SparkEntry {
         .withColumn("twap_cents",
           col("weighted_fp").cast("double") / col("span_us"))
         .orderBy("user_id")
+    }),
+
+    // ---- E19: seasonality-aware anomaly days — a raw threshold flags
+    // every weekend as anomalous; the honest baseline is the day-of-week
+    // mean. Flag days whose revenue leaves [½μ_dow, 2μ_dow], with the
+    // comparison in cross-multiplied integers (r·n vs 2·S — no division)
+    // and the weekday computed as (epoch_day + 4) % 7 so both engines
+    // share one integer definition (no calendar-function parity risk) ---
+    "e19_dow_anomaly" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+        .withColumn("dow", (col("day") + 4) % 7)
+      val stats = daily.groupBy("dow")
+        .agg(count(lit(1)).as("n_days"), sum(col("rev_cents")).as("s_cents"))
+      daily.join(broadcast(stats), "dow")
+        .withColumn("verdict",
+          when(col("rev_cents") * col("n_days") > lit(2L) * col("s_cents"),
+            lit("high"))
+          .when(lit(2L) * col("rev_cents") * col("n_days") < col("s_cents"),
+            lit("low")))
+        .filter(col("verdict").isNotNull)
+        .select(col("day"), col("dow"), col("rev_cents"), col("n_days"),
+          col("s_cents"), col("verdict"))
+        .orderBy("day")
     }),
 
     // ---- E18: LINEAR multi-touch attribution — e10's last-touch is the
@@ -5209,6 +5244,13 @@ object SparkEntry {
         |  CAST(sum(len) AS BIGINT) AS active_days
         | FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // Streaming HLL replay: exact distinct + the envelope boolean.
+    "st23_stream_approx_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS sketch_within_5pct
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Streaming CDC apply replay: last change per key in event order,
     // tombstones drop the key, change count rides along.
     "st22_stream_cdc_apply" ->
@@ -5253,6 +5295,29 @@ object SparkEntry {
         | GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
     // TWAP: duration-weighted integral in exact integer µs × cents.
+    // DOW anomaly replay: same integer weekday and cross-multiplied
+    // band test.
+    "e19_dow_anomaly" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders GROUP BY day),
+        | d2 AS (SELECT day, rev_cents, (day + 4) % 7 AS dow FROM daily),
+        | stats AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(rev_cents) AS BIGINT) AS s_cents
+        |  FROM d2 GROUP BY dow),
+        | flagged AS (SELECT d2.day, d2.dow, d2.rev_cents, stats.n_days,
+        |    stats.s_cents,
+        |    CASE WHEN d2.rev_cents * stats.n_days > 2 * stats.s_cents
+        |      THEN 'high'
+        |      WHEN 2 * d2.rev_cents * stats.n_days < stats.s_cents
+        |      THEN 'low' END AS verdict
+        |  FROM d2 JOIN stats ON d2.dow = stats.dow)
+        |SELECT * FROM flagged WHERE verdict IS NOT NULL
+        | ORDER BY day""".stripMargin,
+
     // Linear attribution replay: reverse cumulative purchase count makes
     // the conversion windows; per-purchase truncated integer split.
     "e18_linear_attribution" ->

@@ -792,6 +792,40 @@ object StreamOps {
     }
   }
 
+  /** Streaming approximate distinct — HLL±± sketch state per group,
+    * merged ACROSS micro-batches by Spark's partial-aggregation of the
+    * sketch registers (order-insensitive max-merge, so the estimate is
+    * identical to the batch sketch no matter how triggers split the
+    * stream). The per-key state is O(sketch) — KBs per group forever —
+    * where exact streaming distinct state grows with cardinality; this
+    * is THE state-bound trade a 100 TB stream forces. Gate contract is
+    * a7's envelope: exact count (recomputed batch-side) + a boolean
+    * that flips if the sketch drifts past 5%.
+    */
+  def streamApproxDistinct(spark: SparkSession, dir: String,
+                           queryName: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+    withStatePartitions(spark, HarnessStateParts) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val exact = graft.Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    spark.table(queryName).join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) * 20 <=
+          col("exact_users")).as("sketch_within_5pct"))
+      .orderBy("event_type")
+  }
+
   /** Materialized CDC state per key: last applied change + live flag. */
   case class CdcState(lastEventId: Long, deleted: Boolean,
                       balCents: Long, nChanges: Long)

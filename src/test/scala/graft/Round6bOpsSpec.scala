@@ -287,6 +287,31 @@ class Round6bOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- DOW anomaly / streaming HLL --------------------------------------
+
+  test("e19: every flagged day is genuinely outside its dow band") {
+    SparkEntry.queries("e19_dow_anomaly")(spark, sf).collect().foreach {
+      r =>
+        val rev = r.getAs[Long]("rev_cents")
+        val n = r.getAs[Long]("n_days")
+        val s = r.getAs[Long]("s_cents")
+        r.getAs[String]("verdict") match {
+          case "high" => assert(rev * n > 2 * s)
+          case "low" => assert(2 * rev * n < s)
+          case v => fail(s"unknown verdict $v")
+        }
+    }
+  }
+
+  test("st23: streaming sketch estimate stays inside the 5% envelope") {
+    val rows = SparkEntry.queries("st23_stream_approx_distinct")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[Boolean]("sketch_within_5pct"),
+        s"${r.getString(0)} drifted past 5%"))
+  }
+
   // ---- SparkEntry-level invariants (e17 / t26 / m8 / g9) ----------------
 
   test("e17 ewma: weight telescope — den is 2^16 - 2^(15-k) for k < 16") {
