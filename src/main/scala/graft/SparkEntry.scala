@@ -1956,6 +1956,19 @@ object SparkEntry {
     // O(n²) hamming predicate; graft.plans.HammingJoinRewrite re-plans it
     // into the chunked equality join (no nested loop; plan pinned in
     // HammingJoinSpec/PlanSpec). Exact for d <= chunks-1 by pigeonhole ----
+    // ---- D22: PREFIX-FILTERED similarity join (AllPairs/PPJoin) — only
+    // each set's rarest |s|−⌈t|s|⌉+1 tokens are indexed; the ubiquitous
+    // stop-shingle that makes d4's full inverted index quadratic sorts
+    // to the suffix and is never indexed at all. Identical matched set
+    // to the naive all-pairs join (the lemma moves cost, not answers),
+    // corpus-wide — no source blocking needed -----------------------------
+    "d22_prefix_filter_join" -> ((s, dir) =>
+      MinHashDedup.prefixFilterJaccardPairs(
+          t(s, dir, "documents").filter(col("text").isNotNull),
+          "doc_id", "text", k = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")),
+
     // ---- D21: CONTENT-DEFINED CHUNK dedup (LBFS/FastCDC) — boundaries
     // where the 8-point rolling hash hits h%64==0, so chunk digests
     // survive insertions/shifts that would re-digest every fixed-size
@@ -6412,6 +6425,26 @@ object SparkEntry {
         | FROM sk a JOIN sk b ON a.doc_id < b.doc_id
         | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         | ORDER BY id_a, id_b""".stripMargin),
+
+    // Prefix-filter replay: the NAIVE all-pairs join — the candidate
+    // rule changes cost, never the matched set.
+    "d22_prefix_filter_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents),
+        | shs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+        |  FROM toks WHERE len(tk) >= 3),
+        | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS c,
+        |    CAST(len(a.sh) AS BIGINT) AS la, CAST(len(b.sh) AS BIGINT) AS lb
+        |  FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b, CAST(c AS DOUBLE) / (la + lb - c) AS jaccard
+        |  FROM pairs)
+        | WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
     "d4_ngram_jaccard" ->
       """WITH toks AS (

@@ -219,6 +219,71 @@ object MinHashDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** PREFIX-FILTERED set-similarity join (the AllPairs/PPJoin candidate
+    * rule, Bayardo 2007 / Xiao 2008) — the algorithmic upgrade over
+    * [[ngramJaccardPairs]]'s full inverted index: under a global token
+    * order, two sets with J ≥ t MUST share a token within each one's
+    * first `|s| − ⌈t·|s|⌉ + 1` tokens, so only that PREFIX is indexed.
+    * Ordering by ascending document frequency puts the RAREST tokens in
+    * the prefix — the d4 stop-shingle hazard (one ubiquitous shingle
+    * joining everything to everything) disappears by construction,
+    * because ubiquitous tokens sort to the suffix and are never indexed.
+    * Index volume drops from Σ|s| to Σ(1−t)|s| and, far more
+    * importantly, candidate mass concentrates on rare-token buckets.
+    *
+    * Shape: one df aggregation (token-keyed), one per-doc rank window
+    * (doc-keyed sort), the prefix-prefix equality join, then exact
+    * verification of the candidates only (array intersect over the two
+    * full sets — candidate count ≈ true-pair count by design). The
+    * matched set is IDENTICAL to the naive all-pairs join — the lemma
+    * moves cost, never answers — which is what the oracle replays.
+    */
+  def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
+                               textCol: String, k: Int = 3,
+                               threshold: Double = 0.3): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par, col(idCol))
+      else docs
+    val prepared = spread
+      .select(col(idCol), TextAnalysis.wordShingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val dfreq = prepared.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("df"), col("s"))
+    val prefixes = prepared
+      .select(col(idCol), size(col("sh")).cast("long").as("sz"),
+        explode(col("sh")).as("s"))
+      .join(dfreq, "s")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <=
+        col("sz") - ceil(col("sz") * threshold) + lit(1L))
+    val pa = prefixes.select(col(idCol).as("id_a"), col("s"))
+    val pb = prefixes.select(col(idCol).as("id_b"), col("s"))
+    val cand = pa.join(pb, "s").filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // Exact verification COUNT-BASED, restricted to candidates: carrying
+    // full shingle ARRAYS per pair (array_intersect) was measured 19×
+    // slower at 10× on the clone corpus — 300-element arrays shuffled
+    // per pair plus interpreted array ops; the exploded equality join +
+    // codegen count agg below is d4's verify shape, paying only for
+    // rows that are IN the intersection of a candidate pair.
+    val ea = prepared.select(col(idCol).as("id_a"),
+      size(col("sh")).cast("long").as("sz_a"), explode(col("sh")).as("s"))
+    val eb = prepared.select(col(idCol).as("id_b"),
+      size(col("sh")).cast("long").as("sz_b"), explode(col("sh")).as("s"))
+    ea.join(cand, "id_a")
+      .join(eb, Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard", col("c").cast("double") /
+        (col("sz_a") + col("sz_b") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** INCREMENTAL near-dup admission — the production shape of dedup at
     * 100 TB: a new batch (`increment`, e.g. today's crawl) is admitted
     * against an already-deduped `corpus` WITHOUT recomputing anything

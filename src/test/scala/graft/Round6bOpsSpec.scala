@@ -287,6 +287,24 @@ class Round6bOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- Prefix-filtered similarity join ----------------------------------
+
+  test("d22: prefix filtering finds exactly the full inverted index's " +
+      "matched set — the lemma moves cost, never answers") {
+    import graft.ops.MinHashDedup
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+    val naive = MinHashDedup.ngramJaccardPairs(
+        docs.withColumn("blk", lit(1)), "doc_id", "text", "blk")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pf = MinHashDedup.prefixFilterJaccardPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pf === naive)
+    assert(pf.nonEmpty)
+  }
+
   // ---- DOW anomaly / streaming HLL --------------------------------------
 
   test("e19: every flagged day is genuinely outside its dow band") {
