@@ -2150,6 +2150,32 @@ object SparkEntry {
     // deployment monitors to know when to re-tune nPlanes/nProbe. Both
     // sides are engine queries; the gate re-derives the same number in
     // SQL, so the MEASUREMENT itself is oracle-checked. ------------------
+    // ---- N18: the nprobe→recall OPERATING CURVE — how a production
+    // deployment actually picks nprobe: one query computes recall vs
+    // the exact truth at nprobe ∈ {1,2,4}, integer basis points. The
+    // three probe runs share the centroid table and assignment; spec
+    // pins monotonicity (more probes never lose recall) ------------------
+    "n18_recall_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id",
+          "embedding", k = 5)
+        .select(col("q_id"), col("c_id"))
+      val curves = Seq(1, 2, 4).map { np =>
+        Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k = 5,
+            nCells = 16, nProbe = np)
+          .select(lit(np.toLong).as("nprobe"), col("q_id").as("a_q"),
+            col("c_id").as("a_c"))
+      }.reduce(_ unionByName _)
+      exact.join(curves,
+          col("q_id") === col("a_q") && col("c_id") === col("a_c"))
+        .groupBy("nprobe")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_truth"))))
+        .withColumn("recall_bp", expr("n_hits * 10000L div n_truth"))
+        .orderBy("nprobe")
+    }),
+
     "n11_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 8)
@@ -3308,6 +3334,37 @@ object SparkEntry {
         .agg(sum(col("credit")).as("credit_cents"),
           sum(col("hit")).as("n_conversions"))
         .orderBy("touch_type")
+    }),
+
+    // ---- E20: rolling TREND — OLS slope of the trailing 8 samples
+    // against their positions (x = 0..7, oldest first), the turn
+    // detector next to e17's level: slope_num/slope_den is the exact
+    // rational 8·Σxy − ΣxΣy over 8·Σx² − (Σx)², emitted only for rows
+    // with the full 8-sample history (partial frames would change den).
+    // Same lag-tap discipline as e17: one user-keyed window pass -------
+    "e20_rolling_trend" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val base = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          cents(col("value")).as("v_cents"))
+      // tap i holds the value x positions back; position x = 7 - i
+      val taps = (0 to 7).map { i =>
+        if (i == 0) col("v_cents") else lag(col("v_cents"), i).over(w)
+      }
+      val sy = taps.reduce(_ + _)
+      val sxy = taps.zipWithIndex.map { case (v, i) => v * (7L - i) }
+        .reduce(_ + _)
+      // Σx = 28, Σx² = 140 for x = 0..7
+      base
+        // all window taps in ONE stage, BEFORE the history filter — a
+        // lag evaluated after the filter would see the filtered frame
+        .withColumn("slope_num", lit(8L) * sxy - lit(28L) * sy)
+        .withColumn("oldest", lag(col("v_cents"), 7).over(w))
+        .filter(col("oldest").isNotNull)
+        .withColumn("slope_den", lit(8L * 140L - 28L * 28L))
+        .select("user_id", "event_id", "v_cents", "slope_num", "slope_den")
+        .orderBy("user_id", "event_id")
     }),
 
     // ---- E17: EWMA smoothing — the classic α=1/2 exponential filter
@@ -5369,6 +5426,27 @@ object SparkEntry {
         |  CAST(sum(hit) AS BIGINT) AS n_conversions
         | FROM credits GROUP BY touch_type ORDER BY touch_type""".stripMargin,
 
+    // Rolling trend replay: 8 lag taps, position weights 7..0, the
+    // constant-x moments folded to literals (Σx = 28, Σx² = 140).
+    "e20_rolling_trend" ->
+      """WITH base AS (SELECT user_id, event_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        | lagged AS (SELECT user_id, event_id, v,
+        |    lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+        |    lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4,
+        |    lag(v, 5) OVER w AS l5, lag(v, 6) OVER w AS l6,
+        |    lag(v, 7) OVER w AS l7
+        |  FROM base WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id))
+        |SELECT user_id, event_id, v AS v_cents,
+        |  CAST(8*(v*7 + l1*6 + l2*5 + l3*4 + l4*3 + l5*2 + l6*1)
+        |    - 28*(v + l1 + l2 + l3 + l4 + l5 + l6 + l7) AS BIGINT)
+        |    AS slope_num,
+        |  CAST(336 AS BIGINT) AS slope_den
+        | FROM lagged WHERE l7 IS NOT NULL
+        | ORDER BY user_id, event_id""".stripMargin,
+
     // EWMA replay: the 16 dyadic lag taps written out longhand.
     "e17_ewma" -> {
       val taps = (0 to 15).map { i =>
@@ -7146,6 +7224,46 @@ object SparkEntry {
     // IVF-flat mirror: hash-order centroid sample, nearest-cell assignment
     // (fixed-point dots — the CTEs shared with n6's k-means step), 2-probe
     // search, exact in-cell ranking.
+    // Recall-curve replay: shared assignment CTEs, three probe depths,
+    // the brute-force truth, one integer recall rollup.
+    "n18_recall_curve" -> (IvfAssignCtes +
+      """
+        | ccell AS (SELECT vec_id AS c_id, x AS cvx, cent_id AS cell
+        |   FROM assign WHERE r = 1),
+        | qcell AS (SELECT vec_id AS q_id, x AS qvx, nrm AS qnorm,
+        |   cent_id AS cell, r FROM assign WHERE r <= 4 AND vec_id < 8),
+        | scored AS (
+        |  SELECT q.q_id, c.c_id, q.r AS probe_r,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(q.qvx[i] AS DOUBLE) * CAST(c.cvx[i] AS DOUBLE)
+        |        * 1e12) AS BIGINT))) AS BIGINT) AS dot_fp
+        |  FROM qcell q JOIN ccell c
+        |    ON q.q_id <> c.c_id AND q.cell = c.cell),
+        | approx AS (
+        |  SELECT np.nprobe, s.q_id, s.c_id,
+        |    row_number() OVER (PARTITION BY np.nprobe, s.q_id
+        |      ORDER BY s.dot_fp DESC, s.c_id) AS rank
+        |  FROM (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe) np
+        |    JOIN scored s ON s.probe_r <= np.nprobe),
+        | bq AS (SELECT vec_id AS q_id, x AS qvx FROM base
+        |   WHERE vec_id < 8),
+        | bscored AS (
+        |  SELECT q.q_id, b.vec_id AS c_id,
+        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, 65), i ->
+        |        CAST(round(CAST(q.qvx[i] AS DOUBLE) * CAST(b.x[i] AS DOUBLE)
+        |          * 1e12) AS BIGINT))) AS BIGINT) DESC, b.vec_id) AS rank
+        |  FROM bq q JOIN base b ON q.q_id <> b.vec_id),
+        | truth AS (SELECT q_id, c_id FROM bscored WHERE rank <= 5),
+        | tcount AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        | hits AS (SELECT a.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM truth t JOIN approx a
+        |    ON t.q_id = a.q_id AND t.c_id = a.c_id AND a.rank <= 5
+        |  GROUP BY a.nprobe)
+        |SELECT nprobe, n_hits, (SELECT n_truth FROM tcount) AS n_truth,
+        |  n_hits * 10000 // (SELECT n_truth FROM tcount) AS recall_bp
+        | FROM hits ORDER BY nprobe""".stripMargin),
+
     "n3_ann_ivf" -> (IvfAssignCtes +
       """
         | ccell AS (SELECT vec_id AS c_id, x AS cvx, nrm AS cnorm,

