@@ -719,4 +719,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("cdc_chunks"),
       s"native chunker must appear in the plan:\n${plan.take(4000)}")
   }
+
+  test("prefix-filter join: every join is an equality hash join — no " +
+      "cartesian, no nested loop, at any threshold") {
+    val plan = planOf("d22_prefix_filter_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix candidates must equality-join:\n${plan.take(4000)}")
+  }
+
+  test("rolling trend: the 8 lag taps share ONE user-keyed window " +
+      "exchange, no joins") {
+    val plan = planOf("e20_rolling_trend")
+    assert(!plan.contains("Join"), s"no join belongs here:\n" +
+      plan.take(4000))
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, s"expected 1 hash exchange, got $n:\n${plan.take(4000)}")
+  }
 }
