@@ -1303,6 +1303,62 @@ object SparkEntry {
     // value order: the answer is the smallest value whose running weight
     // reaches half the group total. All integer (cents × quantity), one
     // sort per group -----------------------------------------------------
+    // ---- A22: BENFORD first-digit audit — the classic fabricated-data
+    // check: organic multiplicative amounts follow P(d) = log10(1+1/d),
+    // invented ones don't. Per digit: observed count vs the expected
+    // per-mille profile (published constants both engines share as
+    // LITERALS — no transcendental at query time) and the chi-square
+    // contribution as an exact (num, den) pair. The squared deviation
+    // stays under BIGINT to ~3e6 rows at per-mille precision; beyond
+    // that emit (n_d, N) and square in the reader (the 9-row output
+    // makes that free). One map-only digit projection + one 9-group
+    // aggregation ---------------------------------------------------------
+    "a22_benford" -> ((s, dir) => {
+      // log10(1+1/d) in per-mille, d = 1..9 (Benford 1938)
+      val pm = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+      val profile = {
+        import s.implicits._
+        pm.zipWithIndex.map { case (p, i) => ((i + 1).toLong, p) }
+          .toDF("digit", "p_pm")
+      }
+      val digits = t(s, dir, "orders")
+        .filter(col("o_totalprice") >= 1.0)
+        .select(substring(col("o_totalprice").cast("long").cast("string"),
+          1, 1).cast("long").as("digit"))
+      val counts = digits.groupBy("digit")
+        .agg(count(lit(1)).as("n_d"))
+      val total = counts.agg(sum(col("n_d")).as("n_total"))
+      counts.join(broadcast(profile), "digit")
+        .crossJoin(broadcast(total))
+        .withColumn("dev_sq",
+          pow2(col("n_d") * 1000L - col("n_total") * col("p_pm")))
+        .withColumn("chi_den", col("n_total") * col("p_pm") * 1000L)
+        .select("digit", "n_d", "n_total", "p_pm", "dev_sq", "chi_den")
+        .orderBy("digit")
+    }),
+
+    // ---- A23: behavioral entropy — Shannon entropy of each user's
+    // event-type mix (t18's fixed-point ln discipline on a categorical
+    // histogram): a bot does one thing, a person does many; the
+    // uniformity score a fraud/quality segmentation keys on ------------
+    "a23_behavior_entropy" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"))
+      val withN = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .join(withN, "user_id")
+        .withColumn("term_fp",
+          col("cnt") *
+            round(log(col("n_events").cast("double") / col("cnt"))
+              * lit(1e9)).cast("long"))
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          sum(col("term_fp")).as("entropy_fp"))
+        .orderBy("user_id")
+    }),
+
     // ---- A21: MAD robust outliers — e12's z-score breaks down when the
     // outliers themselves inflate σ (masking); median absolute deviation
     // has a 50% breakdown point. Low-median (a15's rank trick) twice —
@@ -5735,6 +5791,45 @@ object SparkEntry {
     // CM cells are order-independent sums, so the oracle recomputes each
     // queried cell as the collision-group count under the same md5
     // universal hash family ((2j+1)h + 7919j + 13 mod p mod width).
+    // Benford replay: floor() before the digit (DuckDB's double→int
+    // CAST rounds, Spark's truncates — floor removes the divergence),
+    // same per-mille literals.
+    "a22_benford" ->
+      """WITH digits AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1.0),
+        | counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_d
+        |  FROM digits GROUP BY digit),
+        | total AS (SELECT CAST(sum(n_d) AS BIGINT) AS n_total FROM counts),
+        | profile AS (SELECT CAST(unnest([1,2,3,4,5,6,7,8,9]) AS BIGINT)
+        |    AS digit,
+        |  CAST(unnest([301,176,125,97,79,67,58,51,46]) AS BIGINT) AS p_pm)
+        |SELECT c.digit, c.n_d, (SELECT n_total FROM total) AS n_total,
+        |  p.p_pm,
+        |  (c.n_d * 1000 - (SELECT n_total FROM total) * p.p_pm)
+        |    * (c.n_d * 1000 - (SELECT n_total FROM total) * p.p_pm)
+        |    AS dev_sq,
+        |  (SELECT n_total FROM total) * p.p_pm * 1000 AS chi_den
+        | FROM counts c JOIN profile p ON c.digit = p.digit
+        | ORDER BY c.digit""".stripMargin,
+
+    // Behavioral entropy replay: t18's fixed-point ln discipline over
+    // the per-user event-type histogram.
+    "a23_behavior_entropy" ->
+      """WITH ev AS (SELECT user_id, event_type FROM events),
+        | n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM ev GROUP BY user_id),
+        | pc AS (SELECT ev.user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY ev.user_id, event_type),
+        | terms AS (SELECT pc.user_id, n.n_events,
+        |    cnt * CAST(round(ln(CAST(n.n_events AS DOUBLE) / cnt) * 1e9)
+        |      AS BIGINT) AS term_fp
+        |  FROM pc JOIN n ON pc.user_id = n.user_id)
+        |SELECT user_id, max(n_events) AS n_events,
+        |  CAST(sum(term_fp) AS BIGINT) AS entropy_fp
+        | FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // MAD replay: the low-median rank trick twice, deterministic
     // (value, event_id) order both times.
     "a21_mad_outliers" ->

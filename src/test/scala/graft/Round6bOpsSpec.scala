@@ -305,6 +305,30 @@ class Round6bOpsSpec extends SparkSpec {
     assert(pf.nonEmpty)
   }
 
+  // ---- Benford / behavioral entropy -------------------------------------
+
+  test("a22: all nine digits present, counts sum to total, and the " +
+      "per-mille profile is Benford's") {
+    val rows = SparkEntry.queries("a22_benford")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    val total = rows.head.getAs[Long]("n_total")
+    assert(rows.map(_.getAs[Long]("n_d")).sum == total)
+    assert(rows.map(_.getAs[Long]("p_pm")).sum == 1000L)
+  }
+
+  test("a23: entropy is 0 for single-type users and bounded by " +
+      "ln(5) for the 5-type corpus") {
+    val rows = SparkEntry.queries("a23_behavior_entropy")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nats = r.getAs[Long]("entropy_fp").toDouble / 1e9 /
+        r.getAs[Long]("n_events")
+      assert(nats >= -1e-9 && nats <= math.log(5.0) + 1e-9,
+        s"user ${r.getLong(0)}: entropy $nats out of [0, ln 5]")
+    }
+  }
+
   // ---- Recall curve / rolling trend -------------------------------------
 
   test("n18: recall is monotone in nprobe and reaches the truth size " +
