@@ -1035,6 +1035,23 @@ object SparkEntry {
       graft.ops.Graph.assortativity(pairs, "a", "b")
     }),
 
+    // ---- G13: bounded multi-source HARMONIC centrality — which nodes
+    // sit near the 4-customer seed set (Σ 1/d within 3 hops, exact
+    // 1e6-div-d fixed point); g8's PPR ranks by walk mass, this by
+    // geodesic proximity — the two disagree exactly on hub-adjacent
+    // nodes, which is why both exist ------------------------------------
+    "g13_harmonic_centrality" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      graft.ops.Graph.harmonicCentrality(edges, "a", "b",
+          sources = Seq(2L, 4L, 6L, 8L), maxDepth = 3)
+        .orderBy(col("harmonic_fp").desc, col("id")).limit(30)
+    }),
+
     // ---- G10: Newman MODULARITY of the nation partition over the
     // customer↔supplier purchase graph — "is trade nation-assortative?"
     // Per-community exact rational (4·m·m_c − d_c², / 4m²); label
@@ -1560,6 +1577,14 @@ object SparkEntry {
     "t27_rake_keywords" -> ((s, dir) =>
       TextAnalysis.rakeKeywords(t(s, dir, "documents"), "doc_id", "text",
         nStopwords = 5)),
+
+    // ---- T29: PMI collocations (Church & Hanks 1990) — adjacent pairs
+    // co-occurring beyond chance; the phrase-mining score feeding
+    // tokenizer merge decisions and n-gram features. Fixed-point ln,
+    // minCount floor (PMI is unstable on rare pairs) --------------------
+    "t29_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"),
+        "doc_id", "text", minCount = 20, topK = 25)),
 
     // ---- T26: Zipf power-law fit — the corpus-health check that the
     // token frequency curve follows rank^(-s) (a corpus that DOESN'T is
@@ -5134,6 +5159,33 @@ object SparkEntry {
         |SELECT id, score FROM r3 ORDER BY score DESC, id LIMIT 20"""
         .stripMargin,
 
+    // Harmonic replay: g3's unrolled BFS with the source id carried,
+    // then Σ 1e6//d per node.
+    "g13_harmonic_centrality" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |  edges AS (SELECT a AS src, b AS dst FROM pairs
+        |    UNION SELECT b AS src, a AS dst FROM pairs),
+        |  seeds AS (SELECT CAST(unnest([2, 4, 6, 8]) AS BIGINT) AS src_id),
+        |  r0 AS (SELECT src_id, src_id AS id, CAST(0 AS BIGINT) AS d
+        |    FROM seeds),
+        |  r1 AS (SELECT src_id, id, CAST(min(d) AS BIGINT) AS d FROM (
+        |    SELECT * FROM r0 UNION ALL
+        |    SELECT r.src_id, e.dst, 1 FROM edges e JOIN r0 r
+        |      ON e.src = r.id WHERE r.d = 0) GROUP BY src_id, id),
+        |  r2 AS (SELECT src_id, id, CAST(min(d) AS BIGINT) AS d FROM (
+        |    SELECT * FROM r1 UNION ALL
+        |    SELECT r.src_id, e.dst, 2 FROM edges e JOIN r1 r
+        |      ON e.src = r.id WHERE r.d = 1) GROUP BY src_id, id),
+        |  r3 AS (SELECT src_id, id, CAST(min(d) AS BIGINT) AS d FROM (
+        |    SELECT * FROM r2 UNION ALL
+        |    SELECT r.src_id, e.dst, 3 FROM edges e JOIN r2 r
+        |      ON e.src = r.id WHERE r.d = 2) GROUP BY src_id, id)
+        |SELECT id, CAST(sum(1000000 // d) AS BIGINT) AS harmonic_fp,
+        |  CAST(count(*) AS BIGINT) AS n_reached
+        | FROM r3 WHERE d > 0 GROUP BY id
+        | ORDER BY harmonic_fp DESC, id LIMIT 30""".stripMargin,
+
     // Assortativity replay: degrees ride the symmetrized edge list, one
     // moment reduce, cross-multiplied Pearson r.
     "g11_assortativity" ->
@@ -6263,6 +6315,28 @@ object SparkEntry {
         |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
         |   AND a.p_partkey < b.p_partkey)
         | WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // PMI replay: same bigram/unigram counts, one pinned-order double
+    // expression rounded at 1e-9.
+    "t29_pmi_collocations" ->
+      """WITH base AS (SELECT regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        | un AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+        |   SELECT unnest(tk) AS w FROM base) GROUP BY w),
+        | tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM un),
+        | big AS (SELECT unnest(list_transform(range(1, len(tk)), i ->
+        |    struct_pack(w1 := tk[CAST(i AS INT)],
+        |      w2 := tk[CAST(i + 1 AS INT)]))) AS b
+        |   FROM base WHERE len(tk) >= 2),
+        | bg AS (SELECT b.w1 AS w1, b.w2 AS w2,
+        |    CAST(count(*) AS BIGINT) AS n_ab FROM big GROUP BY 1, 2),
+        | j AS (SELECT bg.w1, bg.w2, n_ab, a.n AS n_a, c.n AS n_b
+        |  FROM bg JOIN un a ON bg.w1 = a.w JOIN un c ON bg.w2 = c.w
+        |  WHERE n_ab >= 20)
+        |SELECT w1, w2, n_ab, n_a, n_b,
+        |  CAST(round(ln(CAST(n_ab AS DOUBLE) * (SELECT n_total FROM tot)
+        |    / (n_a * n_b)) * 1e9) AS BIGINT) AS pmi_fp
+        | FROM j ORDER BY pmi_fp DESC, w1, w2 LIMIT 25""".stripMargin,
 
     // RAKE replay: same frequency stoplist, islands segmentation via
     // pos - row_number(), degree scoring — all integer.

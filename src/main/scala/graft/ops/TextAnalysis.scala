@@ -562,6 +562,46 @@ object TextAnalysis {
       .filter(col("n_terms_hit") === terms.size)
   }
 
+  /** PMI collocations (Church & Hanks 1990) — word pairs that co-occur
+    * far more than chance: PMI(a,b) = ln(N·n_ab / (n_a·n_b)) over
+    * adjacent token pairs, the classic collocation/phrase-mining score
+    * ("new york" scores high, "of the" scores ~0). Fixed-point ln at
+    * 1e-9 (t18's discipline: ONE double expression with a pinned
+    * operation order, rounded before any comparison) keeps the ranking
+    * hash-gateable. The `minCount` floor is PMI's standard guard — the
+    * score is unstable for rare pairs (a hapax pair maxes PMI by
+    * construction).
+    *
+    * Shape: one bigram explode + (w1,w2)-keyed count, two broadcast-able
+    * unigram joins (the vocab table is tiny relative to the corpus), N
+    * as a one-row broadcast. No windows, no self-joins.
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Int = 20, topK: Int = 25): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+      .withColumn("tk", tokens(col(textCol)))
+    val uni = base.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum(col("n")).as("n_total"))
+    base.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n_a"))),
+        "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n_b"))),
+        "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_fp",
+        round(log(col("n_ab").cast("double") * col("n_total") /
+          (col("n_a") * col("n_b"))) * lit(1e9)).cast("long"))
+      .select("w1", "w2", "n_ab", "n_a", "n_b", "pmi_fp")
+      .orderBy(col("pmi_fp").desc, col("w1"), col("w2")).limit(topK)
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010) with the paper's
     * frequency-derived stoplist: the corpus' `nStopwords` most frequent
     * tokens become phrase DELIMITERS, candidate phrases are the maximal

@@ -305,6 +305,35 @@ class Round6bOpsSpec extends SparkSpec {
     assert(pf.nonEmpty)
   }
 
+  // ---- Harmonic centrality / PMI ----------------------------------------
+
+  test("harmonic: a path graph scores the middle highest from " +
+      "end seeds") {
+    // path 0-1-2-3-4, seeds {0, 4}: H(2) = 1/2+1/2 = 1e6;
+    // H(1) = 1/1+1/3 = 1333333 (floor); symmetric for 3
+    val p = Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val edges = (p ++ p.map(_.swap)).toDF("a", "b")
+    val h = Graph.harmonicCentrality(edges, "a", "b",
+        sources = Seq(0L, 4L), maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(2L) == 1000000L)
+    assert(h(1L) == 1000000L + 333333L)
+    assert(h(1L) == h(3L))
+    // seeds see each other at distance 4
+    assert(h(0L) == 250000L && h(4L) == 250000L)
+  }
+
+  test("t29: every reported pair clears the count floor and PMI " +
+      "ordering is deterministic") {
+    val rows = SparkEntry.queries("t29_pmi_collocations")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_ab") >= 20L))
+    val keys = rows.map(r => (r.getAs[Long]("pmi_fp"), r.getString(0),
+      r.getString(1)))
+    assert(keys.sortBy(k => (-k._1, k._2, k._3)).toSeq == keys.toSeq)
+  }
+
   // ---- Benford / behavioral entropy -------------------------------------
 
   test("a22: all nine digits present, counts sum to total, and the " +
