@@ -2050,6 +2050,27 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // ---- M9: media DEDUP CLUSTERS — m8's Hamming near-dup pairs closed
+    // into connected components (one keeper per visually-identical
+    // group): the dedup DECISION layer on top of the pair layer, same
+    // composition d6 runs over MinHash pairs --------------------------
+    "m9_media_dedup_clusters" -> ((s, dir) => {
+      val ph = Multimodal.perceptualHash(
+          Multimodal.toMediaTable(
+            t(s, dir, "documents").filter(col("text").isNotNull)))
+        .filter(col("phash").isNotNull)
+        .cache()
+      val a = ph.select(col("doc_id").as("id_a"), col("phash").as("ph_a"))
+      val b = ph.select(col("doc_id").as("id_b"), col("phash").as("ph_b"))
+      val pairs = a.join(b,
+          SimHash.hammingLE(col("ph_a"), col("ph_b"), 4) &&
+            col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      graft.ops.ConnectedComponents.run(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- D21: CONTENT-DEFINED CHUNK dedup (LBFS/FastCDC) — boundaries
     // where the 8-point rolling hash hits h%64==0, so chunk digests
     // survive insertions/shifts that would re-digest every fixed-size
@@ -7784,6 +7805,41 @@ object SparkEntry {
         |  FROM chunks WHERE digest IS NOT NULL GROUP BY digest)
         |SELECT digest, n_occ, n_docs FROM agg WHERE n_docs >= 2
         | ORDER BY n_occ DESC, digest LIMIT 100""".stripMargin,
+
+    // Media cluster replay: m8's pairs closed by the recursive min-label
+    // walk (d6's pattern).
+    "m9_media_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text, length(text) // 63 AS q
+        |  FROM documents WHERE text IS NOT NULL),
+        | grid AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 63), t ->
+        |      list_sum(list_transform(
+        |        string_split(substr(text, t * q + 1, q), ''),
+        |        c -> unicode(c))) // q) AS v
+        |  FROM d WHERE q > 0),
+        | hashed AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 56), b ->
+        |      CASE WHEN v[(b // 8) * 9 + (b % 8) + 1] >
+        |                v[(b // 8) * 9 + (b % 8) + 2]
+        |        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
+        |      AS phash
+        |  FROM grid),
+        | dup_pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 4),
+        | cc_edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+        |  UNION SELECT id_b, id_a FROM dup_pairs),
+        | walk(id, lbl) AS (
+        |  SELECT src, src FROM cc_edges
+        |  UNION
+        |  SELECT e.dst, w.lbl FROM walk w JOIN cc_edges e ON e.src = w.id)
+        |SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk
+        | GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Media near-dup replay: m7's dHash grid verbatim, then the naive
     // all-pairs bit_count join — the engine's pigeonhole rewrite changes
