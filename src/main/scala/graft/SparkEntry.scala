@@ -1052,6 +1052,22 @@ object SparkEntry {
         .orderBy(col("harmonic_fp").desc, col("id")).limit(30)
     }),
 
+    // ---- G14: per-node LOCAL CLUSTERING COEFFICIENT over the nation
+    // co-trade graph — g2's oriented wedge enumeration, each closed
+    // triangle credited to all three corners via one explode; exact
+    // basis points 2T·10⁴ div d(d−1). The neighborhood-cliquishness
+    // signal a link-graph curation pass scores ---------------------------
+    "g14_clustering_coeff" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .select(col("c_nationkey").as("x"), col("s_nationkey").as("y"))
+        .distinct()
+      graft.ops.Graph.clusteringCoefficient(pairs, "x", "y")
+        .orderBy("v")
+    }),
+
     // ---- G10: Newman MODULARITY of the nation partition over the
     // customer↔supplier purchase graph — "is trade nation-assortative?"
     // Per-community exact rational (4·m·m_c − d_c², / 4m²); label
@@ -1345,7 +1361,11 @@ object SparkEntry {
       val counts = digits.groupBy("digit")
         .agg(count(lit(1)).as("n_d"))
       val total = counts.agg(sum(col("n_d")).as("n_total"))
-      counts.join(broadcast(profile), "digit")
+      // profile drives the join: a digit with ZERO observed count must
+      // still emit its row (its chi-square term expected²/expected is the
+      // strongest fabrication signal — an inner join would drop it)
+      profile.join(counts, Seq("digit"), "left")
+        .withColumn("n_d", coalesce(col("n_d"), lit(0L)))
         .crossJoin(broadcast(total))
         .withColumn("dev_sq",
           pow2(col("n_d") * 1000L - col("n_total") * col("p_pm")))
@@ -2277,6 +2297,15 @@ object SparkEntry {
         .withColumn("recall_bp", expr("n_hits * 10000L div n_truth"))
         .orderBy("nprobe")
     }),
+
+    // ---- N19: IVF OCCUPANCY audit — per-cell load vs perfect balance
+    // (basis points; empty cells emitted): probe cost IS occupancy, so
+    // this is the index-health number that triggers a centroid re-train.
+    // Map-only assignment + one nCells-row aggregation -------------------
+    "n19_ivf_occupancy" -> ((s, dir) =>
+      Similarity.ivfOccupancy(t(s, dir, "embeddings"), "vec_id",
+          "embedding", nCells = 16)
+        .orderBy("cent_id")),
 
     "n11_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3469,6 +3498,52 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- E21: A/B experiment READOUT — the two-proportion z-test a
+    // product-analytics engine ships as one operator: variant = hash
+    // split (user_id parity here), conversion = per-user purchase value
+    // reaching the corpus low-median (exact-integer cents; a
+    // median-anchored definition can't collapse to an all-converted
+    // arm, which would zero the pooled variance), per-arm rates in
+    // exact bp, and the pooled z statistic as ONE pinned double
+    // expression rounded to 1e-6 fixed point — guarded to NULL at
+    // p̂ ∈ {0, 1} (ANSI Spark would throw, DuckDB would emit ±inf;
+    // degrade identically instead). Shape: one user-keyed aggregation,
+    // a readout-sized median rank (n_users rows — production swaps in
+    // an approx-percentile cutpoint broadcast, c13's discipline), one
+    // 1-row rollup. A 100 TB readout costs the per-user pass ------------
+    "e21_ab_readout" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+          cents(col("value"))).otherwise(0L)).as("pv"))
+      val med = u
+        .withColumn("rn", row_number().over(
+          Window.orderBy("pv", "user_id")))
+        .crossJoin(broadcast(u.agg(count(lit(1)).as("n_u"))))
+        .filter(col("rn") === expr("(n_u + 1) div 2"))
+        .select(col("pv").as("median_pv"))
+      val users = u.crossJoin(broadcast(med))
+        .select((col("user_id") % 2).as("variant"),
+          when(col("pv") >= col("median_pv"), 1L).otherwise(0L)
+            .as("converted"))
+      users.agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("variant") === 0, col("converted"))
+            .otherwise(0L)).as("c0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("variant") === 1, col("converted"))
+            .otherwise(0L)).as("c1"))
+        .withColumn("rate0_bp", expr("c0 * 10000 div n0"))
+        .withColumn("rate1_bp", expr("c1 * 10000 div n1"))
+        .withColumn("z_fp", expr(
+          "CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL ELSE " +
+            "CAST(round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)" +
+            " / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
+            " * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
+            " * (1.0 / n0 + 1.0 / n1)) * 1e6) AS BIGINT) END"))
+        .withColumn("significant", abs(col("z_fp")) > 1960000L)
+    }),
+
     // ---- E17: EWMA smoothing — the classic α=1/2 exponential filter
     // with DYADIC weights (2^15, 2^14, …, 1 over the trailing 16 samples)
     // so the smoothed value is an exact integer pair (weighted sum,
@@ -3660,6 +3735,17 @@ object SparkEntry {
           sensitive = col("lang"), tBasisPoints = 2500)
         .orderBy("source", "len_bucket")),
 
+    // ---- V4: seeded DIFFERENTIAL-PRIVACY count release (Dwork 2006) —
+    // per-(source, lang) histogram with deterministic inverse-CDF
+    // Laplace(1/ε) noise keyed on md5(seed|group): the reproducible-
+    // release pattern; the true count never leaves the operator. One
+    // hash aggregation; noise is a map expression on the group rows ------
+    "v4_dp_release" -> ((s, dir) =>
+      graft.ops.Governance.dpCountRelease(
+          t(s, dir, "documents"), Seq("source", "lang"),
+          epsilon = 1.0, seed = "graft-r7")
+        .orderBy("source", "lang")),
+
     // ---- D17: benchmark LEAKAGE RATE — the evaluation-integrity number
     // a corpus release quotes: share of benchmark docs sharing any 4-gram
     // with the corpus, one summary row. The gram join SHUFFLES (corpus is
@@ -3807,6 +3893,18 @@ object SparkEntry {
           t(s, dir, "documents").filter(col("text").isNotNull),
           "doc_id", "text", "lang")
         .orderBy("doc_id")),
+
+    // ---- C14: DSIR importance resampling (Xie 2023) — raw-pool docs
+    // whose hashed unigram+bigram profile best matches the target slice
+    // (en/src18 here): per-bucket smoothed log-ratios broadcast onto the
+    // feature stream, integer fixed-point doc weights, deterministic
+    // top-k. One corpus explode-agg pass + one doc-keyed sum -------------
+    "c14_dsir_resample" -> ((s, dir) =>
+      graft.ops.Curation.dsirResample(
+          t(s, dir, "documents"), "doc_id", "text",
+          targetPred = col("lang") === "en" && col("source") === "src18",
+          dim = 1024, k = 50)
+        .orderBy(col("weight_fp").desc, col("doc_id"))),
 
     // ---- J12: incremental aggregate MAINTENANCE — the materialized-view
     // refresh: merge the stored per-key summary with the delta's summary
@@ -5302,6 +5400,34 @@ object SparkEntry {
         | FROM e e1 JOIN e e2 ON e2.a = e1.b
         |   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
 
+    // Local clustering coefficient replay: naive a<b<c triangle
+    // enumeration credited to all three corners, degree from the
+    // undirected edge list, cc in integer basis points.
+    "g14_clustering_coeff" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT c_nationkey AS x, s_nationkey AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN lineitem ON l_orderkey = o_orderkey
+        |    JOIN supplier ON s_suppkey = l_suppkey),
+        | e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |       FROM pairs WHERE x <> y),
+        | deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
+        |   SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY v),
+        | tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |   FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        | pern AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |   SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+        |   UNION ALL SELECT z AS v FROM tri) GROUP BY v)
+        |SELECT d.v, d.degree,
+        |  CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST(CASE WHEN d.degree >= 2
+        |    THEN 2 * coalesce(p.n_tri, 0) * 10000
+        |      // (d.degree * (d.degree - 1))
+        |    ELSE 0 END AS BIGINT) AS cc_bp
+        | FROM deg d LEFT JOIN pern p ON d.v = p.v ORDER BY d.v""".stripMargin,
+
     "g3_bfs_levels" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
         |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -5575,6 +5701,42 @@ object SparkEntry {
         |  CAST(336 AS BIGINT) AS slope_den
         | FROM lagged WHERE l7 IS NOT NULL
         | ORDER BY user_id, event_id""".stripMargin,
+
+    // A/B readout replay: per-user purchase cents vs the exact
+    // low-median cutpoint, parity variant, pooled two-proportion z as
+    // the same pinned double expression with the same p̂∈{0,1} guard.
+    "e21_ab_readout" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS pv
+        |  FROM events GROUP BY user_id),
+        | m AS (SELECT pv AS median_pv FROM (
+        |    SELECT pv, row_number() OVER (ORDER BY pv, user_id) AS rn
+        |    FROM u)
+        |  WHERE rn = (SELECT (count(*) + 1) // 2 FROM u)),
+        | v AS (SELECT user_id % 2 AS variant,
+        |    CAST(CASE WHEN pv >= (SELECT median_pv FROM m)
+        |      THEN 1 ELSE 0 END AS BIGINT) AS converted FROM u),
+        | wide AS (SELECT
+        |   CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n0,
+        |   CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+        |     AS BIGINT) AS c0,
+        |   CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n1,
+        |   CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+        |     AS BIGINT) AS c1
+        |  FROM v)
+        |SELECT n0, c0, n1, c1,
+        |  c0 * 10000 // n0 AS rate0_bp, c1 * 10000 // n1 AS rate1_bp,
+        |  CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL ELSE
+        |    CAST(round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+        |      / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |        * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |        * (1.0 / n0 + 1.0 / n1)) * 1e6) AS BIGINT) END AS z_fp,
+        |  abs(z_fp) > 1960000 AS significant
+        | FROM wide""".stripMargin,
 
     // EWMA replay: the 16 dyadic lag taps written out longhand.
     "e17_ewma" -> {
@@ -5877,14 +6039,16 @@ object SparkEntry {
         | profile AS (SELECT CAST(unnest([1,2,3,4,5,6,7,8,9]) AS BIGINT)
         |    AS digit,
         |  CAST(unnest([301,176,125,97,79,67,58,51,46]) AS BIGINT) AS p_pm)
-        |SELECT c.digit, c.n_d, (SELECT n_total FROM total) AS n_total,
+        |SELECT p.digit, coalesce(c.n_d, 0) AS n_d,
+        |  (SELECT n_total FROM total) AS n_total,
         |  p.p_pm,
-        |  (c.n_d * 1000 - (SELECT n_total FROM total) * p.p_pm)
-        |    * (c.n_d * 1000 - (SELECT n_total FROM total) * p.p_pm)
+        |  (coalesce(c.n_d, 0) * 1000 - (SELECT n_total FROM total) * p.p_pm)
+        |    * (coalesce(c.n_d, 0) * 1000
+        |       - (SELECT n_total FROM total) * p.p_pm)
         |    AS dev_sq,
         |  (SELECT n_total FROM total) * p.p_pm * 1000 AS chi_den
-        | FROM counts c JOIN profile p ON c.digit = p.digit
-        | ORDER BY c.digit""".stripMargin,
+        | FROM profile p LEFT JOIN counts c ON c.digit = p.digit
+        | ORDER BY p.digit""".stripMargin,
 
     // Behavioral entropy replay: t18's fixed-point ln discipline over
     // the per-user event-type histogram.
@@ -6111,6 +6275,39 @@ object SparkEntry {
         |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
         |    ELSE 'tail' END AS bucket_name
         | FROM ranked ORDER BY doc_id""".stripMargin,
+
+    // DSIR replay: hashed unigram+bigram buckets, smoothed bucket
+    // log-ratios (one pinned double expression), integer doc weights,
+    // deterministic top-k. DuckDB's range(1, n) is already empty for
+    // n <= 1, so the bigram guard Spark needs is implicit here.
+    "c14_dsir_resample" ->
+      """WITH base AS (SELECT doc_id,
+        |    (lang = 'en' AND source = 'src18') AS is_tgt,
+        |    regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        | feats AS (SELECT doc_id, is_tgt,
+        |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |  FROM (SELECT doc_id, is_tgt, unnest(list_concat(tk,
+        |      list_transform(range(1, len(tk)), i ->
+        |        tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)]))) AS f
+        |    FROM base)),
+        | bc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_raw_b,
+        |    CAST(count(*) FILTER (WHERE is_tgt) AS BIGINT) AS n_tgt_b
+        |  FROM feats GROUP BY bucket),
+        | tots AS (SELECT CAST(count(*) AS BIGINT) AS n_raw,
+        |    CAST(count(*) FILTER (WHERE is_tgt) AS BIGINT) AS n_tgt
+        |  FROM feats),
+        | lr AS (SELECT bucket,
+        |    CAST(round(ln((CAST(n_tgt_b + 1 AS DOUBLE)
+        |        * CAST((SELECT n_raw FROM tots) + 1024 AS DOUBLE))
+        |      / (CAST(n_raw_b + 1 AS DOUBLE)
+        |        * CAST((SELECT n_tgt FROM tots) + 1024 AS DOUBLE))) * 1e9)
+        |      AS BIGINT) AS lr_fp
+        |  FROM bc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+        |  CAST(sum(lr_fp) AS BIGINT) AS weight_fp
+        | FROM feats JOIN lr USING (bucket) WHERE NOT is_tgt
+        | GROUP BY doc_id ORDER BY weight_fp DESC, doc_id LIMIT 50""".stripMargin,
 
     "t20_bpe_train" -> BpeTrainSql(4),
 
@@ -6356,7 +6553,8 @@ object SparkEntry {
         |  WHERE n_ab >= 20)
         |SELECT w1, w2, n_ab, n_a, n_b,
         |  CAST(round(ln(CAST(n_ab AS DOUBLE) * (SELECT n_total FROM tot)
-        |    / (n_a * n_b)) * 1e9) AS BIGINT) AS pmi_fp
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) * 1e9)
+        |    AS BIGINT) AS pmi_fp
         | FROM j ORDER BY pmi_fp DESC, w1, w2 LIMIT 25""".stripMargin,
 
     // RAKE replay: same frequency stoplist, islands segmentation via
@@ -7453,6 +7651,20 @@ object SparkEntry {
         |SELECT nprobe, n_hits, (SELECT n_truth FROM tcount) AS n_truth,
         |  n_hits * 10000 // (SELECT n_truth FROM tcount) AS recall_bp
         | FROM hits ORDER BY nprobe""".stripMargin),
+
+    // IVF occupancy replay: the shared assignment CTEs, per-cell counts
+    // with empty cells kept, load vs perfect balance in basis points.
+    "n19_ivf_occupancy" -> (IvfAssignCtes +
+      """
+        | occ AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs
+        |   FROM assign WHERE r = 1 GROUP BY cent_id),
+        | allc AS (SELECT c.cent_id,
+        |   CAST(coalesce(o.n_vecs, 0) AS BIGINT) AS n_vecs
+        |   FROM cents c LEFT JOIN occ o ON c.cent_id = o.cent_id),
+        | tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM allc)
+        |SELECT cent_id, n_vecs, (SELECT n_total FROM tot) AS n_total,
+        |  n_vecs * 16 * 10000 // (SELECT n_total FROM tot) AS load_bp
+        | FROM allc ORDER BY cent_id""".stripMargin),
 
     "n3_ann_ivf" -> (IvfAssignCtes +
       """
@@ -8573,12 +8785,31 @@ object SparkEntry {
         |    CAST(max(2 * g.n_g * (SELECT n_total FROM tot)) AS BIGINT)
         |      AS tvd_den
         |  FROM gv JOIN v USING (sens)
-        |    JOIN g ON gv.source = g.source AND gv.len_bucket = g.len_bucket
+        |    JOIN g ON gv.source IS NOT DISTINCT FROM g.source
+        |      AND gv.len_bucket IS NOT DISTINCT FROM g.len_bucket
         |  GROUP BY gv.source, gv.len_bucket)
         |SELECT source, len_bucket, k_of_group, tvd_num, tvd_den,
         |  tvd_num * 10000 // tvd_den AS tvd_bp,
         |  tvd_num * 10000 // tvd_den <= 2500 AS t_ok
         | FROM agg ORDER BY source, len_bucket""".stripMargin,
+
+    // Seeded DP release replay: same keyed md5 uniform, same inverse-CDF
+    // Laplace expression, rounded then floored at zero.
+    "v4_dp_release" ->
+      """WITH g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source, lang),
+        | h AS (SELECT source, lang, n,
+        |    CAST(CAST(('0x' || substr(md5('graft-r7' || '|'
+        |      || coalesce(CAST(source AS VARCHAR), '~null~') || '|'
+        |      || coalesce(CAST(lang AS VARCHAR), '~null~')), 1, 8))
+        |      AS BIGINT) AS DOUBLE) AS hv
+        |  FROM g),
+        | u AS (SELECT source, lang, n,
+        |    (hv + 0.5) / 4294967296.0 - 0.5 AS uu FROM h)
+        |SELECT source, lang,
+        |  CAST(greatest(0, n + CAST(round(-(1.0 / 1.0) * sign(uu)
+        |    * ln(1.0 - 2.0 * abs(uu))) AS BIGINT)) AS BIGINT) AS n_released
+        | FROM u ORDER BY source, lang""".stripMargin,
 
     "c12_corpus_card" ->
       """WITH d AS (SELECT source, lang, md5(text) AS digest,

@@ -300,4 +300,65 @@ object Curation {
       .select(col(idCol), col(langCol), col("avg_nll"),
         col("bucket"), col("bucket_name"))
   }
+
+  /** DSIR importance resampling (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): select raw-pool
+    * documents whose hashed n-gram feature profile looks like a TARGET
+    * domain. Per document, the log importance weight is
+    * `Σ_f log(p̂_target(bucket(f)) / p̂_raw(bucket(f)))` over its
+    * unigram+bigram features hashed into `dim` buckets (the paper's
+    * bag-of-hashed-ngrams generative model), with add-one smoothing on
+    * both bucket histograms. The paper then Gumbel-samples ∝ weight;
+    * here selection is the deterministic top-`k` by (weight, id) — the
+    * same primitive with the noise term zeroed, which is what lets an
+    * importance sampler sit under the cross-engine hash gate (seeded
+    * Gumbel keys are one added hash column away).
+    *
+    * Determinism discipline: bucket = md5-prefix mod dim (t24's hashing
+    * trick), each bucket's log-ratio is ONE double expression rounded to
+    * 1e-9 fixed point, and a document's weight is the INTEGER sum of its
+    * features' fixed-point log-ratios — order-independent under any
+    * partitioning.
+    *
+    * Scale shape: one explode + bucket-keyed aggregation builds both
+    * histograms in a single pass (conditional sums — the target pass is
+    * free); the `dim`-row log-ratio table BROADCASTS onto the feature
+    * stream, the per-doc weight is one doc-keyed aggregation, and the
+    * final top-k is TakeOrderedAndProject. No join ever shuffles the
+    * corpus twice: memory is O(dim), the hashing trick's point.
+    */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+                   targetPred: Column, dim: Int = 1024,
+                   k: Int = 100): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), targetPred.as("__is_tgt"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+    // unigram + space-joined-bigram feature strings, hashed to buckets
+    val feats = toks.select(col(idCol), col("__is_tgt"),
+        explode(concat(col("tk"), expr(
+          "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1)," +
+            " i -> concat(tk[i-1], ' ', tk[i])) ELSE array() END"))).as("f"))
+      .select(col(idCol), col("__is_tgt"),
+        pmod(conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long"),
+          lit(dim.toLong)).as("bucket"))
+    val bc = feats.groupBy("bucket").agg(
+      count(lit(1)).as("n_raw_b"),
+      count(when(col("__is_tgt"), 1)).as("n_tgt_b"))
+    val totals = feats.agg(count(lit(1)).as("n_raw"),
+      count(when(col("__is_tgt"), 1)).as("n_tgt"))
+    // smoothed log-ratio per bucket, fixed point at 1e-9 — one double
+    // expression with pinned operation order, mirrored in the oracle
+    val lr = bc.crossJoin(broadcast(totals)).select(col("bucket"),
+      round(log(
+        ((col("n_tgt_b") + 1).cast("double") *
+          (col("n_raw") + dim).cast("double")) /
+        ((col("n_raw_b") + 1).cast("double") *
+          (col("n_tgt") + dim).cast("double"))) * lit(1e9))
+        .cast("long").as("lr_fp"))
+    feats.filter(!col("__is_tgt"))
+      .join(broadcast(lr), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feat"), sum("lr_fp").as("weight_fp"))
+      .orderBy(col("weight_fp").desc, col(idCol)).limit(k)
+  }
 }

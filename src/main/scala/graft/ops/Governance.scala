@@ -114,11 +114,18 @@ object Governance {
     val total = base.agg(count(lit(1)).as("n_total"))
     val joined = gv.join(broadcast(v), "__sens").crossJoin(broadcast(total))
     // per-group totals, then joined back on the SAME qid key (the join
-    // reuses gv's exchange partitioning; the g side is |groups| rows)
+    // reuses gv's exchange partitioning; the g side is |groups| rows).
+    // NULL-SAFE join (<=>): groupBy keeps a NULL-keyed QID group, so the
+    // join-back must too — a plain equi-join would silently drop it and
+    // the audit would skip exactly the group a release gate must see.
     val g = joined.groupBy(qidNames.map(col): _*)
       .agg(sum(col("n_gv")).as("n_g"),
         sum(col("n_v")).as("sum_v_present"))
-    joined.join(g, qidNames)
+    val gR = g.select(qidNames.map(n => col(n).as(s"__g_$n"))
+      ++ Seq(col("n_g"), col("sum_v_present")): _*)
+    val joinCond = qidNames.map(n => col(n) <=> col(s"__g_$n")).reduce(_ && _)
+    joined.join(gR, joinCond)
+      .drop(qidNames.map(n => s"__g_$n"): _*)
       .groupBy(qidNames.map(col): _*)
       .agg(
         first(col("n_g")).as("k_of_group"),
@@ -135,6 +142,40 @@ object Governance {
     * Broadcast of the violating groups keeps the corpus side map-only
     * when the violator set is small (it is, by definition of "tail").
     */
+  /** Seeded Laplace count release — the ε-differential-privacy histogram
+    * mechanism (Dwork, McSherry, Nissim & Smith 2006): per-group counts
+    * released with additive Laplace(Δ/ε) noise, Δ = 1 for a count. The
+    * draw is DETERMINISTIC given (seed, group): u ∈ (−½, ½) derives from
+    * the group's keyed md5 (`(h + ½)/2³² − ½` over the 32-bit prefix —
+    * the +½ centers the lattice so |u| < ½ strictly and ln(1−2|u|) is
+    * finite), and inverse-CDF sampling gives noise = −b·sgn(u)·ln(1−2|u|)
+    * with b = 1/ε. Seeded noise is itself the production pattern for
+    * REPRODUCIBLE releases (auditable, re-runnable); an unlinkable
+    * release swaps the seed for a CSPRNG draw and nothing else moves.
+    * Determinism is also exactly what lets a DP mechanism sit under the
+    * cross-engine hash gate.
+    *
+    * Released values are integers (rounded noise, floored at 0) —
+    * post-processing, so ε-DP is preserved — and the true count never
+    * appears in the output. One hash aggregation; the noise is a
+    * map-side expression on the |groups|-row result, so the release of
+    * a 100 TB table costs exactly its groupBy.
+    */
+  def dpCountRelease(df: DataFrame, groupCols: Seq[String],
+                     epsilon: Double, seed: String): DataFrame = {
+    val keyed = concat_ws("|", lit(seed) +:
+      groupCols.map(c => coalesce(col(c).cast("string"), lit("~null~"))): _*)
+    val h = conv(substring(md5(keyed), 1, 8), 16, 10).cast("double")
+    val u = (h + lit(0.5)) / lit(4294967296.0) - lit(0.5)
+    val noise = -lit(1.0 / epsilon) * signum(u) *
+      log(lit(1.0) - lit(2.0) * abs(u))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("n_released",
+        greatest(lit(0L), col("__n") + round(noise).cast("long")))
+      .drop("__n")
+  }
+
   def suppressionSet(df: DataFrame, qidCols: Seq[Column],
                      qidNames: Seq[String], sensitive: Column,
                      k: Int): DataFrame = {

@@ -137,6 +137,23 @@ object Graph {
     * edge probe reuses the oriented list's partitioning.
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val (_, oriented) = orientEdges(edges, srcCol, dstCol)
+    val w1 = oriented.select(col("u"), col("w").as("v1"), col("rw").as("r1"))
+    val w2 = oriented.select(col("u"), col("w").as("v2"), col("rw").as("r2"))
+    val wedges = w1.join(w2, Seq("u")).filter(col("r1") < col("r2"))
+      .select(col("v1"), col("v2"))
+    wedges.join(oriented.select(col("u").as("v1"), col("w").as("v2")),
+        Seq("v1", "v2"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Degree-ordered orientation shared by [[triangleCount]] and
+    * [[clusteringCoefficient]]: dedup'd undirected edges become the
+    * (degree, id)-oriented list. Returns (per-node degree table,
+    * oriented edges (u, w, rw) with rank(u) < rank(w)).
+    */
+  private def orientEdges(edges: DataFrame, srcCol: String,
+                          dstCol: String): (DataFrame, DataFrame) = {
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -152,7 +169,7 @@ object Graph {
     // would silently bleed into the degree bits and corrupt the count.
     val inRange = (c: Column) => when(c >= 0L && c < 2147483648L, c)
       .otherwise(raise_error(lit(
-        "triangleCount: vertex id out of [0, 2^31) — rank packing invalid")))
+        "orientEdges: vertex id out of [0, 2^31) — rank packing invalid")))
     val ranked = und
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
@@ -163,13 +180,41 @@ object Graph {
       when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
       when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("w"),
       greatest(col("ra"), col("rb")).as("rw"))
+    (deg, oriented)
+  }
+
+  /** Per-node LOCAL clustering coefficient (Watts & Strogatz 1998):
+    * cc(v) = 2·T(v) / (d(v)·(d(v)−1)) — how close v's neighborhood is
+    * to a clique; the standard community-structure / spam-farm signal a
+    * link-graph curation pass scores (organic neighborhoods cluster,
+    * generated link farms are stars or cliques at the extremes).
+    *
+    * Same oriented wedge enumeration as [[triangleCount]] — each closed
+    * triangle is found exactly once, then credited to ALL THREE corners
+    * via one explode (no per-corner re-join): the per-node tally costs
+    * one extra hash aggregation over 3×|triangles| rows on top of the
+    * count's two shuffles. Emitted exact: (n_tri, degree) plus basis
+    * points `2·T·10⁴ div (d·(d−1))` — integer div, so the DuckDB replay
+    * agrees bit-for-bit; degree-<2 nodes release 0 bp (no wedge exists).
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame = {
+    val (deg, oriented) = orientEdges(edges, srcCol, dstCol)
     val w1 = oriented.select(col("u"), col("w").as("v1"), col("rw").as("r1"))
     val w2 = oriented.select(col("u"), col("w").as("v2"), col("rw").as("r2"))
     val wedges = w1.join(w2, Seq("u")).filter(col("r1") < col("r2"))
-      .select(col("v1"), col("v2"))
-    wedges.join(oriented.select(col("u").as("v1"), col("w").as("v2")),
+      .select(col("u"), col("v1"), col("v2"))
+    val tris = wedges.join(
+        oriented.select(col("u").as("v1"), col("w").as("v2")),
         Seq("v1", "v2"))
-      .agg(count(lit(1)).as("n_triangles"))
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    deg.join(tris, Seq("v"), "left")
+      .select(col("v"), col("d").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_bp", when(col("degree") >= 2,
+        expr("2 * n_tri * 10000 div (degree * (degree - 1))"))
+        .otherwise(lit(0L)))
   }
 
   /** Unweighted single-source shortest-path levels (BFS) to `maxDepth`.

@@ -336,6 +336,50 @@ object Similarity {
       col("q_id") =!= col("c_id") && col("q_cell") === col("c_cell"), k)
   }
 
+  /** IVF index-health audit: per-cell occupancy of the [[ivfTopK]]
+    * assignment, each cell's load relative to perfect balance in basis
+    * points (`n_vecs·nCells·10⁴ div n_total`; 10000 = balanced). THE
+    * operational number for an IVF index at scale — probe cost is
+    * occupancy, so a hot cell (clustered corpus, duplicate embeddings)
+    * is a latency cliff and an empty cell is wasted recall; production
+    * re-trains centroids (n6's k-means) when max load_bp drifts. Empty
+    * cells are emitted (left join from the centroid table), not dropped —
+    * they are the signal.
+    *
+    * Cost: the map-only nearest-centroid assignment (K broadcast dots
+    * per vector, no shuffle) + one nCells-row aggregation — auditing a
+    * 100 TB index costs one scan.
+    */
+  def ivfOccupancy(candidates: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int = 16): DataFrame = {
+    val c0 = spread(candidates, idCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        normFp(col(vecCol)).as("c_norm"))
+    val cents = c0.orderBy(md5(col("c_id").cast("string")), col("c_id"))
+      .limit(nCells)
+      .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec"),
+        col("c_norm").as("cent_norm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_id"))
+      .orderBy(col("__cent_cos").desc, col("cent_id"))
+    val assigned = c0.crossJoin(broadcast(cents))
+      .withColumn("__cent_cos",
+        cosineFromFp(dotFp(col("c_vec"), col("cent_vec")),
+          col("c_norm"), col("cent_norm")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("cent_id"))
+    val occ = assigned.groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
+    val allCells = cents.select(col("cent_id"))
+      .join(occ, Seq("cent_id"), "left")
+      .withColumn("n_vecs", coalesce(col("n_vecs"), lit(0L)))
+    val tot = allCells.agg(sum("n_vecs").as("n_total"))
+    allCells.crossJoin(broadcast(tot))
+      .withColumn("load_bp",
+        expr(s"n_vecs * $nCells * 10000 div n_total"))
+      .select("cent_id", "n_vecs", "n_total", "load_bp")
+  }
+
   /** Int8 scalar quantization of a float vector column: per-vector scale
     * `s = max|x| / 127` (floored at 1e-30 so a zero vector quantizes to
     * zeros instead of NaN), elements `round(x / s)` in [-127, 127]. The

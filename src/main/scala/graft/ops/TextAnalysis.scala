@@ -596,8 +596,12 @@ object TextAnalysis {
         "w2")
       .crossJoin(broadcast(total))
       .withColumn("pmi_fp",
+        // n_a/n_b cast to double BEFORE the product: 64-bit n_a*n_b wraps
+        // silently past ~3e9-count unigrams (DuckDB would raise instead —
+        // the engines must agree at any corpus size)
         round(log(col("n_ab").cast("double") * col("n_total") /
-          (col("n_a") * col("n_b"))) * lit(1e9)).cast("long"))
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          * lit(1e9)).cast("long"))
       .select("w1", "w2", "n_ab", "n_a", "n_b", "pmi_fp")
       .orderBy(col("pmi_fp").desc, col("w1"), col("w2")).limit(topK)
   }

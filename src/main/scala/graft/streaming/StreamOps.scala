@@ -914,8 +914,13 @@ object StreamOps {
         q.processAllAvailable()
         q.stop()
       }
+      // "latest emission" rank: n_changes is MONOTONE per key across
+      // micro-batches (each batch's emission strictly increases it), so
+      // it is the correct supersession key even when the source splits
+      // into several batches; last_event_id is NOT — apply order is
+      // (ts_us, event_id), and a later batch can apply a lower event_id
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("last_event_id").desc)
+        .partitionBy("user_id").orderBy(col("n_changes").desc)
       spark.table(queryName)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .filter(!col("deleted"))

@@ -81,6 +81,25 @@ class Round6bOpsSpec extends SparkSpec {
     assert(r("a").getAs[Long]("tvd_bp") >= 1250L)
   }
 
+  test("t-closeness: a NULL-keyed QID group is audited, not dropped") {
+    // the null-QID rows form their own group — a release audit that
+    // silently skips them is a privacy hole (an equi-join-back on the
+    // QID key would do exactly that; the op must join null-safely)
+    val rows = Seq(
+      (null.asInstanceOf[String], "x"), (null.asInstanceOf[String], "x"),
+      ("b", "x"), ("b", "y"))
+    val out = Governance.tClosenessAudit(rows.toDF("grp", "sens"),
+        qidCols = Seq(col("grp")), qidNames = Seq("g"),
+        sensitive = col("sens"), tBasisPoints = 2500)
+      .collect()
+    assert(out.length == 2, s"expected null group + b, got ${out.toSeq}")
+    val nullRow = out.find(_.isNullAt(0)).getOrElse(
+      fail("null-QID group missing from audit output"))
+    // null group is all-x in a 3:1 corpus: TVD = 1/4 -> 2500 bp, n_g = 2
+    assert(nullRow.getAs[Long]("k_of_group") == 2L)
+    assert(nullRow.getAs[Long]("tvd_bp") == 2500L)
+  }
+
   // ---- CDC chunking -----------------------------------------------------
 
   private def digests(s: String): Seq[String] = {

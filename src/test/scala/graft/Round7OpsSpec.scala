@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Governance, Graph, Similarity}
+
+/** Semantics of the round-7 operator batch: local clustering
+  * coefficient, DSIR importance resampling, seeded DP count release,
+  * IVF occupancy audit.
+  */
+class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- local clustering coefficient ------------------------------------
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+    Graph.clusteringCoefficient(edges.toDF("s", "d"), "s", "d")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("cc: a triangle is fully clustered at every corner") {
+    val m = ccOf(Seq(1L -> 2L, 2L -> 3L, 1L -> 3L))
+    (1L to 3L).foreach { v =>
+      assert(m(v) == (2L, 1L, 10000L), s"node $v: ${m(v)}")
+    }
+  }
+
+  test("cc: a star center has zero clustering, leaves emit 0 bp") {
+    // center 0 with 3 leaves: no closed wedge anywhere
+    val m = ccOf(Seq(0L -> 1L, 0L -> 2L, 0L -> 3L))
+    assert(m(0L) == (3L, 0L, 0L))
+    // degree-1 leaves have no wedge — den guard releases 0, not an error
+    assert(m(1L) == (1L, 0L, 0L))
+  }
+
+  test("cc: closing one star edge clusters exactly that wedge") {
+    val m = ccOf(Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 2L))
+    // center: 1 triangle over C(3,2)=3 wedges -> 3333 bp
+    assert(m(0L) == (3L, 1L, 3333L))
+    // nodes 1,2: degree 2, 1 triangle -> fully clustered
+    assert(m(1L) == (2L, 1L, 10000L))
+    assert(m(3L) == (1L, 0L, 0L))
+  }
+
+  // ---- DSIR importance resampling --------------------------------------
+
+  test("dsir: raw docs sharing the target's vocabulary outrank the rest " +
+      "and target docs are never selected") {
+    val target = (0L until 6L).map(i =>
+      (i, "spark shuffle exchange partition codegen catalyst", true))
+    val likeTarget = (10L until 14L).map(i =>
+      (i, "spark shuffle partition catalyst exchange plan", false))
+    val unlike = (20L until 30L).map(i =>
+      (i, "recipe butter flour sugar oven whisk batter", false))
+    val docs = (target ++ likeTarget ++ unlike)
+      .toDF("doc_id", "text", "is_tgt")
+    val out = Curation.dsirResample(docs, "doc_id", "text",
+      targetPred = col("is_tgt"), dim = 256, k = 4)
+    val ids = out.select("doc_id").as[Long].collect().toSeq
+    assert(ids.toSet == Set(10L, 11L, 12L, 13L),
+      s"expected the spark-vocabulary docs, got $ids")
+    // weights are RELATIVE (smoothing shifts the absolute level): every
+    // target-like doc must strictly outrank every off-domain doc
+    val all = Curation.dsirResample(docs, "doc_id", "text",
+      targetPred = col("is_tgt"), dim = 256, k = 14)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val likeMin = (10L until 14L).map(all).min
+    val unlikeMax = (20L until 30L).map(all).max
+    assert(likeMin > unlikeMax,
+      s"domain separation lost: likeMin=$likeMin unlikeMax=$unlikeMax")
+  }
+
+  test("dsir: weights are invariant under repartitioning") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"tok${i % 7} tok${i % 3} tok${i % 11}", i % 5 == 0))
+      .toDF("doc_id", "text", "is_tgt")
+    val a = Curation.dsirResample(docs, "doc_id", "text",
+      col("is_tgt"), dim = 128, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Curation.dsirResample(docs.repartition(7), "doc_id", "text",
+      col("is_tgt"), dim = 128, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
+  // ---- seeded DP count release -----------------------------------------
+
+  test("dp release: deterministic per seed, noisy, never negative, " +
+      "all groups released") {
+    val df = (0L until 400L).map(i => (s"g${i % 7}", i)).toDF("g", "x")
+    val a = Governance.dpCountRelease(df, Seq("g"), epsilon = 1.0,
+      seed = "s1").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Governance.dpCountRelease(df, Seq("g"), epsilon = 1.0,
+      seed = "s1").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c = Governance.dpCountRelease(df, Seq("g"), epsilon = 1.0,
+      seed = "s2").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "same seed must reproduce the release")
+    assert(a != c, "a fresh seed must redraw the noise")
+    assert(a.size == 7 && a.values.forall(_ >= 0L))
+    // Laplace(1) noise at n≈57: released counts stay near the truth
+    a.foreach { case (g, n) =>
+      assert(math.abs(n - 57L) <= 30L, s"group $g released $n, truth ~57")
+    }
+  }
+
+  test("dp release: epsilon scales the noise magnitude") {
+    val df = (0L until 4000L).map(i => (s"g${i % 4}", i)).toDF("g", "x")
+    def dev(eps: Double): Long =
+      Governance.dpCountRelease(df, Seq("g"), eps, seed = "s1")
+        .collect().map(r => math.abs(r.getLong(1) - 1000L)).max
+    // ε=0.01 (b=100) must perturb more than ε=10 (b=0.1) on the same draw
+    assert(dev(0.01) > dev(10.0))
+  }
+
+  // ---- IVF occupancy audit ---------------------------------------------
+
+  test("ivf occupancy: cells partition the corpus and empty cells emit") {
+    val vecs = (0L until 64L).map { i =>
+      (i, Array.tabulate(8)(d => if (d == (i % 4).toInt) 1.0f else 0.01f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.ivfOccupancy(vecs, "vec_id", "embedding",
+      nCells = 8).collect()
+    assert(out.length == 8, s"all 8 cells must emit: ${out.length}")
+    assert(out.map(_.getLong(1)).sum == 64L,
+      "occupancies must partition the corpus exactly")
+    assert(out.forall(_.getLong(2) == 64L))
+    // only 4 distinct directions -> at least one of 8 cells is empty,
+    // and an empty cell's load is 0 bp
+    val empty = out.filter(_.getLong(1) == 0L)
+    assert(empty.nonEmpty, "4-direction corpus must leave empty cells")
+    assert(empty.forall(_.getLong(3) == 0L))
+    // a perfectly balanced cell would sit at 10000 bp; the hot cells
+    // must be above, by conservation
+    assert(out.map(_.getLong(3)).max > 10000L)
+  }
+}
