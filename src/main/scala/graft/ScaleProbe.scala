@@ -41,6 +41,22 @@ object ScaleProbe {
       graft.ops.Similarity.semDedup(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.45, nCells = 128)),
+    // beam search with the kNN-graph cell count grown to the corpus —
+    // graph CONSTRUCTION carries the N²/nCells in-cell pair cost (the
+    // d13 lesson verbatim); the search rounds are corpus-independent
+    // the gate's own auto-cell path at the 10× corpus
+    "n20@auto" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.ops.Similarity.graphBeamSearchAuto(emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, graphK = 4, beam = 4, rounds = 2)
+    }),
+    "n20@128" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.ops.Similarity.graphBeamSearch(emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, graphK = 4, nCells = 128, beam = 4, rounds = 2)
+    }),
     // pure-code hamming self-join (no sketch cost) — isolates what the
     // rewrite changes; SPARK_GRAFT_CODES_N sizes it, and the rule toggle
     // (SPARK_GRAFT_HAMMING_REWRITE=false) gives the nested-loop baseline

@@ -1450,6 +1450,72 @@ object SparkEntry {
         .orderBy("segment")
     }),
 
+    // ---- A25: two-sample KOLMOGOROV-SMIRNOV distance between the
+    // view-vs-click value distributions — D = max|F₁−F₂| over observed
+    // values, fully cross-multiplied: per-value group counts, one
+    // cumulative window over the value order, d_num = max|cum₁·n₂ −
+    // cum₂·n₁| over d_den = n₁·n₂ — EXACT integers (products bounded by
+    // BIGINT to ~1e9 rows per side; past that emit per-value counts and
+    // difference in the reader). Significance at α=0.05 via the
+    // asymptotic 1.358·√((n₁+n₂)/(n₁n₂)) critical value as one pinned
+    // double compare. The cdf scan windows over |distinct values| rows
+    // (cents of a bounded price range — readout-sized); production runs
+    // the two-level parallel prefix instead, same output -----------------
+    "a25_ks_test" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "click"))
+        .select(cents(col("value")).as("v"),
+          (col("event_type") === "view").as("is_a"))
+      val counts = ev.groupBy("v").agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("c2"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts
+        .withColumn("cum1", sum("c1").over(w))
+        .withColumn("cum2", sum("c2").over(w))
+        .crossJoin(broadcast(ev.agg(
+          sum(when(col("is_a"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("n2"))))
+        .withColumn("dnum",
+          abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(col("dnum")).as("d_num"))
+        .withColumn("d_den", col("n1") * col("n2"))
+        .withColumn("d_bp", expr("d_num * 10000 div d_den"))
+        .withColumn("significant", expr(
+          "CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE " +
+            "CAST(d_num AS DOUBLE) / d_den > 1.358 * " +
+            "sqrt((CAST(n1 AS DOUBLE) + n2) / (CAST(n1 AS DOUBLE) * n2))" +
+            " END"))
+    }),
+
+    // ---- A24: exact multi-QUANTILE per group (p25/p50/p75) in ONE
+    // window pass — a15's low-median rank trick generalized: the q-th
+    // low-quantile is the value at rank ceil(q·n) in (value, id)
+    // ascending order; all three cutpoints read the SAME row_number +
+    // partition count (one exchange, one sort), then fold into one
+    // 5-row aggregation via conditional mins. The summary-statistics
+    // readout every profiling pass emits -------------------------------
+    "a24_group_quantiles" -> ((s, dir) => {
+      val base = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          cents(col("value")).as("v"))
+      val wOrd = Window.partitionBy("event_type").orderBy("v", "event_id")
+      val wAll = Window.partitionBy("event_type")
+      base.withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          min(when(col("rn") === expr("(n + 3) div 4"), col("v")))
+            .as("p25"),
+          min(when(col("rn") === expr("(n + 1) div 2"), col("v")))
+            .as("p50"),
+          min(when(col("rn") === expr("(3 * n + 3) div 4"), col("v")))
+            .as("p75"))
+        .orderBy("event_type")
+    }),
+
     "a19_weighted_median" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
@@ -2306,6 +2372,20 @@ object SparkEntry {
       Similarity.ivfOccupancy(t(s, dir, "embeddings"), "vec_id",
           "embedding", nCells = 16)
         .orderBy("cent_id")),
+
+    // ---- N20: GRAPH-ANN beam search — greedy best-first over the n12
+    // kNN graph (HNSW layer-0 shape): hash-order entry point, per round
+    // ONE frontier⋈edges join + anti-join dedup + beam window; per-query
+    // cost O(rounds·beam·graphK), independent of corpus size. Cell count
+    // DERIVED from the corpus (graph construction is N²/nCells — the
+    // d5/d13 parameter rule; 40.3 s at fixed 16 vs 9.6 s derived on the
+    // 10× corpus), so the gate runs the production plan -----------------
+    "n20_graph_beam_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.graphBeamSearchAuto(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, graphK = 4, beam = 4, rounds = 2)
+        .orderBy("q_id", "rank")
+    }),
 
     "n11_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3544,6 +3624,60 @@ object SparkEntry {
         .withColumn("significant", abs(col("z_fp")) > 1960000L)
     }),
 
+    // ---- E22: CUPED variance-reduced readout (Deng et al. 2013) — the
+    // pre-experiment covariate adjustment every experimentation platform
+    // runs after e21's raw z: X = pre-period purchase cents, Y =
+    // post-period (fixed mid-month cutoff in epoch micros), pooled
+    // θ = cov(X,Y)/var(X) from ONE wide rollup of exact integer sums
+    // (products cast to double FIRST — the t29 overflow lesson), the
+    // adjusted-mean variant difference and ρ² (the variance-reduction
+    // fraction CUPED buys) as pinned double expressions, NULL-guarded at
+    // degenerate variance. One user-keyed aggregation, one 1-row rollup -
+    "e22_cuped" -> ((s, dir) => {
+      val cutoff = 1705363200000000L // 2024-01-16T00:00:00Z, epoch micros
+      val u = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(unix_micros(col("ts")) < cutoff, cents(col("value")))
+            .otherwise(0L)).as("x"),
+          sum(when(unix_micros(col("ts")) >= cutoff, cents(col("value")))
+            .otherwise(0L)).as("y"))
+        .select((col("user_id") % 2).as("variant"), col("x"), col("y"))
+      u.agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("variant") === 0, col("x")).otherwise(0L)).as("sx0"),
+          sum(when(col("variant") === 0, col("y")).otherwise(0L)).as("sy0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("variant") === 1, col("x")).otherwise(0L)).as("sx1"),
+          sum(when(col("variant") === 1, col("y")).otherwise(0L)).as("sy1"))
+        .withColumn("cov_d",
+          expr("CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy"))
+        .withColumn("varx_d",
+          expr("CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx"))
+        .withColumn("vary_d",
+          expr("CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy"))
+        .withColumn("theta_fp", expr(
+          "CASE WHEN varx_d = 0.0 THEN NULL ELSE " +
+            "CAST(round(cov_d / varx_d * 1e9) AS BIGINT) END"))
+        .withColumn("rho2_bp", expr(
+          "CASE WHEN varx_d = 0.0 OR vary_d = 0.0 THEN NULL ELSE " +
+            "CAST(round(cov_d * cov_d / (varx_d * vary_d) * 10000)" +
+            " AS BIGINT) END"))
+        .withColumn("diff_fp", expr(
+          "CASE WHEN n0 = 0 OR n1 = 0 OR varx_d = 0.0 THEN NULL ELSE " +
+            "CAST(round(((CAST(sy1 AS DOUBLE) / n1" +
+            " - CAST(sy0 AS DOUBLE) / n0)" +
+            " - cov_d / varx_d * (CAST(sx1 AS DOUBLE) / n1" +
+            " - CAST(sx0 AS DOUBLE) / n0)) * 1e6) AS BIGINT) END"))
+        .select("n", "n0", "n1", "theta_fp", "rho2_bp", "diff_fp")
+    }),
+
     // ---- E17: EWMA smoothing — the classic α=1/2 exponential filter
     // with DYADIC weights (2^15, 2^14, …, 1 over the trailing 16 samples)
     // so the smoothed value is an exact integer pair (weighted sum,
@@ -4429,6 +4563,21 @@ object SparkEntry {
       |  SELECT (CAST(1 AS BIGINT) << LEAST(12, GREATEST(4,
       |    CASE WHEN (count(*) + 31) // 32 <= 1 THEN 1
       |         ELSE length(bin((count(*) + 31) // 32 - 1)) END))) AS cells
+      |  FROM embeddings),
+      | """.stripMargin,
+    """  SELECT vec_id AS cent_id, x AS cv, nrm AS cnrm FROM base
+      |  QUALIFY row_number() OVER (
+      |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= (SELECT cells FROM nc)""".stripMargin)
+
+  /** The √N cell rule (`Similarity.balancedCells`): 2^⌈⌈log₂N⌉/2⌉
+    * clamped to 2^[4,12] — assignment-vs-pair-join balance for the
+    * kNN-graph build (n20).
+    */
+  private val IvfAssignCtesSqrt: String = ivfAssignCtesWith(
+    """nc AS (
+      |  SELECT (CAST(1 AS BIGINT) << LEAST(12, GREATEST(4,
+      |    (CASE WHEN count(*) - 1 <= 0 THEN 1
+      |          ELSE length(bin(count(*) - 1)) END + 1) // 2))) AS cells
       |  FROM embeddings),
       | """.stripMargin,
     """  SELECT vec_id AS cent_id, x AS cv, nrm AS cnrm FROM base
@@ -5738,6 +5887,54 @@ object SparkEntry {
         |  abs(z_fp) > 1960000 AS significant
         | FROM wide""".stripMargin,
 
+    // CUPED replay: same wide rollup of exact sums, same double-first
+    // product order, same degenerate-variance NULL guards.
+    "e22_cuped" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN epoch_us(ts) < 1705363200000000
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN epoch_us(ts) >= 1705363200000000
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        | v AS (SELECT user_id % 2 AS variant, x, y FROM u),
+        | wide AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT)
+        |      AS sx0,
+        |    CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT)
+        |      AS sy0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT)
+        |      AS sx1,
+        |    CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT)
+        |      AS sy1
+        |  FROM v),
+        | d AS (SELECT *,
+        |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov_d,
+        |    CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS varx_d,
+        |    CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vary_d
+        |  FROM wide)
+        |SELECT n, n0, n1,
+        |  CASE WHEN varx_d = 0.0 THEN NULL ELSE
+        |    CAST(round(cov_d / varx_d * 1e9) AS BIGINT) END AS theta_fp,
+        |  CASE WHEN varx_d = 0.0 OR vary_d = 0.0 THEN NULL ELSE
+        |    CAST(round(cov_d * cov_d / (varx_d * vary_d) * 10000)
+        |      AS BIGINT) END AS rho2_bp,
+        |  CASE WHEN n0 = 0 OR n1 = 0 OR varx_d = 0.0 THEN NULL ELSE
+        |    CAST(round(((CAST(sy1 AS DOUBLE) / n1
+        |      - CAST(sy0 AS DOUBLE) / n0)
+        |      - cov_d / varx_d * (CAST(sx1 AS DOUBLE) / n1
+        |      - CAST(sx0 AS DOUBLE) / n0)) * 1e6) AS BIGINT) END AS diff_fp
+        | FROM d""".stripMargin,
+
     // EWMA replay: the 16 dyadic lag taps written out longhand.
     "e17_ewma" -> {
       val taps = (0 to 15).map { i =>
@@ -6113,6 +6310,54 @@ object SparkEntry {
         |  2*weighted - (n+1)*sum_cents AS g_num,
         |  n*sum_cents AS g_den
         | FROM agg ORDER BY segment""".stripMargin,
+
+    // KS replay: per-value counts, one cumulative window, the same
+    // cross-multiplied max and the same pinned critical-value compare.
+    "a25_ks_test" ->
+      """WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    event_type = 'view' AS is_a
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        | counts AS (SELECT v,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |  FROM ev GROUP BY v),
+        | tot AS (SELECT
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n2
+        |  FROM ev),
+        | cdf AS (SELECT
+        |    sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+        |    sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+        |  FROM counts),
+        | agg AS (SELECT (SELECT n1 FROM tot) AS n1,
+        |    (SELECT n2 FROM tot) AS n2,
+        |    CAST(max(abs(cum1 * (SELECT n2 FROM tot)
+        |      - cum2 * (SELECT n1 FROM tot))) AS BIGINT) AS d_num
+        |  FROM cdf)
+        |SELECT n1, n2, d_num, n1 * n2 AS d_den,
+        |  d_num * 10000 // (n1 * n2) AS d_bp,
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+        |    CAST(d_num AS DOUBLE) / (n1 * n2) > 1.358 *
+        |    sqrt((CAST(n1 AS DOUBLE) + n2) / (CAST(n1 AS DOUBLE) * n2))
+        |  END AS significant
+        | FROM agg""".stripMargin,
+
+    // Multi-quantile replay: same rank trick, same ceil(q·n) cutpoints.
+    "a24_group_quantiles" ->
+      """WITH base AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        | r AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM base)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN rn = (n + 3) // 4 THEN v END) AS BIGINT)
+        |    AS p25,
+        |  CAST(min(CASE WHEN rn = (n + 1) // 2 THEN v END) AS BIGINT)
+        |    AS p50,
+        |  CAST(min(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS BIGINT)
+        |    AS p75
+        | FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "a19_weighted_median" ->
       """WITH li AS (SELECT l_returnflag AS flag,
@@ -7665,6 +7910,72 @@ object SparkEntry {
         |SELECT cent_id, n_vecs, (SELECT n_total FROM tot) AS n_total,
         |  n_vecs * 16 * 10000 // (SELECT n_total FROM tot) AS load_bp
         | FROM allc ORDER BY cent_id""".stripMargin),
+
+    // Beam-search replay: the √N-cell assignment CTEs (cell count
+    // derived from the corpus exactly like Similarity.balancedCells),
+    // the kNN-graph CTEs (rank <= 4), then the two beam rounds written
+    // out — frontier top-4, neighbor expansion, anti-join against the
+    // visited set, union, re-rank. The oracle scores ALL (q, node)
+    // pairs once up front (values, not cost — the engine's per-round
+    // anti-join is the scale shape).
+    "n20_graph_beam_search" -> (IvfAssignCtesSqrt +
+      """
+        | cells AS (SELECT vec_id, x, nrm, cent_id FROM assign WHERE r = 1),
+        | gpairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(a.x[i] AS DOUBLE) * CAST(b.x[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS pdot,
+        |    a.nrm AS na, b.nrm AS nb
+        |  FROM cells a JOIN cells b
+        |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+        | graph AS (SELECT id_a AS g_src, id_b AS g_dst FROM (
+        |   SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a
+        |     ORDER BY CAST(pdot AS DOUBLE) /
+        |       (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+        |     id_b) AS rank FROM gpairs) WHERE rank <= 4),
+        | q AS (SELECT vec_id AS q_id, x AS qx, nrm AS qn FROM base
+        |   WHERE vec_id < 8),
+        | cosv AS (
+        |  SELECT q.q_id, b.vec_id AS node,
+        |    CAST(CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(q.qx[i] AS DOUBLE) * CAST(b.x[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS DOUBLE) /
+        |      (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+        |      AS cos
+        |  FROM q CROSS JOIN base b),
+        | entry AS (SELECT vec_id AS node FROM base
+        |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+        | v0 AS (SELECT q_id, node, cos FROM cosv
+        |   WHERE node = (SELECT node FROM entry)),
+        | f0 AS (SELECT q_id, node FROM (
+        |   SELECT q_id, node, row_number() OVER (PARTITION BY q_id
+        |     ORDER BY cos DESC, node) AS r FROM v0) WHERE r <= 4),
+        | e1 AS (SELECT DISTINCT f.q_id, g.g_dst AS node
+        |   FROM f0 f JOIN graph g ON f.node = g.g_src),
+        | n1 AS (SELECT e.q_id, e.node FROM e1 e
+        |   LEFT JOIN v0 v ON e.q_id = v.q_id AND e.node = v.node
+        |   WHERE v.node IS NULL),
+        | v1 AS (SELECT * FROM v0 UNION ALL
+        |   SELECT c.q_id, c.node, c.cos FROM cosv c
+        |   JOIN n1 ON c.q_id = n1.q_id AND c.node = n1.node),
+        | f1 AS (SELECT q_id, node FROM (
+        |   SELECT q_id, node, row_number() OVER (PARTITION BY q_id
+        |     ORDER BY cos DESC, node) AS r FROM v1) WHERE r <= 4),
+        | e2 AS (SELECT DISTINCT f.q_id, g.g_dst AS node
+        |   FROM f1 f JOIN graph g ON f.node = g.g_src),
+        | n2 AS (SELECT e.q_id, e.node FROM e2 e
+        |   LEFT JOIN v1 v ON e.q_id = v.q_id AND e.node = v.node
+        |   WHERE v.node IS NULL),
+        | v2 AS (SELECT * FROM v1 UNION ALL
+        |   SELECT c.q_id, c.node, c.cos FROM cosv c
+        |   JOIN n2 ON c.q_id = n2.q_id AND c.node = n2.node)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, node AS c_id, cos
+        | FROM (SELECT q_id, node, cos,
+        |   row_number() OVER (PARTITION BY q_id
+        |     ORDER BY cos DESC, node) AS rank
+        |  FROM v2 WHERE node <> q_id) WHERE rank <= 5
+        | ORDER BY q_id, rank""".stripMargin),
 
     "n3_ann_ivf" -> (IvfAssignCtes +
       """

@@ -806,6 +806,31 @@ object Similarity {
       Integer.numberOfTrailingZeros(maxCells))
   }
 
+  /** √N cell rule for operators whose TOTAL cost is assignment O(N·C)
+    * PLUS in-cell pairs O(N²/C): the sum is minimized at C ≈ √N, so the
+    * cell count is the power of two nearest 2^⌈log₂N/2⌉, clamped. This
+    * differs from [[autoCells]] (C ∝ N, fixed occupancy) deliberately —
+    * occupancy-proportional cells make the broadcast ASSIGNMENT pass
+    * quadratic once C grows with N, which the 10× probe measured on the
+    * kNN-graph build: 40.3 s at fixed C=16 (pair-join-bound), 30.7 s at
+    * occupancy-derived C=2048 (assignment-bound), 9.6 s at C=128 ≈ √N.
+    * [[autoCells]] remains right where a threshold REFINE dominates and
+    * a maxBucket cap bounds the pair term independently; a production
+    * IVF at 100 TB instead trains a FIXED k-means codebook (n6) so C
+    * never grows with N — this rule is the untrained middle ground.
+    */
+  def balancedCells(n: Long, minCells: Int = 16,
+                    maxCells: Int = 4096): Int = {
+    require(Integer.bitCount(minCells) == 1 && Integer.bitCount(maxCells) == 1,
+      "cell bounds must be powers of two")
+    val bitLen =
+      if (n <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val exp = (bitLen + 1) / 2
+    val lo = Integer.numberOfTrailingZeros(minCells)
+    val hi = Integer.numberOfTrailingZeros(maxCells)
+    1 << math.min(hi, math.max(lo, exp))
+  }
+
   /** Degenerate-bucket guard shared by the embedding LSH paths: drop
     * buckets whose occupancy exceeds `maxBucket` BEFORE the self-join —
     * without it one hot bucket (all-zero vectors, crawl spam) absorbs
@@ -999,6 +1024,87 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("id_a").as("vec_id"), col("rank").cast("long").as("rank"),
         col("id_b").as("neighbor_id"))
+  }
+
+  /** Greedy BEAM SEARCH over the [[knnGraph]] — the graph-ANN query
+    * path (HNSW layer-0 / NSG search, Malkov & Yashunin 2018, set-based):
+    * from a deterministic entry point (hash-order minimum, the centroid
+    * discipline), each round expands the current beam's graph neighbors,
+    * scores only NEVER-SEEN nodes against the query (anti-join against
+    * the visited set), and keeps the top-`beam` of everything visited;
+    * after `rounds` hops the answer is the visited top-k. Per query the
+    * work is O(rounds · beam · graphK) score evaluations — INDEPENDENT
+    * of corpus size, the property that makes graph ANN the
+    * highest-recall-per-probe family at scale.
+    *
+    * Set-based execution: all queries advance TOGETHER — each round is
+    * one equality join of the frontier against the edge list (shuffled
+    * on node id), one anti-join dedup, one broadcast-scored projection,
+    * one per-query beam window; rounds are a fixed driver loop exactly
+    * like [[Graph.bfsLevels]]. Ties break (cos desc, node id) so the
+    * walk is total-order deterministic and the DuckDB replay agrees
+    * round for round.
+    *
+    * Self-matches are excluded at the FINAL ranking only (a query that
+    * is itself in the corpus still routes THROUGH its own node — the
+    * walk must not detour around the best hub).
+    */
+  /** [[graphBeamSearch]] with the kNN-graph cell count derived from the
+    * corpus size via the √N rule ([[balancedCells]] — see its note for
+    * the measured 10× comparison against fixed and occupancy-derived
+    * cells) — the production entry point; the search rounds are
+    * corpus-size-independent either way.
+    */
+  def graphBeamSearchAuto(vectors: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          graphK: Int = 4,
+                          beam: Int = 4, rounds: Int = 2): DataFrame =
+    graphBeamSearch(vectors, queries, idCol, vecCol, k, graphK,
+      balancedCells(vectors.count()), beam, rounds)
+
+  def graphBeamSearch(vectors: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      graphK: Int = 4, nCells: Int = 16,
+                      beam: Int = 4, rounds: Int = 2): DataFrame = {
+    val graph = knnGraph(vectors, idCol, vecCol, graphK, nCells)
+      .select(col("vec_id").as("g_src"), col("neighbor_id").as("g_dst"))
+      .persist()
+    val v0 = vectors.select(col(idCol).as("node"), col(vecCol).as("c_vec"),
+      normFp(col(vecCol)).as("c_norm"))
+    val entry = v0
+      .orderBy(md5(col("node").cast("string")), col("node"))
+      .limit(1).select(col("node"))
+    val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      normFp(col(vecCol)).as("q_norm"))
+    def score(nodes: DataFrame): DataFrame =
+      nodes.join(v0, "node")
+        .join(broadcast(q0), "q_id")
+        .withColumn("cos", cosineFromFp(dotFp(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm")))
+        .select(col("q_id"), col("node"), col("cos"))
+    val beamW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("node"))
+    var visited = score(q0.select("q_id").crossJoin(broadcast(entry)))
+    var frontier = visited.select("q_id", "node")
+    (1 to rounds).foreach { _ =>
+      val expanded = frontier
+        .join(graph, frontier("node") === graph("g_src"))
+        .select(col("q_id"), col("g_dst").as("node")).distinct()
+      val fresh = expanded.join(visited.select("q_id", "node"),
+        Seq("q_id", "node"), "left_anti")
+      // sever per round (bfsLevels' discipline): the visited set is
+      // beam-bounded per query, so the checkpoint is tiny — without it
+      // every round re-derives all prior rounds' scoring lineage
+      visited = graft.Checkpoints.sever(visited.unionByName(score(fresh)))
+      frontier = visited
+        .withColumn("__r", row_number().over(beamW))
+        .filter(col("__r") <= beam).select("q_id", "node")
+    }
+    visited.filter(col("node") =!= col("q_id"))
+      .withColumn("rank", row_number().over(beamW))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("node").as("c_id"), col("cos"))
   }
 
   /** [[semDedup]] with the cell count derived from the corpus size

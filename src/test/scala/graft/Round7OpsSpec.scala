@@ -112,6 +112,67 @@ class Round7OpsSpec extends SparkSpec {
     assert(dev(0.01) > dev(10.0))
   }
 
+  // ---- graph-ANN beam search -------------------------------------------
+
+  private def beamVecs: Seq[(Long, Array[Float])] =
+    (0L until 24L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 131.0 + d * 17.0).toFloat))
+    }
+
+  // the engine's fixed-point cosine, replicated exactly
+  private def cosFp(a: Array[Float], b: Array[Float]): Double = {
+    def dot(x: Array[Float], y: Array[Float]): Long =
+      x.indices.map(i => math.round(x(i).toDouble * y(i).toDouble * 1e12))
+        .sum
+    dot(a, b).toDouble / (math.sqrt(dot(a, a).toDouble) *
+      math.sqrt(dot(b, b).toDouble))
+  }
+
+  test("beam search: one full-graph hop from the entry is exhaustive — " +
+      "result equals the exact cosine top-k") {
+    val vecs = beamVecs.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") < 3)
+    // nCells=1 + graphK=23: the entry's neighbor list IS the corpus, so
+    // one round visits every node and beam search degenerates to exact
+    val got = Similarity.graphBeamSearch(vecs, qs, "vec_id", "embedding",
+        k = 4, graphK = 23, nCells = 1, beam = 4, rounds = 1)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val byId = beamVecs.toMap
+    val want = (0L until 3L).flatMap { q =>
+      beamVecs.filter(_._1 != q)
+        .map { case (c, v) => (c, cosFp(byId(q), v)) }
+        .sortBy { case (c, cos) => (-cos, c) }
+        .take(4).zipWithIndex
+        .map { case ((c, _), i) => (q, (i + 1).toLong, c) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("beam search: more rounds never lose the best found so far") {
+    val vecs = beamVecs.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") < 3)
+    def best(rounds: Int): Map[Long, Double] =
+      Similarity.graphBeamSearch(vecs, qs, "vec_id", "embedding",
+          k = 1, graphK = 3, nCells = 2, beam = 3, rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val r1 = best(1)
+    val r3 = best(3)
+    r1.keys.foreach { q =>
+      assert(r3(q) >= r1(q) - 1e-12,
+        s"query $q: round-3 best ${r3(q)} lost ground vs round-1 ${r1(q)}")
+    }
+  }
+
+  test("balancedCells: the sqrt rule, power-of-two, clamped") {
+    // 2^ceil(ceil(log2 N)/2), clamped to [16, 4096]
+    assert(Similarity.balancedCells(1L) == 16)
+    assert(Similarity.balancedCells(200L) == 16)    // 2^4 floor
+    assert(Similarity.balancedCells(6400L) == 128)  // bitlen 13 -> 2^7
+    assert(Similarity.balancedCells(64000L) == 256) // bitlen 16 -> 2^8
+    assert(Similarity.balancedCells(1L << 40) == 4096) // ceiling
+  }
+
   // ---- IVF occupancy audit ---------------------------------------------
 
   test("ivf occupancy: cells partition the corpus and empty cells emit") {
