@@ -3085,6 +3085,16 @@ object SparkEntry {
           queryName = "graft_ddw_" + System.nanoTime())
         .orderBy("event_type")),
 
+    // ---- ST24: streaming PSI DATA-DRIFT detector — hourly windowed
+    // value-bucket histogram (one stateful agg, O(buckets) state per
+    // open window) scored against a static day-one baseline on the
+    // decided prefix: PSI with add-one smoothing at t18's fixed-point
+    // ln discipline, alert at the industry 0.2 threshold -----------------
+    "st24_stream_psi_drift" -> ((s, dir) =>
+      StreamOps.streamPsiDrift(s, dir,
+          queryName = "graft_psi_" + System.nanoTime())
+        .orderBy("w_us")),
+
     // ---- ST14: ListState through transformWithState — O(k) per-key
     // recent-events buffer (last 3 by recency, ties by event id) ---------
     "st14_list_state" -> ((s, dir) =>
@@ -3232,6 +3242,78 @@ object SparkEntry {
           "value")
         .select(col("purchase_id"), col("user_id"), col("value_interp"))
         .orderBy("purchase_id")
+    }),
+
+    // ---- X10: SWEEP-LINE peak concurrency — each event opens a 5-minute
+    // activity interval; +1/−1 boundary points, one running sum over the
+    // (t, delta) order (delta asc ⇒ half-open intervals: a close at t
+    // precedes an open at t), per-day max and its first instant. The
+    // running values on TIED rows depend on tie order, but the per-day
+    // MAX and its min-t are order-invariant (ties at one instant are
+    // same-sign, so the extremum over the tie group is fixed) — which is
+    // what makes a sweep line hash-gateable. The global point sort is
+    // readout-bounded here; at 100 TB production runs the two-level
+    // prefix scan (per-partition sums + carry), same output -------------
+    "x10_peak_concurrency" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(unix_micros(col("ts")).as("t0"))
+      val pts = ev.select(col("t0").as("t"), lit(1L).as("delta"))
+        .unionByName(ev.select((col("t0") + 300000000L).as("t"),
+          lit(-1L).as("delta")))
+      val wRun = Window.orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("run", sum(col("delta")).over(wRun))
+        .withColumn("day_us", expr("t - t % 86400000000"))
+        .withColumn("day_max",
+          max(col("run")).over(Window.partitionBy("day_us")))
+        .filter(col("run") === col("day_max"))
+        .groupBy("day_us")
+        .agg(max(col("day_max")).as("peak"), min(col("t")).as("peak_at_us"))
+        .orderBy("day_us")
+    }),
+
+    // ---- E23: KAPLAN-MEIER survival — time from first signup to first
+    // subsequent purchase, right-censored at the corpus horizon (max
+    // event time): per event-day, the at-risk count via one reverse
+    // cumulative window, d events, and ln S(t) = Σ ln(1 − dᵢ/nᵢ) in
+    // t18's 1e-9 fixed point (the product estimator as an integer
+    // cumsum — order-independent, hash-gateable). Same-day censoring
+    // counts as at-risk (the standard convention). One user-keyed
+    // aggregation + a readout-sized day table ---------------------------
+    "e23_km_survival" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts_us")).as("s_us"))
+      val firstP = ev.filter(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .filter(col("ts_us") > col("s_us"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("p_us"))
+      val horizon = ev.agg(max(col("ts_us")).as("h_us"))
+      val subjects = su.join(firstP, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(
+          expr("CASE WHEN p_us IS NOT NULL THEN (p_us - s_us)" +
+            " div 86400000000 ELSE (h_us - s_us) div 86400000000 END")
+            .as("t_days"),
+          col("p_us").isNotNull.as("is_event"))
+      val byDay = subjects.groupBy("t_days")
+        .agg(count(lit(1)).as("n_at"),
+          sum(when(col("is_event"), 1L).otherwise(0L)).as("d_n"))
+      val wRisk = Window.orderBy("t_days")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wCum = Window.orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDay.withColumn("n_risk", sum(col("n_at")).over(wRisk))
+        .filter(col("d_n") > 0)
+        .withColumn("term_fp", expr(
+          "CASE WHEN n_risk > d_n THEN " +
+            "CAST(round(ln(CAST(n_risk - d_n AS DOUBLE) / n_risk) * 1e9)" +
+            " AS BIGINT) END"))
+        .withColumn("ln_s_fp", sum(col("term_fp")).over(wCum))
+        .select("t_days", "n_risk", "d_n", "ln_s_fp")
+        .orderBy("t_days")
     }),
 
     // ---- Streaming-adjacent: session windows, sliding windows, pivot ----
@@ -8694,6 +8776,47 @@ object SparkEntry {
         |SELECT user_id, event_id FROM ranked WHERE rn <= 3
         | ORDER BY event_id""".stripMargin,
 
+    // PSI drift replay: batch daily bucket histogram on the decided
+    // prefix (st16's end < max ts rule), fixed 0..9 grid, same smoothed
+    // fixed-point term, same 0.2 alert threshold.
+    "st24_stream_psi_drift" ->
+      """WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    least(9, CAST(round(value * 100) AS BIGINT) // 5000) AS bucket
+        |  FROM events),
+        | base AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_base
+        |  FROM e WHERE ts_us < 1704153600000000 GROUP BY bucket),
+        | nb AS (SELECT CAST(sum(c_base) AS BIGINT) AS n_base FROM base),
+        | wm AS (SELECT max(ts_us) AS w FROM e),
+        | cur AS (SELECT ts_us - ts_us % 86400000000 AS w_us, bucket,
+        |    CAST(count(*) AS BIGINT) AS c_cur FROM e GROUP BY 1, 2),
+        | hrs AS (SELECT DISTINCT w_us FROM cur
+        |  WHERE w_us + 86400000000 < (SELECT w FROM wm)),
+        | grid AS (SELECT h.w_us, b.bucket, coalesce(bb.c_base, 0) AS c_base
+        |  FROM hrs h CROSS JOIN (SELECT CAST(unnest(range(0, 10)) AS BIGINT)
+        |    AS bucket) b
+        |  LEFT JOIN base bb ON b.bucket = bb.bucket),
+        | j AS (SELECT g.w_us, g.bucket, g.c_base,
+        |    coalesce(c.c_cur, 0) AS c_cur
+        |  FROM grid g LEFT JOIN cur c
+        |    ON g.w_us = c.w_us AND g.bucket = c.bucket),
+        | t AS (SELECT w_us, c_base, c_cur,
+        |    CAST(sum(c_cur) OVER (PARTITION BY w_us) AS BIGINT) AS n_cur
+        |  FROM j),
+        | terms AS (SELECT w_us, n_cur,
+        |    CAST(round((CAST(c_cur + 1 AS DOUBLE)
+        |        / (n_cur + 10)
+        |      - CAST(c_base + 1 AS DOUBLE)
+        |        / ((SELECT n_base FROM nb) + 10))
+        |      * ln((CAST(c_cur + 1 AS DOUBLE) / (n_cur + 10))
+        |      / (CAST(c_base + 1 AS DOUBLE)
+        |        / ((SELECT n_base FROM nb) + 10))) * 1e9) AS BIGINT)
+        |      AS term_fp
+        |  FROM t)
+        |SELECT w_us, CAST(max(n_cur) AS BIGINT) AS n_cur,
+        |  CAST(sum(term_fp) AS BIGINT) AS psi_fp,
+        |  CAST(sum(term_fp) AS BIGINT) > 200000000 AS drift
+        | FROM terms GROUP BY w_us ORDER BY w_us""".stripMargin,
+
     "st16_chained_windows" ->
       """WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
@@ -8828,6 +8951,62 @@ object SparkEntry {
         |  WHEN ft IS NOT NULL THEN fv END AS value_interp
         | FROM filled WHERE purchase_id IS NOT NULL
         | ORDER BY purchase_id""".stripMargin,
+
+    // Sweep-line replay: same boundary points, same (t, delta) order
+    // (ROWS frame), per-day max + first instant — tie-order-invariant
+    // aggregates only, as the query comment argues.
+    "x10_peak_concurrency" ->
+      """WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS t0 FROM events),
+        | pts AS (SELECT t0 AS t, CAST(1 AS BIGINT) AS delta FROM e
+        |  UNION ALL
+        |  SELECT t0 + 300000000, CAST(-1 AS BIGINT) FROM e),
+        | r AS (SELECT t, delta, sum(delta) OVER (ORDER BY t, delta
+        |    ROWS UNBOUNDED PRECEDING) AS run FROM pts),
+        | d AS (SELECT t, run, t - t % 86400000000 AS day_us FROM r),
+        | m AS (SELECT day_us, t, run,
+        |    max(run) OVER (PARTITION BY day_us) AS day_max FROM d)
+        |SELECT day_us, CAST(max(day_max) AS BIGINT) AS peak,
+        |  CAST(min(t) AS BIGINT) AS peak_at_us
+        | FROM m WHERE run = day_max GROUP BY day_us
+        | ORDER BY day_us""".stripMargin,
+
+    // Kaplan-Meier replay: first signup, first later purchase, horizon
+    // censoring, reverse-cumulative at-risk counts, fixed-point ln terms.
+    "e23_km_survival" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        | su AS (SELECT user_id, CAST(min(ts_us) AS BIGINT) AS s_us
+        |  FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+        | fp AS (SELECT ev.user_id, CAST(min(ts_us) AS BIGINT) AS p_us
+        |  FROM ev JOIN su ON ev.user_id = su.user_id
+        |  WHERE event_type = 'purchase' AND ts_us > s_us
+        |  GROUP BY ev.user_id),
+        | hz AS (SELECT max(ts_us) AS h_us FROM ev),
+        | subj AS (SELECT
+        |    CASE WHEN p_us IS NOT NULL
+        |      THEN (p_us - s_us) // 86400000000
+        |      ELSE ((SELECT h_us FROM hz) - s_us) // 86400000000 END
+        |      AS t_days,
+        |    p_us IS NOT NULL AS is_event
+        |  FROM su LEFT JOIN fp ON su.user_id = fp.user_id),
+        | byday AS (SELECT t_days, CAST(count(*) AS BIGINT) AS n_at,
+        |    CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_n
+        |  FROM subj GROUP BY t_days),
+        | risk AS (SELECT t_days, d_n,
+        |    CAST(sum(n_at) OVER (ORDER BY t_days
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |      AS n_risk
+        |  FROM byday),
+        | terms AS (SELECT t_days, n_risk, d_n,
+        |    CASE WHEN n_risk > d_n THEN
+        |      CAST(round(ln(CAST(n_risk - d_n AS DOUBLE) / n_risk) * 1e9)
+        |        AS BIGINT) END AS term_fp
+        |  FROM risk WHERE d_n > 0)
+        |SELECT t_days, n_risk, d_n,
+        |  CAST(sum(term_fp) OVER (ORDER BY t_days
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ln_s_fp
+        | FROM terms ORDER BY t_days""".stripMargin,
 
     "x1_asof_join" ->
       """WITH o AS (

@@ -173,6 +173,24 @@ class Round7OpsSpec extends SparkSpec {
     assert(Similarity.balancedCells(1L << 40) == 4096) // ceiling
   }
 
+  // ---- streaming PSI drift ---------------------------------------------
+
+  test("psi drift: nonnegative by construction, and a corpus scored " +
+      "against its own generator does not alert") {
+    // sf0.01: ~330 events/day — enough volume that the smoothing term
+    // doesn't dominate (the granularity lesson in the op's doc)
+    val out = graft.streaming.StreamOps.streamPsiDrift(spark,
+      "/root/testdata/sf0.01", "psi_spec_" + System.nanoTime()).collect()
+    assert(out.nonEmpty, "decided windows must emit")
+    // each PSI term (p-q)ln(p/q) >= 0, so the rounded sum is too
+    assert(out.forall(_.getAs[Long]("psi_fp") >= 0L))
+    // same generator all month: the typical day must sit far under the
+    // 0.2 industry alert line
+    val sorted = out.map(_.getAs[Long]("psi_fp")).sorted
+    val median = sorted(sorted.length / 2)
+    assert(median < 200000000L, s"median PSI $median vs alert 2e8")
+  }
+
   // ---- IVF occupancy audit ---------------------------------------------
 
   test("ivf occupancy: cells partition the corpus and empty cells emit") {
