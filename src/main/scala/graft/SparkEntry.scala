@@ -2373,6 +2373,48 @@ object SparkEntry {
           "embedding", nCells = 16)
         .orderBy("cent_id")),
 
+    // ---- N21: incremental INDEX MAINTENANCE — the IVF refresh path: a
+    // delta batch is assigned against the FROZEN centroid codebook (the
+    // property that makes IVF maintenance incremental at all — no
+    // retrain, refresh cost scans ONLY the delta), and the query proves
+    // the invariant in-engine: per-cell counts of base-assign ∪
+    // delta-assign equal the full rebuild's, cell for cell -------------
+    "n21_incremental_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 10 =!= 0)
+      val delta = emb.filter(col("vec_id") % 10 === 0)
+      val cents = base
+        .select(col("vec_id").as("cent_id"),
+          col("embedding").as("cent_vec"),
+          Similarity.normFp(col("embedding")).as("cent_norm"))
+        .orderBy(md5(col("cent_id").cast("string")), col("cent_id"))
+        .limit(16)
+      def assign(df: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy("v_id")
+          .orderBy(col("__cos").desc, col("cent_id"))
+        df.select(col("vec_id").as("v_id"),
+            col("embedding").as("v_vec"),
+            Similarity.normFp(col("embedding")).as("v_norm"))
+          .crossJoin(broadcast(cents))
+          .withColumn("__cos", Similarity.cosineFromFp(
+            Similarity.dotFp(col("v_vec"), col("cent_vec")),
+            col("v_norm"), col("cent_norm")))
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") === 1)
+          .select(col("v_id"), col("cent_id"))
+      }
+      val incr = assign(base).unionByName(assign(delta))
+        .groupBy("cent_id").agg(count(lit(1)).as("n_incr"))
+      val full = assign(base.unionByName(delta))
+        .groupBy("cent_id").agg(count(lit(1)).as("n_full"))
+      incr.join(full, Seq("cent_id"), "full_outer")
+        .select(col("cent_id"),
+          coalesce(col("n_incr"), lit(0L)).as("n_incr"),
+          coalesce(col("n_full"), lit(0L)).as("n_full"))
+        .withColumn("matches_rebuild", col("n_incr") === col("n_full"))
+        .orderBy("cent_id")
+    }),
+
     // ---- N20: GRAPH-ANN beam search — greedy best-first over the n12
     // kNN graph (HNSW layer-0 shape): hash-order entry point, per round
     // ONE frontier⋈edges join + anti-join dedup + beam window; per-query
@@ -3704,6 +3746,53 @@ object SparkEntry {
             " * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
             " * (1.0 / n0 + 1.0 / n1)) * 1e6) AS BIGINT) END"))
         .withColumn("significant", abs(col("z_fp")) > 1960000L)
+    }),
+
+    // ---- E24: U-SHAPED (position-based) attribution — e18's linear
+    // credit replaced by the 40/20/40 rule: first and last touch get
+    // 400‰ each, middles split the remaining 200‰ (k=1 → 1000‰,
+    // k=2 → 500/500, integer-div remainder to the FIRST touch so every
+    // conversion's credit sums to exactly 1000‰ — conservation is
+    // spec-pinned). Credits stay in cents·per-mille (the e14 no-ratio
+    // discipline); one extra position window over e18's shape ----------
+    "e24_position_attribution" -> ((s, dir) => {
+      val wConv = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"),
+          cents(col("value")).as("v_cents"))
+        .withColumn("conv_group",
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(wConv))
+        .filter(col("conv_group") > 0)
+      val groups = ev.groupBy("user_id", "conv_group")
+        .agg(sum(when(col("event_type") === "purchase", col("v_cents"))
+            .otherwise(0L)).as("purchase_cents"),
+          sum(when(col("event_type").isin("view", "click"), 1L)
+            .otherwise(0L)).as("k"))
+      val wPos = Window.partitionBy("user_id", "conv_group")
+        .orderBy("ts_us", "event_id")
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .withColumn("pos", row_number().over(wPos))
+        .join(groups, Seq("user_id", "conv_group"))
+        .withColumn("credit_pm", expr(
+          "CASE WHEN k = 1 THEN 1000 WHEN k = 2 THEN 500" +
+            " WHEN pos = 1 THEN 400 + 200 % (k - 2)" +
+            " WHEN pos = k THEN 400" +
+            " ELSE 200 div (k - 2) END"))
+        .select(col("event_type").as("touch_type"),
+          (col("purchase_cents") * col("credit_pm")).as("credit_pmc"),
+          lit(1L).as("hit"))
+      val direct = groups.filter(col("k") === 0)
+        .select(lit("(direct)").as("touch_type"),
+          (col("purchase_cents") * lit(1000L)).as("credit_pmc"),
+          lit(1L).as("hit"))
+      touches.unionByName(direct)
+        .groupBy("touch_type")
+        .agg(sum(col("credit_pmc")).as("credit_pmc"),
+          sum(col("hit")).as("n_touches"))
+        .orderBy("touch_type")
     }),
 
     // ---- E22: CUPED variance-reduced readout (Deng et al. 2013) — the
@@ -5876,6 +5965,42 @@ object SparkEntry {
 
     // Linear attribution replay: reverse cumulative purchase count makes
     // the conversion windows; per-purchase truncated integer split.
+    // U-shaped replay: e18's conversion grouping plus a position
+    // window; the same 40/20/40 integer rule with remainder-to-first.
+    "e24_position_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type,
+        |    CAST(round(value*100) AS BIGINT) AS v_cents FROM events),
+        | grp AS (SELECT *, sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us DESC, event_id DESC) AS conv_group
+        |  FROM ev),
+        | g AS (SELECT user_id, conv_group,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN v_cents
+        |      ELSE 0 END) AS BIGINT) AS purchase_cents,
+        |    CAST(sum(CASE WHEN event_type IN ('view', 'click') THEN 1
+        |      ELSE 0 END) AS BIGINT) AS k
+        |  FROM grp WHERE conv_group > 0 GROUP BY user_id, conv_group),
+        | touches AS (SELECT t.event_type AS touch_type,
+        |    g.purchase_cents * (CASE WHEN g.k = 1 THEN 1000
+        |      WHEN g.k = 2 THEN 500
+        |      WHEN t.pos = 1 THEN 400 + 200 % (g.k - 2)
+        |      WHEN t.pos = g.k THEN 400
+        |      ELSE 200 // (g.k - 2) END) AS credit_pmc,
+        |    1 AS hit
+        |  FROM (SELECT user_id, conv_group, event_type,
+        |      row_number() OVER (PARTITION BY user_id, conv_group
+        |        ORDER BY ts_us, event_id) AS pos
+        |    FROM grp WHERE conv_group > 0
+        |      AND event_type IN ('view', 'click')) t
+        |  JOIN g ON t.user_id = g.user_id AND t.conv_group = g.conv_group),
+        | credits AS (SELECT * FROM touches
+        |  UNION ALL
+        |  SELECT '(direct)', purchase_cents * 1000, 1 FROM g WHERE k = 0)
+        |SELECT touch_type, CAST(sum(credit_pmc) AS BIGINT) AS credit_pmc,
+        |  CAST(sum(hit) AS BIGINT) AS n_touches
+        | FROM credits GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+
     "e18_linear_attribution" ->
       """WITH ev AS (SELECT user_id, event_id,
         |    CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type,
@@ -7992,6 +8117,34 @@ object SparkEntry {
         |SELECT cent_id, n_vecs, (SELECT n_total FROM tot) AS n_total,
         |  n_vecs * 16 * 10000 // (SELECT n_total FROM tot) AS load_bp
         | FROM allc ORDER BY cent_id""".stripMargin),
+
+    // Incremental-index replay: frozen base-side centroids, ONE
+    // assignment over all vectors (per-vector assignment is independent
+    // given a frozen codebook, so incremental == rebuild identically —
+    // the invariant the engine query demonstrates via its two paths).
+    "n21_incremental_index" ->
+      """WITH b AS (SELECT vec_id, embedding AS x,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(x[i] AS DOUBLE) * CAST(x[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS nrm
+        |  FROM embeddings),
+        | cents AS (SELECT vec_id AS cent_id, x AS cv, nrm AS cnrm FROM b
+        |  WHERE vec_id % 10 <> 0
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        | asg AS (SELECT v.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, 65), i ->
+        |        CAST(round(CAST(v.x[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |        AS DOUBLE) /
+        |        (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE)))
+        |        DESC,
+        |      c.cent_id) AS r
+        |  FROM b v CROSS JOIN cents c),
+        | counts AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM asg WHERE r = 1 GROUP BY cent_id)
+        |SELECT cent_id, n AS n_incr, n AS n_full,
+        |  true AS matches_rebuild
+        | FROM counts ORDER BY cent_id""".stripMargin,
 
     // Beam-search replay: the √N-cell assignment CTEs (cell count
     // derived from the corpus exactly like Similarity.balancedCells),

@@ -191,6 +191,21 @@ class Round7OpsSpec extends SparkSpec {
     assert(median < 200000000L, s"median PSI $median vs alert 2e8")
   }
 
+  // ---- U-shaped attribution --------------------------------------------
+
+  test("e24: credit conserves purchase value exactly — every conversion " +
+      "releases 1000 per-mille, no integer-div leakage") {
+    val out = SparkEntry.queries("e24_position_attribution")(spark, sf)
+      .agg(sum(col("credit_pmc"))).collect()(0).getLong(0)
+    // ground truth: 1000 x the total purchase cents of all conversion
+    // groups (the window assigns every purchase to exactly one group)
+    val truth = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("long") * 1000L))
+      .collect()(0).getLong(0)
+    assert(out == truth, s"credited $out vs purchase mass $truth")
+  }
+
   // ---- IVF occupancy audit ---------------------------------------------
 
   test("ivf occupancy: cells partition the corpus and empty cells emit") {
