@@ -1672,6 +1672,33 @@ object SparkEntry {
       TextAnalysis.pmiCollocations(t(s, dir, "documents"),
         "doc_id", "text", minCount = 20, topK = 25)),
 
+    // ---- T30: VOCABULARY DRIFT between two corpus halves — the cheap
+    // shift detector a corpus refresh runs before st24's distributional
+    // PSI: Jaccard + overlap coefficient of the two halves' top-100
+    // vocabularies (top-K by (count desc, token) — total order, so the
+    // sets are deterministic). Two explode+agg passes collapse to ONE
+    // (conditional counts per half); the set compare runs on ≤200 rows -
+    "t30_vocab_drift" -> ((s, dir) => {
+      val counts = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select((col("doc_id") % 2 === 0).as("half_a"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("half_a", "tok").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("half_a")
+        .orderBy(col("n").desc, col("tok"))
+      val top = counts.withColumn("r", row_number().over(w))
+        .filter(col("r") <= 100)
+      val a = top.filter(col("half_a")).select(col("tok"))
+      val b = top.filter(!col("half_a")).select(col("tok").as("tok_b"))
+      a.agg(count(lit(1)).as("n_a"))
+        .crossJoin(b.agg(count(lit(1)).as("n_b")))
+        .crossJoin(a.join(b, col("tok") === col("tok_b"))
+          .agg(count(lit(1)).as("n_inter")))
+        .withColumn("n_union", expr("n_a + n_b - n_inter"))
+        .withColumn("jaccard_bp", expr("n_inter * 10000 div n_union"))
+        .withColumn("overlap_bp",
+          expr("n_inter * 10000 div least(n_a, n_b)"))
+    }),
+
     // ---- T26: Zipf power-law fit — the corpus-health check that the
     // token frequency curve follows rank^(-s) (a corpus that DOESN'T is
     // usually TEMPLATED: boilerplate, logs, spam). OLS slope of
@@ -3553,6 +3580,73 @@ object SparkEntry {
     // ---- E15: behavior transition matrix — consecutive event-type
     // bigrams per user (the Markov-chain / sequence-model precursor):
     // one lead window per user partition, then a global count rollup ----
+    // ---- E26: TWO-STEP transition probabilities — Chapman-Kolmogorov
+    // over e15's matrix: p²(a,c) = Σ_b p(a,b)·p(b,c), the "where will
+    // the user be in two actions" forecast. The matrix is |types|² rows
+    // (tiny — the corpus-sized work is e15's ONE window+agg pass), so
+    // the square is a broadcast self-join on the middle state; each
+    // b-term is fixed-pointed BEFORE the sum (round(1e9·…)), making the
+    // Σ over b an integer reduce — order-independent where a double
+    // summation would not be ---------------------------------------------
+    "e26_two_step_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val rowTot = pairs.groupBy("a").agg(sum(col("n_ab")).as("n_a"))
+      val t1 = pairs.join(rowTot, "a")
+      val left = t1.select(col("a"), col("b").as("mid"),
+        col("n_ab").as("n_ab1"), col("n_a").as("na1"))
+      val right = t1.select(col("a").as("mid"), col("b").as("c"),
+        col("n_ab").as("n_ab2"), col("n_a").as("na2"))
+      left.join(broadcast(right), "mid")
+        .withColumn("term_fp", expr(
+          "CAST(round(CAST(n_ab1 AS DOUBLE) * n_ab2" +
+            " / (CAST(na1 AS DOUBLE) * na2) * 1e9) AS BIGINT)"))
+        .groupBy(col("a").as("from_type"), col("c").as("to_type"))
+        .agg(sum(col("term_fp")).as("p2_fp"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // ---- A26: daily-revenue AUTOCORRELATION (ACF lags 1..7) — the
+    // time-series seasonality diagnostic behind e19's band check:
+    // Pearson r between the daily series and its lag-L shift, cross-
+    // multiplied from exact integer sums inside one pinned double
+    // expression per lag (sqrt at the end — e21's z discipline). The
+    // corpus-sized work is ONE day aggregation; the lag join runs on
+    // the 30-row day table ------------------------------------------------
+    "a26_daily_acf" -> ((s, dir) => {
+      val days = t(s, dir, "events")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+        .agg(sum(cents(col("value"))).as("v"))
+      val lags = s.range(1, 8).select(col("id").as("lag"))
+      val joined = days.select(col("d"), col("v"))
+        .crossJoin(broadcast(lags))
+        .join(days.select(col("d").as("d2"), col("v").as("v2")),
+          col("d2") === col("d") + col("lag"))
+      joined.groupBy("lag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).as("sx"), sum(col("v2")).as("sy"),
+          sum(col("v") * col("v2")).as("sxy"),
+          sum(col("v") * col("v")).as("sxx"),
+          sum(col("v2") * col("v2")).as("syy"))
+        .withColumn("r_fp", expr(
+          "CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)" +
+            " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)" +
+            " <= 0.0 THEN NULL ELSE " +
+            "CAST(round((CAST(n AS DOUBLE) * sxy" +
+            " - CAST(sx AS DOUBLE) * sy)" +
+            " / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)" +
+            " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))" +
+            " * 1e9) AS BIGINT) END"))
+        .select("lag", "n", "r_fp")
+        .orderBy("lag")
+    }),
+
     "e15_transitions" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       t(s, dir, "events")
@@ -5939,6 +6033,56 @@ object SparkEntry {
         | FROM nxt WHERE next_type IS NOT NULL
         | GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
+    // Chapman-Kolmogorov replay: e15's matrix squared on the middle
+    // state, per-b term fixed-pointed before the integer sum.
+    "e26_two_step_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        | nxt AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS next_type
+        |  FROM e),
+        | pairs AS (SELECT event_type AS a, next_type AS b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        | rt AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
+        |  FROM pairs GROUP BY a),
+        | t1 AS (SELECT pairs.a, pairs.b, n_ab, n_a
+        |  FROM pairs JOIN rt ON pairs.a = rt.a)
+        |SELECT l.a AS from_type, r.b AS to_type,
+        |  CAST(sum(CAST(round(CAST(l.n_ab AS DOUBLE) * r.n_ab
+        |    / (CAST(l.n_a AS DOUBLE) * r.n_a) * 1e9) AS BIGINT))
+        |    AS BIGINT) AS p2_fp
+        | FROM t1 l JOIN t1 r ON l.b = r.a
+        | GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    // Daily-ACF replay: same day totals, 30-row lag self-join, same
+    // cross-multiplied Pearson expression per lag.
+    "a26_daily_acf" ->
+      """WITH days AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000
+        |    AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        | lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+        | j AS (SELECT lag, a.v AS v, b.v AS v2
+        |  FROM days a CROSS JOIN lags
+        |  JOIN days b ON b.d = a.d + lag),
+        | agg AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sx, CAST(sum(v2) AS BIGINT) AS sy,
+        |    CAST(sum(v * v2) AS BIGINT) AS sxy,
+        |    CAST(sum(v * v) AS BIGINT) AS sxx,
+        |    CAST(sum(v2 * v2) AS BIGINT) AS syy
+        |  FROM j GROUP BY lag)
+        |SELECT lag, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+        |      <= 0.0 THEN NULL ELSE
+        |    CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        |      * 1e9) AS BIGINT) END AS r_fp
+        | FROM agg ORDER BY lag""".stripMargin,
+
     // TWAP: duration-weighted integral in exact integer µs × cents.
     // DOW anomaly replay: same integer weekday and cross-multiplied
     // band test.
@@ -6988,6 +7132,28 @@ object SparkEntry {
 
     // PMI replay: same bigram/unigram counts, one pinned-order double
     // expression rounded at 1e-9.
+    // Vocab-drift replay: conditional counts per half, (count desc,
+    // token) top-100, set algebra on the two 100-row vocabularies.
+    "t30_vocab_drift" ->
+      """WITH toks AS (SELECT doc_id % 2 = 0 AS half_a,
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        | counts AS (SELECT half_a, tok, CAST(count(*) AS BIGINT) AS n
+        |  FROM toks GROUP BY half_a, tok),
+        | top AS (SELECT half_a, tok FROM (
+        |   SELECT half_a, tok, row_number() OVER (PARTITION BY half_a
+        |     ORDER BY n DESC, tok) AS r FROM counts) WHERE r <= 100),
+        | a AS (SELECT tok FROM top WHERE half_a),
+        | b AS (SELECT tok FROM top WHERE NOT half_a),
+        | s AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b USING (tok))
+        |     AS n_inter)
+        |SELECT n_a, n_b, n_inter, n_a + n_b - n_inter AS n_union,
+        |  n_inter * 10000 // (n_a + n_b - n_inter) AS jaccard_bp,
+        |  n_inter * 10000 // least(n_a, n_b) AS overlap_bp
+        | FROM s""".stripMargin,
+
     "t29_pmi_collocations" ->
       """WITH base AS (SELECT regexp_extract_all(lower(text), '\S+') AS tk
         |  FROM documents WHERE text IS NOT NULL),
