@@ -1109,6 +1109,26 @@ object SparkEntry {
         .orderBy("x", "y")
     }),
 
+    // ---- G15: ADAMIC-ADAR link prediction — g7's wedge shape with the
+    // degree-discounted score (Σ 1/ln d(z) over common neighbors): hub
+    // middles contribute ~nothing, rare shared contacts dominate. Terms
+    // fixed-pointed before the (x,y) sum — integer reduce --------------
+    "g15_adamic_adar" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = op.select(col("ok"), col("pk").as("part_a"))
+      val b = op.select(col("ok").as("ok_b"), col("pk").as("part_b"))
+      val edges = a.join(b,
+          col("ok") === col("ok_b") && col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+      graft.ops.Graph.adamicAdar(edges, "part_a", "part_b",
+          minCommon = 2, maxMiddleDegree = 1000)
+        .orderBy(col("aa_fp").desc, col("x"), col("y")).limit(30)
+    }),
+
     // ---- S13: ORC source/sink round trip — the engine's second columnar
     // format; schema, doubles, and timestamps survive bit-exactly. -------
     "s13_orc_roundtrip" -> ((s, dir) => {
@@ -3889,6 +3909,37 @@ object SparkEntry {
         .orderBy("touch_type")
     }),
 
+    // ---- E27: TIME-TO-CONVERT percentiles — the latency-funnel readout
+    // (first view → first subsequent purchase): exact p50/p90 of the
+    // per-user conversion delay via a24's ceil(q·n) rank trick over the
+    // readout-sized duration table; viewers who never convert are
+    // reported, not silently dropped ------------------------------------
+    "e27_time_to_convert" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("v_us"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .join(fv, "user_id").filter(col("ts_us") > col("v_us"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("p_us"))
+      val dur = fv.join(fp, "user_id")
+        .select(col("user_id"),
+          expr("(p_us - v_us) div 1000000").as("dur_s"))
+      val ranked = dur
+        .withColumn("rn",
+          row_number().over(Window.orderBy("dur_s", "user_id")))
+        .crossJoin(broadcast(dur.agg(count(lit(1)).as("n_c"))))
+      ranked.agg(
+          max(col("n_c")).as("n_converted"),
+          min(when(col("rn") === expr("(n_c + 1) div 2"), col("dur_s")))
+            .as("p50_s"),
+          min(when(col("rn") === expr("(9 * n_c + 9) div 10"),
+            col("dur_s"))).as("p90_s"))
+        .crossJoin(broadcast(fv.agg(count(lit(1)).as("n_viewers"))))
+        .select("n_viewers", "n_converted", "p50_s", "p90_s")
+    }),
+
     // ---- E22: CUPED variance-reduced readout (Deng et al. 2013) — the
     // pre-experiment covariate adjustment every experimentation platform
     // runs after e21's raw z: X = pre-period purchase cents, Y =
@@ -5902,6 +5953,31 @@ object SparkEntry {
         | FROM ne JOIN deg dx ON ne.x = dx.v JOIN deg dy ON ne.y = dy.v
         | ORDER BY ne.x, ne.y""".stripMargin,
 
+    // Adamic-Adar replay: g7's wedge CTEs with the middle's degree
+    // joined in and the 1/ln d term fixed-pointed per wedge.
+    "g15_adamic_adar" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem),
+        | ed AS (SELECT a.pk AS pa, b.pk AS pb,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | und AS (SELECT pa AS a, pb AS b FROM ed
+        |   UNION ALL SELECT pb, pa FROM ed),
+        | deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d
+        |   FROM und GROUP BY a),
+        | cand AS (SELECT w1.b AS x, w2.b AS y,
+        |    CAST(count(*) AS BIGINT) AS n_common,
+        |    CAST(sum(CAST(round(1e9 / ln(CAST(dm.d AS DOUBLE)))
+        |      AS BIGINT)) AS BIGINT) AS aa_fp
+        |  FROM und w1 JOIN und w2 ON w1.a = w2.a AND w1.b < w2.b
+        |    JOIN deg dm ON w1.a = dm.v
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | ne AS (SELECT cand.x, cand.y, cand.n_common, cand.aa_fp
+        |  FROM cand ANTI JOIN ed ON cand.x = ed.pa AND cand.y = ed.pb)
+        |SELECT x, y, n_common, aa_fp FROM ne
+        | ORDER BY aa_fp DESC, x, y LIMIT 30""".stripMargin,
+
     "g5_kcore" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
         |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -6237,6 +6313,30 @@ object SparkEntry {
         |        * (1.0 / n0 + 1.0 / n1)) * 1e6) AS BIGINT) END AS z_fp,
         |  abs(z_fp) > 1960000 AS significant
         | FROM wide""".stripMargin,
+
+    // Time-to-convert replay: first view, first later purchase, the
+    // same ceil(q·n) rank cutpoints.
+    "e27_time_to_convert" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        | fv AS (SELECT user_id, CAST(min(ts_us) AS BIGINT) AS v_us
+        |  FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        | fp AS (SELECT ev.user_id, CAST(min(ts_us) AS BIGINT) AS p_us
+        |  FROM ev JOIN fv ON ev.user_id = fv.user_id
+        |  WHERE event_type = 'purchase' AND ts_us > v_us
+        |  GROUP BY ev.user_id),
+        | dur AS (SELECT fv.user_id, (p_us - v_us) // 1000000 AS dur_s
+        |  FROM fv JOIN fp ON fv.user_id = fp.user_id),
+        | r AS (SELECT dur_s,
+        |    row_number() OVER (ORDER BY dur_s, user_id) AS rn,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM dur) AS n_c FROM dur)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM fv) AS n_viewers,
+        |  CAST(max(n_c) AS BIGINT) AS n_converted,
+        |  CAST(min(CASE WHEN rn = (n_c + 1) // 2 THEN dur_s END)
+        |    AS BIGINT) AS p50_s,
+        |  CAST(min(CASE WHEN rn = (9 * n_c + 9) // 10 THEN dur_s END)
+        |    AS BIGINT) AS p90_s
+        | FROM r""".stripMargin,
 
     // CUPED replay: same wide rollup of exact sums, same double-first
     // product order, same degenerate-variance NULL guards.

@@ -369,6 +369,46 @@ object Graph {
     scored
   }
 
+  /** Adamic-Adar link prediction (Adamic & Adar 2003) — the
+    * degree-discounted sibling of [[linkPrediction]]'s Jaccard:
+    * AA(x,y) = Σ_{z ∈ Γ(x)∩Γ(y)} 1/ln d(z), so a common neighbor that
+    * is a promiscuous hub contributes almost nothing while a rare
+    * shared contact dominates — empirically the strongest of the
+    * classic local similarity scores. Same wedge shape as Jaccard (the
+    * middle-degree cap bounds wedge fan-out); the per-neighbor term is
+    * fixed-pointed (`round(1e9/ln d(z))`) BEFORE the (x,y) sum so the
+    * aggregation is an order-independent integer reduce. A common
+    * neighbor has d(z) ≥ 2, so ln d(z) ≥ ln 2 and the term is finite
+    * by construction.
+    */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+                 minCommon: Int = 2,
+                 maxMiddleDegree: Int = 10000): DataFrame = {
+    val und0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = und0.union(und0.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    val deg = und.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+    val adj = und.join(deg.select(col("v").as("a"), col("d").as("dm")), "a")
+      .filter(col("dm") <= maxMiddleDegree)
+      .select(col("a").as("m"), col("b").as("n"), col("dm"))
+    val cand = adj.select(col("m"), col("dm"), col("n").as("x"))
+      .join(adj.select(col("m"), col("n").as("y")), Seq("m"))
+      .filter(col("x") < col("y"))
+      .withColumn("term_fp",
+        expr("CAST(round(1e9 / ln(CAST(dm AS DOUBLE))) AS BIGINT)"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_common"), sum(col("term_fp")).as("aa_fp"))
+      .filter(col("n_common") >= minCommon)
+    val out = cand.join(
+      und0.select(col("a").as("x"), col("b").as("y")),
+      Seq("x", "y"), "left_anti")
+    und.unpersist()
+    out
+  }
+
   /** Bounded multi-source HARMONIC centrality (Marchiori & Latora 2000;
     * Boldi & Vigna's preferred closeness variant): for a seed set S,
     * H(v) = Σ_{s∈S, d(s,v)>0} 1/d(s,v) — nodes near many seeds score
