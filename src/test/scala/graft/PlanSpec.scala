@@ -736,4 +736,64 @@ class PlanSpec extends SparkSpec {
     val n = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(n == 1, s"expected 1 hash exchange, got $n:\n${plan.take(4000)}")
   }
+
+  test("dsir: the bucket log-ratio table joins as a BROADCAST onto the " +
+      "feature stream — the corpus side never shuffles for it") {
+    val plan = planOf("c14_dsir_resample")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"lr table must broadcast:\n${plan.take(4000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized join belongs here:\n${plan.take(4000)}")
+  }
+
+  test("dp release: one hash aggregation and NOTHING else — noise is a " +
+      "map expression, no joins, no windows") {
+    val plan = planOf("v4_dp_release")
+    assert(!plan.contains("Join"), s"no join belongs here:\n" +
+      plan.take(4000))
+    assert(!plan.contains("Window"), s"no window belongs here:\n" +
+      plan.take(4000))
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, s"expected 1 hash exchange, got $n:\n${plan.take(4000)}")
+  }
+
+  test("beam search: the readout plan is checkpoint-scan + top-k with " +
+      "WindowGroupLimit (rounds are severed, g1's discipline) — and " +
+      "one live round plans its dedup as a real anti join") {
+    // final readout: lineage is cut per round, so the joins live in the
+    // per-round jobs; what remains must be the rank-limited window
+    val plan = planOf("n20_graph_beam_search")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian belongs here:\n${plan.take(4000)}")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must push into the window:\n${plan.take(4000)}")
+    // one un-severed round, planned directly: frontier expansion joins
+    // the graph by equality and the visited-set dedup is a LeftAnti
+    import spark.implicits._
+    val vecs = (0L until 20L)
+      .map(i => (i, Array.tabulate(8)(d => (i + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val graph = graft.ops.Similarity.knnGraph(vecs, "vec_id", "embedding",
+      k = 3, nCells = 2)
+      .select(col("vec_id").as("g_src"), col("neighbor_id").as("g_dst"))
+    val frontier = vecs.select(col("vec_id").as("q_id"),
+      col("vec_id").as("node")).limit(3)
+    val expanded = frontier
+      .join(graph, frontier("node") === graph("g_src"))
+      .select(col("q_id"), col("g_dst").as("node")).distinct()
+    val fresh = expanded.join(frontier.select("q_id", "node"),
+      Seq("q_id", "node"), "left_anti")
+    val roundPlan = fresh.queryExecution.executedPlan.toString
+    assert(roundPlan.contains("LeftAnti"),
+      s"visited dedup must be an anti join:\n${roundPlan.take(4000)}")
+    assert(!roundPlan.contains("CartesianProduct"),
+      s"no cartesian in the round plan:\n${roundPlan.take(4000)}")
+  }
+
+  test("sweep line: boundary points fold through windows only — no " +
+      "joins anywhere in the concurrency plan") {
+    val plan = planOf("x10_peak_concurrency")
+    assert(!plan.contains("Join"), s"no join belongs here:\n" +
+      plan.take(4000))
+  }
 }
