@@ -4374,6 +4374,37 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // ---- J13: GOLDEN-RECORD reconciliation — the MDM merge a
+    // multi-source migration ends with: three overlapping source feeds
+    // of the customer entity (each with its own field coverage and
+    // casing), merged per key by SOURCE-PRIORITY coalesce per column
+    // (src 1 > 2 > 3; each source contributes ≤1 row per key, so the
+    // per-source pick is an exact conditional min), plus the conflict
+    // flag stewardship queues triage on. ONE union + ONE key-keyed hash
+    // aggregation — reconciliation of N sources at 100 TB costs one
+    // shuffle of the union --------------------------------------------
+    "j13_golden_record" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val s1 = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("k"), lit(1L).as("src"),
+          col("c_name").as("name"), col("c_mktsegment").as("segment"))
+      val s2 = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"), lit(2L).as("src"),
+          lower(col("c_name")).as("name"), col("c_mktsegment").as("segment"))
+      val s3 = c.select(col("c_custkey").as("k"), lit(3L).as("src"),
+        col("c_name").as("name"), lit(null).cast("string").as("segment"))
+      def pick(c0: String) = coalesce(
+        min(when(col("src") === 1, col(c0))),
+        min(when(col("src") === 2, col(c0))),
+        min(when(col("src") === 3, col(c0))))
+      s1.unionByName(s2).unionByName(s3)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_sources"),
+          pick("name").as("name"), pick("segment").as("segment"),
+          (countDistinct(col("name")) > 1).as("name_conflict"))
+        .orderBy("k")
+    }),
+
     // ---- SQL front door: views + registered engine functions ------------
     // ---- J11: snapshot DIFF — two per-key aggregate snapshots compared
     // by full-row hash through one full-outer join: added / removed /
@@ -9790,6 +9821,27 @@ object SparkEntry {
         |  FROM documents d JOIN q USING (source))
         |SELECT doc_id, source FROM ranked WHERE rn <= quota
         | ORDER BY doc_id""".stripMargin,
+
+    // Golden-record replay: same three source feeds, same
+    // priority-coalesce per column, same conflict flag.
+    "j13_golden_record" ->
+      """WITH s1 AS (SELECT c_custkey AS k, 1 AS src, c_name AS name,
+        |    c_mktsegment AS segment FROM customer WHERE c_custkey % 2 = 0),
+        | s2 AS (SELECT c_custkey AS k, 2 AS src, lower(c_name) AS name,
+        |    c_mktsegment AS segment FROM customer WHERE c_custkey % 3 = 0),
+        | s3 AS (SELECT c_custkey AS k, 3 AS src, c_name AS name,
+        |    CAST(NULL AS VARCHAR) AS segment FROM customer),
+        | a AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |   UNION ALL SELECT * FROM s3)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_sources,
+        |  coalesce(min(CASE WHEN src = 1 THEN name END),
+        |    min(CASE WHEN src = 2 THEN name END),
+        |    min(CASE WHEN src = 3 THEN name END)) AS name,
+        |  coalesce(min(CASE WHEN src = 1 THEN segment END),
+        |    min(CASE WHEN src = 2 THEN segment END),
+        |    min(CASE WHEN src = 3 THEN segment END)) AS segment,
+        |  count(DISTINCT name) > 1 AS name_conflict
+        | FROM a GROUP BY k ORDER BY k""".stripMargin,
 
     "j11_snapshot_diff" ->
       """WITH olds AS (SELECT o_custkey AS key, count(*) AS n,
