@@ -206,6 +206,41 @@ class Round7OpsSpec extends SparkSpec {
     assert(out == truth, s"credited $out vs purchase mass $truth")
   }
 
+  // ---- golden record ---------------------------------------------------
+
+  test("j13: source priority wins per column and conflicts are flagged " +
+      "only where sources disagree") {
+    val out = SparkEntry.queries("j13_golden_record")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getString(3),
+          r.getBoolean(4))).toMap
+    val names = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    names.foreach { case (k, (name, seg)) =>
+      val (nSrc, gName, gSeg, conflict) = out(k)
+      // src 3 covers every key, so every customer must emit
+      assert(nSrc >= 1L)
+      // priority: src 1 (even keys, original casing) beats src 2
+      // (lowercased); src 3 only fills keys neither covers
+      if (k % 2 == 0) assert(gName == name, s"key $k: src-1 name must win")
+      else if (k % 3 == 0) assert(gName == name.toLowerCase,
+        s"key $k: src-2 lowercased name must win over src-3")
+      else assert(gName == name, s"key $k: src-3 fallback")
+      // segment: src 3 reports NULL, so it comes from src 1 or 2 if
+      // either covers the key, else stays null
+      if (k % 2 == 0 || k % 3 == 0) assert(gSeg == seg)
+      else assert(gSeg == null)
+      // conflict flag: src 3 always reports the original name, so a
+      // disagreeing value set exists iff src 2 covers the key and
+      // lowercasing actually changes the name
+      val expected = (k % 3 == 0) && name != name.toLowerCase
+      assert(conflict == expected,
+        s"key $k conflict=$conflict expected=$expected")
+    }
+  }
+
   // ---- IVF occupancy audit ---------------------------------------------
 
   test("ivf occupancy: cells partition the corpus and empty cells emit") {
