@@ -1692,6 +1692,41 @@ object SparkEntry {
       TextAnalysis.pmiCollocations(t(s, dir, "documents"),
         "doc_id", "text", minCount = 20, topK = 25)),
 
+    // ---- T31: HEAPS-LAW vocabulary growth — t26 Zipf's companion
+    // corpus-health check: distinct vocabulary V(n) ≈ K·n^β over
+    // hash-order document prefixes (¼, ½, ¾, full), all four distinct
+    // counts in ONE aggregation (Expand); β from consecutive points at
+    // t18's fixed-point ln discipline. A corpus whose β collapses is
+    // template-dominated (the same boilerplate re-asserted, no new
+    // vocabulary) — the cheap pre-dedup health probe -------------------
+    "t31_heaps_law" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val ranked = docs
+        .withColumn("rn", row_number().over(
+          Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      val toks = ranked.select(
+          expr("rn * 4 <= n_docs").as("p1"),
+          expr("rn * 2 <= n_docs").as("p2"),
+          expr("rn * 4 <= 3 * n_docs").as("p3"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      toks.agg(
+          sum(when(col("p1"), 1L).otherwise(0L)).as("t1"),
+          sum(when(col("p2"), 1L).otherwise(0L)).as("t2"),
+          sum(when(col("p3"), 1L).otherwise(0L)).as("t3"),
+          count(lit(1)).as("t4"),
+          countDistinct(when(col("p1"), col("tok"))).as("v1"),
+          countDistinct(when(col("p2"), col("tok"))).as("v2"),
+          countDistinct(when(col("p3"), col("tok"))).as("v3"),
+          countDistinct(col("tok")).as("v4"))
+        .withColumn("beta12_fp", expr(
+          "CAST(round(ln(CAST(v2 AS DOUBLE) / v1)" +
+            " / ln(CAST(t2 AS DOUBLE) / t1) * 1e9) AS BIGINT)"))
+        .withColumn("beta14_fp", expr(
+          "CAST(round(ln(CAST(v4 AS DOUBLE) / v1)" +
+            " / ln(CAST(t4 AS DOUBLE) / t1) * 1e9) AS BIGINT)"))
+    }),
+
     // ---- T30: VOCABULARY DRIFT between two corpus halves — the cheap
     // shift detector a corpus refresh runs before st24's distributional
     // PSI: Jaccard + overlap coefficient of the two halves' top-100
@@ -3938,6 +3973,56 @@ object SparkEntry {
             col("dur_s"))).as("p90_s"))
         .crossJoin(broadcast(fv.agg(count(lit(1)).as("n_viewers"))))
         .select("n_viewers", "n_converted", "p50_s", "p90_s")
+    }),
+
+    // ---- E28: POWER ANALYSIS — the third leg of the experimentation
+    // trio (e21 readout, e22 CUPED): at the current arm sizes and
+    // pooled conversion, the minimum detectable effect at α=0.05 /
+    // power 0.8 (z constants as shared literals — no distribution
+    // functions at query time), and the required per-arm N for a 1-point
+    // absolute lift. Scalar math on e21's one-row rollup — the corpus
+    // cost IS e21's user pass ------------------------------------------
+    "e28_power_analysis" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+          cents(col("value"))).otherwise(0L)).as("pv"))
+      val med = u
+        .withColumn("rn", row_number().over(
+          Window.orderBy("pv", "user_id")))
+        .crossJoin(broadcast(u.agg(count(lit(1)).as("n_u"))))
+        .filter(col("rn") === expr("(n_u + 1) div 2"))
+        .select(col("pv").as("median_pv"))
+      val users = u.crossJoin(broadcast(med))
+        .select((col("user_id") % 2).as("variant"),
+          when(col("pv") >= col("median_pv"), 1L).otherwise(0L)
+            .as("converted"))
+      users.agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("variant") === 0, col("converted"))
+            .otherwise(0L)).as("c0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("variant") === 1, col("converted"))
+            .otherwise(0L)).as("c1"))
+        .withColumn("p_pool_fp", expr(
+          "CASE WHEN n0 + n1 = 0 THEN NULL ELSE " +
+            "CAST(round(CAST(c0 + c1 AS DOUBLE) / (n0 + n1) * 1e6)" +
+            " AS BIGINT) END"))
+        .withColumn("mde_fp", expr(
+          "CASE WHEN n0 = 0 OR n1 = 0 THEN NULL ELSE " +
+            "CAST(round((1.959964 + 0.841621)" +
+            " * sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
+            " * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
+            " * (1.0 / n0 + 1.0 / n1)) * 1e6) AS BIGINT) END"))
+        .withColumn("n_per_arm_1pt", expr(
+          "CASE WHEN n0 + n1 = 0 THEN NULL ELSE " +
+            "CAST(ceil(2.0 * (1.959964 + 0.841621)" +
+            " * (1.959964 + 0.841621)" +
+            " * (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
+            " * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
+            " / 0.0001) AS BIGINT) END"))
+        .select("n0", "c0", "n1", "c1", "p_pool_fp", "mde_fp",
+          "n_per_arm_1pt")
     }),
 
     // ---- E22: CUPED variance-reduced readout (Deng et al. 2013) — the
@@ -6345,6 +6430,47 @@ object SparkEntry {
         |  abs(z_fp) > 1960000 AS significant
         | FROM wide""".stripMargin,
 
+    // Power-analysis replay: e21's median-anchored conversion rollup,
+    // same z-constant literals, same pinned MDE / required-N math.
+    "e28_power_analysis" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS pv
+        |  FROM events GROUP BY user_id),
+        | m AS (SELECT pv AS median_pv FROM (
+        |    SELECT pv, row_number() OVER (ORDER BY pv, user_id) AS rn
+        |    FROM u)
+        |  WHERE rn = (SELECT (count(*) + 1) // 2 FROM u)),
+        | v AS (SELECT user_id % 2 AS variant,
+        |    CAST(CASE WHEN pv >= (SELECT median_pv FROM m)
+        |      THEN 1 ELSE 0 END AS BIGINT) AS converted FROM u),
+        | wide AS (SELECT
+        |   CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n0,
+        |   CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+        |     AS BIGINT) AS c0,
+        |   CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n1,
+        |   CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+        |     AS BIGINT) AS c1
+        |  FROM v)
+        |SELECT n0, c0, n1, c1,
+        |  CASE WHEN n0 + n1 = 0 THEN NULL ELSE
+        |    CAST(round(CAST(c0 + c1 AS DOUBLE) / (n0 + n1) * 1e6)
+        |      AS BIGINT) END AS p_pool_fp,
+        |  CASE WHEN n0 = 0 OR n1 = 0 THEN NULL ELSE
+        |    CAST(round((1.959964 + 0.841621)
+        |      * sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |      * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |      * (1.0 / n0 + 1.0 / n1)) * 1e6) AS BIGINT) END AS mde_fp,
+        |  CASE WHEN n0 + n1 = 0 THEN NULL ELSE
+        |    CAST(ceil(2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+        |      * (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |      * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |      / 0.0001) AS BIGINT) END AS n_per_arm_1pt
+        | FROM wide""".stripMargin,
+
     // Time-to-convert replay: first view, first later purchase, the
     // same ceil(q·n) rank cutpoints.
     "e27_time_to_convert" ->
@@ -7263,6 +7389,42 @@ object SparkEntry {
 
     // PMI replay: same bigram/unigram counts, one pinned-order double
     // expression rounded at 1e-9.
+    // Heaps-law replay: hash-order doc prefixes, four conditional
+    // distinct counts, same fixed-point β quotients.
+    "t31_heaps_law" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL),
+        | nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+        | ranked AS (SELECT doc_id, text,
+        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+        |      doc_id) AS rn
+        |  FROM d),
+        | toks AS (SELECT
+        |    rn * 4 <= (SELECT n_docs FROM nd) AS p1,
+        |    rn * 2 <= (SELECT n_docs FROM nd) AS p2,
+        |    rn * 4 <= 3 * (SELECT n_docs FROM nd) AS p3,
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM ranked),
+        | agg AS (SELECT
+        |    CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+        |    CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS t3,
+        |    CAST(count(*) AS BIGINT) AS t4,
+        |    CAST(count(DISTINCT CASE WHEN p1 THEN tok END) AS BIGINT)
+        |      AS v1,
+        |    CAST(count(DISTINCT CASE WHEN p2 THEN tok END) AS BIGINT)
+        |      AS v2,
+        |    CAST(count(DISTINCT CASE WHEN p3 THEN tok END) AS BIGINT)
+        |      AS v3,
+        |    CAST(count(DISTINCT tok) AS BIGINT) AS v4
+        |  FROM toks)
+        |SELECT t1, t2, t3, t4, v1, v2, v3, v4,
+        |  CAST(round(ln(CAST(v2 AS DOUBLE) / v1)
+        |    / ln(CAST(t2 AS DOUBLE) / t1) * 1e9) AS BIGINT) AS beta12_fp,
+        |  CAST(round(ln(CAST(v4 AS DOUBLE) / v1)
+        |    / ln(CAST(t4 AS DOUBLE) / t1) * 1e9) AS BIGINT) AS beta14_fp
+        | FROM agg""".stripMargin,
+
     // Vocab-drift replay: conditional counts per half, (count desc,
     // token) top-100, set algebra on the two 100-row vocabularies.
     "t30_vocab_drift" ->
