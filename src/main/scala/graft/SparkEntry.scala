@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.etl._
 import graft.functions.StrFunctions._
 import graft.functions.RollingHash
-import graft.ops.{AsOfJoin, Curation, MinHashDedup, Multimodal, SimHash, Similarity, Skew, TextAnalysis}
+import graft.ops.{AsOfJoin, Curation, MinHashDedup, Multimodal, ScaleSafe, SimHash, Similarity, Skew, TextAnalysis}
 import graft.streaming.StreamOps
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1502,7 +1502,12 @@ object SparkEntry {
         .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
           max(col("dnum")).as("d_num"))
         .withColumn("d_den", col("n1") * col("n2"))
-        .withColumn("d_bp", expr("d_num * 10000 div d_den"))
+        // d_num ≤ n1·n2, so the 10000 scale-up runs in decimal(38,0)
+        // (HUGEINT in the replay): exact to ~1e9 rows PER SIDE — the
+        // bound at which d_num itself saturates BIGINT (r7-advice fix;
+        // a bare BIGINT multiply wrapped past ~3e7 rows per side)
+        .withColumn("d_bp",
+          expr("CAST(d_num AS DECIMAL(38,0)) * 10000 div d_den"))
         .withColumn("significant", expr(
           "CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE " +
             "CAST(d_num AS DOUBLE) / d_den > 1.358 * " +
@@ -1699,33 +1704,15 @@ object SparkEntry {
     // t18's fixed-point ln discipline. A corpus whose β collapses is
     // template-dominated (the same boilerplate re-asserted, no new
     // vocabulary) — the cheap pre-dedup health probe -------------------
-    "t31_heaps_law" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
-      val ranked = docs
-        .withColumn("rn", row_number().over(
-          Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
-        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
-      val toks = ranked.select(
-          expr("rn * 4 <= n_docs").as("p1"),
-          expr("rn * 2 <= n_docs").as("p2"),
-          expr("rn * 4 <= 3 * n_docs").as("p3"),
-          explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      toks.agg(
-          sum(when(col("p1"), 1L).otherwise(0L)).as("t1"),
-          sum(when(col("p2"), 1L).otherwise(0L)).as("t2"),
-          sum(when(col("p3"), 1L).otherwise(0L)).as("t3"),
-          count(lit(1)).as("t4"),
-          countDistinct(when(col("p1"), col("tok"))).as("v1"),
-          countDistinct(when(col("p2"), col("tok"))).as("v2"),
-          countDistinct(when(col("p3"), col("tok"))).as("v3"),
-          countDistinct(col("tok")).as("v4"))
-        .withColumn("beta12_fp", expr(
-          "CAST(round(ln(CAST(v2 AS DOUBLE) / v1)" +
-            " / ln(CAST(t2 AS DOUBLE) / t1) * 1e9) AS BIGINT)"))
-        .withColumn("beta14_fp", expr(
-          "CAST(round(ln(CAST(v4 AS DOUBLE) / v1)" +
-            " / ln(CAST(t4 AS DOUBLE) / t1) * 1e9) AS BIGINT)"))
-    }),
+    "t31_heaps_law" -> ((s, dir) =>
+      heapsLaw(s, dir, distributed = false)),
+
+    // ---- T31B: t31 on the PRODUCTION rank path — the corpus rank via
+    // ScaleSafe.rowNumberBucketed over md5-prefix buckets (parallel
+    // per-bucket row_numbers + a ≤#buckets-row offset carry); same
+    // oracle as t31 ------------------------------------------------------
+    "t31b_heaps_law" -> ((s, dir) =>
+      heapsLaw(s, dir, distributed = true)),
 
     // ---- T30: VOCABULARY DRIFT between two corpus halves — the cheap
     // shift detector a corpus refresh runs before st24's distributional
@@ -3378,23 +3365,15 @@ object SparkEntry {
     // what makes a sweep line hash-gateable. The global point sort is
     // readout-bounded here; at 100 TB production runs the two-level
     // prefix scan (per-partition sums + carry), same output -------------
-    "x10_peak_concurrency" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(unix_micros(col("ts")).as("t0"))
-      val pts = ev.select(col("t0").as("t"), lit(1L).as("delta"))
-        .unionByName(ev.select((col("t0") + 300000000L).as("t"),
-          lit(-1L).as("delta")))
-      val wRun = Window.orderBy("t", "delta")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      pts.withColumn("run", sum(col("delta")).over(wRun))
-        .withColumn("day_us", expr("t - t % 86400000000"))
-        .withColumn("day_max",
-          max(col("run")).over(Window.partitionBy("day_us")))
-        .filter(col("run") === col("day_max"))
-        .groupBy("day_us")
-        .agg(max(col("day_max")).as("peak"), min(col("t")).as("peak_at_us"))
-        .orderBy("day_us")
-    }),
+    "x10_peak_concurrency" -> ((s, dir) =>
+      peakConcurrency(s, dir, distributed = false)),
+
+    // ---- X10B: x10 on the PRODUCTION path — the two-level prefix scan
+    // (deterministic time-range buckets, parallel per-bucket cumsums, a
+    // ≤#buckets-row carry table broadcast back): no unpartitioned window
+    // over the boundary-point set; same oracle as x10 -------------------
+    "x10b_peak_concurrency" -> ((s, dir) =>
+      peakConcurrency(s, dir, distributed = true)),
 
     // ---- E23: KAPLAN-MEIER survival — time from first signup to first
     // subsequent purchase, right-censored at the corpus horizon (max
@@ -3683,12 +3662,18 @@ object SparkEntry {
         .crossJoin(broadcast(lags))
         .join(days.select(col("d").as("d2"), col("v").as("v2")),
           col("d2") === col("d") + col("lag"))
+      // Product sums in decimal(38,0): v*v of daily cents overflows
+      // BIGINT silently under Spark non-ANSI (the r7-advice finding) —
+      // 128-bit decimal keeps the cross sums exact AND deterministic
+      // (a double sum would reassociate) to ~1e38; the replay mirrors
+      // with HUGEINT.
+      val d19 = "decimal(19,0)"
       joined.groupBy("lag")
         .agg(count(lit(1)).as("n"),
           sum(col("v")).as("sx"), sum(col("v2")).as("sy"),
-          sum(col("v") * col("v2")).as("sxy"),
-          sum(col("v") * col("v")).as("sxx"),
-          sum(col("v2") * col("v2")).as("syy"))
+          sum(col("v").cast(d19) * col("v2").cast(d19)).as("sxy"),
+          sum(col("v").cast(d19) * col("v").cast(d19)).as("sxx"),
+          sum(col("v2").cast(d19) * col("v2").cast(d19)).as("syy"))
         .withColumn("r_fp", expr(
           "CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)" +
             " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)" +
@@ -3861,20 +3846,16 @@ object SparkEntry {
     // expression rounded to 1e-6 fixed point — guarded to NULL at
     // p̂ ∈ {0, 1} (ANSI Spark would throw, DuckDB would emit ±inf;
     // degrade identically instead). Shape: one user-keyed aggregation,
-    // a readout-sized median rank (n_users rows — production swaps in
-    // an approx-percentile cutpoint broadcast, c13's discipline), one
+    // the median cutpoint via medianPvCut (global rank by default;
+    // spark.graft.scaleRankPath=distributed swaps in ScaleSafe's exact
+    // bracket selection — e28b gates that path every round), one
     // 1-row rollup. A 100 TB readout costs the per-user pass ------------
     "e21_ab_readout" -> ((s, dir) => {
       val u = t(s, dir, "events")
         .groupBy(col("user_id"))
         .agg(sum(when(col("event_type") === "purchase",
           cents(col("value"))).otherwise(0L)).as("pv"))
-      val med = u
-        .withColumn("rn", row_number().over(
-          Window.orderBy("pv", "user_id")))
-        .crossJoin(broadcast(u.agg(count(lit(1)).as("n_u"))))
-        .filter(col("rn") === expr("(n_u + 1) div 2"))
-        .select(col("pv").as("median_pv"))
+      val med = medianPvCut(u)
       val users = u.crossJoin(broadcast(med))
         .select((col("user_id") % 2).as("variant"),
           when(col("pv") >= col("median_pv"), 1L).otherwise(0L)
@@ -3886,10 +3867,15 @@ object SparkEntry {
           sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
           sum(when(col("variant") === 1, col("converted"))
             .otherwise(0L)).as("c1"))
-        .withColumn("rate0_bp", expr("c0 * 10000 div n0"))
-        .withColumn("rate1_bp", expr("c1 * 10000 div n1"))
+        // Empty-arm guard (r7-advice): Spark's div yields NULL at n=0
+        // but DuckDB's // raises — degrade identically via explicit CASE
+        .withColumn("rate0_bp",
+          expr("CASE WHEN n0 = 0 THEN NULL ELSE c0 * 10000 div n0 END"))
+        .withColumn("rate1_bp",
+          expr("CASE WHEN n1 = 0 THEN NULL ELSE c1 * 10000 div n1 END"))
         .withColumn("z_fp", expr(
-          "CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL ELSE " +
+          "CASE WHEN n0 = 0 OR n1 = 0" +
+            " OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL ELSE " +
             "CAST(round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)" +
             " / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
             " * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
@@ -3949,31 +3935,13 @@ object SparkEntry {
     // per-user conversion delay via a24's ceil(q·n) rank trick over the
     // readout-sized duration table; viewers who never convert are
     // reported, not silently dropped ------------------------------------
-    "e27_time_to_convert" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("ts_us"))
-      val fv = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("ts_us")).as("v_us"))
-      val fp = ev.filter(col("event_type") === "purchase")
-        .join(fv, "user_id").filter(col("ts_us") > col("v_us"))
-        .groupBy("user_id").agg(min(col("ts_us")).as("p_us"))
-      val dur = fv.join(fp, "user_id")
-        .select(col("user_id"),
-          expr("(p_us - v_us) div 1000000").as("dur_s"))
-      val ranked = dur
-        .withColumn("rn",
-          row_number().over(Window.orderBy("dur_s", "user_id")))
-        .crossJoin(broadcast(dur.agg(count(lit(1)).as("n_c"))))
-      ranked.agg(
-          max(col("n_c")).as("n_converted"),
-          min(when(col("rn") === expr("(n_c + 1) div 2"), col("dur_s")))
-            .as("p50_s"),
-          min(when(col("rn") === expr("(9 * n_c + 9) div 10"),
-            col("dur_s"))).as("p90_s"))
-        .crossJoin(broadcast(fv.agg(count(lit(1)).as("n_viewers"))))
-        .select("n_viewers", "n_converted", "p50_s", "p90_s")
-    }),
+    "e27_time_to_convert" -> ((s, dir) =>
+      timeToConvert(s, dir, distributed = false)),
+
+    // ---- E27B: e27 on the PRODUCTION path — both percentiles via
+    // ScaleSafe's exact bracket selection; same oracle as e27 ----------
+    "e27b_time_to_convert" -> ((s, dir) =>
+      timeToConvert(s, dir, distributed = true)),
 
     // ---- E28: POWER ANALYSIS — the third leg of the experimentation
     // trio (e21 readout, e22 CUPED): at the current arm sizes and
@@ -3982,55 +3950,24 @@ object SparkEntry {
     // functions at query time), and the required per-arm N for a 1-point
     // absolute lift. Scalar math on e21's one-row rollup — the corpus
     // cost IS e21's user pass ------------------------------------------
-    "e28_power_analysis" -> ((s, dir) => {
-      val u = t(s, dir, "events")
-        .groupBy(col("user_id"))
-        .agg(sum(when(col("event_type") === "purchase",
-          cents(col("value"))).otherwise(0L)).as("pv"))
-      val med = u
-        .withColumn("rn", row_number().over(
-          Window.orderBy("pv", "user_id")))
-        .crossJoin(broadcast(u.agg(count(lit(1)).as("n_u"))))
-        .filter(col("rn") === expr("(n_u + 1) div 2"))
-        .select(col("pv").as("median_pv"))
-      val users = u.crossJoin(broadcast(med))
-        .select((col("user_id") % 2).as("variant"),
-          when(col("pv") >= col("median_pv"), 1L).otherwise(0L)
-            .as("converted"))
-      users.agg(
-          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
-          sum(when(col("variant") === 0, col("converted"))
-            .otherwise(0L)).as("c0"),
-          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
-          sum(when(col("variant") === 1, col("converted"))
-            .otherwise(0L)).as("c1"))
-        .withColumn("p_pool_fp", expr(
-          "CASE WHEN n0 + n1 = 0 THEN NULL ELSE " +
-            "CAST(round(CAST(c0 + c1 AS DOUBLE) / (n0 + n1) * 1e6)" +
-            " AS BIGINT) END"))
-        .withColumn("mde_fp", expr(
-          "CASE WHEN n0 = 0 OR n1 = 0 THEN NULL ELSE " +
-            "CAST(round((1.959964 + 0.841621)" +
-            " * sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
-            " * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
-            " * (1.0 / n0 + 1.0 / n1)) * 1e6) AS BIGINT) END"))
-        .withColumn("n_per_arm_1pt", expr(
-          "CASE WHEN n0 + n1 = 0 THEN NULL ELSE " +
-            "CAST(ceil(2.0 * (1.959964 + 0.841621)" +
-            " * (1.959964 + 0.841621)" +
-            " * (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
-            " * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
-            " / 0.0001) AS BIGINT) END"))
-        .select("n0", "c0", "n1", "c1", "p_pool_fp", "mde_fp",
-          "n_per_arm_1pt")
-    }),
+    "e28_power_analysis" -> ((s, dir) =>
+      powerAnalysis(s, dir, distributed = false)),
+
+    // ---- E28B: e28 on the PRODUCTION median path — the exact bracket
+    // selection (approx_percentile bounds + exact boundary count + rank
+    // inside the bracket, ScaleSafe.exactRankValueBracket): no
+    // unpartitioned window over unbounded input anywhere in the plan,
+    // answer bit-identical to e28's, gated on e28's oracle every round -
+    "e28b_power_analysis" -> ((s, dir) =>
+      powerAnalysis(s, dir, distributed = true)),
 
     // ---- E22: CUPED variance-reduced readout (Deng et al. 2013) — the
     // pre-experiment covariate adjustment every experimentation platform
     // runs after e21's raw z: X = pre-period purchase cents, Y =
     // post-period (fixed mid-month cutoff in epoch micros), pooled
     // θ = cov(X,Y)/var(X) from ONE wide rollup of exact integer sums
-    // (products cast to double FIRST — the t29 overflow lesson), the
+    // (product sums in decimal(38,0) / HUGEINT — exact to ~1e38 and
+    // deterministic, unlike a double sum; the t29 overflow lesson), the
     // adjusted-mean variant difference and ρ² (the variance-reduction
     // fraction CUPED buys) as pinned double expressions, NULL-guarded at
     // degenerate variance. One user-keyed aggregation, one 1-row rollup -
@@ -4045,12 +3982,13 @@ object SparkEntry {
           sum(when(unix_micros(col("ts")) >= cutoff, cents(col("value")))
             .otherwise(0L)).as("y"))
         .select((col("user_id") % 2).as("variant"), col("x"), col("y"))
+      val d19 = "decimal(19,0)"
       u.agg(
           count(lit(1)).as("n"),
           sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"),
+          sum(col("x").cast(d19) * col("y").cast(d19)).as("sxy"),
+          sum(col("x").cast(d19) * col("x").cast(d19)).as("sxx"),
+          sum(col("y").cast(d19) * col("y").cast(d19)).as("syy"),
           sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
           sum(when(col("variant") === 0, col("x")).otherwise(0L)).as("sx0"),
           sum(when(col("variant") === 0, col("y")).otherwise(0L)).as("sy0"),
@@ -4818,6 +4756,202 @@ object SparkEntry {
     * positions (the same leftmost-non-overlapping rule as the Spark
     * `aggregate` lambda).
     */
+  // --------------------------------------------------------------------
+  // Scale-safe path switches (VERDICT r7 item 1): each of the global-
+  // window gates below has a `distributed = true` twin (*b query) that
+  // runs the documented production alternative — exact bracket
+  // selection for medians/percentiles, two-level prefix scans for
+  // corpus ranks / running sums — with a BIT-IDENTICAL answer, so the
+  // twin shares the sibling's DuckDB oracle. The classic gates also
+  // honor spark.graft.scaleRankPath=distributed at session level.
+  // --------------------------------------------------------------------
+
+  /** e21/e28's shared median cutpoint over the per-user purchase-cents
+    * table: the low median (rank (n+1) div 2 in (pv, user_id) order) as
+    * a 1-row DataFrame. Global single-task rank by default (readout-
+    * sized at the gated scale); ScaleSafe's exact bracket selection
+    * when forced or when [[ScaleSafe.PathConf]] says `distributed`.
+    */
+  private def medianPvCut(u: DataFrame,
+                          forceDistributed: Boolean = false): DataFrame =
+    if (forceDistributed || ScaleSafe.distributed(u.sparkSession))
+      ScaleSafe.exactRankValueBracket(u, "pv", "user_id", 0.5,
+        n => (n + 1) / 2).select(col("pv").as("median_pv"))
+    else
+      u.withColumn("rn", row_number().over(
+          Window.orderBy("pv", "user_id")))
+        .crossJoin(broadcast(u.agg(count(lit(1)).as("n_u"))))
+        .filter(col("rn") === expr("(n_u + 1) div 2"))
+        .select(col("pv").as("median_pv"))
+
+  /** e28/e28b: the power-analysis rollup on either median path. */
+  private def powerAnalysis(s: SparkSession, dir: String,
+                            distributed: Boolean): DataFrame = {
+    val u = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        cents(col("value"))).otherwise(0L)).as("pv"))
+    val med = medianPvCut(u, forceDistributed = distributed)
+    val users = u.crossJoin(broadcast(med))
+      .select((col("user_id") % 2).as("variant"),
+        when(col("pv") >= col("median_pv"), 1L).otherwise(0L)
+          .as("converted"))
+    users.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 0, col("converted"))
+          .otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, col("converted"))
+          .otherwise(0L)).as("c1"))
+      .withColumn("p_pool_fp", expr(
+        "CASE WHEN n0 + n1 = 0 THEN NULL ELSE " +
+          "CAST(round(CAST(c0 + c1 AS DOUBLE) / (n0 + n1) * 1e6)" +
+          " AS BIGINT) END"))
+      .withColumn("mde_fp", expr(
+        "CASE WHEN n0 = 0 OR n1 = 0 THEN NULL ELSE " +
+          "CAST(round((1.959964 + 0.841621)" +
+          " * sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
+          " * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
+          " * (1.0 / n0 + 1.0 / n1)) * 1e6) AS BIGINT) END"))
+      .withColumn("n_per_arm_1pt", expr(
+        "CASE WHEN n0 + n1 = 0 THEN NULL ELSE " +
+          "CAST(ceil(2.0 * (1.959964 + 0.841621)" +
+          " * (1.959964 + 0.841621)" +
+          " * (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
+          " * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
+          " / 0.0001) AS BIGINT) END"))
+      .select("n0", "c0", "n1", "c1", "p_pool_fp", "mde_fp",
+        "n_per_arm_1pt")
+  }
+
+  /** e27/e27b: exact p50/p90 of the per-user conversion delay. The
+    * distributed path runs two bracket selections (rank formulas
+    * matching the window gate exactly: (n+1) div 2 and (9n+9) div 10)
+    * and joins the 1-row cutpoints back broadcast.
+    */
+  private def timeToConvert(s: SparkSession, dir: String,
+                            distributed: Boolean): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_us")).as("v_us"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .join(fv, "user_id").filter(col("ts_us") > col("v_us"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("p_us"))
+    val dur = fv.join(fp, "user_id")
+      .select(col("user_id"),
+        expr("(p_us - v_us) div 1000000").as("dur_s"))
+    val core =
+      if (distributed || ScaleSafe.distributed(s)) {
+        val p50 = ScaleSafe.exactRankValueBracket(dur, "dur_s",
+            "user_id", 0.5, n => (n + 1) / 2)
+          .select(col("dur_s").as("p50_s"))
+        val p90 = ScaleSafe.exactRankValueBracket(dur, "dur_s",
+            "user_id", 0.9, n => (9 * n + 9) / 10)
+          .select(col("dur_s").as("p90_s"))
+        dur.agg(count(lit(1)).as("n_converted"))
+          .crossJoin(broadcast(p50)).crossJoin(broadcast(p90))
+      } else {
+        dur.withColumn("rn",
+            row_number().over(Window.orderBy("dur_s", "user_id")))
+          .crossJoin(broadcast(dur.agg(count(lit(1)).as("n_c"))))
+          .agg(
+            max(col("n_c")).as("n_converted"),
+            min(when(col("rn") === expr("(n_c + 1) div 2"),
+              col("dur_s"))).as("p50_s"),
+            min(when(col("rn") === expr("(9 * n_c + 9) div 10"),
+              col("dur_s"))).as("p90_s"))
+      }
+    core.crossJoin(broadcast(fv.agg(count(lit(1)).as("n_viewers"))))
+      .select("n_viewers", "n_converted", "p50_s", "p90_s")
+  }
+
+  /** x10/x10b: sweep-line peak concurrency. The running sum over the
+    * boundary points is a global window by default; the distributed
+    * path buckets by a deterministic time-range split (2 scalar reads
+    * for the domain) and runs the two-level prefix scan. Ties at one
+    * instant are same-sign, so the per-day MAX and its min-t are
+    * identical on both paths (and bucket boundaries cannot split a
+    * tie group: the bucket is a function of t alone).
+    */
+  private def peakConcurrency(s: SparkSession, dir: String,
+                              distributed: Boolean): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(unix_micros(col("ts")).as("t0"))
+    val pts = ev.select(col("t0").as("t"), lit(1L).as("delta"))
+      .unionByName(ev.select((col("t0") + 300000000L).as("t"),
+        lit(-1L).as("delta")))
+    val withRun =
+      if (distributed || ScaleSafe.distributed(s)) {
+        val mm = pts.agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+          .head()
+        if (mm.isNullAt(0)) pts.withColumn("run", col("delta"))
+        else {
+          val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+          ScaleSafe.runningSumBucketed(pts,
+            Seq(col("t"), col("delta")),
+            ScaleSafe.rangeBucket("t", mm.getLong(0), mm.getLong(1),
+              buckets),
+            "delta", "run")
+        }
+      } else {
+        val wRun = Window.orderBy("t", "delta")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pts.withColumn("run", sum(col("delta")).over(wRun))
+      }
+    withRun
+      .withColumn("day_us", expr("t - t % 86400000000"))
+      .withColumn("day_max",
+        max(col("run")).over(Window.partitionBy("day_us")))
+      .filter(col("run") === col("day_max"))
+      .groupBy("day_us")
+      .agg(max(col("day_max")).as("peak"), min(col("t")).as("peak_at_us"))
+      .orderBy("day_us")
+  }
+
+  /** t31/t31b: Heaps-law vocabulary growth. The corpus rank runs as a
+    * global row_number by default; the distributed path buckets by the
+    * md5 prefix (order-aligned with the (md5, doc_id) sort) and runs
+    * the two-level rank scan.
+    */
+  private def heapsLaw(s: SparkSession, dir: String,
+                       distributed: Boolean): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    val withRn =
+      if (distributed || ScaleSafe.distributed(s)) {
+        val withH = docs
+          .withColumn("__h", md5(col("doc_id").cast("string")))
+        ScaleSafe.rowNumberBucketed(withH,
+            Seq(col("__h"), col("doc_id")),
+            ScaleSafe.hexPrefixBucket("__h", 32), "rn")
+          .drop("__h")
+      } else docs.withColumn("rn", row_number().over(
+        Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+    val ranked = withRn
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+    val toks = ranked.select(
+        expr("rn * 4 <= n_docs").as("p1"),
+        expr("rn * 2 <= n_docs").as("p2"),
+        expr("rn * 4 <= 3 * n_docs").as("p3"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    toks.agg(
+        sum(when(col("p1"), 1L).otherwise(0L)).as("t1"),
+        sum(when(col("p2"), 1L).otherwise(0L)).as("t2"),
+        sum(when(col("p3"), 1L).otherwise(0L)).as("t3"),
+        count(lit(1)).as("t4"),
+        countDistinct(when(col("p1"), col("tok"))).as("v1"),
+        countDistinct(when(col("p2"), col("tok"))).as("v2"),
+        countDistinct(when(col("p3"), col("tok"))).as("v3"),
+        countDistinct(col("tok")).as("v4"))
+      .withColumn("beta12_fp", expr(
+        "CAST(round(ln(CAST(v2 AS DOUBLE) / v1)" +
+          " / ln(CAST(t2 AS DOUBLE) / t1) * 1e9) AS BIGINT)"))
+      .withColumn("beta14_fp", expr(
+        "CAST(round(ln(CAST(v4 AS DOUBLE) / v1)" +
+          " / ln(CAST(t4 AS DOUBLE) / t1) * 1e9) AS BIGINT)"))
+  }
+
   private def BpeTrainSql(nMerges: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH RECURSIVE toks AS (
@@ -5028,7 +5162,16 @@ object SparkEntry {
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // The *b gates run the scale-safe distributed paths
+    // (ScaleSafe.scala); the answers are bit-identical to their
+    // global-window siblings, so the oracles are shared verbatim.
+    "e27b_time_to_convert" -> oracleSqlBase("e27_time_to_convert"),
+    "e28b_power_analysis" -> oracleSqlBase("e28_power_analysis"),
+    "x10b_peak_concurrency" -> oracleSqlBase("x10_peak_concurrency"),
+    "t31b_heaps_law" -> oracleSqlBase("t31_heaps_law"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "s1_scan" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 
@@ -6042,9 +6185,10 @@ object SparkEntry {
         | ORDER BY part_a, part_b""".stripMargin,
 
     // Link prediction over g6's graph: wedge-join candidates, minus
-    // existing edges, Jaccard in exact integers (the gate's middle-degree
-    // cap of 1000 exceeds the graph's max degree, so the oracle need not
-    // model it).
+    // existing edges, Jaccard in exact integers. The replay models the
+    // engine's maxMiddleDegree=1000 wedge cap exactly (deg joined into
+    // the wedge CTE) so hub-heavy corpora cannot silently diverge; the
+    // uncapped deg still feeds the Jaccard denominator, as the engine's.
     "g7_link_prediction" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |    FROM lineitem),
@@ -6059,6 +6203,8 @@ object SparkEntry {
         | cand AS (SELECT w1.b AS x, w2.b AS y,
         |    CAST(count(*) AS BIGINT) AS n_common
         |  FROM und w1 JOIN und w2 ON w1.a = w2.a AND w1.b < w2.b
+        |    JOIN deg dm ON w1.a = dm.v
+        |  WHERE dm.d <= 1000
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         | ne AS (SELECT cand.x, cand.y, cand.n_common FROM cand
         |   ANTI JOIN ed ON cand.x = ed.pa AND cand.y = ed.pb)
@@ -6070,7 +6216,8 @@ object SparkEntry {
         | ORDER BY ne.x, ne.y""".stripMargin,
 
     // Adamic-Adar replay: g7's wedge CTEs with the middle's degree
-    // joined in and the 1/ln d term fixed-pointed per wedge.
+    // joined in, the engine's maxMiddleDegree=1000 wedge cap applied,
+    // and the 1/ln d term fixed-pointed per wedge.
     "g15_adamic_adar" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |    FROM lineitem),
@@ -6088,6 +6235,7 @@ object SparkEntry {
         |      AS BIGINT)) AS BIGINT) AS aa_fp
         |  FROM und w1 JOIN und w2 ON w1.a = w2.a AND w1.b < w2.b
         |    JOIN deg dm ON w1.a = dm.v
+        |  WHERE dm.d <= 1000
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         | ne AS (SELECT cand.x, cand.y, cand.n_common, cand.aa_fp
         |  FROM cand ANTI JOIN ed ON cand.x = ed.pa AND cand.y = ed.pb)
@@ -6261,9 +6409,9 @@ object SparkEntry {
         |  JOIN days b ON b.d = a.d + lag),
         | agg AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(v) AS BIGINT) AS sx, CAST(sum(v2) AS BIGINT) AS sy,
-        |    CAST(sum(v * v2) AS BIGINT) AS sxy,
-        |    CAST(sum(v * v) AS BIGINT) AS sxx,
-        |    CAST(sum(v2 * v2) AS BIGINT) AS syy
+        |    sum(CAST(v AS HUGEINT) * v2) AS sxy,
+        |    sum(CAST(v AS HUGEINT) * v) AS sxx,
+        |    sum(CAST(v2 AS HUGEINT) * v2) AS syy
         |  FROM j GROUP BY lag)
         |SELECT lag, n,
         |  CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
@@ -6421,8 +6569,12 @@ object SparkEntry {
         |     AS BIGINT) AS c1
         |  FROM v)
         |SELECT n0, c0, n1, c1,
-        |  c0 * 10000 // n0 AS rate0_bp, c1 * 10000 // n1 AS rate1_bp,
-        |  CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL ELSE
+        |  CASE WHEN n0 = 0 THEN NULL ELSE c0 * 10000 // n0 END
+        |    AS rate0_bp,
+        |  CASE WHEN n1 = 0 THEN NULL ELSE c1 * 10000 // n1 END
+        |    AS rate1_bp,
+        |  CASE WHEN n0 = 0 OR n1 = 0
+        |    OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL ELSE
         |    CAST(round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
         |      / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
         |        * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
@@ -6509,9 +6661,9 @@ object SparkEntry {
         | v AS (SELECT user_id % 2 AS variant, x, y FROM u),
         | wide AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx,
-        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
         |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n0,
         |    CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT)
@@ -6943,7 +7095,8 @@ object SparkEntry {
         |      - cum2 * (SELECT n1 FROM tot))) AS BIGINT) AS d_num
         |  FROM cdf)
         |SELECT n1, n2, d_num, n1 * n2 AS d_den,
-        |  d_num * 10000 // (n1 * n2) AS d_bp,
+        |  CAST(CAST(d_num AS HUGEINT) * 10000 // (n1 * n2) AS BIGINT)
+        |    AS d_bp,
         |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
         |    CAST(d_num AS DOUBLE) / (n1 * n2) > 1.358 *
         |    sqrt((CAST(n1 AS DOUBLE) + n2) / (CAST(n1 AS DOUBLE) * n2))

@@ -341,8 +341,9 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    // No persist here for the same reason as adamicAdar: the result is
+    // lazy, so an in-builder unpersist fires before any action.
     val und = und0.union(und0.select(col("b").as("a"), col("a").as("b")))
-      .persist()
     val deg = und.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
     // wedge: (n1, n2) both neighbors of middle m, ordered to emit each
     // unordered candidate pair once
@@ -365,7 +366,6 @@ object Graph {
         (col("dx") + col("dy") - col("n_common")).as("n_union"))
       .withColumn("jaccard",
         col("n_common").cast("double") / col("n_union"))
-    und.unpersist()
     scored
   }
 
@@ -388,8 +388,10 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    // No persist: the returned plan is lazy, so a persist/unpersist
+    // pair inside this builder would be released before any action ran
+    // (r7-advice finding) — callers who reuse the result cache THAT.
     val und = und0.union(und0.select(col("b").as("a"), col("a").as("b")))
-      .persist()
     val deg = und.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
     val adj = und.join(deg.select(col("v").as("a"), col("d").as("dm")), "a")
       .filter(col("dm") <= maxMiddleDegree)
@@ -402,11 +404,9 @@ object Graph {
       .groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("n_common"), sum(col("term_fp")).as("aa_fp"))
       .filter(col("n_common") >= minCommon)
-    val out = cand.join(
+    cand.join(
       und0.select(col("a").as("x"), col("b").as("y")),
       Seq("x", "y"), "left_anti")
-    und.unpersist()
-    out
   }
 
   /** Bounded multi-source HARMONIC centrality (Marchiori & Latora 2000;

@@ -1100,6 +1100,10 @@ object Similarity {
         .withColumn("__r", row_number().over(beamW))
         .filter(col("__r") <= beam).select("q_id", "node")
     }
+    // The last sever materialized `visited` with lineage truncated, so
+    // the kNN-graph cache is dead weight from here — release it rather
+    // than pinning executor memory for the session (r7-advice finding).
+    graph.unpersist()
     visited.filter(col("node") =!= col("q_id"))
       .withColumn("rank", row_number().over(beamW))
       .filter(col("rank") <= k)

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.ScaleSafe
+
+/** The scale-safe rank/prefix-scan family (ScaleSafe.scala) must be
+  * BIT-IDENTICAL to the global-window answers — that equivalence is
+  * what lets the *b gates share their siblings' DuckDB oracles — and
+  * its plans must contain no unpartitioned Window over unbounded
+  * input (the defect class it exists to remove).
+  */
+class ScaleSafeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Values with heavy ties (v = i % 7) so bracket boundaries and
+  // bucket edges land INSIDE tie groups — the hard case for exactness.
+  private def tied(n: Int) =
+    (1 to n).map(i => ((i * 31 % n).toLong % 7, i.toLong))
+      .toDF("v", "id")
+
+  test("exactRankValueBracket matches the global low median") {
+    val df = tied(997)
+    val global = df
+      .withColumn("rn", row_number().over(Window.orderBy("v", "id")))
+      .filter(col("rn") === (997 + 1) / 2).select("v")
+      .head().getLong(0)
+    val bracket = ScaleSafe
+      .exactRankValueBracket(df, "v", "id", 0.5, n => (n + 1) / 2)
+      .head().getLong(0)
+    assert(bracket === global)
+  }
+
+  test("exactRankValueBracket matches an extreme rank (p99 of skew)") {
+    // One dominant value + a thin tail: the sketch bracket must widen
+    // or sit exactly on the tie mass and still select exactly.
+    val df = ((1 to 900).map(_ => 5L) ++ (1 to 100).map(i => 100L + i))
+      .zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+    val n = 1000L
+    val target = (99 * n + 99) / 100
+    val global = df
+      .withColumn("rn", row_number().over(Window.orderBy("v", "id")))
+      .filter(col("rn") === target).select("v").head().getLong(0)
+    val bracket = ScaleSafe
+      .exactRankValueBracket(df, "v", "id", 0.99, m => (99 * m + 99) / 100)
+      .head().getLong(0)
+    assert(bracket === global)
+  }
+
+  test("exactRankValueBracket on empty input returns no rows") {
+    val df = Seq.empty[(Long, Long)].toDF("v", "id")
+    assert(ScaleSafe
+      .exactRankValueBracket(df, "v", "id", 0.5, n => (n + 1) / 2)
+      .isEmpty)
+  }
+
+  test("rowNumberBucketed equals the global row_number") {
+    val df = tied(500)
+      .withColumn("h", md5(col("id").cast("string")))
+    val global = df.withColumn("rn",
+      row_number().over(Window.orderBy("h", "id")).cast("long"))
+    val bucketed = ScaleSafe.rowNumberBucketed(df,
+      Seq(col("h"), col("id")), ScaleSafe.hexPrefixBucket("h", 8), "rn")
+    assert(bucketed.select("id", "rn")
+      .except(global.select("id", "rn")).isEmpty)
+    assert(global.select("id", "rn")
+      .except(bucketed.select("id", "rn")).isEmpty)
+  }
+
+  test("runningSumBucketed equals the global running sum") {
+    val df = (1 to 400)
+      .map(i => (1700000000000000L + (i % 50) * 1000L, (i % 3 - 1).toLong))
+      .toDF("t", "delta")
+    val wRun = Window.orderBy("t", "delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = df.withColumn("run", sum(col("delta")).over(wRun))
+    val lo = 1700000000000000L
+    val hi = 1700000000049000L
+    val bucketed = ScaleSafe.runningSumBucketed(df,
+      Seq(col("t"), col("delta")),
+      ScaleSafe.rangeBucket("t", lo, hi, 8), "delta", "run")
+    // Ties within (t, delta) get an arbitrary ramp order on both
+    // paths, so compare the per-(t, delta) run MULTISET, which is
+    // order-invariant (the property x10's day-max readout relies on).
+    val g = global.groupBy("t", "delta").agg(sort_array(
+      collect_list("run")).as("runs"))
+    val b = bucketed.groupBy("t", "delta").agg(sort_array(
+      collect_list("run")).as("runs"))
+    assert(b.except(g).isEmpty && g.except(b).isEmpty)
+  }
+
+  test("distributed-path plans have no unpartitioned Window over " +
+    "unbounded input") {
+    // x10b and t31b: every Window with an empty partition spec must sit
+    // over an Aggregate (the ≤#buckets offsets table) — never over the
+    // raw corpus.
+    for (q <- Seq("x10b_peak_concurrency", "t31b_heaps_law")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$q has an unpartitioned Window over non-aggregated input:\n" +
+          bad.mkString("\n"))
+    }
+  }
+
+  test("spark.graft.scaleRankPath=distributed flips the classic gates") {
+    val name = "e21_ab_readout"
+    val base = SparkEntry.queries(name)(spark, sf).collect().toSeq
+    spark.conf.set(ScaleSafe.PathConf, "distributed")
+    try {
+      val dist = SparkEntry.queries(name)(spark, sf)
+      // the distributed plan must not contain an unpartitioned Window
+      // over non-aggregated input...
+      val bad = dist.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+      // ...except the bracket-bounded selection window (its input is a
+      // Filter over the bracket, bounded by the sketch guarantee, and
+      // it carries no Aggregate) — allow exactly that shape.
+      assert(bad.size <= 1, s"unexpected windows:\n${bad.mkString("\n")}")
+      assert(dist.collect().toSeq === base)
+    } finally spark.conf.unset(ScaleSafe.PathConf)
+  }
+}
