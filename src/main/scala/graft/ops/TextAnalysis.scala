@@ -300,7 +300,32 @@ object TextAnalysis {
     * Returns the merge table (merge_rank, sym_a, sym_b, merged, cnt) —
     * the artifact a tokenizer ships.
     */
-  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  /** `batch` > 1 accepts several merges per pair-count round — the
+    * r7-verdict fix for the one-job-per-merge driver loop. The batch is
+    * chosen so the output is PROVABLY IDENTICAL to sequential BPE
+    * (which is why the sequential DuckDB replay still gates it):
+    * scanning the (cnt desc, a, b)-ordered pair list, accept pairs
+    * whose symbols are disjoint from every previously accepted pair,
+    * stop at the first conflict, then drop accepted pairs whose count
+    * ties the stopping bound (always keeping the head — it is the
+    * snapshot argmax, sequential's own next merge).
+    *
+    * Why that equals sequential: accepted pairs are pairwise disjoint,
+    * so earlier merges in the batch change neither the occurrences nor
+    * the counts of later ones; any pair that could overtake accepted
+    * pair i under sequential replay is (a) an old pair ranked below
+    * the cut — its count only decreases and is already ≤ the stopping
+    * bound < cnt(i) after the tie trim, or (b) a NEW pair (x, ab)
+    * created by an accepted merge — its count is ≤ the old count of
+    * (x, a), which shares a symbol with an accepted pair and therefore
+    * sits at or beyond the cut, so again < cnt(i). With `batch` = 1
+    * this degenerates to the classic one-argmax-per-round loop.
+    *
+    * Cost: ~nMerges/acceptedPerRound pair-count jobs instead of
+    * nMerges — the measured rounds-vs-merges ratio is in SCALE.md.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
+               batch: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     var cur = docs.filter(col(textCol).isNotNull)
@@ -309,10 +334,13 @@ object TextAnalysis {
       .select(split(col("word"), "").as("rep"), col("n"))
     val learned =
       scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
-    var rank = 1
     var exhausted = false
-    while (rank <= nMerges && !exhausted) {
-      val best = cur
+    while (learned.size < nMerges && !exhausted) {
+      val want = math.min(batch, nMerges - learned.size)
+      // want×4 headroom finds the conflict cut in one collect; +1 so a
+      // full return is distinguishable from an exhausted pair list.
+      val limit = want * 4 + 1
+      val top = cur
         .select(explode(expr(
           "CASE WHEN size(rep) < 2 THEN cast(array() as array<struct<a:string,b:string>>) " +
             "ELSE transform(sequence(1, size(rep) - 1), i -> " +
@@ -321,15 +349,41 @@ object TextAnalysis {
         .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
         .agg(sum("n").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(limit).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
       else {
-        val (a, b, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        learned += ((rank.toLong, a, b, a + b, cnt))
-        cur = graft.Checkpoints.sever(
-          cur.withColumn("rep", expr(mergeFoldSql(a, b))))
-        rank += 1
+        val used = scala.collection.mutable.Set[String]()
+        val accepted =
+          scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        var i = 0
+        var conflictAt = -1
+        while (conflictAt < 0 && i < top.length && accepted.size < want) {
+          val (a, b, c) = top(i)
+          if (used.contains(a) || used.contains(b)) conflictAt = i
+          else { accepted += ((a, b, c)); used += a; used += b; i += 1 }
+        }
+        // Bound on every pair NOT provably accepted-before-the-cut:
+        // the first conflict's count, else the first unscanned row's,
+        // else (pair list fully exhausted with no conflict) nothing.
+        val cutCnt =
+          if (conflictAt >= 0) Some(top(conflictAt)._3)
+          else if (i < top.length) Some(top(i)._3)
+          else if (top.length == limit) Some(top.last._3)
+          else None
+        val safe = cutCnt match {
+          case Some(cc) =>
+            accepted.head +: accepted.tail.takeWhile(_._3 > cc)
+          case None => accepted.toSeq
+        }
+        var rep = cur
+        safe.foreach { case (a, b, _) =>
+          rep = rep.withColumn("rep", expr(mergeFoldSql(a, b)))
+        }
+        cur = graft.Checkpoints.sever(rep)
+        safe.foreach { case (a, b, c) =>
+          learned += ((learned.size + 1L, a, b, a + b, c))
+        }
       }
     }
     learned.toSeq.toDF("merge_rank", "sym_a", "sym_b", "merged", "cnt")

@@ -205,6 +205,25 @@ class SimilaritySpec extends SparkSpec {
     assert(m.toSeq === Seq(("a", "a"), ("aa", "a")))
   }
 
+  test("batched BPE training is merge-for-merge identical to the " +
+      "sequential argmax loop") {
+    // Conflict- and tie-rich corpus: shared symbols across the top
+    // pairs force the batch cut, repeated counts exercise the tie
+    // trim, and 30 merges span many batch rounds.
+    val docs = Seq(
+      (1L, "the then there these theme them"),
+      (2L, "lower lowest low slow slower glow"),
+      (3L, "in inner inn din dinner winner"),
+      (4L, "aaa aaab baaa aa ab ba"),
+      (5L, "the lowest inner theme slower dinner")
+    ).toDF("doc_id", "text")
+    val seqM = TextAnalysis.bpeTrain(docs, "text", nMerges = 30, batch = 1)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    val batM = TextAnalysis.bpeTrain(docs, "text", nMerges = 30, batch = 8)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    assert(batM === seqM)
+  }
+
   test("backoff surprisal: seen bigram scores the ratio, unseen " +
       "continuation backs off with alpha, OOV pays the pseudo-count") {
     val docs = Seq(
