@@ -2549,21 +2549,29 @@ object SparkEntry {
           Multimodal.toMediaTable(t(s, dir, "documents")))
         .toDF().orderBy("doc_id")),
 
-    // ---- M3: frame sampling through the gate ----------------------------
+    // ---- M3: REAL GIF frame extraction (r8: stub retired) — the native
+    // GifFrames codegen walk over the corpus-as-media union hand-built
+    // GIF fixtures: per-frame index/placement/dimensions/GCE delay/local
+    // palette, all hand-computable and oracle-pinned; non-GIF corpus
+    // payloads decode to NULL and contribute zero rows (the oracle keeps
+    // a corpus tripwire clause so a GIF-prefixed text row would flag,
+    // not silently pass) -------------------------------------------------
     "m3_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(
-          Multimodal.toMediaTable(t(s, dir, "documents")),
-          frameSize = 100, nFrames = 4)
-        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-          length(col("frame_bytes")).cast("long").as("frame_len"))
+      Multimodal.gifFrameTable(
+          Multimodal.toMediaTable(t(s, dir, "documents"))
+            .unionByName(Multimodal.fixtureGifs(s)))
         .orderBy("doc_id", "frame_idx")),
 
-    // ---- M5: resize/thumbnail through the batch-decode contract — four
-    // equal payload tiles digested in one codegen projection (the pixel
-    // kernel honestly stubbed; plumbing, schema, and plan real) ----------
+    // ---- M5: REAL pixel thumbnails (r8: stub retired) — uncompressed
+    // 24-bpp BMP payloads box-averaged to a 2x2 RGB grid by the native
+    // BmpThumb expression (exact integer means → hash-gateable hex);
+    // corpus text payloads and the 8-bpp fixture report NULL and are
+    // KEPT (quarantine, not drop) ----------------------------------------
     "m5_thumbnail" -> ((s, dir) =>
-      Multimodal.thumbnails(
-          Multimodal.toMediaTable(t(s, dir, "documents")), nTiles = 4)
+      Multimodal.pixelThumbnails(
+          Multimodal.toMediaTable(t(s, dir, "documents"))
+            .unionByName(Multimodal.fixtureBmps(s)),
+          gridW = 2, gridH = 2)
         .orderBy("doc_id")),
 
     // ---- M6: REAL audio header decode — WAV chunk walk, FLAC
@@ -9299,24 +9307,47 @@ object SparkEntry {
         |    AS BIGINT) AS byte_sum_mod
         |  FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Real-pixel thumbnail replay: corpus text payloads are not BMPs →
+    // NULL; the fixtures' box averages are hand-computed from the pixel
+    // bytes in Multimodal.fixtureBmps and pinned here. n_bytes for the
+    // fixtures: 54-byte headers + 24 / 16 / 16 pixel bytes.
     "m5_thumbnail" ->
-      """WITH m AS (SELECT doc_id, text,
-        |    CAST(length(text) AS BIGINT) AS n_bytes,
-        |    CAST(length(text) // 4 AS INT) AS q
-        |  FROM documents)
-        |SELECT doc_id, n_bytes,
-        |  CASE WHEN q > 0 THEN md5(substr(text, 1, q)) END AS tile_0,
-        |  CASE WHEN q > 0 THEN md5(substr(text, q + 1, q)) END AS tile_1,
-        |  CASE WHEN q > 0 THEN md5(substr(text, 2*q + 1, q)) END AS tile_2,
-        |  CASE WHEN q > 0 THEN md5(substr(text, 3*q + 1, q)) END AS tile_3
-        | FROM m ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(NULL AS VARCHAR) AS thumb_hex FROM documents
+        |UNION ALL
+        |SELECT * FROM (VALUES
+        |  (CAST(-20 AS BIGINT), CAST(78 AS BIGINT),
+        |    '7f7f007f7fff4040409f209f'),
+        |  (CAST(-19 AS BIGINT), CAST(70 AS BIGINT),
+        |    '0a141e28323c46505a646e78'),
+        |  (CAST(-18 AS BIGINT), CAST(70 AS BIGINT),
+        |    CAST(NULL AS VARCHAR)))
+        |  v(doc_id, n_bytes, thumb_hex)
+        |ORDER BY doc_id""".stripMargin,
 
+    // Real GIF-frame replay: the fixtures' frame tables hand-walked from
+    // the bytes in Multimodal.fixtureGifs; the corpus clause is a
+    // tripwire — any GIF-magic text row would make the engine emit
+    // frames the oracle's dummy row cannot match.
     "m3_frames" ->
-      """SELECT doc_id, i AS frame_idx,
-        |  length(substr(text, CAST(i*100 + 1 AS INT), 100)) AS frame_len
-        |  FROM documents, (SELECT unnest(range(0, 4)) AS i)
-        |  WHERE length(substr(text, CAST(i*100 + 1 AS INT), 100)) > 0
-        |  ORDER BY doc_id, frame_idx""".stripMargin,
+      """SELECT * FROM (VALUES
+        |  (CAST(-23 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(3 AS BIGINT),
+        |   CAST(10 AS BIGINT), false),
+        |  (CAST(-23 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(200 AS BIGINT), true),
+        |  (CAST(-22 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(NULL AS BIGINT), false))
+        |  v(doc_id, frame_idx, frame_left, frame_top, width, height,
+        |    delay_cs, local_palette)
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), false
+        | FROM documents WHERE substr(text, 1, 4) = 'GIF8'
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // Chunk starts 1, 41, 81, … (step = size - overlap); tail windows
     // shorter than the overlap are dropped unless they are the only chunk.

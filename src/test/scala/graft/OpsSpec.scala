@@ -706,6 +706,60 @@ class MultimodalSpec extends SparkSpec {
       .toSeq === Seq("abc", "def", "gh"))
   }
 
+  test("GIF frame walk: frames, placements, GCE delays, local palettes") {
+    val rows = Multimodal.gifFrameTable(Multimodal.fixtureGifs(spark))
+      .orderBy("doc_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6), r.getBoolean(7)))
+    assert(rows.toSeq === Seq(
+      (-23L, 0L, 0L, 0L, 4L, 3L, 10L, false),
+      (-23L, 1L, 1L, 1L, 2L, 2L, 200L, true),
+      (-22L, 0L, 0L, 0L, 2L, 2L, -1L, false)))
+    // the truncated fixture (-21) and non-GIF payloads emit zero rows
+    val all = Multimodal.gifFrameTable(
+      Multimodal.fixtureGifs(spark).unionByName(
+        Multimodal.toMediaTable(Seq((1L, "plain text")).toDF("doc_id", "text"))))
+    assert(all.filter(col("doc_id") === -21L || col("doc_id") === 1L).isEmpty)
+  }
+
+  test("GIF frame walk never throws on malformed bytes and keeps frames " +
+      "parsed before a truncation") {
+    import graft.functions.GifFrames
+    assert(GifFrames.decode(null) === null)
+    assert(GifFrames.decode("GIF89a".getBytes) === null) // < 13 bytes
+    assert(GifFrames.decode("notagif-------".getBytes) === null)
+    // fixture -23 cut mid-way through frame 2's descriptor: frame 1 kept
+    val full = Multimodal.fixtureGifs(spark)
+      .filter(col("doc_id") === -23L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val cut = GifFrames.decode(full.take(full.length - 20))
+    assert(cut.numElements() === 1)
+  }
+
+  test("BMP thumbnail: real box-averaged pixels, bottom-up and top-down") {
+    val out = Multimodal.pixelThumbnails(Multimodal.fixtureBmps(spark), 2, 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(out.toSeq === Seq(
+      (-20L, "7f7f007f7fff4040409f209f"),
+      (-19L, "0a141e28323c46505a646e78"),
+      (-18L, null))) // 8-bpp refused → quarantined NULL, row kept
+  }
+
+  test("BMP thumbnail 1x1 is the whole-image mean; undersized grids " +
+      "and short payloads refuse with NULL") {
+    import graft.functions.BmpThumb
+    val px = Multimodal.fixtureBmps(spark)
+      .filter(col("doc_id") === -19L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    // mean of (10,20,30)(40,50,60)(70,80,90)(100,110,120) = (55,65,75)
+    assert(BmpThumb.decode(px, 1, 1).toString === "37414b")
+    assert(BmpThumb.decode(px, 3, 3) === null) // 2x2 image, 3x3 grid
+    assert(BmpThumb.decode(px.take(40), 1, 1) === null)
+    assert(BmpThumb.decode(null, 1, 1) === null)
+  }
+
   test("file-based ingestion: binaryFiles → media table → decode") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media")
     java.nio.file.Files.write(dir.resolve("a.jpg"),
