@@ -24,6 +24,15 @@ import org.apache.spark.sql.SparkSession
   * the new artifact — so a parameterization surprise (the d5 lesson:
   * 1.8 s -> 13.7 s went unflagged for a whole round) is caught by the
   * artifact itself, not by a human diffing two JSON blobs.
+  *
+  * Self-adjudication (r7-verdict item 2 — that round shipped 12 flags
+  * that were all ambient-load inflation a human had to diff away): the
+  * artifact records `/proc/loadavg` at start and end, and every flagged
+  * query is RE-RUN in isolation after the battery (warm-up + two timed
+  * passes, min) and adjudicated in the artifact itself — `confirmed`
+  * when the isolated re-run still exceeds the ratio against the
+  * baseline, `jitter` when it reverts. A structural regression survives
+  * isolation; a loaded-host spike does not.
   */
 object Bench {
 
@@ -70,6 +79,14 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** 1/5/15-minute load averages, or empty when /proc is unavailable. */
+  def loadAvg(): Seq[Double] =
+    try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+    } catch { case _: Throwable => Seq.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -82,6 +99,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadAvg()
 
     // Optional args (local iteration only; the driver passes none):
     // query-name prefixes to restrict the battery to.
@@ -123,12 +141,41 @@ object Bench {
     // Regression net vs the artifact this run is about to overwrite.
     val regs = regressions(previousQueryTimes(outPath, sfDir),
       results.toMap)
-    val regsJson = regs.toSeq.sortBy(_._1).map { case (k, (p, n, r)) =>
+    // Adjudicate every flag by an ISOLATED re-run (nothing else on the
+    // JVM, post-battery): min of two timed passes after a warm-up. A
+    // structural regression reproduces; a load spike reverts.
+    val fnByName = SparkEntry.queries
+    val adjudicated = regs.toSeq.sortBy(_._1).map { case (k, (p, n, r)) =>
+      val retest =
+        try {
+          val fn = fnByName(k)
+          fn(spark, sfDir).count() // warm
+          def timed(): Double = {
+            spark.catalog.clearCache(); System.gc()
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          math.min(timed(), timed())
+        } catch { case _: Throwable => -1.0 }
+      spark.catalog.clearCache()
+      val verdict =
+        if (retest >= 0 && retest / p >= RegressionRatio) "confirmed"
+        else "jitter"
+      (k, p, n, r, retest, verdict)
+    }
+    val nConfirmed = adjudicated.count(_._6 == "confirmed")
+    val regsJson = adjudicated.map { case (k, p, n, r, rt, v) =>
       "\"" + k + "\":{\"prev\":" + r3(p) + ",\"now\":" + r3(n) +
-        ",\"ratio\":" + r3(r) + "}"
+        ",\"ratio\":" + r3(r) + ",\"retest\":" + r3(rt) +
+        ",\"verdict\":\"" + v + "\"}"
     }.mkString("{", ",", "}")
+    val loadEnd = loadAvg()
+    def loadJson(l: Seq[Double]) = l.map(r3).mkString("[", ",", "]")
+    val loadPart = s""","loadavg_start":${loadJson(loadStart)}""" +
+      s""","loadavg_end":${loadJson(loadEnd)}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regsJson,"n_confirmed":$nConfirmed$loadPart,"sf":"$sfDir"}"""
     val wrote =
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -140,7 +187,7 @@ object Bench {
     // parses even when the full line above is truncated. The file pointer
     // appears only when the file was actually written.
     val filePart = if (wrote) s""","queries_file":"$outPath"""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_regressions":${regs.size},"sf":"$sfDir"$filePart}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_regressions":${regs.size},"n_confirmed":$nConfirmed$loadPart,"sf":"$sfDir"$filePart}""")
     spark.stop()
   }
 }
