@@ -28,6 +28,40 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Memoized corpus count for the auto-parameter entry points
+    * (r7-verdict item 7): a composed pipeline — say
+    * [[embeddingNearDuplicatesAuto]] feeding [[semDedupAuto]] over the
+    * same embeddings table — previously paid one full count JOB per
+    * operator for the SAME corpus. The memo keys on the CANONICALIZED
+    * analyzed plan (structural equality — alias- and id-insensitive),
+    * so any DataFrame that reads the same data through the same plan
+    * shares one counted value per JVM; LRU-bounded at 64 plans.
+    *
+    * The memo assumes the corpus behind a given plan is immutable for
+    * the JVM's lifetime — the lakehouse norm for training corpora
+    * (new data = new snapshot path = new plan). Call [[clearCountMemo]]
+    * after rewriting data in place (tests do).
+    */
+  private val countMemo =
+    new java.util.LinkedHashMap[Any, java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, java.lang.Long]): Boolean = size() > 64
+    }
+
+  def corpusCount(df: DataFrame): Long = {
+    val key = df.queryExecution.analyzed.canonicalized
+    val hit = countMemo.synchronized(countMemo.get(key))
+    if (hit != null) hit.longValue()
+    else {
+      val n = df.count()
+      countMemo.synchronized(countMemo.put(key, n))
+      n
+    }
+  }
+
+  def clearCountMemo(): Unit =
+    countMemo.synchronized(countMemo.clear())
+
   private val Scale = 1e12
 
   /** Ensure enough partitions to parallelize per-row scoring work — a small
@@ -856,7 +890,7 @@ object Similarity {
                                   targetOccupancy: Int = 32,
                                   maxBucket: Int = 1000): DataFrame =
     embeddingNearDuplicates(vectors, idCol, vecCol, threshold,
-      autoPlanes(vectors.count(), targetOccupancy), maxBucket)
+      autoPlanes(corpusCount(vectors), targetOccupancy), maxBucket)
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * bucketed by LSH so the pair generation is an equality join (the scale
@@ -912,7 +946,7 @@ object Similarity {
                                           targetOccupancy: Int = 32,
                                           maxBucket: Int = 1000): DataFrame =
     embeddingNearDuplicatesEnsemble(vectors, idCol, vecCol, threshold,
-      autoPlanes(vectors.count(), targetOccupancy,
+      autoPlanes(corpusCount(vectors), targetOccupancy,
         maxPlanes = graft.functions.VectorFp.MaxPlanes / nTables),
       nTables, maxBucket)
 
@@ -1060,7 +1094,7 @@ object Similarity {
                           graphK: Int = 4,
                           beam: Int = 4, rounds: Int = 2): DataFrame =
     graphBeamSearch(vectors, queries, idCol, vecCol, k, graphK,
-      balancedCells(vectors.count()), beam, rounds)
+      balancedCells(corpusCount(vectors)), beam, rounds)
 
   def graphBeamSearch(vectors: DataFrame, queries: DataFrame,
                       idCol: String, vecCol: String, k: Int,
@@ -1121,7 +1155,7 @@ object Similarity {
                    threshold: Double,
                    targetOccupancy: Int = 32): DataFrame =
     semDedup(vectors, idCol, vecCol, threshold,
-      autoCells(vectors.count(), targetOccupancy))
+      autoCells(corpusCount(vectors), targetOccupancy))
 
   def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nCells: Int = 16): DataFrame = {

@@ -686,6 +686,64 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class CorpusCountMemoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("composed auto-parameter operators pay ONE count job for the " +
+      "same corpus") {
+    Similarity.clearCountMemo()
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // Two auto operators over the same corpus: parameter derivation
+      // (the part that counts) must run exactly one Spark job total —
+      // plan construction is otherwise lazy, so every job seen here IS
+      // a count job.
+      // listener delivery is async: poll until the count settles
+      def settled(): Int = {
+        var last = -1
+        var stableMs = 0L
+        val deadline = System.currentTimeMillis + 5000
+        while (stableMs < 300 && System.currentTimeMillis < deadline) {
+          if (jobs == last) stableMs += 50 else { last = jobs; stableMs = 0 }
+          Thread.sleep(50)
+        }
+        jobs
+      }
+      // One count() may span several Spark jobs under AQE (one per
+      // query stage), so assert DELTAS: the first auto operator pays
+      // the count, the second (same corpus) adds ZERO jobs.
+      Similarity.embeddingNearDuplicatesAuto(emb, "vec_id", "embedding",
+        threshold = 0.45)
+      val afterFirst = settled()
+      assert(afterFirst > 0, "first operator should pay a count")
+      Similarity.semDedupAuto(emb, "vec_id", "embedding",
+        threshold = 0.45)
+      assert(settled() === afterFirst,
+        s"second operator re-counted the same corpus: $jobs vs $afterFirst")
+      // an alias-only rewrite of the same plan canonicalizes equal: hit
+      Similarity.semDedupAuto(emb.as("other"), "vec_id", "embedding",
+        threshold = 0.45)
+      assert(settled() === afterFirst,
+        s"aliased same-plan corpus re-counted: $jobs vs $afterFirst")
+      // a structurally different plan is a different corpus: new count
+      Similarity.embeddingNearDuplicatesAuto(
+        emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+        threshold = 0.45)
+      assert(settled() > afterFirst, s"filtered corpus must re-count")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      Similarity.clearCountMemo()
+    }
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
