@@ -129,7 +129,16 @@ object GraftFunctions {
     // cdc_chunks(string) — content-defined chunk structs
     // (start, len, digest); FastCDC-style rolling-hash boundaries
     "cdc_chunks" -> arity("cdc_chunks", 1)(exprs =>
-      graft.functions.CdcChunks(exprs.head)))
+      graft.functions.CdcChunks(exprs.head)),
+    // gif_frames(binary) — per-frame structs (index, placement,
+    // dimensions, GCE delay, local palette) from the GIF block walk
+    "gif_frames" -> arity("gif_frames", 1)(exprs =>
+      graft.functions.GifFrames(exprs.head)),
+    // bmp_thumb(binary, gridW, gridH) — true-pixel box-average thumbnail
+    // of an uncompressed 24-bpp BMP as RGB hex
+    "bmp_thumb" -> arity("bmp_thumb", 3)(exprs =>
+      graft.functions.BmpThumb(exprs(0), litInt("bmp_thumb", exprs(1)),
+        litInt("bmp_thumb", exprs(2)))))
 
   /** Register on a live session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

@@ -4661,6 +4661,151 @@ object SparkEntry {
           |ORDER BY p_partkey""".stripMargin)
     }),
 
+    // ---- SQL4-SQL12: one SQL-surface twin per operator family
+    // (r7-verdict item 6) — each is the pure-SQL spelling of an existing
+    // gate (registered views + the native function catalog, zero
+    // DataFrame code) and shares that gate's oracle verbatim, so the SQL
+    // front door is oracle-gated family by family: windows (sql4),
+    // grouping sets (sql5), exact dedup (sql6), Hamming similarity join
+    // through the optimizer rewrite (sql7), sketches (sql8), text
+    // (sql9), graph (sql10), multimodal decode (sql11), governance
+    // (sql12); scans/projections/joins/native scalars were already
+    // sql1-sql3. Streaming and JDBC mutation are the two families with
+    // no SQL spelling (readStream/foreachBatch are API surfaces). -------
+    "sql4_window_rank" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_nationkey,
+          |  CAST(rn AS BIGINT) AS rn, CAST(rnk AS BIGINT) AS rnk
+          |FROM (SELECT c_custkey, c_nationkey,
+          |    row_number() OVER w AS rn, rank() OVER w AS rnk
+          |  FROM customer
+          |  WINDOW w AS (PARTITION BY c_nationkey
+          |    ORDER BY c_acctbal DESC, c_custkey))
+          |WHERE rn <= 3
+          |ORDER BY c_nationkey, rn""".stripMargin)
+    }),
+
+    "sql5_rollup" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |  coalesce(o_orderpriority, 'ALL') AS prio,
+          |  count(*) AS n,
+          |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS price_cents
+          |FROM orders
+          |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+          |ORDER BY status, prio""".stripMargin)
+    }),
+
+    "sql6_exact_dedup" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT md5(text) AS content_hash, count(*) AS n_docs,
+          |  min(doc_id) AS keeper_id
+          |FROM documents GROUP BY md5(text)
+          |ORDER BY content_hash""".stripMargin)
+    }),
+
+    // The hamming_le join predicate through pure SQL: the
+    // HammingJoinRewrite optimizer rule re-plans it into the pigeonhole
+    // chunk equality join exactly as it does for the DataFrame form.
+    "sql7_hamming_join" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      GraftFunctions.registerAll(s)
+      s.sql(
+        """WITH ph AS (SELECT doc_id, dhash56(text) AS phash
+          |  FROM documents WHERE text IS NOT NULL)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(bit_count(a.phash ^ b.phash) AS BIGINT) AS hamming
+          |FROM ph a JOIN ph b
+          |  ON hamming_le(a.phash, b.phash, 4) AND a.doc_id < b.doc_id
+          |WHERE a.phash IS NOT NULL AND b.phash IS NOT NULL
+          |ORDER BY id_a, id_b""".stripMargin)
+    }),
+
+    "sql8_heavy_hitters" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      GraftFunctions.registerAll(s)
+      s.sql(
+        """WITH toks AS (SELECT explode(
+          |    regexp_extract_all(lower(text), '\\S+', 0)) AS token
+          |  FROM documents),
+          | t2 AS (SELECT token FROM toks WHERE token IS NOT NULL),
+          | cand AS (SELECT s.item AS token FROM
+          |   (SELECT explode(misra_gries(token, 40)) AS s FROM t2)),
+          | tot AS (SELECT count(*) AS total FROM t2),
+          | cnts AS (SELECT t2.token, count(*) AS cnt
+          |   FROM t2 JOIN cand USING (token) GROUP BY t2.token)
+          |SELECT token, cnt, total FROM cnts CROSS JOIN tot
+          |WHERE cnt >= total * 0.03125
+          |ORDER BY token""".stripMargin)
+    }),
+
+    "sql9_vocab_topk" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT token, count(*) AS n FROM (
+          |  SELECT explode(regexp_extract_all(lower(text), '\\S+', 0))
+          |    AS token FROM documents)
+          |GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin)
+    }),
+
+    // Triangle count in pure SQL: orient every undirected edge a < b,
+    // then a<b<c wedge + closure joins count each triangle once. The
+    // engine's degree-ordered orientation is the skew-safe production
+    // shape; the count is identical, which is all the shared oracle pins.
+    "sql10_triangles" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH pairs AS (SELECT DISTINCT c_nationkey AS x,
+          |    s_nationkey AS y
+          |  FROM orders
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN lineitem ON l_orderkey = o_orderkey
+          |  JOIN supplier ON s_suppkey = l_suppkey),
+          | und AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+          |  FROM pairs WHERE x <> y)
+          |SELECT count(*) AS n_triangles
+          |FROM und e1
+          |JOIN und e2 ON e2.a = e1.b
+          |JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin)
+    }),
+
+    "sql11_media_meta" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      GraftFunctions.registerAll(s)
+      val fixtures = Multimodal.FixtureMediaHex.map { case (id, hex, _) =>
+        s"(CAST($id AS BIGINT), unhex('$hex'))"
+      }.mkString(",\n    ")
+      s.sql(
+        s"""WITH media AS (
+           |  SELECT doc_id, CAST(text AS BINARY) AS payload FROM documents
+           |  UNION ALL
+           |  SELECT * FROM (VALUES
+           |    $fixtures) v(doc_id, payload)),
+           | d AS (SELECT doc_id,
+           |   CAST(length(payload) AS BIGINT) AS n_bytes,
+           |   sha2(payload, 256) AS sha256,
+           |   media_dims(payload) AS dims FROM media)
+           |SELECT doc_id, n_bytes, sha256, dims.format AS format,
+           |  CAST(dims.width AS BIGINT) AS width,
+           |  CAST(dims.height AS BIGINT) AS height
+           |FROM d ORDER BY doc_id""".stripMargin)
+    }),
+
+    "sql12_k_anonymity" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT source, n_chars div 100 AS len_bucket,
+          |  count(*) AS k_of_group,
+          |  count(DISTINCT lang) AS n_sensitive,
+          |  count(*) >= 5 AS k_ok,
+          |  count(DISTINCT lang) >= 3 AS l_ok
+          |FROM documents GROUP BY source, n_chars div 100
+          |ORDER BY source, len_bucket""".stripMargin)
+    }),
+
     // ---- P19: NOT IN three-valued null semantics — the classic SQL trap:
     // a NULL anywhere in the subquery result makes NOT IN unknowable, so
     // ZERO rows survive. Catalyst plans this as a null-aware anti join
@@ -5185,7 +5330,18 @@ object SparkEntry {
     "e27b_time_to_convert" -> oracleSqlBase("e27_time_to_convert"),
     "e28b_power_analysis" -> oracleSqlBase("e28_power_analysis"),
     "x10b_peak_concurrency" -> oracleSqlBase("x10_peak_concurrency"),
-    "t31b_heaps_law" -> oracleSqlBase("t31_heaps_law"))
+    "t31b_heaps_law" -> oracleSqlBase("t31_heaps_law"),
+    // SQL-surface twins (sql4-sql12): the pure-SQL spelling of an
+    // existing gate, gated on that gate's oracle verbatim.
+    "sql4_window_rank" -> oracleSqlBase("w1_rank"),
+    "sql5_rollup" -> oracleSqlBase("a6_rollup"),
+    "sql6_exact_dedup" -> oracleSqlBase("d1_exact_dedup"),
+    "sql7_hamming_join" -> oracleSqlBase("m8_media_neardup"),
+    "sql8_heavy_hitters" -> oracleSqlBase("a12_heavy_hitters"),
+    "sql9_vocab_topk" -> oracleSqlBase("t7_vocab_topk"),
+    "sql10_triangles" -> oracleSqlBase("g2_triangles"),
+    "sql11_media_meta" -> oracleSqlBase("m1_media_meta"),
+    "sql12_k_anonymity" -> oracleSqlBase("v1_k_anonymity"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "s1_scan" ->

@@ -117,23 +117,28 @@ object Multimodal {
     * Negative doc_ids keep them disjoint from any real corpus. These give
     * the oracle gate REAL bytes with hand-computable expected dimensions.
     */
+  /** The raw fixture rows (id, payload hex, media type) — public so the
+    * SQL-surface twin (sql11) can rebuild the identical payloads via
+    * `unhex` in pure SQL.
+    */
+  val FixtureMediaHex: Seq[(Long, String, String)] = Seq(
+    // PNG 640x480: signature + IHDR(len 13) + 5 param bytes + CRC
+    (-5L, "89504E470D0A1A0A0000000D4948445200000280000001E0080600000000000000",
+      "image/png"),
+    // JPEG 320x240: SOI + APP0(JFIF) + SOF0(8-bit, 3 components) + EOI
+    (-4L, "FFD8FFE000104A46494600010100000100010000" +
+      "FFC000110800F0014003012200021101031101FFD9", "image/jpeg"),
+    // GIF89a 320x200 logical screen + flags/background/aspect
+    (-3L, "4749463839614001C800F70000", "image/gif"),
+    // BMP 100x50: BM + file header + BITMAPINFOHEADER prefix
+    (-2L, "424D000000000000000036000000280000006400000032000000" +
+      "01001800", "image/bmp"),
+    // no known magic → NULL struct
+    (-1L, "DEADBEEF00", "application/octet-stream"))
+
   def fixtureMedia(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq(
-      // PNG 640x480: signature + IHDR(len 13) + 5 param bytes + CRC
-      (-5L, "89504E470D0A1A0A0000000D4948445200000280000001E0080600000000000000",
-        "image/png"),
-      // JPEG 320x240: SOI + APP0(JFIF) + SOF0(8-bit, 3 components) + EOI
-      (-4L, "FFD8FFE000104A46494600010100000100010000" +
-        "FFC000110800F0014003012200021101031101FFD9", "image/jpeg"),
-      // GIF89a 320x200 logical screen + flags/background/aspect
-      (-3L, "4749463839614001C800F70000", "image/gif"),
-      // BMP 100x50: BM + file header + BITMAPINFOHEADER prefix
-      (-2L, "424D000000000000000036000000280000006400000032000000" +
-        "01001800", "image/bmp"),
-      // no known magic → NULL struct
-      (-1L, "DEADBEEF00", "application/octet-stream")
-    ).toDF("doc_id", "hex", "media_type")
+    FixtureMediaHex.toDF("doc_id", "hex", "media_type")
       .select(col("doc_id"), unhex(col("hex")).as("payload"),
         col("media_type"))
   }
