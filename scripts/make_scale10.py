@@ -5,7 +5,10 @@ Usage: python3 scripts/make_scale10.py [src_sf_dir] [out_dir]
 
 documents/embeddings are replicated 10-fold with shifted ids (every
 original row gains 9 exact clones -> dedup output inflates ~1000x, a
-harder test than plain volume); the relational tables are copied as-is
+harder test than plain volume); events are replicated 10-fold with
+shifted user_id AND event_id (10x the users over the SAME time range
+-> 10x per-instant concurrency, the event-battery stress shape; the
+round-8 ladder); the remaining relational tables are copied as-is
 (their scale story is covered by the sf ladder itself, and copying
 preserves the exact parquet types, e.g. events' TIMESTAMP(NANOS)).
 """
@@ -14,15 +17,21 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 ID_SHIFT = 1_000_000
+# user_id shift is EVEN so the e21/e28 parity-variant split is
+# preserved per clone (each clone lands whole users in the same arm
+# their original sits in).
+USER_SHIFT = 10_000_000
 
 
-def clone10(src, dst, id_col):
+def clone10(src, dst, id_cols):
     t = pq.read_table(src)
     parts = []
     for i in range(10):
-        ids = pa.compute.add(t[id_col], i * ID_SHIFT)
-        parts.append(t.set_column(t.schema.get_field_index(id_col),
-                                  id_col, ids))
+        c = t
+        for col, shift in id_cols:
+            ids = pa.compute.add(c[col], i * shift)
+            c = c.set_column(c.schema.get_field_index(col), col, ids)
+        parts.append(c)
     out = pa.concat_tables(parts)
     pq.write_table(out, dst)
     print(f"{dst}: {out.num_rows} rows")
@@ -35,9 +44,12 @@ def main(src_dir="/root/testdata/sf0.1", out_dir="/tmp/scale10"):
             continue
         src, dst = f"{src_dir}/{f}", f"{out_dir}/{f}"
         if f == "documents.parquet":
-            clone10(src, dst, "doc_id")
+            clone10(src, dst, [("doc_id", ID_SHIFT)])
         elif f == "embeddings.parquet":
-            clone10(src, dst, "vec_id")
+            clone10(src, dst, [("vec_id", ID_SHIFT)])
+        elif f == "events.parquet":
+            clone10(src, dst,
+                    [("event_id", ID_SHIFT), ("user_id", USER_SHIFT)])
         else:
             shutil.copyfile(src, dst)
             print(f"{dst}: copied")

@@ -239,6 +239,55 @@ object Multimodal {
       thumb.as("thumb_hex"))
   }
 
+  /** REAL pixel thumbnails for PNG payloads — the full pure-JVM decode
+    * ([[graft.functions.PngThumb]]: IDAT chunk walk, zlib inflate via
+    * `java.util.zip.Inflater`, all five scanline filters unfiltered,
+    * exact-integer box average). Same contract as [[pixelThumbnails]]:
+    * non-decodable payloads (palette/16-bit/interlaced PNGs, text,
+    * bombs past the pixel cap) report NULL and are kept.
+    */
+  def pngThumbnails(media: DataFrame, gridW: Int,
+                    gridH: Int): DataFrame = {
+    val thumb = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PngThumb(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("payload")),
+        gridW, gridH))
+    media.select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      thumb.as("thumb_hex"))
+  }
+
+  /** Complete PNG fixtures (real zlib streams, CRC-correct chunks):
+    * a 4x2 truecolor image with Sub- and Paeth-filtered rows whose
+    * pixels equal the BMP fixture's (so the thumbnails must agree
+    * across formats), a 2x2 RGBA image (None + Up filters; alpha
+    * ignored by the mean), and a palette PNG the truecolor decoder
+    * must refuse (NULL).
+    */
+  def fixturePngs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      // 4x2 RGB: rows (red green blue white)/(black 808080 404040
+      // magenta), filters Sub+Paeth — same pixels as BMP fixture -20
+      (-17L, "89504E470D0A1A0A0000000D49484452000000040000000208020000" +
+        "00F0CAEA340000001F49444154789C63FCCFC0C008C6FFFF33B03032303434" +
+        "361C70706460DC0F0071CB0886258F412B0000000049454E44AE426082",
+        "image/png"),
+      // 2x2 RGBA: pixels (10,20,30)(40,50,60)/(70,80,90)(100,110,120)
+      // with alphas 0/128/255/7 — alpha must not leak into the mean
+      (-16L, "89504E470D0A1A0A0000000D49484452000000020000000208060000" +
+        "0072B60D240000001849444154789C63E0129163D030B26960B2B1B1F90FC4" +
+        "ED001C4E0443CF29764D0000000049454E44AE426082", "image/png"),
+      // palette (color type 3): refused → NULL
+      (-15L, "89504E470D0A1A0A0000000D49484452000000020000000208030000" +
+        "004568FD160000000B49444154789C636000010000060001FE8C67C8000000" +
+        "0049454E44AE426082", "image/png")
+    ).toDF("doc_id", "hex", "media_type")
+      .select(col("doc_id"), unhex(col("hex")).as("payload"),
+        col("media_type"))
+  }
+
   /** Hand-assembled GIF fixtures with hand-computable frame tables (the
     * [[fixtureMedia]] discipline): an animated 2-frame GIF89a with GCE
     * delays 10 cs / 200 cs and a local palette on frame 2; a GIF87a
