@@ -138,7 +138,12 @@ object GraftFunctions {
     // of an uncompressed 24-bpp BMP as RGB hex
     "bmp_thumb" -> arity("bmp_thumb", 3)(exprs =>
       graft.functions.BmpThumb(exprs(0), litInt("bmp_thumb", exprs(1)),
-        litInt("bmp_thumb", exprs(2)))))
+        litInt("bmp_thumb", exprs(2)))),
+    // png_thumb(binary, gridW, gridH) — full PNG decode (inflate +
+    // unfilter) and true-pixel box-average thumbnail as RGB hex
+    "png_thumb" -> arity("png_thumb", 3)(exprs =>
+      graft.functions.PngThumb(exprs(0), litInt("png_thumb", exprs(1)),
+        litInt("png_thumb", exprs(2)))))
 
   /** Register on a live session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

@@ -2574,6 +2574,19 @@ object SparkEntry {
           gridW = 2, gridH = 2)
         .orderBy("doc_id")),
 
+    // ---- M10: REAL PNG decode end-to-end — zlib inflate
+    // (java.util.zip), all five scanline filters unfiltered, exact
+    // box-average grid. The truecolor fixture carries the SAME pixels as
+    // m5's BMP fixture behind Sub/Paeth filters, so the two formats'
+    // thumbnails must agree byte-for-byte; the RGBA fixture pins
+    // alpha-exclusion; palette PNGs refuse to NULL --------------------
+    "m10_png_thumbnail" -> ((s, dir) =>
+      Multimodal.pngThumbnails(
+          Multimodal.toMediaTable(t(s, dir, "documents"))
+            .unionByName(Multimodal.fixturePngs(s)),
+          gridW = 2, gridH = 2)
+        .orderBy("doc_id")),
+
     // ---- M6: REAL audio header decode — WAV chunk walk, FLAC
     // STREAMINFO, MP3 frame header as a codegen expression; corpus text
     // payloads (no magic → NULL row) unioned with hand-assembled fixture
@@ -9477,6 +9490,24 @@ object SparkEntry {
         |  (CAST(-19 AS BIGINT), CAST(70 AS BIGINT),
         |    '0a141e28323c46505a646e78'),
         |  (CAST(-18 AS BIGINT), CAST(70 AS BIGINT),
+        |    CAST(NULL AS VARCHAR)))
+        |  v(doc_id, n_bytes, thumb_hex)
+        |ORDER BY doc_id""".stripMargin,
+
+    // PNG thumbnail replay: the truecolor fixture's pixels equal the
+    // BMP fixture's (cross-format agreement pinned), the RGBA fixture's
+    // means exclude alpha, the palette fixture refuses. n_bytes are the
+    // full container sizes (88 / 81 / 68).
+    "m10_png_thumbnail" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(NULL AS VARCHAR) AS thumb_hex FROM documents
+        |UNION ALL
+        |SELECT * FROM (VALUES
+        |  (CAST(-17 AS BIGINT), CAST(88 AS BIGINT),
+        |    '7f7f007f7fff4040409f209f'),
+        |  (CAST(-16 AS BIGINT), CAST(81 AS BIGINT),
+        |    '0a141e28323c46505a646e78'),
+        |  (CAST(-15 AS BIGINT), CAST(68 AS BIGINT),
         |    CAST(NULL AS VARCHAR)))
         |  v(doc_id, n_bytes, thumb_hex)
         |ORDER BY doc_id""".stripMargin,

@@ -818,6 +818,39 @@ class MultimodalSpec extends SparkSpec {
     assert(BmpThumb.decode(null, 1, 1) === null)
   }
 
+  test("PNG thumbnail: full decode (inflate + Sub/Paeth/Up unfilter) " +
+      "agrees with the BMP decode on identical pixels") {
+    val out = Multimodal.pngThumbnails(Multimodal.fixturePngs(spark), 2, 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(out.toSeq === Seq(
+      (-17L, "7f7f007f7fff4040409f209f"), // == BMP fixture -20's thumb
+      (-16L, "0a141e28323c46505a646e78"), // alpha 0/128/255/7 excluded
+      (-15L, null))) // palette refused
+  }
+
+  test("PNG thumbnail refuses malformed, truncated, and bomb payloads " +
+      "without throwing") {
+    import graft.functions.PngThumb
+    val full = Multimodal.fixturePngs(spark)
+      .filter(col("doc_id") === -17L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(PngThumb.decode(null, 1, 1) === null)
+    assert(PngThumb.decode("notapng".getBytes, 1, 1) === null)
+    assert(PngThumb.decode(full.take(50), 1, 1) === null) // cut IDAT
+    assert(PngThumb.decode(full, 8, 8) === null) // grid > image
+    // a header claiming 1e9x1e9 pixels must refuse BEFORE allocating
+    val bomb = full.clone()
+    bomb(16) = 0x40.toByte // width high byte → 1G+
+    assert(PngThumb.decode(bomb, 1, 1) === null)
+    // 1x1 grid = whole-image mean of the truecolor fixture's 8 pixels
+    val px = Seq((255,0,0),(0,255,0),(0,0,255),(255,255,255),
+      (0,0,0),(128,128,128),(64,64,64),(255,0,255))
+    val exp = Seq(px.map(_._1).sum / 8, px.map(_._2).sum / 8,
+      px.map(_._3).sum / 8).map(v => f"$v%02x").mkString
+    assert(PngThumb.decode(full, 1, 1).toString === exp)
+  }
+
   test("file-based ingestion: binaryFiles → media table → decode") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media")
     java.nio.file.Files.write(dir.resolve("a.jpg"),
