@@ -1129,6 +1129,26 @@ object SparkEntry {
         .orderBy(col("aa_fp").desc, col("x"), col("y")).limit(30)
     }),
 
+    // ---- G16: LABEL PROPAGATION communities — g7's co-purchase graph
+    // partitioned by 3 synchronous LPA rounds (most-frequent neighbor
+    // label, ties to the smallest — the deterministic, replayable form).
+    // One join + count + struct-argmax per round -------------------------
+    "g16_label_propagation" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = op.select(col("ok"), col("pk").as("part_a"))
+      val b = op.select(col("ok").as("ok_b"), col("pk").as("part_b"))
+      val edges = a.join(b,
+          col("ok") === col("ok_b") && col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+      graft.ops.Graph.labelPropagation(edges, "part_a", "part_b",
+          rounds = 3)
+        .orderBy("v")
+    }),
+
     // ---- S13: ORC source/sink round trip — the engine's second columnar
     // format; schema, doubles, and timestamps survive bit-exactly. -------
     "s13_orc_roundtrip" -> ((s, dir) => {
@@ -3708,6 +3728,77 @@ object SparkEntry {
             " * 1e9) AS BIGINT) END"))
         .select("lag", "n", "r_fp")
         .orderBy("lag")
+    }),
+
+    // ---- E29: CUSUM drift detection (Page 1954) — the change-point
+    // alarm a metrics pipeline runs on daily revenue: S_i =
+    // max(0, S_{i-1} + (x_i - mean)) expressed WITHOUT the recurrence
+    // via the prefix-min identity S_i = P_i - min_{j<=i} P_j over
+    // P = cumsum(x - mean); everything scaled by n_days so the mean
+    // never divides (P'_i = n·cum_i - i·total, exact BIGINT — products
+    // bounded by n_days ≤ a few thousand, NOT corpus rows). Corpus cost
+    // is ONE day aggregation; both windows run on the readout-sized day
+    // table. Alarm when the scaled drift exceeds total (= n·mean) ------
+    "e29_cusum_drift" -> ((s, dir) => {
+      val days = t(s, dir, "events")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+        .agg(sum(cents(col("value"))).as("v"))
+      val wRun = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days
+        .crossJoin(broadcast(days.agg(count(lit(1)).as("n"),
+          sum("v").as("tot"))))
+        .withColumn("i", row_number().over(Window.orderBy("d")).cast("long"))
+        .withColumn("cum", sum("v").over(wRun))
+        .withColumn("p", col("n") * col("cum") - col("i") * col("tot"))
+        .withColumn("s_scaled", col("p") - min("p").over(wRun))
+        .withColumn("alarm", col("s_scaled") > col("tot"))
+        .select("d", "v", "s_scaled", "alarm")
+        .orderBy("d")
+    }),
+
+    // ---- A27: MANN-WHITNEY U test — the rank-sum A/B readout for
+    // non-normal metrics (view vs click value): midranks over the
+    // per-value count table (a25's value-domain discipline — the
+    // windows run on distinct cents values, not corpus rows), doubled
+    // to stay integer (midrank2 = 2·cum_before + t + 1), the tie
+    // correction Σ(t³−t) in decimal/HUGEINT, z as ONE pinned double
+    // expression NULL-guarded at empty arms and zero variance ----------
+    "a27_mann_whitney" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "click"))
+        .select(cents(col("value")).as("v"),
+          (col("event_type") === "view").as("is_a"))
+      val counts = ev.groupBy("v").agg(
+          sum(when(col("is_a"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("c2"))
+        .withColumn("c", col("c1") + col("c2"))
+      val wBefore = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      counts
+        .withColumn("cum_before",
+          coalesce(sum("c").over(wBefore), lit(0L)))
+        .withColumn("midrank2",
+          lit(2L) * col("cum_before") + col("c") + 1L)
+        .agg(
+          sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+          sum(expr("CAST(c1 AS DECIMAL(19,0)) * midrank2")).as("r1_x2"),
+          sum(expr("CAST(c AS DECIMAL(19,0)) * c * c - c")).as("tie"))
+        .withColumn("u1_x2",
+          expr("CAST(r1_x2 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1)" +
+            " AS BIGINT)"))
+        .withColumn("vterm_d", expr(
+          "CAST(n1 AS DOUBLE) * n2 / 12.0" +
+            " * ((CAST(n1 + n2 AS DOUBLE) + 1.0)" +
+            " - CAST(tie AS DOUBLE)" +
+            " / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))"))
+        .withColumn("z_fp", expr(
+          "CASE WHEN n1 = 0 OR n2 = 0 OR vterm_d <= 0.0 THEN NULL ELSE " +
+            "CAST(round((CAST(u1_x2 AS DOUBLE)" +
+            " - CAST(n1 AS DOUBLE) * n2)" +
+            " / (2.0 * sqrt(vterm_d)) * 1e6) AS BIGINT) END"))
+        .withColumn("significant", abs(col("z_fp")) > 1960000L)
+        .select("n1", "n2", "u1_x2", "z_fp", "significant")
     }),
 
     "e15_transitions" -> ((s, dir) => {
@@ -6427,6 +6518,33 @@ object SparkEntry {
         |SELECT x, y, n_common, aa_fp FROM ne
         | ORDER BY aa_fp DESC, x, y LIMIT 30""".stripMargin,
 
+    // Label-propagation replay: g7's graph, 3 unrolled synchronous
+    // rounds, the same (count desc, label asc) argmax per node.
+    "g16_label_propagation" -> {
+      val rounds = (1 to 3).map { r =>
+        val p = r - 1
+        s""",
+           | n$r AS (SELECT und.a AS v, l$p.label FROM und
+           |   JOIN l$p ON und.b = l$p.v),
+           | c$r AS (SELECT v, label, count(*) AS cnt FROM n$r
+           |   GROUP BY 1, 2),
+           | l$r AS (SELECT v, label FROM (
+           |   SELECT v, label, row_number() OVER (PARTITION BY v
+           |     ORDER BY cnt DESC, label) AS rr FROM c$r) WHERE rr = 1)"""
+          .stripMargin
+      }.mkString
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem),
+        | ed AS (SELECT a.pk AS pa, b.pk AS pb
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | und AS (SELECT pa AS a, pb AS b FROM ed
+        |   UNION ALL SELECT pb, pa FROM ed),
+        | l0 AS (SELECT DISTINCT a AS v, a AS label FROM und)"""
+        .stripMargin + rounds +
+        "\nSELECT v, label FROM l3 ORDER BY v"
+    },
+
     "g5_kcore" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
         |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -7255,6 +7373,68 @@ object SparkEntry {
         |  2*weighted - (n+1)*sum_cents AS g_num,
         |  n*sum_cents AS g_den
         | FROM agg ORDER BY segment""".stripMargin,
+
+    // CUSUM replay: same day table, same n-scaled prefix + running-min
+    // identity, same alarm rule.
+    "e29_cusum_drift" ->
+      """WITH days AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000
+        |    AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS tot FROM days),
+        | c AS (SELECT d, v,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+        |    CAST(sum(v) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM days),
+        | p AS (SELECT d, v,
+        |    (SELECT n FROM tot) * cum - i * (SELECT tot FROM tot) AS p
+        |  FROM c),
+        | s AS (SELECT d, v,
+        |    p - min(p) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+        |      AS s_scaled
+        |  FROM p)
+        |SELECT d, v, s_scaled,
+        |  s_scaled > (SELECT tot FROM tot) AS alarm
+        | FROM s ORDER BY d""".stripMargin,
+
+    // Mann-Whitney replay: per-value midranks doubled to integers, the
+    // HUGEINT tie term, the same pinned z expression and guards.
+    "a27_mann_whitney" ->
+      """WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    event_type = 'view' AS is_a
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        | counts AS (SELECT v,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS c2,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY v),
+        | ranked AS (SELECT *,
+        |    coalesce(CAST(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum_before
+        |  FROM counts),
+        | agg AS (SELECT
+        |    CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2,
+        |    sum(CAST(c1 AS HUGEINT) * (2 * cum_before + c + 1)) AS r1_x2,
+        |    sum(CAST(c AS HUGEINT) * c * c - c) AS tie
+        |  FROM ranked),
+        | u AS (SELECT n1, n2,
+        |    CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT)
+        |      AS u1_x2,
+        |    CAST(n1 AS DOUBLE) * n2 / 12.0
+        |      * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+        |      - CAST(tie AS DOUBLE)
+        |      / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))) AS vterm_d
+        |  FROM agg)
+        |SELECT n1, n2, u1_x2,
+        |  CASE WHEN n1 = 0 OR n2 = 0 OR vterm_d <= 0.0 THEN NULL ELSE
+        |    CAST(round((CAST(u1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)
+        |      / (2.0 * sqrt(vterm_d)) * 1e6) AS BIGINT) END AS z_fp,
+        |  abs(z_fp) > 1960000 AS significant
+        | FROM u""".stripMargin,
 
     // KS replay: per-value counts, one cumulative window, the same
     // cross-multiplied max and the same pinned critical-value compare.

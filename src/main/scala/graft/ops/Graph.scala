@@ -369,6 +369,41 @@ object Graph {
     scored
   }
 
+  /** SYNCHRONOUS label propagation (Raghavan, Albert & Kumara 2007) —
+    * community detection at graph scale: every node starts as its own
+    * label; each round, every node adopts the most frequent label among
+    * its neighbors, ties broken to the SMALLEST label (the asynchronous
+    * original is visit-order-dependent; the synchronous fixed-round
+    * form is deterministic, which is what makes it replayable and
+    * hash-gateable). Per round: one equality join (edges ⋈ labels),
+    * one (node, label) count aggregation, one per-node argmax via a
+    * struct max — no windows, map-side combine on the count; lineage
+    * severed per round like every iterative op here. At 100 TB this is
+    * the same shape as one PageRank iteration: shuffle on node id.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 3): DataFrame = {
+    val und0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = und0.union(und0.select(col("b").as("a"), col("a").as("b")))
+    var labels = und.select(col("a").as("v")).distinct()
+      .withColumn("label", col("v"))
+    (1 to rounds).foreach { _ =>
+      val neigh = und
+        .join(labels.select(col("v").as("b"), col("label")), "b")
+        .select(col("a").as("v"), col("label"))
+      val best = neigh.groupBy("v", "label")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("v")
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("v"), (-col("m.neg")).as("label"))
+      labels = graft.Checkpoints.sever(best)
+    }
+    labels
+  }
+
   /** Adamic-Adar link prediction (Adamic & Adar 2003) — the
     * degree-discounted sibling of [[linkPrediction]]'s Jaccard:
     * AA(x,y) = Σ_{z ∈ Γ(x)∩Γ(y)} 1/ln d(z), so a common neighbor that

@@ -129,4 +129,28 @@ class GraphSpec extends SparkSpec {
     val e = Seq((1L, 2L, 7L), (1L, 2L, 3L), (1L, 2L, 5L))
     assert(sssp(e, 1L, 1) === Map(1L -> 0L, 2L -> 3L))
   }
+
+  test("label propagation converges two cliques to their min labels " +
+      "and breaks ties deterministically") {
+    // two K4 cliques bridged by one edge: each clique's internal
+    // majority (3 votes) outweighs the bridge (1 vote), so LPA settles
+    // clique A on label 1 and clique B on label 5 and stays there.
+    // (Triangles are NOT enough: with 2-vote majorities the min-label
+    // tie-break cascades across the bridge and merges the communities —
+    // a real, documented synchronous-LPA behavior.)
+    val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val k4b = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j)
+    val edges = (k4a ++ k4b :+ (4L, 5L)).toDF("s", "d")
+    val out = Graph.labelPropagation(edges, "s", "d", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(out(_) === 1L), out.toString)
+    assert((5L to 8L).forall(out(_) === 5L), out.toString)
+    // a path of two nodes: each sees exactly one neighbor label — they
+    // swap forever under synchronous rounds; after an EVEN round count
+    // both are back at their own label (determinism, not convergence)
+    val path = Seq((10L, 11L)).toDF("s", "d")
+    val p2 = Graph.labelPropagation(path, "s", "d", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p2 === Map(10L -> 10L, 11L -> 11L))
+  }
 }
