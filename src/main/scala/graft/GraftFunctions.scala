@@ -143,7 +143,11 @@ object GraftFunctions {
     // unfilter) and true-pixel box-average thumbnail as RGB hex
     "png_thumb" -> arity("png_thumb", 3)(exprs =>
       graft.functions.PngThumb(exprs(0), litInt("png_thumb", exprs(1)),
-        litInt("png_thumb", exprs(2)))))
+        litInt("png_thumb", exprs(2)))),
+    // exif_meta(binary) — orientation/make/model/datetime from the JPEG
+    // APP1 TIFF walk
+    "exif_meta" -> arity("exif_meta", 1)(exprs =>
+      graft.functions.ExifMeta(exprs.head)))
 
   /** Register on a live session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

@@ -2607,6 +2607,17 @@ object SparkEntry {
           gridW = 2, gridH = 2)
         .orderBy("doc_id")),
 
+    // ---- M11: REAL EXIF decode — JPEG APP1 segment walk + TIFF IFD0
+    // walk (both byte orders, out-of-line ASCII values): orientation /
+    // make / model / capture datetime, the auto-rotate audit an image
+    // ingest runs before pixel work. Corpus text and EXIF-less JPEGs
+    // report NULLs and are kept --------------------------------------
+    "m11_exif" -> ((s, dir) =>
+      Multimodal.exifMetadata(
+          Multimodal.toMediaTable(t(s, dir, "documents"))
+            .unionByName(Multimodal.fixtureExif(s)))
+        .orderBy("doc_id")),
+
     // ---- M6: REAL audio header decode — WAV chunk walk, FLAC
     // STREAMINFO, MP3 frame header as a codegen expression; corpus text
     // payloads (no magic → NULL row) unioned with hand-assembled fixture
@@ -9672,6 +9683,24 @@ object SparkEntry {
         |  (CAST(-18 AS BIGINT), CAST(70 AS BIGINT),
         |    CAST(NULL AS VARCHAR)))
         |  v(doc_id, n_bytes, thumb_hex)
+        |ORDER BY doc_id""".stripMargin,
+
+    // EXIF replay: fixture tags hand-walked from the assembled APP1
+    // bytes; corpus rows (not JPEG) and the EXIF-less JPEG are all-NULL.
+    "m11_exif" ->
+      """SELECT doc_id, CAST(NULL AS BIGINT) AS orientation,
+        |  CAST(NULL AS VARCHAR) AS make, CAST(NULL AS VARCHAR) AS model,
+        |  CAST(NULL AS VARCHAR) AS datetime FROM documents
+        |UNION ALL
+        |SELECT * FROM (VALUES
+        |  (CAST(-14 AS BIGINT), CAST(6 AS BIGINT), 'Acme', 'X100',
+        |    '2024:01:15 10:30:00'),
+        |  (CAST(-13 AS BIGINT), CAST(3 AS BIGINT), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  (CAST(-12 AS BIGINT), CAST(NULL AS BIGINT),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS VARCHAR)))
+        |  v(doc_id, orientation, make, model, datetime)
         |ORDER BY doc_id""".stripMargin,
 
     // PNG thumbnail replay: the truecolor fixture's pixels equal the

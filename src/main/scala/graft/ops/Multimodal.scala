@@ -353,6 +353,58 @@ object Multimodal {
         col("media_type"))
   }
 
+  /** REAL EXIF metadata for JPEG payloads — orientation / make / model /
+    * capture datetime parsed from the APP1 TIFF structure by the native
+    * [[graft.functions.ExifMeta]] expression (segment walk + IFD0 walk,
+    * both byte orders, every offset bounds-checked). Non-JPEG payloads
+    * and EXIF-less JPEGs report NULL and are kept. One codegen
+    * projection — the auto-rotate audit a 100 TB image ingest runs
+    * before any pixel work.
+    */
+  def exifMetadata(media: DataFrame): DataFrame = {
+    val meta = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.ExifMeta(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("payload"))))
+    media.select(col("doc_id"), meta.as("m"))
+      .select(col("doc_id"),
+        col("m.orientation").cast("long").as("orientation"),
+        col("m.make").as("make"), col("m.model").as("model"),
+        col("m.datetime").as("datetime"))
+  }
+
+  /** Hand-assembled EXIF fixtures: a little-endian (II) APP1 with
+    * orientation 6 + Make/Model/DateTime at out-of-line offsets, a
+    * big-endian (MM) APP1 carrying only orientation 3, and m1's
+    * EXIF-less JPEG (all-NULL struct).
+    */
+  def fixtureExif(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      // II: orientation 6, Make "Acme", Model "X100",
+      // DateTime "2024:01:15 10:30:00" (ASCII values out-of-line)
+      (-14L, "FFD8" + "FFE10064" + "457869660000" +
+        "49492A0008000000" + "0400" +
+        "120103000100000006000000" + // Orientation = 6 (SHORT)
+        "0F010200050000003E000000" + // Make -> offset 62
+        "100102000500000043000000" + // Model -> offset 67
+        "320102001400000048000000" + // DateTime -> offset 72
+        "00000000" +
+        "41636D6500" + "5831303000" +
+        "323032343A30313A31352031303A33303A303000" + "FFD9",
+        "image/jpeg"),
+      // MM: orientation 3 only
+      (-13L, "FFD8" + "FFE10022" + "457869660000" +
+        "4D4D002A00000008" + "0001" +
+        "011200030000000100030000" + "00000000" + "FFD9",
+        "image/jpeg"),
+      // EXIF-less JPEG (m1's fixture): NULL struct, row kept
+      (-12L, "FFD8FFE000104A46494600010100000100010000" +
+        "FFC000110800F0014003012200021101031101FFD9", "image/jpeg")
+    ).toDF("doc_id", "hex", "media_type")
+      .select(col("doc_id"), unhex(col("hex")).as("payload"),
+        col("media_type"))
+  }
+
   /** Batch feature extraction via mapPartitions (the mapInPandas analogue).
     * Partition-parallel, no shuffle; output is a typed Dataset.
     */

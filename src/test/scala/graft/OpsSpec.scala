@@ -851,6 +851,28 @@ class MultimodalSpec extends SparkSpec {
     assert(PngThumb.decode(full, 1, 1).toString === exp)
   }
 
+  test("EXIF walk: both byte orders, out-of-line ASCII, NUL stripping; " +
+      "EXIF-less and truncated payloads degrade to NULL") {
+    val out = Multimodal.exifMetadata(Multimodal.fixtureExif(spark))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getString(2), r.getString(3), r.getString(4)))
+    assert(out.toSeq === Seq(
+      (-14L, 6L, "Acme", "X100", "2024:01:15 10:30:00"),
+      (-13L, 3L, null, null, null),
+      (-12L, -1L, null, null, null)))
+    import graft.functions.ExifMeta
+    assert(ExifMeta.decode(null) === null)
+    assert(ExifMeta.decode("text".getBytes) === null)
+    val full = Multimodal.fixtureExif(spark)
+      .filter(col("doc_id") === -14L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    // cut inside the IFD data area: bounds checks return partial/NULL
+    // fields rather than throwing
+    assert(ExifMeta.decode(full.take(30)) === null)
+  }
+
   test("file-based ingestion: binaryFiles → media table → decode") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media")
     java.nio.file.Files.write(dir.resolve("a.jpg"),
