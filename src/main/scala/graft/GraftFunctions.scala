@@ -147,7 +147,12 @@ object GraftFunctions {
     // exif_meta(binary) — orientation/make/model/datetime from the JPEG
     // APP1 TIFF walk
     "exif_meta" -> arity("exif_meta", 1)(exprs =>
-      graft.functions.ExifMeta(exprs.head)))
+      graft.functions.ExifMeta(exprs.head)),
+    // audio_blocks(binary, nBlocks) — per-block peak + exact sum of
+    // squares from a PCM WAV's actual int16 samples
+    "audio_blocks" -> arity("audio_blocks", 2)(exprs =>
+      graft.functions.AudioBlocks(exprs(0),
+        litInt("audio_blocks", exprs(1)))))
 
   /** Register on a live session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

@@ -2618,6 +2618,17 @@ object SparkEntry {
             .unionByName(Multimodal.fixtureExif(s)))
         .orderBy("doc_id")),
 
+    // ---- M12: REAL PCM sample decode — per-block peak + exact integer
+    // sum of squares from the WAV data chunk's actual int16 samples
+    // (loudness/clipping audit); the truncated fixture pins the
+    // clip-to-available behavior, the FLAC fixture refuses --------------
+    "m12_audio_blocks" -> ((s, dir) =>
+      Multimodal.audioBlockTable(
+          Multimodal.toMediaTable(t(s, dir, "documents"))
+            .unionByName(Multimodal.fixtureWavs(s)),
+          nBlocks = 4)
+        .orderBy("doc_id", "block")),
+
     // ---- M6: REAL audio header decode — WAV chunk walk, FLAC
     // STREAMINFO, MP3 frame header as a codegen expression; corpus text
     // payloads (no magic → NULL row) unioned with hand-assembled fixture
@@ -3766,6 +3777,38 @@ object SparkEntry {
         .withColumn("alarm", col("s_scaled") > col("tot"))
         .select("d", "v", "s_scaled", "alarm")
         .orderBy("d")
+    }),
+
+    // ---- A28: χ² INDEPENDENCE test — event_type × variant contingency
+    // (is behavior independent of the A/B split? the standard
+    // sample-ratio-mismatch / behavior-drift audit): the FULL grid
+    // including zero cells (row-total × col-total cross join, observed
+    // counts left-joined in), each cell's term
+    // (O·n − rt·ct)²/(rt·ct·n) rounded to 1e-9 fixed point BEFORE the
+    // sum — an order-independent integer reduce. Corpus cost is one
+    // (type, variant) aggregation; the grid is types × 2 rows ----------
+    "a28_chi2_independence" -> ((s, dir) => {
+      val cells = t(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 2).as("variant"))
+        .groupBy("event_type", "variant").agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy("event_type").agg(sum("o").as("rt"))
+      val cols = cells.groupBy("variant").agg(sum("o").as("ct"))
+      val tot = cells.agg(sum("o").as("n"))
+      rows.crossJoin(broadcast(cols))
+        .join(cells, Seq("event_type", "variant"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("term_fp", expr(
+          "CAST(round(pow(CAST(o AS DOUBLE) * n" +
+            " - CAST(rt AS DOUBLE) * ct, 2)" +
+            " / (CAST(rt AS DOUBLE) * ct * n) * 1e9) AS BIGINT)"))
+        .agg(max(col("n")).as("n"),
+          count(lit(1)).as("n_cells"),
+          countDistinct(col("event_type")).as("r"),
+          countDistinct(col("variant")).as("c"),
+          sum(col("term_fp")).as("chi2_fp"))
+        .withColumn("df", (col("r") - 1) * (col("c") - 1))
+        .select("n", "n_cells", "df", "chi2_fp")
     }),
 
     // ---- A27: MANN-WHITNEY U test — the rank-sum A/B readout for
@@ -7410,6 +7453,35 @@ object SparkEntry {
         |  s_scaled > (SELECT tot FROM tot) AS alarm
         | FROM s ORDER BY d""".stripMargin,
 
+    // χ² replay: the same full grid (zero cells included), the same
+    // per-cell fixed-point rounding before the integer sum.
+    "a28_chi2_independence" ->
+      """WITH cells AS (SELECT event_type, user_id % 2 AS variant,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        | r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+        |   FROM cells GROUP BY 1),
+        | c AS (SELECT variant, CAST(sum(o) AS BIGINT) AS ct
+        |   FROM cells GROUP BY 1),
+        | tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        | grid AS (SELECT r.event_type, c.variant, r.rt, c.ct,
+        |    coalesce(cells.o, 0) AS o, (SELECT n FROM tot) AS n
+        |  FROM r CROSS JOIN c
+        |  LEFT JOIN cells ON cells.event_type = r.event_type
+        |    AND cells.variant = c.variant),
+        | terms AS (SELECT *,
+        |    CAST(round(pow(CAST(o AS DOUBLE) * n
+        |      - CAST(rt AS DOUBLE) * ct, 2)
+        |      / (CAST(rt AS DOUBLE) * ct * n) * 1e9) AS BIGINT)
+        |      AS term_fp
+        |  FROM grid)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST((count(DISTINCT event_type) - 1)
+        |    * (count(DISTINCT variant) - 1) AS BIGINT) AS df,
+        |  CAST(sum(term_fp) AS BIGINT) AS chi2_fp
+        | FROM terms""".stripMargin,
+
     // Mann-Whitney replay: per-value midranks doubled to integers, the
     // HUGEINT tie term, the same pinned z expression and guards.
     "a27_mann_whitney" ->
@@ -9684,6 +9756,36 @@ object SparkEntry {
         |    CAST(NULL AS VARCHAR)))
         |  v(doc_id, n_bytes, thumb_hex)
         |ORDER BY doc_id""".stripMargin,
+
+    // PCM block replay: the 8 fixture samples' per-block peaks and sums
+    // of squares hand-computed (32767² and 32768 exercise both int16
+    // extremes); the truncated fixture redistributes 6 samples over 4
+    // blocks by the same integer bounds; the corpus clause is the
+    // RIFF-magic tripwire.
+    "m12_audio_blocks" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(-30 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(1000 AS BIGINT), CAST(1000000 AS BIGINT)),
+        |  (CAST(-30 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(32767 AS BIGINT), CAST(1074676289 AS BIGINT)),
+        |  (CAST(-30 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(32768 AS BIGINT), CAST(1073741849 AS BIGINT)),
+        |  (CAST(-30 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(100 AS BIGINT), CAST(10025 AS BIGINT)),
+        |  (CAST(-29 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(-29 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(1000 AS BIGINT), CAST(2000000 AS BIGINT)),
+        |  (CAST(-29 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+        |   CAST(32767 AS BIGINT), CAST(1073676289 AS BIGINT)),
+        |  (CAST(-29 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(32768 AS BIGINT), CAST(1073741849 AS BIGINT)))
+        |  v(doc_id, block, n_samples, peak, sumsq)
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        | FROM documents WHERE substr(text, 1, 4) = 'RIFF'
+        |ORDER BY doc_id, block""".stripMargin,
 
     // EXIF replay: fixture tags hand-walked from the assembled APP1
     // bytes; corpus rows (not JPEG) and the EXIF-less JPEG are all-NULL.

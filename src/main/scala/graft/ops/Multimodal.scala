@@ -405,6 +405,54 @@ object Multimodal {
         col("media_type"))
   }
 
+  /** REAL PCM sample decode for WAV payloads — per-block absolute peak
+    * and exact integer sum of squares over `nBlocks` equal time blocks
+    * ([[graft.functions.AudioBlocks]]): the loudness/clipping audit an
+    * audio ingest runs, decoded from the actual little-endian 16-bit
+    * samples (not just the header). Non-WAV payloads decode to NULL and
+    * vanish in the explode; truncated data chunks clip to the bytes
+    * present. One codegen projection + explode, no shuffle.
+    */
+  def audioBlockTable(media: DataFrame, nBlocks: Int): DataFrame = {
+    val blocks = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.AudioBlocks(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("payload")),
+        nBlocks))
+    media.select(col("doc_id"), blocks.as("blocks"))
+      .select(col("doc_id"), explode(col("blocks")).as("b"))
+      .select(col("doc_id"),
+        col("b.block").cast("long").as("block"),
+        col("b.n_samples").as("n_samples"),
+        col("b.peak").cast("long").as("peak"),
+        col("b.sumsq").as("sumsq"))
+  }
+
+  /** PCM WAV fixtures with hand-computable block statistics: 8 known
+    * samples spanning both int16 extremes; the same WAV truncated
+    * mid-data (clips to 6 samples); and a FLAC payload the PCM decoder
+    * refuses.
+    */
+  def fixtureWavs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val fmtPcm16 = "666D7420" + "10000000" + "0100" + "0100" +
+      "401F0000" + "803E0000" + "0200" + "1000"
+    // samples 0, 1000, -1000, 32767, -32768, 5, -5, 100
+    val data16 = "0000" + "E803" + "18FC" + "FF7F" + "0080" + "0500" +
+      "FBFF" + "6400"
+    val wav = "52494646" + "34000000" + "57415645" + fmtPcm16 +
+      "64617461" + "10000000" + data16
+    Seq(
+      (-30L, wav, "audio/wav"),
+      // truncated after 6 samples: data claims 16 bytes, 12 present
+      (-29L, wav.substring(0, wav.length - 8), "audio/wav"),
+      // FLAC: refused by the PCM decoder → zero rows
+      (-28L, "664C614300000022" + "10001000" + "000000000000" +
+        "0BB802F0" + "00075300", "audio/flac")
+    ).toDF("doc_id", "hex", "media_type")
+      .select(col("doc_id"), unhex(col("hex")).as("payload"),
+        col("media_type"))
+  }
+
   /** Batch feature extraction via mapPartitions (the mapInPandas analogue).
     * Partition-parallel, no shuffle; output is a typed Dataset.
     */
