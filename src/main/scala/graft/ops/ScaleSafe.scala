@@ -133,7 +133,7 @@ object ScaleSafe {
       .select(col("__b"), col("__off"))
     local.join(broadcast(offs), "__b")
       .withColumn(outCol, col("__lrn") + col("__off"))
-      .drop("__b", "__lrn")
+      .drop("__b", "__lrn", "__off")
   }
 
   /** Adds `outCol` = running sum of `valueCol` over `orderCols` (rows
@@ -157,7 +157,7 @@ object ScaleSafe {
       .select(col("__b"), col("__off"))
     local.join(broadcast(offs), "__b")
       .withColumn(outCol, col("__lsum") + col("__off"))
-      .drop("__b", "__lsum")
+      .drop("__b", "__lsum", "__off")
   }
 
   /** Monotone bucket id for a long-typed order key (a NAMED column)

@@ -176,4 +176,53 @@ class PropertySpec extends SparkSpec {
         }
     }, n = 5)
   }
+
+  test("ScaleSafe.exactRankValueBracket equals the reference selection " +
+      "for arbitrary rank targets over tied data") {
+    val gen = for {
+      vals <- Gen.listOfN(60, Gen.chooseNum(0L, 8L)) // heavy ties
+      q <- Gen.oneOf(0.1, 0.5, 0.9)
+    } yield (vals, q)
+    check(Prop.forAllNoShrink(gen) { case (vals, q) =>
+      val df = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .toDF("v", "id")
+      val n = vals.size
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      val ref = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .sortBy(identity).apply((target - 1).toInt)._1
+      val got = graft.ops.ScaleSafe.exactRankValueBracket(
+          df, "v", "id", q, _ => target)
+        .head().getLong(0)
+      got == ref
+    }, n = 5)
+  }
+
+  test("ScaleSafe two-level scans equal their global windows on " +
+      "arbitrary bucket layouts") {
+    val gen = for {
+      ts <- Gen.listOfN(50, Gen.chooseNum(100L, 199L)) // ties across buckets
+      buckets <- Gen.oneOf(1, 3, 8)
+    } yield (ts, buckets)
+    // NoShrink: chooseNum shrinks toward 0, escaping the generator's
+    // domain (buckets = 0, ts below the bucket range)
+    check(Prop.forAllNoShrink(gen) { case (ts, buckets) =>
+      val df = ts.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+        .toDF("t", "id")
+      val bucket = graft.ops.ScaleSafe.rangeBucket("t", 100L, 199L, buckets)
+      val rn = graft.ops.ScaleSafe.rowNumberBucketed(
+          df, Seq(col("t"), col("id")), bucket, "rn")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+      val ref = ts.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+        .sortBy(identity).zipWithIndex
+        .map { case ((_, id), r) => id -> (r + 1).toLong }.toMap
+      val rs = graft.ops.ScaleSafe.runningSumBucketed(
+          df, Seq(col("t"), col("id")), bucket, "id", "run")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+      val refRun = ts.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+        .sortBy(identity)
+        .scanLeft((0L, 0L)) { case ((_, acc), (_, id)) => (id, acc + id) }
+        .drop(1).toMap
+      rn == ref && rs == refRun
+    }, n = 5)
+  }
 }
