@@ -3271,6 +3271,15 @@ object SparkEntry {
           queryName = "graft_psi_" + System.nanoTime())
         .orderBy("w_us")),
 
+    // ---- ST25: streaming SAMPLE-RATIO-MISMATCH monitor — a28's χ²
+    // live: per-day windowed A/B split counts (one stateful agg, O(2)
+    // state per window), the two-cell uniform χ² = (n0−n1)²/n exact
+    // rational per decided window, alarm at 3.841 (p<0.05) -------------
+    "st25_stream_srm" -> ((s, dir) =>
+      StreamOps.streamSrm(s, dir,
+          queryName = "graft_srm_" + System.nanoTime())
+        .orderBy("w_us")),
+
     // ---- ST14: ListState through transformWithState — O(k) per-key
     // recent-events buffer (last 3 by recency, ties by event id) ---------
     "st14_list_state" -> ((s, dir) =>
@@ -10081,6 +10090,29 @@ object SparkEntry {
     // PSI drift replay: batch daily bucket histogram on the decided
     // prefix (st16's end < max ts rule), fixed 0..9 grid, same smoothed
     // fixed-point term, same 0.2 alert threshold.
+    // Streaming SRM replay: batch day-window split counts on the
+    // watermark-decided prefix (windows whose end precedes max ts),
+    // same exact (n0−n1)²/n and 3.841 alarm.
+    "st25_stream_srm" ->
+      """WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS us,
+        |    user_id % 2 AS variant FROM events),
+        | wm AS (SELECT max(us) AS w FROM e),
+        | c AS (SELECT us - us % 86400000000 AS w_us,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1
+        |  FROM e GROUP BY 1)
+        |SELECT w_us, n0, n1,
+        |  CASE WHEN n0 + n1 = 0 THEN NULL ELSE
+        |    CAST(round(pow(CAST(n0 - n1 AS DOUBLE), 2) / (n0 + n1)
+        |      * 1e9) AS BIGINT) END AS chi2_fp,
+        |  CASE WHEN n0 + n1 = 0 THEN NULL ELSE
+        |    CAST(round(pow(CAST(n0 - n1 AS DOUBLE), 2) / (n0 + n1)
+        |      * 1e9) AS BIGINT) > 3841000000 END AS srm
+        | FROM c WHERE w_us + 86400000000 < (SELECT w FROM wm)
+        | ORDER BY w_us""".stripMargin,
+
     "st24_stream_psi_drift" ->
       """WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us,
         |    least(9, CAST(round(value * 100) AS BIGINT) // 5000) AS bucket

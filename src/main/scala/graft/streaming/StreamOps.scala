@@ -1381,6 +1381,47 @@ object StreamOps {
     * per-bucket term rounded to 1e-9 before the integer sum, so the
     * batch replay hash-matches under any partitioning.
     */
+  /** Streaming SAMPLE-RATIO-MISMATCH monitor — the live sibling of the
+    * a28 χ² audit and the first alarm every experimentation platform
+    * wires: per event-day window, the A/B split (user parity) counts
+    * through ONE stateful windowed aggregation (O(2) state per open
+    * window), and the decided prefix is scored against the designed
+    * 50/50 allocation with the df=1 χ², which for a two-cell uniform
+    * expectation collapses to the EXACT rational (n0−n1)²/n — one
+    * double per window, fixed-pointed; alarm at the 3.841 critical
+    * value (p < 0.05). A drifting assignment hash or a
+    * variant-dependent data loss trips it within a day.
+    */
+  def streamSrm(spark: SparkSession, dir: String,
+                queryName: String): DataFrame = {
+    val counts = eventStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .select(col("ts"), (col("user_id") % 2).as("variant"))
+      .groupBy(window(col("ts"), "1 day"), col("variant"))
+      .agg(count(lit(1)).as("c"))
+    withStatePartitions(spark, HarnessStateParts) {
+      val q = counts.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(queryName)
+      .select(unix_micros(col("window.start")).as("w_us"),
+        col("variant"), col("c"))
+      .groupBy("w_us")
+      .agg(
+        sum(when(col("variant") === 0, col("c")).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 1, col("c")).otherwise(0L)).as("n1"))
+      .withColumn("chi2_fp", expr(
+        "CASE WHEN n0 + n1 = 0 THEN NULL ELSE " +
+          "CAST(round(pow(CAST(n0 - n1 AS DOUBLE), 2) / (n0 + n1)" +
+          " * 1e9) AS BIGINT) END"))
+      .withColumn("srm", col("chi2_fp") > 3841000000L)
+  }
+
   def streamPsiDrift(spark: SparkSession, dir: String,
                      queryName: String): DataFrame = {
     val baselineEnd = 1704153600000000L // 2024-01-02T00:00:00Z, micros
