@@ -4583,6 +4583,94 @@ object SparkEntry {
     // flag stewardship queues triage on. ONE union + ONE key-keyed hash
     // aggregation — reconciliation of N sources at 100 TB costs one
     // shuffle of the union --------------------------------------------
+    // ---- J14: REFERENTIAL-INTEGRITY audit — the orphan check every
+    // migration program in the reference hand-rolls per table
+    // (children whose parent row is missing), run for the whole schema
+    // in one pass: per FK edge, total rows and orphan count via a
+    // left-anti join (NULL keys count as orphans — a strict audit),
+    // all edges unioned into one report. Each anti-join broadcasts the
+    // parent KEY COLUMN only, so auditing a 100 TB fact table costs
+    // one scan per edge with a broadcast probe ------------------------
+    "j14_fk_audit" -> ((s, dir) => {
+      def one(nm: String, c: DataFrame, k: String, p: DataFrame,
+              pk: String): DataFrame = {
+        val orphans = c.select(col(k))
+          .join(broadcast(p.select(col(pk))), col(k) === col(pk),
+            "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        c.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(broadcast(orphans))
+          .select(lit(nm).as("fk"), col("n_rows"), col("n_orphans"),
+            (col("n_orphans") === 0L).as("ok"))
+      }
+      Seq(
+        one("customer.c_nationkey->nation", t(s, dir, "customer"),
+          "c_nationkey", t(s, dir, "nation"), "n_nationkey"),
+        one("lineitem.l_orderkey->orders", t(s, dir, "lineitem"),
+          "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+        one("lineitem.l_partkey->part", t(s, dir, "lineitem"),
+          "l_partkey", t(s, dir, "part"), "p_partkey"),
+        one("lineitem.l_suppkey->supplier", t(s, dir, "lineitem"),
+          "l_suppkey", t(s, dir, "supplier"), "s_suppkey"),
+        one("nation.n_regionkey->region", t(s, dir, "nation"),
+          "n_regionkey", t(s, dir, "region"), "r_regionkey"),
+        one("orders.o_custkey->customer", t(s, dir, "orders"),
+          "o_custkey", t(s, dir, "customer"), "c_custkey"),
+        one("supplier.s_nationkey->nation", t(s, dir, "supplier"),
+          "s_nationkey", t(s, dir, "nation"), "n_nationkey"))
+        .reduce(_ unionByName _)
+        .orderBy("fk")
+    }),
+
+    // ---- A29: SPEARMAN rank correlation — the robust monotone-
+    // association readout between per-user spend and activity:
+    // midranks per variable (a27's doubled-integer discipline) — but
+    // unlike a25/a27's bounded value domains, per-user SPEND has
+    // user-cardinality distinct values, so the cumulative rank runs on
+    // the ScaleSafe two-level prefix scan (no unpartitioned window over
+    // unbounded input — the r7 lesson applied at authoring time, not
+    // retrofitted). Ranks broadcast back onto the user table, Pearson
+    // over the integer rank pairs with decimal(38,0) product sums
+    // (the e22 lesson) and ONE pinned double at the end ----------------
+    "a29_spearman" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase",
+            cents(col("value"))).otherwise(0L)).as("x"),
+          count(lit(1)).as("y"))
+      def midrank2(values: DataFrame, vCol: String): DataFrame = {
+        val cnt = values.groupBy(col(vCol)).agg(count(lit(1)).as("c"))
+        val mm = cnt.agg(min(col(vCol)).as("lo"), max(col(vCol)).as("hi"))
+          .head()
+        if (mm.isNullAt(0))
+          cnt.select(col(vCol), lit(1L).as(vCol + "_r2"))
+        else ScaleSafe.runningSumBucketed(cnt, Seq(col(vCol)),
+            ScaleSafe.rangeBucket(vCol, mm.getLong(0), mm.getLong(1), 32),
+            "c", "cum")
+          .select(col(vCol),
+            (lit(2L) * (col("cum") - col("c")) + col("c") + 1L)
+              .as(vCol + "_r2"))
+      }
+      val d19 = "decimal(19,0)"
+      u.join(broadcast(midrank2(u.select("x"), "x")), "x")
+        .join(broadcast(midrank2(u.select("y"), "y")), "y")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x_r2")).as("sx"), sum(col("y_r2")).as("sy"),
+          sum(col("x_r2").cast(d19) * col("y_r2").cast(d19)).as("sxy"),
+          sum(col("x_r2").cast(d19) * col("x_r2").cast(d19)).as("sxx"),
+          sum(col("y_r2").cast(d19) * col("y_r2").cast(d19)).as("syy"))
+        .withColumn("rho_fp", expr(
+          "CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)" +
+            " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)" +
+            " <= 0.0 THEN NULL ELSE " +
+            "CAST(round((CAST(n AS DOUBLE) * sxy" +
+            " - CAST(sx AS DOUBLE) * sy)" +
+            " / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)" +
+            " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))" +
+            " * 1e9) AS BIGINT) END"))
+        .select("n", "rho_fp")
+    }),
+
     "j13_golden_record" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val s1 = c.filter(col("c_custkey") % 2 === 0)
@@ -7461,6 +7549,106 @@ object SparkEntry {
         |SELECT d, v, s_scaled,
         |  s_scaled > (SELECT tot FROM tot) AS alarm
         | FROM s ORDER BY d""".stripMargin,
+
+    // FK-audit replay: NOT EXISTS per edge (anti-join semantics
+    // including NULL-child-key orphans), one UNION ALL report.
+    "j14_fk_audit" ->
+      """SELECT 'customer.c_nationkey->nation' AS fk,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer c WHERE NOT
+        |    EXISTS (SELECT 1 FROM nation n
+        |      WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans,
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n
+        |      WHERE n.n_nationkey = c.c_nationkey)) = 0 AS ok
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey->orders',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    = 0
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) = 0
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |    = 0
+        |UNION ALL
+        |SELECT 'nation.n_regionkey->region',
+        |  (SELECT count(*) FROM nation),
+        |  (SELECT count(*) FROM nation n WHERE NOT EXISTS
+        |    (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)),
+        |  (SELECT count(*) FROM nation n WHERE NOT EXISTS
+        |    (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+        |    = 0
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |    = 0
+        |UNION ALL
+        |SELECT 'supplier.s_nationkey->nation',
+        |  (SELECT count(*) FROM supplier),
+        |  (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n
+        |      WHERE n.n_nationkey = s.s_nationkey)),
+        |  (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n
+        |      WHERE n.n_nationkey = s.s_nationkey)) = 0
+        |ORDER BY fk""".stripMargin,
+
+    // Spearman replay: midranks from a cumulative window over the
+    // distinct-value count tables (the replay side need not be
+    // scale-safe), same decimal products and pinned double.
+    "a29_spearman" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        | cx AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM u
+        |   GROUP BY x),
+        | rx AS (SELECT x, 2 * (CAST(sum(c) OVER (ORDER BY x
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) - c) + c + 1 AS x_r2
+        |   FROM cx),
+        | cy AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM u
+        |   GROUP BY y),
+        | ry AS (SELECT y, 2 * (CAST(sum(c) OVER (ORDER BY y
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) - c) + c + 1 AS y_r2
+        |   FROM cy),
+        | j AS (SELECT u.user_id, rx.x_r2, ry.y_r2 FROM u
+        |   JOIN rx ON u.x = rx.x JOIN ry ON u.y = ry.y),
+        | agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x_r2) AS BIGINT) AS sx,
+        |    CAST(sum(y_r2) AS BIGINT) AS sy,
+        |    sum(CAST(x_r2 AS HUGEINT) * y_r2) AS sxy,
+        |    sum(CAST(x_r2 AS HUGEINT) * x_r2) AS sxx,
+        |    sum(CAST(y_r2 AS HUGEINT) * y_r2) AS syy
+        |  FROM j)
+        |SELECT n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+        |      <= 0.0 THEN NULL ELSE
+        |    CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        |      * 1e9) AS BIGINT) END AS rho_fp
+        | FROM agg""".stripMargin,
 
     // χ² replay: the same full grid (zero cells included), the same
     // per-cell fixed-point rounding before the integer sum.

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-computable semantics for the round-8 analytics operators —
+  * the gate queries run on corpus-sized data; these pin the math on
+  * inputs small enough to verify by hand.
+  */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FK audit counts orphans, including NULL child keys") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None)
+      .toDF("fk")
+    val orphans = child
+      .join(broadcast(parent), col("fk") === col("pk"), "left_anti")
+      .count()
+    // 9 has no parent; NULL never equi-matches → strict-audit orphan
+    assert(orphans === 2L)
+  }
+
+  test("Spearman midranks: perfect monotone pairs give rho = 1, " +
+      "reversed give -1, ties get midranks") {
+    def rho(pairs: Seq[(Long, Long)]): Long = {
+      def midrank2(vs: Seq[Long]): Map[Long, Long] = {
+        val sorted = vs.sorted
+        vs.distinct.map { v =>
+          val before = sorted.count(_ < v)
+          val c = sorted.count(_ == v)
+          v -> (2L * before + c + 1)
+        }.toMap
+      }
+      val rx = midrank2(pairs.map(_._1))
+      val ry = midrank2(pairs.map(_._2))
+      val n = pairs.size.toDouble
+      val xs = pairs.map(p => rx(p._1).toDouble)
+      val ys = pairs.map(p => ry(p._2).toDouble)
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+      math.round((n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e9)
+    }
+    assert(rho(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))) === 1000000000L)
+    assert(rho(Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L))) === -1000000000L)
+    // with a tie in x, |rho| < 1 even for monotone y
+    val tied = rho(Seq((1L, 10L), (1L, 20L), (3L, 30L)))
+    assert(tied > 0 && tied < 1000000000L)
+  }
+
+  test("CUSUM prefix-min identity equals the max(0, S+x-k) recurrence") {
+    // daily values, k = mean; recurrence on the left, identity on the
+    // right (both n-scaled so the mean never divides)
+    val v = Seq(10L, 12L, 8L, 30L, 31L, 9L, 11L)
+    val n = v.size
+    val tot = v.sum
+    // recurrence: S'_i = max(0, S'_{i-1} + n*v_i - tot)
+    val rec = v.scanLeft(0L) { (s, x) => math.max(0L, s + n * x - tot) }
+      .drop(1)
+    // identity: P'_i - min_{j<=i} P'_j
+    val p = v.scanLeft(0L) { (acc, x) => acc + n * x - tot }.drop(1)
+    val ident = p.zipWithIndex.map { case (pi, i) =>
+      pi - math.min(0L, p.take(i + 1).min) }
+    assert(rec === ident)
+  }
+
+  test("two-cell uniform chi-square collapses to (n0-n1)^2/n") {
+    val (n0, n1) = (600.0, 400.0)
+    val n = n0 + n1
+    val e = n / 2
+    val classic = math.pow(n0 - e, 2) / e + math.pow(n1 - e, 2) / e
+    val collapsed = math.pow(n0 - n1, 2) / n
+    assert(math.abs(classic - collapsed) < 1e-9)
+  }
+
+  test("Mann-Whitney doubled midranks: U for a clean separation is " +
+      "n1*n2; z guards fire on degenerate inputs") {
+    // sample A = {1,2}, B = {10, 20}: every A < every B, U1 = 0,
+    // u1_x2 = 2*R1 - n1(n1+1) with R1 = 1+2 = 3 → u1_x2 = 0
+    val ev = Seq((1L, true), (2L, true), (10L, false), (20L, false))
+      .toDF("v", "is_a")
+    val counts = ev.groupBy("v").agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("c2"))
+      .withColumn("c", col("c1") + col("c2"))
+    val wB = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(Long.MinValue, -1)
+    val r = counts
+      .withColumn("cum_before", coalesce(sum("c").over(wB), lit(0L)))
+      .withColumn("midrank2", lit(2L) * col("cum_before") + col("c") + 1L)
+      .agg(sum(col("c1")).as("n1"),
+        sum(expr("c1 * midrank2")).as("r1_x2"))
+      .head()
+    assert(r.getLong(1) - r.getLong(0) * (r.getLong(0) + 1) === 0L)
+  }
+}
