@@ -1881,6 +1881,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- T32: CODE-vs-PROSE detector — the filter an LLM corpus runs
+    // to route code into its own mixture bucket: indented-line fraction
+    // and code-symbol density from pure integer counts (translate +
+    // line split, no UDF), a fixed integer-ratio rule for the flag.
+    // One codegen projection per doc --------------------------------------
+    "t32_code_detect" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(col("text"), "\n", -1)).cast("long").as("n_lines"),
+          (length(col("text")) -
+            length(translate(col("text"), "{}();=<>[]", "")))
+            .cast("long").as("n_symbols"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(expr("filter(split(text, '\n', -1)," +
+            " x -> x rlike '^(  |\t)')")).cast("long").as("n_indented"))
+        .withColumn("is_code",
+          col("n_chars") > 0 &&
+            (col("n_symbols") * 20 >= col("n_chars") ||
+              col("n_indented") * 5 >= col("n_lines") * 2))
+        .orderBy("doc_id")),
+
     "t2_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -7549,6 +7570,24 @@ object SparkEntry {
         |SELECT d, v, s_scaled,
         |  s_scaled > (SELECT tot FROM tot) AS alarm
         | FROM s ORDER BY d""".stripMargin,
+
+    // Code-detector replay: the same translate/line-split integer
+    // counts and the same fixed integer-ratio rule.
+    "t32_code_detect" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(length(text)
+        |      - length(translate(text, '{}();=<>[]', ''))
+        |      AS BIGINT) AS n_symbols,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      x -> regexp_matches(x, '^(  |\t)'))) AS BIGINT)
+        |      AS n_indented
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, n_lines, n_symbols, n_chars, n_indented,
+        |  n_chars > 0 AND (n_symbols * 20 >= n_chars
+        |    OR n_indented * 5 >= n_lines * 2) AS is_code
+        | FROM d ORDER BY doc_id""".stripMargin,
 
     // FK-audit replay: NOT EXISTS per edge (anti-join semantics
     // including NULL-child-key orphans), one UNION ALL report.

@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions._
   *     count/sum, cumulated in one tiny window) broadcasts the carry
   *     back. Cost: one full-data exchange + one map-side-combined agg.
   *
+  * SKEW caveat (documented, not hidden): the bucket function maps each
+  * distinct order-key VALUE to one bucket, so a single value holding a
+  * large fraction of all rows concentrates its rows in one task — the
+  * same hot-key behavior as any hash/range partitioning. The remedy at
+  * true scale is a broadcast boundary table that gives each hot value
+  * DEDICATED sub-buckets split by the tie column (monotone within the
+  * value, so ranks stay exact) — one small pre-aggregation to find hot
+  * values, then the same two-level scan; not implemented here because
+  * none of the gated order keys (event timestamps, md5 prefixes,
+  * distinct cents values) can concentrate by construction, and an
+  * untestable code path is worse than a documented one.
+  *
   * Path selection follows the [[graft.Checkpoints.DirConf]] pattern:
   * gates that honor [[PathConf]] run the classic global window when it
   * is unset (the readout-sized default) and these operators when it is
