@@ -19,6 +19,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional session confs (local iteration only): lets the whole
+    // battery run under an alternate engine path, e.g.
+    //   SPARK_GRAFT_CONF=spark.graft.scaleRankPath=distributed
+    // (comma-separated k=v pairs). Results must match the same oracles.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) =>
