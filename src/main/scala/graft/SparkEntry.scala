@@ -1881,6 +1881,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- C15: QUALITY-GATED mixture selection — the composition of
+    // t2's quality score with c9's per-source quota discipline: the
+    // top-10 documents per source by (quality desc, doc_id). The rank
+    // filter plans as WindowGroupLimit (per-partition top-k, no full
+    // sort) — curating the best slice of each source at 100 TB costs
+    // one partial-top-k exchange ----------------------------------------
+    "c15_quality_mixture" -> ((s, dir) => {
+      val q = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality").desc, col("doc_id"))
+      q.withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+        .select("source", "doc_id", "quality")
+        .orderBy("source", "doc_id")
+    }),
+
     // ---- T32: CODE-vs-PROSE detector — the filter an LLM corpus runs
     // to route code into its own mixture bucket: indented-line fraction
     // and code-symbol density from pure integer counts (translate +
@@ -7570,6 +7587,23 @@ object SparkEntry {
         |SELECT d, v, s_scaled,
         |  s_scaled > (SELECT tot FROM tot) AS alarm
         | FROM s ORDER BY d""".stripMargin,
+
+    // Quality-mixture replay: t2's quality formula verbatim, the same
+    // per-source (quality desc, doc_id) top-10.
+    "c15_quality_mixture" ->
+      """WITH q AS (SELECT doc_id, source,
+        |  least(1.0, CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) / 100.0) * 0.5
+        |  + (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |           / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3
+        |  + least(1.0, CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |        tk -> tk IN ('the','a','and','of','to','is','in','that','it','for'))) AS DOUBLE)
+        |      * 5.0 / greatest(CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE), 1.0)) * 0.2
+        |  AS quality
+        |  FROM documents WHERE text IS NOT NULL),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id) AS rr FROM q)
+        |SELECT source, doc_id, quality FROM r WHERE rr <= 10
+        | ORDER BY source, doc_id""".stripMargin,
 
     // Code-detector replay: the same translate/line-split integer
     // counts and the same fixed integer-ratio rule.
