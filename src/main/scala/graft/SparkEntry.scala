@@ -1129,6 +1129,25 @@ object SparkEntry {
         .orderBy(col("aa_fp").desc, col("x"), col("y")).limit(30)
     }),
 
+    // ---- G17: bounded K-TRUSS — the FULL co-purchase graph (every
+    // pair sharing an order; g7's >= 2-order pruning would leave a
+    // near-triangle-free graph) filtered to edges in >= 4 triangles
+    // (k=6), two rounds of support-recompute + semi-join (the
+    // edge-cohesion sibling of g5's k-core) -----------------------------
+    "g17_ktruss" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = op.select(col("ok"), col("pk").as("part_a"))
+      val b = op.select(col("ok").as("ok_b"), col("pk").as("part_b"))
+      val edges = a.join(b,
+          col("ok") === col("ok_b") && col("part_a") < col("part_b"))
+        .select("part_a", "part_b").distinct()
+      graft.ops.Graph.kTruss(edges, "part_a", "part_b", k = 6,
+          rounds = 2)
+        .orderBy("a", "b")
+    }),
+
     // ---- G16: LABEL PROPAGATION communities — g7's co-purchase graph
     // partitioned by 3 synchronous LPA rounds (most-frequent neighbor
     // label, ties to the smallest — the deterministic, replayable form).
@@ -3823,6 +3842,37 @@ object SparkEntry {
         .withColumn("s_scaled", col("p") - min("p").over(wRun))
         .withColumn("alarm", col("s_scaled") > col("tot"))
         .select("d", "v", "s_scaled", "alarm")
+        .orderBy("d")
+    }),
+
+    // ---- E30: SEASONAL-RESIDUAL anomaly detection — e19's weekday
+    // sibling with a robust threshold: residual = today − same weekday
+    // last week (a lag-7 self-join on the day table), flagged when
+    // |resid − median(resid)| > 3·MAD — median and MAD by the exact
+    // low-median rank trick, ALL in integer cents (no float anywhere).
+    // Corpus cost is one day aggregation; every window runs on the
+    // calendar-bounded day table ----------------------------------------
+    "e30_seasonal_anomaly" -> ((s, dir) => {
+      val days = t(s, dir, "events")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+        .agg(sum(cents(col("value"))).as("v"))
+      val resid = days.join(
+          days.select((col("d") + 7).as("d"), col("v").as("v_prev")), "d")
+        .withColumn("resid", col("v") - col("v_prev"))
+      def lowMedian(df: DataFrame, c: String): DataFrame =
+        df.withColumn("__rn", row_number().over(Window.orderBy(c, "d")))
+          .crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
+          .filter(col("__rn") === expr("(__n + 1) div 2"))
+          .select(col(c).as(c + "_med"))
+      val med = lowMedian(resid, "resid")
+      val withDev = resid.crossJoin(broadcast(med))
+        .withColumn("dev", abs(col("resid") - col("resid_med")))
+      val mad = lowMedian(withDev.select(col("d"), col("dev").as("resid")),
+        "resid").select(col("resid_med").as("mad"))
+      withDev.crossJoin(broadcast(mad))
+        .withColumn("is_anom",
+          abs(col("resid") - col("resid_med")) > lit(3L) * col("mad"))
+        .select("d", "v", "resid", "is_anom")
         .orderBy("d")
     }),
 
@@ -6707,6 +6757,30 @@ object SparkEntry {
         |SELECT x, y, n_common, aa_fp FROM ne
         | ORDER BY aa_fp DESC, x, y LIMIT 30""".stripMargin,
 
+    // k-truss replay: g7's graph, two unrolled support-filter rounds.
+    "g17_ktruss" -> {
+      val rounds = (1 to 2).map { r =>
+        val p = r - 1
+        s""",
+           | adj$r AS (SELECT a AS x, b AS n FROM u$p
+           |   UNION ALL SELECT b, a FROM u$p),
+           | sup$r AS (SELECT u$p.a, u$p.b, count(*) AS support
+           |  FROM u$p
+           |  JOIN adj$r na ON na.x = u$p.a
+           |  JOIN adj$r nb ON nb.x = u$p.b AND nb.n = na.n
+           |  GROUP BY 1, 2),
+           | u$r AS (SELECT u$p.a, u$p.b FROM u$p
+           |  JOIN sup$r ON sup$r.a = u$p.a AND sup$r.b = u$p.b
+           |  WHERE sup$r.support >= 4)""".stripMargin
+      }.mkString
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem),
+        | u0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk)"""
+        .stripMargin + rounds +
+        "\nSELECT a, b FROM u2 ORDER BY a, b"
+    },
+
     // Label-propagation replay: g7's graph, 3 unrolled synchronous
     // rounds, the same (count desc, label asc) argmax per node.
     "g16_label_propagation" -> {
@@ -7722,6 +7796,29 @@ object SparkEntry {
         |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
         |      * 1e9) AS BIGINT) END AS rho_fp
         | FROM agg""".stripMargin,
+
+    // Seasonal-anomaly replay: same lag-7 day join, same exact integer
+    // low-median / MAD ranks, same 3-MAD flag.
+    "e30_seasonal_anomaly" ->
+      """WITH days AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000
+        |    AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        | res AS (SELECT a.d, a.v, a.v - b.v AS resid
+        |  FROM days a JOIN days b ON a.d = b.d + 7),
+        | med AS (SELECT resid AS m FROM (
+        |    SELECT resid, row_number() OVER (ORDER BY resid, d) AS rn
+        |    FROM res)
+        |  WHERE rn = (SELECT (count(*) + 1) // 2 FROM res)),
+        | dev AS (SELECT d, v, resid,
+        |    abs(resid - (SELECT m FROM med)) AS dv FROM res),
+        | mad AS (SELECT dv AS m FROM (
+        |    SELECT dv, row_number() OVER (ORDER BY dv, d) AS rn FROM dev)
+        |  WHERE rn = (SELECT (count(*) + 1) // 2 FROM dev))
+        |SELECT d, v, resid,
+        |  abs(resid - (SELECT m FROM med)) > 3 * (SELECT m FROM mad)
+        |    AS is_anom
+        | FROM dev ORDER BY d""".stripMargin,
 
     // χ² replay: the same full grid (zero cells included), the same
     // per-cell fixed-point rounding before the integer sum.

@@ -404,6 +404,36 @@ object Graph {
     labels
   }
 
+  /** Bounded k-TRUSS filtering (Cohen 2008) — the edge-level cohesion
+    * sibling of g5's k-core: keep edges supported by ≥ k−2 triangles,
+    * recompute support on the surviving edges, repeat for a FIXED
+    * number of rounds (the bounded, replayable form — full truss
+    * decomposition iterates to fixpoint; at 100 TB the fixed-round
+    * prefix is the production cut, exactly the k-core gate's
+    * discipline). Per round: one wedge join over the current edge set
+    * (the g2 triangle shape), one count, one semi-join filter; lineage
+    * severed per round.
+    */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
+             k: Int, rounds: Int = 2): DataFrame = {
+    var und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    (1 to rounds).foreach { _ =>
+      val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+        .select(col("a").as("x"), col("b").as("n"))
+      val sup = und
+        .join(adj.select(col("x").as("a"), col("n")), "a")
+        .join(adj.select(col("x").as("b"), col("n")), Seq("b", "n"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      und = graft.Checkpoints.sever(
+        und.join(sup.filter(col("support") >= k - 2),
+          Seq("a", "b"), "left_semi"))
+    }
+    und
+  }
+
   /** Adamic-Adar link prediction (Adamic & Adar 2003) — the
     * degree-discounted sibling of [[linkPrediction]]'s Jaccard:
     * AA(x,y) = Σ_{z ∈ Γ(x)∩Γ(y)} 1/ln d(z), so a common neighbor that

@@ -130,6 +130,19 @@ class GraphSpec extends SparkSpec {
     assert(sssp(e, 1L, 1) === Map(1L -> 0L, 2L -> 3L))
   }
 
+  test("k-truss: support filtering keeps cohesive edges and cascades " +
+      "deletions across rounds") {
+    // K5 minus edge (4,5): every remaining edge sits in >= 2 triangles
+    // (k=4 keeps all 9), but at k=5 the spoke edges (support 2) die in
+    // round 1 and the leftover triangle (support 1) dies in round 2.
+    val edges = (for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j))
+      .filterNot(_ == (4L, 5L)).toDF("s", "d")
+    val k4 = Graph.kTruss(edges, "s", "d", k = 4, rounds = 2).count()
+    assert(k4 === 9L)
+    val k5 = Graph.kTruss(edges, "s", "d", k = 5, rounds = 2).count()
+    assert(k5 === 0L)
+  }
+
   test("label propagation converges two cliques to their min labels " +
       "and breaks ties deterministically") {
     // two K4 cliques bridged by one edge: each clique's internal
