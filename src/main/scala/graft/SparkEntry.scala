@@ -10767,8 +10767,11 @@ object SparkEntry {
         |  SELECT event_id AS purchase_id, user_id,
         |    CAST(epoch_us(ts) AS BIGINT) AS p_us
         |   FROM events WHERE event_type = 'purchase'
-        |    AND epoch_us(ts) <=
-        |      (SELECT max(epoch_us(ts)) - 14400000000 FROM events)),
+        |    AND epoch_us(ts) <= (SELECT least(
+        |        max(CASE WHEN event_type = 'purchase'
+        |          THEN epoch_us(ts) END),
+        |        max(CASE WHEN event_type = 'click'
+        |          THEN epoch_us(ts) END)) - 14400000000 FROM events)),
         | c AS (
         |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS c_us
         |   FROM events WHERE event_type = 'click')

@@ -1178,19 +1178,26 @@ object StreamOps {
     *
     * Determinism under the hash gate: an unmatched left row emits only
     * when the GLOBAL watermark (the MIN across both inputs) clears
-    * `p_ts + 2 h`, and the final no-data micro-batch parks the watermark
-    * at `max(ts) − 1 h`. Purchases inside the last 3 h of the corpus are
-    * therefore still undecided when the query drains, so the gate keeps
-    * only purchases with `p_ts ≤ max(ts) − 4 h` — and that cutoff is
-    * applied AFTER the join: filtering the purchase STREAM itself would
-    * cap its per-source watermark at `cutoff − 1 h` and drag the global
-    * minimum down with it, silently re-hiding the tail it was meant to
-    * expose. The batch mirror is the same LEFT JOIN with the same cutoff.
+    * `p_ts + 2 h`, and the final no-data micro-batch parks each input's
+    * watermark at that INPUT's `max(ts) − 1 h` — the clicks stream's
+    * watermark stops at the last CLICK, not the last event (at a sparse
+    * scale factor the two can differ by hours; found by the sf0.001
+    * robustness sweep, round 8). So the decided prefix is
+    * `p_ts ≤ min(max purchase ts, max click ts) − 4 h` (3 h for the
+    * watermark algebra + 1 h margin), and the cutoff is applied AFTER
+    * the join: filtering the purchase STREAM itself would cap its
+    * per-source watermark at `cutoff − 1 h` and drag the global minimum
+    * down with it, silently re-hiding the tail it was meant to expose.
+    * The batch mirror is the same LEFT JOIN with the same cutoff.
     */
   def streamStreamLeftOuter(spark: SparkSession, dir: String,
                             queryName: String): DataFrame = {
-    val maxUs = Tables.load(spark, dir, "events")
-      .agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
+    val ev0 = Tables.load(spark, dir, "events")
+    val maxUs = ev0
+      .agg(least(
+        max(when(col("event_type") === "purchase", unix_micros(col("ts")))),
+        max(when(col("event_type") === "click", unix_micros(col("ts"))))))
+      .collect().head.getLong(0)
     val cutoffUs = maxUs - 4L * 3600L * 1000000L
     val purchases = eventStream(spark, dir)
       .filter(col("event_type") === "purchase")
