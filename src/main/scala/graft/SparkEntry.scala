@@ -1900,6 +1900,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- D23: WINNOWING fingerprints (Schleimer, Wilkerson & Aiken
+    // 2003 — the MOSS algorithm): per document, hash every 3-token
+    // gram (md5 — the same function both engines own, so the selection
+    // is replayable), keep the MINIMUM hash of every 4-gram window,
+    // distinct the survivors; any fingerprint shared by ≥ 2 documents
+    // is a guaranteed-overlap detection (winnowing's coverage theorem:
+    // every match of ≥ w+k−1 tokens shares a selected fingerprint).
+    // Map-only per doc, then one fingerprint-keyed aggregation — the
+    // substring-level plagiarism/dup detector at corpus scale ---------
+    "d23_winnowing" -> ((s, dir) => {
+      val fps = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), expr(
+          "CASE WHEN size(tk) < 3 THEN array()" +
+            " ELSE transform(sequence(1, size(tk) - 2), i ->" +
+            " md5(concat_ws(' ', element_at(tk, i)," +
+            " element_at(tk, i + 1), element_at(tk, i + 2)))) END")
+          .as("h"))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(h) < 4 THEN array_distinct(h)" +
+            " ELSE array_distinct(transform(sequence(1, size(h) - 3)," +
+            " j -> array_min(slice(h, j, 4)))) END")).as("fp"))
+      fps.groupBy("fp")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("fp")
+    }),
+
     // ---- C15: QUALITY-GATED mixture selection — the composition of
     // t2's quality score with c9's per-source quota discipline: the
     // top-10 documents per source by (quality desc, doc_id). The rank
@@ -3845,6 +3875,19 @@ object SparkEntry {
         .orderBy("d")
     }),
 
+    // ---- E31: UPLIFT BY ENGAGEMENT DECILE — the targeting readout
+    // after e21's average effect: users ranked by pre-period engagement
+    // (view count), cut into deciles, per-decile conversion-rate delta
+    // between arms in exact basis points. The corpus-rank runs the
+    // global window by default and the ScaleSafe two-level scan under
+    // the conf / in the e31b twin ---------------------------------------
+    "e31_uplift_deciles" -> ((s, dir) =>
+      upliftDeciles(s, dir, distributed = false)),
+
+    // ---- E31B: e31 on the PRODUCTION rank path; same oracle ----------
+    "e31b_uplift_deciles" -> ((s, dir) =>
+      upliftDeciles(s, dir, distributed = true)),
+
     // ---- E30: SEASONAL-RESIDUAL anomaly detection — e19's weekday
     // sibling with a robust threshold: residual = today − same weekday
     // last week (a lag-7 self-join on the day table), flagged when
@@ -5365,6 +5408,46 @@ object SparkEntry {
       .select("n_viewers", "n_converted", "p50_s", "p90_s")
   }
 
+  /** e31/e31b: uplift by engagement decile. Rank by (score desc,
+    * user_id) spelled as (−score asc, user_id) so the distributed path
+    * can range-bucket the negated score directly.
+    */
+  private def upliftDeciles(s: SparkSession, dir: String,
+                            distributed: Boolean): DataFrame = {
+    val u = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      .withColumn("negscore", -col("score"))
+    val withRn =
+      if (distributed || ScaleSafe.distributed(s)) {
+        val mm = u.agg(min(col("negscore")).as("lo"),
+          max(col("negscore")).as("hi")).head()
+        ScaleSafe.rowNumberBucketed(u,
+          Seq(col("negscore"), col("user_id")),
+          ScaleSafe.rangeBucket("negscore", mm.getLong(0),
+            mm.getLong(1), 32), "rn")
+      } else u.withColumn("rn", row_number().over(
+        Window.orderBy("negscore", "user_id")).cast("long"))
+    withRn.crossJoin(broadcast(u.agg(count(lit(1)).as("n_u"))))
+      .withColumn("decile", expr("(10 * (rn - 1)) div n_u"))
+      .withColumn("variant", col("user_id") % 2)
+      .groupBy("decile")
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 0, col("converted")).otherwise(0L))
+          .as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, col("converted")).otherwise(0L))
+          .as("c1"))
+      .withColumn("uplift_bp", expr(
+        "CASE WHEN n0 = 0 OR n1 = 0 THEN NULL ELSE" +
+          " c1 * 10000 div n1 - c0 * 10000 div n0 END"))
+      .orderBy("decile")
+  }
+
   /** x10/x10b: sweep-line peak concurrency. The running sum over the
     * boundary points is a global window by default; the distributed
     * path buckets by a deterministic time-range split (2 scalar reads
@@ -5676,6 +5759,7 @@ object SparkEntry {
     "t31b_heaps_law" -> oracleSqlBase("t31_heaps_law"),
     // SQL-surface twins (sql4-sql12): the pure-SQL spelling of an
     // existing gate, gated on that gate's oracle verbatim.
+    "e31b_uplift_deciles" -> oracleSqlBase("e31_uplift_deciles"),
     "sql4_window_rank" -> oracleSqlBase("w1_rank"),
     "sql5_rollup" -> oracleSqlBase("a6_rollup"),
     "sql6_exact_dedup" -> oracleSqlBase("d1_exact_dedup"),
@@ -7662,6 +7746,28 @@ object SparkEntry {
         |  s_scaled > (SELECT tot FROM tot) AS alarm
         | FROM s ORDER BY d""".stripMargin,
 
+    // Winnowing replay: same md5 gram hashes, same window minima
+    // (list_sort[1] — lexicographic over lowercase hex, identical to
+    // array_min), same shared-fingerprint filter.
+    "d23_winnowing" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        | g AS (SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN []
+        |      ELSE list_transform(range(1, len(tk) - 1), i ->
+        |        md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS h
+        |  FROM t),
+        | f AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(h) < 4 THEN list_distinct(h)
+        |      ELSE list_distinct(list_transform(range(1, len(h) - 2),
+        |        j -> list_sort(h[j:j+3])[1])) END) AS fp
+        |  FROM g)
+        |SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        | FROM f GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        | ORDER BY fp""".stripMargin,
+
     // Quality-mixture replay: t2's quality formula verbatim, the same
     // per-source (quality desc, doc_id) top-10.
     "c15_quality_mixture" ->
@@ -7796,6 +7902,36 @@ object SparkEntry {
         |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
         |      * 1e9) AS BIGINT) END AS rho_fp
         | FROM agg""".stripMargin,
+
+    // Uplift-decile replay: same (score desc, user_id) rank, same
+    // floor-decile cut, same integer basis points.
+    "e31_uplift_deciles" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS score,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS converted
+        |  FROM events GROUP BY user_id),
+        | r AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY score DESC, user_id)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS n_u FROM u),
+        | d AS (SELECT (10 * (rn - 1)) // n_u AS decile,
+        |    user_id % 2 AS variant, converted FROM r),
+        | a AS (SELECT decile,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+        |      AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+        |      AS BIGINT) AS c1
+        |  FROM d GROUP BY decile)
+        |SELECT decile, n0, c0, n1, c1,
+        |  CASE WHEN n0 = 0 OR n1 = 0 THEN NULL ELSE
+        |    c1 * 10000 // n1 - c0 * 10000 // n0 END AS uplift_bp
+        | FROM a ORDER BY decile""".stripMargin,
 
     // Seasonal-anomaly replay: same lag-7 day join, same exact integer
     // low-median / MAD ranks, same 3-MAD flag.
