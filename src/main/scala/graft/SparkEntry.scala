@@ -3283,6 +3283,35 @@ object SparkEntry {
     // daily view/click activity spans); pairs meet on an equality
     // (user, bin) key and are emitted exactly once at the bin holding the
     // overlap's start, so there is no dedup exchange and no nested loop. --
+    // ---- X12: interval-overlap AGGREGATE — x5's banded interval join
+    // reduced to the co-presence readout: per user, how many
+    // view/click span pairs overlapped and for how long in total (the
+    // session-engagement metric). Same bucketed range join, one extra
+    // user-keyed aggregation ---------------------------------------------
+    "x12_overlap_totals" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("day",
+          datediff(to_date(col("ts")), lit("1970-01-01")))
+      def spans(tp: String, dayN: String, sN: String, eN: String) = ev
+        .filter(col("event_type") === tp)
+        .groupBy(col("user_id"), col("day").as(dayN))
+        .agg(min(col("us")).as(sN), max(col("us")).as(eN))
+      val views = spans("view", "v_day", "v_start", "v_end")
+      val clicks = spans("click", "c_day", "c_start", "c_end")
+      graft.ops.RangeJoin.intervalOverlap(views, clicks,
+          "v_start", "v_end", "c_start", "c_end",
+          Seq("user_id"), binWidth = 86400000000L)
+        .select(col("user_id"),
+          (least(col("v_end"), col("c_end")) -
+            greatest(col("v_start"), col("c_start"))).as("overlap_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(col("overlap_us")).as("total_overlap_us"),
+          max(col("overlap_us")).as("max_overlap_us"))
+        .orderBy("user_id")
+    }),
+
     "x5_interval_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .withColumn("us", unix_micros(col("ts")))
@@ -3949,6 +3978,52 @@ object SparkEntry {
           sum(col("term_fp")).as("chi2_fp"))
         .withColumn("df", (col("r") - 1) * (col("c") - 1))
         .select("n", "n_cells", "df", "chi2_fp")
+    }),
+
+    // ---- A31: WELCH's t-test — the unequal-variance two-sample mean
+    // test completing the battery's inference suite (z: e21, U: a27,
+    // KS: a25, χ²: a28): per-arm n/Σx/Σx² from ONE rollup (squares in
+    // decimal(38,0)/HUGEINT — the e22 lesson), sample variances, the t
+    // statistic and the Welch–Satterthwaite df as pinned doubles,
+    // NULL-guarded at n<2 or zero pooled variance ----------------------
+    "a31_welch_ttest" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase",
+          cents(col("value"))).otherwise(0L)).as("x"))
+        .select((col("user_id") % 2).as("variant"), col("x"))
+      u.agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("variant") === 0, col("x")).otherwise(0L)).as("s0"),
+          sum(expr("CASE WHEN variant = 0 THEN" +
+            " CAST(x AS DECIMAL(19,0)) * x" +
+            " ELSE CAST(0 AS DECIMAL(38,0)) END")).as("q0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("variant") === 1, col("x")).otherwise(0L)).as("s1"),
+          sum(expr("CASE WHEN variant = 1 THEN" +
+            " CAST(x AS DECIMAL(19,0)) * x" +
+            " ELSE CAST(0 AS DECIMAL(38,0)) END")).as("q1"))
+        .withColumn("v0_d", expr(
+          "CASE WHEN n0 < 2 THEN NULL ELSE" +
+            " (CAST(n0 AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0)" +
+            " / (CAST(n0 AS DOUBLE) * (n0 - 1)) END"))
+        .withColumn("v1_d", expr(
+          "CASE WHEN n1 < 2 THEN NULL ELSE" +
+            " (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)" +
+            " / (CAST(n1 AS DOUBLE) * (n1 - 1)) END"))
+        .withColumn("se2_d", expr("v0_d / n0 + v1_d / n1"))
+        .withColumn("t_fp", expr(
+          "CASE WHEN se2_d IS NULL OR se2_d <= 0.0 THEN NULL ELSE" +
+            " CAST(round((CAST(s1 AS DOUBLE) / n1" +
+            " - CAST(s0 AS DOUBLE) / n0) / sqrt(se2_d) * 1e6)" +
+            " AS BIGINT) END"))
+        .withColumn("df_fp", expr(
+          "CASE WHEN se2_d IS NULL OR se2_d <= 0.0 THEN NULL ELSE" +
+            " CAST(round(se2_d * se2_d" +
+            " / ((v0_d / n0) * (v0_d / n0) / (n0 - 1)" +
+            " + (v1_d / n1) * (v1_d / n1) / (n1 - 1)) * 1e3)" +
+            " AS BIGINT) END"))
+        .select("n0", "n1", "t_fp", "df_fp")
     }),
 
     // ---- A27: MANN-WHITNEY U test — the rank-sum A/B readout for
@@ -7746,6 +7821,28 @@ object SparkEntry {
         |  s_scaled > (SELECT tot FROM tot) AS alarm
         | FROM s ORDER BY d""".stripMargin,
 
+    // Overlap-totals replay: x5's CTEs + one user-keyed aggregation.
+    "x12_overlap_totals" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    event_type FROM events),
+        | v AS (SELECT user_id, day AS v_day,
+        |    min(us) AS v_start, max(us) AS v_end
+        |   FROM ev WHERE event_type = 'view' GROUP BY user_id, day),
+        | c AS (SELECT user_id, day AS c_day,
+        |    min(us) AS c_start, max(us) AS c_end
+        |   FROM ev WHERE event_type = 'click' GROUP BY user_id, day),
+        | o AS (SELECT v.user_id,
+        |    CAST(least(v_end, c_end) - greatest(v_start, c_start)
+        |      AS BIGINT) AS overlap_us
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |    AND v_start <= c_end AND c_start <= v_end)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  CAST(sum(overlap_us) AS BIGINT) AS total_overlap_us,
+        |  CAST(max(overlap_us) AS BIGINT) AS max_overlap_us
+        | FROM o GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // Winnowing replay: same md5 gram hashes, same window minima
     // (list_sort[1] — lexicographic over lowercase hex, identical to
     // array_min), same shared-fingerprint filter.
@@ -7984,6 +8081,48 @@ object SparkEntry {
         |    * (count(DISTINCT variant) - 1) AS BIGINT) AS df,
         |  CAST(sum(term_fp) AS BIGINT) AS chi2_fp
         | FROM terms""".stripMargin,
+
+    // Welch replay: same one-rollup sums (squares in HUGEINT), same
+    // variance/t/df pinned doubles and guards.
+    "a31_welch_ttest" ->
+      """WITH u AS (SELECT user_id % 2 AS variant,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM events GROUP BY user_id),
+        | w AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT)
+        |      AS s0,
+        |    sum(CASE WHEN variant = 0 THEN CAST(x AS HUGEINT) * x
+        |      ELSE 0 END) AS q0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT)
+        |      AS s1,
+        |    sum(CASE WHEN variant = 1 THEN CAST(x AS HUGEINT) * x
+        |      ELSE 0 END) AS q1
+        |  FROM u),
+        | v AS (SELECT *,
+        |    CASE WHEN n0 < 2 THEN NULL ELSE
+        |      (CAST(n0 AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0)
+        |      / (CAST(n0 AS DOUBLE) * (n0 - 1)) END AS v0_d,
+        |    CASE WHEN n1 < 2 THEN NULL ELSE
+        |      (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+        |      / (CAST(n1 AS DOUBLE) * (n1 - 1)) END AS v1_d
+        |  FROM w),
+        | se AS (SELECT *, v0_d / n0 + v1_d / n1 AS se2_d FROM v)
+        |SELECT n0, n1,
+        |  CASE WHEN se2_d IS NULL OR se2_d <= 0.0 THEN NULL ELSE
+        |    CAST(round((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+        |      / sqrt(se2_d) * 1e6) AS BIGINT) END AS t_fp,
+        |  CASE WHEN se2_d IS NULL OR se2_d <= 0.0 THEN NULL ELSE
+        |    CAST(round(se2_d * se2_d
+        |      / ((v0_d / n0) * (v0_d / n0) / (n0 - 1)
+        |      + (v1_d / n1) * (v1_d / n1) / (n1 - 1)) * 1e3)
+        |      AS BIGINT) END AS df_fp
+        | FROM se""".stripMargin,
 
     // Mann-Whitney replay: per-value midranks doubled to integers, the
     // HUGEINT tie term, the same pinned z expression and guards.
