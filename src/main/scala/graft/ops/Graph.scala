@@ -410,9 +410,15 @@ object Graph {
     * number of rounds (the bounded, replayable form — full truss
     * decomposition iterates to fixpoint; at 100 TB the fixed-round
     * prefix is the production cut, exactly the k-core gate's
-    * discipline). Per round: one wedge join over the current edge set
-    * (the g2 triangle shape), one count, one semi-join filter; lineage
-    * severed per round.
+    * discipline). Per round: one degree-ordered support count (the
+    * [[triangleCount]] orientation, NOT the naive bidirectional wedge
+    * join — a hub of degree d would contribute d² wedge rows per round,
+    * which is exactly the quadratic blow-up the orientation's O(√m)
+    * out-list bound removes; each triangle is enumerated once at its
+    * apex and exploded to its three edges), then one semi-join filter;
+    * lineage severed per round. The orientation changes intermediate
+    * sizes, never the support counts, so the naive-replay oracle still
+    * hash-matches.
     */
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
              k: Int, rounds: Int = 2): DataFrame = {
@@ -421,17 +427,41 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
     (1 to rounds).foreach { _ =>
-      val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
-        .select(col("a").as("x"), col("b").as("n"))
-      val sup = und
-        .join(adj.select(col("x").as("a"), col("n")), "a")
-        .join(adj.select(col("x").as("b"), col("n")), Seq("b", "n"))
-        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      val sup = edgeSupport(und)
       und = graft.Checkpoints.sever(
         und.join(sup.filter(col("support") >= k - 2),
           Seq("a", "b"), "left_semi"))
     }
     und
+  }
+
+  /** Per-edge triangle support over a normalized (a<b, distinct) edge
+    * set — the edge-level refinement of [[triangleCount]]: the same
+    * degree-ordered orientation enumerates each triangle exactly once
+    * at its apex (the node whose two triangle edges both point away),
+    * then the triangle is exploded back to its three undirected edges
+    * and counted. Degrees are recomputed on the CURRENT edge set each
+    * call; the orientation is only an enumeration device, so which
+    * degree snapshot orders it cannot change the counts.
+    */
+  private def edgeSupport(und: DataFrame): DataFrame = {
+    val (_, oriented) = orientEdges(und, "a", "b")
+    val w1 = oriented.select(col("u"), col("w").as("v1"), col("rw").as("r1"))
+    val w2 = oriented.select(col("u"), col("w").as("v2"), col("rw").as("r2"))
+    val tri = w1.join(w2, Seq("u")).filter(col("r1") < col("r2"))
+      .join(oriented.select(col("u").as("v1"), col("w").as("v2")),
+        Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    // One explode, not three self-unions: a union of three tri
+    // projections would re-run the wedge join three times.
+    val edge = (x: Column, y: Column) =>
+      struct(least(x, y).as("a"), greatest(x, y).as("b"))
+    tri.select(explode(array(
+        edge(col("u"), col("v1")),
+        edge(col("u"), col("v2")),
+        edge(col("v1"), col("v2")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
   }
 
   /** Adamic-Adar link prediction (Adamic & Adar 2003) — the
