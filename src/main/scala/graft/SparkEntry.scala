@@ -3312,6 +3312,50 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- X13: ALLEN INTERVAL-RELATION profile (Allen 1983) — x12's
+    // banded interval join classified into the interval algebra's
+    // co-occurring relations (equals / starts / finishes / meets /
+    // during / contains / overlaps + inverses; 'before'/'after' pairs
+    // never meet the join and would be a cross product — exactly the
+    // pairs the banded join is designed NOT to enumerate). The CASE
+    // ladder is evaluated in the same order on both engines, so
+    // degenerate point-intervals classify identically. Output is
+    // |relations| rows -----------------------------------------------------
+    "x13_allen_relations" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("day",
+          datediff(to_date(col("ts")), lit("1970-01-01")))
+      def spans(tp: String, dayN: String, sN: String, eN: String) = ev
+        .filter(col("event_type") === tp)
+        .groupBy(col("user_id"), col("day").as(dayN))
+        .agg(min(col("us")).as(sN), max(col("us")).as(eN))
+      val views = spans("view", "v_day", "v_start", "v_end")
+      val clicks = spans("click", "c_day", "c_start", "c_end")
+      graft.ops.RangeJoin.intervalOverlap(views, clicks,
+          "v_start", "v_end", "c_start", "c_end",
+          Seq("user_id"), binWidth = 86400000000L)
+        .withColumn("relation", expr(
+          "CASE WHEN v_start = c_start AND v_end = c_end THEN 'equals'" +
+            " WHEN v_start = c_start AND v_end < c_end THEN 'starts'" +
+            " WHEN v_start = c_start THEN 'started_by'" +
+            " WHEN v_end = c_end AND v_start > c_start THEN 'finishes'" +
+            " WHEN v_end = c_end THEN 'finished_by'" +
+            " WHEN v_end = c_start THEN 'meets'" +
+            " WHEN c_end = v_start THEN 'met_by'" +
+            " WHEN v_start > c_start AND v_end < c_end THEN 'during'" +
+            " WHEN v_start < c_start AND v_end > c_end THEN 'contains'" +
+            " WHEN v_start < c_start THEN 'overlaps'" +
+            " ELSE 'overlapped_by' END"))
+        .groupBy("relation")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(least(col("v_end"), col("c_end")) -
+            greatest(col("v_start"), col("c_start")))
+            .as("total_overlap_us"))
+        .orderBy("relation")
+    }),
+
     "x5_interval_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .withColumn("us", unix_micros(col("ts")))
@@ -3986,6 +4030,50 @@ object SparkEntry {
     // decimal(38,0)/HUGEINT — the e22 lesson), sample variances, the t
     // statistic and the Welch–Satterthwaite df as pinned doubles,
     // NULL-guarded at n<2 or zero pooled variance ----------------------
+    // ---- A30: THEIL-SEN robust trend (Theil 1950, Sen 1968) — the
+    // median of pairwise slopes over each nation's monthly revenue
+    // series: one outlier month moves OLS arbitrarily but shifts the
+    // slope median by at most one rank. Pairs are formed WITHIN a
+    // nation over MONTH-level rollups, so the self-join and the rank
+    // window are both bounded by the calendar (≤ 84 months → ≤ 3.5k
+    // pairs per nation at any corpus size — the partitioned-window
+    // discipline, never corpus-row windows). Slopes are exact-integer
+    // differences divided as doubles (correctly-rounded IEEE on both
+    // engines); the median avoids quantile-algorithm divergence by
+    // selecting middle ranks explicitly -----------------------------------
+    "a30_theil_sen" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"),
+          ((year(col("o_orderdate")) - 1992) * 12 +
+            month(col("o_orderdate")) - 1).as("m"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      val a = monthly.select(col("nation"), col("m").as("m1"),
+        col("rev").as("r1"))
+      val b = monthly.select(col("nation").as("nation_b"),
+        col("m").as("m2"), col("rev").as("r2"))
+      val slopes = a.join(b,
+          col("nation") === col("nation_b") && col("m1") < col("m2"))
+        .select(col("nation"),
+          ((col("r2") - col("r1")).cast("double") /
+            (col("m2") - col("m1")).cast("double")).as("slope"))
+      val wR = Window.partitionBy("nation").orderBy("slope")
+      val wN = Window.partitionBy("nation")
+      slopes
+        .withColumn("r", row_number().over(wR))
+        .withColumn("n", count(lit(1)).over(wN))
+        // middle rank(s): (n+1) div 2 and n div 2 + 1 coincide when n
+        // is odd; ties in slope are value-equal, so the median value is
+        // deterministic even though tied ranks are not.
+        .filter(expr("r = (n + 1) div 2 OR r = n div 2 + 1"))
+        .groupBy("nation")
+        .agg(max(col("n")).as("n_pairs"),
+          expr("CAST(round(avg(slope) * 1e6) AS BIGINT)")
+            .as("slope_fp"))
+        .orderBy("nation")
+    }),
+
     "a31_welch_ttest" -> ((s, dir) => {
       val u = t(s, dir, "events")
         .groupBy("user_id")
@@ -4024,6 +4112,82 @@ object SparkEntry {
             " + (v1_d / n1) * (v1_d / n1) / (n1 - 1)) * 1e3)" +
             " AS BIGINT) END"))
         .select("n0", "n1", "t_fp", "df_fp")
+    }),
+
+    // ---- E32: BENJAMINI-HOCHBERG FDR control (1995) across the
+    // experiment's metric battery — the multiple-comparisons step every
+    // multi-metric A/B readout needs: 6 per-user metrics, a Welch z per
+    // metric (a31's exact-moment formula), then BH in Z-SPACE — the
+    // per-rank p-value cutoffs α·i/K enter as PRECOMPUTED Φ⁻¹ literals
+    // (identical constants in engine and oracle), so no normal-CDF
+    // approximation ever runs and the comparison is a double-vs-literal
+    // predicate both engines evaluate identically. One corpus shuffle
+    // (per-user agg); everything after is K=6 rows — the rank window and
+    // the max-hit broadcast are metric-count-bounded, never corpus-bound
+    "e32_fdr_bh" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .withColumn("v_cents", cents(col("value")))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "purchase", col("v_cents"))
+            .otherwise(0L)).as("m_revenue"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("m_purchases"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("m_views"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("m_clicks"),
+          sum(col("v_cents")).as("m_value_all"),
+          countDistinct(to_date(col("ts"))).as("m_active_days"))
+        .select((col("user_id") % 2).as("variant"),
+          expr("stack(6," +
+            " 'm_active_days', m_active_days," +
+            " 'm_clicks', m_clicks," +
+            " 'm_purchases', m_purchases," +
+            " 'm_revenue', m_revenue," +
+            " 'm_value_all', m_value_all," +
+            " 'm_views', m_views) AS (metric, x)"))
+      val z = u.groupBy("metric").agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("variant") === 0, col("x")).otherwise(0L)).as("s0"),
+          sum(expr("CASE WHEN variant = 0 THEN" +
+            " CAST(x AS DECIMAL(19,0)) * x" +
+            " ELSE CAST(0 AS DECIMAL(38,0)) END")).as("q0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("variant") === 1, col("x")).otherwise(0L)).as("s1"),
+          sum(expr("CASE WHEN variant = 1 THEN" +
+            " CAST(x AS DECIMAL(19,0)) * x" +
+            " ELSE CAST(0 AS DECIMAL(38,0)) END")).as("q1"))
+        .withColumn("v0_d", expr(
+          "CASE WHEN n0 < 2 THEN NULL ELSE" +
+            " (CAST(n0 AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0)" +
+            " / (CAST(n0 AS DOUBLE) * (n0 - 1)) END"))
+        .withColumn("v1_d", expr(
+          "CASE WHEN n1 < 2 THEN NULL ELSE" +
+            " (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)" +
+            " / (CAST(n1 AS DOUBLE) * (n1 - 1)) END"))
+        .withColumn("se2_d", expr("v0_d / n0 + v1_d / n1"))
+        .withColumn("abs_z", expr(
+          "CASE WHEN se2_d IS NULL OR se2_d <= 0.0 THEN NULL ELSE" +
+            " abs((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)" +
+            " / sqrt(se2_d)) END"))
+      // Φ⁻¹(1 − 0.05·i/(2·6)) for i = 1..6 — the BH ladder at α = 0.05.
+      val ranked = z.withColumn("rank", row_number().over(
+          Window.orderBy(col("abs_z").desc_nulls_last, col("metric"))))
+        .withColumn("thr", expr(
+          "CASE rank WHEN 1 THEN 2.638257 WHEN 2 THEN 2.39398" +
+            " WHEN 3 THEN 2.241403 WHEN 4 THEN 2.128045" +
+            " WHEN 5 THEN 2.036834 ELSE 1.959964 END"))
+        .withColumn("hit", col("abs_z") >= col("thr"))
+      val maxHit = ranked
+        .agg(max(when(col("hit"), col("rank"))).as("max_hit"))
+      ranked.crossJoin(broadcast(maxHit))
+        .withColumn("z_fp",
+          expr("CAST(round(abs_z * 1e6) AS BIGINT)"))
+        .withColumn("rejected",
+          coalesce(col("rank") <= col("max_hit"), lit(false)))
+        .select("metric", "n0", "n1", "z_fp", "rank", "rejected")
+        .orderBy("rank")
     }),
 
     // ---- A27: MANN-WHITNEY U test — the rank-sum A/B readout for
@@ -4601,6 +4765,20 @@ object SparkEntry {
           t(s, dir, "documents"), Seq("source", "lang"),
           epsilon = 1.0, seed = "graft-r7")
         .orderBy("source", "lang")),
+
+    // ---- V5: RECURSIVE (c,l)-DIVERSITY audit (Machanavajjhala 2007 §4)
+    // — the probabilistic-inference check plain l-diversity misses: the
+    // top sensitive value must not outweigh c× the tail beyond the first
+    // l−1 values. One (QID, sens) shuffle; the rank window is
+    // partitioned by the QID tuple (bounded by the sensitive domain,
+    // never corpus rows) --------------------------------------------------
+    "v5_recursive_ldiv" -> ((s, dir) =>
+      graft.ops.Governance.recursiveLDiversityAudit(
+          t(s, dir, "documents"),
+          qidCols = Seq(col("source"), expr("n_chars div 100")),
+          qidNames = Seq("source", "len_bucket"),
+          sensitive = col("lang"), l = 2, c = 2)
+        .orderBy("source", "len_bucket")),
 
     // ---- D17: benchmark LEAKAGE RATE — the evaluation-integrity number
     // a corpus release quotes: share of benchmark docs sharing any 4-gram
@@ -7843,6 +8021,39 @@ object SparkEntry {
         |  CAST(max(overlap_us) AS BIGINT) AS max_overlap_us
         | FROM o GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // Allen-relation replay: the same co-occurring pairs (the banded
+    // join's naive mirror), the same CASE ladder order.
+    "x13_allen_relations" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    event_type FROM events),
+        | v AS (SELECT user_id, day AS v_day,
+        |    min(us) AS v_start, max(us) AS v_end
+        |   FROM ev WHERE event_type = 'view' GROUP BY user_id, day),
+        | c AS (SELECT user_id, day AS c_day,
+        |    min(us) AS c_start, max(us) AS c_end
+        |   FROM ev WHERE event_type = 'click' GROUP BY user_id, day),
+        | o AS (SELECT v.user_id, v_start, v_end, c_start, c_end,
+        |    CASE WHEN v_start = c_start AND v_end = c_end THEN 'equals'
+        |      WHEN v_start = c_start AND v_end < c_end THEN 'starts'
+        |      WHEN v_start = c_start THEN 'started_by'
+        |      WHEN v_end = c_end AND v_start > c_start THEN 'finishes'
+        |      WHEN v_end = c_end THEN 'finished_by'
+        |      WHEN v_end = c_start THEN 'meets'
+        |      WHEN c_end = v_start THEN 'met_by'
+        |      WHEN v_start > c_start AND v_end < c_end THEN 'during'
+        |      WHEN v_start < c_start AND v_end > c_end THEN 'contains'
+        |      WHEN v_start < c_start THEN 'overlaps'
+        |      ELSE 'overlapped_by' END AS relation
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |    AND v_start <= c_end AND c_start <= v_end)
+        |SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(least(v_end, c_end) - greatest(v_start, c_start))
+        |    AS BIGINT) AS total_overlap_us
+        | FROM o GROUP BY relation ORDER BY relation""".stripMargin,
+
     // Winnowing replay: same md5 gram hashes, same window minima
     // (list_sort[1] — lexicographic over lowercase hex, identical to
     // array_min), same shared-fingerprint filter.
@@ -8084,6 +8295,96 @@ object SparkEntry {
 
     // Welch replay: same one-rollup sums (squares in HUGEINT), same
     // variance/t/df pinned doubles and guards.
+    // Theil-Sen replay: same monthly rollup, same within-nation pair
+    // slopes as doubles, same explicit middle-rank median selection.
+    "a30_theil_sen" ->
+      """WITH monthly AS (SELECT c_nationkey AS nation,
+        |    (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+        |      AS m,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        | p AS (SELECT a.nation,
+        |    CAST(b.rev - a.rev AS DOUBLE) / CAST(b.m - a.m AS DOUBLE)
+        |      AS slope
+        |  FROM monthly a JOIN monthly b
+        |    ON a.nation = b.nation AND a.m < b.m),
+        | rk AS (SELECT nation, slope,
+        |    row_number() OVER (PARTITION BY nation ORDER BY slope) AS r,
+        |    count(*) OVER (PARTITION BY nation) AS n FROM p)
+        |SELECT nation, CAST(max(n) AS BIGINT) AS n_pairs,
+        |  CAST(round(avg(slope) * 1e6) AS BIGINT) AS slope_fp
+        | FROM rk WHERE r = (n + 1) // 2 OR r = n // 2 + 1
+        | GROUP BY nation ORDER BY nation""".stripMargin,
+
+    // BH replay: the same six per-user metrics, a31's z algebra per
+    // metric, the same Φ⁻¹ literal ladder and z-space rejection rule.
+    "e32_fdr_bh" ->
+      """WITH u AS (SELECT user_id % 2 AS variant,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS m_revenue,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS m_purchases,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS m_views,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS m_clicks,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS m_value_all,
+        |    count(DISTINCT CAST(ts AS DATE)) AS m_active_days
+        |  FROM events GROUP BY user_id),
+        | st AS (
+        |  SELECT variant, 'm_active_days' AS metric,
+        |    CAST(m_active_days AS BIGINT) AS x FROM u
+        |  UNION ALL SELECT variant, 'm_clicks', m_clicks FROM u
+        |  UNION ALL SELECT variant, 'm_purchases', m_purchases FROM u
+        |  UNION ALL SELECT variant, 'm_revenue', m_revenue FROM u
+        |  UNION ALL SELECT variant, 'm_value_all', m_value_all FROM u
+        |  UNION ALL SELECT variant, 'm_views', m_views FROM u),
+        | w AS (SELECT metric,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT)
+        |      AS s0,
+        |    sum(CASE WHEN variant = 0 THEN CAST(x AS HUGEINT) * x
+        |      ELSE 0 END) AS q0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT)
+        |      AS s1,
+        |    sum(CASE WHEN variant = 1 THEN CAST(x AS HUGEINT) * x
+        |      ELSE 0 END) AS q1
+        |  FROM st GROUP BY metric),
+        | v AS (SELECT *,
+        |    CASE WHEN n0 < 2 THEN NULL ELSE
+        |      (CAST(n0 AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0)
+        |      / (CAST(n0 AS DOUBLE) * (n0 - 1)) END AS v0_d,
+        |    CASE WHEN n1 < 2 THEN NULL ELSE
+        |      (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+        |      / (CAST(n1 AS DOUBLE) * (n1 - 1)) END AS v1_d
+        |  FROM w),
+        | se AS (SELECT *, v0_d / n0 + v1_d / n1 AS se2_d FROM v),
+        | z AS (SELECT metric, n0, n1,
+        |    CASE WHEN se2_d IS NULL OR se2_d <= 0.0 THEN NULL ELSE
+        |      abs((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+        |        / sqrt(se2_d)) END AS abs_z
+        |  FROM se),
+        | rk AS (SELECT *, row_number() OVER (
+        |    ORDER BY abs_z DESC NULLS LAST, metric) AS rank FROM z),
+        | hit AS (SELECT *,
+        |    abs_z >= CASE rank WHEN 1 THEN 2.638257 WHEN 2 THEN 2.39398
+        |      WHEN 3 THEN 2.241403 WHEN 4 THEN 2.128045
+        |      WHEN 5 THEN 2.036834 ELSE 1.959964 END AS hit
+        |  FROM rk),
+        | mh AS (SELECT max(CASE WHEN hit THEN rank END) AS max_hit
+        |  FROM hit)
+        |SELECT metric, n0, n1,
+        |  CAST(round(abs_z * 1e6) AS BIGINT) AS z_fp,
+        |  CAST(rank AS BIGINT) AS rank,
+        |  coalesce(rank <= max_hit, false) AS rejected
+        | FROM hit CROSS JOIN mh ORDER BY rank""".stripMargin,
+
     "a31_welch_ttest" ->
       """WITH u AS (SELECT user_id % 2 AS variant,
         |    CAST(sum(CASE WHEN event_type = 'purchase'
@@ -11219,6 +11520,28 @@ object SparkEntry {
         |  count(*) >= 5 AS k_ok,
         |  count(DISTINCT lang) >= 3 AS l_ok
         | FROM documents GROUP BY source, len_bucket
+        | ORDER BY source, len_bucket""".stripMargin,
+
+    // Recursive (c,l)-diversity replay: the same (count desc, value asc)
+    // frequency rank within each QID group, r1 vs c-weighted tail.
+    "v5_recursive_ldiv" ->
+      """WITH base AS (SELECT source, n_chars // 100 AS len_bucket,
+        |    coalesce(CAST(lang AS VARCHAR), '~null~') AS sens
+        |  FROM documents),
+        | gs AS (SELECT source, len_bucket, sens, count(*) AS n_gs
+        |  FROM base GROUP BY 1, 2, 3),
+        | rk AS (SELECT *, row_number() OVER (
+        |    PARTITION BY source, len_bucket
+        |    ORDER BY n_gs DESC, sens) AS r FROM gs)
+        |SELECT source, len_bucket,
+        |  CAST(sum(n_gs) AS BIGINT) AS k_of_group,
+        |  CAST(count(*) AS BIGINT) AS n_sensitive,
+        |  CAST(max(CASE WHEN r = 1 THEN n_gs END) AS BIGINT) AS r1,
+        |  CAST(sum(CASE WHEN r >= 2 THEN n_gs ELSE 0 END) AS BIGINT)
+        |    AS tail_sum,
+        |  max(CASE WHEN r = 1 THEN n_gs END)
+        |    < 2 * sum(CASE WHEN r >= 2 THEN n_gs ELSE 0 END) AS rl_ok
+        | FROM rk GROUP BY source, len_bucket
         | ORDER BY source, len_bucket""".stripMargin,
 
     // t-closeness replay: the same cross-multiplied TVD algebra; the

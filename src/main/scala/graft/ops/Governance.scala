@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset-governance audits for training corpora — the re-identification
@@ -135,6 +136,46 @@ object Governance {
         first(lit(2L) * col("n_g") * col("n_total")).as("tvd_den"))
       .withColumn("tvd_bp", expr("tvd_num * 10000L div tvd_den"))
       .withColumn("t_ok", col("tvd_bp") <= tBasisPoints)
+  }
+
+  /** Recursive (c,l)-diversity audit (Machanavajjhala et al. 2007, §4) —
+    * the refinement plain l-diversity misses: a group can carry l
+    * distinct sensitive values and still be dominated by one of them
+    * (the probabilistic-inference attack: "5 diagnoses appear, but 95%
+    * of the group has diagnosis X"). With the group's sensitive counts
+    * frequency-ordered r₁ ≥ r₂ ≥ … ≥ r_m, the group passes iff
+    * r₁ < c·(r_l + r_{l+1} + … + r_m) — the most common value must not
+    * outweigh c times the tail beyond the first l−1 values.
+    *
+    * Exact integers throughout. Scale shape: one hash aggregation on
+    * (QID, sensitive) — the single corpus-sized shuffle — then a window
+    * PARTITIONED by the QID tuple over |distinct (QID, sensitive)| rows
+    * (bounded per partition by the sensitive domain, never by corpus
+    * rows) and a QID-keyed re-aggregation that reuses the same
+    * partitioning. Output is |distinct QID| rows.
+    */
+  def recursiveLDiversityAudit(df: DataFrame, qidCols: Seq[Column],
+                               qidNames: Seq[String], sensitive: Column,
+                               l: Int, c: Int): DataFrame = {
+    require(l >= 2, s"recursive (c,l)-diversity needs l >= 2, got $l")
+    val named = qidCols.zip(qidNames).map { case (q, n) => q.as(n) }
+    val base = df.select(named :+
+      coalesce(sensitive.cast("string"), lit("~null~")).as("__sens"): _*)
+    val gs = base.groupBy((qidNames.map(col) :+ col("__sens")): _*)
+      .agg(count(lit(1)).as("n_gs"))
+    // (count desc, value asc) is a total order, so the rank — and with
+    // it r1/tail_sum — is deterministic across engines.
+    val w = Window.partitionBy(qidNames.map(col): _*)
+      .orderBy(col("n_gs").desc, col("__sens"))
+    gs.withColumn("__r", row_number().over(w))
+      .groupBy(qidNames.map(col): _*)
+      .agg(
+        sum(col("n_gs")).as("k_of_group"),
+        count(lit(1)).as("n_sensitive"),
+        max(when(col("__r") === 1, col("n_gs"))).as("r1"),
+        sum(when(col("__r") >= l, col("n_gs")).otherwise(0L))
+          .as("tail_sum"))
+      .withColumn("rl_ok", col("r1") < lit(c.toLong) * col("tail_sum"))
   }
 
   /** The release decision the audit feeds: rows whose QID group violates

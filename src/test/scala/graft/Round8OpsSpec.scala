@@ -9,6 +9,63 @@ import org.apache.spark.sql.functions._
 class Round8OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("recursive (c,l)-diversity: a dominated group fails even with " +
+      "l distinct values; a balanced one passes") {
+    // group A: counts 9,1 → r1=9, tail=1, 9 < 2·1 false → fails
+    // group B: counts 3,3,2 → r1=3, tail=5, 3 < 2·5 true → passes
+    val rows = (Seq.fill(9)(("A", "x")) ++ Seq(("A", "y")) ++
+      Seq.fill(3)(("B", "x")) ++ Seq.fill(3)(("B", "y")) ++
+      Seq.fill(2)(("B", "z"))).toDF("qid", "sens")
+    val audit = ops.Governance.recursiveLDiversityAudit(rows,
+        Seq(col("qid")), Seq("qid"), col("sens"), l = 2, c = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("r1"), r.getAs[Long]("tail_sum"),
+          r.getAs[Boolean]("rl_ok"))).toMap
+    assert(audit("A") === ((9L, 1L, false)))
+    assert(audit("B") === ((3L, 5L, true)))
+  }
+
+  test("Theil-Sen median slope ignores a single outlier point that " +
+      "would wreck the OLS fit") {
+    // y = 10x except one wild outlier at x=3
+    val pts = Seq((0L, 0L), (1L, 10L), (2L, 20L), (3L, 900L), (4L, 40L))
+    val slopes = for {
+      (x1, y1) <- pts; (x2, y2) <- pts if x1 < x2
+    } yield (y2 - y1).toDouble / (x2 - x1).toDouble
+    val s = slopes.sorted
+    val n = s.size
+    val median =
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    assert(median === 10.0) // 7 of 10 pair slopes are exactly 10
+  }
+
+  test("Allen CASE ladder classifies the canonical relations and " +
+      "degenerate point intervals deterministically") {
+    def rel(vs: Long, ve: Long, cs: Long, ce: Long): String =
+      if (vs == cs && ve == ce) "equals"
+      else if (vs == cs && ve < ce) "starts"
+      else if (vs == cs) "started_by"
+      else if (ve == ce && vs > cs) "finishes"
+      else if (ve == ce) "finished_by"
+      else if (ve == cs) "meets"
+      else if (ce == vs) "met_by"
+      else if (vs > cs && ve < ce) "during"
+      else if (vs < cs && ve > ce) "contains"
+      else if (vs < cs) "overlaps"
+      else "overlapped_by"
+    assert(rel(0, 5, 0, 5) === "equals")
+    assert(rel(0, 3, 0, 5) === "starts")
+    assert(rel(2, 5, 0, 5) === "finishes")
+    assert(rel(0, 5, 2, 5) === "finished_by")
+    assert(rel(0, 5, 5, 9) === "meets")
+    assert(rel(2, 3, 0, 5) === "during")
+    assert(rel(0, 5, 2, 9) === "overlaps")
+    assert(rel(2, 9, 0, 5) === "overlapped_by")
+    // point interval at the other's start: starts, not meets —
+    // the ladder order decides, identically in engine and oracle
+    assert(rel(0, 0, 0, 5) === "starts")
+  }
+
   test("FK audit counts orphans, including NULL child keys") {
     val parent = Seq(1L, 2L, 3L).toDF("pk")
     val child = Seq(Some(1L), Some(1L), Some(9L), None)
