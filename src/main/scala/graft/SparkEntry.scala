@@ -1148,6 +1148,32 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // ---- G18: bounded STRESS centrality (Shimbel 1953) — the integer
+    // betweenness sibling: shortest paths THROUGH each interior node,
+    // from a deterministic 10% seed sample, depth-bounded at 3 (the
+    // g13 truncation discipline). Forward σ (sum-combine BFS) +
+    // backward continuation counts h, δ = σ·h — all exact integers;
+    // Brandes' rational δ recurrence would be FP-order-dependent and
+    // ungateable. 2·depth joins, lineage severed per level ----------------
+    "g18_stress_centrality" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = op.select(col("ok"), col("pk").as("part_a"))
+      val b = op.select(col("ok").as("ok_b"), col("pk").as("part_b"))
+      val edges = a.join(b,
+          col("ok") === col("ok_b") && col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+      val seeds = edges.select(col("part_a").as("s"))
+        .union(edges.select(col("part_b").as("s")))
+        .distinct().filter(col("s") % 10 === 0)
+      graft.ops.Graph.stressCentrality(edges, "part_a", "part_b",
+          seeds, maxDepth = 3)
+        .orderBy("v")
+    }),
+
     // ---- G16: LABEL PROPAGATION communities — g7's co-purchase graph
     // partitioned by 3 synchronous LPA rounds (most-frequent neighbor
     // label, ties to the smallest — the deterministic, replayable form).
@@ -7117,6 +7143,66 @@ object SparkEntry {
         .stripMargin + rounds +
         "\nSELECT a, b FROM u2 ORDER BY a, b"
     },
+
+    // Stress-centrality replay: g16's co-purchase graph, the same
+    // 10%-sample seeds, forward sum-combine BFS unrolled to depth 3
+    // (anti-joins spelled NOT EXISTS against each prior level), then
+    // the backward continuation counts h and the all-integer
+    // delta = sigma*h per interior level. Multiply-referenced levels
+    // are MATERIALIZED (DuckDB re-expands CTEs per reference).
+    "g18_stress_centrality" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem),
+        | ed AS (SELECT a.pk AS pa, b.pk AS pb
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | und AS MATERIALIZED (SELECT pa AS x, pb AS n FROM ed
+        |   UNION ALL SELECT pb, pa FROM ed),
+        | seeds AS (SELECT DISTINCT x AS s FROM und WHERE x % 10 = 0),
+        | l0 AS (SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma FROM seeds),
+        | l1 AS MATERIALIZED (SELECT l.s, u.n AS v,
+        |    CAST(sum(l.sigma) AS BIGINT) AS sigma
+        |  FROM l0 l JOIN und u ON l.v = u.x
+        |  WHERE u.n <> l.s GROUP BY 1, 2),
+        | l2 AS MATERIALIZED (SELECT c.s, c.v,
+        |    CAST(sum(c.sigma) AS BIGINT) AS sigma
+        |  FROM (SELECT l.s, u.n AS v, l.sigma
+        |        FROM l1 l JOIN und u ON l.v = u.x) c
+        |  WHERE c.v <> c.s
+        |    AND NOT EXISTS (SELECT 1 FROM l1 p
+        |                    WHERE p.s = c.s AND p.v = c.v)
+        |  GROUP BY 1, 2),
+        | l3 AS MATERIALIZED (SELECT c.s, c.v,
+        |    CAST(sum(c.sigma) AS BIGINT) AS sigma
+        |  FROM (SELECT l.s, u.n AS v, l.sigma
+        |        FROM l2 l JOIN und u ON l.v = u.x) c
+        |  WHERE c.v <> c.s
+        |    AND NOT EXISTS (SELECT 1 FROM l1 p
+        |                    WHERE p.s = c.s AND p.v = c.v)
+        |    AND NOT EXISTS (SELECT 1 FROM l2 p
+        |                    WHERE p.s = c.s AND p.v = c.v)
+        |  GROUP BY 1, 2),
+        | s2 AS (SELECT l.s, l.v,
+        |    CAST(count(*) AS BIGINT) AS hsum
+        |  FROM l2 l JOIN und u ON l.v = u.x
+        |  JOIN l3 n3 ON n3.s = l.s AND n3.v = u.n
+        |  GROUP BY 1, 2),
+        | h2 AS MATERIALIZED (SELECT l.s, l.v, l.sigma,
+        |    CAST(coalesce(s2.hsum, 0) AS BIGINT) AS h
+        |  FROM l2 l LEFT JOIN s2 ON s2.s = l.s AND s2.v = l.v),
+        | s1 AS (SELECT l.s, l.v,
+        |    CAST(count(*) + sum(n2.h) AS BIGINT) AS hsum
+        |  FROM l1 l JOIN und u ON l.v = u.x
+        |  JOIN h2 n2 ON n2.s = l.s AND n2.v = u.n
+        |  GROUP BY 1, 2),
+        | h1 AS (SELECT l.s, l.v, l.sigma,
+        |    CAST(coalesce(s1.hsum, 0) AS BIGINT) AS h
+        |  FROM l1 l LEFT JOIN s1 ON s1.s = l.s AND s1.v = l.v),
+        | deltas AS (SELECT v, sigma * h AS delta FROM h2
+        |   UNION ALL SELECT v, sigma * h FROM h1)
+        |SELECT v, CAST(sum(delta) AS BIGINT) AS stress
+        | FROM deltas GROUP BY v HAVING sum(delta) > 0
+        | ORDER BY v""".stripMargin,
 
     // Label-propagation replay: g7's graph, 3 unrolled synchronous
     // rounds, the same (count desc, label asc) argmax per node.

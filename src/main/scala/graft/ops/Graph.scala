@@ -464,6 +464,88 @@ object Graph {
       .groupBy("a", "b").agg(count(lit(1)).as("support"))
   }
 
+  /** Bounded multi-source STRESS centrality (Shimbel 1953; the
+    * integer-valued sibling of betweenness): stress(v) = number of
+    * shortest source→target paths passing THROUGH v as an interior
+    * node, summed over a seed set and over all targets within
+    * `maxDepth` hops — the production-bounded form, exactly the
+    * harmonic-centrality gate's truncation discipline.
+    *
+    * Why stress and not betweenness: Brandes' betweenness dependency
+    * δ(v) = Σ (σ_v/σ_w)(1+δ_w) accumulates RATIONALS whose
+    * floating-point sum is addition-order-dependent — ungateable under
+    * a cross-engine hash. Stress has an all-integer two-pass form:
+    *
+    *  - forward (per seed, level-synchronous): σ_s(v) = number of
+    *    shortest s→v paths — frontier⋈edges, anti-join the visited
+    *    set, SUM-combine σ (bfsLevels with sum instead of min);
+    *  - backward (levels maxDepth−1 … 1): h_s(v) = Σ_{w ∈ succ(v)}
+    *    (1 + h_s(w)) over DAG successors (neighbors one level deeper
+    *    in the SAME seed's BFS) = number of shortest-path
+    *    continuations leaving v; then δ_s(v) = σ_s(v)·h_s(v), since
+    *    every shortest s→t path through v is a (shortest s→v prefix,
+    *    DAG continuation) pair.
+    *
+    * Scale shape: one frontier⋈edges join + one hash agg per level in
+    * each direction — 2·maxDepth joins total, lineage severed per
+    * level; seeds ride the same keyed shuffles (no per-seed jobs).
+    * Magnitudes: σ ≤ Δ^depth and h ≤ Σ_{k≤depth} Δ^k for max degree Δ
+    * — at depth 3 and Δ ~ 10³ the product σ·h stays ≤ ~10¹³, inside
+    * BIGINT; deeper bounds or denser graphs should re-derive the bound
+    * before trusting the long arithmetic.
+    */
+  def stressCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                       seeds: DataFrame, maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 2,
+      s"interior nodes need maxDepth >= 2, got $maxDepth")
+    val und0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = und0.union(und0.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("x"), col("b").as("n")).persist()
+    val l0 = seeds.select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
+    // forward: per-level σ tables, plus the visited set for the anti-join
+    val levels = Array.fill[DataFrame](maxDepth + 1)(null)
+    levels(0) = l0
+    var visited = l0.select("s", "v")
+    var cur = l0
+    for (d <- 1 to maxDepth) {
+      val cand = cur.join(und, cur("v") === und("x"))
+        .select(col("s"), col("n").as("v"), col("sigma"))
+      val nxt = graft.Checkpoints.sever(
+        cand.join(visited, Seq("s", "v"), "left_anti")
+          .groupBy("s", "v").agg(sum(col("sigma")).as("sigma")))
+      levels(d) = nxt
+      visited = graft.Checkpoints.sever(
+        visited.union(nxt.select("s", "v")))
+      cur = nxt
+    }
+    // backward: h at the depth bound is 0 (no in-bound successors)
+    var h = levels(maxDepth).select(col("s"), col("v"), lit(0L).as("h"))
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (d <- (maxDepth - 1) to 1 by -1) {
+      val hNext = h.select(col("s"), col("v").as("w"), col("h").as("hw"))
+      val succSum = levels(d)
+        .join(und, levels(d)("v") === und("x"))
+        .select(col("s"), col("v"), col("n").as("w"))
+        .join(hNext, Seq("s", "w"))
+        .groupBy("s", "v")
+        .agg((count(lit(1)) + sum(col("hw"))).as("hsum"))
+      val hD = graft.Checkpoints.sever(
+        levels(d).join(succSum, Seq("s", "v"), "left")
+          .select(col("s"), col("v"), col("sigma"),
+            coalesce(col("hsum"), lit(0L)).as("h")))
+      deltas += hD.select(col("v"), (col("sigma") * col("h")).as("delta"))
+      h = hD.select("s", "v", "h")
+    }
+    val out = deltas.reduce(_ unionByName _)
+      .groupBy("v").agg(sum(col("delta")).as("stress"))
+      .filter(col("stress") > 0)
+    und.unpersist()
+    out
+  }
+
   /** Adamic-Adar link prediction (Adamic & Adar 2003) — the
     * degree-discounted sibling of [[linkPrediction]]'s Jaccard:
     * AA(x,y) = Σ_{z ∈ Γ(x)∩Γ(y)} 1/ln d(z), so a common neighbor that

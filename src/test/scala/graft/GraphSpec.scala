@@ -166,4 +166,45 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(p2 === Map(10L -> 10L, 11L -> 11L))
   }
+
+  private def stress(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                     depth: Int = 3): Map[Long, Long] =
+    Graph.stressCentrality(edges.toDF("s", "d"), "s", "d",
+        seeds.toDF("s"), maxDepth = depth)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("stress centrality: path graph counts paths through interior " +
+      "nodes; endpoints and unreached nodes are absent") {
+    // path 1-2-3-4, seed 1, depth 3: through 2 run 1->3 and 1->4
+    // (stress 2); through 3 runs 1->4 (stress 1); 1 and 4 are never
+    // interior and must not appear.
+    val path = Seq[(Long, Long)](1L -> 2L, 2L -> 3L, 3L -> 4L)
+    assert(stress(path, Seq(1L)) === Map(2L -> 2L, 3L -> 1L))
+    // depth 2 truncates the 1->4 continuation through 3
+    assert(stress(path, Seq(1L), depth = 2) === Map(2L -> 1L))
+  }
+
+  test("stress centrality: diamond splits sigma across branches and " +
+      "sums over seeds") {
+    // diamond 1-{2,3}-4: from seed 1, each of 2 and 3 carries one
+    // shortest 1->4 path; 4 has sigma 2 but no continuation (depth
+    // bound leaves nothing past it), so only 2 and 3 score.
+    val diamond = Seq[(Long, Long)](1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L)
+    assert(stress(diamond, Seq(1L)) === Map(2L -> 1L, 3L -> 1L))
+    // adding seed 4 mirrors the count: 2 and 3 each also carry 4->1
+    assert(stress(diamond, Seq(1L, 4L)) === Map(2L -> 2L, 3L -> 2L))
+  }
+
+  test("stress centrality: sigma multiplies along independent stages " +
+      "(two stacked diamonds give the middle node sigma*h = 2*2)") {
+    // 1-{2,3}-4-{5,6}-7: sigma(4)=2 and its continuations within depth
+    // 3 are 5 and 6 (h(4)=2; the 7 layer sits past the bound), so
+    // delta(4) = 2*2 = 4. For node 2: h(2) = 1 + h(4) = 3 (paths to 4,
+    // 5, 6), delta(2) = 1*3 = 3. Nodes 5, 6 are at the depth bound —
+    // nothing runs through them within the truncation, so they are
+    // absent, exactly like t13's harmonic truncation discipline.
+    val g = Seq[(Long, Long)](1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L,
+      4L -> 5L, 4L -> 6L, 5L -> 7L, 6L -> 7L)
+    assert(stress(g, Seq(1L)) === Map(2L -> 3L, 3L -> 3L, 4L -> 4L))
+  }
 }
