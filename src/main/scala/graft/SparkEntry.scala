@@ -1904,6 +1904,22 @@ object SparkEntry {
           trainFilter = col("doc_id") % 2 === 0)
         .orderBy("doc_id")),
 
+    // ---- T34: Good-Turing frequency-of-frequencies — N_r, the mass
+    // r*N_r, and the adjusted count r* = (r+1)N_{r+1}/N_r for the 20
+    // lowest counts; vocab-sized aggregations, O(sqrt N)-row r+1
+    // self-join, TakeOrderedAndProject head ----------------------------
+    "t34_good_turing" -> ((s, dir) =>
+      TextAnalysis.goodTuring(t(s, dir, "documents"), "text", maxR = 20)
+        .orderBy("r")),
+
+    // ---- T35: interpolated Kneser-Ney bigram surprisal — t19's
+    // train/score split (LM on even doc_ids, every doc scored), the
+    // continuation-count smoother replacing Stupid Backoff's alpha ----
+    "t35_kneser_ney" -> ((s, dir) =>
+      TextAnalysis.kneserNeyBigram(t(s, dir, "documents"), "doc_id", "text",
+          trainFilter = col("doc_id") % 2 === 0)
+        .orderBy("doc_id")),
+
     // ---- T20: BPE tokenizer training — first 64 merge rules learned
     // from the corpus; one corpus pass to the (word, count) vocab, then
     // every round is vocab-sized: a pair-count shuffle accepting up to
@@ -8874,6 +8890,73 @@ object SparkEntry {
         |  CROSS JOIN tot)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(sum(is_b) AS BIGINT) AS n_backoff,
+        |  CAST(sum(is_oov) AS BIGINT) AS n_oov,
+        |  CAST(sum(nll_fp) AS BIGINT) AS sum_nll_fp,
+        |  CAST(sum(nll_fp) AS DOUBLE) / 1e9 / count(*) AS avg_nll
+        | FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Good-Turing replay: token counts -> frequency-of-frequencies ->
+    // the r+1 self-join; r* fixed-pointed with the engine's exact
+    // spelling (((r+1) * N_{r+1}) / N_r) * 1e9.
+    "t34_good_turing" ->
+      """WITH d AS (
+        |  SELECT regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        | tc AS (SELECT unnest(tk) AS tok FROM d),
+        | cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS r
+        |         FROM tc GROUP BY tok),
+        | nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_types
+        |        FROM cnt GROUP BY r)
+        |SELECT a.r, a.n_types, a.r * a.n_types AS mass,
+        |  CAST(round((a.r + 1) * CAST(b.n_types AS DOUBLE) / a.n_types
+        |    * 1e9) AS BIGINT) AS r_star_fp
+        | FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+        | ORDER BY a.r LIMIT 20""".stripMargin,
+
+    // Kneser-Ney replay: train bigrams on even doc_ids, context totals
+    // c(v) and fan-outs N1+(v.), continuation counts N1+(.w), total
+    // bigram types N1+(..); the interpolated-KN probability spelled
+    // with the engine's exact parenthesization and left-association.
+    "t35_kneser_ney" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        | tp AS (
+        |  SELECT doc_id, unnest(tk) AS tok,
+        |    unnest(list_transform(range(1, len(tk) + 1), i ->
+        |      CASE WHEN i > 1 THEN tk[i - 1] END)) AS prev
+        |  FROM d),
+        | bi AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cnt_b
+        |        FROM tp WHERE doc_id % 2 = 0 AND prev IS NOT NULL
+        |        GROUP BY prev, tok),
+        | ctx AS (SELECT prev, CAST(sum(cnt_b) AS BIGINT) AS cnt_ctx,
+        |          CAST(count(*) AS BIGINT) AS n1_fwd
+        |         FROM bi GROUP BY prev),
+        | cont AS (SELECT tok, CAST(count(*) AS BIGINT) AS n1_bwd
+        |          FROM bi GROUP BY tok),
+        | types AS (SELECT CAST(count(*) AS BIGINT) AS n1_all FROM bi),
+        | scored AS (
+        |  SELECT tp.doc_id,
+        |    CASE WHEN tp.prev IS NOT NULL AND ctx.cnt_ctx IS NOT NULL
+        |    THEN CAST(round(-ln(
+        |      (greatest(CAST(coalesce(bi.cnt_b, 0) AS DOUBLE) - 0.75, 0.0)
+        |       + 0.75 * ctx.n1_fwd *
+        |         (CAST(coalesce(cont.n1_bwd, 1) AS DOUBLE) / n1_all))
+        |      / ctx.cnt_ctx) * 1e9) AS BIGINT)
+        |    ELSE CAST(round(-ln(
+        |      CAST(coalesce(cont.n1_bwd, 1) AS DOUBLE) / n1_all) * 1e9)
+        |      AS BIGINT)
+        |    END AS nll_fp,
+        |    CASE WHEN tp.prev IS NOT NULL AND ctx.cnt_ctx IS NULL
+        |      THEN 1 ELSE 0 END AS is_cb,
+        |    CASE WHEN cont.n1_bwd IS NULL THEN 1 ELSE 0 END AS is_oov
+        |  FROM tp
+        |  LEFT JOIN cont ON cont.tok = tp.tok
+        |  LEFT JOIN ctx ON ctx.prev = tp.prev
+        |  LEFT JOIN bi ON bi.prev = tp.prev AND bi.tok = tp.tok
+        |  CROSS JOIN types)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(is_cb) AS BIGINT) AS n_ctx_backoff,
         |  CAST(sum(is_oov) AS BIGINT) AS n_oov,
         |  CAST(sum(nll_fp) AS BIGINT) AS sum_nll_fp,
         |  CAST(sum(nll_fp) AS DOUBLE) / 1e9 / count(*) AS avg_nll

@@ -714,4 +714,113 @@ object TextAnalysis {
         count(lit(1)).as("n_occ"), max(col("score")).as("score"))
       .orderBy(col("score").desc, col("phrase")).limit(topK)
   }
+
+  /** Good-Turing frequency-of-frequencies table (Good 1953; the
+    * smoothing every count-based LM starts from): N_r = number of token
+    * TYPES seen exactly r times, and the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r — the expected true frequency of an
+    * r-count type, which also yields the Turing estimate of unseen
+    * mass (N_1/N). Corpus-quality use: a healthy natural-language
+    * corpus has a smooth Zipfian N_r tail; boilerplate or synthetic
+    * spam shows up as spikes (r* jumping above r+1).
+    *
+    * Scale shape: one corpus-sized token count (vocab-sized output by
+    * Zipf), one vocab-sized count to the N_r table — whose cardinality
+    * k satisfies k(k+1)/2 ≤ Σ distinct r ≤ N, i.e. k = O(√N) — then a
+    * k-row equi-join on r+1 and a TakeOrderedAndProject for the lowest
+    * `maxR` counts (per-partition top-k, NOT a global sort — the head
+    * of the table is where smoothing matters). r* is fixed-pointed per
+    * row (round(x·1e9)) so the gate hash is engine-exact.
+    */
+  def goodTuring(docs: DataFrame, textCol: String,
+                 maxR: Int = 20): DataFrame = {
+    val tc = docs.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("r"))
+    val nr = tc.groupBy("r").agg(count(lit(1)).as("n_types"))
+    val nxt = nr.select((col("r") - 1).as("r"),
+      col("n_types").as("n_next"))
+    nr.join(nxt, Seq("r"), "left")
+      .select(col("r"), col("n_types"),
+        (col("r") * col("n_types")).as("mass"),
+        round((col("r") + 1) * col("n_next").cast("double")
+          / col("n_types") * lit(1e9)).cast("long").as("r_star_fp"))
+      .orderBy("r").limit(maxR)
+  }
+
+  /** Interpolated Kneser-Ney bigram surprisal (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1998) — the principled tier
+    * above [[backoffSurprisal]]'s Stupid Backoff: instead of a fixed
+    * alpha, probability mass D is discounted from every SEEN bigram and
+    * redistributed over the CONTINUATION distribution
+    * P_cont(w) = N1+(·w) / N1+(··) (how many distinct contexts w
+    * follows — "francisco" is frequent but follows only "san", so it
+    * gets little continuation mass; the insight that makes KN the
+    * strongest count-based smoother):
+    *
+    *   P(w|v) = (max(c(v,w) − D, 0) + D · N1+(v·) · P_cont(w)) / c(v)
+    *
+    * with c(v) = Σ_w c(v,w) (context totals over TRAIN bigrams, not
+    * unigram counts — doc-final tokens never open a context). Scoring
+    * edges, same discipline as [[backoffSurprisal]]'s gate: a doc-first
+    * token or an unseen context v falls back to P_cont(w) alone; an
+    * unseen w takes the pseudo-count N1+(·w) = 1. Every token's −ln p
+    * is fixed-pointed (round(x·1e9)) BEFORE the per-doc sum, so the
+    * reduce is order-independent and the DuckDB replay hash-exact —
+    * the division/multiplication spelling below is mirrored verbatim
+    * in the oracle (same parenthesization, same left-association).
+    *
+    * Scale shape, identical to [[backoffSurprisal]]: the bigram pairing
+    * is a per-doc `lag` window (doc-keyed exchange, no global sort);
+    * the context table (c(v), N1+(v·)) and the continuation table
+    * (N1+(·w)) are vocab-sized and BROADCAST; the bigram count table is
+    * the one corpus-sized model and joins hash-partitioned on
+    * (prev, tok) — how a distributed LM shards.
+    */
+  def kneserNeyBigram(docs: DataFrame, idCol: String, textCol: String,
+                      trainFilter: Column,
+                      discount: Double = 0.75): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    def tokenize(df: DataFrame) = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val withPrev = tokenize(docs).withColumn("prev", lag(col("tok"), 1).over(w))
+    val trainBi = tokenize(docs.filter(trainFilter))
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("cnt_b"))
+    val ctx = trainBi.groupBy("prev")
+      .agg(sum("cnt_b").as("cnt_ctx"),
+        count(lit(1)).as("n1_fwd"))
+    val cont = trainBi.groupBy("tok")
+      .agg(count(lit(1)).as("n1_bwd"))
+    val types = trainBi.agg(count(lit(1)).as("n1_all"))
+    // P_cont with the OOV pseudo-count — the fallback AND the
+    // interpolation tail share this expression.
+    val pCont = coalesce(col("n1_bwd"), lit(1L)).cast("double") /
+      col("n1_all")
+    val pKn = (greatest(coalesce(col("cnt_b"), lit(0L)).cast("double") -
+        lit(discount), lit(0.0)) +
+      lit(discount) * col("n1_fwd") * pCont) / col("cnt_ctx")
+    val nllFp =
+      when(col("prev").isNotNull && col("cnt_ctx").isNotNull,
+        round(-log(pKn) * lit(1e9)))
+        .otherwise(round(-log(pCont) * lit(1e9)))
+    withPrev
+      .join(broadcast(cont), Seq("tok"), "left")
+      .join(broadcast(ctx), Seq("prev"), "left")
+      .join(trainBi, Seq("prev", "tok"), "left")
+      .crossJoin(broadcast(types))
+      .withColumn("nll_fp", nllFp.cast("long"))
+      .withColumn("is_ctx_backoff",
+        (col("prev").isNotNull && col("cnt_ctx").isNull).cast("long"))
+      .withColumn("is_oov", col("n1_bwd").isNull.cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("is_ctx_backoff")).as("n_ctx_backoff"),
+        sum(col("is_oov")).as("n_oov"),
+        sum(col("nll_fp")).as("sum_nll_fp"))
+      .withColumn("avg_nll",
+        col("sum_nll_fp").cast("double") / lit(1e9) / col("n_tokens"))
+  }
 }

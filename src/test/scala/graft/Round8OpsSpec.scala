@@ -151,4 +151,55 @@ class Round8OpsSpec extends SparkSpec {
       .head()
     assert(r.getLong(1) - r.getLong(0) * (r.getLong(0) + 1) === 0L)
   }
+
+  test("Good-Turing: N_r table, mass, and r* = (r+1)N_{r+1}/N_r on a " +
+      "hand-counted corpus") {
+    // counts: a:3, b:2, c:2, d:1, e:1, f:1 → N_1=3, N_2=2, N_3=1
+    // r*(1) = 2*2/3, r*(2) = 3*1/2, r*(3) = null (no N_4)
+    val docs = Seq("a b c d", "a b c e", "a f").toDF("text")
+    val gt = ops.TextAnalysis.goodTuring(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(gt === Map(
+      1L -> ((3L, 3L, Some(math.round(2.0 * 2 / 3 * 1e9)))),
+      2L -> ((2L, 4L, Some(math.round(3.0 * 1 / 2 * 1e9)))),
+      3L -> ((1L, 3L, None))))
+  }
+
+  test("Kneser-Ney: discounted seen bigram plus continuation tail " +
+      "reproduces the hand formula; unseen context falls to P_cont") {
+    // train doc 0: "a b a c" → bigrams (a,b), (b,a), (a,c)
+    // c(a)=2, N1+(a·)=2; c(b)=1, N1+(b·)=1; N1+(·a)=1, N1+(·b)=1,
+    // N1+(·c)=1; N1+(··)=3
+    val docs = Seq((0L, "a b a c"), (1L, "a b z")).toDF("doc_id", "text")
+    val out = ops.TextAnalysis.kneserNeyBigram(docs, "doc_id", "text",
+        trainFilter = col("doc_id") % 2 === 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: "a b z" — first token a: P_cont(a)=1/3; (a,b) seen:
+    // ((1-0.75) + 0.75*2*(1/3))/2 = 0.375; (b,z) unseen w, seen ctx b:
+    // (0 + 0.75*1*(1/3))/1 = 0.25. n_oov counts z only.
+    val expect1 = math.round(-math.log(1.0 / 3) * 1e9) +
+      math.round(-math.log((0.25 + 0.75 * 2 * (1.0 / 3)) / 2) * 1e9) +
+      math.round(-math.log(0.75 * 1 * (1.0 / 3) / 1) * 1e9)
+    val (n1, cb1, oov1, nll1) = out(1L)
+    assert(n1 === 3L && cb1 === 0L && oov1 === 1L)
+    assert(nll1 === expect1, s"got $nll1 expected $expect1")
+    // doc 0 scores its own training bigrams: no backoff, no OOV
+    val (n0, cb0, oov0, _) = out(0L)
+    assert(n0 === 4L && cb0 === 0L && oov0 === 0L)
+  }
+
+  test("Kneser-Ney: a context never seen in train backs off to the " +
+      "continuation distribution with the OOV pseudo-count") {
+    // train: "a b"; score "z q": first token z → P_cont floor 1/1;
+    // (z,q): ctx z unseen → P_cont(q) floor = 1/1 → nll 0, is_cb=1
+    val docs = Seq((0L, "a b"), (1L, "z q")).toDF("doc_id", "text")
+    val out = ops.TextAnalysis.kneserNeyBigram(docs, "doc_id", "text",
+        trainFilter = col("doc_id") % 2 === 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) === ((2L, 1L, 2L, 0L)))
+  }
 }
