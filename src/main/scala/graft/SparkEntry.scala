@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.etl._
 import graft.functions.StrFunctions._
 import graft.functions.RollingHash
-import graft.ops.{AsOfJoin, Curation, MinHashDedup, Multimodal, ScaleSafe, SimHash, Similarity, Skew, TextAnalysis}
+import graft.ops.{AsOfJoin, Curation, LogHistogram, MinHashDedup, Multimodal, ScaleSafe, SimHash, Similarity, Skew, TextAnalysis}
 import graft.streaming.StreamOps
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1687,6 +1687,19 @@ object SparkEntry {
         .select(col("exact_median"),
           (abs(col("approx_median") - col("exact_median")) <=
             abs(col("exact_median")) * 0.01).as("sketch_within_1pct"))),
+
+    // ---- A32: log-bucketed percentile histogram (HdrHistogram/DDSketch
+    // family) — p50/p90/p99 of purchase cents read off a deterministic
+    // 4096-bucket-max mergeable sketch: one groupBy pass, bounded state,
+    // hashable output (which no randomized quantile sketch gives) ------
+    "a32_log_histogram" -> ((s, dir) =>
+      LogHistogram.percentiles(
+          t(s, dir, "events")
+            .filter(col("event_type") === "purchase" &&
+              col("value").isNotNull)
+            .select(cents(col("value")).as("v")),
+          "v", pBps = Seq(5000, 9000, 9900))
+        .orderBy("p_bp")),
 
     // ---- L3/L4: positional access + column extraction -------------------
     "l3_positional" -> ((s, dir) =>
@@ -8681,6 +8694,29 @@ object SparkEntry {
     "a10_approx_percentile" ->
       """SELECT quantile_cont(l_extendedprice, 0.5) AS exact_median,
         |  TRUE AS sketch_within_1pct FROM lineitem""".stripMargin,
+
+    // Log-histogram replay: the same top-7-significant-bits bucketing
+    // (bin() prints BIGINT without leading zeros in both engines), the
+    // running sum over the bounded bucket table, ceil-rank selection.
+    "a32_log_histogram" ->
+      """WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        | b AS (SELECT CASE WHEN v < 64 THEN v
+        |    ELSE (v >> (length(bin(v)) - 7)) << (length(bin(v)) - 7)
+        |    END AS low
+        |  FROM v WHERE v >= 0),
+        | bc AS (SELECT low, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM b GROUP BY low),
+        | cum AS (SELECT low, CAST(sum(cnt) OVER (ORDER BY low) AS BIGINT)
+        |          AS cum FROM bc),
+        | n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM bc),
+        | thr AS (SELECT p_bp, n.n AS n,
+        |    (n.n * p_bp + 9999) // 10000 AS k
+        |  FROM (SELECT CAST(unnest([5000, 9000, 9900]) AS BIGINT) AS p_bp)
+        |  CROSS JOIN n)
+        |SELECT thr.p_bp, thr.n, thr.k, CAST(min(cum.low) AS BIGINT) AS est
+        | FROM cum JOIN thr ON cum.cum >= thr.k
+        | GROUP BY 1, 2, 3 ORDER BY p_bp""".stripMargin,
 
     "l3_positional" ->
       """SELECT c_custkey, c_name FROM customer ORDER BY c_custkey

@@ -152,6 +152,36 @@ class Round8OpsSpec extends SparkSpec {
     assert(r.getLong(1) - r.getLong(0) * (r.getLong(0) + 1) === 0L)
   }
 
+  test("log histogram: small values are exact, large values keep the " +
+      "top 7 bits, estimates bracket the true rank value within 1/64") {
+    // bucketing identities
+    val ids = Seq(0L, 5L, 63L, 1000L, 1023L, 1024L).toDF("v")
+      .select(ops.LogHistogram.bucketLow("v", 6).as("low"))
+      .collect().map(_.getLong(0)).toSeq
+    // 1000 = 0b1111101000 keeps its top 7 bits exactly; 1023 drops the
+    // low 3 bits to 1016; 1024 is a power of two (its own bucket floor)
+    assert(ids === Seq(0L, 5L, 63L, 1000L, 1016L, 1024L))
+    // exact regime: 0..63, p50 rank k=32 lands on value 31 (cum=32)
+    val small = (0L to 63L).toDF("v")
+    val p = ops.LogHistogram.percentiles(small, "v", Seq(5000, 9900))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(p(5000L) === ((32L, 31L)))
+    assert(p(9900L) === ((64L, 63L)))
+    // relative-error property on a deterministic skewed sample
+    val xs = (1 to 2000).map(i => (i.toLong * i * i * 7919) % 1000003)
+    val sorted = xs.sorted
+    val est = ops.LogHistogram.percentiles(xs.toDF("v"), "v",
+        Seq(5000, 9000, 9900))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    for ((bp, e) <- est) {
+      val k = (xs.size.toLong * bp + 9999) / 10000
+      val truth = sorted(k.toInt - 1)
+      assert(e <= truth && truth <= e + e / 64 + 1,
+        s"p$bp: est $e vs true $truth")
+    }
+  }
+
   test("Good-Turing: N_r table, mass, and r* = (r+1)N_{r+1}/N_r on a " +
       "hand-counted corpus") {
     // counts: a:3, b:2, c:2, d:1, e:1, f:1 → N_1=3, N_2=2, N_3=1
