@@ -54,6 +54,18 @@ object SparkEntry {
     */
   private def pow2(c: Column): Column = c * c
 
+  // e33 SPRT constants (Wald 1945): H0 p=0.38 vs H1 p=0.42 — brackets
+  // the corpus's ~0.40 user-day conversion so the trajectory actually
+  // exercises the sequential 'continue' region; alpha = beta = 0.05.
+  // The per-observation log-likelihood ratios and the decision boundary
+  // ln((1-beta)/alpha) = ln 19 are fixed-pointed ONCE here and
+  // interpolated as the same BIGINT literal into both the engine
+  // expression and the DuckDB replay — the double ln() never crosses an
+  // engine boundary.
+  private val SprtL1Fp: Long = math.round(math.log(0.42 / 0.38) * 1e9)
+  private val SprtL0Fp: Long = math.round(math.log(0.58 / 0.62) * 1e9)
+  private val SprtAFp: Long = math.round(math.log(19.0) * 1e9)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- S1-S3: scans (SURVEY §2.1) ------------------------------------
@@ -4179,6 +4191,34 @@ object SparkEntry {
     // predicate both engines evaluate identically. One corpus shuffle
     // (per-user agg); everything after is K=6 rows — the rank window and
     // the max-hit broadcast are metric-count-bounded, never corpus-bound
+    // ---- E33: Wald SPRT sequential readout (Wald 1945) — the daily
+    // trajectory of the sequential probability ratio test on user-day
+    // conversion (H0 p=.38 vs H1 p=.42): per-day integer LLR from
+    // fixed-pointed per-observation constants (exact long products, no
+    // FP reduce), cumulated over the day table — one row per calendar
+    // day, so the unpartitioned running sum is bounded by the calendar,
+    // not the data (the x10 family's criterion). The decision column
+    // marks where a sequential experimenter would have stopped --------
+    "e33_sprt" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(countDistinct(col("user_id")).as("n"),
+          countDistinct(when(col("event_type") === "purchase",
+            col("user_id"))).as("c"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("llr_fp", col("c") * lit(SprtL1Fp) +
+          (col("n") - col("c")) * lit(SprtL0Fp))
+        .withColumn("llr_cum_fp", sum("llr_fp").over(w))
+        .withColumn("decision",
+          when(col("llr_cum_fp") >= SprtAFp, "accept_h1")
+            .when(col("llr_cum_fp") <= -SprtAFp, "accept_h0")
+            .otherwise("continue"))
+        .select("day", "n", "c", "llr_cum_fp", "decision")
+        .orderBy("day")
+    }),
+
     "e32_fdr_bh" -> ((s, dir) => {
       val u = t(s, dir, "events")
         .withColumn("v_cents", cents(col("value")))
@@ -8435,6 +8475,27 @@ object SparkEntry {
 
     // BH replay: the same six per-user metrics, a31's z algebra per
     // metric, the same Φ⁻¹ literal ladder and z-space rejection rule.
+    // SPRT replay: the same fixed-point LLR constants interpolated as
+    // BIGINT literals; integer products and sums throughout.
+    "e33_sprt" ->
+      s"""WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+        |      THEN user_id END) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        | scored AS (SELECT day, n, c,
+        |    c * $SprtL1Fp + (n - c) * ($SprtL0Fp) AS llr_fp
+        |  FROM daily),
+        | cumd AS (SELECT day, n, c,
+        |    CAST(sum(llr_fp) OVER (ORDER BY day) AS BIGINT) AS llr_cum_fp
+        |  FROM scored)
+        |SELECT day, n, c, llr_cum_fp,
+        |  CASE WHEN llr_cum_fp >= $SprtAFp THEN 'accept_h1'
+        |    WHEN llr_cum_fp <= -$SprtAFp THEN 'accept_h0'
+        |    ELSE 'continue' END AS decision
+        | FROM cumd ORDER BY day""".stripMargin,
+
     "e32_fdr_bh" ->
       """WITH u AS (SELECT user_id % 2 AS variant,
         |    sum(CASE WHEN event_type = 'purchase'
