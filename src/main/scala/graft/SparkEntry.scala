@@ -1779,6 +1779,13 @@ object SparkEntry {
       TextAnalysis.rakeKeywords(t(s, dir, "documents"), "doc_id", "text",
         nStopwords = 5)),
 
+    // ---- T36: TextRank keywords — integer PageRank over the corpus
+    // word co-occurrence graph (one vocabulary-sized graph, not
+    // per-doc jobs); t27's tokenization and dynamic stopword list ------
+    "t36_textrank" -> ((s, dir) =>
+      TextAnalysis.textRank(t(s, dir, "documents"), "doc_id", "text",
+        nStopwords = 5)),
+
     // ---- T29: PMI collocations (Church & Hanks 1990) — adjacent pairs
     // co-occurring beyond chance; the phrase-mining score feeding
     // tokenizer merge decisions and n-gram features. Fixed-point ln,
@@ -9280,6 +9287,50 @@ object SparkEntry {
 
     // RAKE replay: same frequency stoplist, islands segmentation via
     // pos - row_number(), degree scoring — all integer.
+    // TextRank replay: t27's tokenization, the co-occurrence pairing,
+    // then g1's exact integer PageRank unrolled 3 rounds (same
+    // contrib/teleport spelling; // floors = Spark div on positives).
+    "t36_textrank" -> {
+      val rounds = (1 to 3).map { r =>
+        val p = r - 1
+        s""",
+           | r$r AS (SELECT e0.b AS id,
+           |    CAST(sum((s.score * 85 // 100) // deg.outdeg) AS BIGINT)
+           |      AS m
+           |  FROM e0 JOIN s$p s ON s.id = e0.a
+           |  JOIN deg ON deg.a = e0.a GROUP BY e0.b),
+           | s$r AS MATERIALIZED (SELECT id, (150000000000 // nn) + m
+           |    AS score
+           |  FROM r$r CROSS JOIN n)""".stripMargin
+      }.mkString
+      """WITH base AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '\S+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        | toks0 AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+        |   SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |     i -> struct_pack(pos := i,
+        |       w := regexp_replace(t[CAST(i AS INT)], '[^a-z0-9]', '',
+        |         'g')))) AS u
+        |   FROM base) WHERE u.w <> ''),
+        | stop AS (SELECT w FROM (SELECT w, count(*) AS n FROM toks0
+        |   GROUP BY w ORDER BY n DESC, w LIMIT 5)),
+        | cw AS (SELECT doc_id, pos, w,
+        |    lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS pw,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS pp
+        |  FROM toks0 WHERE w NOT IN (SELECT w FROM stop)),
+        | pairs AS (SELECT pw AS a, w AS b FROM cw
+        |   WHERE pp IS NOT NULL AND pos - pp <= 2 AND w <> pw),
+        | e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM
+        |   (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs)),
+        | deg AS MATERIALIZED (SELECT a, CAST(count(*) AS BIGINT)
+        |    AS outdeg FROM e0 GROUP BY a),
+        | n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM deg),
+        | s0 AS MATERIALIZED (SELECT a AS id, 1000000000000 // nn
+        |    AS score FROM deg CROSS JOIN n)""".stripMargin + rounds +
+        "\nSELECT id AS word, score FROM s3" +
+        "\n ORDER BY score DESC, word LIMIT 30"
+    },
+
     "t27_rake_keywords" ->
       """WITH base AS (SELECT doc_id,
         |    regexp_extract_all(lower(text), '\S+') AS t

@@ -715,6 +715,48 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("phrase")).limit(topK)
   }
 
+  /** Corpus-level TextRank keywords (Mihalcea & Tarau 2004, "TextRank:
+    * Bringing Order into Texts"): PageRank over the word co-occurrence
+    * graph. Content words (the [[rakeKeywords]] tokenization: lowered,
+    * alnum-scrubbed, dynamic top-`nStopwords` stopword list) become
+    * nodes; an undirected edge links two DISTINCT content words whose
+    * original positions sit within `window` of each other in the same
+    * document. Scores come from [[Graph.pageRank]]'s exact fixed-point
+    * integer iteration, so the ranking is bit-identical in any engine
+    * that floors positive integer division — which is what lets an
+    * iterative centrality sit under the hash oracle.
+    *
+    * Run corpus-level (ONE graph), not per-document: a 100 TB corpus as
+    * millions of per-doc PageRank jobs is a scheduler DoS; as one
+    * vocabulary-sized graph (Zipf: nodes ≪ corpus) it is three
+    * edge-join rounds. The pairing is a per-doc `lag` window — the
+    * doc-keyed exchange, no global sort; stopwords ride a broadcast.
+    */
+  def textRank(docs: DataFrame, idCol: String, textCol: String,
+               nStopwords: Int = 50, window: Int = 2,
+               iterations: Int = 3, topK: Int = 30): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks0 = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))))
+      .select(col("doc_id"), col("pos"),
+        regexp_replace(col("col"), "[^a-z0-9]", "").as("w"))
+      .filter(col("w") =!= "")
+    val stop = toks0.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(nStopwords)
+      .select("w")
+    val cw = toks0.join(broadcast(stop), Seq("w"), "left_anti")
+      .withColumn("pw", lag(col("w"), 1).over(win))
+      .withColumn("pp", lag(col("pos"), 1).over(win))
+    val pairs = cw.filter(col("pp").isNotNull &&
+        col("pos") - col("pp") <= window && col("w") =!= col("pw"))
+      .select(col("pw").as("a"), col("w").as("b"))
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    Graph.pageRank(edges, "a", "b", iterations = iterations)
+      .select(col("id").as("word"), col("score"))
+      .orderBy(col("score").desc, col("word")).limit(topK)
+  }
+
   /** Good-Turing frequency-of-frequencies table (Good 1953; the
     * smoothing every count-based LM starts from): N_r = number of token
     * TYPES seen exactly r times, and the adjusted count

@@ -182,6 +182,23 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("TextRank: star co-occurrence gives the hub the top score; " +
+      "positions further apart than the window contribute no edge") {
+    val docs = Seq((1L, "hub x hub y hub z")).toDF("doc_id", "text")
+    val r = ops.TextAnalysis.textRank(docs, "doc_id", "text",
+        nStopwords = 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(r.head._1 === "hub")
+    assert(r.tail.map(_._2).distinct.size === 1, // leaves tie
+      r.mkString(","))
+    assert(r.head._2 > r.tail.head._2)
+    // "a ! ! b": the punctuation tokens scrub to empty, leaving content
+    // words at positions 0 and 3 — beyond window 2, so no graph at all
+    val far = Seq((1L, "a ! ! b")).toDF("doc_id", "text")
+    assert(ops.TextAnalysis.textRank(far, "doc_id", "text",
+      nStopwords = 0).count() === 0L)
+  }
+
   test("Good-Turing: N_r table, mass, and r* = (r+1)N_{r+1}/N_r on a " +
       "hand-counted corpus") {
     // counts: a:3, b:2, c:2, d:1, e:1, f:1 → N_1=3, N_2=2, N_3=1
