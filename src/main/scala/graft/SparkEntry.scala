@@ -5547,6 +5547,35 @@ object SparkEntry {
           |ORDER BY source, len_bucket""".stripMargin)
     }),
 
+    // ---- SQL13: the a32 log-histogram sketch through the SQL front
+    // door — bin()/shiftleft()/shiftright() are plain Spark SQL, so the
+    // whole sketch family is reachable without the Scala API; shares
+    // a32's DuckDB oracle ----------------------------------------------
+    "sql13_log_histogram" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events
+          |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+          | b AS (SELECT CASE WHEN v < 64 THEN v
+          |    ELSE shiftleft(shiftright(v, length(bin(v)) - 7),
+          |                   length(bin(v)) - 7)
+          |    END AS low
+          |  FROM v WHERE v >= 0),
+          | bc AS (SELECT low, count(*) AS cnt FROM b GROUP BY low),
+          | cum AS (SELECT low, sum(cnt) OVER (ORDER BY low) AS cum
+          |   FROM bc),
+          | n AS (SELECT sum(cnt) AS n FROM bc),
+          | thr AS (SELECT p_bp, n.n AS n,
+          |    (n.n * p_bp + 9999) div 10000 AS k
+          |  FROM (SELECT explode(array(5000L, 9000L, 9900L)) AS p_bp)
+          |  CROSS JOIN n)
+          |SELECT /*+ BROADCAST(thr) */
+          |  thr.p_bp, thr.n, thr.k, min(cum.low) AS est
+          | FROM cum JOIN thr ON cum.cum >= thr.k
+          | GROUP BY 1, 2, 3 ORDER BY p_bp""".stripMargin)
+    }),
+
     // ---- P19: NOT IN three-valued null semantics — the classic SQL trap:
     // a NULL anywhere in the subquery result makes NOT IN unknowable, so
     // ZERO rows survive. Catalyst plans this as a null-aware anti join
@@ -6123,7 +6152,8 @@ object SparkEntry {
     "sql9_vocab_topk" -> oracleSqlBase("t7_vocab_topk"),
     "sql10_triangles" -> oracleSqlBase("g2_triangles"),
     "sql11_media_meta" -> oracleSqlBase("m1_media_meta"),
-    "sql12_k_anonymity" -> oracleSqlBase("v1_k_anonymity"))
+    "sql12_k_anonymity" -> oracleSqlBase("v1_k_anonymity"),
+    "sql13_log_histogram" -> oracleSqlBase("a32_log_histogram"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "s1_scan" ->
