@@ -3514,6 +3514,15 @@ object SparkEntry {
           queryName = "graft_srm_" + System.nanoTime())
         .orderBy("w_us")),
 
+    // ---- ST26: streaming log-histogram quantiles — a32's sketch
+    // accumulated micro-batch by micro-batch (bounded Complete-mode
+    // state), read out identically; shares a32's BATCH oracle, which
+    // IS the incremental-merge-exactness claim -------------------------
+    "st26_stream_log_histogram" -> ((s, dir) =>
+      StreamOps.streamLogHistogram(s, dir,
+          queryName = "graft_slh_" + System.nanoTime())
+        .orderBy("p_bp")),
+
     // ---- ST14: ListState through transformWithState — O(k) per-key
     // recent-events buffer (last 3 by recency, ties by event id) ---------
     "st14_list_state" -> ((s, dir) =>
@@ -6153,7 +6162,8 @@ object SparkEntry {
     "sql10_triangles" -> oracleSqlBase("g2_triangles"),
     "sql11_media_meta" -> oracleSqlBase("m1_media_meta"),
     "sql12_k_anonymity" -> oracleSqlBase("v1_k_anonymity"),
-    "sql13_log_histogram" -> oracleSqlBase("a32_log_histogram"))
+    "sql13_log_histogram" -> oracleSqlBase("a32_log_histogram"),
+    "st26_stream_log_histogram" -> oracleSqlBase("a32_log_histogram"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "s1_scan" ->

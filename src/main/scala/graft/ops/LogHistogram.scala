@@ -54,10 +54,17 @@ object LogHistogram {
     * which need [[ScaleSafe]] for the same step).
     */
   def percentiles(values: DataFrame, vCol: String, pBps: Seq[Int],
-                  subBits: Int = 6): DataFrame = {
-    val spark = values.sparkSession
+                  subBits: Int = 6): DataFrame =
+    percentilesOfSketch(sketch(values, vCol, subBits), pBps)
+
+  /** The readout half, decoupled so a sketch MERGED elsewhere (e.g.
+    * accumulated incrementally by a streaming aggregation — st26) reads
+    * identically to one built in a single batch pass: same thresholds,
+    * same bucket floor, bit-equal output.
+    */
+  def percentilesOfSketch(buckets: DataFrame, pBps: Seq[Int]): DataFrame = {
+    val spark = buckets.sparkSession
     import spark.implicits._
-    val buckets = sketch(values, vCol, subBits)
     val cum = buckets.withColumn("cum",
       sum("cnt").over(Window.orderBy("low")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -826,6 +826,37 @@ object StreamOps {
       .orderBy("event_type")
   }
 
+  /** Streaming log-histogram quantiles — the a32 sketch accumulated
+    * incrementally: each micro-batch folds its purchase values into the
+    * (bucket, count) aggregation (Complete mode — the sketch IS the
+    * aggregation state, bounded at 64·2^subBits rows regardless of
+    * stream volume), and the final readout runs
+    * [[graft.ops.LogHistogram.percentilesOfSketch]] over the drained
+    * table. Because the sketch is a plain counting aggregation, the
+    * incremental merge is exact: the gate shares a32's BATCH oracle
+    * bit-for-bit — the mergeability claim, verified end-to-end.
+    */
+  def streamLogHistogram(spark: SparkSession, dir: String,
+                         queryName: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(round(col("value") * 100).cast("long").as("v"))
+      .filter(col("v") >= 0)
+      .select(graft.ops.LogHistogram.bucketLow("v", 6).as("low"))
+      .groupBy("low").agg(count(lit(1)).as("cnt"))
+    withStatePartitions(spark, HarnessStateParts) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    graft.ops.LogHistogram.percentilesOfSketch(
+      spark.table(queryName), Seq(5000, 9000, 9900))
+  }
+
   /** Materialized CDC state per key: last applied change + live flag. */
   case class CdcState(lastEventId: Long, deleted: Boolean,
                       balCents: Long, nChanges: Long)
