@@ -66,6 +66,34 @@ object SparkEntry {
   private val SprtL0Fp: Long = math.round(math.log(0.58 / 0.62) * 1e9)
   private val SprtAFp: Long = math.round(math.log(19.0) * 1e9)
 
+  /** 2^48 — the draw space of a 12-hex-digit md5 prefix (s14's integer
+    * uniform-draw convention, widened from 8 digits for KMV precision).
+    */
+  private val Hex12Space: Long = 281474976710656L
+
+  // e34 Poisson(1) inverse-CDF cut points on the 48-bit draw space:
+  // cut(i) = round(P(X <= i) * 2^48), computed ONCE here and
+  // interpolated into both the engine expression and the DuckDB replay
+  // (the SPRT discipline — the double exp() never crosses an engine
+  // boundary). P(X <= 6) leaves ~2.3e10 of the 2^48 space for w = 7.
+  private val PoisCuts: Seq[Long] = {
+    var cum = 0.0
+    var term = math.exp(-1.0)
+    (0 to 6).map { i =>
+      if (i > 0) term = term / i
+      cum += term
+      math.round(cum * Hex12Space.toDouble)
+    }
+  }
+
+  /** The Poisson(1) weight CASE ladder over a 48-bit uniform draw
+    * column; `suffix` is "L" for Spark SQL long literals, "" for DuckDB.
+    */
+  private def poissonCase(u: String, suffix: String): String =
+    PoisCuts.zipWithIndex
+      .map { case (c, i) => s"WHEN $u < $c$suffix THEN $i" }
+      .mkString("CASE ", " ", " ELSE 7 END")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- S1-S3: scans (SURVEY §2.1) ------------------------------------
@@ -1699,6 +1727,71 @@ object SparkEntry {
         .select(col("exact_median"),
           (abs(col("approx_median") - col("exact_median")) <=
             abs(col("exact_median")) * 0.01).as("sketch_within_1pct"))),
+
+    // ---- A33: KMV distinct-count sketch (Bar-Yossef et al. 2002) —
+    // the k MINIMUM md5-draw values estimate distinct users as
+    // (k-1)·2^48/h_k. Unlike HLL the sketch is DETERMINISTIC (hash
+    // order, no RNG), mergeable (min-union), and top-k is a
+    // TakeOrderedAndProject — no global sort. When the domain is
+    // smaller than k the sketch holds it exactly ------------------------
+    "a33_kmv_distinct" -> ((s, dir) => {
+      // k = 64 so the sf0.01 corpus (150 users) exercises the ESTIMATOR
+      // branch while sf0.001 (15 users) takes the exact small-domain
+      // branch — both paths gated across the sweep. Production k is
+      // larger (1024 → ~3% stderr); the estimator is k-independent.
+      val k = 64
+      val h = t(s, dir, "events")
+        .select(conv(substring(md5(col("user_id").cast("string")), 1, 12),
+          16, 10).cast("long").as("h"))
+        .distinct()
+      val kth = h.orderBy("h").limit(k)
+        .agg(count(lit(1)).as("k_actual"), max(col("h")).as("h_k"))
+      val exact = t(s, dir, "events")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      kth.crossJoin(exact)
+        .withColumn("est_users",
+          when(col("k_actual") < k, col("k_actual"))
+            .otherwise(expr(s"(${k - 1}L * ${Hex12Space}L) div h_k")))
+        .select(col("k_actual"), col("h_k"), col("est_users"),
+          col("exact_users"),
+          (abs(col("est_users") - col("exact_users")) * 5 <=
+            col("exact_users")).as("within_20pct"))
+    }),
+
+    // ---- E34: deterministic Poisson bootstrap CI (the online-bootstrap
+    // trick: per-replicate Poisson(1) weights instead of resampling) —
+    // 32 replicates whose weights come from md5(user|replicate) draws
+    // through a shared inverse-CDF ladder, so both engines reproduce the
+    // identical "random" bootstrap; the replicate variance of the
+    // conversion rate is the CI half-width's square. One user pass,
+    // ×32 explode, two hash aggs — no per-replicate jobs ----------------
+    "e34_poisson_bootstrap" -> ((s, dir) => {
+      // conversion = heavy purchaser (>= 14 purchases, the corpus's
+      // median) — a ~50% rate, so the bootstrap variance is real; "any
+      // purchase" is ~100% here and would gate a zero-variance readout
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 14).cast("long").as("x"))
+      val reps = u
+        .select(col("user_id"), col("x"),
+          explode(sequence(lit(0), lit(31))).as("r"))
+        .withColumn("u48", conv(substring(md5(concat_ws("|",
+          col("user_id"), col("r"))), 1, 12), 16, 10).cast("long"))
+        .withColumn("w", expr(poissonCase("u48", "L")))
+      val per = reps.groupBy("r")
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("x")).as("c_eff"))
+        .select(expr("CASE WHEN n_eff = 0 THEN NULL" +
+          " ELSE c_eff * 10000 div n_eff END").as("rate_bp"))
+      per.agg(count(lit(1)).as("n_reps"),
+          sum(col("rate_bp")).as("sum_bp"),
+          sum(expr("rate_bp * rate_bp")).as("sumsq_bp"))
+        .select(col("n_reps"),
+          expr("sum_bp div n_reps").as("mean_bp"),
+          expr("n_reps * sumsq_bp - sum_bp * sum_bp").as("var_num"),
+          expr("n_reps * (n_reps - 1)").as("var_den"))
+    }),
 
     // ---- A32: log-bucketed percentile histogram (HdrHistogram/DDSketch
     // family) — p50/p90/p99 of purchase cents read off a deterministic
@@ -8802,6 +8895,54 @@ object SparkEntry {
     "a10_approx_percentile" ->
       """SELECT quantile_cont(l_extendedprice, 0.5) AS exact_median,
         |  TRUE AS sketch_within_1pct FROM lineitem""".stripMargin,
+
+    // KMV replay: the same 12-hex md5 draws, bottom-k via ORDER BY
+    // LIMIT, the (k-1)*2^48/h_k estimator with the small-domain exact
+    // branch.
+    "a33_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT CAST(('0x' ||
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        |  FROM events),
+        | kth AS (SELECT CAST(count(*) AS BIGINT) AS k_actual,
+        |    CAST(max(h) AS BIGINT) AS h_k
+        |  FROM (SELECT h FROM h ORDER BY h LIMIT 64)),
+        | exact AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS exact_users FROM events)
+        |SELECT k_actual, h_k,
+        |  CASE WHEN k_actual < 64 THEN k_actual
+        |    ELSE (63 * $Hex12Space) // h_k END AS est_users,
+        |  exact_users,
+        |  abs((CASE WHEN k_actual < 64 THEN k_actual
+        |    ELSE (63 * $Hex12Space) // h_k END) - exact_users) * 5
+        |    <= exact_users AS within_20pct
+        | FROM kth CROSS JOIN exact""".stripMargin,
+
+    // Poisson-bootstrap replay: identical md5 draws and inverse-CDF
+    // ladder (cuts interpolated from the same Scala constants),
+    // integer replicate moments.
+    "e34_poisson_bootstrap" ->
+      s"""WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 14 AS BIGINT) AS x
+        |  FROM events GROUP BY user_id),
+        | reps AS (SELECT u.user_id, u.x, r.range AS r
+        |  FROM u CROSS JOIN range(0, 32) r),
+        | drawn AS (SELECT r, x, CAST(('0x' ||
+        |    substr(md5(concat_ws('|', user_id, r)), 1, 12)) AS BIGINT)
+        |    AS u48
+        |  FROM reps),
+        | wgt AS (SELECT r, x, ${poissonCase("u48", "")} AS w FROM drawn),
+        | per AS (SELECT r, CAST(sum(w) AS BIGINT) AS n_eff,
+        |    CAST(sum(w * x) AS BIGINT) AS c_eff
+        |  FROM wgt GROUP BY r),
+        | rb AS (SELECT CASE WHEN n_eff = 0 THEN NULL
+        |    ELSE c_eff * 10000 // n_eff END AS rate_bp FROM per)
+        |SELECT CAST(count(*) AS BIGINT) AS n_reps,
+        |  CAST(sum(rate_bp) // count(*) AS BIGINT) AS mean_bp,
+        |  CAST(count(*) * sum(rate_bp * rate_bp)
+        |    - sum(rate_bp) * sum(rate_bp) AS BIGINT) AS var_num,
+        |  CAST(count(*) * (count(*) - 1) AS BIGINT) AS var_den
+        | FROM rb""".stripMargin,
 
     // Log-histogram replay: the same top-7-significant-bits bucketing
     // (bin() prints BIGINT without leading zeros in both engines), the
