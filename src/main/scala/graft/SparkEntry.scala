@@ -4250,6 +4250,48 @@ object SparkEntry {
         .orderBy("nation")
     }),
 
+    // ---- A34: Mann-Kendall trend test (Mann 1945, Kendall 1975) —
+    // a30 Theil-Sen's significance companion: S = Σ_{i<j} sign(x_j−x_i)
+    // over each nation's monthly revenue series, tie-corrected variance
+    // 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) — all exact integers;
+    // z from the continuity-corrected S over IEEE-exact sqrt. Same
+    // bounded pair join as a30 (months², not rows²) --------------------
+    "a34_mann_kendall" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"),
+          ((year(col("o_orderdate")) - 1992) * 12 +
+            month(col("o_orderdate")) - 1).as("m"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      val a = monthly.select(col("nation"), col("m").as("m1"),
+        col("rev").as("r1"))
+      val b = monthly.select(col("nation").as("nation_b"),
+        col("m").as("m2"), col("rev").as("r2"))
+      val sStat = a.join(b,
+          col("nation") === col("nation_b") && col("m1") < col("m2"))
+        .groupBy("nation")
+        .agg(sum(expr("CASE WHEN r2 > r1 THEN 1" +
+          " WHEN r2 < r1 THEN -1 ELSE 0 END")).as("s_stat"))
+      val nTies = monthly.groupBy("nation", "rev")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("nation")
+        .agg(sum(lit(1) * col("t")).as("n_months"),
+          sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+      sStat.join(nTies, "nation")
+        .withColumn("var18",
+          expr("n_months * (n_months - 1) * (2 * n_months + 5)" +
+            " - tie_term"))
+        .withColumn("z_fp", expr(
+          "CASE WHEN var18 <= 0 THEN NULL ELSE" +
+            " CAST(round((s_stat - CASE WHEN s_stat > 0 THEN 1" +
+            " WHEN s_stat < 0 THEN -1 ELSE 0 END)" +
+            " / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1e6) AS BIGINT)" +
+            " END"))
+        .select("nation", "n_months", "s_stat", "var18", "z_fp")
+        .orderBy("nation")
+    }),
+
     "a31_welch_ttest" -> ((s, dir) => {
       val u = t(s, dir, "events")
         .groupBy("user_id")
@@ -4982,6 +5024,20 @@ object SparkEntry {
           qidCols = Seq(col("source"), expr("n_chars div 100")),
           qidNames = Seq("source", "len_bucket"),
           sensitive = col("lang"), l = 2, c = 2)
+        .orderBy("source", "len_bucket")),
+
+    // ---- V6: δ-PRESENCE audit (Nergiz 2007) — the membership-
+    // disclosure check k-anonymity misses: per QID group, the released
+    // share (release = the n_chars >= 200 quality filter) must sit
+    // inside [500, 9000] bp or an attacker holding the population table
+    // infers presence/absence. One conditional-sum aggregation ---------
+    "v6_delta_presence" -> ((s, dir) =>
+      graft.ops.Governance.deltaPresenceAudit(
+          t(s, dir, "documents"),
+          released = col("n_chars") >= 200,
+          qidCols = Seq(col("source"), expr("n_chars div 100")),
+          qidNames = Seq("source", "len_bucket"),
+          deltaMinBp = 500, deltaMaxBp = 9000)
         .orderBy("source", "len_bucket")),
 
     // ---- D17: benchmark LEAKAGE RATE — the evaluation-integrity number
@@ -8612,6 +8668,55 @@ object SparkEntry {
         |  CAST(round(avg(slope) * 1e6) AS BIGINT) AS slope_fp
         | FROM rk WHERE r = (n + 1) // 2 OR r = n // 2 + 1
         | GROUP BY nation ORDER BY nation""".stripMargin,
+
+    // Mann-Kendall replay: a30's monthly series, the sign-pair sum,
+    // integer tie-corrected 18·Var(S), the same continuity-corrected
+    // z spelling over IEEE-exact sqrt.
+    "a34_mann_kendall" ->
+      """WITH monthly AS (SELECT c_nationkey AS nation,
+        |    (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+        |      AS m,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        | s AS (SELECT a.nation,
+        |    CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+        |      WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT)
+        |      AS s_stat
+        |  FROM monthly a JOIN monthly b
+        |    ON a.nation = b.nation AND a.m < b.m
+        |  GROUP BY a.nation),
+        | ties AS (SELECT nation, CAST(count(*) AS BIGINT) AS t
+        |  FROM monthly GROUP BY nation, rev),
+        | nt AS (SELECT nation, CAST(sum(t) AS BIGINT) AS n_months,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM ties GROUP BY nation),
+        | v AS (SELECT s.nation, nt.n_months, s.s_stat,
+        |    n_months * (n_months - 1) * (2 * n_months + 5) - tie_term
+        |      AS var18
+        |  FROM s JOIN nt ON s.nation = nt.nation)
+        |SELECT nation, n_months, s_stat, var18,
+        |  CASE WHEN var18 <= 0 THEN NULL ELSE
+        |    CAST(round((s_stat - CASE WHEN s_stat > 0 THEN 1
+        |      WHEN s_stat < 0 THEN -1 ELSE 0 END)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1e6) AS BIGINT)
+        |    END AS z_fp
+        | FROM v ORDER BY nation""".stripMargin,
+
+    // δ-presence replay: one conditional-sum aggregation, integer //.
+    "v6_delta_presence" ->
+      """SELECT source, n_chars // 100 AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_pop,
+        |  CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_released,
+        |  CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 10000 // count(*) AS delta_bp,
+        |  CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 10000 // count(*) BETWEEN 500 AND 9000
+        |    AS presence_safe
+        | FROM documents GROUP BY source, n_chars // 100
+        | ORDER BY source, len_bucket""".stripMargin,
 
     // BH replay: the same six per-user metrics, a31's z algebra per
     // metric, the same Φ⁻¹ literal ladder and z-space rejection rule.

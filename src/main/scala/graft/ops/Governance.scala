@@ -30,6 +30,34 @@ object Governance {
   /** Per-QID-group audit row: every QID column, `k_of_group`,
     * `n_sensitive`, and the two verdicts against the supplied thresholds.
     */
+  /** δ-presence audit (Nergiz, Atzori & Clifton 2007, "Hiding the
+    * presence of individuals from shared databases"): k-anonymity
+    * protects against record RE-IDENTIFICATION inside a release, but an
+    * attacker who knows someone's quasi-identifiers and has the
+    * POPULATION table learns membership itself from the ratio
+    * δ(group) = |released ∩ group| / |population group| — δ near 1
+    * confirms presence, δ near 0 confirms absence. The audit reports,
+    * per QID group, the released share in basis points and whether it
+    * stays inside [deltaMinBp, deltaMaxBp].
+    *
+    * One grouped aggregation over the POPULATION with a conditional sum
+    * for the released side (the release must be a subset predicate, not
+    * a separate table — which is exactly how corpus filtering works);
+    * output is group-count rows. Integer `div` on counts — engine-exact.
+    */
+  def deltaPresenceAudit(population: DataFrame, released: Column,
+                         qidCols: Seq[Column], qidNames: Seq[String],
+                         deltaMinBp: Int, deltaMaxBp: Int): DataFrame = {
+    val named = qidCols.zip(qidNames).map { case (c, n) => c.as(n) }
+    population.select(named :+ released.cast("long").as("__rel"): _*)
+      .groupBy(qidNames.map(col): _*)
+      .agg(count(lit(1)).as("n_pop"), sum(col("__rel")).as("n_released"))
+      .withColumn("delta_bp",
+        expr("n_released * 10000 div n_pop"))
+      .withColumn("presence_safe",
+        col("delta_bp") >= deltaMinBp && col("delta_bp") <= deltaMaxBp)
+  }
+
   def kAnonymityAudit(df: DataFrame, qidCols: Seq[Column],
                       qidNames: Seq[String], sensitive: Column,
                       k: Int, l: Int): DataFrame = {

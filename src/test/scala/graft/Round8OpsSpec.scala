@@ -182,6 +182,44 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("delta-presence: released share per group in basis points, " +
+      "flagged when outside the declared band") {
+    // group A: 3 of 4 released (7500 bp, inside [500, 9000]);
+    // group B: 2 of 2 released (10000 bp — presence disclosed);
+    // group C: 0 of 3 released (0 bp — absence disclosed)
+    val pop = (Seq(("A", true), ("A", true), ("A", true), ("A", false),
+      ("B", true), ("B", true),
+      ("C", false), ("C", false), ("C", false))).toDF("g", "rel")
+    val audit = ops.Governance.deltaPresenceAudit(pop, col("rel"),
+        Seq(col("g")), Seq("g"), deltaMinBp = 500, deltaMaxBp = 9000)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("delta_bp"), r.getAs[Boolean]("presence_safe")))
+      .toMap
+    assert(audit("A") === ((7500L, true)))
+    assert(audit("B") === ((10000L, false)))
+    assert(audit("C") === ((0L, false)))
+  }
+
+  test("Mann-Kendall: monotone series maxes S; ties shrink the " +
+      "variance by the published correction term") {
+    // series 1,2,3,4: S = 6 pairs all +1; 18*Var = 4*3*13 = 156
+    def mk(xs: Seq[Long]): (Long, Long) = {
+      val s = (for {
+        i <- xs.indices; j <- (i + 1) until xs.size
+      } yield java.lang.Long.signum(xs(j) - xs(i)).toLong).sum
+      val n = xs.size.toLong
+      val tie = xs.groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) })
+        .sum
+      (s, n * (n - 1) * (2 * n + 5) - tie)
+    }
+    assert(mk(Seq(1L, 2L, 3L, 4L)) === ((6L, 156L)))
+    // 1,1,2: S = 2 (one zero pair), tie term 2*1*9 = 18: 3*2*11-18 = 48
+    assert(mk(Seq(1L, 1L, 2L)) === ((2L, 48L)))
+    // constant series: S = 0 and var18 = 0 — the z guard's NULL branch
+    assert(mk(Seq(5L, 5L, 5L)) === ((0L, 0L)))
+  }
+
   test("TextRank: star co-occurrence gives the hub the top score; " +
       "positions further apart than the window contribute no edge") {
     val docs = Seq((1L, "hub x hub y hub z")).toDF("doc_id", "text")
