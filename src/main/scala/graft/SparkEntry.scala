@@ -2872,6 +2872,17 @@ object SparkEntry {
             .unionByName(Multimodal.fixtureExif(s)))
         .orderBy("doc_id")),
 
+    // ---- M13: EXIF GPS SCRUB — the privacy transform for image
+    // columns: strip the GPSInfo sub-IFD in place (length-preserving
+    // byte surgery), prove by re-parse that location is gone and every
+    // other tag survives; non-JPEG rows pass through untouched ----------
+    "m13_gps_scrub" -> ((s, dir) =>
+      Multimodal.gpsScrubAudit(
+          Multimodal.toMediaTable(t(s, dir, "documents"))
+            .unionByName(Multimodal.fixtureExif(s))
+            .unionByName(Multimodal.fixtureGps(s)))
+        .orderBy("doc_id")),
+
     // ---- M12: REAL PCM sample decode — per-block peak + exact integer
     // sum of squares from the WAV data chunk's actual int16 samples
     // (loudness/clipping audit); the truncated fixture pins the
@@ -11335,6 +11346,34 @@ object SparkEntry {
 
     // EXIF replay: fixture tags hand-walked from the assembled APP1
     // bytes; corpus rows (not JPEG) and the EXIF-less JPEG are all-NULL.
+    // GPS-scrub replay: the corpus rows pass through (text payloads are
+    // not JPEG — no EXIF, lengths preserved); the fixtures' expected
+    // rows are hand-derived from the bytes in fixtureExif/fixtureGps:
+    // only -25 carries tag 0x8825, its orientation must survive the
+    // scrub, and the re-parse must report the GPS block gone.
+    "m13_gps_scrub" ->
+      """SELECT doc_id, CAST(NULL AS BIGINT) AS orientation,
+        |  CAST(NULL AS VARCHAR) AS make, CAST(NULL AS VARCHAR) AS model,
+        |  CAST(NULL AS VARCHAR) AS datetime,
+        |  false AS gps_before, false AS gps_after, true AS len_same
+        | FROM documents
+        |UNION ALL
+        |SELECT * FROM (VALUES
+        |  (CAST(-25 AS BIGINT), CAST(6 AS BIGINT),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS VARCHAR), true, false, true),
+        |  (CAST(-14 AS BIGINT), CAST(6 AS BIGINT), 'Acme', 'X100',
+        |    '2024:01:15 10:30:00', false, false, true),
+        |  (CAST(-13 AS BIGINT), CAST(3 AS BIGINT), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    false, false, true),
+        |  (CAST(-12 AS BIGINT), CAST(NULL AS BIGINT),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS VARCHAR), false, false, true))
+        |  v(doc_id, orientation, make, model, datetime,
+        |    gps_before, gps_after, len_same)
+        |ORDER BY doc_id""".stripMargin,
+
     "m11_exif" ->
       """SELECT doc_id, CAST(NULL AS BIGINT) AS orientation,
         |  CAST(NULL AS VARCHAR) AS make, CAST(NULL AS VARCHAR) AS model,

@@ -405,6 +405,62 @@ object Multimodal {
         col("media_type"))
   }
 
+  /** GPS-scrub audit — [[graft.functions.GpsScrub]] applied to every
+    * payload, then the SCRUBBED bytes re-parsed with both the scrubber
+    * (gps_after must come back false) and [[graft.functions.ExifMeta]]
+    * (every non-GPS tag must survive): the end-to-end proof the privacy
+    * transform removes exactly the location block and nothing else.
+    * Length preservation is asserted per row. Two chained codegen
+    * projections, no shuffle — safe over a mixed 100 TB binary column.
+    */
+  def gpsScrubAudit(media: DataFrame): DataFrame = {
+    def scrubOf(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.GpsScrub(
+          org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+    def metaOf(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.ExifMeta(
+          org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+    media
+      .select(col("doc_id"), col("payload"),
+        scrubOf(col("payload")).as("s1"))
+      .select(col("doc_id"), col("payload"),
+        col("s1.payload").as("scrubbed"),
+        col("s1.had_gps").as("gps_before"))
+      .select(col("doc_id"),
+        metaOf(col("scrubbed")).as("m"),
+        col("gps_before"),
+        scrubOf(col("scrubbed")).getField("had_gps").as("gps_after"),
+        (length(col("scrubbed")) === length(col("payload")))
+          .as("len_same"))
+      .select(col("doc_id"),
+        col("m.orientation").cast("long").as("orientation"),
+        col("m.make").as("make"), col("m.model").as("model"),
+        col("m.datetime").as("datetime"),
+        col("gps_before"), col("gps_after"), col("len_same"))
+  }
+
+  /** The [[fixtureExif]] family plus a JPEG whose IFD0 carries BOTH an
+    * orientation tag and a GPSInfo sub-IFD pointer (tag 0x8825 → a
+    * GPSVersionID entry at TIFF offset 0x26) — the row m13's scrub must
+    * strip while keeping orientation intact.
+    */
+  def fixtureGps(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (-25L, "FFD8" + "FFE10040" + "457869660000" +
+        "49492A0008000000" + "0200" +
+        "120103000100000006000000" + // Orientation = 6 (SHORT)
+        "258804000100000026000000" + // GPSInfo IFD -> tiff offset 0x26
+        "00000000" +
+        "0100" + "000001000400000002030000" + "00000000" + // GPS IFD
+        "FFD9", "image/jpeg")
+    ).toDF("doc_id", "hex", "media_type")
+      .select(col("doc_id"), unhex(col("hex")).as("payload"),
+        col("media_type"))
+  }
+
   /** REAL PCM sample decode for WAV payloads — per-block absolute peak
     * and exact integer sum of squares over `nBlocks` equal time blocks
     * ([[graft.functions.AudioBlocks]]): the loudness/clipping audit an

@@ -182,6 +182,36 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("GPS scrub: strips exactly the GPS block (length-preserving), " +
+      "keeps orientation, passes non-JPEG and GPS-less payloads through") {
+    import graft.functions.GpsScrub
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val gpsJpeg = hx("FFD8" + "FFE10040" + "457869660000" +
+      "49492A0008000000" + "0200" +
+      "120103000100000006000000" +
+      "258804000100000026000000" + "00000000" +
+      "0100" + "000001000400000002030000" + "00000000" + "FFD9")
+    val r1 = GpsScrub.scrub(gpsJpeg)
+    assert(r1.getBoolean(1), "GPS must be detected")
+    val scrubbed = r1.getBinary(0)
+    assert(scrubbed.length === gpsJpeg.length, "length-preserving")
+    assert(!GpsScrub.scrub(scrubbed).getBoolean(1), "idempotent: gone")
+    val meta = graft.functions.ExifMeta.decode(scrubbed)
+    assert(meta.getInt(0) === 6, "orientation survives")
+    // the GPS IFD bytes themselves are zeroed (GPSVersionID 2.3.0.0
+    // lived at the tail before FFD9)
+    val gpsRegion = scrubbed.slice(scrubbed.length - 2 - 18,
+      scrubbed.length - 2)
+    assert(gpsRegion.forall(_ == 0), "GPS block zeroed")
+    // pass-throughs return the SAME bytes, had_gps = false
+    val plain = hx("FFD8FFD9")
+    assert(!GpsScrub.scrub(plain).getBoolean(1))
+    val text = "not a jpeg".getBytes("UTF-8")
+    val r3 = GpsScrub.scrub(text)
+    assert(!r3.getBoolean(1) && (r3.getBinary(0) sameElements text))
+  }
+
   test("delta-presence: released share per group in basis points, " +
       "flagged when outside the declared band") {
     // group A: 3 of 4 released (7500 bp, inside [500, 9000]);
