@@ -1728,6 +1728,17 @@ object SparkEntry {
           (abs(col("approx_median") - col("exact_median")) <=
             abs(col("exact_median")) * 0.01).as("sketch_within_1pct"))),
 
+    // ---- A35: per-group log-histogram percentiles — the segment
+    // dashboard (p50/p99 of value per event type) at sketch cost: the
+    // readout window is partitioned by group AND bounded by the bucket
+    // cardinality, so no frame ever scales with group size ------------
+    "a35_group_log_histogram" -> ((s, dir) =>
+      LogHistogram.groupedPercentiles(
+          t(s, dir, "events").filter(col("value").isNotNull)
+            .select(col("event_type"), cents(col("value")).as("v")),
+          "event_type", "v", pBps = Seq(5000, 9900))
+        .orderBy("event_type", "p_bp")),
+
     // ---- A33: KMV distinct-count sketch (Bar-Yossef et al. 2002) —
     // the k MINIMUM md5-draw values estimate distinct users as
     // (k-1)·2^48/h_k. Unlike HLL the sketch is DETERMINISTIC (hash
@@ -9011,6 +9022,34 @@ object SparkEntry {
     "a10_approx_percentile" ->
       """SELECT quantile_cont(l_extendedprice, 0.5) AS exact_median,
         |  TRUE AS sketch_within_1pct FROM lineitem""".stripMargin,
+
+    // Grouped log-histogram replay: the same bucketing with the running
+    // sum partitioned by event_type, per-group ceil-rank selection.
+    "a35_group_log_histogram" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        | b AS (SELECT event_type, CASE WHEN v < 64 THEN v
+        |    ELSE (v >> (length(bin(v)) - 7)) << (length(bin(v)) - 7)
+        |    END AS low
+        |  FROM v WHERE v >= 0),
+        | bc AS (SELECT event_type, low, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1, 2),
+        | cum AS (SELECT event_type, low,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY low)
+        |      AS BIGINT) AS cum
+        |  FROM bc),
+        | n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM bc GROUP BY 1),
+        | thr AS (SELECT n.event_type, p_bp, n.n,
+        |    (n.n * p_bp + 9999) // 10000 AS k
+        |  FROM n CROSS JOIN
+        |    (SELECT CAST(unnest([5000, 9900]) AS BIGINT) AS p_bp))
+        |SELECT thr.event_type AS event_type, thr.p_bp, thr.n, thr.k,
+        |  CAST(min(cum.low) AS BIGINT) AS est
+        | FROM cum JOIN thr ON cum.event_type = thr.event_type
+        |   AND cum.cum >= thr.k
+        | GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
 
     // KMV replay: the same 12-hex md5 draws, bottom-k via ORDER BY
     // LIMIT, the (k-1)*2^48/h_k estimator with the small-domain exact

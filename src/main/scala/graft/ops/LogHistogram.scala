@@ -62,6 +62,37 @@ object LogHistogram {
     * identically to one built in a single batch pass: same thresholds,
     * same bucket floor, bit-equal output.
     */
+  /** Per-GROUP percentiles — the segment-dashboard shape (latency
+    * quantiles per endpoint, value quantiles per event type): one
+    * grouped sketch pass, then the readout window PARTITIONED by the
+    * group key, so every window frame is bounded by the per-group
+    * bucket cardinality (≤ 64·2^subBits), never by group size — the
+    * a24 group-quantile semantics at sketch cost.
+    */
+  def groupedPercentiles(values: DataFrame, groupCol: String,
+                         vCol: String, pBps: Seq[Int],
+                         subBits: Int = 6): DataFrame = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val buckets = values.filter(col(vCol) >= 0)
+      .select(col(groupCol), bucketLow(vCol, subBits).as("low"))
+      .groupBy(groupCol, "low").agg(count(lit(1)).as("cnt"))
+    val cum = buckets.withColumn("cum",
+      sum("cnt").over(Window.partitionBy(groupCol).orderBy("low")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = buckets.groupBy(groupCol).agg(sum("cnt").as("n"))
+    // the threshold side descends from the same bucket lineage — alias
+    // its key to dodge the self-join ambiguity
+    val thresholds = totals
+      .crossJoin(broadcast(pBps.map(_.toLong).toDF("p_bp")))
+      .select(col(groupCol).as("__g"), col("p_bp"), col("n"),
+        expr("(n * p_bp + 9999) div 10000").as("k"))
+    cum.join(broadcast(thresholds),
+        col(groupCol) === col("__g") && col("cum") >= col("k"))
+      .groupBy(col(groupCol), col("p_bp"), col("n"), col("k"))
+      .agg(min("low").as("est"))
+  }
+
   def percentilesOfSketch(buckets: DataFrame, pBps: Seq[Int]): DataFrame = {
     val spark = buckets.sparkSession
     import spark.implicits._

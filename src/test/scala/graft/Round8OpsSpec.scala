@@ -168,6 +168,12 @@ class Round8OpsSpec extends SparkSpec {
       .toMap
     assert(p(5000L) === ((32L, 31L)))
     assert(p(9900L) === ((64L, 63L)))
+    // grouped readout: per-group ranks stay independent
+    val grouped = (0L to 63L).map(("A", _)) ++ (0L to 31L).map(("B", _))
+    val gp = ops.LogHistogram.groupedPercentiles(
+        grouped.toDF("g", "v"), "g", "v", Seq(5000))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(gp === Map("A" -> 31L, "B" -> 15L))
     // relative-error property on a deterministic skewed sample
     val xs = (1 to 2000).map(i => (i.toLong * i * i * 7919) % 1000003)
     val sorted = xs.sorted
