@@ -335,7 +335,40 @@ object Similarity {
   def ivfTopK(candidates: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    // Candidate frame feeds centroid selection, assignment, and scoring.
+    val (cells, cents) = ivfBuildIndex(candidates, idCol, vecCol, nCells)
+    ivfQueryIndex(cells, cents, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** Nearest-centroid assignment: a broadcast cross join against nCells
+    * rows IS the IVF contract (K dots per vector, map-only, no shuffle);
+    * ties break on centroid id so assignment is total and deterministic.
+    */
+  private def assignCells(df: DataFrame, cents: DataFrame, idC: String,
+                          vecC: String, normC: String,
+                          keep: Int, cellName: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idC))
+      .orderBy(col("__cent_cos").desc, col("cent_id"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("__cent_cos",
+        cosineFromFp(dotFp(col(vecC), col("cent_vec")),
+          col(normC), col("cent_norm")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= keep)
+      .select(col(idC), col(vecC), col(normC),
+        col("cent_id").as(cellName))
+  }
+
+  /** BUILD half of the IVF index — the artifact a serving system
+    * persists: the assigned cell table (c_id, c_vec, c_norm, c_cell)
+    * and the centroid table. Both are plain columnar frames (floats,
+    * longs), so a parquet round trip is LOSSLESS and a query session
+    * that never saw the corpus can reload and serve them — gated
+    * end-to-end by n22, which shares n3's oracle across the round trip.
+    */
+  def ivfBuildIndex(candidates: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int = 16): (DataFrame, DataFrame) = {
+    // Candidate frame feeds centroid selection and assignment.
     val c0 = spread(candidates, idCol)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
         normFp(col(vecCol)).as("c_norm"))
@@ -345,28 +378,22 @@ object Similarity {
       .limit(nCells)
       .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec"),
         col("c_norm").as("cent_norm"))
-    // Nearest-centroid assignment: a broadcast cross join against nCells
-    // rows IS the IVF contract (K dots per vector, map-only, no shuffle);
-    // ties break on centroid id so assignment is total and deterministic.
-    def assign(df: DataFrame, idC: String, vecC: String, normC: String,
-               keep: Int, cellName: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(idC))
-        .orderBy(col("__cent_cos").desc, col("cent_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("__cent_cos",
-          cosineFromFp(dotFp(col(vecC), col("cent_vec")),
-            col(normC), col("cent_norm")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= keep)
-        .select(col(idC), col(vecC), col(normC),
-          col("cent_id").as(cellName))
-    }
-    val cCells = assign(c0, "c_id", "c_vec", "c_norm", 1, "c_cell")
+    (assignCells(c0, cents, "c_id", "c_vec", "c_norm", 1, "c_cell"), cents)
+  }
+
+  /** QUERY half over a (possibly reloaded) index: assign each query to
+    * its `nProbe` nearest centroids, probe only those cells, exact
+    * fixed-point rerank — the [[ivfTopK]] serving path decoupled from
+    * the build.
+    */
+  def ivfQueryIndex(cells: DataFrame, cents: DataFrame,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nProbe: Int = 2): DataFrame = {
     val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       normFp(col(vecCol)).as("q_norm"))
-    val qCells = assign(q0, "q_id", "q_vec", "q_norm", nProbe, "q_cell")
-    scoreTopK(cCells, qCells,
+    val qCells = assignCells(q0, cents, "q_id", "q_vec", "q_norm",
+      nProbe, "q_cell")
+    scoreTopK(cells, qCells,
       col("q_id") =!= col("c_id") && col("q_cell") === col("c_cell"), k)
   }
 
