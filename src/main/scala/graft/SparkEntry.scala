@@ -3168,6 +3168,30 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- C16: QUALITY-AWARE canonical selection — c4 keeps each dup
+    // cluster's min-id member (arbitrary); a curation pipeline should
+    // keep its BEST member. Per cluster: member count, the max t2
+    // quality score, and the canonical id (min id among the max-quality
+    // members — fully deterministic, no arg_max nondeterminism). Two
+    // hash aggs over the CC output, no windows --------------------------
+    "c16_canonical_selection" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val pairs = MinHashDedup.nearDuplicates(docs, "doc_id", "text",
+        k = 3, m = 16, nBands = 4, threshold = 0.5)
+      val cc = graft.ops.ConnectedComponents.run(pairs, "id_a", "id_b")
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      val members = scored.join(
+        cc.select(col("id").as("doc_id"), col("cluster_id")), "doc_id")
+      val best = members.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"), max(col("q")).as("best_q"))
+      members.join(best, "cluster_id")
+        .filter(col("q") === col("best_q"))
+        .groupBy("cluster_id", "n_members", "best_q")
+        .agg(min(col("doc_id")).as("canonical_id"))
+        .orderBy("cluster_id")
+    }),
+
     // ---- P15: one-pass data profiling — per-column null/distinct report
     // (the reference's pre-run sanity SQL, one scan for all columns) ------
     "p15_profile" -> ((s, dir) =>
@@ -9998,6 +10022,42 @@ object SparkEntry {
         | SELECT lang, count(*) AS n_docs FROM documents
         |  WHERE doc_id NOT IN (SELECT id FROM losers)
         |  GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // Canonical-selection replay: c4's MinHash + recursive-CTE CC, t2's
+    // quality expression, max-q + min-id tie-break via plain aggregates.
+    "c16_canonical_selection" -> (MinHashScoredCtes +
+      """,
+        | dup_pairs AS (
+        |  SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+        | cc_edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+        |  UNION SELECT id_b, id_a FROM dup_pairs),
+        | walk(id, lbl) AS (
+        |  SELECT src, src FROM cc_edges
+        |  UNION
+        |  SELECT e.dst, w.lbl FROM walk w JOIN cc_edges e ON e.src = w.id),
+        | clusters AS (
+        |  SELECT id, CAST(min(lbl) AS BIGINT) AS cluster_id
+        |  FROM walk GROUP BY id),
+        | qual AS (SELECT doc_id,
+        |  least(1.0, CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) / 100.0) * 0.5
+        |  + (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |           / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3
+        |  + least(1.0, CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |        tk -> tk IN ('the','a','and','of','to','is','in','that','it','for'))) AS DOUBLE)
+        |      * 5.0 / greatest(CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE), 1.0)) * 0.2
+        |    AS q
+        |  FROM documents WHERE text IS NOT NULL),
+        | m AS (SELECT c.cluster_id, qual.doc_id, qual.q
+        |  FROM clusters c JOIN qual ON qual.doc_id = c.id),
+        | best AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+        |    AS n_members, max(q) AS best_q
+        |  FROM m GROUP BY cluster_id)
+        |SELECT b.cluster_id, b.n_members, b.best_q,
+        |  CAST(min(m.doc_id) AS BIGINT) AS canonical_id
+        | FROM m JOIN best b
+        |   ON m.cluster_id = b.cluster_id AND m.q = b.best_q
+        | GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
 
     "d3_simhash" -> (SimHashSketchCtes +
       """,
