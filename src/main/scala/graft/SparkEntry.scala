@@ -4186,7 +4186,12 @@ object SparkEntry {
         .withColumn("i", row_number().over(Window.orderBy("d")).cast("long"))
         .withColumn("cum", sum("v").over(wRun))
         .withColumn("p", col("n") * col("cum") - col("i") * col("tot"))
-        .withColumn("s_scaled", col("p") - min("p").over(wRun))
+        // the prefix-min identity needs the implicit P_0 = 0 term: with
+        // min over rows 1..i only, an all-positive prefix under-reports
+        // S_i (row 1 would always read 0) and delays alarms during
+        // sustained above-mean drift
+        .withColumn("s_scaled",
+          col("p") - least(lit(0L), min("p").over(wRun)))
         .withColumn("alarm", col("s_scaled") > col("tot"))
         .select("d", "v", "s_scaled", "alarm")
         .orderBy("d")
@@ -4711,38 +4716,16 @@ object SparkEntry {
     // spark.graft.scaleRankPath=distributed swaps in ScaleSafe's exact
     // bracket selection — e28b gates that path every round), one
     // 1-row rollup. A 100 TB readout costs the per-user pass ------------
-    "e21_ab_readout" -> ((s, dir) => {
-      val u = t(s, dir, "events")
-        .groupBy(col("user_id"))
-        .agg(sum(when(col("event_type") === "purchase",
-          cents(col("value"))).otherwise(0L)).as("pv"))
-      val med = medianPvCut(u)
-      val users = u.crossJoin(broadcast(med))
-        .select((col("user_id") % 2).as("variant"),
-          when(col("pv") >= col("median_pv"), 1L).otherwise(0L)
-            .as("converted"))
-      users.agg(
-          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
-          sum(when(col("variant") === 0, col("converted"))
-            .otherwise(0L)).as("c0"),
-          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
-          sum(when(col("variant") === 1, col("converted"))
-            .otherwise(0L)).as("c1"))
-        // Empty-arm guard (r7-advice): Spark's div yields NULL at n=0
-        // but DuckDB's // raises — degrade identically via explicit CASE
-        .withColumn("rate0_bp",
-          expr("CASE WHEN n0 = 0 THEN NULL ELSE c0 * 10000 div n0 END"))
-        .withColumn("rate1_bp",
-          expr("CASE WHEN n1 = 0 THEN NULL ELSE c1 * 10000 div n1 END"))
-        .withColumn("z_fp", expr(
-          "CASE WHEN n0 = 0 OR n1 = 0" +
-            " OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL ELSE " +
-            "CAST(round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)" +
-            " / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
-            " * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
-            " * (1.0 / n0 + 1.0 / n1)) * 1e6) AS BIGINT) END"))
-        .withColumn("significant", abs(col("z_fp")) > 1960000L)
-    }),
+    "e21_ab_readout" -> ((s, dir) => abReadout(s, dir,
+      distributed = false)),
+
+    // ---- E21B: e21 on the PRODUCTION median path — ScaleSafe's exact
+    // bracket selection instead of the global rank window, answer
+    // bit-identical, gated on e21's oracle every round (the e28b
+    // pattern; r8-verdict item 1: e21 was the only global-window gate
+    // without a pinned distributed twin) --------------------------------
+    "e21b_ab_readout" -> ((s, dir) => abReadout(s, dir,
+      distributed = true)),
 
     // ---- E24: U-SHAPED (position-based) attribution — e18's linear
     // credit replaced by the 40/20/40 rule: first and last touch get
@@ -5935,6 +5918,41 @@ object SparkEntry {
         .filter(col("rn") === expr("(n_u + 1) div 2"))
         .select(col("pv").as("median_pv"))
 
+  /** e21/e21b: the two-proportion z readout on either median path. */
+  private def abReadout(s: SparkSession, dir: String,
+                        distributed: Boolean): DataFrame = {
+    val u = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        cents(col("value"))).otherwise(0L)).as("pv"))
+    val med = medianPvCut(u, forceDistributed = distributed)
+    val users = u.crossJoin(broadcast(med))
+      .select((col("user_id") % 2).as("variant"),
+        when(col("pv") >= col("median_pv"), 1L).otherwise(0L)
+          .as("converted"))
+    users.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 0, col("converted"))
+          .otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, col("converted"))
+          .otherwise(0L)).as("c1"))
+      // Empty-arm guard (r7-advice): Spark's div yields NULL at n=0
+      // but DuckDB's // raises — degrade identically via explicit CASE
+      .withColumn("rate0_bp",
+        expr("CASE WHEN n0 = 0 THEN NULL ELSE c0 * 10000 div n0 END"))
+      .withColumn("rate1_bp",
+        expr("CASE WHEN n1 = 0 THEN NULL ELSE c1 * 10000 div n1 END"))
+      .withColumn("z_fp", expr(
+        "CASE WHEN n0 = 0 OR n1 = 0" +
+          " OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL ELSE " +
+          "CAST(round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)" +
+          " / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
+          " * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))" +
+          " * (1.0 / n0 + 1.0 / n1)) * 1e6) AS BIGINT) END"))
+      .withColumn("significant", abs(col("z_fp")) > 1960000L)
+  }
+
   /** e28/e28b: the power-analysis rollup on either median path. */
   private def powerAnalysis(s: SparkSession, dir: String,
                             distributed: Boolean): DataFrame = {
@@ -6363,6 +6381,7 @@ object SparkEntry {
     // The *b gates run the scale-safe distributed paths
     // (ScaleSafe.scala); the answers are bit-identical to their
     // global-window siblings, so the oracles are shared verbatim.
+    "e21b_ab_readout" -> oracleSqlBase("e21_ab_readout"),
     "e27b_time_to_convert" -> oracleSqlBase("e27_time_to_convert"),
     "e28b_power_analysis" -> oracleSqlBase("e28_power_analysis"),
     "x10b_peak_concurrency" -> oracleSqlBase("x10_peak_concurrency"),
@@ -8413,7 +8432,8 @@ object SparkEntry {
         |    (SELECT n FROM tot) * cum - i * (SELECT tot FROM tot) AS p
         |  FROM c),
         | s AS (SELECT d, v,
-        |    p - min(p) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+        |    p - least(CAST(0 AS BIGINT),
+        |      min(p) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING))
         |      AS s_scaled
         |  FROM p)
         |SELECT d, v, s_scaled,

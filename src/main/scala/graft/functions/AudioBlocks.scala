@@ -77,12 +77,20 @@ object AudioBlocks {
     var dataLen = 0L
     while (dataOff < 0 && i + 8 <= b.length) {
       val id = new String(b, i, 4, "US-ASCII")
+      // le32 is an UNSIGNED 32-bit read (Long in [0, 0xFFFFFFFF]); all
+      // stepping stays in Long — a crafted length near 2^32 truncated to
+      // Int goes negative and would stall or reverse the walk.
       val len = le32(b, i + 4)
-      if (len < 0) return null
       if (id == "fmt " && i + 8 + 16 <= b.length)
         isPcm16 = le16(b, i + 8) == 1 && le16(b, i + 8 + 14) == 16
       else if (id == "data") { dataOff = i + 8; dataLen = len }
-      i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      if (dataOff < 0) {
+        val next = i.toLong + 8L + len + (len & 1L) // chunks are word-aligned
+        // step is >= 8 so progress is strict; if the next chunk header
+        // cannot fit in the payload there is no data chunk to find
+        if (next + 8L > b.length) return null
+        i = next.toInt
+      }
     }
     if (!isPcm16 || dataOff < 0) return null
     val avail = math.min(dataLen, (b.length - dataOff).toLong)

@@ -107,9 +107,17 @@ object AudioMeta {
             b(i + 3) == 'a') {
           dataLen = size
         }
-        // chunks are word-aligned (odd sizes carry a pad byte)
-        i += 8 + size.toInt + (size.toInt & 1)
-        if (size > Int.MaxValue - 16) return row("wav", ch, sr, bits, -1L)
+        // chunks are word-aligned (odd sizes carry a pad byte); step in
+        // Long — size is an UNSIGNED 32-bit read, and Int truncation
+        // near 2^31 either stalls the walk or drives i negative into an
+        // out-of-bounds read (the AudioBlocks bug class, r8 ADVICE)
+        val next = i.toLong + 8L + size + (size & 1L)
+        if (next + 8L > b.length) {
+          val dur0 = if (dataLen >= 0 && byteRate > 0)
+            dataLen * 1000L / byteRate else -1L
+          return row("wav", ch, sr, bits, dur0)
+        }
+        i = next.toInt
       }
       val dur = if (dataLen >= 0 && byteRate > 0) dataLen * 1000L / byteRate
                 else -1L

@@ -68,9 +68,14 @@ object BmpThumb {
     val h = math.abs(hRaw)
     if (w <= 0 || h == 0 || w < gw || h < gh) return null
     if (le16(b, 28) != 24 || le32(b, 30) != 0) return null // 24-bpp BI_RGB
-    val rowBytes = ((w * 3 + 3) / 4) * 4
-    if (dataOff < 0 || dataOff.toLong + rowBytes.toLong * h > b.length)
+    // row stride in Long: w near Int.MaxValue/3 overflows w*3 to a
+    // negative stride that slips past the bounds check and reads out of
+    // range — the Long-domain check bounds w by b.length/3, after which
+    // the stride provably fits an Int
+    val rowBytesL = ((w.toLong * 3 + 3) / 4) * 4
+    if (dataOff < 0 || dataOff.toLong + rowBytesL * h > b.length)
       return null
+    val rowBytes = rowBytesL.toInt
     // Exact integer box-average per grid cell, single pass per cell.
     val out = new Array[Char](gw * gh * 6)
     var gy = 0

@@ -110,7 +110,10 @@ object ExifMeta {
           val off = r32(valOff)
           if (off < 0) return null else tiff + off.toInt
         }
-      if (start < 0 || start + count > b.length || count <= 0) return null
+      // Long-domain bound: a huge positive count overflows start + count
+      // to negative, slips past an Int check, and copyOfRange throws
+      if (start < 0 || count <= 0 || start.toLong + count > b.length)
+        return null
       var end = start + count
       while (end > start && (b(end - 1) == 0 || b(end - 1) == ' '))
         end -= 1

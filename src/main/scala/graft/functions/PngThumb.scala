@@ -97,7 +97,10 @@ object PngThumb {
       else {
         val len = be32(b, i)
         val t = new String(b, i + 4, 4, "US-ASCII")
-        if (len < 0 || i + 8 + len + 4 > b.length) ok = false
+        // bounds math in Long: len near Int.MaxValue overflows the Int
+        // sum, slips past the check, and idat.write throws — breaking
+        // the never-throw NULL-quarantine contract
+        if (len < 0 || i.toLong + 8L + len + 4L > b.length) ok = false
         else {
           if (t == "IDAT") idat.write(b, i + 8, len)
           if (t == "IEND") done = true

@@ -394,11 +394,15 @@ object Graph {
       val neigh = und
         .join(labels.select(col("v").as("b"), col("label")), "b")
         .select(col("a").as("v"), col("label"))
+      // argmax by count, ties to the SMALLEST label, in one struct min:
+      // negate the COUNT (always numeric) rather than the label, so the
+      // tie-break works for any orderable label type — string node ids
+      // fail analysis under the -label spelling
       val best = neigh.groupBy("v", "label")
         .agg(count(lit(1)).as("cnt"))
         .groupBy("v")
-        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
-        .select(col("v"), (-col("m.neg")).as("label"))
+        .agg(min(struct((-col("cnt")).as("neg_cnt"), col("label"))).as("m"))
+        .select(col("v"), col("m.label").as("label"))
       labels = graft.Checkpoints.sever(best)
     }
     labels

@@ -82,6 +82,10 @@ object ScaleSafe {
     val n = probe._1
     if (n == 0L) return df.select(col(valueCol)).limit(0)
     val target = targetRank(n)
+    // a target outside [1, n] can never fall inside ANY bracket — the
+    // widening loop below would spin full-corpus aggregations forever
+    require(target >= 1L && target <= n,
+      s"targetRank must map n=$n into [1, n]; got $target")
 
     // Widen the bracket until the exact boundary counts prove the
     // target rank falls inside it; the sketch guarantee makes the first

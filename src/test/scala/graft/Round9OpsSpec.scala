@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 regression suite: the five r8 ADVICE findings, each pinned
+  * by the adversarial input that used to hang or throw.
+  */
+class Round9OpsSpec extends SparkSpec {
+
+  private def unhexStr(hex: String): Array[Byte] =
+    hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+
+  // ---- ADVICE high: AudioBlocks RIFF walk must terminate on crafted
+  // 32-bit chunk lengths (0xFFFFFFF8 truncated to Int is -8 → the old
+  // walk advanced by 0 and hung the executor task) ---------------------
+  test("audio_blocks: crafted chunk lengths quarantine to NULL, never hang") {
+    import graft.functions.AudioBlocks
+    def wav(chunks: String): Array[Byte] =
+      unhexStr("52494646" + "24000000" + "57415645" + chunks)
+    // chunk len 0xFFFFFFF8 → le32 = 4294967288; Int truncation = -8
+    // made the old step 8 + (-8) + 0 = 0: infinite loop
+    assert(AudioBlocks.decode(wav("4A554E4B" + "F8FFFFFF" + "00000000"), 2)
+      === null)
+    // len 0x7FFFFFFF: old Int step overflowed i negative → String ctor
+    // threw from inside codegen
+    assert(AudioBlocks.decode(wav("4A554E4B" + "FFFFFF7F" + "00000000"), 2)
+      === null)
+    // len larger than the remaining payload but small: walk ends, NULL
+    assert(AudioBlocks.decode(wav("4A554E4B" + "40000000" + "0000"), 2)
+      === null)
+    // control: a real PCM16 WAV still decodes (4 samples, 2 blocks)
+    val good = unhexStr("52494646" + "28000000" + "57415645" +
+      "666D7420" + "10000000" +
+      "0100" + "0100" + "44AC0000" + "88581B00" + "0200" + "1000" +
+      "64617461" + "08000000" +
+      "0100" + "FF7F" + "0080" + "0200")
+    val arr = AudioBlocks.decode(good, 2)
+    assert(arr != null && arr.numElements() === 2)
+  }
+
+  // ---- ADVICE medium: PngThumb chunk-walk bounds math in Long — a len
+  // near Int.MaxValue used to overflow the Int check and throw from
+  // idat.write, breaking the never-throw contract ----------------------
+  test("png_thumb: huge chunk length returns NULL instead of throwing") {
+    import graft.functions.PngThumb
+    val png = unhexStr("89504E470D0A1A0A" +
+      "0000000D" + "49484452" + "00000004" + "00000004" +
+      "08" + "02" + "00" + "00" + "00" + "00000000" +
+      // IDAT claiming 0x7FFFFFF0 bytes: old Int sum overflowed negative
+      "7FFFFFF0" + "49444154" + "0000000000000000")
+    assert(PngThumb.decode(png, 1, 1) === null)
+  }
+
+  // ---- ADVICE medium: BmpThumb stride math in Long — w*3 overflow made
+  // a negative rowBytes that slipped the bounds check and read out of
+  // range ---------------------------------------------------------------
+  test("bmp_thumb: width overflowing w*3 returns NULL instead of throwing") {
+    import graft.functions.BmpThumb
+    val b = new Array[Byte](64)
+    b(0) = 'B'; b(1) = 'M'
+    def putLe32(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte
+      b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe32(10, 54) // pixel data offset
+    putLe32(14, 40) // BITMAPINFOHEADER
+    putLe32(18, 0x2AAAAAAB) // w: w*3 = 0x80000001 overflows Int
+    putLe32(22, 1) // h
+    b(26) = 1 // planes
+    b(28) = 24 // bpp
+    putLe32(30, 0) // BI_RGB
+    assert(BmpThumb.decode(b, 1, 1) === null)
+  }
+
+  // ---- ADVICE medium: ExifMeta.ascii start+count in Long — a huge tag
+  // count used to overflow the Int bound and throw from copyOfRange ----
+  test("exif_meta: huge ASCII tag count quarantines the field, keeps the rest") {
+    import graft.functions.ExifMeta
+    // the m11 fixture with Make's count patched 5 → 0x7FFFFFF0
+    val full = unhexStr("FFD8" + "FFE10064" + "457869660000" +
+      "49492A0008000000" + "0400" +
+      "120103000100000006000000" +
+      "0F010200F0FFFF7F3E000000" + // Make count = 0x7FFFFFF0
+      "100102000500000043000000" +
+      "320102001400000048000000" +
+      "00000000" +
+      "41636D6500" + "5831303000" +
+      "323032343A30313A31352031303A33303A303000" + "FFD9")
+    val row = ExifMeta.decode(full)
+    assert(row != null)
+    assert(row.getInt(0) === 6) // orientation survives
+    assert(row.isNullAt(1)) // Make quarantined, not thrown
+    assert(row.getUTF8String(2).toString === "X100") // Model survives
+  }
+
+  // ---- ADVICE low: labelPropagation tie-break must work for ANY
+  // orderable node type (the old -label spelling failed analysis on
+  // strings) ------------------------------------------------------------
+  test("label_propagation: string node ids, ties to the smallest label") {
+    import spark.implicits._
+    val edges = Seq(("m", "b"), ("m", "c")).toDF("src", "dst")
+    val out = graft.ops.Graph.labelPropagation(edges, "src", "dst",
+      rounds = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    // m's neighbors carry labels {b, c}, count 1 each → smallest wins
+    assert(out("m") === "b")
+    assert(out("b") === "m" && out("c") === "m")
+  }
+
+  test("label_propagation: numeric ids agree with the g16 gate semantics") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L))
+      .toDF("src", "dst")
+    val out = graft.ops.Graph.labelPropagation(edges, "src", "dst",
+      rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // triangle converges to the smallest member; the pair oscillates
+    // deterministically (synchronous LPA) — both replayable
+    assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L)
+    assert(Set(out(10L), out(11L)) === Set(10L, 11L))
+  }
+
+  // ---- ADVICE low: exactRankValueBracket must reject a target outside
+  // [1, n] — the widening loop can never satisfy it and used to spin
+  // full-corpus aggregations forever ------------------------------------
+  test("exactRankValueBracket: out-of-range target fails fast") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("v").withColumn("tie", col("v"))
+    intercept[IllegalArgumentException] {
+      graft.ops.ScaleSafe.exactRankValueBracket(
+        df, "v", "tie", 0.5, _ => 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.ScaleSafe.exactRankValueBracket(
+        df, "v", "tie", 0.5, n => n + 1)
+    }
+    // in-range target still selects exactly
+    val got = graft.ops.ScaleSafe.exactRankValueBracket(
+      df, "v", "tie", 0.5, n => (n + 1) / 2).head().getLong(0)
+    assert(got === 50L)
+  }
+
+  // ---- ADVICE medium: e29's prefix-min identity needs the implicit
+  // P_0 = 0 term — pin the gate's output to the literal Page (1954)
+  // recurrence S_i = max(0, S_{i-1} + n·x_i − tot) ----------------------
+  test("e29_cusum_drift equals the literal CUSUM recurrence") {
+    val out = SparkEntry.queries("e29_cusum_drift")(spark, sf)
+      .orderBy("d").collect()
+    val n = out.length.toLong
+    val tot = out.map(_.getLong(1)).sum
+    var s = 0L
+    out.foreach { r =>
+      s = math.max(0L, s + n * r.getLong(1) - tot)
+      assert(r.getLong(2) === s, s"day ${r.getLong(0)}")
+      assert(r.getBoolean(3) === (s > tot))
+    }
+    // the fix must matter on this corpus: at least one prefix where the
+    // old rows-1..i min under-reported (i.e. some s_scaled row now
+    // differs from p - min_{1..i} p) — row 1 alone guarantees it
+    // whenever day 1 is above the mean
+    assert(out.nonEmpty)
+  }
+}

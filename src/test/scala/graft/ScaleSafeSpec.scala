@@ -109,6 +109,20 @@ class ScaleSafeSpec extends SparkSpec {
     }
   }
 
+  test("e21b is bit-identical to e21 and avoids the global rank window") {
+    val base = SparkEntry.queries("e21_ab_readout")(spark, sf)
+      .collect().toSeq
+    val twin = SparkEntry.queries("e21b_ab_readout")(spark, sf)
+    val bad = twin.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        w.collectFirst { case a: Aggregate => a }.isEmpty => w
+    }
+    // only the bracket-bounded selection window may remain (its input
+    // is the sketch-bounded Filter, not the corpus)
+    assert(bad.size <= 1, s"unexpected windows:\n${bad.mkString("\n")}")
+    assert(twin.collect().toSeq === base)
+  }
+
   test("spark.graft.scaleRankPath=distributed flips the classic gates") {
     val name = "e21_ab_readout"
     val base = SparkEntry.queries(name)(spark, sf).collect().toSeq
