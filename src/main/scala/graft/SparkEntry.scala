@@ -2851,9 +2851,18 @@ object SparkEntry {
             .unionByName(Multimodal.fixtureMedia(s)))
         .orderBy("doc_id")),
 
+    // ---- M2: generic batch feature extraction with the REAL default
+    // kernel (r9: StubDecoder retired) — MediaDecoder composes the
+    // shipped container decoders (MediaDims images, AudioMeta audio,
+    // AudioBlocks PCM sample stats) through the mapPartitions batch
+    // contract. Corpus text payloads quarantine to all-NULL features;
+    // the image/audio fixtures pin hand-computed dims, stream params,
+    // and exact PCM peak/sum-of-squares ----------------------------------
     "m2_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s,
-          Multimodal.toMediaTable(t(s, dir, "documents")))
+          Multimodal.toMediaTable(t(s, dir, "documents"))
+            .unionByName(Multimodal.fixtureMedia(s))
+            .unionByName(Multimodal.fixtureWavs(s)))
         .toDF().orderBy("doc_id")),
 
     // ---- M3: REAL GIF frame extraction (r8: stub retired) — the native
@@ -11429,15 +11438,35 @@ object SparkEntry {
         |) a(doc_id, n_bytes, format, channels, sample_rate, bits, duration_ms)
         |ORDER BY doc_id""".stripMargin,
 
+    // Real-kernel replay (r9): corpus text payloads carry no container
+    // magic → all-NULL features; the fixtures' dims / stream params /
+    // exact PCM stats are hand-computed from the payload bytes (peak
+    // 32768 and sumsq 32767²+32768²+… exercise both int16 extremes).
     "m2_media_features" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,
-        |  unicode(substr(text, 1, 1)) AS first_byte,
-        |  unicode(substr(text, length(text), 1)) AS last_byte,
-        |  CAST(list_sum(list_transform(range(1, length(text) + 1),
-        |    i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT))) % 997
-        |    AS BIGINT) AS byte_sum_mod
-        |  FROM documents ORDER BY doc_id""".stripMargin,
+        |  CAST(NULL AS VARCHAR) AS format,
+        |  CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+        |  CAST(NULL AS BIGINT) AS channels,
+        |  CAST(NULL AS BIGINT) AS sample_rate,
+        |  CAST(NULL AS BIGINT) AS peak, CAST(NULL AS BIGINT) AS sumsq
+        |  FROM documents
+        |UNION ALL
+        |SELECT * FROM (VALUES
+        |  (CAST(-30 AS BIGINT), CAST(60 AS BIGINT), 'wav',
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(1 AS BIGINT),
+        |   CAST(8000 AS BIGINT), CAST(32768 AS BIGINT),
+        |   CAST(2149428163 AS BIGINT)),
+        |  (-29, 56, 'wav', NULL, NULL, 1, 8000, 32768, 2149418138),
+        |  (-28, 26, 'flac', NULL, NULL, 2, 48000, NULL, NULL),
+        |  (-5, 33, 'png', 640, 480, NULL, NULL, NULL, NULL),
+        |  (-4, 41, 'jpeg', 320, 240, NULL, NULL, NULL, NULL),
+        |  (-3, 13, 'gif', 320, 200, NULL, NULL, NULL, NULL),
+        |  (-2, 30, 'bmp', 100, 50, NULL, NULL, NULL, NULL),
+        |  (-1, 5, NULL, NULL, NULL, NULL, NULL, NULL, NULL)
+        |) v(doc_id, n_bytes, format, width, height, channels,
+        |    sample_rate, peak, sumsq)
+        |ORDER BY doc_id""".stripMargin,
 
     // Real-pixel thumbnail replay: corpus text payloads are not BMPs →
     // NULL; the fixtures' box averages are hand-computed from the pixel

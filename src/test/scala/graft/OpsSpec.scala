@@ -747,12 +747,30 @@ class CorpusCountMemoSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("stub decoder computes byte statistics through mapPartitions") {
+  test("MediaDecoder quarantines text and decodes real containers " +
+      "through mapPartitions") {
     val media = Seq((7L, "abc")).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(spark,
       Multimodal.toMediaTable(media)).collect()
-    assert(feats.head === Multimodal.MediaFeatures(7L, 3L, 97, 99,
-      (97 + 98 + 99) % 997))
+    // text payload: no container magic → all-NULL features, row kept
+    assert(feats.head === Multimodal.MediaFeatures(7L, 3L, None, None,
+      None, None, None, None, None))
+    // image fixture: real header dims via the composed MediaDims kernel
+    val png = Multimodal.extractFeatures(spark,
+        Multimodal.fixtureMedia(spark))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(png(-5L) === Multimodal.MediaFeatures(-5L, 33L, Some("png"),
+      Some(640L), Some(480L), None, None, None, None))
+    assert(png(-1L).format === None)
+    // WAV fixture: real PCM stats via the composed AudioBlocks kernel
+    val wav = Multimodal.extractFeatures(spark,
+        Multimodal.fixtureWavs(spark))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(wav(-30L) === Multimodal.MediaFeatures(-30L, 60L, Some("wav"),
+      None, None, Some(1L), Some(8000L), Some(32768L),
+      Some(2149428163L)))
+    assert(wav(-28L) === Multimodal.MediaFeatures(-28L, 26L, Some("flac"),
+      None, None, Some(2L), Some(48000L), None, None))
   }
 
   test("frame sampling slices the payload") {
