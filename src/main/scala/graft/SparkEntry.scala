@@ -2653,6 +2653,48 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // ---- N23: PERSISTED-INDEX REFRESH — the production loop n21 and
+    // n22 gate separately, composed (r8-verdict item 7): build from the
+    // base corpus and persist (n22's path), then REFRESH — reload the
+    // parquet index, assign ONLY the delta batch against the frozen
+    // codebook (n21's maintenance path, via Similarity.ivfAssignDelta —
+    // a map-only scan of the delta, never the base), append, persist —
+    // and serve n3's query from the refreshed index. The delta is chosen
+    // disjoint from the full corpus's hash-order codebook, so the frozen-
+    // codebook refresh is EXACTLY a full rebuild and the gate shares
+    // n3's oracle verbatim: the equivalence that makes IVF maintenance
+    // incremental at 100 TB is proved end-to-end through parquet --------
+    "n23_index_refresh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_refresh").toString
+      // the full corpus's 16 codebook ids (bounded nCells-row scalar
+      // read, same budget class as the other one-row reads): the delta
+      // must not remove a codebook vector from the base build
+      val centIds = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(16).select("vec_id").collect().map(_.getLong(0)).toSeq
+      val isDelta = col("vec_id") % 10 === 0 &&
+        !col("vec_id").isin(centIds: _*)
+      // phase 1 — base build, persisted
+      val (cells0, cents0) = Similarity.ivfBuildIndex(
+        emb.filter(!isDelta), "vec_id", "embedding", nCells = 16)
+      cells0.write.mode("overwrite").parquet(tmp + "/cells")
+      cents0.write.mode("overwrite").parquet(tmp + "/cents")
+      // phase 2 — refresh: reload, delta-only assignment, append, persist
+      val cents = s.read.parquet(tmp + "/cents")
+      s.read.parquet(tmp + "/cells")
+        .unionByName(Similarity.ivfAssignDelta(
+          emb.filter(isDelta), cents, "vec_id", "embedding"))
+        .write.mode("overwrite").parquet(tmp + "/cells_refreshed")
+      // phase 3 — serve n3's exact query from the refreshed index
+      Similarity.ivfQueryIndex(
+          s.read.parquet(tmp + "/cells_refreshed"), cents,
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nProbe = 2)
+        .orderBy("q_id", "rank")
+    }),
+
     // ---- N4: multi-probe LSH — recall repaired by probing the 1-bit-flip
     // neighbour buckets on the query side only; corpus layout unchanged ----
     "n4_ann_multiprobe" -> ((s, dir) => {
@@ -5794,6 +5836,72 @@ object SparkEntry {
           | GROUP BY 1, 2, 3 ORDER BY p_bp""".stripMargin)
     }),
 
+    // ---- SQL14: the flagship ANN index family through the SQL front
+    // door (r8-verdict item 3 — the n* family was Scala-only): the FULL
+    // IVF build + probe in one pure-SQL statement over the registered
+    // fp_dot codegen expression — deterministic md5-order centroid
+    // "training", nearest-centroid assignment via a windowed broadcast
+    // cross join against the 16-row centroid set, nProbe=2 probing, and
+    // exact fixed-point rerank inside probed cells. Byte-identical
+    // spelling of Similarity.ivfTopK's plan, gated on n3's DuckDB
+    // oracle verbatim -----------------------------------------------------
+    "sql14_ann_ivf" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      GraftFunctions.registerAll(s)
+      s.sql(
+        """WITH c0 AS (
+          |  SELECT vec_id AS c_id, embedding AS c_vec,
+          |    fp_dot(embedding, embedding) AS c_norm
+          |  FROM embeddings),
+          | cents AS (
+          |  SELECT c_id AS cent_id, c_vec AS cent_vec,
+          |    c_norm AS cent_norm
+          |  FROM c0 ORDER BY md5(CAST(c_id AS STRING)), c_id LIMIT 16),
+          | c_assign AS (
+          |  SELECT /*+ BROADCAST(cents) */ c_id, c_vec, c_norm,
+          |    cent_id,
+          |    row_number() OVER (PARTITION BY c_id ORDER BY
+          |      CAST(fp_dot(c_vec, cent_vec) AS DOUBLE)
+          |        / (sqrt(CAST(c_norm AS DOUBLE))
+          |           * sqrt(CAST(cent_norm AS DOUBLE))) DESC,
+          |      cent_id) AS r
+          |  FROM c0 CROSS JOIN cents),
+          | cells AS (
+          |  SELECT c_id, c_vec, c_norm, cent_id AS c_cell
+          |  FROM c_assign WHERE r = 1),
+          | q0 AS (
+          |  SELECT vec_id AS q_id, embedding AS q_vec,
+          |    fp_dot(embedding, embedding) AS q_norm
+          |  FROM embeddings WHERE vec_id < 8),
+          | q_assign AS (
+          |  SELECT /*+ BROADCAST(cents) */ q_id, q_vec, q_norm,
+          |    cent_id,
+          |    row_number() OVER (PARTITION BY q_id ORDER BY
+          |      CAST(fp_dot(q_vec, cent_vec) AS DOUBLE)
+          |        / (sqrt(CAST(q_norm AS DOUBLE))
+          |           * sqrt(CAST(cent_norm AS DOUBLE))) DESC,
+          |      cent_id) AS r
+          |  FROM q0 CROSS JOIN cents),
+          | qcells AS (
+          |  SELECT q_id, q_vec, q_norm, cent_id AS q_cell
+          |  FROM q_assign WHERE r <= 2),
+          | scored AS (
+          |  SELECT /*+ BROADCAST(qcells) */ q_id, c_id,
+          |    fp_dot(q_vec, c_vec) AS dot_fp,
+          |    CAST(fp_dot(q_vec, c_vec) AS DOUBLE)
+          |      / (sqrt(CAST(q_norm AS DOUBLE))
+          |         * sqrt(CAST(c_norm AS DOUBLE))) AS cos
+          |  FROM cells JOIN qcells
+          |    ON q_cell = c_cell AND q_id <> c_id)
+          |SELECT q_id, c_id, rank, cos FROM (
+          |  SELECT q_id, c_id, cos,
+          |    CAST(row_number() OVER (PARTITION BY q_id
+          |      ORDER BY dot_fp DESC, c_id) AS BIGINT) AS rank
+          |  FROM scored)
+          |WHERE rank <= 5
+          |ORDER BY q_id, rank""".stripMargin)
+    }),
+
     // ---- P19: NOT IN three-valued null semantics — the classic SQL trap:
     // a NULL anywhere in the subquery result makes NOT IN unknowable, so
     // ZERO rows survive. Catalyst plans this as a null-aware anti join
@@ -6408,9 +6516,13 @@ object SparkEntry {
     "sql11_media_meta" -> oracleSqlBase("m1_media_meta"),
     "sql12_k_anonymity" -> oracleSqlBase("v1_k_anonymity"),
     "sql13_log_histogram" -> oracleSqlBase("a32_log_histogram"),
+    "sql14_ann_ivf" -> oracleSqlBase("n3_ann_ivf"),
     "st26_stream_log_histogram" -> oracleSqlBase("a32_log_histogram"),
     // the parquet round trip must be lossless — n3's oracle unchanged
-    "n22_persisted_index" -> oracleSqlBase("n3_ann_ivf"))
+    "n22_persisted_index" -> oracleSqlBase("n3_ann_ivf"),
+    // frozen-codebook refresh == full rebuild (codebook-preserving
+    // delta), end-to-end through parquet — n3's oracle unchanged
+    "n23_index_refresh" -> oracleSqlBase("n3_ann_ivf"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "s1_scan" ->

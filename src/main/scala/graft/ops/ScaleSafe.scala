@@ -26,17 +26,24 @@ import org.apache.spark.sql.functions._
   *     count/sum, cumulated in one tiny window) broadcasts the carry
   *     back. Cost: one full-data exchange + one map-side-combined agg.
   *
-  * SKEW caveat (documented, not hidden): the bucket function maps each
+  * SKEW handling (r8-verdict item 5 — the remedy the r8 comment only
+  * described is now implemented): the bucket function maps each
   * distinct order-key VALUE to one bucket, so a single value holding a
-  * large fraction of all rows concentrates its rows in one task — the
-  * same hot-key behavior as any hash/range partitioning. The remedy at
-  * true scale is a broadcast boundary table that gives each hot value
-  * DEDICATED sub-buckets split by the tie column (monotone within the
-  * value, so ranks stay exact) — one small pre-aggregation to find hot
-  * values, then the same two-level scan; not implemented here because
-  * none of the gated order keys (event timestamps, md5 prefixes,
-  * distinct cents values) can concentrate by construction, and an
-  * untestable code path is worse than a documented one.
+  * large fraction of all rows would concentrate its rows in one task.
+  * [[withHotSafeBucket]] refines any monotone base bucket with
+  * DEDICATED sub-buckets for hot values, split by the tie column
+  * (monotone within the value, so ranks stay exact): one exact
+  * value-level pre-aggregation finds values above a row-share
+  * threshold, and the composite (base, value-segment, tie-range)
+  * bucket feeds the SAME two-level scan unchanged. Every aggregate in
+  * the refinement is merge-order-invariant (count/min/max/sorted
+  * list) — the determinism the scan's double computation of the
+  * bucket function relies on; this is also why the tie split uses
+  * exact min/max range division rather than a percentile sketch.
+  * None of the gated order keys (event timestamps, md5 prefixes,
+  * distinct cents values) can concentrate by construction, so the
+  * gates keep the plain bucket; ScaleSafeSpec pins the hot path on a
+  * 50%-hot-value fixture (bit-equality + balanced bucket sizes).
   *
   * Path selection follows the [[graft.Checkpoints.DirConf]] pattern:
   * gates that honor [[PathConf]] run the classic global window when it
@@ -175,6 +182,77 @@ object ScaleSafe {
       .withColumn(outCol, col("__lsum") + col("__off"))
       .drop("__b", "__lsum", "__off")
   }
+
+  /** Refines a monotone base bucket with hot-key sub-buckets: adds
+    * `outCol` = struct(base, value-segment, tie-sub-bucket), a
+    * composite that is STILL monotone w.r.t. the (valueCol, tieCol)
+    * global order — so it drops into [[rowNumberBucketed]] /
+    * [[runningSumBucketed]] unchanged — but splits every value holding
+    * more than `hotShare` of all rows into `subBuckets` tie-ranges.
+    *
+    * Construction (all broadcast-sized, ≤ 1/hotShare hot values by
+    * definition):
+    *   - exact per-value (count, min tie, max tie) pre-aggregation
+    *     with map-side combine; values above the share threshold and
+    *     their tie domains broadcast back;
+    *   - value segment = 2·(#hot values below this value) + (1 if this
+    *     value is hot) — a step function of the value, monotone, that
+    *     gives each hot value a dedicated segment strictly between its
+    *     neighbors;
+    *   - tie sub-bucket = exact integer range split of the hot value's
+    *     [min, max] tie domain ([[rangeBucket]]'s arithmetic) — 0 for
+    *     non-hot rows.
+    *
+    * Every aggregate used is merge-order-invariant, so recomputing the
+    * column on the scan's second pass provably agrees. `tieCol` must be
+    * long-typed (ids, timestamps); balance assumes roughly-uniform ties
+    * within the hot value, which holds for ids/timestamps by
+    * construction.
+    */
+  def withHotSafeBucket(df: DataFrame, valueCol: String, tieCol: String,
+                        baseBucket: Column, outCol: String,
+                        hotShare: Double = 0.05,
+                        subBuckets: Int = 8): DataFrame = {
+    require(subBuckets >= 2, s"need subBuckets >= 2, got $subBuckets")
+    require(hotShare > 0 && hotShare < 1,
+      s"need hotShare in (0, 1), got $hotShare")
+    val vstats = df.groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__vc"),
+        min(col(tieCol)).as("__tlo"), max(col(tieCol)).as("__thi"))
+    val tot = vstats.agg(sum("__vc").as("__n"))
+    val hot = vstats.crossJoin(broadcast(tot))
+      .filter(col("__vc").cast("double") >
+        col("__n").cast("double") * hotShare)
+      .select("__v", "__tlo", "__thi")
+    val hotList = hot.agg(
+      sort_array(collect_list("__v")).as("__hvs"))
+    df.join(broadcast(hot), df(valueCol) === hot("__v"), "left")
+      .crossJoin(broadcast(hotList))
+      .withColumn("__vseg",
+        size(filter(col("__hvs"), h => h < col(valueCol))).cast("long") * 2
+          + when(col("__v").isNotNull, 1L).otherwise(0L))
+      .withColumn("__tsub",
+        when(col("__v").isNull || col("__thi") === col("__tlo"), lit(0L))
+          .otherwise(expr(
+            s"(CAST($tieCol AS BIGINT) - __tlo) * ${subBuckets.toLong}L" +
+              " div (__thi - __tlo + 1L)")))
+      .withColumn(outCol, struct(baseBucket.as("b"),
+        col("__vseg").as("s"), col("__tsub").as("t")))
+      .drop("__v", "__tlo", "__thi", "__hvs", "__vseg", "__tsub")
+  }
+
+  /** [[rowNumberBucketed]] with the hot-key refinement applied — the
+    * convenience wrapper for order keys that MIGHT concentrate.
+    */
+  def rowNumberBucketedHotSafe(df: DataFrame, valueCol: String,
+                               tieCol: String, baseBucket: Column,
+                               outCol: String, hotShare: Double = 0.05,
+                               subBuckets: Int = 8): DataFrame =
+    rowNumberBucketed(
+      withHotSafeBucket(df, valueCol, tieCol, baseBucket, "__hsb",
+        hotShare, subBuckets),
+      Seq(col(valueCol), col(tieCol)), col("__hsb"), outCol)
+      .drop("__hsb")
 
   /** Monotone bucket id for a long-typed order key (a NAMED column)
     * over a known [lo, hi] domain:

@@ -381,6 +381,24 @@ object Similarity {
     (assignCells(c0, cents, "c_id", "c_vec", "c_norm", 1, "c_cell"), cents)
   }
 
+  /** MAINTENANCE half of the IVF index — the refresh path a serving
+    * system runs between full rebuilds: assign a DELTA batch against a
+    * FROZEN centroid codebook (typically reloaded from the persisted
+    * index) and return rows in the cell-table shape, ready to append.
+    * Because an IVF assignment depends only on (vector, codebook), a
+    * frozen-codebook delta append is EXACTLY equivalent to a full
+    * rebuild whenever the codebook is unchanged — the property n21
+    * gates cell-by-cell and n23 gates end-to-end through parquet.
+    * Cost scans ONLY the delta: K broadcast dots per delta vector,
+    * map-only, no shuffle.
+    */
+  def ivfAssignDelta(delta: DataFrame, cents: DataFrame,
+                     idCol: String, vecCol: String): DataFrame = {
+    val d0 = delta.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      normFp(col(vecCol)).as("c_norm"))
+    assignCells(d0, cents, "c_id", "c_vec", "c_norm", 1, "c_cell")
+  }
+
   /** QUERY half over a (possibly reloaded) index: assign each query to
     * its `nProbe` nearest centroids, probe only those cells, exact
     * fixed-point rerank — the [[ivfTopK]] serving path decoupled from

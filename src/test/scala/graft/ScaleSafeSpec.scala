@@ -109,6 +109,59 @@ class ScaleSafeSpec extends SparkSpec {
     }
   }
 
+  test("hot-key sub-bucketing: bit-equal ranks on a 50%-hot fixture, " +
+    "balanced bucket sizes") {
+    // one value (50) holds HALF of all rows — the concentration case
+    // the plain value-bucket provably cannot balance; other values
+    // spread on both sides of it
+    val n = 1000
+    val df = (1 to n).map { i =>
+      (if (i % 2 == 0) 50L else (i * 13 % 97).toLong, i.toLong)
+    }.toDF("v", "id")
+    val global = df.withColumn("rn",
+      row_number().over(Window.orderBy("v", "id")).cast("long"))
+    val out = ScaleSafe.rowNumberBucketedHotSafe(df, "v", "id",
+      ScaleSafe.rangeBucket("v", 0, 96, 8), "rn",
+      hotShare = 0.2, subBuckets = 8)
+    assert(out.select("v", "id", "rn")
+      .except(global.select("v", "id", "rn")).isEmpty)
+    assert(global.select("v", "id", "rn")
+      .except(out.select("v", "id", "rn")).isEmpty)
+    // balance: the composite bucket splits the 500-row hot value into
+    // 8 tie-ranges, so no bucket holds more than ~2x the fair share —
+    // the plain bucketing would put all 500 in one task
+    val sizes = ScaleSafe.withHotSafeBucket(df, "v", "id",
+        ScaleSafe.rangeBucket("v", 0, 96, 8), "__hsb",
+        hotShare = 0.2, subBuckets = 8)
+      .groupBy("__hsb").count().select("count")
+      .collect().map(_.getLong(0))
+    assert(sizes.max <= n / 8 * 2, s"max bucket ${sizes.max}")
+    // determinism across recomputation: the scan computes the bucket
+    // twice — two independent evaluations must agree exactly
+    val b1 = ScaleSafe.withHotSafeBucket(df, "v", "id",
+      ScaleSafe.rangeBucket("v", 0, 96, 8), "__hsb", 0.2, 8)
+      .select("id", "__hsb")
+    val b2 = ScaleSafe.withHotSafeBucket(df, "v", "id",
+      ScaleSafe.rangeBucket("v", 0, 96, 8), "__hsb", 0.2, 8)
+      .select("id", "__hsb")
+    assert(b1.except(b2).isEmpty && b2.except(b1).isEmpty)
+  }
+
+  test("hot-key sub-bucketing degrades to the base bucket when nothing " +
+    "is hot") {
+    val df = tied(300).withColumn("h", md5(col("id").cast("string")))
+    val global = df.withColumn("rn",
+      row_number().over(Window.orderBy("v", "id")).cast("long"))
+    // v has 7 distinct values of ~43 rows each; hotShare 0.5 → no hot
+    val out = ScaleSafe.rowNumberBucketedHotSafe(df, "v", "id",
+      ScaleSafe.rangeBucket("v", 0, 6, 4), "rn",
+      hotShare = 0.5, subBuckets = 8)
+    assert(out.select("id", "rn")
+      .except(global.select("id", "rn")).isEmpty)
+    assert(global.select("id", "rn")
+      .except(out.select("id", "rn")).isEmpty)
+  }
+
   test("e21b is bit-identical to e21 and avoids the global rank window") {
     val base = SparkEntry.queries("e21_ab_readout")(spark, sf)
       .collect().toSeq
