@@ -8,9 +8,14 @@ original row gains 9 exact clones -> dedup output inflates ~1000x, a
 harder test than plain volume); events are replicated 10-fold with
 shifted user_id AND event_id (10x the users over the SAME time range
 -> 10x per-instant concurrency, the event-battery stress shape; the
-round-8 ladder); the remaining relational tables are copied as-is
-(their scale story is covered by the sf ladder itself, and copying
-preserves the exact parquet types, e.g. events' TIMESTAMP(NANOS)).
+round-8 ladder); lineitem/orders are replicated 10-fold with shifted
+order AND entity keys (since round 9 — every clone is a DISJOINT copy
+of the co-purchase/co-trade graphs: ~10x nodes and edges with the
+degree distribution preserved exactly, the weak-scaling shape the
+g-family ladder needs; r8-verdict item 4); the remaining tables are
+copied as-is (their scale story is covered by the sf ladder itself,
+and copying preserves the exact parquet types, e.g. events'
+TIMESTAMP(NANOS)).
 """
 import shutil, sys, os
 import pyarrow as pa
@@ -21,6 +26,11 @@ ID_SHIFT = 1_000_000
 # preserved per clone (each clone lands whole users in the same arm
 # their original sits in).
 USER_SHIFT = 10_000_000
+# graph-table shifts: all far above the sf0.1 key domains (orderkey
+# ~600k, partkey ~20k, suppkey/custkey ~15k), so the 10 clones'
+# key ranges never collide and each clone is a disjoint subgraph
+ORDER_SHIFT = 10_000_000
+ENTITY_SHIFT = 1_000_000
 
 
 def clone10(src, dst, id_cols):
@@ -50,6 +60,15 @@ def main(src_dir="/root/testdata/sf0.1", out_dir="/tmp/scale10"):
         elif f == "events.parquet":
             clone10(src, dst,
                     [("event_id", ID_SHIFT), ("user_id", USER_SHIFT)])
+        elif f == "lineitem.parquet":
+            clone10(src, dst,
+                    [("l_orderkey", ORDER_SHIFT),
+                     ("l_partkey", ENTITY_SHIFT),
+                     ("l_suppkey", ENTITY_SHIFT)])
+        elif f == "orders.parquet":
+            clone10(src, dst,
+                    [("o_orderkey", ORDER_SHIFT),
+                     ("o_custkey", ENTITY_SHIFT)])
         else:
             shutil.copyfile(src, dst)
             print(f"{dst}: copied")

@@ -78,7 +78,11 @@ object PlanDump {
     "e33_sprt", "a33_kmv_distinct", "e34_poisson_bootstrap",
     "a34_mann_kendall", "v6_delta_presence", "m13_gps_scrub",
     "a35_group_log_histogram", "n22_persisted_index",
-    "c16_canonical_selection")
+    "c16_canonical_selection",
+    // round-9 wave: the e21 production twin, the ANN SQL front door,
+    // the persisted-index refresh loop, and the real m2 kernel
+    "e21b_ab_readout", "sql14_ann_ivf", "n23_index_refresh",
+    "m2_media_features")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -57,6 +57,25 @@ object ScaleProbe {
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         k = 5, graphK = 4, nCells = 128, beam = 4, rounds = 2)
     }),
+    // BPE batching economics at a REAL vocabulary scale (r8-verdict
+    // item 6): train 512 merges on the corpus, batch ∈ {1, 16, 64};
+    // the probe prints accepted-merges-per-round and jobs/merge (the
+    // numbers SCALE.md tabulates) alongside the runner's wall time.
+    // bpe@512x1 is the classic one-argmax-per-round loop baseline.
+    "bpe@512x1" -> bpeProbe(512, 1),
+    "bpe@512x16" -> bpeProbe(512, 16),
+    "bpe@512x64" -> bpeProbe(512, 64),
+    "bpe@1024x64" -> bpeProbe(1024, 64),
+    // same economics on a REALISTIC vocabulary: the gate corpus holds
+    // 31 distinct words and exhausts after 89 merges (measured), so it
+    // cannot answer the conflict-density question; this probe builds a
+    // deterministic Zipf-ish corpus (8192 distinct 32-hex-char words,
+    // rank-r frequency ~50000/r — same synthetic-probe discipline as
+    // hamming@codes) where 512-1024 merges are actually reachable
+    "bpe_zipf@256x1" -> bpeZipfProbe(256, 1),
+    "bpe_zipf@512x16" -> bpeZipfProbe(512, 16),
+    "bpe_zipf@512x64" -> bpeZipfProbe(512, 64),
+    "bpe_zipf@1024x64" -> bpeZipfProbe(1024, 64),
     // pure-code hamming self-join (no sketch cost) — isolates what the
     // rewrite changes; SPARK_GRAFT_CODES_N sizes it, and the rule toggle
     // (SPARK_GRAFT_HAMMING_REWRITE=false) gives the nested-loop baseline
@@ -82,6 +101,49 @@ object ScaleProbe {
       a.join(b, abs(col("v_a") - col("v_b")) <= 50 &&
         col("id_a") < col("id_b"))
     }))
+
+  /** One training run per (nMerges, batch) — memoized because the
+    * runner invokes each probe twice (warm-up + timed) and a BPE train
+    * is driver-loop-bound, not cache-warmth-bound; the probe prints
+    * its OWN wall time, which is the number SCALE.md quotes.
+    */
+  private val bpeZipfMemo =
+    scala.collection.mutable.Map[(Int, Int), DataFrame]()
+
+  private def bpeZipfProbe(nMerges: Int,
+                           batch: Int): (SparkSession, String) => DataFrame =
+    (s, _) => bpeZipfMemo.getOrElseUpdate((nMerges, batch), {
+      val words = s.range(1, 4097)
+        .select(substring(md5(col("id").cast("string")), 1, 12).as("text"),
+          greatest(lit(1L), expr("20000L div id")).as("f"))
+        .select(col("text"), explode(expr("sequence(1, f)")).as("j"))
+        .select("text")
+      val t0 = System.nanoTime()
+      val (merges, rounds) = graft.ops.TextAnalysis.bpeTrainWithRounds(
+        words, "text", nMerges, batch)
+      val learned = merges.count()
+      val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
+      val perRound = math.rint(learned.toDouble / rounds * 100) / 100
+      val jobsPerMerge = math.rint(rounds.toDouble / learned * 1000) / 1000
+      println(s"[scale] bpe_zipf@${nMerges}x$batch: $learned merges in " +
+        s"$rounds rounds, $sec s ($perRound accepted/round, " +
+        s"$jobsPerMerge pair-count jobs/merge)")
+      merges
+    })
+
+  private def bpeProbe(nMerges: Int,
+                       batch: Int): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val (merges, rounds) = graft.ops.TextAnalysis.bpeTrainWithRounds(
+        Tables.load(s, dir, "documents"), "text", nMerges, batch)
+      val learned = merges.count()
+      val perRound = math.rint(learned.toDouble / rounds * 100) / 100
+      val jobsPerMerge = math.rint(rounds.toDouble / learned * 1000) / 1000
+      println(s"[scale] bpe@${nMerges}x$batch: $learned merges in " +
+        s"$rounds rounds ($perRound accepted/round, " +
+        s"$jobsPerMerge pair-count jobs/merge)")
+      merges
+    }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scale10")

@@ -2653,6 +2653,39 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // ---- N24: INDEX DELETIONS — the remaining lifecycle leg after
+    // build (n3), persist (n22), and refresh-with-inserts (n23): serve
+    // a persisted index with a TOMBSTONE TABLE of deleted ids applied
+    // as a left-anti join at query time — no index rewrite (logical
+    // delete; physical compaction is n23's refresh shape). Tombstones
+    // are chosen disjoint from the codebook (deleting a codebook
+    // vector is a re-train, not a delete) and from the query set, and
+    // the oracle replays the same exclusion inside n3's CTE pipeline.
+    // At 100 TB the anti join is a broadcast of the tombstone set —
+    // deletes cost nothing until compaction --------------------------
+    "n24_index_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_del").toString
+      val centIds = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(16).select("vec_id").collect().map(_.getLong(0)).toSeq
+      val (cells, cents) =
+        Similarity.ivfBuildIndex(emb, "vec_id", "embedding", nCells = 16)
+      cells.write.mode("overwrite").parquet(tmp + "/cells")
+      cents.write.mode("overwrite").parquet(tmp + "/cents")
+      val tombs = emb
+        .filter(col("vec_id") % 7 === 3 && col("vec_id") >= 8 &&
+          !col("vec_id").isin(centIds: _*))
+        .select(col("vec_id").as("t_id"))
+      val live = s.read.parquet(tmp + "/cells")
+        .join(broadcast(tombs), col("c_id") === col("t_id"), "left_anti")
+      Similarity.ivfQueryIndex(live, s.read.parquet(tmp + "/cents"),
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nProbe = 2)
+        .orderBy("q_id", "rank")
+    }),
+
     // ---- N23: PERSISTED-INDEX REFRESH — the production loop n21 and
     // n22 gate separately, composed (r8-verdict item 7): build from the
     // base corpus and persist (n22's path), then REFRESH — reload the
@@ -5141,6 +5174,58 @@ object SparkEntry {
           qidNames = Seq("source", "len_bucket"),
           deltaMinBp = 500, deltaMaxBp = 9000)
         .orderBy("source", "len_bucket")),
+
+    // ---- V7: ENTROPY ℓ-diversity (Machanavajjhala 2007) — the
+    // information-theoretic sibling of v5's recursive form: per QID
+    // group, H(sensitive) ≥ ln(l). Per-cell fixed-point entropy terms
+    // summed as exact BIGINTs (the no-float-sums discipline), QID-
+    // partitioned window bounded by the sensitive domain -----------------
+    "v7_entropy_ldiv" -> ((s, dir) =>
+      graft.ops.Governance.entropyLDiversityAudit(
+          t(s, dir, "documents"),
+          qidCols = Seq(col("source"), expr("n_chars div 100")),
+          qidNames = Seq("source", "len_bucket"),
+          sensitive = col("lang"), l = 3)
+        .orderBy("source", "len_bucket")),
+
+    // ---- A36: JENSEN-SHANNON drift between the pre/post halves of the
+    // purchase-value distribution — the distribution-shift monitor a
+    // training-data pipeline runs per ingestion batch (a28's χ² tests
+    // independence of two categoricals; JS measures divergence of the
+    // SAME metric across time, bounded [0, ln 2] and finite even for
+    // bins present on one side only — the reason it beats raw KL as a
+    // monitor). e22's fixed cutoff splits the halves; cents div 1000
+    // buckets bound the bin table; per-bin contributions are rounded
+    // BIGINTs summed exactly. One corpus pass + a bin-table rollup -----
+    "a36_js_drift" -> ((s, dir) => {
+      val cutoff = 1705363200000000L // e22's 2024-01-16T00:00:00Z
+      val bins = t(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(unix_micros(col("ts")).as("us"),
+          cents(col("value")).as("v"))
+        .groupBy(expr("v div 1000").as("bin"))
+        .agg(
+          sum(when(col("us") < cutoff, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("us") >= cutoff, 1L).otherwise(0L)).as("c2"))
+      bins
+        .crossJoin(broadcast(bins.agg(sum("c1").as("n1"),
+          sum("c2").as("n2"))))
+        .withColumn("__js_term_fp", expr(
+          // ½·p·ln(p/m) + ½·q·ln(q/m), m = (p+q)/2; zero-count sides
+          // contribute 0 (lim x→0 of x·ln x terms)
+          "CAST(round((" +
+            "CASE WHEN c1 = 0 THEN 0.0 ELSE " +
+            " 0.5 * (CAST(c1 AS DOUBLE)/n1) * ln((CAST(c1 AS DOUBLE)/n1)" +
+            "  / ((CAST(c1 AS DOUBLE)/n1 + CAST(c2 AS DOUBLE)/n2)/2)) END" +
+            " + CASE WHEN c2 = 0 THEN 0.0 ELSE " +
+            " 0.5 * (CAST(c2 AS DOUBLE)/n2) * ln((CAST(c2 AS DOUBLE)/n2)" +
+            "  / ((CAST(c1 AS DOUBLE)/n1 + CAST(c2 AS DOUBLE)/n2)/2)) END" +
+            ") * 1e9) AS BIGINT)"))
+        .agg(max("n1").as("n_first"), max("n2").as("n_second"),
+          count(lit(1)).as("n_bins"),
+          sum("__js_term_fp").as("js_fp"))
+        .withColumn("drifted", col("js_fp") > 50000000L) // 0.05 nats
+    }),
 
     // ---- D17: benchmark LEAKAGE RATE — the evaluation-integrity number
     // a corpus release quotes: share of benchmark docs sharing any 4-gram
@@ -11114,6 +11199,32 @@ object SparkEntry {
         | SELECT q_id, c_id, rank, cos FROM ranked
         |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
 
+    // Deletion replay: n3's CTE pipeline with the SAME tombstone
+    // exclusion applied to the candidate cells (codebook and query set
+    // untouched by construction, mirroring the gate's disjointness).
+    "n24_index_delete" -> (IvfAssignCtes +
+      """
+        | ccell AS (SELECT vec_id AS c_id, x AS cvx, nrm AS cnorm,
+        |             cent_id AS cell FROM assign WHERE r = 1
+        |             AND NOT (vec_id % 7 = 3 AND vec_id >= 8
+        |               AND vec_id NOT IN (SELECT cent_id FROM cents))),
+        | qcell AS (SELECT vec_id AS q_id, x AS qvx, nrm AS qnorm,
+        |             cent_id AS cell FROM assign WHERE r <= 2 AND vec_id < 8),
+        | scored AS (
+        |  SELECT q_id, c_id, qnorm, cnorm,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(qvx[i] AS DOUBLE) * CAST(cvx[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS dot_fp
+        |  FROM qcell JOIN ccell ON q_id <> c_id AND qcell.cell = ccell.cell),
+        | ranked AS (
+        |  SELECT q_id, c_id,
+        |    CAST(dot_fp AS DOUBLE) /
+        |      (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(cnorm AS DOUBLE))) AS cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dot_fp DESC, c_id) AS rank
+        |  FROM scored)
+        | SELECT q_id, c_id, rank, cos FROM ranked
+        |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
     // Exact per-class centroids in long format: lateral range join
     // transposes the vectors; fixed-point sums + one final division.
     "n5_class_centroids" ->
@@ -12469,6 +12580,65 @@ object SparkEntry {
         |    < 2 * sum(CASE WHEN r >= 2 THEN n_gs ELSE 0 END) AS rl_ok
         | FROM rk GROUP BY source, len_bucket
         | ORDER BY source, len_bucket""".stripMargin,
+
+    // Entropy ℓ-diversity replay: identical per-cell fixed-point
+    // entropy terms, summed exactly; the ln(3) threshold rounded the
+    // same way on both engines.
+    "v7_entropy_ldiv" ->
+      """WITH base AS (SELECT source, n_chars // 100 AS len_bucket,
+        |    coalesce(CAST(lang AS VARCHAR), '~null~') AS sens
+        |  FROM documents),
+        | gs AS (SELECT source, len_bucket, sens,
+        |    CAST(count(*) AS BIGINT) AS n_gs
+        |  FROM base GROUP BY 1, 2, 3),
+        | wk AS (SELECT source, len_bucket, n_gs,
+        |    CAST(sum(n_gs) OVER (PARTITION BY source, len_bucket)
+        |      AS BIGINT) AS k_of_group
+        |  FROM gs),
+        | terms AS (SELECT source, len_bucket, k_of_group,
+        |    CAST(round(-(CAST(n_gs AS DOUBLE) / k_of_group)
+        |      * ln(CAST(n_gs AS DOUBLE) / k_of_group) * 1e9) AS BIGINT)
+        |      AS h_term_fp
+        |  FROM wk)
+        |SELECT source, len_bucket,
+        |  CAST(max(k_of_group) AS BIGINT) AS k_of_group,
+        |  CAST(count(*) AS BIGINT) AS n_sensitive,
+        |  CAST(sum(h_term_fp) AS BIGINT) AS entropy_fp,
+        |  CAST(sum(h_term_fp) AS BIGINT)
+        |    >= CAST(round(ln(3.0) * 1e9) AS BIGINT) AS el_ok
+        | FROM terms GROUP BY source, len_bucket
+        | ORDER BY source, len_bucket""".stripMargin,
+
+    // Jensen-Shannon drift replay: same halves, same cents-div-1000
+    // bins, same per-bin fixed-point contributions summed exactly.
+    "a36_js_drift" ->
+      """WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        | bins AS (SELECT v // 1000 AS bin,
+        |    CAST(sum(CASE WHEN us < 1705363200000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN us >= 1705363200000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2
+        |  FROM e GROUP BY 1),
+        | tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2 FROM bins),
+        | terms AS (SELECT bin, n1, n2,
+        |    CAST(round((
+        |      CASE WHEN c1 = 0 THEN 0.0 ELSE
+        |        0.5 * (CAST(c1 AS DOUBLE)/n1) * ln((CAST(c1 AS DOUBLE)/n1)
+        |        / ((CAST(c1 AS DOUBLE)/n1 + CAST(c2 AS DOUBLE)/n2)/2)) END
+        |      + CASE WHEN c2 = 0 THEN 0.0 ELSE
+        |        0.5 * (CAST(c2 AS DOUBLE)/n2) * ln((CAST(c2 AS DOUBLE)/n2)
+        |        / ((CAST(c1 AS DOUBLE)/n1 + CAST(c2 AS DOUBLE)/n2)/2)) END
+        |    ) * 1e9) AS BIGINT) AS t_fp
+        |  FROM bins CROSS JOIN tot)
+        |SELECT CAST(max(n1) AS BIGINT) AS n_first,
+        |  CAST(max(n2) AS BIGINT) AS n_second,
+        |  CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(t_fp) AS BIGINT) AS js_fp,
+        |  CAST(sum(t_fp) AS BIGINT) > 50000000 AS drifted
+        | FROM terms""".stripMargin,
 
     // t-closeness replay: the same cross-multiplied TVD algebra; the
     // absent-values term folds in via N_g·(N − Σ n_v over present).

@@ -206,6 +206,40 @@ object Governance {
       .withColumn("rl_ok", col("r1") < lit(c.toLong) * col("tail_sum"))
   }
 
+  /** ENTROPY ℓ-diversity audit (Machanavajjhala et al. 2007, the
+    * information-theoretic variant preceding their recursive form):
+    * per QID group the Shannon entropy of the sensitive-value
+    * distribution must reach ln(l). Determinism discipline: each
+    * (QID, sensitive) cell contributes `round(-(c/n)·ln(c/n)·1e9)` as
+    * a BIGINT and the group entropy is the exact integer sum of those
+    * rounded terms — double summation order can never flip a bit, and
+    * the DuckDB oracle replays the identical per-term rounding. Same
+    * cost shape as [[recursiveLDiversityAudit]]: one (QID, sensitive)
+    * aggregation, a QID-partitioned window over rows bounded by the
+    * sensitive DOMAIN (never corpus rows), one re-aggregation.
+    */
+  def entropyLDiversityAudit(df: DataFrame, qidCols: Seq[Column],
+                             qidNames: Seq[String], sensitive: Column,
+                             l: Int): DataFrame = {
+    require(l >= 2, s"entropy l-diversity needs l >= 2, got $l")
+    val named = qidCols.zip(qidNames).map { case (q, n) => q.as(n) }
+    val base = df.select(named :+
+      coalesce(sensitive.cast("string"), lit("~null~")).as("__sens"): _*)
+    val gs = base.groupBy((qidNames.map(col) :+ col("__sens")): _*)
+      .agg(count(lit(1)).as("n_gs"))
+    val w = Window.partitionBy(qidNames.map(col): _*)
+    gs.withColumn("k_of_group", sum(col("n_gs")).over(w))
+      .withColumn("__h_term_fp", expr(
+        "CAST(round(-(CAST(n_gs AS DOUBLE) / k_of_group)" +
+          " * ln(CAST(n_gs AS DOUBLE) / k_of_group) * 1e9) AS BIGINT)"))
+      .groupBy(qidNames.map(col): _*)
+      .agg(max(col("k_of_group")).as("k_of_group"),
+        count(lit(1)).as("n_sensitive"),
+        sum(col("__h_term_fp")).as("entropy_fp"))
+      .withColumn("el_ok",
+        col("entropy_fp") >= expr(s"CAST(round(ln($l.0) * 1e9) AS BIGINT)"))
+  }
+
   /** The release decision the audit feeds: rows whose QID group violates
     * k-anonymity (SUPPRESSION set — drop or generalize before release).
     * Broadcast of the violating groups keeps the corpus side map-only

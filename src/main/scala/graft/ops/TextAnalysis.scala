@@ -325,7 +325,15 @@ object TextAnalysis {
     * nMerges — the measured rounds-vs-merges ratio is in SCALE.md.
     */
   def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
-               batch: Int = 16): DataFrame = {
+               batch: Int = 16): DataFrame =
+    bpeTrainWithRounds(docs, textCol, nMerges, batch)._1
+
+  /** [[bpeTrain]] plus the number of pair-count rounds it ran — the
+    * batching-economics observable (jobs/merge = rounds/merges) the
+    * SCALE.md experiment reports; the gate path ignores it.
+    */
+  def bpeTrainWithRounds(docs: DataFrame, textCol: String, nMerges: Int,
+                         batch: Int = 16): (DataFrame, Int) = {
     val spark = docs.sparkSession
     import spark.implicits._
     var cur = docs.filter(col(textCol).isNotNull)
@@ -335,7 +343,9 @@ object TextAnalysis {
     val learned =
       scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
     var exhausted = false
+    var rounds = 0
     while (learned.size < nMerges && !exhausted) {
+      rounds += 1
       val want = math.min(batch, nMerges - learned.size)
       // want×4 headroom finds the conflict cut in one collect; +1 so a
       // full return is distinguishable from an exhausted pair list.
@@ -386,7 +396,8 @@ object TextAnalysis {
         }
       }
     }
-    learned.toSeq.toDF("merge_rank", "sym_a", "sym_b", "merged", "cnt")
+    (learned.toSeq.toDF("merge_rank", "sym_a", "sym_b", "merged", "cnt"),
+      rounds)
   }
 
   /** The greedy left-to-right merge fold as a SQL `aggregate` lambda:
