@@ -2,6 +2,7 @@
 """Build the 10x stress corpus SCALE.md measures against.
 
 Usage: python3 scripts/make_scale10.py [src_sf_dir] [out_dir]
+       python3 scripts/make_scale10.py --densify K [src_sf_dir] [out_dir]
 
 documents/embeddings are replicated 10-fold with shifted ids (every
 original row gains 9 exact clones -> dedup output inflates ~1000x, a
@@ -16,6 +17,16 @@ g-family ladder needs; r8-verdict item 4); the remaining tables are
 copied as-is (their scale story is covered by the sf ladder itself,
 and copying preserves the exact parquet types, e.g. events'
 TIMESTAMP(NANOS)).
+
+--densify K (r9-verdict item 4) builds the OTHER graph ladder the
+weak-scaling clones deliberately exclude: lineitem is cloned K-fold
+with shifted order keys but REUSED part keys (each clone shifts
+l_partkey by just +i, staying inside the ~20k-part domain), so the
+co-purchase graph keeps ~the same node set while every node's degree
+multiplies ~K — the densifying shape whose d^2 wedge work is exactly
+what kTruss's degree-ordered orientation + bounded rounds exist to
+cut. Only lineitem densifies (g17 reads nothing else); the remaining
+tables copy as-is.
 """
 import shutil, sys, os
 import pyarrow as pa
@@ -33,10 +44,10 @@ ORDER_SHIFT = 10_000_000
 ENTITY_SHIFT = 1_000_000
 
 
-def clone10(src, dst, id_cols):
+def clone10(src, dst, id_cols, k=10):
     t = pq.read_table(src)
     parts = []
-    for i in range(10):
+    for i in range(k):
         c = t
         for col, shift in id_cols:
             ids = pa.compute.add(c[col], i * shift)
@@ -45,6 +56,23 @@ def clone10(src, dst, id_cols):
     out = pa.concat_tables(parts)
     pq.write_table(out, dst)
     print(f"{dst}: {out.num_rows} rows")
+
+
+def densify(k, src_dir="/root/testdata/sf0.1", out_dir="/tmp/densify3"):
+    """K-fold lineitem clones with DISJOINT orders but near-identical
+    part keys (+i per clone): ~same co-purchase node set, degrees x~K.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(src_dir):
+        if not f.endswith(".parquet"):
+            continue
+        src, dst = f"{src_dir}/{f}", f"{out_dir}/{f}"
+        if f == "lineitem.parquet":
+            clone10(src, dst,
+                    [("l_orderkey", ORDER_SHIFT), ("l_partkey", 1)], k=k)
+        else:
+            shutil.copyfile(src, dst)
+            print(f"{dst}: copied")
 
 
 def main(src_dir="/root/testdata/sf0.1", out_dir="/tmp/scale10"):
@@ -75,4 +103,7 @@ def main(src_dir="/root/testdata/sf0.1", out_dir="/tmp/scale10"):
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    if len(sys.argv) > 1 and sys.argv[1] == "--densify":
+        densify(int(sys.argv[2]), *sys.argv[3:])
+    else:
+        main(*sys.argv[1:])

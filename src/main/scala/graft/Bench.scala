@@ -32,10 +32,12 @@ import org.apache.spark.sql.SparkSession
   * passes, min) and adjudicated in the artifact itself — `confirmed`
   * when the isolated re-run still exceeds the ratio against the
   * baseline, `jitter` when it reverts. A structural regression survives
-  * isolation; a loaded-host spike does not. Retests additionally wait for
-  * the 1-minute loadavg to decay below a gate (r8-verdict item 8) and a
-  * flag that reproduces only under above-gate load is `load-suspect`,
-  * never `confirmed`.
+  * isolation; a loaded-host spike does not. Both the PRIMARY battery
+  * pass (r9-verdict item 1) and every retest wait for the 1-minute
+  * loadavg to decay below a gate (r8-verdict item 8) before timing; a
+  * flag that reproduces only under above-gate load — sampled before AND
+  * after the retest, max of the two — is `load-suspect`, never
+  * `confirmed`.
   */
 object Bench {
 
@@ -102,6 +104,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // LOAD GATE for the PRIMARY pass (r9-verdict item 1: r9's battery
+    // started at loadavg 4.43 — above the adjudicator's own gate — so
+    // the headline numbers carried ambient noise and the next round's
+    // regression net diffed against inflated times). The same
+    // awaitQuiet the retests use runs ONCE before the battery, bounded
+    // by the shared 5-minute budget, and `loadavg_start` records the
+    // POST-gate load — the number the artifact's consumers should see
+    // below the gate on a healthy run.
+    val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(2.5)
+    var waitBudgetMs = 300000L
+    def awaitQuiet(): Seq[Double] = {
+      var l = loadAvg()
+      while (l.headOption.exists(_ > loadGate) && waitBudgetMs > 0) {
+        Thread.sleep(10000); waitBudgetMs -= 10000; l = loadAvg()
+      }
+      l
+    }
+    awaitQuiet()
     val loadStart = loadAvg()
 
     // Optional args (local iteration only; the driver passes none):
@@ -153,23 +175,17 @@ object Bench {
     // not distinguish from ambient load): before each retest, wait for
     // the 1-minute loadavg to decay below SPARK_GRAFT_LOAD_GATE
     // (default 2.5 — just above this host's ambient floor; the r8
-    // battery STARTED at 2.72), bounded by a shared 5-minute budget so a
-    // busy co-tenant cannot stall the driver. The retest-time loadavg is
-    // recorded per flag, and a flag that still reproduces under
+    // battery STARTED at 2.72), bounded by the shared 5-minute budget so
+    // a busy co-tenant cannot stall the driver. The retest-time loadavg
+    // is recorded per flag, and a flag that still reproduces under
     // above-gate load is emitted as `load-suspect`, never `confirmed`.
-    val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE")
-      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(2.5)
-    var waitBudgetMs = 300000L
-    def awaitQuiet(): Seq[Double] = {
-      var l = loadAvg()
-      while (l.headOption.exists(_ > loadGate) && waitBudgetMs > 0) {
-        Thread.sleep(10000); waitBudgetMs -= 10000; l = loadAvg()
-      }
-      l
-    }
+    // The load is sampled BEFORE and AFTER each retest and the MAX of
+    // the two drives the decision (r9 ADVICE: a co-tenant spike that
+    // begins mid-retest — warm-up + two timed passes can take tens of
+    // seconds — must not launder a flag into `confirmed`).
     val fnByName = SparkEntry.queries
     val adjudicated = regs.toSeq.sortBy(_._1).map { case (k, (p, n, r)) =>
-      val retestLoad = awaitQuiet()
+      val loadPre = awaitQuiet()
       val retest =
         try {
           val fn = fnByName(k)
@@ -183,12 +199,15 @@ object Bench {
           math.min(timed(), timed())
         } catch { case _: Throwable => -1.0 }
       spark.catalog.clearCache()
+      val loadPost = loadAvg()
+      val retestLoad = math.max(loadPre.headOption.getOrElse(-1.0),
+        loadPost.headOption.getOrElse(-1.0))
       val verdict =
         if (retest >= 0 && retest / p >= RegressionRatio) {
-          if (retestLoad.headOption.exists(_ > loadGate)) "load-suspect"
+          if (retestLoad > loadGate) "load-suspect"
           else "confirmed"
         } else "jitter"
-      (k, p, n, r, retest, verdict, retestLoad.headOption.getOrElse(-1.0))
+      (k, p, n, r, retest, verdict, retestLoad)
     }
     val nConfirmed = adjudicated.count(_._6 == "confirmed")
     val regsJson = adjudicated.map { case (k, p, n, r, rt, v, rl) =>

@@ -82,7 +82,12 @@ object PlanDump {
     // round-9 wave: the e21 production twin, the ANN SQL front door,
     // the persisted-index refresh loop, and the real m2 kernel
     "e21b_ab_readout", "sql14_ann_ivf", "n23_index_refresh",
-    "m2_media_features")
+    "m2_media_features",
+    // round-9 second wave + round-10: tombstone deletes, entropy
+    // ℓ-diversity, JS drift, and the cell-partitioned compaction (its
+    // rewrite side's partition-pruned scan is the thing to look for)
+    "n24_index_delete", "v7_entropy_ldiv", "a36_js_drift",
+    "n25_index_compact")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -125,6 +130,36 @@ object PlanDump {
       val df = SparkEntry.queries(name)(spark, dir)
       sb ++= s"\n## $name\n\n```\n"
       sb ++= df.queryExecution.explainString(FormattedMode).trim
+      sb ++= "\n```\n"
+    }
+
+    // n25's REWRITE side, dumped separately: the headline n25 plan is
+    // the serve query (compaction already folded in); the evidence that
+    // compaction touches only tombstoned cells is THIS plan's
+    // PartitionFilters on the cells scan.
+    {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.load(spark, dir, "embeddings")
+      val tmp = Files.createTempDirectory("graft_plandump_ivf").toString
+      val (cells, _) = graft.ops.Similarity.ivfBuildIndex(
+        emb, "vec_id", "embedding", nCells = 16)
+      cells.write.mode("overwrite").partitionBy("c_cell")
+        .parquet(tmp + "/cells")
+      val idx = spark.read.parquet(tmp + "/cells")
+        .withColumn("c_cell", col("c_cell").cast("long"))
+      val tombs = emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= 8)
+        .select(col("vec_id").as("t_id"))
+      val affected = idx
+        .join(broadcast(tombs), col("c_id") === col("t_id"))
+        .select("c_cell").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val rewrite = graft.ops.Similarity.ivfCompactionRewrite(
+        idx, tombs, "t_id", affected)
+      sb ++= s"\n## n25_index_compact (rewrite side)\n\n"
+      sb ++= s"Affected cells: ${affected.mkString(", ")} — the scan " +
+        "below partition-prunes to exactly these (PartitionFilters), " +
+        "so untouched cells' files are never opened.\n\n```\n"
+      sb ++= rewrite.queryExecution.explainString(FormattedMode).trim
       sb ++= "\n```\n"
     }
     Files.writeString(Paths.get(out), sb.toString)

@@ -69,13 +69,47 @@ object ScaleProbe {
     // same economics on a REALISTIC vocabulary: the gate corpus holds
     // 31 distinct words and exhausts after 89 merges (measured), so it
     // cannot answer the conflict-density question; this probe builds a
-    // deterministic Zipf-ish corpus (8192 distinct 32-hex-char words,
-    // rank-r frequency ~50000/r — same synthetic-probe discipline as
-    // hamming@codes) where 512-1024 merges are actually reachable
+    // deterministic Zipf-ish corpus (4096 distinct 12-hex-char words,
+    // rank-r frequency ~20000/r — same synthetic-probe discipline as
+    // hamming@codes) where 512-1024 merges are actually reachable;
+    // the measured table lives in SCALE.md's "BPE batching economics"
+    // section
     "bpe_zipf@256x1" -> bpeZipfProbe(256, 1),
     "bpe_zipf@512x16" -> bpeZipfProbe(512, 16),
     "bpe_zipf@512x64" -> bpeZipfProbe(512, 64),
     "bpe_zipf@1024x64" -> bpeZipfProbe(1024, 64),
+    // g17 WITHOUT the cut (r9-verdict item 4): the same bounded k-truss
+    // but with a NAIVE bidirectional wedge enumeration in place of the
+    // degree-ordered orientation — every common-neighbor apex u does
+    // d(u)^2 wedge work, the quadratic blow-up the orientation's O(m^1.5)
+    // bound removes. Run against the --densify corpus (same nodes,
+    // degrees x K) next to plain g17 to show the cut bounding the
+    // superlinear growth; support counts are identical (each triangle's
+    // closing edge is counted once per common neighbor), so both paths
+    // return the same edges.
+    "ktruss@naive" -> ((s, dir) => {
+      val op = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = op.select(col("ok"), col("pk").as("part_a"))
+      val b = op.select(col("ok").as("ok_b"), col("pk").as("part_b"))
+      var und = a.join(b,
+          col("ok") === col("ok_b") && col("part_a") < col("part_b"))
+        .select(col("part_a").as("a"), col("part_b").as("b")).distinct()
+      (1 to 2).foreach { _ =>
+        val adj = und.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+        val sup = adj.select(col("u"), col("v").as("a"))
+          .join(adj.select(col("u"), col("v").as("b")), Seq("u"))
+          .filter(col("a") < col("b"))
+          .join(und, Seq("a", "b"), "left_semi")
+          .groupBy("a", "b").agg(count(lit(1)).as("support"))
+        und = graft.Checkpoints.sever(
+          und.join(sup.filter(col("support") >= 4),
+            Seq("a", "b"), "left_semi"))
+      }
+      und.orderBy("a", "b")
+    }),
     // pure-code hamming self-join (no sketch cost) — isolates what the
     // rewrite changes; SPARK_GRAFT_CODES_N sizes it, and the rule toggle
     // (SPARK_GRAFT_HAMMING_REWRITE=false) gives the nested-loop baseline

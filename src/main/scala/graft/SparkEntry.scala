@@ -2644,10 +2644,64 @@ object SparkEntry {
         .createTempDirectory("graft_ivf").toString
       val (cells, cents) =
         Similarity.ivfBuildIndex(emb, "vec_id", "embedding", nCells = 16)
-      cells.write.mode("overwrite").parquet(tmp + "/cells")
+      // PARTITIONED BY CELL (r9-verdict item 3): the cell id is the
+      // probe key, so a cell-partitioned layout lets every query
+      // session partition-prune to its nProbe cells and lets a
+      // compaction (n25) rewrite ONLY the cells a tombstone touches.
+      // Partition-column values round-trip through directory names, so
+      // the reload re-casts to the written LONG type explicitly.
+      cells.write.mode("overwrite").partitionBy("c_cell")
+        .parquet(tmp + "/cells")
       cents.write.mode("overwrite").parquet(tmp + "/cents")
       Similarity.ivfQueryIndex(
-          s.read.parquet(tmp + "/cells"), s.read.parquet(tmp + "/cents"),
+          s.read.parquet(tmp + "/cells")
+            .withColumn("c_cell", col("c_cell").cast("long")),
+          s.read.parquet(tmp + "/cents"),
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nProbe = 2)
+        .orderBy("q_id", "rank")
+    }),
+
+    // ---- N25: INDEX COMPACTION — the other half of n24's delete story
+    // (r9-verdict item 3: logical tombstones are correct but unbounded —
+    // in a churning corpus the tombstone set and the dead rows in the
+    // index grow forever). The persisted cell table is PARTITIONED BY
+    // CELL ID, so folding tombstones in rewrites ONLY the cells that
+    // contain one: map the tombstones to their cells (a broadcast join,
+    // ≤ nCells distinct results), read just those partitions
+    // (partition-pruned scan), anti-join the tombstones out, stage, and
+    // swap the staged partitions in with a DYNAMIC partition overwrite —
+    // untouched cells' files are never read or written. The compacted
+    // index then serves n3's query with the tombstone table EMPTY,
+    // sharing n24's oracle: compaction must be invisible to reads ------
+    "n25_index_compact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_compact").toString
+      val centIds = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(16).select("vec_id").collect().map(_.getLong(0)).toSeq
+      val (cells, cents) =
+        Similarity.ivfBuildIndex(emb, "vec_id", "embedding", nCells = 16)
+      cells.write.mode("overwrite").partitionBy("c_cell")
+        .parquet(tmp + "/cells")
+      cents.write.mode("overwrite").parquet(tmp + "/cents")
+      // n24's tombstone set verbatim (disjoint from codebook + queries)
+      val tombs = emb
+        .filter(col("vec_id") % 7 === 3 && col("vec_id") >= 8 &&
+          !col("vec_id").isin(centIds: _*))
+        .select(col("vec_id").as("t_id"))
+      // fold tombstones in: partition-pruned rewrite of ONLY the
+      // affected cells, staged, swapped by dynamic partition overwrite
+      // (Similarity.ivfCompact — the rewrite-side plan with its
+      // PartitionFilters is dumped in PLANS.md)
+      Similarity.ivfCompact(s, tmp + "/cells", tombs, "t_id",
+        tmp + "/stage")
+      // serve with NO tombstone filter — the deletes are now physical
+      Similarity.ivfQueryIndex(
+          s.read.parquet(tmp + "/cells")
+            .withColumn("c_cell", col("c_cell").cast("long")),
+          s.read.parquet(tmp + "/cents"),
           emb.filter(col("vec_id") < 8), "vec_id", "embedding",
           k = 5, nProbe = 2)
         .orderBy("q_id", "rank")
@@ -6255,8 +6309,13 @@ object SparkEntry {
       if (distributed || ScaleSafe.distributed(s)) {
         val mm = u.agg(min(col("negscore")).as("lo"),
           max(col("negscore")).as("hi")).head()
-        ScaleSafe.rowNumberBucketed(u,
-          Seq(col("negscore"), col("user_id")),
+        // AUTO hot-key routing (r9-verdict item 5): engagement scores
+        // GENUINELY concentrate — a large share of users can sit at the
+        // same small view count — so the auto entry point detects and
+        // sub-buckets any score value above the default 5% row share;
+        // on corpora with no hot score the built plan is the plain
+        // two-level scan, unchanged.
+        ScaleSafe.rowNumberBucketedAuto(u, "negscore", "user_id",
           ScaleSafe.rangeBucket("negscore", mm.getLong(0),
             mm.getLong(1), 32), "rn")
       } else u.withColumn("rn", row_number().over(
@@ -6300,8 +6359,12 @@ object SparkEntry {
         if (mm.isNullAt(0)) pts.withColumn("run", col("delta"))
         else {
           val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
-          ScaleSafe.runningSumBucketed(pts,
-            Seq(col("t"), col("delta")),
+          // AUTO hot-key routing (r9-verdict item 5): a burst corpus
+          // can pile > hotShare of all boundary points onto one instant
+          // (ties sub-split by delta stay monotone and same-sign, so
+          // the day-max readout is unchanged); on the gate corpus no
+          // instant is hot and the plan is the plain two-level scan.
+          ScaleSafe.runningSumBucketedAuto(pts, "t", "delta",
             ScaleSafe.rangeBucket("t", mm.getLong(0), mm.getLong(1),
               buckets),
             "delta", "run")
@@ -6333,6 +6396,10 @@ object SparkEntry {
       if (distributed || ScaleSafe.distributed(s)) {
         val withH = docs
           .withColumn("__h", md5(col("doc_id").cast("string")))
+        // NOT auto-routed: the order key is md5(doc_id) — unique by
+        // construction, so a hot value is impossible and the detection
+        // aggregation would shuffle corpus-cardinality per-value counts
+        // to prove it (the exemption rowNumberBucketedAuto documents).
         ScaleSafe.rowNumberBucketed(withH,
             Seq(col("__h"), col("doc_id")),
             ScaleSafe.hexPrefixBucket("__h", 32), "rn")
@@ -6607,7 +6674,10 @@ object SparkEntry {
     "n22_persisted_index" -> oracleSqlBase("n3_ann_ivf"),
     // frozen-codebook refresh == full rebuild (codebook-preserving
     // delta), end-to-end through parquet — n3's oracle unchanged
-    "n23_index_refresh" -> oracleSqlBase("n3_ann_ivf"))
+    "n23_index_refresh" -> oracleSqlBase("n3_ann_ivf"),
+    // compaction must be invisible to reads: the physically-compacted
+    // index answers exactly what n24's logical delete answers
+    "n25_index_compact" -> oracleSqlBase("n24_index_delete"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "s1_scan" ->

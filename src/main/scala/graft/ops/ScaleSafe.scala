@@ -232,7 +232,20 @@ object ScaleSafe {
         size(filter(col("__hvs"), h => h < col(valueCol))).cast("long") * 2
           + when(col("__v").isNotNull, 1L).otherwise(0L))
       .withColumn("__tsub",
-        when(col("__v").isNull || col("__thi") === col("__tlo"), lit(0L))
+        // Long-domain bound (r9 ADVICE — the media-decoder lesson, but
+        // here an overflow would silently corrupt ranks, not throw): the
+        // split multiplies (tie − lo) ≤ (hi − lo) by subBuckets in
+        // BIGINT, so a tie domain wider than ~2^63/subBuckets (a
+        // sentinel id near Long.Min/Max inside a hot value) would wrap
+        // and break the composite bucket's monotonicity. Checked in
+        // DOUBLE (range ~1.8e308; at 9e18 magnitude the ~2^11-ulp slack
+        // is covered by the conservative 8e18 threshold, < 2^63 ≈
+        // 9.22e18): when the domain is too wide, fall back to __tsub = 0
+        // — no sub-split, still monotone and exact, just unbalanced —
+        // mirroring the overflow bound [[rangeBucket]] documents.
+        when(col("__v").isNull || col("__thi") === col("__tlo") ||
+            (col("__thi").cast("double") - col("__tlo").cast("double") +
+              1.0d) * subBuckets.toDouble > 8.0e18, lit(0L))
           .otherwise(expr(
             s"(CAST($tieCol AS BIGINT) - __tlo) * ${subBuckets.toLong}L" +
               " div (__thi - __tlo + 1L)")))
@@ -253,6 +266,67 @@ object ScaleSafe {
         hotShare, subBuckets),
       Seq(col(valueCol), col(tieCol)), col("__hsb"), outCol)
       .drop("__hsb")
+
+  /** True when some single order-key value holds more than `hotShare`
+    * of all rows — ONE map-side-combined aggregation (per-value counts,
+    * then a two-long scalar readout), the cheap detection
+    * [[withHotSafeBucket]]'s refinement starts from. Empty input is not
+    * hot.
+    */
+  def hasHotValue(df: DataFrame, valueCol: String,
+                  hotShare: Double): Boolean = {
+    val r = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+      .agg(max("__c").as("__mx"), sum("__c").as("__n")).head()
+    !r.isNullAt(0) &&
+      r.getLong(0).toDouble > r.getLong(1).toDouble * hotShare
+  }
+
+  /** AUTO-ROUTED distributed rank (r9-verdict item 5): run the cheap
+    * hot-value detection, then build either the plain
+    * [[rowNumberBucketed]] plan (nothing hot — the plan is LITERALLY
+    * the plain one, unchanged) or the [[rowNumberBucketedHotSafe]]
+    * composite (some value above `hotShare`). This is the entry point
+    * production gates should call for any order key that CAN
+    * concentrate (per-user activity scores, status codes); keys unique
+    * or distinct by construction (md5 digests, pre-aggregated distinct
+    * values) should keep calling [[rowNumberBucketed]] directly — for
+    * them the detection aggregation shuffles input-cardinality
+    * per-value counts to prove a hotness that is impossible.
+    *
+    * The detection is one extra scalar job at plan-construction time
+    * (the same budget class as the rangeBucket min/max domain reads);
+    * it does not appear in the built query's plan.
+    */
+  def rowNumberBucketedAuto(df: DataFrame, valueCol: String,
+                            tieCol: String, baseBucket: Column,
+                            outCol: String, hotShare: Double = 0.05,
+                            subBuckets: Int = 8): DataFrame =
+    if (hasHotValue(df, valueCol, hotShare))
+      rowNumberBucketedHotSafe(df, valueCol, tieCol, baseBucket, outCol,
+        hotShare, subBuckets)
+    else
+      rowNumberBucketed(df, Seq(col(valueCol), col(tieCol)), baseBucket,
+        outCol)
+
+  /** AUTO-ROUTED distributed running sum — [[rowNumberBucketedAuto]]'s
+    * prefix-sum sibling: `sumCol` is cumulated over (`valueCol` asc,
+    * `tieCol` asc); the hot-safe composite engages only when detection
+    * finds a value above `hotShare`.
+    */
+  def runningSumBucketedAuto(df: DataFrame, valueCol: String,
+                             tieCol: String, baseBucket: Column,
+                             sumCol: String, outCol: String,
+                             hotShare: Double = 0.05,
+                             subBuckets: Int = 8): DataFrame =
+    if (hasHotValue(df, valueCol, hotShare))
+      runningSumBucketed(
+        withHotSafeBucket(df, valueCol, tieCol, baseBucket, "__hsb",
+          hotShare, subBuckets),
+        Seq(col(valueCol), col(tieCol)), col("__hsb"), sumCol, outCol)
+        .drop("__hsb")
+    else
+      runningSumBucketed(df, Seq(col(valueCol), col(tieCol)), baseBucket,
+        sumCol, outCol)
 
   /** Monotone bucket id for a long-typed order key (a NAMED column)
     * over a known [lo, hi] domain:

@@ -399,6 +399,61 @@ object Similarity {
     assignCells(d0, cents, "c_id", "c_vec", "c_norm", 1, "c_cell")
   }
 
+  /** COMPACTION half of the IVF index (r9-verdict item 3) — the other
+    * side of the delete story: n24's query-time tombstone anti-join is
+    * the right FIRST design (Lucene/FAISS-style logical deletes, free
+    * until compaction), but in a churning corpus the tombstone set and
+    * the dead rows grow without bound. This folds the tombstones into a
+    * CELL-PARTITIONED persisted index by rewriting ONLY the cells that
+    * contain a tombstoned row:
+    *
+    *   1. map tombstones to their cells — a broadcast join whose
+    *      distinct result is ≤ nCells values (the bounded scalar-read
+    *      budget class);
+    *   2. read JUST those partitions (the `isin` filter lands in the
+    *      scan's PartitionFilters — partition-pruned, untouched cells'
+    *      files are never opened), anti-join the tombstones out, and
+    *      stage the survivors (a rewrite cannot read and replace the
+    *      same files in one job);
+    *   3. swap the staged partitions in with a DYNAMIC partition
+    *      overwrite — only the affected cell directories are replaced.
+    *
+    * At 100 TB the cost is proportional to the DELETED cells' data, not
+    * the index: k tombstones touch ≤ k cells ≤ nCells. Returns the
+    * affected cell ids (the audit trail a compaction job logs).
+    * [[ivfCompactionRewrite]] is the pruned rewrite frame alone, split
+    * out so plan dumps can show the PartitionFilters evidence.
+    */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession,
+                 indexDir: String, tombs: DataFrame, tombIdCol: String,
+                 stageDir: String): Seq[Long] = {
+    val idx = spark.read.parquet(indexDir)
+      .withColumn("c_cell", col("c_cell").cast("long"))
+    val affected = idx
+      .join(broadcast(tombs), col("c_id") === col(tombIdCol))
+      .select("c_cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (affected.nonEmpty) {
+      ivfCompactionRewrite(idx, tombs, tombIdCol, affected)
+        .write.mode("overwrite").partitionBy("c_cell").parquet(stageDir)
+      spark.read.parquet(stageDir)
+        .withColumn("c_cell", col("c_cell").cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("c_cell").parquet(indexDir)
+    }
+    affected
+  }
+
+  /** The rewrite side of [[ivfCompact]]: a partition-pruned read of the
+    * affected cells with the tombstones anti-joined out.
+    */
+  def ivfCompactionRewrite(idx: DataFrame, tombs: DataFrame,
+                           tombIdCol: String,
+                           affected: Seq[Long]): DataFrame =
+    idx.filter(col("c_cell").isin(affected: _*))
+      .join(broadcast(tombs), col("c_id") === col(tombIdCol), "left_anti")
+
   /** QUERY half over a (possibly reloaded) index: assign each query to
     * its `nProbe` nearest centroids, probe only those cells, exact
     * fixed-point rerank — the [[ivfTopK]] serving path decoupled from

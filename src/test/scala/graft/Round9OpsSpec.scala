@@ -155,10 +155,56 @@ class Round9OpsSpec extends SparkSpec {
       assert(r.getLong(2) === s, s"day ${r.getLong(0)}")
       assert(r.getBoolean(3) === (s > tot))
     }
-    // the fix must matter on this corpus: at least one prefix where the
-    // old rows-1..i min under-reported (i.e. some s_scaled row now
-    // differs from p - min_{1..i} p) — row 1 alone guarantees it
-    // whenever day 1 is above the mean
-    assert(out.nonEmpty)
+    // discriminate against the OLD spelling (p - min over rows 1..i
+    // WITHOUT the implicit P_0 = 0 term) directly: replay both and
+    // require them to differ somewhere — they differ iff day 1 sits
+    // above the mean (then min_{1..i} p > 0 for a prefix), which this
+    // corpus may or may not provide, so the corpus check is
+    // conditional and the pinned fixture below is the hard gate
+    var p = 0L
+    var minP = Long.MaxValue
+    var corpusDiscriminates = false
+    out.foreach { r =>
+      p += n * r.getLong(1) - tot
+      minP = math.min(minP, p)
+      if (p - math.min(0L, minP) != p - minP) corpusDiscriminates = true
+    }
+    if (out.nonEmpty && n * out.head.getLong(1) > tot)
+      assert(corpusDiscriminates)
+  }
+
+  // ---- r9 ADVICE low: the e29 test above only discriminates old-vs-new
+  // prefix-min spelling when day 1 is above the mean — pin a fixture
+  // where it provably IS, replaying e29's exact column spelling, so the
+  // old rows-1..i min (which forces S_1 = 0 always) fails outright -----
+  test("e29 CUSUM spelling: P_0 = 0 term matters on a pinned fixture") {
+    import spark.implicits._
+    val days = Seq((1L, 10L), (2L, 1L), (3L, 1L)).toDF("d", "v")
+    val wRun = org.apache.spark.sql.expressions.Window.orderBy("d")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val base = days
+      .crossJoin(broadcast(days.agg(count(lit(1)).as("n"),
+        sum("v").as("tot"))))
+      .withColumn("i",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("d")).cast("long"))
+      .withColumn("cum", sum("v").over(wRun))
+      .withColumn("p", col("n") * col("cum") - col("i") * col("tot"))
+    // e29's shipped spelling — with the P_0 = 0 term
+    val fixed = base.withColumn("s_scaled",
+        col("p") - least(lit(0L), min("p").over(wRun)))
+      .orderBy("d").select("s_scaled").collect().map(_.getLong(0))
+    // n=3, tot=12; p = (18, 9, 0); recurrence S = max(0, S' + p_i −
+    // p_{i−1}) → (18, 9, 0) — day 1 above the mean carries through
+    assert(fixed.toSeq === Seq(18L, 9L, 0L))
+    // the OLD spelling (min over rows 1..i only) provably differs:
+    // S_1 would read p_1 − p_1 = 0, under-reporting the day-1 drift
+    val old = base.withColumn("s_scaled",
+        col("p") - min("p").over(wRun))
+      .orderBy("d").select("s_scaled").collect().map(_.getLong(0))
+    assert(old.toSeq === Seq(0L, 0L, 0L))
+    assert(old.toSeq != fixed.toSeq)
   }
 }

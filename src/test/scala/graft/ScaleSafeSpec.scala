@@ -162,6 +162,78 @@ class ScaleSafeSpec extends SparkSpec {
       .except(out.select("id", "rn")).isEmpty)
   }
 
+  test("auto routing engages the hot-safe composite on the 50%-hot " +
+    "fixture and stays bit-exact, through the public entry point") {
+    // r9-verdict item 5: the PUBLIC auto entry must detect and engage
+    // by itself — no caller-side knowledge of the skew
+    val n = 1000
+    val df = (1 to n).map { i =>
+      (if (i % 2 == 0) 50L else (i * 13 % 97).toLong, i.toLong)
+    }.toDF("v", "id")
+    val global = df.withColumn("rn",
+      row_number().over(Window.orderBy("v", "id")).cast("long"))
+    val auto = ScaleSafe.rowNumberBucketedAuto(df, "v", "id",
+      ScaleSafe.rangeBucket("v", 0, 96, 8), "rn",
+      hotShare = 0.2, subBuckets = 8)
+    assert(auto.select("v", "id", "rn")
+      .except(global.select("v", "id", "rn")).isEmpty)
+    assert(global.select("v", "id", "rn")
+      .except(auto.select("v", "id", "rn")).isEmpty)
+    // the engaged plan carries the hot-list refinement (the
+    // sort_array(collect_list(...)) hot-value broadcast is its
+    // signature); the plain scan has none
+    assert(auto.queryExecution.optimizedPlan.toString
+      .contains("collect_list"))
+  }
+
+  test("auto routing builds the PLAIN two-level plan when nothing is " +
+    "hot") {
+    val df = tied(300)
+    val plain = ScaleSafe.rowNumberBucketed(df,
+      Seq(col("v"), col("id")), ScaleSafe.rangeBucket("v", 0, 6, 4), "rn")
+    // 7 values of ~43 rows each; hotShare 0.5 → detection finds nothing
+    val auto = ScaleSafe.rowNumberBucketedAuto(df, "v", "id",
+      ScaleSafe.rangeBucket("v", 0, 6, 4), "rn",
+      hotShare = 0.5, subBuckets = 8)
+    // the built plan is LITERALLY the plain one: no hot-list refinement
+    // (collect_list) anywhere, and the same operator skeleton
+    val autoPlan = auto.queryExecution.optimizedPlan.toString
+    assert(!autoPlan.contains("collect_list"))
+    assert(auto.select("id", "rn").except(plain.select("id", "rn")).isEmpty)
+    // running-sum sibling: same detection, same plain fallback
+    val rsAuto = ScaleSafe.runningSumBucketedAuto(df, "v", "id",
+      ScaleSafe.rangeBucket("v", 0, 6, 4), "id", "run", hotShare = 0.5)
+    assert(!rsAuto.queryExecution.optimizedPlan.toString
+      .contains("collect_list"))
+  }
+
+  test("hot-key tie split falls back to no sub-split when the tie " +
+    "domain would overflow the BIGINT multiply (r9 ADVICE)") {
+    // one hot value (0) whose ties span near Long.Min/Max — the
+    // sentinel-id case: (tie − lo) · subBuckets would wrap. The guard
+    // must route ALL its rows to sub-bucket 0 (monotone, exact), never
+    // a wrapped negative bucket.
+    val ids = Seq(Long.MinValue + 5L, -1L, 0L, 1L, Long.MaxValue - 5L)
+    val df = (ids.map(t => (0L, t)) ++ Seq((1L, 10L), (2L, 20L)))
+      .toDF("v", "id")
+    val global = df.withColumn("rn",
+      row_number().over(Window.orderBy("v", "id")).cast("long"))
+    val out = ScaleSafe.rowNumberBucketedHotSafe(df, "v", "id",
+      ScaleSafe.rangeBucket("v", 0, 2, 2), "rn",
+      hotShare = 0.3, subBuckets = 8)
+    assert(out.select("v", "id", "rn")
+      .except(global.select("v", "id", "rn")).isEmpty)
+    assert(global.select("v", "id", "rn")
+      .except(out.select("v", "id", "rn")).isEmpty)
+    // and the guard engaged: the hot value's rows share ONE tie
+    // sub-bucket (t = 0) rather than wrapping across several
+    val subs = ScaleSafe.withHotSafeBucket(df, "v", "id",
+        ScaleSafe.rangeBucket("v", 0, 2, 2), "__hsb", 0.3, 8)
+      .filter(col("v") === 0L).select(col("__hsb.t"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(subs === Seq(0L))
+  }
+
   test("e21b is bit-identical to e21 and avoids the global rank window") {
     val base = SparkEntry.queries("e21_ab_readout")(spark, sf)
       .collect().toSeq
