@@ -2782,6 +2782,30 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // ---- N26: COMPACTION-SCHEDULING AUDIT — n19's occupancy sibling
+    // for the delete story: per cell, live rows, tombstoned rows, dead
+    // fraction in basis points, and the >= 5% compaction verdict. The
+    // operational readout between n25 compactions: rewriting a cell
+    // that is 0.1% dead reclaims nothing for a full rewrite's cost, so
+    // production compacts only the cells THIS table flags (the
+    // Lucene/RocksDB dead-ratio discipline). One broadcast left join +
+    // one nCells-row aggregation — auditing the index costs one scan --
+    "n26_compaction_audit" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centIds = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(16).select("vec_id").collect().map(_.getLong(0)).toSeq
+      val (cells, _) =
+        Similarity.ivfBuildIndex(emb, "vec_id", "embedding", nCells = 16)
+      val tombs = emb
+        .filter(col("vec_id") % 7 === 3 && col("vec_id") >= 8 &&
+          !col("vec_id").isin(centIds: _*))
+        .select(col("vec_id").as("t_id"))
+      Similarity.ivfDeadFraction(cells, tombs, "t_id",
+          thresholdBp = 500L)
+        .orderBy("cell")
+    }),
+
     // ---- N4: multi-probe LSH — recall repaired by probing the 1-bit-flip
     // neighbour buckets on the query side only; corpus layout unchanged ----
     "n4_ann_multiprobe" -> ((s, dir) => {
@@ -11294,6 +11318,26 @@ object SparkEntry {
         |  FROM scored)
         | SELECT q_id, c_id, rank, cos FROM ranked
         |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+    // Compaction-audit replay: n3's assignment CTEs, dead = n24's
+    // tombstone predicate, per-cell counts + basis-point dead fraction.
+    "n26_compaction_audit" -> (IvfAssignCtes +
+      """
+        | ccell AS (SELECT vec_id AS c_id, cent_id AS cell
+        |             FROM assign WHERE r = 1),
+        | dead AS (SELECT c_id FROM ccell
+        |   WHERE c_id % 7 = 3 AND c_id >= 8
+        |     AND c_id NOT IN (SELECT cent_id FROM cents))
+        |SELECT cell,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN c_id IN (SELECT c_id FROM dead)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+        |  CAST(sum(CASE WHEN c_id IN (SELECT c_id FROM dead)
+        |    THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS dead_bp,
+        |  CAST(sum(CASE WHEN c_id IN (SELECT c_id FROM dead)
+        |    THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) >= 500
+        |    AS compact
+        | FROM ccell GROUP BY cell ORDER BY cell""".stripMargin),
 
     // Exact per-class centroids in long format: lateral range join
     // transposes the vectors; fixed-point sums + one final division.

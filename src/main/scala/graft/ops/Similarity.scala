@@ -454,6 +454,29 @@ object Similarity {
     idx.filter(col("c_cell").isin(affected: _*))
       .join(broadcast(tombs), col("c_id") === col(tombIdCol), "left_anti")
 
+  /** Compaction-SCHEDULING audit — [[ivfOccupancy]]'s sibling for the
+    * delete story: per cell, the live row count, the tombstoned (dead)
+    * row count, the dead fraction in basis points, and whether it
+    * crosses the compaction threshold. THE operational readout a
+    * churning 100 TB index runs between [[ivfCompact]] invocations:
+    * rewriting a cell that is 0.1% dead wastes a full cell rewrite to
+    * reclaim almost nothing, so production compacts only cells above
+    * `thresholdBp` (the Lucene/RocksDB dead-ratio discipline) and this
+    * table IS that decision. Cost: one broadcast left join of the
+    * tombstone set + one nCells-row aggregation — auditing the whole
+    * index costs one scan of it.
+    */
+  def ivfDeadFraction(cells: DataFrame, tombs: DataFrame,
+                      tombIdCol: String,
+                      thresholdBp: Long = 500L): DataFrame =
+    cells.join(broadcast(tombs), col("c_id") === col(tombIdCol), "left")
+      .groupBy(col("c_cell").as("cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col(tombIdCol).isNotNull, 1L).otherwise(0L))
+          .as("n_dead"))
+      .withColumn("dead_bp", expr("n_dead * 10000 div n_rows"))
+      .withColumn("compact", col("dead_bp") >= thresholdBp)
+
   /** QUERY half over a (possibly reloaded) index: assign each query to
     * its `nProbe` nearest centroids, probe only those cells, exact
     * fixed-point rerank — the [[ivfTopK]] serving path decoupled from

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Round-10 additions: IVF index compaction (n25) and its scheduling
+  * audit (n26). The oracle gates prove result equality; these specs pin
+  * the PHYSICAL claims the gates cannot see — that compaction rewrites
+  * only the affected cell partitions and that the dead-fraction math is
+  * what the Scaladoc promises.
+  */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ivfDeadFraction: counts, basis points, threshold verdict") {
+    // cell 1: 4 rows, 1 dead (2500 bp); cell 2: 3 rows, 0 dead;
+    // cell 3: 2 rows, 2 dead (10000 bp)
+    val cells = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 2L), (6L, 2L), (7L, 2L),
+      (8L, 3L), (9L, 3L))
+      .toDF("c_id", "c_cell")
+      .withColumn("c_vec", array(lit(1.0f)))
+      .withColumn("c_norm", lit(1L))
+    val tombs = Seq(2L, 8L, 9L).toDF("t_id")
+    val out = Similarity.ivfDeadFraction(cells, tombs, "t_id",
+        thresholdBp = 500L)
+      .orderBy("cell")
+      .select("cell", "n_rows", "n_dead", "dead_bp", "compact")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (1L, 4L, 1L, 2500L, true),
+      (2L, 3L, 0L, 0L, false),
+      (3L, 2L, 2L, 10000L, true)))
+  }
+
+  test("ivfCompact rewrites ONLY the affected cell partitions and " +
+    "removes exactly the tombstoned rows") {
+    val tmp = Files.createTempDirectory("graft_compact_spec").toString
+    // 3 cells; tombstones touch cells 1 and 3 only — cell 2 must come
+    // through the compaction with its files BYTE-UNTOUCHED
+    val cells = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (5L, 2L), (6L, 2L),
+      (8L, 3L), (9L, 3L))
+      .toDF("c_id", "c_cell")
+      .withColumn("c_vec", array(lit(1.0f)))
+      .withColumn("c_norm", lit(1L))
+    cells.write.mode("overwrite").partitionBy("c_cell")
+      .parquet(tmp + "/cells")
+    def cell2Files(): Map[String, Long] = {
+      val dir = Paths.get(tmp + "/cells/c_cell=2")
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString ->
+          Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = cell2Files()
+    assert(before.nonEmpty)
+    val tombs = Seq(2L, 9L).toDF("t_id")
+    val affected = Similarity.ivfCompact(spark, tmp + "/cells", tombs,
+      "t_id", tmp + "/stage")
+    assert(affected.toSet === Set(1L, 3L))
+    // untouched partition: same files, same modification times
+    assert(cell2Files() === before)
+    // survivors: exactly the non-tombstoned rows, all cells intact
+    val after = spark.read.parquet(tmp + "/cells")
+      .select(col("c_id"), col("c_cell").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(after === Set((1L, 1L), (3L, 1L), (5L, 2L), (6L, 2L),
+      (8L, 3L)))
+  }
+
+  test("ivfCompact with no matching tombstones is a no-op") {
+    val tmp = Files.createTempDirectory("graft_compact_noop").toString
+    Seq((1L, 1L), (2L, 2L)).toDF("c_id", "c_cell")
+      .withColumn("c_vec", array(lit(1.0f)))
+      .withColumn("c_norm", lit(1L))
+      .write.mode("overwrite").partitionBy("c_cell")
+      .parquet(tmp + "/cells")
+    val affected = Similarity.ivfCompact(spark, tmp + "/cells",
+      Seq(99L).toDF("t_id"), "t_id", tmp + "/stage")
+    assert(affected.isEmpty)
+    assert(spark.read.parquet(tmp + "/cells").count() === 2L)
+  }
+}
