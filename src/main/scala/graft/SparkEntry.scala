@@ -2648,9 +2648,15 @@ object SparkEntry {
       // probe key, so a cell-partitioned layout lets every query
       // session partition-prune to its nProbe cells and lets a
       // compaction (n25) rewrite ONLY the cells a tombstone touches.
+      // Clustered by cell before the write — without it every one of
+      // the 32 write tasks opens a file in every cell directory (the
+      // small-files spray); with it each cell lands as one file here,
+      // and at 100 TB the same repartition with a row-count-sized
+      // partition count yields a few large files per cell.
       // Partition-column values round-trip through directory names, so
       // the reload re-casts to the written LONG type explicitly.
-      cells.write.mode("overwrite").partitionBy("c_cell")
+      cells.repartition(col("c_cell"))
+        .write.mode("overwrite").partitionBy("c_cell")
         .parquet(tmp + "/cells")
       cents.write.mode("overwrite").parquet(tmp + "/cents")
       Similarity.ivfQueryIndex(
@@ -2683,7 +2689,8 @@ object SparkEntry {
         .limit(16).select("vec_id").collect().map(_.getLong(0)).toSeq
       val (cells, cents) =
         Similarity.ivfBuildIndex(emb, "vec_id", "embedding", nCells = 16)
-      cells.write.mode("overwrite").partitionBy("c_cell")
+      cells.repartition(col("c_cell"))
+        .write.mode("overwrite").partitionBy("c_cell")
         .parquet(tmp + "/cells")
       cents.write.mode("overwrite").parquet(tmp + "/cents")
       // n24's tombstone set verbatim (disjoint from codebook + queries)
@@ -6322,13 +6329,18 @@ object SparkEntry {
     */
   private def upliftDeciles(s: SparkSession, dir: String,
                             distributed: Boolean): DataFrame = {
-    val u = t(s, dir, "events")
+    val u0 = t(s, dir, "events")
       .groupBy("user_id")
       .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
           .as("score"),
         max(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("converted"))
       .withColumn("negscore", -col("score"))
+    // distributed path: the USERS-cardinality aggregate feeds four
+    // passes (rank-domain read, hot detection, the two-level scan's
+    // window and offsets sides) — cache it so events scan ONCE. This
+    // pins O(users), never the corpus (ivfBuildIndex's c0 discipline).
+    val u = if (distributed || ScaleSafe.distributed(s)) u0.cache() else u0
     val withRn =
       if (distributed || ScaleSafe.distributed(s)) {
         val mm = u.agg(min(col("negscore")).as("lo"),

@@ -267,66 +267,139 @@ object ScaleSafe {
       Seq(col(valueCol), col(tieCol)), col("__hsb"), outCol)
       .drop("__hsb")
 
-  /** True when some single order-key value holds more than `hotShare`
-    * of all rows — ONE map-side-combined aggregation (per-value counts,
-    * then a two-long scalar readout), the cheap detection
-    * [[withHotSafeBucket]]'s refinement starts from. Empty input is not
-    * hot.
+  /** Hot-value detection + exact stats, SKETCH-FIRST (the
+    * [[HeavyHitters]] two-pass discipline — a plain groupBy detector
+    * would shuffle one row per DISTINCT order-key value, which for a
+    * near-unique key like x10b's boundary instants is the corpus
+    * re-shuffled to prove a hotness that isn't there):
+    *
+    *   1. ONE Misra-Gries pass — O(k) mergeable partials, map-side, no
+    *      value shuffle — with k sized so any value holding more than
+    *      `hotShare` of the rows is guaranteed present with count
+    *      error ≤ n·hotShare/2. No candidate above the error-adjusted
+    *      threshold → NOT HOT, done at one cheap job.
+    *   2. Only when candidates survive: one exact recount restricted
+    *      to the ≤ k candidate values (map-side combine over ≤ k
+    *      groups) yields exact shares and tie domains.
+    *
+    * Returns the hot values (exact row share > `hotShare`) with their
+    * exact tie [min, max] domains, sorted by value so
+    * [[hotSafeBucketLiteral]] can build a monotone step function; the
+    * result is bounded by ⌊1/hotShare⌋ by definition — the same
+    * bounded-scalar-read budget class as the rangeBucket domain reads.
     */
-  def hasHotValue(df: DataFrame, valueCol: String,
-                  hotShare: Double): Boolean = {
-    val r = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
-      .agg(max("__c").as("__mx"), sum("__c").as("__n")).head()
-    !r.isNullAt(0) &&
-      r.getLong(0).toDouble > r.getLong(1).toDouble * hotShare
+  def hotValueStats(df: DataFrame, valueCol: String, tieCol: String,
+                    hotShare: Double): Seq[(Any, Long, Long)] = {
+    val k = math.max(31, math.ceil(2.0 / hotShare).toInt)
+    val probe = df.agg(
+      HeavyHitters.misraGries(col(valueCol).cast("string"), k)
+        .as("__mg"),
+      count(lit(1)).as("__n")).head()
+    val n = probe.getLong(1)
+    if (n == 0L) return Seq.empty
+    // MG undercount is ≤ n/(k+1) ≤ n·hotShare/2: anything truly hot
+    // shows an mg_count above this adjusted bar
+    val bar = hotShare * n - n.toDouble / (k + 1)
+    val cand = probe.getSeq[org.apache.spark.sql.Row](0)
+      .filter(_.getLong(1).toDouble > bar).map(_.getString(0))
+    if (cand.isEmpty) return Seq.empty
+    df.filter(col(valueCol).cast("string").isin(cand: _*))
+      .groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__vc"),
+        min(col(tieCol)).as("__tlo"), max(col(tieCol)).as("__thi"))
+      .filter(col("__vc").cast("double") > lit(hotShare * n))
+      .orderBy("__v")
+      .collect().toSeq
+      .map(r => (r.get(0), r.getLong(2), r.getLong(3)))
   }
 
-  /** AUTO-ROUTED distributed rank (r9-verdict item 5): run the cheap
-    * hot-value detection, then build either the plain
-    * [[rowNumberBucketed]] plan (nothing hot — the plan is LITERALLY
-    * the plain one, unchanged) or the [[rowNumberBucketedHotSafe]]
-    * composite (some value above `hotShare`). This is the entry point
-    * production gates should call for any order key that CAN
-    * concentrate (per-user activity scores, status codes); keys unique
-    * or distinct by construction (md5 digests, pre-aggregated distinct
-    * values) should keep calling [[rowNumberBucketed]] directly — for
-    * them the detection aggregation shuffles input-cardinality
-    * per-value counts to prove a hotness that is impossible.
+  /** The hot-safe composite bucket as a PURE EXPRESSION over a
+    * driver-collected hot list ([[hotValueStats]]) — no joins, no
+    * second aggregation pass: the value segment is a CASE step function
+    * over the ≤ ⌊1/hotShare⌋ sorted hot values, and each hot value's
+    * tie sub-split divides its literal [tlo, thi] domain. Literals are
+    * trivially deterministic across the two-level scan's double
+    * computation (stronger than the merge-order-invariance argument the
+    * join form needs), and the scan's per-row cost is a short CASE, not
+    * a broadcast probe. Same overflow guard as the join form: a tie
+    * domain too wide for the BIGINT multiply falls back to no sub-split.
+    */
+  def hotSafeBucketLiteral(valueCol: String, tieCol: String,
+                           baseBucket: Column,
+                           stats: Seq[(Any, Long, Long)],
+                           subBuckets: Int): Column = {
+    val v = col(valueCol)
+    // 2·(#hot below) + (1 if hot): strictly between its neighbors.
+    // Folded in REVERSE value order so the smallest hot value is the
+    // OUTERMOST branch — a row below h0 must short-circuit to 0, not
+    // fall through a later `v < h_i` test.
+    val vseg = stats.zipWithIndex.reverse
+      .foldLeft(lit(2L * stats.size)) { case (acc, ((hv, _, _), i)) =>
+        when(v < lit(hv), lit(2L * i)).otherwise(
+          when(v === lit(hv), lit(2L * i + 1)).otherwise(acc))
+      }
+    val tsub = stats.foldLeft(lit(0L)) { case (acc, (hv, tlo, thi)) =>
+      val safe = thi > tlo &&
+        (thi.toDouble - tlo.toDouble + 1.0) * subBuckets <= 8.0e18
+      if (!safe) acc
+      else when(v === lit(hv),
+        expr(s"(CAST($tieCol AS BIGINT) - ${tlo}L) * " +
+          s"${subBuckets.toLong}L div ${thi - tlo + 1L}L"))
+        .otherwise(acc)
+    }
+    struct(baseBucket.as("b"), vseg.as("s"), tsub.as("t"))
+  }
+
+  /** AUTO-ROUTED distributed rank (r9-verdict item 5): ONE detection
+    * job ([[hotValueStats]] — per-value counts + tie domains, hot rows
+    * collected, bounded ≤ ⌊1/hotShare⌋) decides the plan: nothing hot →
+    * the plain [[rowNumberBucketed]] plan, LITERALLY unchanged; some
+    * value above `hotShare` → the same two-level scan over the
+    * [[hotSafeBucketLiteral]] composite, whose refinement is a pure
+    * CASE expression over the collected hot list (no joins, no second
+    * stats pass — the detection job's result IS the refinement input).
     *
-    * The detection is one extra scalar job at plan-construction time
-    * (the same budget class as the rangeBucket min/max domain reads);
-    * it does not appear in the built query's plan.
+    * This is the entry point production gates should call for any
+    * order key that CAN concentrate (per-user activity scores, status
+    * codes); keys unique or distinct by construction (md5 digests,
+    * pre-aggregated distinct values) should keep calling
+    * [[rowNumberBucketed]] directly — for them the detection
+    * aggregation shuffles input-cardinality per-value counts to prove
+    * a hotness that is impossible.
     */
   def rowNumberBucketedAuto(df: DataFrame, valueCol: String,
                             tieCol: String, baseBucket: Column,
                             outCol: String, hotShare: Double = 0.05,
-                            subBuckets: Int = 8): DataFrame =
-    if (hasHotValue(df, valueCol, hotShare))
-      rowNumberBucketedHotSafe(df, valueCol, tieCol, baseBucket, outCol,
-        hotShare, subBuckets)
+                            subBuckets: Int = 8): DataFrame = {
+    val stats = hotValueStats(df, valueCol, tieCol, hotShare)
+    if (stats.nonEmpty)
+      rowNumberBucketed(df, Seq(col(valueCol), col(tieCol)),
+        hotSafeBucketLiteral(valueCol, tieCol, baseBucket, stats,
+          subBuckets), outCol)
     else
       rowNumberBucketed(df, Seq(col(valueCol), col(tieCol)), baseBucket,
         outCol)
+  }
 
   /** AUTO-ROUTED distributed running sum — [[rowNumberBucketedAuto]]'s
     * prefix-sum sibling: `sumCol` is cumulated over (`valueCol` asc,
-    * `tieCol` asc); the hot-safe composite engages only when detection
-    * finds a value above `hotShare`.
+    * `tieCol` asc); the literal hot-safe composite engages only when
+    * detection finds a value above `hotShare`.
     */
   def runningSumBucketedAuto(df: DataFrame, valueCol: String,
                              tieCol: String, baseBucket: Column,
                              sumCol: String, outCol: String,
                              hotShare: Double = 0.05,
-                             subBuckets: Int = 8): DataFrame =
-    if (hasHotValue(df, valueCol, hotShare))
-      runningSumBucketed(
-        withHotSafeBucket(df, valueCol, tieCol, baseBucket, "__hsb",
-          hotShare, subBuckets),
-        Seq(col(valueCol), col(tieCol)), col("__hsb"), sumCol, outCol)
-        .drop("__hsb")
+                             subBuckets: Int = 8): DataFrame = {
+    val stats = hotValueStats(df, valueCol, tieCol, hotShare)
+    if (stats.nonEmpty)
+      runningSumBucketed(df, Seq(col(valueCol), col(tieCol)),
+        hotSafeBucketLiteral(valueCol, tieCol, baseBucket, stats,
+          subBuckets), sumCol, outCol)
     else
       runningSumBucketed(df, Seq(col(valueCol), col(tieCol)), baseBucket,
         sumCol, outCol)
+  }
 
   /** Monotone bucket id for a long-typed order key (a NAMED column)
     * over a known [lo, hi] domain:

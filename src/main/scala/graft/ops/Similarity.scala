@@ -434,10 +434,15 @@ object Similarity {
       .select("c_cell").distinct()
       .collect().map(_.getLong(0)).toSeq
     if (affected.nonEmpty) {
+      // clustered by cell on both writes: one file per rewritten cell
+      // (at 100 TB: a sized repartition → a few large files per cell),
+      // never a per-task file in every cell directory
       ivfCompactionRewrite(idx, tombs, tombIdCol, affected)
+        .repartition(col("c_cell"))
         .write.mode("overwrite").partitionBy("c_cell").parquet(stageDir)
       spark.read.parquet(stageDir)
         .withColumn("c_cell", col("c_cell").cast("long"))
+        .repartition(col("c_cell"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("c_cell").parquet(indexDir)

@@ -179,11 +179,14 @@ class ScaleSafeSpec extends SparkSpec {
       .except(global.select("v", "id", "rn")).isEmpty)
     assert(global.select("v", "id", "rn")
       .except(auto.select("v", "id", "rn")).isEmpty)
-    // the engaged plan carries the hot-list refinement (the
-    // sort_array(collect_list(...)) hot-value broadcast is its
-    // signature); the plain scan has none
-    assert(auto.queryExecution.optimizedPlan.toString
-      .contains("collect_list"))
+    // the engaged plan carries the hot-list refinement: the composite
+    // struct bucket built from the collected hot list (a pure CASE
+    // expression — no joins, no second stats pass); the plain scan's
+    // bucket is a bare integer expression, never a struct. Checked on
+    // the ANALYZED plan — over a LocalRelation fixture the optimizer
+    // constant-folds the whole projection away.
+    assert(auto.queryExecution.analyzed.toString
+      .contains("struct(b, "))
   }
 
   test("auto routing builds the PLAIN two-level plan when nothing is " +
@@ -195,16 +198,42 @@ class ScaleSafeSpec extends SparkSpec {
     val auto = ScaleSafe.rowNumberBucketedAuto(df, "v", "id",
       ScaleSafe.rangeBucket("v", 0, 6, 4), "rn",
       hotShare = 0.5, subBuckets = 8)
-    // the built plan is LITERALLY the plain one: no hot-list refinement
-    // (collect_list) anywhere, and the same operator skeleton
-    val autoPlan = auto.queryExecution.optimizedPlan.toString
-    assert(!autoPlan.contains("collect_list"))
+    // the built plan is LITERALLY the plain one: no composite struct
+    // bucket anywhere, and the same operator skeleton
+    val autoPlan = auto.queryExecution.analyzed.toString
+    assert(!autoPlan.contains("struct(b, "))
     assert(auto.select("id", "rn").except(plain.select("id", "rn")).isEmpty)
     // running-sum sibling: same detection, same plain fallback
     val rsAuto = ScaleSafe.runningSumBucketedAuto(df, "v", "id",
       ScaleSafe.rangeBucket("v", 0, 6, 4), "id", "run", hotShare = 0.5)
-    assert(!rsAuto.queryExecution.optimizedPlan.toString
-      .contains("collect_list"))
+    assert(!rsAuto.queryExecution.analyzed.toString
+      .contains("struct(b, "))
+  }
+
+  test("literal hot composite equals the join-form composite and the " +
+    "global order (multiple hot values, overflow-wide tie domain)") {
+    // two hot values (20 and 50), one of them with a tie domain wide
+    // enough to trip the overflow guard — the literal CASE step
+    // function must agree with the join form and with the global sort
+    val rows = (1 to 200).map(i => (20L, i.toLong)) ++
+      (1 to 200).map(i => (50L, if (i % 2 == 0) Long.MaxValue - i
+        else Long.MinValue + i)) ++
+      (1 to 100).map(i => ((i * 7 % 97).toLong, 1000L + i))
+    val df = rows.toDF("v", "id")
+    val global = df.withColumn("rn",
+      row_number().over(Window.orderBy("v", "id")).cast("long"))
+    val auto = ScaleSafe.rowNumberBucketedAuto(df, "v", "id",
+      ScaleSafe.rangeBucket("v", 0, 96, 8), "rn",
+      hotShare = 0.2, subBuckets = 8)
+    assert(auto.select("v", "id", "rn")
+      .except(global.select("v", "id", "rn")).isEmpty)
+    assert(global.select("v", "id", "rn")
+      .except(auto.select("v", "id", "rn")).isEmpty)
+    val joinForm = ScaleSafe.rowNumberBucketedHotSafe(df, "v", "id",
+      ScaleSafe.rangeBucket("v", 0, 96, 8), "rn",
+      hotShare = 0.2, subBuckets = 8)
+    assert(auto.select("v", "id", "rn")
+      .except(joinForm.select("v", "id", "rn")).isEmpty)
   }
 
   test("hot-key tie split falls back to no sub-split when the tie " +
