@@ -2789,6 +2789,34 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // ---- N27: PARTITION-PRUNED SERVING — the read-path payoff of the
+    // cell-partitioned layout n22 writes and n25 compacts: the query
+    // batch's probed cells are collected (bounded ≤ |queries|·nProbe)
+    // and pushed into the cell scan's PartitionFilters, so serving
+    // OPENS only the probed cells' files. n3/n22 already score only
+    // probed cells but still read the whole index to find them; at
+    // 100 TB this is the difference between a query batch costing
+    // O(probed cells) and O(index). Shares n3's oracle: pruning only
+    // removes rows the probe join could never match ------------------
+    "n27_index_serve_pruned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_pruned").toString
+      val (cells, cents) =
+        Similarity.ivfBuildIndex(emb, "vec_id", "embedding", nCells = 16)
+      cells.repartition(col("c_cell"))
+        .write.mode("overwrite").partitionBy("c_cell")
+        .parquet(tmp + "/cells")
+      cents.write.mode("overwrite").parquet(tmp + "/cents")
+      Similarity.ivfQueryIndexPruned(
+          s.read.parquet(tmp + "/cells")
+            .withColumn("c_cell", col("c_cell").cast("long")),
+          s.read.parquet(tmp + "/cents"),
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nProbe = 2)
+        .orderBy("q_id", "rank")
+    }),
+
     // ---- N26: COMPACTION-SCHEDULING AUDIT — n19's occupancy sibling
     // for the delete story: per cell, live rows, tombstoned rows, dead
     // fraction in basis points, and the >= 5% compaction verdict. The
@@ -6713,7 +6741,10 @@ object SparkEntry {
     "n23_index_refresh" -> oracleSqlBase("n3_ann_ivf"),
     // compaction must be invisible to reads: the physically-compacted
     // index answers exactly what n24's logical delete answers
-    "n25_index_compact" -> oracleSqlBase("n24_index_delete"))
+    "n25_index_compact" -> oracleSqlBase("n24_index_delete"),
+    // partition pruning only removes rows the probe join could never
+    // match — n3's oracle unchanged
+    "n27_index_serve_pruned" -> oracleSqlBase("n3_ann_ivf"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "s1_scan" ->

@@ -498,6 +498,38 @@ object Similarity {
       col("q_id") =!= col("c_id") && col("q_cell") === col("c_cell"), k)
   }
 
+  /** [[ivfQueryIndex]] with PROBE-SIDE PARTITION PRUNING — the serving
+    * path for a CELL-PARTITIONED persisted index (n22's layout): the
+    * query batch's probed cells are collected first (bounded —
+    * ≤ |queries|·nProbe values, and a serving batch is small by
+    * contract), then pushed as an `isin` filter that lands in the cell
+    * scan's PartitionFilters. [[ivfQueryIndex]]'s equality join already
+    * SCORES only probed cells, but it still READS the whole index to
+    * find them; at 100 TB this variant opens only the probed cells'
+    * files — the difference between a query batch costing
+    * O(probed cells) and O(index). The probe assignment (a broadcast
+    * of nCells centroids against the query batch) is cached so
+    * collecting the cell list does not recompute it for the join.
+    * Results are identical to [[ivfQueryIndex]] by construction: the
+    * filter removes only rows the probe join could never match.
+    */
+  def ivfQueryIndexPruned(cells: DataFrame, cents: DataFrame,
+                          queries: DataFrame, idCol: String,
+                          vecCol: String, k: Int,
+                          nProbe: Int = 2): DataFrame = {
+    val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      normFp(col(vecCol)).as("q_norm"))
+    val qCells = assignCells(q0, cents, "q_id", "q_vec", "q_norm",
+      nProbe, "q_cell").cache()
+    val probed = qCells.select("q_cell").distinct()
+      .collect().map(_.get(0)).toSeq
+    val pruned =
+      if (probed.isEmpty) cells.limit(0)
+      else cells.filter(col("c_cell").isin(probed: _*))
+    scoreTopK(pruned, qCells,
+      col("q_id") =!= col("c_id") && col("q_cell") === col("c_cell"), k)
+  }
+
   /** IVF index-health audit: per-cell occupancy of the [[ivfTopK]]
     * assignment, each cell's load relative to perfect balance in basis
     * points (`n_vecs·nCells·10⁴ div n_total`; 10000 = balanced). THE

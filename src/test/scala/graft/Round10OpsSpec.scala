@@ -78,6 +78,35 @@ class Round10OpsSpec extends SparkSpec {
       (8L, 3L)))
   }
 
+  test("ivfQueryIndexPruned equals ivfQueryIndex and partition-prunes " +
+    "the cell scan") {
+    val tmp = Files.createTempDirectory("graft_pruned_spec").toString
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (cells, cents) = Similarity.ivfBuildIndex(
+      emb, "vec_id", "embedding", nCells = 16)
+    cells.repartition(col("c_cell"))
+      .write.mode("overwrite").partitionBy("c_cell")
+      .parquet(tmp + "/cells")
+    cents.write.mode("overwrite").parquet(tmp + "/cents")
+    val idx = spark.read.parquet(tmp + "/cells")
+      .withColumn("c_cell", col("c_cell").cast("long"))
+    val cts = spark.read.parquet(tmp + "/cents")
+    val queries = emb.filter(col("vec_id") < 8)
+    val plain = Similarity.ivfQueryIndex(idx, cts, queries,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+    val pruned = Similarity.ivfQueryIndexPruned(idx, cts, queries,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+    assert(pruned.collect().toSet === plain.collect().toSet)
+    // the probed-cell isin lands in the scan's PartitionFilters —
+    // serving opens ONLY the probed cells' files
+    val explain = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = explain.linesIterator
+      .filter(_.trim.startsWith("PartitionFilters:")).toSeq
+    assert(pf.exists(l => l.contains("c_cell") && !l.contains("[]")),
+      s"no non-empty PartitionFilters on the cell scan:\n$explain")
+  }
+
   test("ivfCompact with no matching tombstones is a no-op") {
     val tmp = Files.createTempDirectory("graft_compact_noop").toString
     Seq((1L, 1L), (2L, 2L)).toDF("c_id", "c_cell")
