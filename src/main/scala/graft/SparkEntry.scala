@@ -3881,6 +3881,17 @@ object SparkEntry {
           queryName = "graft_slh_" + System.nanoTime())
         .orderBy("p_bp")),
 
+    // ---- ST27: STREAMING IVF INDEX MAINTENANCE — the ANN lifecycle's
+    // ingest leg as a stream: foreachBatch assigns each micro-batch
+    // against the frozen persisted codebook (ivfAssignDelta, map-only)
+    // and appends into the cell-partitioned index; frozen-codebook
+    // assignment is slice-invariant, so the streamed index equals a
+    // full rebuild and the gate serves n3's exact query, sharing its
+    // oracle verbatim ---------------------------------------------------
+    "st27_stream_index_refresh" -> ((s, dir) =>
+      StreamOps.streamingIndexRefresh(s, dir)
+        .orderBy("q_id", "rank")),
+
     // ---- ST14: ListState through transformWithState — O(k) per-key
     // recent-events buffer (last 3 by recency, ties by event id) ---------
     "st14_list_state" -> ((s, dir) =>
@@ -6744,7 +6755,10 @@ object SparkEntry {
     "n25_index_compact" -> oracleSqlBase("n24_index_delete"),
     // partition pruning only removes rows the probe join could never
     // match — n3's oracle unchanged
-    "n27_index_serve_pruned" -> oracleSqlBase("n3_ann_ivf"))
+    "n27_index_serve_pruned" -> oracleSqlBase("n3_ann_ivf"),
+    // frozen-codebook assignment is slice-invariant: the streamed
+    // index equals a full rebuild — n3's oracle unchanged
+    "st27_stream_index_refresh" -> oracleSqlBase("n3_ann_ivf"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "s1_scan" ->

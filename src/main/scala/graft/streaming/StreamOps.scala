@@ -1332,6 +1332,78 @@ object StreamOps {
     graft.etl.Sources.jdbc(spark, url, table, options)
   }
 
+  /** STREAMING IVF INDEX MAINTENANCE — the ANN lifecycle's ingest leg
+    * as a stream: a persisted, cell-partitioned index (n22's layout) is
+    * kept current by a `foreachBatch` sink that assigns each arriving
+    * micro-batch against the FROZEN persisted codebook
+    * ([[graft.ops.Similarity.ivfAssignDelta]] — map-only over the
+    * batch, K broadcast dots per vector, never touching the base) and
+    * APPENDS the assigned rows into the batch's cell partitions. This
+    * is n23's refresh loop driven by Structured Streaming instead of a
+    * scheduled job: because a frozen-codebook assignment depends only
+    * on (vector, codebook), the final index equals a full rebuild no
+    * matter how the stream slices the delta — which is why the gate can
+    * serve n3's exact query from the streamed index and share n3's
+    * oracle verbatim.
+    *
+    * Replay semantics: AvailableNow + a fresh checkpoint make this run
+    * deterministic; a production deployment would make the append
+    * idempotent against foreachBatch's at-least-once replay (batch-id-
+    * derived file names or a transactional table format) — the same
+    * caveat every append-mode foreachBatch sink carries, orthogonal to
+    * the assignment math this gate pins.
+    */
+  def streamingIndexRefresh(spark: SparkSession, dir: String,
+                            nBatches: Int = 3): DataFrame = {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_ivf").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ivf_ckpt").toString
+    // n23's base/delta split: the delta must not remove a codebook
+    // vector from the base build (bounded nCells-row scalar read)
+    val centIds = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(16).select("vec_id").collect().map(_.getLong(0)).toSeq
+    val isDelta = col("vec_id") % 10 === 0 &&
+      !col("vec_id").isin(centIds: _*)
+    // base build, persisted cell-partitioned (n22's clustered layout)
+    val (cells0, cents0) = graft.ops.Similarity.ivfBuildIndex(
+      emb.filter(!isDelta), "vec_id", "embedding", nCells = 16)
+    cells0.repartition(col("c_cell"))
+      .write.mode("overwrite").partitionBy("c_cell")
+      .parquet(tmp + "/cells")
+    cents0.write.mode("overwrite").parquet(tmp + "/cents")
+    val cents = spark.read.parquet(tmp + "/cents")
+    // the delta arrives as a file stream, one file per micro-batch
+    val delta = emb.filter(isDelta).select("vec_id", "embedding")
+    delta.repartition(nBatches)
+      .write.mode("overwrite").parquet(tmp + "/delta_src")
+    val q = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp + "/delta_src")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Similarity
+          .ivfAssignDelta(batch, cents, "vec_id", "embedding")
+          .repartition(col("c_cell"))
+          .write.mode("append").partitionBy("c_cell")
+          .parquet(tmp + "/cells")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // serve n3's exact query from the streamed index
+    graft.ops.Similarity.ivfQueryIndex(
+      spark.read.parquet(tmp + "/cells")
+        .withColumn("c_cell", col("c_cell").cast("long")),
+      cents,
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      k = 5, nProbe = 2)
+  }
+
   /** Streaming keyed state: running per-user event count via
     * mapGroupsWithState — the Structured Streaming analogue of the
     * reference's per-run in-memory key caches (sdk/src/ETLTask.php:34).
