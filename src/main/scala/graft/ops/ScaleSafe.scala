@@ -296,7 +296,7 @@ object ScaleSafe {
         .as("__mg"),
       count(lit(1)).as("__n")).head()
     val n = probe.getLong(1)
-    if (n == 0L) return Seq.empty
+    if (n == 0L || probe.isNullAt(0)) return Seq.empty
     // MG undercount is ≤ n/(k+1) ≤ n·hotShare/2: anything truly hot
     // shows an mg_count above this adjusted bar
     val bar = hotShare * n - n.toDouble / (k + 1)
