@@ -6424,9 +6424,15 @@ object SparkEntry {
                               distributed: Boolean): DataFrame = {
     val ev = t(s, dir, "events")
       .select(unix_micros(col("ts")).as("t0"))
-    val pts = ev.select(col("t0").as("t"), lit(1L).as("delta"))
+    val pts0 = ev.select(col("t0").as("t"), lit(1L).as("delta"))
       .unionByName(ev.select((col("t0") + 300000000L).as("t"),
         lit(-1L).as("delta")))
+    // distributed path: the boundary points feed the domain read, the
+    // hot detection, and the two-level scan's two passes — cache so the
+    // events union materializes once (e31b's u-cache discipline; the
+    // pinned frame is two longs per event, not the corpus)
+    val pts =
+      if (distributed || ScaleSafe.distributed(s)) pts0.cache() else pts0
     val withRun =
       if (distributed || ScaleSafe.distributed(s)) {
         val mm = pts.agg(min(col("t")).as("lo"), max(col("t")).as("hi"))

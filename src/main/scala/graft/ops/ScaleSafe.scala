@@ -290,6 +290,8 @@ object ScaleSafe {
     */
   def hotValueStats(df: DataFrame, valueCol: String, tieCol: String,
                     hotShare: Double): Seq[(Any, Long, Long)] = {
+    require(hotShare > 0 && hotShare < 1,
+      s"need hotShare in (0, 1), got $hotShare")
     val k = math.max(31, math.ceil(2.0 / hotShare).toInt)
     val probe = df.agg(
       HeavyHitters.misraGries(col(valueCol).cast("string"), k)
@@ -310,7 +312,12 @@ object ScaleSafe {
       .filter(col("__vc").cast("double") > lit(hotShare * n))
       .orderBy("__v")
       .collect().toSeq
-      .map(r => (r.get(0), r.getLong(2), r.getLong(3)))
+      // an all-null tie domain (min/max null) degrades to (0, 0):
+      // tlo == thi means "no sub-split" downstream — still monotone
+      // and exact, matching the join form's in-expression null guard
+      .map(r => (r.get(0),
+        if (r.isNullAt(2)) 0L else r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3)))
   }
 
   /** The hot-safe composite bucket as a PURE EXPRESSION over a
@@ -371,6 +378,7 @@ object ScaleSafe {
                             tieCol: String, baseBucket: Column,
                             outCol: String, hotShare: Double = 0.05,
                             subBuckets: Int = 8): DataFrame = {
+    require(subBuckets >= 2, s"need subBuckets >= 2, got $subBuckets")
     val stats = hotValueStats(df, valueCol, tieCol, hotShare)
     if (stats.nonEmpty)
       rowNumberBucketed(df, Seq(col(valueCol), col(tieCol)),
@@ -391,6 +399,7 @@ object ScaleSafe {
                              sumCol: String, outCol: String,
                              hotShare: Double = 0.05,
                              subBuckets: Int = 8): DataFrame = {
+    require(subBuckets >= 2, s"need subBuckets >= 2, got $subBuckets")
     val stats = hotValueStats(df, valueCol, tieCol, hotShare)
     if (stats.nonEmpty)
       runningSumBucketed(df, Seq(col(valueCol), col(tieCol)),

@@ -418,34 +418,71 @@ object Similarity {
     *   3. swap the staged partitions in with a DYNAMIC partition
     *      overwrite — only the affected cell directories are replaced.
     *
-    * At 100 TB the cost is proportional to the DELETED cells' data, not
-    * the index: k tombstones touch ≤ k cells ≤ nCells. Returns the
-    * affected cell ids (the audit trail a compaction job logs).
-    * [[ivfCompactionRewrite]] is the pruned rewrite frame alone, split
-    * out so plan dumps can show the PartitionFilters evidence.
+    * Cost at 100 TB: the detection join (step 1) is ONE map-only read
+    * of the index against the broadcast tombstone set — no shuffle,
+    * but a full index READ per compaction run (a deployment that needs
+    * to skip even that keeps an id→cell lookup table, or has deletes
+    * carry their cell — both drop detection to O(tombstones)); the
+    * REWRITE (steps 2-3) is proportional to the affected cells' data
+    * only: k tombstones touch ≤ k cells ≤ nCells. Fully-tombstoned
+    * cells are handled explicitly — a dynamic overwrite only replaces
+    * partitions present in the staged data, so a zero-survivor cell's
+    * directory is deleted rather than left to resurrect its rows.
+    * Duplicate tombstone ids are tolerated (a replayed delete is a
+    * no-op). Returns the affected cell ids (the audit trail a
+    * compaction job logs). [[ivfCompactionRewrite]] is the pruned
+    * rewrite frame alone, split out so plan dumps can show the
+    * PartitionFilters evidence.
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession,
                  indexDir: String, tombs: DataFrame, tombIdCol: String,
                  stageDir: String): Seq[Long] = {
+    // duplicate-tolerant: a replayed delete must not change the outcome
+    val tset = tombs.select(col(tombIdCol)).distinct()
     val idx = spark.read.parquet(indexDir)
       .withColumn("c_cell", col("c_cell").cast("long"))
     val affected = idx
-      .join(broadcast(tombs), col("c_id") === col(tombIdCol))
+      .join(broadcast(tset), col("c_id") === col(tombIdCol))
       .select("c_cell").distinct()
       .collect().map(_.getLong(0)).toSeq
     if (affected.nonEmpty) {
-      // clustered by cell on both writes: one file per rewritten cell
-      // (at 100 TB: a sized repartition → a few large files per cell),
-      // never a per-task file in every cell directory
-      ivfCompactionRewrite(idx, tombs, tombIdCol, affected)
-        .repartition(col("c_cell"))
-        .write.mode("overwrite").partitionBy("c_cell").parquet(stageDir)
-      spark.read.parquet(stageDir)
-        .withColumn("c_cell", col("c_cell").cast("long"))
-        .repartition(col("c_cell"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("c_cell").parquet(indexDir)
+      // Survivor census per affected cell (bounded ≤ nCells rows): a
+      // dynamic partition overwrite replaces only partitions PRESENT
+      // in the staged data, so a FULLY-tombstoned cell — zero
+      // survivors, hence absent from the stage — would keep its old
+      // files and resurrect every deleted row. Those cells' partition
+      // directories are deleted explicitly instead.
+      val rewrite = ivfCompactionRewrite(idx, tset, tombIdCol, affected)
+      val surviving = rewrite.groupBy("c_cell").agg(count(lit(1)))
+        .select("c_cell").collect().map(_.getLong(0)).toSet
+      if (surviving.nonEmpty) {
+        // clustered by cell on both writes: one file per rewritten
+        // cell (at 100 TB: a sized repartition → a few large files per
+        // cell), never a per-task file in every cell directory
+        rewrite
+          .repartition(col("c_cell"))
+          .write.mode("overwrite").partitionBy("c_cell")
+          .parquet(stageDir)
+        spark.read.parquet(stageDir)
+          .withColumn("c_cell", col("c_cell").cast("long"))
+          .repartition(col("c_cell"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("c_cell").parquet(indexDir)
+      }
+      // Fully-dead cells LAST — the stage write above re-scans the
+      // original index (its file listing includes every affected
+      // cell's files), so their directories must still exist while it
+      // runs; swap-then-delete is also the safe operational order.
+      val fullyDead = affected.filterNot(surviving)
+      if (fullyDead.nonEmpty) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        fullyDead.foreach { cell =>
+          val p = new org.apache.hadoop.fs.Path(
+            s"$indexDir/c_cell=$cell")
+          p.getFileSystem(conf).delete(p, true)
+        }
+      }
     }
     affected
   }
@@ -474,7 +511,11 @@ object Similarity {
   def ivfDeadFraction(cells: DataFrame, tombs: DataFrame,
                       tombIdCol: String,
                       thresholdBp: Long = 500L): DataFrame =
-    cells.join(broadcast(tombs), col("c_id") === col(tombIdCol), "left")
+    // distinct first: a duplicated tombstone id (a replayed delete
+    // event) would otherwise fan the left join out and inflate BOTH
+    // n_rows and n_dead
+    cells.join(broadcast(tombs.select(col(tombIdCol)).distinct()),
+        col("c_id") === col(tombIdCol), "left")
       .groupBy(col("c_cell").as("cell"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col(tombIdCol).isNotNull, 1L).otherwise(0L))
@@ -508,10 +549,13 @@ object Similarity {
     * find them; at 100 TB this variant opens only the probed cells'
     * files — the difference between a query batch costing
     * O(probed cells) and O(index). The probe assignment (a broadcast
-    * of nCells centroids against the query batch) is cached so
-    * collecting the cell list does not recompute it for the join.
-    * Results are identical to [[ivfQueryIndex]] by construction: the
-    * filter removes only rows the probe join could never match.
+    * of nCells centroids against the query batch) is computed twice —
+    * once to collect the cell list, once in the join — deliberately:
+    * it is deterministic and batch-sized, and caching it per batch in
+    * a long-lived serving session would pin probe assignments the
+    * caller can never unpersist. Results are identical to
+    * [[ivfQueryIndex]] by construction: the filter removes only rows
+    * the probe join could never match.
     */
   def ivfQueryIndexPruned(cells: DataFrame, cents: DataFrame,
                           queries: DataFrame, idCol: String,
@@ -519,8 +563,13 @@ object Similarity {
                           nProbe: Int = 2): DataFrame = {
     val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       normFp(col(vecCol)).as("q_norm"))
+    // NOT cached: the probe assignment is deterministic and query-
+    // batch-sized (recomputing it for the join costs one broadcast
+    // pass over the batch), and a per-batch cache in a long-lived
+    // serving session would accumulate pinned probe assignments the
+    // caller never gets a handle to unpersist.
     val qCells = assignCells(q0, cents, "q_id", "q_vec", "q_norm",
-      nProbe, "q_cell").cache()
+      nProbe, "q_cell")
     val probed = qCells.select("q_cell").distinct()
       .collect().map(_.get(0)).toSeq
     val pruned =

@@ -107,6 +107,52 @@ class Round10OpsSpec extends SparkSpec {
       s"no non-empty PartitionFilters on the cell scan:\n$explain")
   }
 
+  test("ivfCompact deletes a FULLY-tombstoned cell's partition " +
+    "instead of resurrecting its rows") {
+    // r10 code-review finding: a dynamic partition overwrite replaces
+    // only partitions PRESENT in the staged data — a zero-survivor
+    // cell would silently keep its old files. Cell 2 dies entirely;
+    // cell 1 loses one row; cell 3 is untouched.
+    val tmp = Files.createTempDirectory("graft_compact_dead").toString
+    Seq((1L, 1L), (2L, 1L), (5L, 2L), (6L, 2L), (8L, 3L))
+      .toDF("c_id", "c_cell")
+      .withColumn("c_vec", array(lit(1.0f)))
+      .withColumn("c_norm", lit(1L))
+      .write.mode("overwrite").partitionBy("c_cell")
+      .parquet(tmp + "/cells")
+    val tombs = Seq(2L, 5L, 6L).toDF("t_id")
+    val affected = Similarity.ivfCompact(spark, tmp + "/cells", tombs,
+      "t_id", tmp + "/stage")
+    assert(affected.toSet === Set(1L, 2L))
+    assert(!Files.exists(Paths.get(tmp + "/cells/c_cell=2")))
+    val after = spark.read.parquet(tmp + "/cells")
+      .select(col("c_id"), col("c_cell").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(after === Set((1L, 1L), (8L, 3L)))
+    // the degenerate ALL-dead case: every affected cell empties —
+    // nothing stages (the old code crashed reading an empty stage),
+    // the dead partition directories are removed
+    val affected2 = Similarity.ivfCompact(spark, tmp + "/cells",
+      Seq(1L, 8L).toDF("t_id"), "t_id", tmp + "/stage2")
+    assert(affected2.toSet === Set(1L, 3L))
+    assert(!Files.exists(Paths.get(tmp + "/cells/c_cell=1")))
+    assert(!Files.exists(Paths.get(tmp + "/cells/c_cell=3")))
+  }
+
+  test("ivfDeadFraction and ivfCompact tolerate duplicate tombstone " +
+    "ids (a replayed delete changes nothing)") {
+    val cells = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("c_id", "c_cell")
+      .withColumn("c_vec", array(lit(1.0f)))
+      .withColumn("c_norm", lit(1L))
+    // one dead row, its tombstone replayed three times
+    val tombs = Seq(2L, 2L, 2L).toDF("t_id")
+    val out = Similarity.ivfDeadFraction(cells, tombs, "t_id", 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 4L, 1L, 2500L)))
+  }
+
   test("ivfCompact with no matching tombstones is a no-op") {
     val tmp = Files.createTempDirectory("graft_compact_noop").toString
     Seq((1L, 1L), (2L, 2L)).toDF("c_id", "c_cell")
