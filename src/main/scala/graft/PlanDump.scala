@@ -88,7 +88,7 @@ object PlanDump {
     // rewrite side's partition-pruned scan is the thing to look for)
     "n24_index_delete", "v7_entropy_ldiv", "a36_js_drift",
     "n25_index_compact", "n26_compaction_audit",
-    "n27_index_serve_pruned")
+    "n27_index_serve_pruned", "n28_persisted_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

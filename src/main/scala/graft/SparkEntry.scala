@@ -3021,6 +3021,36 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // ---- N28: PERSISTED IVF-PQ INDEX — what a 100 TB deployment
+    // actually writes to disk: n22 persists FLOAT vectors (the
+    // exception); the production artifact is the COMPRESSED index —
+    // (c_id, m, code) small-int rows (~128× smaller than the vectors),
+    // cell-partitioned, plus the broadcast-sized centroid and codebook
+    // tables. Build once, parquet round trip, serve n10's exact query
+    // from the reloaded codes — the trip must be lossless, so the gate
+    // shares n10's oracle verbatim ------------------------------------
+    "n28_persisted_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq").toString
+      val (codes, cents, codebook) = Similarity.ivfPqBuildIndex(
+        emb, "vec_id", "embedding", nCells = 16, dims = 64, mSub = 4,
+        nCodes = 16)
+      codes.repartition(col("c_cell"))
+        .write.mode("overwrite").partitionBy("c_cell")
+        .parquet(tmp + "/codes")
+      cents.write.mode("overwrite").parquet(tmp + "/cents")
+      codebook.write.mode("overwrite").parquet(tmp + "/codebook")
+      Similarity.ivfPqQueryIndex(
+          s.read.parquet(tmp + "/codes")
+            .withColumn("c_cell", col("c_cell").cast("long")),
+          s.read.parquet(tmp + "/cents"),
+          s.read.parquet(tmp + "/codebook"),
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nProbe = 4, dims = 64, mSub = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     // ---- N8: TWO Lloyd iterations — n6's step, then densify → reassign →
     // re-mean; inertia non-increase pinned in KmeansSpec ------------------
     "n8_kmeans_converge" -> ((s, dir) =>
@@ -6764,7 +6794,10 @@ object SparkEntry {
     "n27_index_serve_pruned" -> oracleSqlBase("n3_ann_ivf"),
     // frozen-codebook assignment is slice-invariant: the streamed
     // index equals a full rebuild — n3's oracle unchanged
-    "st27_stream_index_refresh" -> oracleSqlBase("n3_ann_ivf"))
+    "st27_stream_index_refresh" -> oracleSqlBase("n3_ann_ivf"),
+    // the compressed-index parquet round trip must be lossless —
+    // n10's oracle unchanged
+    "n28_persisted_ivfpq" -> oracleSqlBase("n10_ann_ivfpq"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "s1_scan" ->

@@ -921,10 +921,38 @@ object Similarity {
                 vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
                 dims: Int = 64, mSub: Int = 4,
                 nCodes: Int = 16): DataFrame = {
-    require(dims % mSub == 0, s"dims=$dims must divide into mSub=$mSub")
+    val (codes, cents, codebook) = ivfPqBuildIndex(
+      candidates, idCol, vecCol, nCells, dims, mSub, nCodes)
+    ivfPqQueryIndex(codes, cents, codebook, queries, idCol, vecCol,
+      k, nProbe, dims, mSub)
+  }
+
+  /** The per-subspace slice explode both PQ halves share: rows of
+    * (m, subvector) for m in [0, mSub).
+    */
+  private def pqSubs(vec: Column, dims: Int, mSub: Int): Column = {
     val dSub = dims / mSub
-    def subs(vec: Column): Column = posexplode(array(
+    posexplode(array(
       (0 until mSub).map(m => slice(vec, m * dSub + 1, dSub)): _*))
+  }
+
+  /** BUILD half of the IVF-PQ index — the artifact a 100 TB deployment
+    * actually PERSISTS: `(codes, cents, codebook)` where codes is
+    * (c_id, m, code, c_cell) — mSub small integers per vector instead
+    * of the float vector (~128× smaller; this is why the persisted
+    * flat index n22 gates is the exception and the compressed one is
+    * the production rule), cents is the coarse-centroid table and
+    * codebook the per-subspace codewords (both ≤ nCodes·mSub rows,
+    * broadcast-sized). All three are plain columnar frames — a parquet
+    * round trip is lossless, gated end-to-end by n28 on n10's oracle.
+    * Same deterministic hash-order sample as [[ivfPqTopK]] for both
+    * structures.
+    */
+  def ivfPqBuildIndex(candidates: DataFrame, idCol: String,
+                      vecCol: String, nCells: Int = 16, dims: Int = 64,
+                      mSub: Int = 4, nCodes: Int = 16):
+      (DataFrame, DataFrame, DataFrame) = {
+    require(dims % mSub == 0, s"dims=$dims must divide into mSub=$mSub")
     val c0 = spread(candidates, idCol)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
         normFp(col(vecCol)).as("c_norm"))
@@ -934,45 +962,57 @@ object Similarity {
     // IVF side: coarse centroids = the sample vectors, cosine assignment
     val cents = sample.select(col("c_id").as("cent_id"),
       col("c_vec").as("cent_vec"), col("c_norm").as("cent_norm"))
-    def assign(df: DataFrame, idC: String, vecC: String, normC: String,
-               keep: Int, cellName: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(idC))
-        .orderBy(col("__cos").desc, col("cent_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("__cos", cosineFromFp(dotFp(col(vecC), col("cent_vec")),
-          col(normC), col("cent_norm")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= keep)
-        .select(col(idC), col("cent_id").as(cellName))
-    }
-    val cCells = assign(c0, "c_id", "c_vec", "c_norm", 1, "c_cell")
-    val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      normFp(col(vecCol)).as("q_norm"))
-    val qCells = assign(q0, "q_id", "q_vec", "q_norm", nProbe, "q_cell")
-    // PQ side: same sample, per-subspace codewords; encode + query LUTs
+    val cCells = assignCells(c0, cents, "c_id", "c_vec", "c_norm",
+      1, "c_cell").select("c_id", "c_cell")
+    // PQ side: same sample, per-subspace codewords; map-only encode
     val wCode = org.apache.spark.sql.expressions.Window
       .orderBy(md5(col("c_id").cast("string")), col("c_id"))
     val codebook = sample
       .withColumn("code", row_number().over(wCode))
-      .select(col("code"), subs(col("c_vec")).as(Seq("m", "cb_sub")))
+      .select(col("code"),
+        pqSubs(col("c_vec"), dims, mSub).as(Seq("m", "cb_sub")))
     val wEnc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("c_id"), col("m"))
       .orderBy(col("__l2"), col("code"))
-    val codes = c0.select(col("c_id"), subs(col("c_vec")).as(Seq("m", "c_sub")))
+    val codes = c0.select(col("c_id"),
+        pqSubs(col("c_vec"), dims, mSub).as(Seq("m", "c_sub")))
       .join(broadcast(codebook), "m")
       .withColumn("__l2", l2Fp(col("c_sub"), col("cb_sub")))
       .withColumn("__r", row_number().over(wEnc))
       .filter(col("__r") === 1)
       .select("c_id", "m", "code")
+    (codes.join(cCells, "c_id"), cents, codebook)
+  }
+
+  /** QUERY half over a (possibly reloaded) IVF-PQ index: assign each
+    * query to its `nProbe` nearest coarse cells, build its broadcast
+    * integer LUT from the codebook, and ADC-score ONLY the codes in
+    * probed cells — the scan never touches a candidate float.
+    */
+  def ivfPqQueryIndex(codes: DataFrame, cents: DataFrame,
+                      codebook: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      nProbe: Int = 4, dims: Int = 64,
+                      mSub: Int = 4): DataFrame = {
+    require(dims % mSub == 0, s"dims=$dims must divide into mSub=$mSub")
+    val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      normFp(col(vecCol)).as("q_norm"))
+    val qCells = assignCells(q0, cents, "q_id", "q_vec", "q_norm",
+      nProbe, "q_cell").select("q_id", "q_cell")
+    // Per-query LUT: INNER PRODUCT of each query subvector with every
+    // codeword — the MIPS flavor of ADC, matching the dot/cosine
+    // ranking every other ANN path here uses. Encoding stays L2 (the
+    // codeword that best RECONSTRUCTS the subvector), which is
+    // standard even for inner-product search.
     val lut = q0
-      .select(col("q_id"), subs(col("q_vec")).as(Seq("m", "q_sub")))
+      .select(col("q_id"),
+        pqSubs(col("q_vec"), dims, mSub).as(Seq("m", "q_sub")))
       .join(broadcast(codebook), "m")
       .select(col("q_id"), col("m"), col("code"),
         dotFp(col("q_sub"), col("cb_sub")).as("ip_fp"))
     // Probe-restricted ADC: only codes living in a probed cell are read.
     // A candidate has exactly one cell, so each (q, c) pair scores once.
-    val scored = codes.join(cCells, "c_id")
+    val scored = codes
       .join(qCells, col("c_cell") === col("q_cell"))
       .filter(col("q_id") =!= col("c_id"))
       .join(broadcast(lut), Seq("q_id", "m", "code"))
