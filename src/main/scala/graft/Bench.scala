@@ -108,23 +108,31 @@ object Bench {
     // LOAD GATE for the PRIMARY pass (r9-verdict item 1: r9's battery
     // started at loadavg 4.43 — above the adjudicator's own gate — so
     // the headline numbers carried ambient noise and the next round's
-    // regression net diffed against inflated times). The same
-    // awaitQuiet the retests use runs ONCE before the battery, bounded
-    // by the shared 5-minute budget, and `loadavg_start` records the
-    // POST-gate load — the number the artifact's consumers should see
-    // below the gate on a healthy run.
+    // regression net diffed against inflated times). The primary pass
+    // has its OWN 5-minute wait budget (r10 ADVICE: when it shared the
+    // retests' budget, a loaded start drained it and every later
+    // retest's gate returned immediately under load — the `confirmed`
+    // channel was silently disabled for the whole run); the retests
+    // share a separate fresh budget below. The gate's admit threshold
+    // is RECORDED in the artifact (r10-verdict item 5: r10 started at
+    // loadavg 2.47 under a 2.5 gate and minted a `confirmed` verdict —
+    // consumers could not see the ceiling that admitted it), and a
+    // budget-exhausted start is an explicit `load_gate_waived` flag,
+    // never a silent pass-through.
     val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE")
-      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(2.5)
-    var waitBudgetMs = 300000L
-    def awaitQuiet(): Seq[Double] = {
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1.5)
+    def awaitQuiet(budget: java.util.concurrent.atomic.AtomicLong)
+        : Seq[Double] = {
       var l = loadAvg()
-      while (l.headOption.exists(_ > loadGate) && waitBudgetMs > 0) {
-        Thread.sleep(10000); waitBudgetMs -= 10000; l = loadAvg()
+      while (l.headOption.exists(_ > loadGate) && budget.get > 0) {
+        Thread.sleep(10000); budget.addAndGet(-10000); l = loadAvg()
       }
       l
     }
-    awaitQuiet()
+    val primaryBudget = new java.util.concurrent.atomic.AtomicLong(300000L)
+    awaitQuiet(primaryBudget)
     val loadStart = loadAvg()
+    val gateWaived = loadStart.headOption.exists(_ > loadGate)
 
     // Optional args (local iteration only; the driver passes none):
     // query-name prefixes to restrict the battery to.
@@ -161,11 +169,31 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = r3(results.collect { case (_, v) if v >= 0 => v }.sum)
+    // Subset runs (local iteration with name-prefix args) must not
+    // overwrite the full-battery artifact: a partial map would become
+    // the next run's baseline and every absent query would silently
+    // drop out of the regression net.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_full.json")
-    // Regression net vs the artifact this run is about to overwrite.
-    val regs = regressions(previousQueryTimes(outPath, sfDir),
-      results.toMap)
+      if (args.isEmpty) "/root/repo/bench_full.json"
+      else "/tmp/bench_partial.json")
+    // Regression net vs BOTH baselines (r10-verdict item 2: t36 went
+    // 1.83 -> 2.95 s between DRIVER rounds yet was never flagged,
+    // because the local end-of-round run had overwritten bench_full
+    // with an inflated t36 and the net only ever saw the drifted
+    // number — heavies were exactly the queries the drift masked).
+    // `bench_baseline.json` is a PINNED copy of the last driver-run
+    // artifact, updated deliberately, never written by this program;
+    // per query the baseline is the MIN of the two sources, so a local
+    // rerun can tighten the net but can never loosen it.
+    val prevLocal = previousQueryTimes(outPath, sfDir)
+    val prevPinned = previousQueryTimes(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+        "/root/repo/bench_baseline.json"), sfDir)
+    val prev = (prevLocal.keySet ++ prevPinned.keySet).map { k =>
+      k -> math.min(prevLocal.getOrElse(k, Double.MaxValue),
+        prevPinned.getOrElse(k, Double.MaxValue))
+    }.toMap
+    val regs = regressions(prev, results.toMap)
     // Adjudicate every flag by an ISOLATED re-run (nothing else on the
     // JVM, post-battery): min of two timed passes after a warm-up. A
     // structural regression reproduces; a load spike reverts.
@@ -184,8 +212,10 @@ object Bench {
     // begins mid-retest — warm-up + two timed passes can take tens of
     // seconds — must not launder a flag into `confirmed`).
     val fnByName = SparkEntry.queries
+    // fresh budget for the retests — the primary pass cannot drain it
+    val retestBudget = new java.util.concurrent.atomic.AtomicLong(300000L)
     val adjudicated = regs.toSeq.sortBy(_._1).map { case (k, (p, n, r)) =>
-      val loadPre = awaitQuiet()
+      val loadPre = awaitQuiet(retestBudget)
       val retest =
         try {
           val fn = fnByName(k)
@@ -219,7 +249,9 @@ object Bench {
     val loadEnd = loadAvg()
     def loadJson(l: Seq[Double]) = l.map(r3).mkString("[", ",", "]")
     val loadPart = s""","loadavg_start":${loadJson(loadStart)}""" +
-      s""","loadavg_end":${loadJson(loadEnd)}"""
+      s""","loadavg_end":${loadJson(loadEnd)}""" +
+      s""","load_gate":${r3(loadGate)},"load_gate_waived":$gateWaived""" +
+      s""","baseline_sources":{"local":${prevLocal.size},"pinned":${prevPinned.size}}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regsJson,"n_confirmed":$nConfirmed$loadPart,"sf":"$sfDir"}"""
     val wrote =

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.etl._
 import graft.functions.StrFunctions._
@@ -139,6 +140,43 @@ object SparkEntry {
             upper(col("c_name")).as("name")),
         url, "t_cust", Seq("cust_id"), opts)
       Sources.jdbc(s, url, "t_cust", opts).orderBy("cust_id")
+    }),
+
+    // ---- S9/S10 under the MYSQL DIALECT (r10-verdict missing item 1):
+    // the reference's sinks are MariaDB (sdk/lib/db.php:129-147, batched
+    // INSERT :250-274) but s10 gates Derby — the dialect-sensitive
+    // layers (backtick quoting, MySQL SQLStates, Connector/J's
+    // SUCCESS_NO_INFO batch counts forcing the -2 re-probe) went
+    // unexercised. MiniMySql is an in-process engine that enforces
+    // exactly those behaviors (no MySQL jar exists offline); same
+    // seed/update/insert plan as s10, read back through the store ------
+    "s10b_mysql_upsert" -> ((s, dir) => {
+      MiniMySql.ensureRegistered()
+      val db = "s10b_" + java.util.UUID.randomUUID().toString.take(8)
+      val url = MiniMySql.UrlPrefix + db
+      val opts = Map("driver" -> "graft.etl.MiniMySqlDriver$")
+      MiniMySql.createTable(db, "t_cust",
+        Seq(MiniMySql.ColDef("cust_id", notNull = true),
+          MiniMySql.ColDef("name", notNull = true)),
+        pk = Seq("cust_id"))
+      val cust = t(s, dir, "customer")
+      // seed 1-100 (pure inserts through the batched upsert path)
+      JdbcSink.upsert(
+        cust.filter(col("c_custkey") <= 100)
+          .select(col("c_custkey").as("cust_id"), col("c_name").as("name")),
+        url, "t_cust", Seq("cust_id"), opts, quote = "`")
+      // update 51-100 (uppercased), insert 101-150 — the update-vs-
+      // insert branch decided entirely through the SUCCESS_NO_INFO
+      // re-probe, since MiniMySql never reports per-row batch counts
+      JdbcSink.upsert(
+        cust.filter(col("c_custkey") > 50 && col("c_custkey") <= 150)
+          .select(col("c_custkey").as("cust_id"),
+            upper(col("c_name")).as("name")),
+        url, "t_cust", Seq("cust_id"), opts, quote = "`")
+      MiniMySql.scanDF(s, db, "t_cust", StructType(Seq(
+          StructField("cust_id", LongType),
+          StructField("name", StringType))))
+        .orderBy("cust_id")
     }),
 
     // ---- P1/P2/P3: column mapping (SURVEY §2.2) ------------------------
@@ -3922,6 +3960,17 @@ object SparkEntry {
       StreamOps.streamingIndexRefresh(s, dir)
         .orderBy("q_id", "rank")),
 
+    // ---- N29: MAINTENANCE INTERLEAVE — st27's streaming refresh and
+    // n25's compaction hit the SAME cell-partitioned directory, every
+    // mutation serialized by the index maintenance lock; a tombstone-
+    // folding compaction runs BETWEEN two delta appends and the result
+    // must equal a full rebuild minus the tombstones, served with NO
+    // logical tombstone filter (deletes must be physical). The single-
+    // writer protocol the rest of the ANN lifecycle assumed, pinned ----
+    "n29_maintenance_interleave" -> ((s, dir) =>
+      StreamOps.maintenanceInterleave(s, dir)
+        .orderBy("q_id", "rank")),
+
     // ---- ST14: ListState through transformWithState — O(k) per-key
     // recent-events buffer (last 3 by recency, ties by event id) ---------
     "st14_list_state" -> ((s, dir) =>
@@ -6407,9 +6456,17 @@ object SparkEntry {
       .withColumn("negscore", -col("score"))
     // distributed path: the USERS-cardinality aggregate feeds four
     // passes (rank-domain read, hot detection, the two-level scan's
-    // window and offsets sides) — cache it so events scan ONCE. This
-    // pins O(users), never the corpus (ivfBuildIndex's c0 discipline).
-    val u = if (distributed || ScaleSafe.distributed(s)) u0.cache() else u0
+    // window and offsets sides) — localCheckpoint so events scan ONCE.
+    // This pins O(users), never the corpus (ivfBuildIndex's c0
+    // discipline). localCheckpoint, NOT cache (r10 ADVICE): a cache()
+    // here registers in the catalog's cache manager with no unpersist
+    // site (the readout materializes in the caller), so a bench
+    // battery's repeated invocations pin a fresh entry each time and
+    // storage grows across the run; a localCheckpoint's blocks are
+    // released by the ContextCleaner as soon as the invocation's
+    // result frame is garbage, with the same scan-once effect.
+    val u = if (distributed || ScaleSafe.distributed(s)) u0.localCheckpoint()
+      else u0
     val withRn =
       if (distributed || ScaleSafe.distributed(s)) {
         val mm = u.agg(min(col("negscore")).as("lo"),
@@ -6458,11 +6515,15 @@ object SparkEntry {
       .unionByName(ev.select((col("t0") + 300000000L).as("t"),
         lit(-1L).as("delta")))
     // distributed path: the boundary points feed the domain read, the
-    // hot detection, and the two-level scan's two passes — cache so the
-    // events union materializes once (e31b's u-cache discipline; the
-    // pinned frame is two longs per event, not the corpus)
+    // hot detection, and the two-level scan's two passes —
+    // localCheckpoint so the events union materializes once (e31b's
+    // discipline: scan-once without a catalog cache entry that would
+    // pin blocks across a bench battery's repeated invocations; the
+    // pinned frame is two longs per event, not the corpus, and the
+    // ContextCleaner releases it when the result frame is garbage)
     val pts =
-      if (distributed || ScaleSafe.distributed(s)) pts0.cache() else pts0
+      if (distributed || ScaleSafe.distributed(s)) pts0.localCheckpoint()
+      else pts0
     val withRun =
       if (distributed || ScaleSafe.distributed(s)) {
         val mm = pts.agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
@@ -6908,6 +6969,14 @@ object SparkEntry {
     // Expected post-upsert state of the live table: seeds 1-100, updated
     // (uppercased) 51-100, inserted 101-150.
     "s10_jdbc_upsert" ->
+      """SELECT c_custkey AS cust_id,
+        |  CASE WHEN c_custkey > 50 THEN upper(c_name) ELSE c_name END AS name
+        |  FROM customer WHERE c_custkey <= 150 ORDER BY cust_id""".stripMargin,
+
+    // Same mutation plan as s10, applied through the MySQL dialect
+    // (backticks + SUCCESS_NO_INFO batches + MySQL SQLStates) — the
+    // expected table state is identical.
+    "s10b_mysql_upsert" ->
       """SELECT c_custkey AS cust_id,
         |  CASE WHEN c_custkey > 50 THEN upper(c_name) ELSE c_name END AS name
         |  FROM customer WHERE c_custkey <= 150 ORDER BY cust_id""".stripMargin,
@@ -11397,6 +11466,34 @@ object SparkEntry {
         | ccell AS (SELECT vec_id AS c_id, x AS cvx, nrm AS cnorm,
         |             cent_id AS cell FROM assign WHERE r = 1
         |             AND NOT (vec_id % 7 = 3 AND vec_id >= 8
+        |               AND vec_id NOT IN (SELECT cent_id FROM cents))),
+        | qcell AS (SELECT vec_id AS q_id, x AS qvx, nrm AS qnorm,
+        |             cent_id AS cell FROM assign WHERE r <= 2 AND vec_id < 8),
+        | scored AS (
+        |  SELECT q_id, c_id, qnorm, cnorm,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(qvx[i] AS DOUBLE) * CAST(cvx[i] AS DOUBLE) * 1e12) AS BIGINT)))
+        |      AS BIGINT) AS dot_fp
+        |  FROM qcell JOIN ccell ON q_id <> c_id AND qcell.cell = ccell.cell),
+        | ranked AS (
+        |  SELECT q_id, c_id,
+        |    CAST(dot_fp AS DOUBLE) /
+        |      (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(cnorm AS DOUBLE))) AS cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dot_fp DESC, c_id) AS rank
+        |  FROM scored)
+        | SELECT q_id, c_id, rank, cos FROM ranked
+        |  WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+    // Maintenance-interleave replay: n24's pipeline with the DELTA rows
+    // (vec_id % 10 = 0) excluded from the tombstone predicate — n29's
+    // tombstones are base-only, folded physically mid-stream, so the
+    // live set is exactly rebuild-minus-base-tombstones.
+    "n29_maintenance_interleave" -> (IvfAssignCtes +
+      """
+        | ccell AS (SELECT vec_id AS c_id, x AS cvx, nrm AS cnorm,
+        |             cent_id AS cell FROM assign WHERE r = 1
+        |             AND NOT (vec_id % 7 = 3 AND vec_id >= 8
+        |               AND vec_id % 10 <> 0
         |               AND vec_id NOT IN (SELECT cent_id FROM cents))),
         | qcell AS (SELECT vec_id AS q_id, x AS qvx, nrm AS qnorm,
         |             cent_id AS cell FROM assign WHERE r <= 2 AND vec_id < 8),

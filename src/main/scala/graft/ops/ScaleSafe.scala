@@ -339,12 +339,18 @@ object ScaleSafe {
     // 2·(#hot below) + (1 if hot): strictly between its neighbors.
     // Folded in REVERSE value order so the smallest hot value is the
     // OUTERMOST branch — a row below h0 must short-circuit to 0, not
-    // fall through a later `v < h_i` test.
-    val vseg = stats.zipWithIndex.reverse
-      .foldLeft(lit(2L * stats.size)) { case (acc, ((hv, _, _), i)) =>
-        when(v < lit(hv), lit(2L * i)).otherwise(
-          when(v === lit(hv), lit(2L * i + 1)).otherwise(acc))
-      }
+    // fall through a later `v < h_i` test. NULL order keys take the
+    // explicit outermost branch to segment 0 (Spark sorts nulls
+    // FIRST ascending — matching the join form's segment 0), instead
+    // of falling through every null-propagating CASE branch to the
+    // TOP seed: a caller whose base bucket is null-safe would
+    // otherwise get null rows ranked above everything.
+    val vseg = when(v.isNull, lit(0L)).otherwise(
+      stats.zipWithIndex.reverse
+        .foldLeft(lit(2L * stats.size)) { case (acc, ((hv, _, _), i)) =>
+          when(v < lit(hv), lit(2L * i)).otherwise(
+            when(v === lit(hv), lit(2L * i + 1)).otherwise(acc))
+        })
     val tsub = stats.foldLeft(lit(0L)) { case (acc, (hv, tlo, thi)) =>
       val safe = thi > tlo &&
         (thi.toDouble - tlo.toDouble + 1.0) * subBuckets <= 8.0e18

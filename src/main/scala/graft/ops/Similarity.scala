@@ -436,55 +436,206 @@ object Similarity {
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession,
                  indexDir: String, tombs: DataFrame, tombIdCol: String,
-                 stageDir: String): Seq[Long] = {
-    // duplicate-tolerant: a replayed delete must not change the outcome
-    val tset = tombs.select(col(tombIdCol)).distinct()
-    val idx = spark.read.parquet(indexDir)
-      .withColumn("c_cell", col("c_cell").cast("long"))
-    val affected = idx
-      .join(broadcast(tset), col("c_id") === col(tombIdCol))
-      .select("c_cell").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    if (affected.nonEmpty) {
-      // Survivor census per affected cell (bounded ≤ nCells rows): a
-      // dynamic partition overwrite replaces only partitions PRESENT
-      // in the staged data, so a FULLY-tombstoned cell — zero
-      // survivors, hence absent from the stage — would keep its old
-      // files and resurrect every deleted row. Those cells' partition
-      // directories are deleted explicitly instead.
-      val rewrite = ivfCompactionRewrite(idx, tset, tombIdCol, affected)
-      val surviving = rewrite.groupBy("c_cell").agg(count(lit(1)))
-        .select("c_cell").collect().map(_.getLong(0)).toSet
-      if (surviving.nonEmpty) {
-        // clustered by cell on both writes: one file per rewritten
-        // cell (at 100 TB: a sized repartition → a few large files per
-        // cell), never a per-task file in every cell directory
-        rewrite
-          .repartition(col("c_cell"))
-          .write.mode("overwrite").partitionBy("c_cell")
-          .parquet(stageDir)
-        spark.read.parquet(stageDir)
+                 stageDir: String): Seq[Long] =
+    withMaintenanceLock(spark, indexDir, "compact") {
+      // a crashed predecessor may have swapped its stage in but died
+      // before deleting its fully-dead cell directories — its manifest
+      // replays first, so this run never reads resurrected rows
+      replayPendingDeletes(spark, indexDir)
+      // a replay can leave the index EMPTY (every cell was pending
+      // delete — the all-tombstoned corner); nothing to compact, and a
+      // schema-less parquet read would throw
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      val rootFs =
+        root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val emptyIndex = !rootFs.exists(root) || rootFs.listStatus(root)
+        .forall(st => st.getPath.getName.startsWith("_"))
+      // duplicate-tolerant: a replayed delete must not change the outcome
+      val tset = tombs.select(col(tombIdCol)).distinct()
+      val affected =
+        if (emptyIndex) Seq.empty[Long]
+        else spark.read.parquet(indexDir)
           .withColumn("c_cell", col("c_cell").cast("long"))
-          .repartition(col("c_cell"))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("c_cell").parquet(indexDir)
+          .join(broadcast(tset), col("c_id") === col(tombIdCol))
+          .select("c_cell").distinct()
+          .collect().map(_.getLong(0)).toSeq
+      if (affected.nonEmpty) {
+        val idx = spark.read.parquet(indexDir)
+          .withColumn("c_cell", col("c_cell").cast("long"))
+        // Survivor census per affected cell (bounded ≤ nCells rows): a
+        // dynamic partition overwrite replaces only partitions PRESENT
+        // in the staged data, so a FULLY-tombstoned cell — zero
+        // survivors, hence absent from the stage — would keep its old
+        // files and resurrect every deleted row. Those cells' partition
+        // directories are deleted explicitly instead.
+        val rewrite = ivfCompactionRewrite(idx, tset, tombIdCol, affected)
+        val surviving = rewrite.groupBy("c_cell").agg(count(lit(1)))
+          .select("c_cell").collect().map(_.getLong(0)).toSet
+        // Fully-dead cells get a PENDING-DELETE MANIFEST persisted
+        // BEFORE any index mutation (r10 ADVICE: a driver that died
+        // after the dynamic overwrite but before the explicit
+        // directory deletes left those cells to resurrect every
+        // deleted row, with the caller's tombstones already folded).
+        // The manifest is replayed at the top of every compaction (and
+        // by [[replayPendingDeletes]] at index open), so the
+        // swap+delete pair is atomic-on-restart: any crash between
+        // manifest write and manifest removal re-runs only the
+        // idempotent directory deletes. `_`-prefixed, so every
+        // spark.read of the index ignores it.
+        val fullyDead = affected.filterNot(surviving)
+        if (fullyDead.nonEmpty)
+          writePendingDeletes(spark, indexDir, fullyDead)
+        if (surviving.nonEmpty) {
+          // clustered by cell on both writes: one file per rewritten
+          // cell (at 100 TB: a sized repartition → a few large files per
+          // cell), never a per-task file in every cell directory
+          rewrite
+            .repartition(col("c_cell"))
+            .write.mode("overwrite").partitionBy("c_cell")
+            .parquet(stageDir)
+          spark.read.parquet(stageDir)
+            .withColumn("c_cell", col("c_cell").cast("long"))
+            .repartition(col("c_cell"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("c_cell").parquet(indexDir)
+        }
+        // Fully-dead cells LAST — the stage write above re-scans the
+        // original index (its file listing includes every affected
+        // cell's files), so their directories must still exist while it
+        // runs; swap-then-delete is also the safe operational order.
+        // The replay deletes the directories and removes the manifest.
+        if (fullyDead.nonEmpty) replayPendingDeletes(spark, indexDir)
       }
-      // Fully-dead cells LAST — the stage write above re-scans the
-      // original index (its file listing includes every affected
-      // cell's files), so their directories must still exist while it
-      // runs; swap-then-delete is also the safe operational order.
-      val fullyDead = affected.filterNot(surviving)
-      if (fullyDead.nonEmpty) {
-        val conf = spark.sparkContext.hadoopConfiguration
-        fullyDead.foreach { cell =>
-          val p = new org.apache.hadoop.fs.Path(
-            s"$indexDir/c_cell=$cell")
-          p.getFileSystem(conf).delete(p, true)
+      affected
+    }
+
+  /** Name of the maintenance-lock file under an index directory. */
+  private val MaintLockName = "_graft_maint_lock"
+
+  /** Name of the pending-delete manifest under an index directory. */
+  private val PendingDeleteName = "_graft_pending_delete"
+
+  /** In-process layer of the maintenance lock: one monitor per index
+    * directory. Same-driver mutators (a streaming query's foreachBatch
+    * and a scheduled compactor sharing the SparkSession — exactly the
+    * st27/n25 pair) serialize here without touching storage; the FILE
+    * lock below carries the cross-driver story.
+    */
+  private val jvmMaintLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** MAINTENANCE SERIALIZATION for a persisted cell-partitioned index
+    * (r10-verdict item 1): the streaming refresh ([[ivfAssignDelta]]
+    * appends from a foreachBatch sink) and the compaction
+    * ([[ivfCompact]]'s staged-write + dynamic-overwrite swap) mutate
+    * the SAME cell directories; two writers interleaving file-level
+    * operations could double-apply a cell or swap a stale stage over a
+    * fresh append. Every mutator therefore runs under this lock,
+    * layered:
+    *
+    *   1. an in-process monitor keyed by index directory — same-driver
+    *      writers (the common deployment: refresh stream + scheduled
+    *      compactor in one app) serialize without storage round trips;
+    *   2. a CREATE-NO-OVERWRITE of `_graft_maint_lock` inside the index
+    *      directory — the HDFS/object-store primitive for cross-driver
+    *      mutual exclusion (atomic create on HDFS, conditional PUT on
+    *      S3; on RawLocalFileSystem check-then-create is not atomic,
+    *      which is exactly why layer 1 exists for the single-host
+    *      case). The file holds owner + timestamp; contenders poll,
+    *      and a lock older than `leaseMs` is presumed crashed and
+    *      stolen (a dead driver must not wedge maintenance forever).
+    *
+    * The `_` prefix keeps every spark.read of the index blind to the
+    * file. MaintenanceLockSpec pins contention, lease steal, and the
+    * crash-replay manifest; the n29 gate interleaves a live refresh
+    * with a compaction under this lock and proves the served index
+    * equals a full rebuild.
+    */
+  def withMaintenanceLock[T](spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String, owner: String,
+                             leaseMs: Long = 600000L,
+                             timeoutMs: Long = 600000L)(body: => T): T = {
+    val mon = jvmMaintLocks.computeIfAbsent(indexDir, _ => new Object)
+    mon.synchronized {
+      val lock = new org.apache.hadoop.fs.Path(indexDir, MaintLockName)
+      val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(lock.getParent)
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var held = false
+      while (!held) {
+        try {
+          val out = fs.create(lock, false) // create-no-overwrite
+          out.write(s"$owner ${System.currentTimeMillis()}"
+            .getBytes("UTF-8"))
+          out.close()
+          held = true
+        } catch {
+          case _: java.io.IOException =>
+            // lock exists (or raced): steal iff the lease expired
+            val expired =
+              try {
+                val st = fs.getFileStatus(lock)
+                System.currentTimeMillis() - st.getModificationTime > leaseMs
+              } catch { case _: java.io.IOException => false }
+            if (expired) fs.delete(lock, false)
+            else if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"maintenance lock on $indexDir not released within " +
+                  s"$timeoutMs ms")
+            else Thread.sleep(50)
         }
       }
+      try body
+      finally fs.delete(lock, false)
     }
-    affected
+  }
+
+  /** Persist the fully-dead cell list as `_graft_pending_delete`
+    * (write-temp-then-rename, so a half-written manifest is never
+    * visible). Replayed by [[replayPendingDeletes]].
+    */
+  private def writePendingDeletes(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      cells: Seq[Long]): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(indexDir, PendingDeleteName)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir,
+      PendingDeleteName + ".tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    out.write(cells.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
+  /** Replay a pending-delete manifest left by a compaction that died
+    * between its partition swap and its fully-dead directory deletes:
+    * delete the listed cell directories (idempotent — a missing
+    * directory is already done), then remove the manifest. Called at
+    * the top of every [[ivfCompact]]; an index OPEN path that serves
+    * without compacting first should call it too (the Lucene
+    * replay-deletes-on-open discipline). Returns the replayed cells.
+    */
+  def replayPendingDeletes(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, PendingDeleteName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val cells = txt.split("\\s+").filter(_.nonEmpty).map(_.toLong).toSeq
+      cells.foreach { cell =>
+        fs.delete(new org.apache.hadoop.fs.Path(indexDir,
+          s"c_cell=$cell"), true)
+      }
+      fs.delete(p, false)
+      cells
+    }
   }
 
   /** The rewrite side of [[ivfCompact]]: a partition-pruned read of the

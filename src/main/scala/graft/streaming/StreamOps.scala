@@ -1384,11 +1384,19 @@ object StreamOps {
       .writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.Similarity
-          .ivfAssignDelta(batch, cents, "vec_id", "embedding")
-          .repartition(col("c_cell"))
-          .write.mode("append").partitionBy("c_cell")
-          .parquet(tmp + "/cells")
+        // SERIALIZED against compaction (r10-verdict item 1): the
+        // append and ivfCompact's staged swap mutate the same cell
+        // directories, so both run under the index's maintenance lock
+        // — see Similarity.withMaintenanceLock and the n29 gate, which
+        // interleaves the two and proves the result equals a rebuild.
+        graft.ops.Similarity.withMaintenanceLock(
+          batch.sparkSession, tmp + "/cells", "refresh") {
+          graft.ops.Similarity
+            .ivfAssignDelta(batch, cents, "vec_id", "embedding")
+            .repartition(col("c_cell"))
+            .write.mode("append").partitionBy("c_cell")
+            .parquet(tmp + "/cells")
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -1396,6 +1404,92 @@ object StreamOps {
     q.processAllAvailable()
     q.stop()
     // serve n3's exact query from the streamed index
+    graft.ops.Similarity.ivfQueryIndex(
+      spark.read.parquet(tmp + "/cells")
+        .withColumn("c_cell", col("c_cell").cast("long")),
+      cents,
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      k = 5, nProbe = 2)
+  }
+
+  /** MAINTENANCE INTERLEAVE (r10-verdict item 1) — the concurrency
+    * story [[streamingIndexRefresh]] (st27) and
+    * [[graft.ops.Similarity.ivfCompact]] (n25) left implicit: both
+    * mutate the SAME cell-partitioned index directory, and nothing
+    * pinned their single-writer assumption. Here the two are
+    * INTERLEAVED — the delta arrives as three micro-batches, and a
+    * tombstone-folding compaction runs BETWEEN the appends (after the
+    * second batch), every mutation serialized by the index's
+    * maintenance lock ([[graft.ops.Similarity.withMaintenanceLock]] —
+    * atomic create-no-overwrite of `_graft_maint_lock`, lease-stealable
+    * so a crashed holder can't wedge the index). The served result must
+    * equal a FULL REBUILD minus the tombstones no matter where the
+    * compaction lands in the append sequence, because (a) frozen-
+    * codebook assignment is slice-invariant, (b) the compaction's
+    * rewrite preserves every non-tombstoned row already in an affected
+    * cell — including refresh appends — and (c) tombstones target only
+    * base rows, present from batch zero. The gate serves with NO
+    * tombstone filter (the deletes must be physical, n25's discipline)
+    * and shares n24's oracle shape with the delta excluded from the
+    * tombstone predicate.
+    */
+  def maintenanceInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_maint_ivf").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_maint_ivf_ckpt").toString
+    // full-corpus hash-order codebook (bounded nCells-row scalar read):
+    // delta and tombstones must both leave the codebook untouched
+    val centIds = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(16).select("vec_id").collect().map(_.getLong(0)).toSeq
+    val isDelta = col("vec_id") % 10 === 0 &&
+      !col("vec_id").isin(centIds: _*)
+    // tombstones are BASE-only (delta excluded): the compaction folds
+    // all of them mid-stream, so the final index needs no logical
+    // tombstone filter at serve time
+    val tombs = emb
+      .filter(col("vec_id") % 7 === 3 && col("vec_id") >= 8 &&
+        col("vec_id") % 10 =!= 0 && !col("vec_id").isin(centIds: _*))
+      .select(col("vec_id").as("t_id"))
+    val (cells0, cents0) = graft.ops.Similarity.ivfBuildIndex(
+      emb.filter(!isDelta), "vec_id", "embedding", nCells = 16)
+    cells0.repartition(col("c_cell"))
+      .write.mode("overwrite").partitionBy("c_cell")
+      .parquet(tmp + "/cells")
+    cents0.write.mode("overwrite").parquet(tmp + "/cents")
+    val cents = spark.read.parquet(tmp + "/cents")
+    val delta = emb.filter(isDelta).select("vec_id", "embedding")
+    delta.repartition(3)
+      .write.mode("overwrite").parquet(tmp + "/delta_src")
+    val q = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp + "/delta_src")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Similarity.withMaintenanceLock(
+          batch.sparkSession, tmp + "/cells", "refresh") {
+          graft.ops.Similarity
+            .ivfAssignDelta(batch, cents, "vec_id", "embedding")
+            .repartition(col("c_cell"))
+            .write.mode("append").partitionBy("c_cell")
+            .parquet(tmp + "/cells")
+        }
+        // compaction lands BETWEEN appends — it takes the same lock
+        // itself (ivfCompact acquires internally), exactly how a
+        // scheduled compactor slots into a live refresh stream
+        if (id == 1)
+          graft.ops.Similarity.ivfCompact(batch.sparkSession,
+            tmp + "/cells", tombs, "t_id", tmp + "/stage")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // serve with NO tombstone filter: the interleaved maintenance must
+    // leave exactly rebuild-minus-tombstones on disk
     graft.ops.Similarity.ivfQueryIndex(
       spark.read.parquet(tmp + "/cells")
         .withColumn("c_cell", col("c_cell").cast("long")),
