@@ -1439,6 +1439,27 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- P4b: exists-probe OPERATOR-STRING breadth through the CONFIG
+    // surface (r10-verdict item 6): the reference's SQLTable::exists
+    // parses arbitrary "column operator value" multi-arg AND strings
+    // (sdk/src/SQLTable.php:60-75) with every value bound as a string;
+    // p4 gates the equality set form, this gates a non-equality
+    // operator (>=) plus a multi-arg AND (<>), flowing through
+    // PipelineSpec.parse (fail-fast validation, etl.php:92-110's
+    // posture) into ETLPipeline.transform. The string-bound '400000'
+    // must coerce to the column's DOUBLE — numeric, never
+    // lexicographic -----------------------------------------------------
+    "p4b_exists_operators" -> ((s, dir) => {
+      val spec = PipelineSpec.parse(
+        """{"tables":[{"flow":"orders -> big_orders",
+          |  "columns":["o_orderkey","o_custkey","o_orderstatus"],
+          |  "query":["o_totalprice >= 400000",
+          |           "o_orderstatus <> F"]}]}""".stripMargin)
+      ETLPipeline.transform(t(s, dir, "orders"), spec.flows.head, None,
+          orderCol = Some("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- A3: count after cache (reference re-scanned; we pin) -----------
     "a3_count_cached" -> ((s, dir) => {
       val filtered = t(s, dir, "orders")
@@ -8752,6 +8773,14 @@ object SparkEntry {
         |                          WHERE o_totalprice > 400000)
         |       THEN 1 ELSE 0 END AS has_big_order
         |  FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // The string-bound value coerces to the column type (server-side
+    // parameter semantics): numeric >=, plus the AND'd <> guard.
+    "p4b_exists_operators" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        | WHERE o_totalprice >= CAST('400000' AS DOUBLE)
+        |   AND o_orderstatus <> 'F'
+        | ORDER BY o_orderkey""".stripMargin,
 
     "a3_count_cached" ->
       "SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'",

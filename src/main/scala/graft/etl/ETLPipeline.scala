@@ -26,7 +26,13 @@ object ETLPipeline {
                 orderCol: Option[String] = None,
                 runTs: String = ColumnMapping.runTimestamp()): DataFrame = {
 
-    val filtered = flow.query.fold(source)(q => source.filter(expr(q)))
+    val filtered0 = flow.query.fold(source)(q => source.filter(expr(q)))
+    // operator-string conditions (the reference's SQLTable::exists form,
+    // parsed fail-fast by PipelineSpec): AND-joined, values coerced to
+    // the column's type like a string-bound server-side parameter
+    val filtered =
+      if (flow.queryConds.isEmpty) filtered0
+      else filtered0.filter(ExistsProbe.predicate(filtered0, flow.queryConds))
 
     // Carry an explicit ordering column through the mapping so dedup order
     // is well-defined (SURVEY §7.4.1: monotonically_increasing_id is only

@@ -31,7 +31,8 @@ final case class FlowSpec(
     query: Option[String],
     connection: Option[String] = None,
     inlineFrom: Option[ConnectionSpec] = None,
-    inlineTo: Option[ConnectionSpec] = None)
+    inlineTo: Option[ConnectionSpec] = None,
+    queryConds: Seq[ExistsProbe.Cond] = Nil)
 
 /** A named JDBC endpoint from the config's `connections` block
   * (reference: sdk/etl.php:128-132 — per-table connection override falls
@@ -131,9 +132,17 @@ object PipelineSpec {
         s"flow '$flow': 'unique' must be an array")
     }
 
-    val query = t \ "query" match {
-      case JString(q) if q.trim.nonEmpty => Some(q.trim)
-      case _ => None
+    // `query` accepts the raw-predicate STRING form (etl.php:141) and
+    // the reference's operator-string LIST form ("column op value"
+    // conditions AND-joined, values bound as strings —
+    // sdk/src/SQLTable.php:60-75); the list form parses fail-fast here
+    // (etl.php:92-110's posture), not at Catalyst analysis time.
+    val (query, queryConds) = t \ "query" match {
+      case JString(q) if q.trim.nonEmpty => (Some(q.trim), Nil)
+      case JArray(qs) =>
+        (None, qs.map(q =>
+          ExistsProbe.parseCond(jstring(q, s"flow '$flow' query[]"))))
+      case _ => (None, Nil)
     }
 
     val connection = t \ "connection" match {
@@ -152,7 +161,7 @@ object PipelineSpec {
     }
 
     FlowSpec(from, to, columns, unique, query, connection,
-      inlineFrom, inlineTo)
+      inlineFrom, inlineTo, queryConds)
   }
 
   private def jstring(v: JValue, where: String): String = v match {
