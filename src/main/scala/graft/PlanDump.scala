@@ -88,7 +88,14 @@ object PlanDump {
     // rewrite side's partition-pruned scan is the thing to look for)
     "n24_index_delete", "v7_entropy_ldiv", "a36_js_drift",
     "n25_index_compact", "n26_compaction_audit",
-    "n27_index_serve_pruned", "n28_persisted_ivfpq")
+    "n27_index_serve_pruned", "n28_persisted_ivfpq",
+    // round-11 wave: the streaming refresh's serve plan (the stream
+    // runs at dump time; the refresh-batch assignment side is dumped
+    // separately below), the maintenance interleave, and the config-
+    // surface operator-string probe (its coerced literals land in
+    // PushedFilters)
+    "st27_stream_index_refresh", "n29_maintenance_interleave",
+    "p4b_exists_operators")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -161,6 +168,34 @@ object PlanDump {
         "below partition-prunes to exactly these (PartitionFilters), " +
         "so untouched cells' files are never opened.\n\n```\n"
       sb ++= rewrite.queryExecution.explainString(FormattedMode).trim
+      sb ++= "\n```\n"
+    }
+    // st27's REFRESH side (r10-verdict item 7): the headline st27 plan
+    // is the serve query over the streamed index; the maintenance
+    // leg's evidence is the per-micro-batch DELTA ASSIGNMENT — K
+    // broadcast dots per delta vector against the frozen persisted
+    // codebook, map-only (a BroadcastNestedLoopJoin against the
+    // nCells-row centroid table, the sanctioned IVF assignment shape;
+    // NO shuffle, NO base-index scan anywhere in the plan).
+    {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.load(spark, dir, "embeddings")
+      val tmp = Files.createTempDirectory("graft_plandump_st27").toString
+      val (_, cents0) = graft.ops.Similarity.ivfBuildIndex(
+        emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        nCells = 16)
+      cents0.write.mode("overwrite").parquet(tmp + "/cents")
+      val cents = spark.read.parquet(tmp + "/cents")
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+        .select("vec_id", "embedding")
+      val assigned = graft.ops.Similarity.ivfAssignDelta(
+        batch, cents, "vec_id", "embedding")
+      sb ++= s"\n## st27_stream_index_refresh (refresh-batch assignment side)\n\n"
+      sb ++= "The foreachBatch body per micro-batch: assignment " +
+        "against the FROZEN persisted codebook — map-only over the " +
+        "delta (broadcast of the 16-row centroid table; the base " +
+        "index is never read), then a cell-clustered append.\n\n```\n"
+      sb ++= assigned.queryExecution.explainString(FormattedMode).trim
       sb ++= "\n```\n"
     }
     Files.writeString(Paths.get(out), sb.toString)
