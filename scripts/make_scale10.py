@@ -102,8 +102,55 @@ def main(src_dir="/root/testdata/sf0.1", out_dir="/tmp/scale10"):
             print(f"{dst}: copied")
 
 
+def clone_stream(src, dst, id_cols, k):
+    """K-fold clone with shifted ids, written one clone per row-group
+    batch (never K copies in memory) — the 100x ladder's writer."""
+    t = pq.read_table(src)
+    writer = pq.ParquetWriter(dst, t.schema)
+    n = 0
+    for i in range(k):
+        c = t
+        for col, shift in id_cols:
+            ids = pa.compute.add(c[col], i * shift)
+            c = c.set_column(c.schema.get_field_index(col), col, ids)
+        writer.write_table(c)
+        n += c.num_rows
+    writer.close()
+    print(f"{dst}: {n} rows")
+
+
+def scale(k, src_dir="/root/testdata/sf0.1", out_dir="/tmp/scale100"):
+    """The Kx weak-scaling corpus for the battery heavyweights
+    (r10-verdict item 8: confirm the 10x slopes hold a second decade):
+    lineitem (g17's co-purchase graph — disjoint clone subgraphs),
+    events (x10b's concurrency — Kx users over the same time range),
+    documents (d12's segment dedup — every row gains K-1 exact clones).
+    Remaining tables copy as-is."""
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(src_dir):
+        if not f.endswith(".parquet"):
+            continue
+        src, dst = f"{src_dir}/{f}", f"{out_dir}/{f}"
+        if f == "documents.parquet":
+            clone_stream(src, dst, [("doc_id", ID_SHIFT)], k)
+        elif f == "events.parquet":
+            clone_stream(src, dst,
+                         [("event_id", ID_SHIFT),
+                          ("user_id", USER_SHIFT)], k)
+        elif f == "lineitem.parquet":
+            clone_stream(src, dst,
+                         [("l_orderkey", ORDER_SHIFT),
+                          ("l_partkey", ENTITY_SHIFT),
+                          ("l_suppkey", ENTITY_SHIFT)], k)
+        else:
+            shutil.copyfile(src, dst)
+            print(f"{dst}: copied")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--densify":
         densify(int(sys.argv[2]), *sys.argv[3:])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scale":
+        scale(int(sys.argv[2]), *sys.argv[3:])
     else:
         main(*sys.argv[1:])

@@ -84,6 +84,20 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** Per-query regression baseline from two sources: the local artifact
+    * this run will overwrite and the PINNED last-driver-run artifact
+    * (`bench_baseline.json`, updated deliberately, never written by
+    * Bench). Per query the MIN of the two — a local rerun can TIGHTEN
+    * the net but never loosen it (r10: a drifted local artifact masked
+    * t36's 1.61x between driver rounds).
+    */
+  def mergedBaseline(local: Map[String, Double],
+                     pinned: Map[String, Double]): Map[String, Double] =
+    (local.keySet ++ pinned.keySet).map { k =>
+      k -> math.min(local.getOrElse(k, Double.MaxValue),
+        pinned.getOrElse(k, Double.MaxValue))
+    }.toMap
+
   /** 1/5/15-minute load averages, or empty when /proc is unavailable. */
   def loadAvg(): Seq[Double] =
     try {
@@ -189,10 +203,7 @@ object Bench {
     val prevPinned = previousQueryTimes(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
         "/root/repo/bench_baseline.json"), sfDir)
-    val prev = (prevLocal.keySet ++ prevPinned.keySet).map { k =>
-      k -> math.min(prevLocal.getOrElse(k, Double.MaxValue),
-        prevPinned.getOrElse(k, Double.MaxValue))
-    }.toMap
+    val prev = mergedBaseline(prevLocal, prevPinned)
     val regs = regressions(prev, results.toMap)
     // Adjudicate every flag by an ISOLATED re-run (nothing else on the
     // JVM, post-battery): min of two timed passes after a warm-up. A

@@ -21,6 +21,20 @@ class BenchRegressionSpec extends AnyFunSuite {
     assert(Bench.regressions(Map("q" -> 1.0), Map("q" -> -1.0)).isEmpty)
   }
 
+  test("merged baseline takes the per-query MIN of local and pinned — " +
+    "a drifted local artifact can't mask a driver-round regression") {
+    // the r10 t36 shape: local artifact drifted up to 2.9, pinned
+    // driver baseline holds 1.83 — the net must diff against 1.83
+    val merged = Bench.mergedBaseline(
+      local = Map("t36" -> 2.9, "only_local" -> 1.0),
+      pinned = Map("t36" -> 1.83, "only_pinned" -> 0.5))
+    assert(merged === Map("t36" -> 1.83, "only_local" -> 1.0,
+      "only_pinned" -> 0.5))
+    // and a 2.95 re-measurement now flags against the pinned floor
+    assert(Bench.regressions(merged, Map("t36" -> 2.95)).keySet ===
+      Set("t36"))
+  }
+
   test("previous artifact parse: same-sf gate and flat queries map") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bench")
     val f = dir.resolve("bench_full.json")
