@@ -213,9 +213,10 @@ object Bench {
     // retested at loadavg 7.5 — the adjudicator confirmed what it could
     // not distinguish from ambient load): before each retest, wait for
     // the 1-minute loadavg to decay below SPARK_GRAFT_LOAD_GATE
-    // (default 2.5 — just above this host's ambient floor; the r8
-    // battery STARTED at 2.72), bounded by the shared 5-minute budget so
-    // a busy co-tenant cannot stall the driver. The retest-time loadavg
+    // (default 1.5 since r11 — r10's 2.5 ceiling admitted a 2.47 start
+    // and minted a bogus `confirmed`), bounded by the retests' shared
+    // 5-minute budget so a busy co-tenant cannot stall the driver;
+    // the primary pass holds its own budget. The retest-time loadavg
     // is recorded per flag, and a flag that still reproduces under
     // above-gate load is emitted as `load-suspect`, never `confirmed`.
     // The load is sampled BEFORE and AFTER each retest and the MAX of

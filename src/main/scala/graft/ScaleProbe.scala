@@ -189,14 +189,22 @@ object ScaleProbe {
         "c5_quality_pipeline", "e4_gapfill", "w4_window_suite",
         "d7@8x2", "d5@8")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    var builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_CONF: comma-separated k=v confs (Verify's convention),
+    // applied at BUILD time so core (non-SQL) confs like
+    // spark.io.compression.codec take effect — the 100x ladder's
+    // spill-volume probe needs zstd shuffle/spill compression.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder = builder.config(k.trim, v.trim)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_HAMMING_REWRITE=false measures the naive nested-loop
     // plans the rewrite rule replaces (the before/after evidence).

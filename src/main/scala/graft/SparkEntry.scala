@@ -2719,8 +2719,7 @@ object SparkEntry {
         .parquet(tmp + "/cells")
       cents.write.mode("overwrite").parquet(tmp + "/cents")
       Similarity.ivfQueryIndex(
-          s.read.parquet(tmp + "/cells")
-            .withColumn("c_cell", col("c_cell").cast("long")),
+          Similarity.ivfOpenIndex(s, tmp + "/cells"),
           s.read.parquet(tmp + "/cents"),
           emb.filter(col("vec_id") < 8), "vec_id", "embedding",
           k = 5, nProbe = 2)
@@ -2764,9 +2763,9 @@ object SparkEntry {
       Similarity.ivfCompact(s, tmp + "/cells", tombs, "t_id",
         tmp + "/stage")
       // serve with NO tombstone filter — the deletes are now physical
+      // (ivfOpenIndex replays any pending-delete manifest at open)
       Similarity.ivfQueryIndex(
-          s.read.parquet(tmp + "/cells")
-            .withColumn("c_cell", col("c_cell").cast("long")),
+          Similarity.ivfOpenIndex(s, tmp + "/cells"),
           s.read.parquet(tmp + "/cents"),
           emb.filter(col("vec_id") < 8), "vec_id", "embedding",
           k = 5, nProbe = 2)
@@ -2868,8 +2867,7 @@ object SparkEntry {
         .parquet(tmp + "/cells")
       cents.write.mode("overwrite").parquet(tmp + "/cents")
       Similarity.ivfQueryIndexPruned(
-          s.read.parquet(tmp + "/cells")
-            .withColumn("c_cell", col("c_cell").cast("long")),
+          Similarity.ivfOpenIndex(s, tmp + "/cells"),
           s.read.parquet(tmp + "/cents"),
           emb.filter(col("vec_id") < 8), "vec_id", "embedding",
           k = 5, nProbe = 2)

@@ -362,11 +362,10 @@ object MiniMySql {
             }
           } catch {
             case e: SQLException =>
-              // undo THIS statement's partial effect only: replaying
-              // the undo suffix would need a savepoint; rolling back
-              // the whole tx here would be wrong. MiniMySql keeps it
-              // simple: the tx rolls back entirely, which is also what
-              // JdbcSink does on a poisoned batch before its row replay.
+              // a precise single-statement undo would need a savepoint;
+              // rolling back the whole tx is the conservative stand-in
+              // and matches what JdbcSink does anyway on a poisoned
+              // batch (rollback, then row-by-row replay)
               conn.rollback()
               val bue = new BatchUpdateException(e.getMessage,
                 e.getSQLState, e.getErrorCode, Array.empty[Int], e)

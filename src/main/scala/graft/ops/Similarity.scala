@@ -610,6 +610,21 @@ object Similarity {
       throw new java.io.IOException(s"rename $tmp -> $dst failed")
   }
 
+  /** OPEN a persisted cell-partitioned index for serving: replay any
+    * pending-delete manifest first (the Lucene open-time discipline —
+    * a compaction that died between its partition swap and its
+    * fully-dead directory deletes must not serve resurrected rows),
+    * then load with the partition column re-cast to its written LONG
+    * type. The read path every serving session should use instead of a
+    * raw spark.read of the directory.
+    */
+  def ivfOpenIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): DataFrame = {
+    replayPendingDeletes(spark, indexDir)
+    spark.read.parquet(indexDir)
+      .withColumn("c_cell", col("c_cell").cast("long"))
+  }
+
   /** Replay a pending-delete manifest left by a compaction that died
     * between its partition swap and its fully-dead directory deletes:
     * delete the listed cell directories (idempotent — a missing

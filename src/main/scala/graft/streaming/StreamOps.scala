@@ -1405,8 +1405,7 @@ object StreamOps {
     q.stop()
     // serve n3's exact query from the streamed index
     graft.ops.Similarity.ivfQueryIndex(
-      spark.read.parquet(tmp + "/cells")
-        .withColumn("c_cell", col("c_cell").cast("long")),
+      graft.ops.Similarity.ivfOpenIndex(spark, tmp + "/cells"),
       cents,
       emb.filter(col("vec_id") < 8), "vec_id", "embedding",
       k = 5, nProbe = 2)
@@ -1489,10 +1488,10 @@ object StreamOps {
     q.processAllAvailable()
     q.stop()
     // serve with NO tombstone filter: the interleaved maintenance must
-    // leave exactly rebuild-minus-tombstones on disk
+    // leave exactly rebuild-minus-tombstones on disk (ivfOpenIndex
+    // replays any pending-delete manifest at open)
     graft.ops.Similarity.ivfQueryIndex(
-      spark.read.parquet(tmp + "/cells")
-        .withColumn("c_cell", col("c_cell").cast("long")),
+      graft.ops.Similarity.ivfOpenIndex(spark, tmp + "/cells"),
       cents,
       emb.filter(col("vec_id") < 8), "vec_id", "embedding",
       k = 5, nProbe = 2)

@@ -83,12 +83,11 @@ class MaintenanceLockSpec extends SparkSpec {
     // before deleting the directory — its rows would resurrect
     Files.writeString(Paths.get(tmp + "/cells/_graft_pending_delete"),
       "2")
-    val replayed = Similarity.replayPendingDeletes(spark, tmp + "/cells")
-    assert(replayed === Seq(2L))
+    // the serving OPEN path replays the manifest before loading
+    val opened = Similarity.ivfOpenIndex(spark, tmp + "/cells")
     assert(!Files.exists(Paths.get(tmp + "/cells/c_cell=2")))
     assert(!Files.exists(Paths.get(tmp + "/cells/_graft_pending_delete")))
-    assert(spark.read.parquet(tmp + "/cells")
-      .select("c_id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(opened.select("c_id").as[Long].collect().toSet === Set(1L, 2L))
     // replay is idempotent when there is nothing pending
     assert(Similarity.replayPendingDeletes(spark, tmp + "/cells").isEmpty)
     // and ivfCompact replays a leftover manifest on ENTRY: a stale
