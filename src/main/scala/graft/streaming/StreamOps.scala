@@ -1415,10 +1415,10 @@ object StreamOps {
     * story [[streamingIndexRefresh]] (st27) and
     * [[graft.ops.Similarity.ivfCompact]] (n25) left implicit: both
     * mutate the SAME cell-partitioned index directory, and nothing
-    * pinned their single-writer assumption. Here the two are
-    * INTERLEAVED — the delta arrives as three micro-batches, and a
-    * tombstone-folding compaction runs BETWEEN the appends (after the
-    * second batch), every mutation serialized by the index's
+    * pinned their single-writer assumption. Here the two RACE — the
+    * delta arrives as three micro-batches, and a tombstone-folding
+    * compaction runs on its own thread (released after the first
+    * append), the two writers arbitrated ONLY by the index's
     * maintenance lock ([[graft.ops.Similarity.withMaintenanceLock]] —
     * atomic create-no-overwrite of `_graft_maint_lock`, lease-stealable
     * so a crashed holder can't wedge the index). The served result must
@@ -1427,10 +1427,12 @@ object StreamOps {
     * codebook assignment is slice-invariant, (b) the compaction's
     * rewrite preserves every non-tombstoned row already in an affected
     * cell — including refresh appends — and (c) tombstones target only
-    * base rows, present from batch zero. The gate serves with NO
-    * tombstone filter (the deletes must be physical, n25's discipline)
-    * and shares n24's oracle shape with the delta excluded from the
-    * tombstone predicate.
+    * base rows, present from batch zero — rebuild-minus-tombstones is
+    * the race's unique fixed point, which is exactly the property that
+    * lets a nondeterministically-scheduled maintenance pair sit under a
+    * hash oracle. The gate serves with NO tombstone filter (the deletes
+    * must be physical, n25's discipline) and shares n24's oracle shape
+    * with the delta excluded from the tombstone predicate.
     */
   def maintenanceInterleave(spark: SparkSession, dir: String): DataFrame = {
     val emb = graft.Tables.load(spark, dir, "embeddings")
@@ -1462,11 +1464,31 @@ object StreamOps {
     val delta = emb.filter(isDelta).select("vec_id", "embedding")
     delta.repartition(3)
       .write.mode("overwrite").parquet(tmp + "/delta_src")
+    // The compactor runs on its OWN thread and RACES the refresh
+    // stream — released once the first append lands, arbitrated only
+    // by the maintenance lock (both mutators acquire it; neither knows
+    // about the other). The final state is interleaving-independent:
+    // tombstones target base rows present from batch zero, the
+    // compaction rewrite preserves any delta rows already appended
+    // into an affected cell, and later appends are untouched — so
+    // rebuild-minus-tombstones is the unique fixed point whichever of
+    // batches 1-3 the compaction lands between.
+    val firstAppend = new java.util.concurrent.CountDownLatch(1)
+    val compactErr = new java.util.concurrent.atomic
+      .AtomicReference[Throwable]()
+    val compactor = new Thread(() => {
+      try {
+        firstAppend.await()
+        graft.ops.Similarity.ivfCompact(spark,
+          tmp + "/cells", tombs, "t_id", tmp + "/stage")
+      } catch { case t: Throwable => compactErr.set(t) }
+    }, "graft-n29-compactor")
+    compactor.start()
     val q = spark.readStream.schema(delta.schema)
       .option("maxFilesPerTrigger", "1").parquet(tmp + "/delta_src")
       .writeStream
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Similarity.withMaintenanceLock(
           batch.sparkSession, tmp + "/cells", "refresh") {
           graft.ops.Similarity
@@ -1475,18 +1497,15 @@ object StreamOps {
             .write.mode("append").partitionBy("c_cell")
             .parquet(tmp + "/cells")
         }
-        // compaction lands BETWEEN appends — it takes the same lock
-        // itself (ivfCompact acquires internally), exactly how a
-        // scheduled compactor slots into a live refresh stream
-        if (id == 1)
-          graft.ops.Similarity.ivfCompact(batch.sparkSession,
-            tmp + "/cells", tombs, "t_id", tmp + "/stage")
+        firstAppend.countDown()
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
     q.stop()
+    compactor.join(600000)
+    if (compactErr.get != null) throw compactErr.get
     // serve with NO tombstone filter: the interleaved maintenance must
     // leave exactly rebuild-minus-tombstones on disk (ivfOpenIndex
     // replays any pending-delete manifest at open)
