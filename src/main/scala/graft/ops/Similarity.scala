@@ -547,10 +547,20 @@ object Similarity {
     *      stolen (a dead driver must not wedge maintenance forever).
     *
     * The `_` prefix keeps every spark.read of the index blind to the
-    * file. MaintenanceLockSpec pins contention, lease steal, and the
-    * crash-replay manifest; the n29 gate interleaves a live refresh
-    * with a compaction under this lock and proves the served index
-    * equals a full rebuild.
+    * file. MaintenanceLockSpec pins contention, lease steal, the
+    * crash-replay manifest, and two-compactor idempotence; the n29
+    * gate RACES a live refresh against a compaction under this lock
+    * and proves the served index equals a full rebuild.
+    *
+    * What this lock does NOT give: snapshot isolation for CONCURRENT
+    * READERS — a query that lists files while a compaction's dynamic
+    * overwrite is mid-swap can see a cell's old and new files
+    * together. Writers are serialized; readers that must never
+    * overlap a swap either take the lock briefly to pin a file
+    * listing, or the deployment graduates to a table format with
+    * versioned manifests (Iceberg/Delta), which is the standard
+    * production answer and out of scope for a parquet-directory
+    * index.
     */
   def withMaintenanceLock[T](spark: org.apache.spark.sql.SparkSession,
                              indexDir: String, owner: String,

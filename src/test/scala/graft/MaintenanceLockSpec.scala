@@ -106,6 +106,42 @@ class MaintenanceLockSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("two compactors racing on the same tombstone set are idempotent: " +
+    "whichever wins the lock folds, the loser is a no-op") {
+    val tmp = Files.createTempDirectory("graft_twocompact").toString
+    Seq(
+      (1L, Array(1.0f, 0.0f), 1L, 1L),
+      (2L, Array(0.9f, 0.1f), 1L, 1L),
+      (3L, Array(0.0f, 1.0f), 2L, 2L),
+      (4L, Array(0.1f, 0.9f), 2L, 2L))
+      .toDF("c_id", "c_vec", "c_norm", "c_cell")
+      .repartition(col("c_cell"))
+      .write.mode("overwrite").partitionBy("c_cell")
+      .parquet(tmp + "/cells")
+    val tombs = Seq(2L, 3L).map(Tuple1(_)).toDF("t_id")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() => {
+        try results.add(graft.ops.Similarity.ivfCompact(spark,
+          tmp + "/cells", tombs, "t_id", tmp + s"/stage$i"))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, errs.toString)
+    // one folded {1,2}, the other saw an already-clean index ({} —
+    // or the same {1,2} if it read before the winner's swap landed;
+    // either way the FINAL state below is the single source of truth)
+    assert(results.size === 2)
+    val after = spark.read.parquet(tmp + "/cells")
+      .select("c_id").as[Long].collect().sorted.toSeq
+    assert(after === Seq(1L, 4L))
+    assert(!Files.exists(Paths.get(tmp + "/cells/_graft_maint_lock")))
+    assert(!Files.exists(Paths.get(tmp + "/cells/_graft_pending_delete")))
+  }
+
   test("ivfCompact persists the manifest BEFORE the swap and clears it " +
     "after — a completed run leaves no pending state") {
     val tmp = Files.createTempDirectory("graft_manifest_spec").toString
