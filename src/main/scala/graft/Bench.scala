@@ -92,11 +92,18 @@ object Bench {
     * t36's 1.61x between driver rounds).
     */
   def mergedBaseline(local: Map[String, Double],
-                     pinned: Map[String, Double]): Map[String, Double] =
-    (local.keySet ++ pinned.keySet).map { k =>
-      k -> math.min(local.getOrElse(k, Double.MaxValue),
-        pinned.getOrElse(k, Double.MaxValue))
+                     pinned: Map[String, Double]): Map[String, Double] = {
+    // drop error sentinels (-1.0) and sub-floor noise BEFORE the min:
+    // a failed local run must not poison a valid pinned time (min of
+    // -1 and 1.83 would be -1, which regressions() then ignores —
+    // silently disabling the net for exactly the query that errored)
+    def ok(m: Map[String, Double]) = m.filter(_._2 >= RegressionFloorSec)
+    val l = ok(local); val p = ok(pinned)
+    (l.keySet ++ p.keySet).map { k =>
+      k -> math.min(l.getOrElse(k, Double.MaxValue),
+        p.getOrElse(k, Double.MaxValue))
     }.toMap
+  }
 
   /** 1/5/15-minute load averages, or empty when /proc is unavailable. */
   def loadAvg(): Seq[Double] =

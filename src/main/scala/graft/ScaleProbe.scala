@@ -201,8 +201,11 @@ object ScaleProbe {
     // spark.io.compression.codec take effect — the 100x ladder's
     // spill-volume probe needs zstd shuffle/spill compression.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder = builder.config(k.trim, v.trim)
+      kv.split("=", 2) match {
+        case Array(k, v) => builder = builder.config(k.trim, v.trim)
+        case _ => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CONF entry '$kv' is not key=value")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -173,10 +173,15 @@ object SparkEntry {
           .select(col("c_custkey").as("cust_id"),
             upper(col("c_name")).as("name")),
         url, "t_cust", Seq("cust_id"), opts, quote = "`")
-      MiniMySql.scanDF(s, db, "t_cust", StructType(Seq(
+      val out = MiniMySql.scanDF(s, db, "t_cust", StructType(Seq(
           StructField("cust_id", LongType),
           StructField("name", StringType))))
         .orderBy("cust_id")
+      // scanDF copies rows eagerly, so the JVM-global store entry can
+      // go now — a battery's repeated invocations must not accumulate
+      // one 150-row table per run
+      MiniMySql.dropDatabase(db)
+      out
     }),
 
     // ---- P1/P2/P3: column mapping (SURVEY §2.2) ------------------------
@@ -6483,7 +6488,12 @@ object SparkEntry {
     // battery's repeated invocations pin a fresh entry each time and
     // storage grows across the run; a localCheckpoint's blocks are
     // released by the ContextCleaner as soon as the invocation's
-    // result frame is garbage, with the same scan-once effect.
+    // result frame is garbage, with the same scan-once effect. Known
+    // trade: localCheckpoint severs lineage, so on a cluster with
+    // executor churn a lost block fails the QUERY (retried whole)
+    // instead of recomputing the partition — acceptable for a
+    // deterministic readout-sized frame; a churn-heavy deployment
+    // would use reliable checkpointing to shared storage here.
     val u = if (distributed || ScaleSafe.distributed(s)) u0.localCheckpoint()
       else u0
     val withRn =
@@ -6539,7 +6549,8 @@ object SparkEntry {
     // discipline: scan-once without a catalog cache entry that would
     // pin blocks across a bench battery's repeated invocations; the
     // pinned frame is two longs per event, not the corpus, and the
-    // ContextCleaner releases it when the result frame is garbage)
+    // ContextCleaner releases it when the result frame is garbage;
+    // same lineage-severing trade as e31b — see the note there)
     val pts =
       if (distributed || ScaleSafe.distributed(s)) pts0.localCheckpoint()
       else pts0

@@ -24,8 +24,11 @@ object Verify {
     //   SPARK_GRAFT_CONF=spark.graft.scaleRankPath=distributed
     // (comma-separated k=v pairs). Results must match the same oracles.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k.trim, v.trim)
+        case _ => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CONF entry '$kv' is not key=value")
+      }
     })
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

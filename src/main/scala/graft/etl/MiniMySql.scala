@@ -86,12 +86,18 @@ object MiniMySql {
     */
   def scanDF(spark: SparkSession, db: String, table: String,
              schema: StructType): DataFrame = {
-    val t = Option(database(db).tables.get(table)).getOrElse(
-      throw missingTable(table))
+    val d = database(db)
+    val t = Option(d.tables.get(table)).getOrElse(throw missingTable(table))
     val ordered = schema.fieldNames.map(f => t.colIndex(f))
-    val data = t.rows.values.map { arr =>
-      Row.fromSeq(ordered.toSeq.map(arr(_)))
-    }.toSeq
+    // snapshot under the writer lock: an unlocked iteration racing an
+    // executor-side mutation could throw ConcurrentModificationException
+    // or tear rows mid-rehash
+    d.writer.lock()
+    val data =
+      try t.rows.values.map { arr =>
+        Row.fromSeq(ordered.toSeq.map(arr(_)))
+      }.toSeq
+      finally d.writer.unlock()
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(data).asJava), schema)
@@ -244,9 +250,15 @@ object MiniMySql {
                     throw nullViolation(t.cols(i).name)
                   row(i) = v
               }
-              // pk mutation would re-key; JdbcSink never updates keys
-              require(t.keyOf(row) == key,
-                "MiniMySql: UPDATE must not modify primary-key columns")
+              // pk mutation would re-key (real MySQL allows it; this
+              // double doesn't model it). MUST be a SQLException, not
+              // a require: an IllegalArgumentException would escape
+              // every SQLException handler — no rollback would run and
+              // the db writer lock would stay held forever
+              if (t.keyOf(row) != key)
+                throw new java.sql.SQLFeatureNotSupportedException(
+                  "MiniMySql: UPDATE of primary-key columns is not " +
+                    "modeled", "0A000")
             }
             hit.length
           }

@@ -572,23 +572,44 @@ object Similarity {
       val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.mkdirs(lock.getParent)
       val deadline = System.currentTimeMillis() + timeoutMs
+      // contender-unique token written into the lock: release only
+      // deletes the lock if it still holds OUR token, so a holder that
+      // outlived its lease (and was stolen from) cannot delete the new
+      // holder's lock on its way out
+      val token = owner + ":" + java.util.UUID.randomUUID()
       var held = false
       while (!held) {
         try {
           val out = fs.create(lock, false) // create-no-overwrite
-          out.write(s"$owner ${System.currentTimeMillis()}"
+          out.write(s"$token ${System.currentTimeMillis()}"
             .getBytes("UTF-8"))
           out.close()
           held = true
         } catch {
           case _: java.io.IOException =>
-            // lock exists (or raced): steal iff the lease expired
+            // lock exists (or raced): steal iff the lease expired.
+            // The steal is RENAME-then-delete, never a direct delete:
+            // two cross-driver contenders can both observe the stale
+            // file's mtime as expired, and a direct delete from the
+            // slower one would remove the faster one's freshly
+            // CREATED lock (two writers inside). Renaming the stale
+            // file to a contender-unique name lets exactly one
+            // contender win the rename (the source vanishes for the
+            // loser); both then loop back to create(), which
+            // arbitrates atomically.
             val expired =
               try {
                 val st = fs.getFileStatus(lock)
                 System.currentTimeMillis() - st.getModificationTime > leaseMs
               } catch { case _: java.io.IOException => false }
-            if (expired) fs.delete(lock, false)
+            if (expired) {
+              val steal = new org.apache.hadoop.fs.Path(indexDir,
+                MaintLockName + ".steal." + java.util.UUID.randomUUID())
+              val won =
+                try fs.rename(lock, steal)
+                catch { case _: java.io.IOException => false }
+              if (won) fs.delete(steal, false)
+            }
             else if (System.currentTimeMillis() > deadline)
               throw new IllegalStateException(
                 s"maintenance lock on $indexDir not released within " +
@@ -597,7 +618,17 @@ object Similarity {
         }
       }
       try body
-      finally fs.delete(lock, false)
+      finally {
+        val stillOurs =
+          try {
+            val in = fs.open(lock)
+            val head =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            head.startsWith(token + " ")
+          } catch { case _: java.io.IOException => false }
+        if (stillOurs) fs.delete(lock, false)
+      }
     }
   }
 
@@ -630,7 +661,13 @@ object Similarity {
     */
   def ivfOpenIndex(spark: org.apache.spark.sql.SparkSession,
                    indexDir: String): DataFrame = {
-    replayPendingDeletes(spark, indexDir)
+    // the replay MUTATES the index (directory deletes), so it takes
+    // the maintenance lock like every other mutator — an unlocked open
+    // racing a live compaction could delete the fully-dead cells the
+    // compactor's manifest names while its stage write still scans them
+    withMaintenanceLock(spark, indexDir, "open") {
+      replayPendingDeletes(spark, indexDir)
+    }
     spark.read.parquet(indexDir)
       .withColumn("c_cell", col("c_cell").cast("long"))
   }

@@ -1505,6 +1505,10 @@ object StreamOps {
     q.processAllAvailable()
     q.stop()
     compactor.join(600000)
+    if (compactor.isAlive)
+      throw new IllegalStateException(
+        "n29 compactor still running after 600 s — serving now would " +
+          "race a live compaction; failing explicitly instead")
     if (compactErr.get != null) throw compactErr.get
     // serve with NO tombstone filter: the interleaved maintenance must
     // leave exactly rebuild-minus-tombstones on disk (ivfOpenIndex
