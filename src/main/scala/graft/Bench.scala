@@ -142,18 +142,32 @@ object Bench {
     // never a silent pass-through.
     val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE")
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1.5)
+    // Quiet means BOTH the 1-minute and the 5-minute averages are
+    // down: a 1-minute dip admits a host still digesting a 30-minute
+    // battery (observed: l1 1.3 with l5 2.4 minted three `confirmed`
+    // flags on untouched 0.2 s queries), so the 5-minute average must
+    // also sit under 1.5x the gate before timing starts.
+    def quietEnough(l: Seq[Double]): Boolean =
+      l.headOption.forall(_ <= loadGate) &&
+        l.drop(1).headOption.forall(_ <= loadGate * 1.5)
     def awaitQuiet(budget: java.util.concurrent.atomic.AtomicLong)
         : Seq[Double] = {
       var l = loadAvg()
-      while (l.headOption.exists(_ > loadGate) && budget.get > 0) {
+      while (!quietEnough(l) && budget.get > 0) {
         Thread.sleep(10000); budget.addAndGet(-10000); l = loadAvg()
       }
       l
     }
+    // effective load for gate decisions: the 1-minute average, or the
+    // 5-minute average discounted by the same 1.5x the quiet check uses
+    // — whichever says the host is busier
+    def effLoad(l: Seq[Double]): Double =
+      math.max(l.headOption.getOrElse(-1.0),
+        l.drop(1).headOption.map(_ / 1.5).getOrElse(-1.0))
     val primaryBudget = new java.util.concurrent.atomic.AtomicLong(300000L)
     awaitQuiet(primaryBudget)
     val loadStart = loadAvg()
-    val gateWaived = loadStart.headOption.exists(_ > loadGate)
+    val gateWaived = !quietEnough(loadStart)
 
     // Optional args (local iteration only; the driver passes none):
     // query-name prefixes to restrict the battery to.
@@ -249,8 +263,7 @@ object Bench {
         } catch { case _: Throwable => -1.0 }
       spark.catalog.clearCache()
       val loadPost = loadAvg()
-      val retestLoad = math.max(loadPre.headOption.getOrElse(-1.0),
-        loadPost.headOption.getOrElse(-1.0))
+      val retestLoad = math.max(effLoad(loadPre), effLoad(loadPost))
       val verdict =
         if (retest >= 0 && retest / p >= RegressionRatio) {
           if (retestLoad > loadGate) "load-suspect"
