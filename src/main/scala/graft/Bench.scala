@@ -226,6 +226,11 @@ object Bench {
         "/root/repo/bench_baseline.json"), sfDir)
     val prev = mergedBaseline(prevLocal, prevPinned)
     val regs = regressions(prev, results.toMap)
+    // A query that ERRORED this run (sec = -1) is worse than any
+    // ratio, but regressions() can't mint a ratio for it — surface it
+    // in its own artifact channel so a passing->crashing transition
+    // can never read as a green round.
+    val erroredNow = results.collect { case (k, v) if v < 0 => k }.sorted
     // Adjudicate every flag by an ISOLATED re-run (nothing else on the
     // JVM, post-battery): min of two timed passes after a warm-up. A
     // structural regression reproduces; a load spike reverts.
@@ -265,7 +270,9 @@ object Bench {
       val loadPost = loadAvg()
       val retestLoad = math.max(effLoad(loadPre), effLoad(loadPost))
       val verdict =
-        if (retest >= 0 && retest / p >= RegressionRatio) {
+        if (retest < 0) "retest-errored" // a crashed retest must not
+                                         // launder the flag to jitter
+        else if (retest / p >= RegressionRatio) {
           if (retestLoad > loadGate) "load-suspect"
           else "confirmed"
         } else "jitter"
@@ -280,9 +287,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val loadEnd = loadAvg()
     def loadJson(l: Seq[Double]) = l.map(r3).mkString("[", ",", "]")
+    val errPart = erroredNow.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadPart = s""","loadavg_start":${loadJson(loadStart)}""" +
       s""","loadavg_end":${loadJson(loadEnd)}""" +
       s""","load_gate":${r3(loadGate)},"load_gate_waived":$gateWaived""" +
+      s""","errored":$errPart,"n_errored":${erroredNow.size}""" +
       s""","baseline_sources":{"local":${prevLocal.size},"pinned":${prevPinned.size}}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regsJson,"n_confirmed":$nConfirmed$loadPart,"sf":"$sfDir"}"""

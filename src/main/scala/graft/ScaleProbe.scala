@@ -200,13 +200,14 @@ object ScaleProbe {
     // applied at BUILD time so core (non-SQL) confs like
     // spark.io.compression.codec take effect — the 100x ladder's
     // spill-volume probe needs zstd shuffle/spill compression.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) => builder = builder.config(k.trim, v.trim)
-        case _ => throw new IllegalArgumentException(
-          s"SPARK_GRAFT_CONF entry '$kv' is not key=value")
-      }
-    })
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",")
+      .filter(_.trim.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder = builder.config(k.trim, v.trim)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_CONF entry '$kv' is not key=value")
+        }
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_HAMMING_REWRITE=false measures the naive nested-loop

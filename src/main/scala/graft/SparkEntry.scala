@@ -160,28 +160,31 @@ object SparkEntry {
           MiniMySql.ColDef("name", notNull = true)),
         pk = Seq("cust_id"))
       val cust = t(s, dir, "customer")
-      // seed 1-100 (pure inserts through the batched upsert path)
-      JdbcSink.upsert(
-        cust.filter(col("c_custkey") <= 100)
-          .select(col("c_custkey").as("cust_id"), col("c_name").as("name")),
-        url, "t_cust", Seq("cust_id"), opts, quote = "`")
-      // update 51-100 (uppercased), insert 101-150 — the update-vs-
-      // insert branch decided entirely through the SUCCESS_NO_INFO
-      // re-probe, since MiniMySql never reports per-row batch counts
-      JdbcSink.upsert(
-        cust.filter(col("c_custkey") > 50 && col("c_custkey") <= 150)
-          .select(col("c_custkey").as("cust_id"),
-            upper(col("c_name")).as("name")),
-        url, "t_cust", Seq("cust_id"), opts, quote = "`")
-      val out = MiniMySql.scanDF(s, db, "t_cust", StructType(Seq(
-          StructField("cust_id", LongType),
-          StructField("name", StringType))))
-        .orderBy("cust_id")
-      // scanDF copies rows eagerly, so the JVM-global store entry can
-      // go now — a battery's repeated invocations must not accumulate
-      // one 150-row table per run
-      MiniMySql.dropDatabase(db)
-      out
+      try {
+        // seed 1-100 (pure inserts through the batched upsert path)
+        JdbcSink.upsert(
+          cust.filter(col("c_custkey") <= 100)
+            .select(col("c_custkey").as("cust_id"),
+              col("c_name").as("name")),
+          url, "t_cust", Seq("cust_id"), opts, quote = "`")
+        // update 51-100 (uppercased), insert 101-150 — the update-vs-
+        // insert branch decided entirely through the SUCCESS_NO_INFO
+        // re-probe, since MiniMySql never reports per-row batch counts
+        JdbcSink.upsert(
+          cust.filter(col("c_custkey") > 50 && col("c_custkey") <= 150)
+            .select(col("c_custkey").as("cust_id"),
+              upper(col("c_name")).as("name")),
+          url, "t_cust", Seq("cust_id"), opts, quote = "`")
+        MiniMySql.scanDF(s, db, "t_cust", StructType(Seq(
+            StructField("cust_id", LongType),
+            StructField("name", StringType))))
+          .orderBy("cust_id")
+      } finally {
+        // scanDF copies rows eagerly, so the JVM-global store entry
+        // can go now — and must go on the ERROR path too, or a
+        // battery's repeated invocations accumulate a table per run
+        MiniMySql.dropDatabase(db)
+      }
     }),
 
     // ---- P1/P2/P3: column mapping (SURVEY §2.2) ------------------------

@@ -23,13 +23,14 @@ object Verify {
     // battery run under an alternate engine path, e.g.
     //   SPARK_GRAFT_CONF=spark.graft.scaleRankPath=distributed
     // (comma-separated k=v pairs). Results must match the same oracles.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) => spark.conf.set(k.trim, v.trim)
-        case _ => throw new IllegalArgumentException(
-          s"SPARK_GRAFT_CONF entry '$kv' is not key=value")
-      }
-    })
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",")
+      .filter(_.trim.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k.trim, v.trim)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_CONF entry '$kv' is not key=value")
+        }
+      })
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) =>

@@ -588,44 +588,91 @@ object Similarity {
         } catch {
           case _: java.io.IOException =>
             // lock exists (or raced): steal iff the lease expired.
-            // The steal is RENAME-then-delete, never a direct delete:
-            // two cross-driver contenders can both observe the stale
-            // file's mtime as expired, and a direct delete from the
-            // slower one would remove the faster one's freshly
-            // CREATED lock (two writers inside). Renaming the stale
-            // file to a contender-unique name lets exactly one
-            // contender win the rename (the source vanishes for the
-            // loser); both then loop back to create(), which
-            // arbitrates atomically.
-            val expired =
+            // The steal is RENAME-then-verify-then-delete, never a
+            // direct delete: two cross-driver contenders can both
+            // observe the stale file's mtime as expired, and a direct
+            // delete from the slower one would remove the faster
+            // one's freshly CREATED lock (two writers inside).
+            // Renaming the stale file to a contender-unique name lets
+            // exactly one contender win the rename; the winner then
+            // VERIFIES it renamed the very file it judged stale (same
+            // content) — a contender that stalled between its
+            // staleness check and its rename could otherwise move a
+            // FRESH lock created in between — and renames it back if
+            // not. Both then loop to create(), which arbitrates
+            // atomically.
+            val observed =
               try {
                 val st = fs.getFileStatus(lock)
-                System.currentTimeMillis() - st.getModificationTime > leaseMs
-              } catch { case _: java.io.IOException => false }
-            if (expired) {
-              val steal = new org.apache.hadoop.fs.Path(indexDir,
-                MaintLockName + ".steal." + java.util.UUID.randomUUID())
-              val won =
-                try fs.rename(lock, steal)
-                catch { case _: java.io.IOException => false }
-              if (won) fs.delete(steal, false)
+                if (System.currentTimeMillis() - st.getModificationTime
+                    > leaseMs) {
+                  val in = fs.open(lock)
+                  try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+                    .mkString)
+                  finally in.close()
+                } else None
+              } catch { case _: java.io.IOException => None }
+            observed match {
+              case Some(staleContent) =>
+                val steal = new org.apache.hadoop.fs.Path(indexDir,
+                  MaintLockName + ".steal." + java.util.UUID.randomUUID())
+                val won =
+                  try fs.rename(lock, steal)
+                  catch { case _: java.io.IOException => false }
+                if (won) {
+                  val moved =
+                    try {
+                      val in = fs.open(steal)
+                      try scala.io.Source.fromInputStream(in, "UTF-8")
+                        .mkString
+                      finally in.close()
+                    } catch { case _: java.io.IOException => "" }
+                  if (moved == staleContent) fs.delete(steal, false)
+                  else fs.rename(steal, lock) // moved a FRESH lock: undo
+                }
+              case None =>
+                if (System.currentTimeMillis() > deadline)
+                  throw new IllegalStateException(
+                    s"maintenance lock on $indexDir not released within " +
+                      s"$timeoutMs ms")
+                else Thread.sleep(50)
             }
-            else if (System.currentTimeMillis() > deadline)
-              throw new IllegalStateException(
-                s"maintenance lock on $indexDir not released within " +
-                  s"$timeoutMs ms")
-            else Thread.sleep(50)
         }
       }
+      // housekeeping: a contender that crashed between its steal
+      // rename and its delete leaves an orphan .steal.<uuid> file —
+      // litter, never live state (nothing reads them). Sweep ones
+      // older than the lease while we hold the lock.
+      try {
+        fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).foreach {
+          st =>
+            if (st.getPath.getName.startsWith(MaintLockName + ".steal.")
+                && System.currentTimeMillis() - st.getModificationTime
+                  > leaseMs)
+              fs.delete(st.getPath, false)
+        }
+      } catch { case _: java.io.IOException => () }
       try body
       finally {
+        // Release only deletes the lock while the lease is still LIVE
+        // and the token is ours: a holder that outlived its lease must
+        // leave the file for lease-steal (it cannot know whether a
+        // stealer already replaced it). Residual window: a holder that
+        // reads its own live token, then stalls past expiry before the
+        // delete, can still remove a stealer's fresh lock — closing
+        // that needs a store-side conditional delete (S3
+        // If-Match/HDFS ownership), documented as the deployment-grade
+        // upgrade path.
         val stillOurs =
           try {
+            val st = fs.getFileStatus(lock)
+            val live =
+              System.currentTimeMillis() - st.getModificationTime <= leaseMs
             val in = fs.open(lock)
             val head =
               try scala.io.Source.fromInputStream(in, "UTF-8").mkString
               finally in.close()
-            head.startsWith(token + " ")
+            live && head.startsWith(token + " ")
           } catch { case _: java.io.IOException => false }
         if (stillOurs) fs.delete(lock, false)
       }
@@ -661,13 +708,22 @@ object Similarity {
     */
   def ivfOpenIndex(spark: org.apache.spark.sql.SparkSession,
                    indexDir: String): DataFrame = {
-    // the replay MUTATES the index (directory deletes), so it takes
-    // the maintenance lock like every other mutator — an unlocked open
-    // racing a live compaction could delete the fully-dead cells the
-    // compactor's manifest names while its stage write still scans them
-    withMaintenanceLock(spark, indexDir, "open") {
-      replayPendingDeletes(spark, indexDir)
-    }
+    // The replay MUTATES the index (directory deletes), so when a
+    // manifest is present the replay runs under the maintenance lock
+    // like every other mutator — an unlocked open racing a live
+    // compaction could delete the fully-dead cells the compactor's
+    // manifest names while its stage write still scans them. The
+    // overwhelmingly common case — no manifest — stays LOCK-FREE and
+    // non-blocking (one fs.exists), so ordinary serving opens never
+    // queue behind a long compaction; the existence check re-runs
+    // inside the lock because the manifest may have been replayed by
+    // the compactor while we waited.
+    val p = new org.apache.hadoop.fs.Path(indexDir, PendingDeleteName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      withMaintenanceLock(spark, indexDir, "open") {
+        replayPendingDeletes(spark, indexDir)
+      }
     spark.read.parquet(indexDir)
       .withColumn("c_cell", col("c_cell").cast("long"))
   }
