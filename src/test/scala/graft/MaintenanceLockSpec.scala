@@ -142,6 +142,35 @@ class MaintenanceLockSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(tmp + "/cells/_graft_pending_delete")))
   }
 
+  test("ivfOpenIndex with no pending manifest is lock-free: it returns " +
+    "immediately while another writer holds the maintenance lock") {
+    val tmp = Files.createTempDirectory("graft_openfast").toString
+    Seq((1L, Array(1.0f, 0.0f), 1L, 1L))
+      .toDF("c_id", "c_vec", "c_norm", "c_cell")
+      .repartition(col("c_cell"))
+      .write.mode("overwrite").partitionBy("c_cell")
+      .parquet(tmp + "/cells")
+    val inLock = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      Similarity.withMaintenanceLock(spark, tmp + "/cells", "holder") {
+        inLock.countDown()
+        release.await()
+      })
+    holder.start()
+    assert(inLock.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    try {
+      // no manifest -> the open must NOT queue behind the live writer
+      val t0 = System.nanoTime()
+      val opened = Similarity.ivfOpenIndex(spark, tmp + "/cells")
+      assert((System.nanoTime() - t0) / 1e9 < 30.0) // returns promptly
+      assert(opened.count() === 1L)
+    } finally {
+      release.countDown()
+      holder.join(30000)
+    }
+  }
+
   test("ivfCompact persists the manifest BEFORE the swap and clears it " +
     "after — a completed run leaves no pending state") {
     val tmp = Files.createTempDirectory("graft_manifest_spec").toString
