@@ -124,7 +124,9 @@ def scale(k, src_dir="/root/testdata/sf0.1", out_dir="/tmp/scale100"):
     (r10-verdict item 8: confirm the 10x slopes hold a second decade):
     lineitem (g17's co-purchase graph — disjoint clone subgraphs),
     events (x10b's concurrency — Kx users over the same time range),
-    documents (d12's segment dedup — every row gains K-1 exact clones).
+    documents (d12's segment dedup — every row gains K-1 exact clones),
+    embeddings (the ANN lifecycle's vector corpus — n25/n29/st27's
+    second-decade rung; same shifted-id clones the 10x corpus uses).
     Remaining tables copy as-is."""
     os.makedirs(out_dir, exist_ok=True)
     for f in os.listdir(src_dir):
@@ -133,6 +135,8 @@ def scale(k, src_dir="/root/testdata/sf0.1", out_dir="/tmp/scale100"):
         src, dst = f"{src_dir}/{f}", f"{out_dir}/{f}"
         if f == "documents.parquet":
             clone_stream(src, dst, [("doc_id", ID_SHIFT)], k)
+        elif f == "embeddings.parquet":
+            clone_stream(src, dst, [("vec_id", ID_SHIFT)], k)
         elif f == "events.parquet":
             clone_stream(src, dst,
                          [("event_id", ID_SHIFT),

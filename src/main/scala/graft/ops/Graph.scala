@@ -387,7 +387,11 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    // persisted like every sibling's reused edge list (pageRank's
+    // withDeg, bfs/harmonic/hits' e): without it each round's join
+    // recomputes the source-side distinct + union from scratch
     val und = und0.union(und0.select(col("b").as("a"), col("a").as("b")))
+      .persist()
     var labels = und.select(col("a").as("v")).distinct()
       .withColumn("label", col("v"))
     (1 to rounds).foreach { _ =>
@@ -405,6 +409,7 @@ object Graph {
         .select(col("v"), col("m.label").as("label"))
       labels = graft.Checkpoints.sever(best)
     }
+    und.unpersist() // severs are eager: the last round already ran
     labels
   }
 
@@ -426,15 +431,20 @@ object Graph {
     */
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
              k: Int, rounds: Int = 2): DataFrame = {
-    var und = edges
+    // materialize the normalized edge set up front: round 1 reads it
+    // four times (degree count, two rank joins, the semi-join probe)
+    // and without the sever each read recomputes the source-side
+    // distinct; later rounds get this for free from the round sever
+    var und = graft.Checkpoints.sever(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b")).distinct())
     (1 to rounds).foreach { _ =>
-      val sup = edgeSupport(und)
+      val (sup, oriented) = edgeSupport(und)
       und = graft.Checkpoints.sever(
         und.join(sup.filter(col("support") >= k - 2),
           Seq("a", "b"), "left_semi"))
+      oriented.unpersist() // the sever above is eager
     }
     und
   }
@@ -446,10 +456,18 @@ object Graph {
     * then the triangle is exploded back to its three undirected edges
     * and counted. Degrees are recomputed on the CURRENT edge set each
     * call; the orientation is only an enumeration device, so which
-    * degree snapshot orders it cannot change the counts.
+    * degree snapshot orders it cannot change the counts. Returns
+    * (support, persisted oriented list) — the caller owns the
+    * unpersist, after the support has been consumed.
     */
-  private def edgeSupport(und: DataFrame): DataFrame = {
-    val (_, oriented) = orientEdges(und, "a", "b")
+  private def edgeSupport(und: DataFrame): (DataFrame, DataFrame) = {
+    val (_, oriented0) = orientEdges(und, "a", "b")
+    // the oriented list feeds three plan legs (both wedge sides and the
+    // closing-edge probe); exchange reuse covers the identically-keyed
+    // wedge sides but the probe re-partitions on (v1, v2) and would
+    // otherwise recompute the degree+rank pipeline — persist it and let
+    // the caller unpersist once the round's filter has materialized
+    val oriented = oriented0.persist()
     val w1 = oriented.select(col("u"), col("w").as("v1"), col("rw").as("r1"))
     val w2 = oriented.select(col("u"), col("w").as("v2"), col("rw").as("r2"))
     val tri = w1.join(w2, Seq("u")).filter(col("r1") < col("r2"))
@@ -465,7 +483,7 @@ object Graph {
         edge(col("u"), col("v2")),
         edge(col("v1"), col("v2")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support")) -> oriented
   }
 
   /** Bounded multi-source STRESS centrality (Shimbel 1953; the

@@ -759,9 +759,14 @@ object TextAnalysis {
     val cw = toks0.join(broadcast(stop), Seq("w"), "left_anti")
       .withColumn("pw", lag(col("w"), 1).over(win))
       .withColumn("pp", lag(col("pos"), 1).over(win))
-    val pairs = cw.filter(col("pp").isNotNull &&
-        col("pos") - col("pp") <= window && col("w") =!= col("pw"))
-      .select(col("pw").as("a"), col("w").as("b"))
+    // materialize the pair list once: its lineage (tokenize + lag
+    // window + stopword anti-join over the whole corpus) is otherwise
+    // re-run four times — twice by the union's two legs, doubled again
+    // by pageRank's e ⋈ e.groupBy degree join
+    val pairs = graft.Checkpoints.sever(
+      cw.filter(col("pp").isNotNull &&
+          col("pos") - col("pp") <= window && col("w") =!= col("pw"))
+        .select(col("pw").as("a"), col("w").as("b")))
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
     Graph.pageRank(edges, "a", "b", iterations = iterations)
       .select(col("id").as("word"), col("score"))

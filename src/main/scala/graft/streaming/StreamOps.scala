@@ -1354,7 +1354,8 @@ object StreamOps {
     * the assignment math this gate pins.
     */
   def streamingIndexRefresh(spark: SparkSession, dir: String,
-                            nBatches: Int = 3): DataFrame = {
+                            nBatches: Int = 3,
+                            nCells: Int = 16): DataFrame = {
     val emb = graft.Tables.load(spark, dir, "embeddings")
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_stream_ivf").toString
@@ -1364,12 +1365,12 @@ object StreamOps {
     // vector from the base build (bounded nCells-row scalar read)
     val centIds = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(16).select("vec_id").collect().map(_.getLong(0)).toSeq
+      .limit(nCells).select("vec_id").collect().map(_.getLong(0)).toSeq
     val isDelta = col("vec_id") % 10 === 0 &&
       !col("vec_id").isin(centIds: _*)
     // base build, persisted cell-partitioned (n22's clustered layout)
     val (cells0, cents0) = graft.ops.Similarity.ivfBuildIndex(
-      emb.filter(!isDelta), "vec_id", "embedding", nCells = 16)
+      emb.filter(!isDelta), "vec_id", "embedding", nCells = nCells)
     cells0.repartition(col("c_cell"))
       .write.mode("overwrite").partitionBy("c_cell")
       .parquet(tmp + "/cells")
@@ -1434,7 +1435,8 @@ object StreamOps {
     * must be physical, n25's discipline) and shares n24's oracle shape
     * with the delta excluded from the tombstone predicate.
     */
-  def maintenanceInterleave(spark: SparkSession, dir: String): DataFrame = {
+  def maintenanceInterleave(spark: SparkSession, dir: String,
+                            nCells: Int = 16): DataFrame = {
     val emb = graft.Tables.load(spark, dir, "embeddings")
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_maint_ivf").toString
@@ -1444,7 +1446,7 @@ object StreamOps {
     // delta and tombstones must both leave the codebook untouched
     val centIds = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(16).select("vec_id").collect().map(_.getLong(0)).toSeq
+      .limit(nCells).select("vec_id").collect().map(_.getLong(0)).toSeq
     val isDelta = col("vec_id") % 10 === 0 &&
       !col("vec_id").isin(centIds: _*)
     // tombstones are BASE-only (delta excluded): the compaction folds
@@ -1455,7 +1457,7 @@ object StreamOps {
         col("vec_id") % 10 =!= 0 && !col("vec_id").isin(centIds: _*))
       .select(col("vec_id").as("t_id"))
     val (cells0, cents0) = graft.ops.Similarity.ivfBuildIndex(
-      emb.filter(!isDelta), "vec_id", "embedding", nCells = 16)
+      emb.filter(!isDelta), "vec_id", "embedding", nCells = nCells)
     cells0.repartition(col("c_cell"))
       .write.mode("overwrite").partitionBy("c_cell")
       .parquet(tmp + "/cells")
