@@ -431,20 +431,25 @@ object Graph {
     */
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
              k: Int, rounds: Int = 2): DataFrame = {
-    // materialize the normalized edge set up front: round 1 reads it
-    // four times (degree count, two rank joins, the semi-join probe)
-    // and without the sever each read recomputes the source-side
-    // distinct; later rounds get this for free from the round sever
+    // materialize the normalized edge set up front: round 1 otherwise
+    // recomputes the SOURCE-side lineage (for the gate, a lineitem
+    // self-join) for each of its reads — degree count, two rank joins,
+    // the semi-join probe; later rounds get this for free from the
+    // round sever. Measured at sf0.1 and the 10x clone corpus this is
+    // ~1.9x end-to-end. Deliberately NOT persisting the per-round
+    // oriented list: reading it from a columnar cache three times lost
+    // to recomputing the (cheap, post-sever) orientation joins at 10x
+    // — the wedge join dominates and exchange reuse already covers its
+    // two identically-keyed sides.
     var und = graft.Checkpoints.sever(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct())
     (1 to rounds).foreach { _ =>
-      val (sup, oriented) = edgeSupport(und)
+      val sup = edgeSupport(und)
       und = graft.Checkpoints.sever(
         und.join(sup.filter(col("support") >= k - 2),
           Seq("a", "b"), "left_semi"))
-      oriented.unpersist() // the sever above is eager
     }
     und
   }
@@ -456,18 +461,10 @@ object Graph {
     * then the triangle is exploded back to its three undirected edges
     * and counted. Degrees are recomputed on the CURRENT edge set each
     * call; the orientation is only an enumeration device, so which
-    * degree snapshot orders it cannot change the counts. Returns
-    * (support, persisted oriented list) — the caller owns the
-    * unpersist, after the support has been consumed.
+    * degree snapshot orders it cannot change the counts.
     */
-  private def edgeSupport(und: DataFrame): (DataFrame, DataFrame) = {
-    val (_, oriented0) = orientEdges(und, "a", "b")
-    // the oriented list feeds three plan legs (both wedge sides and the
-    // closing-edge probe); exchange reuse covers the identically-keyed
-    // wedge sides but the probe re-partitions on (v1, v2) and would
-    // otherwise recompute the degree+rank pipeline — persist it and let
-    // the caller unpersist once the round's filter has materialized
-    val oriented = oriented0.persist()
+  private def edgeSupport(und: DataFrame): DataFrame = {
+    val (_, oriented) = orientEdges(und, "a", "b")
     val w1 = oriented.select(col("u"), col("w").as("v1"), col("rw").as("r1"))
     val w2 = oriented.select(col("u"), col("w").as("v2"), col("rw").as("r2"))
     val tri = w1.join(w2, Seq("u")).filter(col("r1") < col("r2"))
@@ -483,7 +480,7 @@ object Graph {
         edge(col("u"), col("v2")),
         edge(col("v1"), col("v2")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("support")) -> oriented
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
   }
 
   /** Bounded multi-source STRESS centrality (Shimbel 1953; the
