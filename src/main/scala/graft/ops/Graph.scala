@@ -383,10 +383,13 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int = 3): DataFrame = {
-    val und0 = edges
+    // severed BEFORE the union: the two union legs would otherwise
+    // each re-run the caller-side lineage (for the gate, a lineitem
+    // self-join) once when the persisted union first materializes
+    val und0 = graft.Checkpoints.sever(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b")).distinct())
     // persisted like every sibling's reused edge list (pageRank's
     // withDeg, bfs/harmonic/hits' e): without it each round's join
     // recomputes the source-side distinct + union from scratch
