@@ -46,7 +46,16 @@ object Checkpoints {
             sc.getCheckpointDir.exists(_.contains(dir.stripSuffix("/")))
           if (!already) sc.setCheckpointDir(dir)
         }
-        df.checkpoint(eager)
+        if (eager) {
+          // reliable checkpointing runs TWO jobs — the eager count and
+          // the checkpoint file write — and without a persist the write
+          // job recomputes the full lineage (Spark's own guidance is
+          // persist-before-checkpoint). Both jobs run inside this call,
+          // so the pin can be released immediately after.
+          val cached = df.persist()
+          try df.checkpoint(eager = true)
+          finally cached.unpersist()
+        } else df.checkpoint(eager = false)
       case None => df.localCheckpoint(eager)
     }
   }

@@ -112,7 +112,7 @@ object ScaleProbe {
     }),
     // ANN-lifecycle gates with the IVF cell count scaled to the corpus
     // (the d13 √N-cells lesson applied to the maintenance legs): the
-    // gate entries hardcode nCells=16 (right for sf0.1's 6.4k vectors);
+    // gate entries hardcode nCells=16 (right for sf0.1's 2k vectors);
     // at 10×/100× vectors the production setting grows cells ~√N so
     // per-cell row counts — which bound each compaction rewrite and
     // each serve-time cell read — stay ~flat. Run next to the plain
@@ -155,38 +155,13 @@ object ScaleProbe {
         col("id_a") < col("id_b"))
     }))
 
-  /** n25's gate body (build → persist cell-partitioned → tombstone-
-    * folding compaction → serve, no logical tombstone filter) with the
-    * cell count as the parameter — the scaled-cells rung of the
-    * lifecycle ladder.
+  /** n25's gate body with the cell count as the parameter — the
+    * scaled-cells rung of the lifecycle ladder. Delegates to the gate's
+    * own [[SparkEntry.ivfCompactLifecycle]] so both measure one code
+    * path.
     */
   private def ivfCompactProbe(nCells: Int): (SparkSession, String) => DataFrame =
-    (s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val tmp = java.nio.file.Files
-        .createTempDirectory(s"graft_ivf_compact_$nCells").toString
-      val centIds = emb
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(nCells).select("vec_id").collect().map(_.getLong(0)).toSeq
-      val (cells, cents) = graft.ops.Similarity.ivfBuildIndex(
-        emb, "vec_id", "embedding", nCells = nCells)
-      cells.repartition(col("c_cell"))
-        .write.mode("overwrite").partitionBy("c_cell")
-        .parquet(tmp + "/cells")
-      cents.write.mode("overwrite").parquet(tmp + "/cents")
-      val tombs = emb
-        .filter(col("vec_id") % 7 === 3 && col("vec_id") >= 8 &&
-          !col("vec_id").isin(centIds: _*))
-        .select(col("vec_id").as("t_id"))
-      graft.ops.Similarity.ivfCompact(s, tmp + "/cells", tombs, "t_id",
-        tmp + "/stage")
-      graft.ops.Similarity.ivfQueryIndex(
-          graft.ops.Similarity.ivfOpenIndex(s, tmp + "/cells"),
-          s.read.parquet(tmp + "/cents"),
-          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-          k = 5, nProbe = 2)
-        .orderBy("q_id", "rank")
-    }
+    (s, dir) => SparkEntry.ivfCompactLifecycle(s, dir, nCells)
 
   /** One training run per (nMerges, batch) — memoized because the
     * runner invokes each probe twice (warm-up + timed) and a BPE train

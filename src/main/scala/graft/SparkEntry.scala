@@ -2746,39 +2746,7 @@ object SparkEntry {
     // untouched cells' files are never read or written. The compacted
     // index then serves n3's query with the tombstone table EMPTY,
     // sharing n24's oracle: compaction must be invisible to reads ------
-    "n25_index_compact" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_ivf_compact").toString
-      val centIds = emb
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(16).select("vec_id").collect().map(_.getLong(0)).toSeq
-      val (cells, cents) =
-        Similarity.ivfBuildIndex(emb, "vec_id", "embedding", nCells = 16)
-      cells.repartition(col("c_cell"))
-        .write.mode("overwrite").partitionBy("c_cell")
-        .parquet(tmp + "/cells")
-      cents.write.mode("overwrite").parquet(tmp + "/cents")
-      // n24's tombstone set verbatim (disjoint from codebook + queries)
-      val tombs = emb
-        .filter(col("vec_id") % 7 === 3 && col("vec_id") >= 8 &&
-          !col("vec_id").isin(centIds: _*))
-        .select(col("vec_id").as("t_id"))
-      // fold tombstones in: partition-pruned rewrite of ONLY the
-      // affected cells, staged, swapped by dynamic partition overwrite
-      // (Similarity.ivfCompact — the rewrite-side plan with its
-      // PartitionFilters is dumped in PLANS.md)
-      Similarity.ivfCompact(s, tmp + "/cells", tombs, "t_id",
-        tmp + "/stage")
-      // serve with NO tombstone filter — the deletes are now physical
-      // (ivfOpenIndex replays any pending-delete manifest at open)
-      Similarity.ivfQueryIndex(
-          Similarity.ivfOpenIndex(s, tmp + "/cells"),
-          s.read.parquet(tmp + "/cents"),
-          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-          k = 5, nProbe = 2)
-        .orderBy("q_id", "rank")
-    }),
+    "n25_index_compact" -> ((s, dir) => ivfCompactLifecycle(s, dir, 16)),
 
     // ---- N24: INDEX DELETIONS — the remaining lifecycle leg after
     // build (n3), persist (n22), and refresh-with-inserts (n23): serve
@@ -6466,6 +6434,45 @@ object SparkEntry {
       }
     core.crossJoin(broadcast(fv.agg(count(lit(1)).as("n_viewers"))))
       .select("n_viewers", "n_converted", "p50_s", "p90_s")
+  }
+
+  /** n25's full compaction lifecycle — build → persist cell-partitioned
+    * → tombstone-folding compact (partition-pruned rewrite of ONLY the
+    * affected cells, staged, swapped by dynamic partition overwrite; the
+    * rewrite-side plan with its PartitionFilters is dumped in PLANS.md)
+    * → serve with NO logical tombstone filter (the deletes are physical;
+    * ivfOpenIndex replays any pending-delete manifest at open). Shared
+    * by the gate (nCells = 16) and ScaleProbe's scaled-cells ladder
+    * variants so the fixed-vs-scaled contrast always measures the same
+    * code. The tombstone set is n24's verbatim (disjoint from codebook +
+    * queries); codebook ids come from the build's own cents output — a
+    * bounded nCells-row read, not a second corpus-wide hash sort.
+    */
+  private[graft] def ivfCompactLifecycle(s: SparkSession, dir: String,
+                                         nCells: Int): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val tmp = java.nio.file.Files
+      .createTempDirectory(s"graft_ivf_compact_$nCells").toString
+    val (cells, cents) =
+      Similarity.ivfBuildIndex(emb, "vec_id", "embedding", nCells = nCells)
+    cells.repartition(col("c_cell"))
+      .write.mode("overwrite").partitionBy("c_cell")
+      .parquet(tmp + "/cells")
+    cents.write.mode("overwrite").parquet(tmp + "/cents")
+    val centIds = s.read.parquet(tmp + "/cents")
+      .select("cent_id").collect().map(_.getLong(0)).toSeq
+    val tombs = emb
+      .filter(col("vec_id") % 7 === 3 && col("vec_id") >= 8 &&
+        !col("vec_id").isin(centIds: _*))
+      .select(col("vec_id").as("t_id"))
+    Similarity.ivfCompact(s, tmp + "/cells", tombs, "t_id",
+      tmp + "/stage")
+    Similarity.ivfQueryIndex(
+        Similarity.ivfOpenIndex(s, tmp + "/cells"),
+        s.read.parquet(tmp + "/cents"),
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nProbe = 2)
+      .orderBy("q_id", "rank")
   }
 
   /** e31/e31b: uplift by engagement decile. Rank by (score desc,

@@ -520,10 +520,13 @@ object Graph {
                        seeds: DataFrame, maxDepth: Int = 3): DataFrame = {
     require(maxDepth >= 2,
       s"interior nodes need maxDepth >= 2, got $maxDepth")
-    val und0 = edges
+    // severed before the symmetrizing union (labelPropagation's
+    // lesson): the persisted union's two legs each re-run the
+    // caller-side edge lineage once at first materialization
+    val und0 = graft.Checkpoints.sever(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b")).distinct())
     val und = und0.union(und0.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("x"), col("b").as("n")).persist()
     val l0 = seeds.select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
