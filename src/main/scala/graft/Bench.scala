@@ -37,7 +37,13 @@ import org.apache.spark.sql.SparkSession
   * loadavg to decay below a gate (r8-verdict item 8) before timing; a
   * flag that reproduces only under above-gate load — sampled before AND
   * after the retest, max of the two — is `load-suspect`, never
-  * `confirmed`.
+  * `confirmed`. Since r12 (r11-verdict item 1): the battery start also
+  * holds the 5-MINUTE average to the gate (r11 started at 5-min 2.23
+  * and carried digestion noise into the whole primary pass), the
+  * retest gate is STRICTLY below (a retest at exactly the gate is
+  * `load-suspect`), and `confirmed` requires the ratio to reproduce in
+  * TWO independent quiet retests — r11's three confirmed-on-untouched-
+  * code flags all came from single retests at loadavg 1.45-1.50.
   */
 object Bench {
 
@@ -146,14 +152,25 @@ object Bench {
     // down: a 1-minute dip admits a host still digesting a 30-minute
     // battery (observed: l1 1.3 with l5 2.4 minted three `confirmed`
     // flags on untouched 0.2 s queries), so the 5-minute average must
-    // also sit under 1.5x the gate before timing starts.
-    def quietEnough(l: Seq[Double]): Boolean =
+    // also sit under the gate before timing starts. Two strictnesses
+    // (r11-verdict item 1): the BATTERY START holds the 5-minute
+    // average to the gate itself — r11 started at 5-min 2.23 under the
+    // old 1.5x ceiling (2.25) and the whole primary pass carried the
+    // digesting host's noise into the baseline diff. RETESTS keep the
+    // 1.5x allowance on the 5-minute average only because our own
+    // just-finished battery inflates it (local[32] keeps 5-min around
+    // 2 for minutes after rc=0) — demanding the strict bound there
+    // would drain the whole retest budget on our own wake; the 1-minute
+    // average still holds the gate, and the VERDICT gate below is
+    // strictly-below regardless.
+    def quietEnough(l: Seq[Double], strict: Boolean): Boolean =
       l.headOption.forall(_ <= loadGate) &&
-        l.drop(1).headOption.forall(_ <= loadGate * 1.5)
-    def awaitQuiet(budget: java.util.concurrent.atomic.AtomicLong)
-        : Seq[Double] = {
+        l.drop(1).headOption.forall(
+          _ <= (if (strict) loadGate else loadGate * 1.5))
+    def awaitQuiet(budget: java.util.concurrent.atomic.AtomicLong,
+                   strict: Boolean): Seq[Double] = {
       var l = loadAvg()
-      while (!quietEnough(l) && budget.get > 0) {
+      while (!quietEnough(l, strict) && budget.get > 0) {
         Thread.sleep(10000); budget.addAndGet(-10000); l = loadAvg()
       }
       l
@@ -165,9 +182,9 @@ object Bench {
       math.max(l.headOption.getOrElse(-1.0),
         l.drop(1).headOption.map(_ / 1.5).getOrElse(-1.0))
     val primaryBudget = new java.util.concurrent.atomic.AtomicLong(300000L)
-    awaitQuiet(primaryBudget)
+    awaitQuiet(primaryBudget, strict = true)
     val loadStart = loadAvg()
-    val gateWaived = !quietEnough(loadStart)
+    val gateWaived = !quietEnough(loadStart, strict = true)
 
     // Optional args (local iteration only; the driver passes none):
     // query-name prefixes to restrict the battery to.
@@ -252,9 +269,11 @@ object Bench {
     val fnByName = SparkEntry.queries
     // fresh budget for the retests — the primary pass cannot drain it
     val retestBudget = new java.util.concurrent.atomic.AtomicLong(300000L)
-    val adjudicated = regs.toSeq.sortBy(_._1).map { case (k, (p, n, r)) =>
-      val loadPre = awaitQuiet(retestBudget)
-      val retest =
+    // one isolated retest: await quiet, warm, min of two timed passes;
+    // returns (seconds or -1, max of pre/post effective load)
+    def isolatedRetest(k: String): (Double, Double) = {
+      val loadPre = awaitQuiet(retestBudget, strict = false)
+      val sec =
         try {
           val fn = fnByName(k)
           fn(spark, sfDir).count() // warm
@@ -267,23 +286,42 @@ object Bench {
           math.min(timed(), timed())
         } catch { case _: Throwable => -1.0 }
       spark.catalog.clearCache()
-      val loadPost = loadAvg()
-      val retestLoad = math.max(effLoad(loadPre), effLoad(loadPost))
-      val verdict =
-        if (retest < 0) "retest-errored" // a crashed retest must not
-                                         // launder the flag to jitter
-        else if (retest / p >= RegressionRatio) {
-          if (retestLoad > loadGate) "load-suspect"
-          else "confirmed"
-        } else "jitter"
-      (k, p, n, r, retest, verdict, retestLoad)
+      (sec, math.max(effLoad(loadPre), effLoad(loadAvg())))
+    }
+    val adjudicated = regs.toSeq.sortBy(_._1).map { case (k, (p, n, r)) =>
+      val (retest, retestLoad) = isolatedRetest(k)
+      // CONFIRMED needs: the ratio to reproduce in TWO independent
+      // isolated retests, each run STRICTLY below the gate. r11 minted
+      // 3 `confirmed` on untouched code from single retests at loadavg
+      // 1.45-1.50 — exactly at the old `>` gate — that the quiet-host
+      // rerun could not reproduce; a load-boundary spike decays between
+      // the two passes, a structural regression reproduces in both.
+      val (verdict, retest2, retest2Load) =
+        if (retest < 0) ("retest-errored", -1.0, -1.0)
+        // a crashed retest must not launder the flag to jitter
+        else if (retest / p < RegressionRatio) ("jitter", -1.0, -1.0)
+        else if (retestLoad >= loadGate) ("load-suspect", -1.0, -1.0)
+        else {
+          val (rt2, rl2) = isolatedRetest(k)
+          val v =
+            if (rt2 < 0) "retest-errored"
+            else if (rt2 / p < RegressionRatio) "jitter"
+            else if (rl2 >= loadGate) "load-suspect"
+            else "confirmed"
+          (v, rt2, rl2)
+        }
+      (k, p, n, r, retest, verdict, retestLoad, retest2, retest2Load)
     }
     val nConfirmed = adjudicated.count(_._6 == "confirmed")
-    val regsJson = adjudicated.map { case (k, p, n, r, rt, v, rl) =>
-      "\"" + k + "\":{\"prev\":" + r3(p) + ",\"now\":" + r3(n) +
-        ",\"ratio\":" + r3(r) + ",\"retest\":" + r3(rt) +
-        ",\"retest_load\":" + r3(rl) +
-        ",\"verdict\":\"" + v + "\"}"
+    val regsJson = adjudicated.map {
+      case (k, p, n, r, rt, v, rl, rt2, rl2) =>
+        val second =
+          if (rt2 < 0 && rl2 < 0) ""
+          else ",\"retest2\":" + r3(rt2) + ",\"retest2_load\":" + r3(rl2)
+        "\"" + k + "\":{\"prev\":" + r3(p) + ",\"now\":" + r3(n) +
+          ",\"ratio\":" + r3(r) + ",\"retest\":" + r3(rt) +
+          ",\"retest_load\":" + r3(rl) + second +
+          ",\"verdict\":\"" + v + "\"}"
     }.mkString("{", ",", "}")
     val loadEnd = loadAvg()
     def loadJson(l: Seq[Double]) = l.map(r3).mkString("[", ",", "]")

@@ -51,10 +51,18 @@ object Checkpoints {
           // the checkpoint file write — and without a persist the write
           // job recomputes the full lineage (Spark's own guidance is
           // persist-before-checkpoint). Both jobs run inside this call,
-          // so the pin can be released immediately after.
-          val cached = df.persist()
+          // so the pin can be released immediately after — but ONLY a
+          // pin THIS call introduced: unconditionally unpersisting
+          // would silently evict a caller's own cache (r11 review).
+          // Note the pin only reaches the checkpoint plan when df has
+          // not already been executed un-cached — callers should pass
+          // a frame whose query has not yet run, which every in-repo
+          // call site does (each severs a freshly built plan).
+          val introduced =
+            df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+          if (introduced) df.persist()
           try df.checkpoint(eager = true)
-          finally cached.unpersist()
+          finally if (introduced) df.unpersist()
         } else df.checkpoint(eager = false)
       case None => df.localCheckpoint(eager)
     }

@@ -35,6 +35,24 @@ object Graph {
 
   val Scale = 1000000000000L // 1e12 fixed-point
 
+  /** Pin `df` in cache for the duration of `body`, releasing it even
+    * when an iteration round (or a sever job inside one) throws — an
+    * unguarded `persist(); loop; unpersist()` leaks the cached edge
+    * list for the session's lifetime on any mid-loop failure (r11
+    * review). When `rounds < 1` the pin is skipped entirely: the
+    * degenerate call returns a LAZY frame that still reads `df`, so an
+    * eager unpersist would fire before the caller's first action and
+    * silently lose the cache benefit. Every caller's returned frame is
+    * otherwise eagerly severed inside `body`, so releasing the pin in
+    * `finally` never forces a recompute.
+    */
+  private def pinned[T](df: DataFrame, rounds: Int = 1)(body: => T): T =
+    if (rounds < 1) body
+    else {
+      df.persist()
+      try body finally df.unpersist()
+    }
+
   /** Exact fixed-point PageRank.
     *
     * @param edges directed edge list; `srcCol`/`dstCol` name the columns.
@@ -53,27 +71,27 @@ object Graph {
     // single equi-join on src instead of edges ⋈ deg ⋈ scores
     val withDeg = e.join(
         e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .persist()
-    val nodes = withDeg.select(col("src").as("id")).distinct()
-    val n = nodes.agg(count(lit(1)).as("n_nodes"))
-    val teleportNum = Scale / 100 * (100 - damping) // e.g. 0.15 * Scale
-    var scores = nodes.crossJoin(broadcast(n))
-      .select(col("id"), expr(s"${Scale}L div n_nodes").as("score"))
-      .transform(df => graft.Checkpoints.sever(df))
-    for (_ <- 1 to iterations) {
-      scores = withDeg
-        .join(scores, withDeg("src") === scores("id"))
-        .select(col("dst"),
-          expr(s"(score * $damping div 100) div outdeg").as("contrib"))
-        .groupBy("dst").agg(sum(col("contrib")).as("in_mass"))
-        .crossJoin(broadcast(n))
-        .select(col("dst").as("id"),
-          (expr(s"${teleportNum}L div n_nodes") + col("in_mass"))
-            .as("score"))
+    pinned(withDeg, iterations) {
+      val nodes = withDeg.select(col("src").as("id")).distinct()
+      val n = nodes.agg(count(lit(1)).as("n_nodes"))
+      val teleportNum = Scale / 100 * (100 - damping) // e.g. 0.15 * Scale
+      var scores = nodes.crossJoin(broadcast(n))
+        .select(col("id"), expr(s"${Scale}L div n_nodes").as("score"))
         .transform(df => graft.Checkpoints.sever(df))
+      for (_ <- 1 to iterations) {
+        scores = withDeg
+          .join(scores, withDeg("src") === scores("id"))
+          .select(col("dst"),
+            expr(s"(score * $damping div 100) div outdeg").as("contrib"))
+          .groupBy("dst").agg(sum(col("contrib")).as("in_mass"))
+          .crossJoin(broadcast(n))
+          .select(col("dst").as("id"),
+            (expr(s"${teleportNum}L div n_nodes") + col("in_mass"))
+              .as("score"))
+          .transform(df => graft.Checkpoints.sever(df))
+      }
+      scores
     }
-    withDeg.unpersist()
-    scores
   }
 
   /** Personalized PageRank (the "random walk with restart" relevance
@@ -99,26 +117,26 @@ object Graph {
       .distinct()
     val withDeg = e.join(
         e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .persist()
-    val s = seeds.select(col(seedCol).as("id")).distinct()
-    val ns = s.agg(count(lit(1)).as("n_seeds"))
-    val teleportNum = Scale / 100 * (100 - damping)
-    val teleport = s.crossJoin(broadcast(ns))
-      .select(col("id"), expr(s"${teleportNum}L div n_seeds").as("score"))
-    var scores = s.crossJoin(broadcast(ns))
-      .select(col("id"), expr(s"${Scale}L div n_seeds").as("score"))
-      .transform(df => graft.Checkpoints.sever(df))
-    for (_ <- 1 to iterations) {
-      val contrib = withDeg
-        .join(scores, withDeg("src") === scores("id"))
-        .select(col("dst").as("id"),
-          expr(s"(score * $damping div 100) div outdeg").as("score"))
-      scores = contrib.unionByName(teleport)
-        .groupBy("id").agg(sum(col("score")).as("score"))
+    pinned(withDeg, iterations) {
+      val s = seeds.select(col(seedCol).as("id")).distinct()
+      val ns = s.agg(count(lit(1)).as("n_seeds"))
+      val teleportNum = Scale / 100 * (100 - damping)
+      val teleport = s.crossJoin(broadcast(ns))
+        .select(col("id"), expr(s"${teleportNum}L div n_seeds").as("score"))
+      var scores = s.crossJoin(broadcast(ns))
+        .select(col("id"), expr(s"${Scale}L div n_seeds").as("score"))
         .transform(df => graft.Checkpoints.sever(df))
+      for (_ <- 1 to iterations) {
+        val contrib = withDeg
+          .join(scores, withDeg("src") === scores("id"))
+          .select(col("dst").as("id"),
+            expr(s"(score * $damping div 100) div outdeg").as("score"))
+        scores = contrib.unionByName(teleport)
+          .groupBy("id").agg(sum(col("score")).as("score"))
+          .transform(df => graft.Checkpoints.sever(df))
+      }
+      scores
     }
-    withDeg.unpersist()
-    scores
   }
 
   /** Exact triangle count via degree-ordered edge orientation.
@@ -230,20 +248,21 @@ object Graph {
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
                 source: Long, maxDepth: Int): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().persist()
-    var reached = e.sparkSession.range(1)
-      .select(lit(source).as("id"), lit(0L).as("depth"))
-      .transform(df => graft.Checkpoints.sever(df))
-    for (k <- 1 to maxDepth) {
-      val frontier = reached.filter(col("depth") === (k - 1))
-      val next = frontier.join(e, frontier("id") === e("src"))
-        .select(col("dst").as("id"), lit(k.toLong).as("depth"))
-      reached = reached.union(next)
-        .groupBy("id").agg(min(col("depth")).as("depth"))
+      .distinct()
+    pinned(e, maxDepth) {
+      var reached = e.sparkSession.range(1)
+        .select(lit(source).as("id"), lit(0L).as("depth"))
         .transform(df => graft.Checkpoints.sever(df))
+      for (k <- 1 to maxDepth) {
+        val frontier = reached.filter(col("depth") === (k - 1))
+        val next = frontier.join(e, frontier("id") === e("src"))
+          .select(col("dst").as("id"), lit(k.toLong).as("depth"))
+        reached = reached.union(next)
+          .groupBy("id").agg(min(col("depth")).as("depth"))
+          .transform(df => graft.Checkpoints.sever(df))
+      }
+      reached
     }
-    e.unpersist()
-    reached
   }
 
   /** Bounded k-core peeling: `rounds` iterations of "drop every node
@@ -295,26 +314,26 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("long").as("w"))
       .groupBy("src", "dst").agg(min(col("w")).as("w"))
-      .persist()
-    var dist = e.sparkSession.range(1)
-      .select(lit(source).as("id"), lit(0L).as("dist"))
-      .transform(df => graft.Checkpoints.sever(df))
-    var frontier = dist
-    for (_ <- 1 to rounds) {
-      val relaxed = frontier.join(e, frontier("id") === e("src"))
-        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
-      val next = dist.union(relaxed)
-        .groupBy("id").agg(min(col("dist")).as("dist"))
+    pinned(e, rounds) {
+      var dist = e.sparkSession.range(1)
+        .select(lit(source).as("id"), lit(0L).as("dist"))
         .transform(df => graft.Checkpoints.sever(df))
-      frontier = next.join(
-          dist.select(col("id"), col("dist").as("prev")), Seq("id"), "left")
-        .filter(col("prev").isNull || col("dist") < col("prev"))
-        .select("id", "dist")
-        .transform(df => graft.Checkpoints.sever(df))
-      dist = next
+      var frontier = dist
+      for (_ <- 1 to rounds) {
+        val relaxed = frontier.join(e, frontier("id") === e("src"))
+          .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+        val next = dist.union(relaxed)
+          .groupBy("id").agg(min(col("dist")).as("dist"))
+          .transform(df => graft.Checkpoints.sever(df))
+        frontier = next.join(
+            dist.select(col("id"), col("dist").as("prev")), Seq("id"), "left")
+          .filter(col("prev").isNull || col("dist") < col("prev"))
+          .select("id", "dist")
+          .transform(df => graft.Checkpoints.sever(df))
+        dist = next
+      }
+      dist
     }
-    e.unpersist()
-    dist
   }
 
   /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003):
@@ -390,30 +409,31 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct())
-    // persisted like every sibling's reused edge list (pageRank's
+    // pinned like every sibling's reused edge list (pageRank's
     // withDeg, bfs/harmonic/hits' e): without it each round's join
-    // recomputes the source-side distinct + union from scratch
+    // recomputes the source-side distinct + union from scratch; severs
+    // are eager, so the finally-release never forces a recompute
     val und = und0.union(und0.select(col("b").as("a"), col("a").as("b")))
-      .persist()
-    var labels = und.select(col("a").as("v")).distinct()
-      .withColumn("label", col("v"))
-    (1 to rounds).foreach { _ =>
-      val neigh = und
-        .join(labels.select(col("v").as("b"), col("label")), "b")
-        .select(col("a").as("v"), col("label"))
-      // argmax by count, ties to the SMALLEST label, in one struct min:
-      // negate the COUNT (always numeric) rather than the label, so the
-      // tie-break works for any orderable label type — string node ids
-      // fail analysis under the -label spelling
-      val best = neigh.groupBy("v", "label")
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy("v")
-        .agg(min(struct((-col("cnt")).as("neg_cnt"), col("label"))).as("m"))
-        .select(col("v"), col("m.label").as("label"))
-      labels = graft.Checkpoints.sever(best)
+    pinned(und, rounds) {
+      var labels = und.select(col("a").as("v")).distinct()
+        .withColumn("label", col("v"))
+      (1 to rounds).foreach { _ =>
+        val neigh = und
+          .join(labels.select(col("v").as("b"), col("label")), "b")
+          .select(col("a").as("v"), col("label"))
+        // argmax by count, ties to the SMALLEST label, in one struct min:
+        // negate the COUNT (always numeric) rather than the label, so the
+        // tie-break works for any orderable label type — string node ids
+        // fail analysis under the -label spelling
+        val best = neigh.groupBy("v", "label")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("v")
+          .agg(min(struct((-col("cnt")).as("neg_cnt"), col("label"))).as("m"))
+          .select(col("v"), col("m.label").as("label"))
+        labels = graft.Checkpoints.sever(best)
+      }
+      labels
     }
-    und.unpersist() // severs are eager: the last round already ran
-    labels
   }
 
   /** Bounded k-TRUSS filtering (Cohen 2008) — the edge-level cohesion
@@ -422,51 +442,74 @@ object Graph {
     * number of rounds (the bounded, replayable form — full truss
     * decomposition iterates to fixpoint; at 100 TB the fixed-round
     * prefix is the production cut, exactly the k-core gate's
-    * discipline). Per round: one degree-ordered support count (the
-    * [[triangleCount]] orientation, NOT the naive bidirectional wedge
-    * join — a hub of degree d would contribute d² wedge rows per round,
-    * which is exactly the quadratic blow-up the orientation's O(√m)
-    * out-list bound removes; each triangle is enumerated once at its
-    * apex and exploded to its three edges), then one semi-join filter;
-    * lineage severed per round. The orientation changes intermediate
-    * sizes, never the support counts, so the naive-replay oracle still
-    * hash-matches.
+    * discipline). The wedge join — the dominant cost — runs ONCE: the
+    * triangle INCIDENCE list (triangle key × its three undirected
+    * edges, enumerated at each triangle's degree-ordered apex exactly
+    * as in [[triangleCount]]) is materialized up front and MAINTAINED
+    * BY DELETION thereafter (r11-verdict item 2 — recomputing support
+    * over the full surviving edge set re-ran the wedge join every
+    * round, though only triangles touching a removed edge can change).
+    * A triangle survives a peel iff none of its three edges was
+    * removed, so each round after the first is: one map-side-combined
+    * count over incidence rows (support), one anti-join (removed
+    * edges), one semi-join (destroyed triangle keys), one anti-join
+    * (drop their incidence rows) — no wedge join. The maintained
+    * support equals a from-scratch recompute exactly (surviving
+    * triangles ARE the original triangles with all three edges alive),
+    * so the naive-replay oracle still hash-matches; lineage is severed
+    * per round.
     */
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
              k: Int, rounds: Int = 2): DataFrame = {
     // materialize the normalized edge set up front: round 1 otherwise
     // recomputes the SOURCE-side lineage (for the gate, a lineitem
     // self-join) for each of its reads — degree count, two rank joins,
-    // the semi-join probe; later rounds get this for free from the
-    // round sever. Measured at sf0.1 and the 10x clone corpus this is
-    // ~1.9x end-to-end. Deliberately NOT persisting the per-round
-    // oriented list: reading it from a columnar cache three times lost
-    // to recomputing the (cheap, post-sever) orientation joins at 10x
-    // — the wedge join dominates and exchange reuse already covers its
-    // two identically-keyed sides.
+    // the anti-join probe; measured at sf0.1 and the 10x clone corpus
+    // this is ~1.9x end-to-end. Deliberately NOT persisting the
+    // oriented list inside the enumeration: reading it from a columnar
+    // cache three times lost to recomputing the (cheap, post-sever)
+    // orientation joins at 10x — the wedge join dominates and exchange
+    // reuse already covers its two identically-keyed sides.
     var und = graft.Checkpoints.sever(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct())
-    (1 to rounds).foreach { _ =>
-      val sup = edgeSupport(und)
-      und = graft.Checkpoints.sever(
-        und.join(sup.filter(col("support") >= k - 2),
-          Seq("a", "b"), "left_semi"))
+    if (rounds >= 1) {
+      var inc = graft.Checkpoints.sever(triangleIncidence(und))
+      for (r <- 1 to rounds) {
+        // keep = edges whose surviving-triangle count clears k-2; an
+        // edge with NO surviving triangle has no incidence row and
+        // drops out — the same inner-join semantics as the oracle's
+        // per-round support CTE (and as the old semi-join form)
+        val keep = graft.Checkpoints.sever(
+          inc.groupBy("a", "b").agg(count(lit(1)).as("support"))
+            .filter(col("support") >= k - 2).select("a", "b"))
+        if (r < rounds) {
+          val removed = und.join(keep, Seq("a", "b"), "left_anti")
+          val destroyed = inc
+            .join(removed, Seq("a", "b"), "left_semi")
+            .select("tu", "tv1", "tv2").distinct()
+          inc = graft.Checkpoints.sever(
+            inc.join(destroyed, Seq("tu", "tv1", "tv2"), "left_anti"))
+        }
+        und = keep
+      }
     }
     und
   }
 
-  /** Per-edge triangle support over a normalized (a<b, distinct) edge
-    * set — the edge-level refinement of [[triangleCount]]: the same
-    * degree-ordered orientation enumerates each triangle exactly once
-    * at its apex (the node whose two triangle edges both point away),
-    * then the triangle is exploded back to its three undirected edges
-    * and counted. Degrees are recomputed on the CURRENT edge set each
-    * call; the orientation is only an enumeration device, so which
-    * degree snapshot orders it cannot change the counts.
+  /** Triangle incidence over a normalized (a<b, distinct) edge set:
+    * one row per (triangle, edge) pair — the triangle keyed by its
+    * apex enumeration (tu, tv1, tv2), the edge normalized to a<b. The
+    * degree-ordered orientation of [[triangleCount]] enumerates each
+    * triangle exactly once at its apex (the node whose two triangle
+    * edges both point away); the triangle is then exploded to its
+    * three undirected edges, so `groupBy(a, b).count` over the result
+    * is exactly the per-edge triangle support. Degrees order only the
+    * ENUMERATION; which snapshot computes them cannot change the set
+    * of triangles.
     */
-  private def edgeSupport(und: DataFrame): DataFrame = {
+  private def triangleIncidence(und: DataFrame): DataFrame = {
     val (_, oriented) = orientEdges(und, "a", "b")
     val w1 = oriented.select(col("u"), col("w").as("v1"), col("rw").as("r1"))
     val w2 = oriented.select(col("u"), col("w").as("v2"), col("rw").as("r2"))
@@ -474,16 +517,18 @@ object Graph {
       .join(oriented.select(col("u").as("v1"), col("w").as("v2")),
         Seq("v1", "v2"))
       .select(col("u"), col("v1"), col("v2"))
-    // One explode, not three self-unions: a union of three tri
-    // projections would re-run the wedge join three times.
+    // One explode, not three tri projections: a union of three would
+    // re-run the wedge join three times.
     val edge = (x: Column, y: Column) =>
       struct(least(x, y).as("a"), greatest(x, y).as("b"))
-    tri.select(explode(array(
-        edge(col("u"), col("v1")),
-        edge(col("u"), col("v2")),
-        edge(col("v1"), col("v2")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    tri.select(col("u").as("tu"), col("v1").as("tv1"),
+        col("v2").as("tv2"),
+        explode(array(
+          edge(col("u"), col("v1")),
+          edge(col("u"), col("v2")),
+          edge(col("v1"), col("v2")))).as("e"))
+      .select(col("tu"), col("tv1"), col("tv2"),
+        col("e.a").as("a"), col("e.b").as("b"))
   }
 
   /** Bounded multi-source STRESS centrality (Shimbel 1953; the
@@ -528,47 +573,48 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct())
     val und = und0.union(und0.select(col("b").as("a"), col("a").as("b")))
-      .select(col("a").as("x"), col("b").as("n")).persist()
-    val l0 = seeds.select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
-    // forward: per-level σ tables, plus the visited set for the anti-join
-    val levels = Array.fill[DataFrame](maxDepth + 1)(null)
-    levels(0) = l0
-    var visited = l0.select("s", "v")
-    var cur = l0
-    for (d <- 1 to maxDepth) {
-      val cand = cur.join(und, cur("v") === und("x"))
-        .select(col("s"), col("n").as("v"), col("sigma"))
-      val nxt = graft.Checkpoints.sever(
-        cand.join(visited, Seq("s", "v"), "left_anti")
-          .groupBy("s", "v").agg(sum(col("sigma")).as("sigma")))
-      levels(d) = nxt
-      visited = graft.Checkpoints.sever(
-        visited.union(nxt.select("s", "v")))
-      cur = nxt
+      .select(col("a").as("x"), col("b").as("n"))
+    pinned(und) {
+      val l0 = seeds.select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
+      // forward: per-level σ tables, plus the visited set for the anti-join
+      val levels = Array.fill[DataFrame](maxDepth + 1)(null)
+      levels(0) = l0
+      var visited = l0.select("s", "v")
+      var cur = l0
+      for (d <- 1 to maxDepth) {
+        val cand = cur.join(und, cur("v") === und("x"))
+          .select(col("s"), col("n").as("v"), col("sigma"))
+        val nxt = graft.Checkpoints.sever(
+          cand.join(visited, Seq("s", "v"), "left_anti")
+            .groupBy("s", "v").agg(sum(col("sigma")).as("sigma")))
+        levels(d) = nxt
+        visited = graft.Checkpoints.sever(
+          visited.union(nxt.select("s", "v")))
+        cur = nxt
+      }
+      // backward: h at the depth bound is 0 (no in-bound successors)
+      var h = levels(maxDepth).select(col("s"), col("v"), lit(0L).as("h"))
+      val deltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (d <- (maxDepth - 1) to 1 by -1) {
+        val hNext = h.select(col("s"), col("v").as("w"), col("h").as("hw"))
+        val succSum = levels(d)
+          .join(und, levels(d)("v") === und("x"))
+          .select(col("s"), col("v"), col("n").as("w"))
+          .join(hNext, Seq("s", "w"))
+          .groupBy("s", "v")
+          .agg((count(lit(1)) + sum(col("hw"))).as("hsum"))
+        val hD = graft.Checkpoints.sever(
+          levels(d).join(succSum, Seq("s", "v"), "left")
+            .select(col("s"), col("v"), col("sigma"),
+              coalesce(col("hsum"), lit(0L)).as("h")))
+        deltas += hD.select(col("v"), (col("sigma") * col("h")).as("delta"))
+        h = hD.select("s", "v", "h")
+      }
+      val out = deltas.reduce(_ unionByName _)
+        .groupBy("v").agg(sum(col("delta")).as("stress"))
+        .filter(col("stress") > 0)
+      out
     }
-    // backward: h at the depth bound is 0 (no in-bound successors)
-    var h = levels(maxDepth).select(col("s"), col("v"), lit(0L).as("h"))
-    val deltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (d <- (maxDepth - 1) to 1 by -1) {
-      val hNext = h.select(col("s"), col("v").as("w"), col("h").as("hw"))
-      val succSum = levels(d)
-        .join(und, levels(d)("v") === und("x"))
-        .select(col("s"), col("v"), col("n").as("w"))
-        .join(hNext, Seq("s", "w"))
-        .groupBy("s", "v")
-        .agg((count(lit(1)) + sum(col("hw"))).as("hsum"))
-      val hD = graft.Checkpoints.sever(
-        levels(d).join(succSum, Seq("s", "v"), "left")
-          .select(col("s"), col("v"), col("sigma"),
-            coalesce(col("hsum"), lit(0L)).as("h")))
-      deltas += hD.select(col("v"), (col("sigma") * col("h")).as("delta"))
-      h = hD.select("s", "v", "h")
-    }
-    val out = deltas.reduce(_ unionByName _)
-      .groupBy("v").agg(sum(col("delta")).as("stress"))
-      .filter(col("stress") > 0)
-    und.unpersist()
-    out
   }
 
   /** Adamic-Adar link prediction (Adamic & Adar 2003) — the
@@ -630,26 +676,27 @@ object Graph {
   def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
                          sources: Seq[Long], maxDepth: Int): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().persist()
-    val sp = e.sparkSession
-    import sp.implicits._
-    var reached = sources.map(s => (s, s, 0L))
-      .toDF("src_id", "id", "depth")
-      .transform(df => graft.Checkpoints.sever(df))
-    for (k <- 1 to maxDepth) {
-      val frontier = reached.filter(col("depth") === (k - 1))
-      val next = frontier.join(e, frontier("id") === e("src"))
-        .select(col("src_id"), col("dst").as("id"),
-          lit(k.toLong).as("depth"))
-      reached = reached.union(next)
-        .groupBy("src_id", "id").agg(min(col("depth")).as("depth"))
+      .distinct()
+    pinned(e, maxDepth) {
+      val sp = e.sparkSession
+      import sp.implicits._
+      var reached = sources.map(s => (s, s, 0L))
+        .toDF("src_id", "id", "depth")
         .transform(df => graft.Checkpoints.sever(df))
+      for (k <- 1 to maxDepth) {
+        val frontier = reached.filter(col("depth") === (k - 1))
+        val next = frontier.join(e, frontier("id") === e("src"))
+          .select(col("src_id"), col("dst").as("id"),
+            lit(k.toLong).as("depth"))
+        reached = reached.union(next)
+          .groupBy("src_id", "id").agg(min(col("depth")).as("depth"))
+          .transform(df => graft.Checkpoints.sever(df))
+      }
+      reached.filter(col("depth") > 0)
+        .groupBy("id")
+        .agg(sum(expr("1000000L div depth")).as("harmonic_fp"),
+          count(lit(1)).as("n_reached"))
     }
-    e.unpersist()
-    reached.filter(col("depth") > 0)
-      .groupBy("id")
-      .agg(sum(expr("1000000L div depth")).as("harmonic_fp"),
-        count(lit(1)).as("n_reached"))
   }
 
   /** Degree assortativity (Newman 2002) — the Pearson correlation of
@@ -769,31 +816,36 @@ object Graph {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iterations: Int = 2): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().persist()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    def normalize(raw: DataFrame, vCol: String): DataFrame = {
-      val total = raw.agg(sum(col(vCol)).as("total"))
-      raw.crossJoin(broadcast(total))
-        .select(col("id"),
-          expr(s"$vCol div greatest(1L, total div ${Scale}L)").as(vCol))
+      .distinct()
+    pinned(e, iterations) {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      def normalize(raw: DataFrame, vCol: String): DataFrame = {
+        val total = raw.agg(sum(col(vCol)).as("total"))
+        raw.crossJoin(broadcast(total))
+          .select(col("id"),
+            expr(s"$vCol div greatest(1L, total div ${Scale}L)").as(vCol))
+      }
+      var hubs = nodes.select(col("id"), lit(Scale).as("hub"))
+        .transform(df => graft.Checkpoints.sever(df))
+      var auths = nodes.select(col("id"), lit(0L).as("auth"))
+      for (_ <- 1 to iterations) {
+        auths = normalize(
+          e.join(hubs, e("src") === hubs("id"))
+            .groupBy(e("dst").as("id")).agg(sum(col("hub")).as("auth")),
+          "auth").transform(df => graft.Checkpoints.sever(df))
+        hubs = normalize(
+          e.join(auths, e("dst") === auths("id"))
+            .groupBy(e("src").as("id")).agg(sum(col("auth")).as("hub")),
+          "hub").transform(df => graft.Checkpoints.sever(df))
+      }
+      // the final readout joins two SEVERED frames, so releasing the
+      // edge-list pin before the caller's action never recomputes e —
+      // except in the degenerate iterations<1 call, where `pinned`
+      // skipped the pin and auths reads e lazily (correct, uncached)
+      auths.join(hubs, Seq("id"), "full_outer")
+        .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"),
+          coalesce(col("hub"), lit(0L)).as("hub"))
     }
-    var hubs = nodes.select(col("id"), lit(Scale).as("hub"))
-      .transform(df => graft.Checkpoints.sever(df))
-    var auths = nodes.select(col("id"), lit(0L).as("auth"))
-    for (_ <- 1 to iterations) {
-      auths = normalize(
-        e.join(hubs, e("src") === hubs("id"))
-          .groupBy(e("dst").as("id")).agg(sum(col("hub")).as("auth")),
-        "auth").transform(df => graft.Checkpoints.sever(df))
-      hubs = normalize(
-        e.join(auths, e("dst") === auths("id"))
-          .groupBy(e("src").as("id")).agg(sum(col("auth")).as("hub")),
-        "hub").transform(df => graft.Checkpoints.sever(df))
-    }
-    e.unpersist()
-    auths.join(hubs, Seq("id"), "full_outer")
-      .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"),
-        coalesce(col("hub"), lit(0L)).as("hub"))
   }
 }

@@ -415,8 +415,16 @@ object Similarity {
     *      files are never opened), anti-join the tombstones out, and
     *      stage the survivors (a rewrite cannot read and replace the
     *      same files in one job);
-    *   3. swap the staged partitions in with a DYNAMIC partition
-    *      overwrite — only the affected cell directories are replaced.
+    *   3. swap by MANIFEST, not by file replacement (r11-verdict item
+    *      4): the staged survivors are APPENDED as new files alongside
+    *      the old ones, then `_graft_manifest` is atomically committed
+    *      to reference (previous live set − affected cells' old files
+    *      + the new files). Readers load via the manifest, so a query
+    *      listing mid-swap sees the old version or the new one, never
+    *      old+new together; the replaced files are only deleted at the
+    *      NEXT maintenance op (the pending-delete manifest below), so
+    *      a reader that pinned the previous version keeps its snapshot
+    *      for at least one full maintenance cycle.
     *
     * Cost at 100 TB: the detection join (step 1) is ONE map-only read
     * of the index against the broadcast tombstone set — no shuffle,
@@ -438,57 +446,57 @@ object Similarity {
                  indexDir: String, tombs: DataFrame, tombIdCol: String,
                  stageDir: String): Seq[Long] =
     withMaintenanceLock(spark, indexDir, "compact") {
-      // a crashed predecessor may have swapped its stage in but died
-      // before deleting its fully-dead cell directories — its manifest
-      // replays first, so this run never reads resurrected rows
+      // a predecessor's deferred deletes fall due now: their grace
+      // window (readers pinned on the pre-swap manifest) ends at the
+      // next maintenance op — this one. Also finishes a crashed
+      // predecessor's cleanup, so this run never reads resurrected rows.
       replayPendingDeletes(spark, indexDir)
-      // a replay can leave the index EMPTY (every cell was pending
+      // first locked op on a pre-manifest index: snapshot the pristine
+      // listing BEFORE mutating, then drop crash garbage (files a died
+      // mutator wrote but never committed — unreferenced by definition)
+      bootstrapManifest(spark, indexDir)
+      sweepOrphanFiles(spark, indexDir)
+      // replay can leave the index EMPTY (every cell was pending
       // delete — the all-tombstoned corner); nothing to compact, and a
       // schema-less parquet read would throw
-      val root = new org.apache.hadoop.fs.Path(indexDir)
-      val rootFs =
-        root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val emptyIndex = !rootFs.exists(root) || rootFs.listStatus(root)
-        .forall(st => st.getPath.getName.startsWith("_"))
+      val emptyIndex = listDataFiles(spark, indexDir).isEmpty
       // duplicate-tolerant: a replayed delete must not change the outcome
       val tset = tombs.select(col(tombIdCol)).distinct()
       val affected =
         if (emptyIndex) Seq.empty[Long]
-        else spark.read.parquet(indexDir)
+        else loadLive(spark, indexDir)
           .withColumn("c_cell", col("c_cell").cast("long"))
           .join(broadcast(tset), col("c_id") === col(tombIdCol))
           .select("c_cell").distinct()
           .collect().map(_.getLong(0)).toSeq
       if (affected.nonEmpty) {
-        val idx = spark.read.parquet(indexDir)
+        val idx = loadLive(spark, indexDir)
           .withColumn("c_cell", col("c_cell").cast("long"))
-        // Survivor census per affected cell (bounded ≤ nCells rows): a
-        // dynamic partition overwrite replaces only partitions PRESENT
-        // in the staged data, so a FULLY-tombstoned cell — zero
-        // survivors, hence absent from the stage — would keep its old
-        // files and resurrect every deleted row. Those cells' partition
-        // directories are deleted explicitly instead.
+        // Survivor census per affected cell (bounded ≤ nCells rows):
+        // fully-dead cells write no new files, so the manifest commit
+        // must drop their old files AND the deferred delete must
+        // remove their partition directories, or a directory-listing
+        // reader (pre-manifest fallback) would resurrect every row.
         val rewrite = ivfCompactionRewrite(idx, tset, tombIdCol, affected)
         val surviving = rewrite.groupBy("c_cell").agg(count(lit(1)))
           .select("c_cell").collect().map(_.getLong(0)).toSet
-        // Fully-dead cells get a PENDING-DELETE MANIFEST persisted
-        // BEFORE any index mutation (r10 ADVICE: a driver that died
-        // after the dynamic overwrite but before the explicit
-        // directory deletes left those cells to resurrect every
-        // deleted row, with the caller's tombstones already folded).
-        // The manifest is replayed at the top of every compaction (and
-        // by [[replayPendingDeletes]] at index open), so the
-        // swap+delete pair is atomic-on-restart: any crash between
-        // manifest write and manifest removal re-runs only the
-        // idempotent directory deletes. `_`-prefixed, so every
-        // spark.read of the index ignores it.
-        val fullyDead = affected.filterNot(surviving)
-        if (fullyDead.nonEmpty)
-          writePendingDeletes(spark, indexDir, fullyDead)
+        val affectedSet = affected.toSet
+        val before = listDataFiles(spark, indexDir)
+        // the affected cells' current files — replaced in the manifest
+        // now, physically deleted at the NEXT maintenance op
+        val oldFiles = before.filter(f =>
+          f.split("/").headOption.exists { seg =>
+            seg.startsWith("c_cell=") &&
+              scala.util.Try(seg.stripPrefix("c_cell=").toLong).toOption
+                .exists(affectedSet)
+          })
         if (surviving.nonEmpty) {
           // clustered by cell on both writes: one file per rewritten
           // cell (at 100 TB: a sized repartition → a few large files per
-          // cell), never a per-task file in every cell directory
+          // cell), never a per-task file in every cell directory. The
+          // stage hop exists because the rewrite READS the files it
+          // replaces; the second write APPENDS new files (old ones stay
+          // for pinned readers) — the manifest commit is the swap.
           rewrite
             .repartition(col("c_cell"))
             .write.mode("overwrite").partitionBy("c_cell")
@@ -496,16 +504,25 @@ object Similarity {
           spark.read.parquet(stageDir)
             .withColumn("c_cell", col("c_cell").cast("long"))
             .repartition(col("c_cell"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            .write.mode("append")
             .partitionBy("c_cell").parquet(indexDir)
         }
-        // Fully-dead cells LAST — the stage write above re-scans the
-        // original index (its file listing includes every affected
-        // cell's files), so their directories must still exist while it
-        // runs; swap-then-delete is also the safe operational order.
-        // The replay deletes the directories and removes the manifest.
-        if (fullyDead.nonEmpty) replayPendingDeletes(spark, indexDir)
+        val beforeSet = before.toSet
+        val newFiles = listDataFiles(spark, indexDir)
+          .filterNot(beforeSet)
+        val version = readManifest(spark, indexDir).map(_._1).getOrElse(0L)
+        // THE swap: one atomic rename flips every reader from the old
+        // file set to the new. A crash before this line leaves the old
+        // manifest serving the old view (the appended files are orphans
+        // the next run sweeps); after it, the old files are garbage.
+        commitManifest(spark, indexDir, version + 1,
+          (before.toSet -- oldFiles.toSet).toSeq ++ newFiles)
+        // deferred physical cleanup (next maintenance op replays):
+        // the replaced files, plus fully-dead cells' now-empty
+        // partition directories
+        val fullyDead = affected.filterNot(surviving)
+        writePendingDeletes(spark, indexDir,
+          oldFiles ++ fullyDead.map(c => s"c_cell=$c"))
       }
       affected
     }
@@ -515,6 +532,122 @@ object Similarity {
 
   /** Name of the pending-delete manifest under an index directory. */
   private val PendingDeleteName = "_graft_pending_delete"
+
+  /** Name of the live-file manifest under an index directory (r11-
+    * verdict item 4). First line: version; remaining lines: the
+    * RELATIVE paths of exactly the data files a reader may see —
+    * committed by write-temp-then-rename, so any reader observes one
+    * whole version, never a mid-swap directory listing. Absent on an
+    * index that has never run a locked maintenance op (every mutator
+    * bootstraps it), in which case the directory listing is the truth
+    * exactly as before.
+    */
+  private val ManifestName = "_graft_manifest"
+
+  /** Relative paths of the index's data files — every file whose path
+    * has no `_`/`.`-prefixed segment — via one recursive listing.
+    */
+  private[graft] def listDataFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val rootStr = fs.makeQualified(root).toString
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st.getPath.toString.stripPrefix(rootStr)
+          .stripPrefix("/"))
+      }
+    walk(root).sorted
+  }
+
+  /** The live-file manifest, when present: (version, relative paths). */
+  private[graft] def readManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[(Long, Seq[String])] = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, ManifestName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+      lines match {
+        case v :: files => Some((v.toLong, files))
+        case Nil => Some((0L, Nil))
+      }
+    }
+  }
+
+  /** Atomically publish manifest `version` listing `files` (relative
+    * paths): write `.tmp`, rename over — the same discipline as
+    * [[writePendingDeletes]], so a reader sees the old version or the
+    * new one, never a torn list.
+    */
+  private def commitManifest(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String, version: Long,
+                             files: Seq[String]): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(indexDir, ManifestName)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir,
+      ManifestName + ".tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    out.write((version.toString +: files.sorted).mkString("\n")
+      .getBytes("UTF-8"))
+    out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
+  /** First locked maintenance op on a pre-manifest index: snapshot the
+    * current (pristine) listing as version 1 BEFORE any mutation, so a
+    * crash mid-mutation leaves readers the old view and the next run's
+    * [[sweepOrphanFiles]] can tell crash garbage from live data.
+    * No-op when a manifest already exists. Caller must hold the lock.
+    */
+  private def bootstrapManifest(spark: org.apache.spark.sql.SparkSession,
+                                indexDir: String): Unit =
+    if (readManifest(spark, indexDir).isEmpty)
+      commitManifest(spark, indexDir, 1L, listDataFiles(spark, indexDir))
+
+  /** Delete data files present on disk but absent from the manifest —
+    * crash garbage from a mutator that died between writing files and
+    * committing (an uncommitted file is unreferenced by construction:
+    * every mutator commits under the lock we hold). No-op without a
+    * manifest. Caller must hold the lock.
+    */
+  private def sweepOrphanFiles(spark: org.apache.spark.sql.SparkSession,
+                               indexDir: String): Unit =
+    readManifest(spark, indexDir).foreach { case (_, live) =>
+      val liveSet = live.toSet
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      listDataFiles(spark, indexDir).filterNot(liveSet).foreach { rel =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, rel), false)
+      }
+    }
+
+  /** Load exactly the index's LIVE files: via the manifest when one
+    * exists (`basePath` keeps the `c_cell=` partition column), else
+    * the plain directory read. The manifest path is what gives
+    * readers a consistent snapshot while maintenance runs — see
+    * [[withMaintenanceLock]]'s isolation notes.
+    */
+  private def loadLive(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String): DataFrame =
+    readManifest(spark, indexDir) match {
+      case Some((_, files)) if files.nonEmpty =>
+        spark.read.option("basePath", indexDir)
+          .parquet(files.map(f => indexDir + "/" + f): _*)
+      case _ => spark.read.parquet(indexDir)
+    }
 
   /** In-process layer of the maintenance lock: one monitor per index
     * directory. Same-driver mutators (a streaming query's foreachBatch
@@ -552,15 +685,18 @@ object Similarity {
     * gate RACES a live refresh against a compaction under this lock
     * and proves the served index equals a full rebuild.
     *
-    * What this lock does NOT give: snapshot isolation for CONCURRENT
-    * READERS — a query that lists files while a compaction's dynamic
-    * overwrite is mid-swap can see a cell's old and new files
-    * together. Writers are serialized; readers that must never
-    * overlap a swap either take the lock briefly to pin a file
-    * listing, or the deployment graduates to a table format with
-    * versioned manifests (Iceberg/Delta), which is the standard
-    * production answer and out of scope for a parquet-directory
-    * index.
+    * READER isolation (r11-verdict item 4) comes from the LIVE-FILE
+    * MANIFEST, not the lock: every mutator commits `_graft_manifest`
+    * (version + the exact data-file list) by atomic rename, writes new
+    * files BEFORE the commit, and defers deleting replaced files to
+    * the NEXT maintenance op — so [[ivfOpenIndex]] pins a consistent
+    * snapshot without locking, and that snapshot survives at least one
+    * full maintenance cycle of concurrent swaps (IndexSnapshotSpec
+    * races a pinned reader against a whole compaction). A reader that
+    * outlives TWO maintenance ops can still lose its files to the
+    * deferred delete — the remaining honest gap; closing it needs
+    * reference-counted snapshots (Iceberg/Delta), the deployment-grade
+    * upgrade for a parquet-directory index.
     */
   def withMaintenanceLock[T](spark: org.apache.spark.sql.SparkSession,
                              indexDir: String, owner: String,
@@ -679,19 +815,22 @@ object Similarity {
     }
   }
 
-  /** Persist the fully-dead cell list as `_graft_pending_delete`
+  /** Persist the deferred-delete list as `_graft_pending_delete`
     * (write-temp-then-rename, so a half-written manifest is never
-    * visible). Replayed by [[replayPendingDeletes]].
+    * visible): index-relative paths — replaced data files and
+    * fully-dead `c_cell=<id>` directories. A bare cell id is also
+    * accepted on replay (the pre-manifest format, same meaning as its
+    * directory path). Replayed by [[replayPendingDeletes]].
     */
   private def writePendingDeletes(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      cells: Seq[Long]): Unit = {
+      entries: Seq[String]): Unit = {
     val dst = new org.apache.hadoop.fs.Path(indexDir, PendingDeleteName)
     val tmp = new org.apache.hadoop.fs.Path(indexDir,
       PendingDeleteName + ".tmp")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(tmp, true)
-    out.write(cells.mkString("\n").getBytes("UTF-8"))
+    out.write(entries.mkString("\n").getBytes("UTF-8"))
     out.close()
     fs.delete(dst, false)
     if (!fs.rename(tmp, dst))
@@ -708,16 +847,25 @@ object Similarity {
     */
   def ivfOpenIndex(spark: org.apache.spark.sql.SparkSession,
                    indexDir: String): DataFrame = {
-    // The replay MUTATES the index (directory deletes), so when a
-    // manifest is present the replay runs under the maintenance lock
-    // like every other mutator — an unlocked open racing a live
-    // compaction could delete the fully-dead cells the compactor's
-    // manifest names while its stage write still scans them. The
-    // overwhelmingly common case — no manifest — stays LOCK-FREE and
-    // non-blocking (one fs.exists), so ordinary serving opens never
-    // queue behind a long compaction; the existence check re-runs
-    // inside the lock because the manifest may have been replayed by
-    // the compactor while we waited.
+    // Manifest-mode index (any index that has run a locked maintenance
+    // op): load exactly the committed live files — a pending-delete
+    // list may coexist (deferred cleanup awaiting the next maintenance
+    // op), but the manifest already excludes those files, so the open
+    // neither replays nor locks; it cannot shorten other readers'
+    // grace window, and it returns a consistent SNAPSHOT that survives
+    // one full maintenance cycle even if a compaction swaps mid-query.
+    if (readManifest(spark, indexDir).isDefined)
+      return loadLive(spark, indexDir)
+        .withColumn("c_cell", col("c_cell").cast("long"))
+    // Pre-manifest index: the directory listing is the truth, so a
+    // crashed compaction's pending deletes MUST be replayed before
+    // loading. The replay MUTATES the index (directory deletes), so it
+    // runs under the maintenance lock like every other mutator. The
+    // overwhelmingly common case — nothing pending — stays LOCK-FREE
+    // and non-blocking (one fs.exists), so ordinary serving opens
+    // never queue behind a long compaction; the replay re-checks
+    // inside the lock because a compactor may have replayed while we
+    // waited.
     val p = new org.apache.hadoop.fs.Path(indexDir, PendingDeleteName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p))
@@ -728,16 +876,48 @@ object Similarity {
       .withColumn("c_cell", col("c_cell").cast("long"))
   }
 
-  /** Replay a pending-delete manifest left by a compaction that died
-    * between its partition swap and its fully-dead directory deletes:
-    * delete the listed cell directories (idempotent — a missing
-    * directory is already done), then remove the manifest. Called at
-    * the top of every [[ivfCompact]]; an index OPEN path that serves
-    * without compacting first should call it too (the Lucene
-    * replay-deletes-on-open discipline). Returns the replayed cells.
+  /** APPEND delta rows (the [[ivfAssignDelta]] cell-table shape) to a
+    * persisted cell-partitioned index, maintaining the live-file
+    * manifest when the index is in manifest mode: files first, then
+    * one atomic manifest commit referencing them — so a crash between
+    * the two leaves the batch UNCOMMITTED (its files are orphans the
+    * next compaction sweeps) and the streaming engine's replay of the
+    * batch is exactly-once from a reader's point of view. On a
+    * pre-manifest index the write alone is the commit, exactly the
+    * previous behavior. MUST be called while already holding the
+    * index's maintenance lock (the streaming refresh's foreachBatch
+    * does); it deliberately does not re-acquire: the JVM monitor layer
+    * is reentrant, but the lock FILE create would see its own holder
+    * and spin out the full lease.
+    */
+  def ivfAppendCells(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String, rows: DataFrame): Unit = {
+    def write(): Unit = rows
+      .repartition(col("c_cell"))
+      .write.mode("append").partitionBy("c_cell")
+      .parquet(indexDir)
+    readManifest(spark, indexDir) match {
+      case Some((version, live)) =>
+        val before = listDataFiles(spark, indexDir).toSet
+        write()
+        val appended = listDataFiles(spark, indexDir).filterNot(before)
+        commitManifest(spark, indexDir, version + 1, live ++ appended)
+      case None => write()
+    }
+  }
+
+  /** Replay a pending-delete manifest: delete the listed entries —
+    * index-relative paths (a compaction's replaced files and
+    * fully-dead cell directories whose reader-grace window has
+    * closed), or bare cell ids in the pre-manifest format (meaning
+    * `c_cell=<id>`) — idempotently (a missing path is already done),
+    * then remove the manifest. Called at the top of every
+    * [[ivfCompact]] (where deferred deletes fall due) and by the
+    * legacy no-live-manifest open path (the Lucene
+    * replay-deletes-on-open discipline). Returns the replayed entries.
     */
   def replayPendingDeletes(spark: org.apache.spark.sql.SparkSession,
-                           indexDir: String): Seq[Long] = {
+                           indexDir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(indexDir, PendingDeleteName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
@@ -746,13 +926,14 @@ object Similarity {
       val txt =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      val cells = txt.split("\\s+").filter(_.nonEmpty).map(_.toLong).toSeq
-      cells.foreach { cell =>
-        fs.delete(new org.apache.hadoop.fs.Path(indexDir,
-          s"c_cell=$cell"), true)
+      val entries = txt.split("\\s+").filter(_.nonEmpty).toSeq
+      entries.foreach { e =>
+        val rel =
+          if (e.forall(c => c.isDigit || c == '-')) s"c_cell=$e" else e
+        fs.delete(new org.apache.hadoop.fs.Path(indexDir, rel), true)
       }
       fs.delete(p, false)
-      cells
+      entries
     }
   }
 

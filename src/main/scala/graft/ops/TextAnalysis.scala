@@ -386,11 +386,8 @@ object TextAnalysis {
             accepted.head +: accepted.tail.takeWhile(_._3 > cc)
           case None => accepted.toSeq
         }
-        var rep = cur
-        safe.foreach { case (a, b, _) =>
-          rep = rep.withColumn("rep", expr(mergeFoldSql(a, b)))
-        }
-        cur = graft.Checkpoints.sever(rep)
+        cur = graft.Checkpoints.sever(cur.withColumn("rep",
+          bpeApply(col("rep"), safe.map(t => (t._1, t._2)).toSeq)))
         safe.foreach { case (a, b, c) =>
           learned += ((learned.size + 1L, a, b, a + b, c))
         }
@@ -400,11 +397,25 @@ object TextAnalysis {
       rounds)
   }
 
+  /** [[graft.functions.BpeMergeFold]] as a Column: the whole merge
+    * table in rank order as one generated pass — semantically equal to
+    * chaining [[mergeFoldSql]] per merge (pinned by the differential
+    * spec), which ran nMerges interpreted lambda folds with a full
+    * array copy each (r11-verdict item 3: the t20/t21 cost driver).
+    */
+  def bpeApply(rep: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BpeMergeFold(
+        org.apache.spark.sql.graft.ColumnBridge.expression(rep), merges))
+
   /** The greedy left-to-right merge fold as a SQL `aggregate` lambda:
     * pair (a, b) merges wherever the fold's last output symbol is `a` and
-    * the next input is `b` — BPE's leftmost-non-overlapping rule.
+    * the next input is `b` — BPE's leftmost-non-overlapping rule. No
+    * longer on the hot path (see [[bpeApply]]); kept as the executable
+    * spec of the merge semantics the oracle replays, pinned against the
+    * compiled form by the differential test.
     */
-  private def mergeFoldSql(a: String, b: String): String = {
+  private[graft] def mergeFoldSql(a: String, b: String): String = {
     def q(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     s"aggregate(rep, cast(array() as array<string>), (acc, x) -> " +
       s"IF(size(acc) > 0 AND element_at(acc, -1) = ${q(a)} " +
@@ -430,11 +441,8 @@ object TextAnalysis {
                 merges: Seq[(String, String)]): DataFrame = {
     val words = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(tokens(col(textCol))).as("word"))
-    var rep = words.select(col("word")).distinct()
-      .withColumn("rep", split(col("word"), ""))
-    merges.foreach { case (a, b) =>
-      rep = rep.withColumn("rep", expr(mergeFoldSql(a, b)))
-    }
+    val rep = words.select(col("word")).distinct()
+      .withColumn("rep", bpeApply(split(col("word"), ""), merges))
     words.join(rep, "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),

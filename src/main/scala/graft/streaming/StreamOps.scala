@@ -1392,11 +1392,9 @@ object StreamOps {
         // interleaves the two and proves the result equals a rebuild.
         graft.ops.Similarity.withMaintenanceLock(
           batch.sparkSession, tmp + "/cells", "refresh") {
-          graft.ops.Similarity
-            .ivfAssignDelta(batch, cents, "vec_id", "embedding")
-            .repartition(col("c_cell"))
-            .write.mode("append").partitionBy("c_cell")
-            .parquet(tmp + "/cells")
+          graft.ops.Similarity.ivfAppendCells(batch.sparkSession,
+            tmp + "/cells", graft.ops.Similarity
+              .ivfAssignDelta(batch, cents, "vec_id", "embedding"))
         }
         ()
       }
@@ -1493,11 +1491,9 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Similarity.withMaintenanceLock(
           batch.sparkSession, tmp + "/cells", "refresh") {
-          graft.ops.Similarity
-            .ivfAssignDelta(batch, cents, "vec_id", "embedding")
-            .repartition(col("c_cell"))
-            .write.mode("append").partitionBy("c_cell")
-            .parquet(tmp + "/cells")
+          graft.ops.Similarity.ivfAppendCells(batch.sparkSession,
+            tmp + "/cells", graft.ops.Similarity
+              .ivfAssignDelta(batch, cents, "vec_id", "embedding"))
         }
         firstAppend.countDown()
         ()
@@ -1513,8 +1509,9 @@ object StreamOps {
           "race a live compaction; failing explicitly instead")
     if (compactErr.get != null) throw compactErr.get
     // serve with NO tombstone filter: the interleaved maintenance must
-    // leave exactly rebuild-minus-tombstones on disk (ivfOpenIndex
-    // replays any pending-delete manifest at open)
+    // leave exactly rebuild-minus-tombstones LIVE (ivfOpenIndex reads
+    // the committed manifest; the compactor's replaced files may still
+    // sit on disk awaiting their deferred delete)
     graft.ops.Similarity.ivfQueryIndex(
       graft.ops.Similarity.ivfOpenIndex(spark, tmp + "/cells"),
       cents,

@@ -171,8 +171,8 @@ class MaintenanceLockSpec extends SparkSpec {
     }
   }
 
-  test("ivfCompact persists the manifest BEFORE the swap and clears it " +
-    "after — a completed run leaves no pending state") {
+  test("ivfCompact swaps by manifest commit with deletes DEFERRED one " +
+    "maintenance cycle; the next op catches physical state up") {
     val tmp = Files.createTempDirectory("graft_manifest_spec").toString
     Seq(
       (1L, Array(1.0f, 0.0f), 1L, 1L),
@@ -186,6 +186,19 @@ class MaintenanceLockSpec extends SparkSpec {
     val affected = Similarity.ivfCompact(spark, tmp + "/cells",
       Seq(1L, 2L).toDF("t_id"), "t_id", tmp + "/stage")
     assert(affected.toSet === Set(1L, 2L))
+    // the swap IS the manifest commit: the live view is survivors only
+    assert(Files.exists(Paths.get(tmp + "/cells/_graft_manifest")))
+    assert(Similarity.ivfOpenIndex(spark, tmp + "/cells")
+      .select("c_id").as[Long].collect().toSeq === Seq(3L))
+    // ...while the replaced files stay on disk for readers that pinned
+    // the pre-swap manifest, listed for the next op's deferred delete
+    assert(Files.exists(Paths.get(tmp + "/cells/c_cell=1")))
+    assert(Files.exists(Paths.get(tmp + "/cells/_graft_pending_delete")))
+    assert(!Files.exists(Paths.get(tmp + "/cells/_graft_maint_lock")))
+    // the NEXT maintenance op (a no-op fold here) replays the deferred
+    // deletes on entry — physical state catches up with the manifest
+    assert(Similarity.ivfCompact(spark, tmp + "/cells",
+      Seq(999L).toDF("t_id"), "t_id", tmp + "/stage2").isEmpty)
     assert(!Files.exists(Paths.get(tmp + "/cells/c_cell=1")))
     assert(!Files.exists(Paths.get(tmp + "/cells/_graft_pending_delete")))
     assert(!Files.exists(Paths.get(tmp + "/cells/_graft_maint_lock")))

@@ -205,6 +205,41 @@ class SimilaritySpec extends SparkSpec {
     assert(m.toSeq === Seq(("a", "a"), ("aa", "a")))
   }
 
+  test("compiled BPE merge fold is element-for-element identical to " +
+      "the chained SQL aggregate folds") {
+    // Adversarial symbol set: self-pair (a,a) pins leftmost-non-
+    // overlap, multi-char merges chain onto earlier outputs, a pair
+    // whose `b` equals an earlier MERGED symbol must only match the
+    // raw input symbol, and a null element must pass through unmerged.
+    val merges = Seq(("a", "a"), ("aa", "b"), ("c", "aab"), ("x", "y"))
+    val words = Seq(
+      "aaab", "aaaab", "caab", "caaab", "abc", "xyxy", "xxyy",
+      "", "a", "b", "cacaabab", "aabaab"
+    ).toDF("word")
+      .select($"word", split($"word", "").as("rep"))
+    var sql = words
+    merges.foreach { case (a, b) =>
+      sql = sql.withColumn("rep", expr(TextAnalysis.mergeFoldSql(a, b)))
+    }
+    val compiled = words.withColumn("rep",
+      TextAnalysis.bpeApply($"rep", merges))
+    val s = sql.orderBy("word").collect().map(r =>
+      (r.getString(0), r.getSeq[String](1)))
+    val c = compiled.orderBy("word").collect().map(r =>
+      (r.getString(0), r.getSeq[String](1)))
+    assert(c.toSeq === s.toSeq)
+    assert(c.exists { case (w, rep) =>
+      w == "caaab" && rep == Seq("c", "aa", "a", "b") })
+    // null elements pass through unmerged, like SQL's null-propagating
+    // `=` falling to the append branch (compiled path only: the SQL
+    // fold's zero literal types its accumulator non-nullable)
+    val nulled = Seq(Tuple1("x")).toDF("w")
+      .select(TextAnalysis.bpeApply(
+        array(lit("a"), lit(null), lit("a")), merges).as("rep"))
+      .collect().head.getSeq[String](0)
+    assert(nulled === Seq("a", null, "a"))
+  }
+
   test("batched BPE training is merge-for-merge identical to the " +
       "sequential argmax loop") {
     // Conflict- and tie-rich corpus: shared symbols across the top
