@@ -248,10 +248,18 @@ object ScaleProbe {
       val rows = fn(spark, dir).count() // warm-up
       spark.catalog.clearCache()
       System.gc()
+      graft.streaming.StreamOps.resetStateMetrics() // attribute to timed pass
       val t0 = System.nanoTime()
       fn(spark, dir).count()
       val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
       println(s"[scale] $name: $sec s, $rows rows")
+      // Streaming ops: per-stateful-operator end-of-run footprint from the
+      // timed pass — the numbers the state-size ladder tabulates.
+      graft.streaming.StreamOps.lastStateMetrics.foreach { m =>
+        println(s"[scale]   state ${m.operator}: rows=${m.rowsTotal} " +
+          s"updated=${m.rowsUpdated} removed=${m.rowsRemoved} " +
+          s"mem=${m.memoryBytes}B")
+      }
       spark.catalog.clearCache()
     }
     spark.stop()

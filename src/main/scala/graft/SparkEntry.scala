@@ -2748,6 +2748,58 @@ object SparkEntry {
     // sharing n24's oracle: compaction must be invisible to reads ------
     "n25_index_compact" -> ((s, dir) => ivfCompactLifecycle(s, dir, 16)),
 
+    // ---- N30: VERSIONED SNAPSHOTS + TIME TRAVEL — the retention
+    // upgrade over n25's single-cycle grace window (Iceberg's snapshot
+    // model on the parquet-directory index): with
+    // spark.graft.indexRetainVersions=2, two successive compactions
+    // leave the pristine v1, the once-compacted v2, and the live v3
+    // ALL fully readable — ivfOpenIndexAt(v) pins any retained
+    // version's exact file set, no locks, no replay. The gate reads
+    // the MEMBERSHIP of all three snapshots; the oracle replays the
+    // two tombstone predicates over the corpus — time travel must
+    // reproduce each version's content exactly, which is codebook-
+    // independent (membership is rows-minus-tombstones regardless of
+    // cell assignment). At 100 TB: retention costs only the retained
+    // versions' replaced files (delta-sized per compaction), and a
+    // pinned reader — a long analytics query, a serving replica
+    // mid-swap — can never lose a file inside the window, however many
+    // maintenance ops run meanwhile ----------------------------------
+    "n30_index_time_travel" -> ((s, dir) => {
+      val prevRetain = s.conf.getOption(Similarity.RetainVersionsConf)
+      s.conf.set(Similarity.RetainVersionsConf, "2")
+      try {
+        val emb = t(s, dir, "embeddings")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ivf_tt").toString
+        val (cells, _) =
+          Similarity.ivfBuildIndex(emb, "vec_id", "embedding", nCells = 16)
+        cells.repartition(col("c_cell"))
+          .write.mode("overwrite").partitionBy("c_cell")
+          .parquet(tmp + "/cells")
+        // v1 = the bootstrap snapshot of the pristine index; each
+        // compaction commits the next version
+        Similarity.ivfCompact(s, tmp + "/cells",
+          emb.filter(col("vec_id") % 7 === 3)
+            .select(col("vec_id").as("t_id")),
+          "t_id", tmp + "/stage1")
+        Similarity.ivfCompact(s, tmp + "/cells",
+          emb.filter(col("vec_id") % 5 === 1)
+            .select(col("vec_id").as("t_id")),
+          "t_id", tmp + "/stage2")
+        def snap(tag: String, df: DataFrame): DataFrame =
+          df.select(lit(tag).as("snap"), col("c_id"))
+        snap("v1", Similarity.ivfOpenIndexAt(s, tmp + "/cells", 1L))
+          .unionByName(
+            snap("v2", Similarity.ivfOpenIndexAt(s, tmp + "/cells", 2L)))
+          .unionByName(
+            snap("v3", Similarity.ivfOpenIndex(s, tmp + "/cells")))
+          .orderBy("snap", "c_id")
+      } finally prevRetain match {
+        case Some(v) => s.conf.set(Similarity.RetainVersionsConf, v)
+        case None => s.conf.unset(Similarity.RetainVersionsConf)
+      }
+    }),
+
     // ---- N24: INDEX DELETIONS — the remaining lifecycle leg after
     // build (n3), persist (n22), and refresh-with-inserts (n23): serve
     // a persisted index with a TOMBSTONE TABLE of deleted ids applied
@@ -6898,7 +6950,20 @@ object SparkEntry {
     "st27_stream_index_refresh" -> oracleSqlBase("n3_ann_ivf"),
     // the compressed-index parquet round trip must be lossless —
     // n10's oracle unchanged
-    "n28_persisted_ivfpq" -> oracleSqlBase("n10_ann_ivfpq"))
+    "n28_persisted_ivfpq" -> oracleSqlBase("n10_ann_ivfpq"),
+    // time travel must reproduce each retained version's content
+    // exactly: v1 pristine, v2 minus the first tombstone set, v3 (the
+    // live view) minus both — membership is codebook-independent, so
+    // the oracle is the corpus with the tombstone predicates replayed
+    "n30_index_time_travel" ->
+      """SELECT 'v1' AS snap, vec_id AS c_id FROM embeddings
+        | UNION ALL
+        | SELECT 'v2' AS snap, vec_id AS c_id FROM embeddings
+        |  WHERE vec_id % 7 <> 3
+        | UNION ALL
+        | SELECT 'v3' AS snap, vec_id AS c_id FROM embeddings
+        |  WHERE vec_id % 7 <> 3 AND vec_id % 5 <> 1
+        | ORDER BY snap, c_id""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "s1_scan" ->

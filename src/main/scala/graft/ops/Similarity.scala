@@ -482,9 +482,15 @@ object Similarity {
           .select("c_cell").collect().map(_.getLong(0)).toSet
         val affectedSet = affected.toSet
         val before = listDataFiles(spark, indexDir)
-        // the affected cells' current files — replaced in the manifest
-        // now, physically deleted at the NEXT maintenance op
-        val oldFiles = before.filter(f =>
+        // the new version derives from the current LIVE list, never the
+        // disk listing: under retention > 0 the disk also holds older
+        // versions' retained files, which a listing-based commit would
+        // RESURRECT into the new version (caught by IndexRetentionSpec)
+        val live0 = readManifest(spark, indexDir).map(_._2)
+          .getOrElse(before)
+        // the affected cells' current LIVE files — replaced in the
+        // manifest now, physically deleted when their stamp falls due
+        val oldFiles = live0.filter(f =>
           f.split("/").headOption.exists { seg =>
             seg.startsWith("c_cell=") &&
               scala.util.Try(seg.stripPrefix("c_cell=").toLong).toOption
@@ -516,13 +522,18 @@ object Similarity {
         // manifest serving the old view (the appended files are orphans
         // the next run sweeps); after it, the old files are garbage.
         commitManifest(spark, indexDir, version + 1,
-          (before.toSet -- oldFiles.toSet).toSeq ++ newFiles)
-        // deferred physical cleanup (next maintenance op replays):
-        // the replaced files, plus fully-dead cells' now-empty
-        // partition directories
+          (live0.toSet -- oldFiles.toSet).toSeq ++ newFiles)
+        // deferred physical cleanup, version-stamped (due once the live
+        // version advances `retain` commits past this one): the
+        // replaced files, plus fully-dead cells' now-empty partition
+        // directories. MERGED with entries the entry replay kept —
+        // under retention > 0 earlier retirements may still be inside
+        // their window.
         val fullyDead = affected.filterNot(surviving)
+        val retired = (oldFiles ++ fullyDead.map(c => s"c_cell=$c"))
+          .map(e => s"${version + 1}:$e")
         writePendingDeletes(spark, indexDir,
-          oldFiles ++ fullyDead.map(c => s"c_cell=$c"))
+          readPendingEntries(spark, indexDir) ++ retired)
       }
       affected
     }
@@ -543,6 +554,26 @@ object Similarity {
     * exactly as before.
     */
   private val ManifestName = "_graft_manifest"
+
+  /** Session conf: how many PREVIOUS manifest versions stay fully
+    * readable alongside the latest (Iceberg's snapshot-retention knob,
+    * r11-verdict's "deployment-grade upgrade"). A compaction's replaced
+    * files are version-stamped into the pending-delete manifest and
+    * fall due only once the live version has advanced `retain + 1`
+    * commits past the version that retired them — so a reader pinned
+    * on any of the last `retain` versions NEVER loses a file, however
+    * many maintenance ops run meanwhile, and [[ivfOpenIndexAt]] can
+    * time-travel to any retained version. Default 0 = the pre-r12
+    * timing exactly (replaced files deleted at the next maintenance
+    * op): the single-cycle grace window, zero extra disk.
+    */
+  val RetainVersionsConf = "spark.graft.indexRetainVersions"
+
+  private def retainVersions(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(RetainVersionsConf)
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .map(math.max(0L, _)).getOrElse(0L)
 
   /** Relative paths of the index's data files — every file whose path
     * has no `_`/`.`-prefixed segment — via one recursive listing.
@@ -597,13 +628,32 @@ object Similarity {
     val tmp = new org.apache.hadoop.fs.Path(indexDir,
       ManifestName + ".tmp")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val body = (version.toString +: files.sorted).mkString("\n")
+      .getBytes("UTF-8")
+    // history copy FIRST (a crash between the two leaves an orphan
+    // history file the next commit's prune collects — harmless), then
+    // the atomic flip of the live pointer
+    val hist = fs.create(
+      new org.apache.hadoop.fs.Path(indexDir, ManifestName + ".v" + version),
+      true)
+    hist.write(body)
+    hist.close()
     val out = fs.create(tmp, true)
-    out.write((version.toString +: files.sorted).mkString("\n")
-      .getBytes("UTF-8"))
+    out.write(body)
     out.close()
     fs.delete(dst, false)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    // prune history beyond the retention window (metadata expiry —
+    // the files themselves go through the pending-delete channel)
+    val keepFrom = version - retainVersions(spark)
+    fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(ManifestName + ".v") &&
+          scala.util.Try(n.stripPrefix(ManifestName + ".v").toLong)
+            .toOption.exists(_ < keepFrom))
+        fs.delete(st.getPath, false)
+    }
   }
 
   /** First locked maintenance op on a pre-manifest index: snapshot the
@@ -627,11 +677,24 @@ object Similarity {
                                indexDir: String): Unit =
     readManifest(spark, indexDir).foreach { case (_, live) =>
       val liveSet = live.toSet
+      // Files awaiting a SCHEDULED delete are not orphans: under
+      // retention > 0 they are exactly the retained versions' data,
+      // absent from the live manifest yet load-bearing for pinned
+      // readers and [[ivfOpenIndexAt]]. A pending cell-directory entry
+      // covers every file under it.
+      val pendingPrefixes = readPendingEntries(spark, indexDir).map { e =>
+        val raw = PendingStamp.findFirstMatchIn(e)
+          .map(_.group(2)).getOrElse(e)
+        if (raw.forall(c => c.isDigit || c == '-')) s"c_cell=$raw" else raw
+      }
+      def pendingCovers(rel: String): Boolean =
+        pendingPrefixes.exists(p => rel == p || rel.startsWith(p + "/"))
       val root = new org.apache.hadoop.fs.Path(indexDir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      listDataFiles(spark, indexDir).filterNot(liveSet).foreach { rel =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, rel), false)
-      }
+      listDataFiles(spark, indexDir).filterNot(liveSet)
+        .filterNot(pendingCovers).foreach { rel =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, rel), false)
+        }
     }
 
   /** Load exactly the index's LIVE files: via the manifest when one
@@ -643,11 +706,42 @@ object Similarity {
   private def loadLive(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String): DataFrame =
     readManifest(spark, indexDir) match {
-      case Some((_, files)) if files.nonEmpty =>
-        spark.read.option("basePath", indexDir)
-          .parquet(files.map(f => indexDir + "/" + f): _*)
-      case _ => spark.read.parquet(indexDir)
+      case Some((_, files)) => loadFileList(spark, indexDir, files)
+      case None => spark.read.parquet(indexDir)
     }
+
+  /** Load an explicit manifest file list (`basePath` keeps the
+    * `c_cell=` partition column). An EMPTY list — a compaction
+    * tombstoned every cell — is zero rows, NOT a directory-listing
+    * fallback (which would resurrect the dead rows still on disk in
+    * their grace window; found by Round10OpsSpec's all-dead readout):
+    * schema comes from the on-disk files when any remain (footer-only —
+    * limit 0 reads no rows), else the canonical [[ivfBuildIndex]] cell
+    * shape.
+    */
+  private def loadFileList(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String,
+                           files: Seq[String]): DataFrame =
+    if (files.nonEmpty)
+      spark.read.option("basePath", indexDir)
+        .parquet(files.map(f => indexDir + "/" + f): _*)
+    else
+      try spark.read.parquet(indexDir).limit(0)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("c_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("c_vec",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.FloatType)),
+              org.apache.spark.sql.types.StructField("c_norm",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("c_cell",
+                org.apache.spark.sql.types.LongType))))
+      }
 
   /** In-process layer of the maintenance lock: one monitor per index
     * directory. Same-driver mutators (a streaming query's foreachBatch
@@ -822,6 +916,23 @@ object Similarity {
     * accepted on replay (the pre-manifest format, same meaning as its
     * directory path). Replayed by [[replayPendingDeletes]].
     */
+  /** Current pending-delete entries verbatim (stamped or legacy), empty
+    * when no manifest is pending.
+    */
+  private def readPendingEntries(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, PendingDeleteName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      finally in.close()
+    }
+  }
+
   private def writePendingDeletes(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       entries: Seq[String]): Unit = {
@@ -876,6 +987,40 @@ object Similarity {
       .withColumn("c_cell", col("c_cell").cast("long"))
   }
 
+  /** TIME-TRAVEL open: the index exactly as manifest `version`
+    * committed it (Iceberg's `VERSION AS OF`). Guaranteed complete for
+    * the last [[RetainVersionsConf]] versions — their files are inside
+    * the retention window by construction; older versions' manifests
+    * are pruned at commit, so asking for one fails fast here rather
+    * than returning a silently hole-y scan. Zero locks, zero replay:
+    * reading a retained snapshot must never contend with maintenance.
+    */
+  def ivfOpenIndexAt(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String, version: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir,
+      ManifestName + ".v" + version)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val avail = fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+        .map(_.getPath.getName)
+        .filter(_.startsWith(ManifestName + ".v"))
+        .flatMap(n => scala.util.Try(
+          n.stripPrefix(ManifestName + ".v").toLong).toOption)
+        .sorted
+      throw new IllegalArgumentException(
+        s"index version $version not retained under $indexDir " +
+          s"(retained: ${avail.mkString(", ")}) — raise " +
+          s"$RetainVersionsConf to keep more history")
+    }
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    loadFileList(spark, indexDir, lines.drop(1))
+      .withColumn("c_cell", col("c_cell").cast("long"))
+  }
+
   /** APPEND delta rows (the [[ivfAssignDelta]] cell-table shape) to a
     * persisted cell-partitioned index, maintaining the live-file
     * manifest when the index is in manifest mode: files first, then
@@ -927,15 +1072,37 @@ object Similarity {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       val entries = txt.split("\\s+").filter(_.nonEmpty).toSeq
-      entries.foreach { e =>
+      // An entry is due when the live version has advanced `retain`
+      // commits past the version stamped at retirement (see
+      // [[RetainVersionsConf]]); legacy unstamped entries (bare cell
+      // ids or paths from a pre-r12 pending file) are always due.
+      val latest = readManifest(spark, indexDir).map(_._1).getOrElse(0L)
+      val retain = retainVersions(spark)
+      val (due, kept) = entries.partition { e =>
+        PendingStamp.findFirstMatchIn(e) match {
+          case Some(m) => latest >= m.group(1).toLong + retain
+          case None => true
+        }
+      }
+      due.foreach { e =>
+        val raw = PendingStamp.findFirstMatchIn(e)
+          .map(_.group(2)).getOrElse(e)
         val rel =
-          if (e.forall(c => c.isDigit || c == '-')) s"c_cell=$e" else e
+          if (raw.forall(c => c.isDigit || c == '-')) s"c_cell=$raw"
+          else raw
         fs.delete(new org.apache.hadoop.fs.Path(indexDir, rel), true)
       }
-      fs.delete(p, false)
-      entries
+      if (kept.isEmpty) fs.delete(p, false)
+      else writePendingDeletes(spark, indexDir, kept)
+      due
     }
   }
+
+  /** Stamped pending-delete entry: `<retiredAtVersion>:<relativePath>`.
+    * Parquet data paths never contain `:`; bare-digit and unstamped
+    * legacy entries fall through to "always due".
+    */
+  private val PendingStamp = "^([0-9]+):(.+)$".r
 
   /** The rewrite side of [[ivfCompact]]: a partition-pruned read of the
     * affected cells with the tombstones anti-joined out.

@@ -84,6 +84,41 @@ object StreamOps {
     */
   private val HarnessStateParts = 8
 
+  /** End-of-run state-store footprint of ONE stateful operator: the
+    * last micro-batch's StateOperatorProgress, the numbers a production
+    * deployment alarms on (state that grows without bound = a missing
+    * watermark or an unbounded join range — the failure mode that kills
+    * a 100 TB streaming job weeks in, not in review).
+    */
+  case class StateOpMetrics(operator: String, rowsTotal: Long,
+                            rowsUpdated: Long, rowsRemoved: Long,
+                            memoryBytes: Long)
+
+  /** Metrics of the most recent harness query (any of the ops in this
+    * file), for SCALE.md ladders and ops dashboards: per stateful
+    * operator, end-of-run state rows / bytes. Populated synchronously by
+    * [[processAndRecord]] — no listener-bus race.
+    */
+  @volatile private var lastState: Seq[StateOpMetrics] = Nil
+  def lastStateMetrics: Seq[StateOpMetrics] = lastState
+  def resetStateMetrics(): Unit = lastState = Nil
+
+  /** Drain an AvailableNow query synchronously and snapshot its state
+    * metrics from the LAST progress carrying stateOperators (the final
+    * no-data batch reports the settled post-eviction footprint; a query
+    * with no stateful op records Nil).
+    */
+  private def processAndRecord(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable()
+    lastState = q.recentProgress.reverseIterator
+      .find(p => p.stateOperators != null && p.stateOperators.nonEmpty)
+      .map(_.stateOperators.toSeq.map(so =>
+        StateOpMetrics(so.operatorName, so.numRowsTotal, so.numRowsUpdated,
+          so.numRowsRemoved, so.memoryUsedBytes)))
+      .getOrElse(Nil)
+  }
+
   /** Tumbling-window streaming aggregation, driven synchronously from the
     * static events parquet (memory sink + processAllAvailable — one
     * micro-batch). Returns the finished result as a batch DataFrame.
@@ -100,7 +135,7 @@ object StreamOps {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
+      processAndRecord(q)
       q.stop()
     }
     spark.table(queryName).select(
@@ -133,7 +168,7 @@ object StreamOps {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
+      processAndRecord(q)
       batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
       q.stop()
     }
@@ -169,7 +204,7 @@ object StreamOps {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
+      processAndRecord(q)
       batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
       q.stop()
     }
@@ -269,7 +304,7 @@ object StreamOps {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
+      processAndRecord(q)
       q.stop()
     }
     spark.table(queryName)
@@ -294,7 +329,7 @@ object StreamOps {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
+      processAndRecord(q)
       q.stop()
     }
     spark.table(queryName)
@@ -349,7 +384,7 @@ object StreamOps {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
+      processAndRecord(q)
       q.stop()
     }
     spark.table(queryName)
@@ -430,7 +465,7 @@ object StreamOps {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
+      processAndRecord(q)
       q.stop()
     }
     spark.table(queryName)
@@ -459,7 +494,7 @@ object StreamOps {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
+      processAndRecord(q)
       q.stop()
     }
     spark.table(queryName)
@@ -597,7 +632,7 @@ object StreamOps {
           .format("memory").queryName(queryName)
           .trigger(Trigger.AvailableNow())
           .start()
-        q.processAllAvailable()
+        processAndRecord(q)
         q.stop()
       }
       spark.table(queryName)
@@ -675,7 +710,7 @@ object StreamOps {
           .format("memory").queryName(queryName)
           .trigger(Trigger.AvailableNow())
           .start()
-        q.processAllAvailable()
+        processAndRecord(q)
         q.stop()
       }
       spark.table(queryName)
@@ -778,7 +813,7 @@ object StreamOps {
           .format("memory").queryName(queryName)
           .trigger(Trigger.AvailableNow())
           .start()
-        q.processAllAvailable()
+        processAndRecord(q)
         q.stop()
       }
       spark.table(queryName)
@@ -813,7 +848,7 @@ object StreamOps {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
+      processAndRecord(q)
       q.stop()
     }
     val exact = graft.Tables.load(spark, dir, "events")
@@ -850,7 +885,7 @@ object StreamOps {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
+      processAndRecord(q)
       q.stop()
     }
     graft.ops.LogHistogram.percentilesOfSketch(
@@ -942,7 +977,7 @@ object StreamOps {
           .format("memory").queryName(queryName)
           .trigger(Trigger.AvailableNow())
           .start()
-        q.processAllAvailable()
+        processAndRecord(q)
         q.stop()
       }
       // "latest emission" rank: n_changes is MONOTONE per key across
@@ -1031,7 +1066,7 @@ object StreamOps {
           .format("memory").queryName(queryName)
           .trigger(Trigger.AvailableNow())
           .start()
-        q.processAllAvailable()
+        processAndRecord(q)
         q.stop()
       }
       spark.table(queryName)
@@ -1066,7 +1101,7 @@ object StreamOps {
           .format("memory").queryName(queryName)
           .trigger(Trigger.AvailableNow())
           .start()
-        q.processAllAvailable()
+        processAndRecord(q)
         q.stop()
       }
       spark.table(queryName)
@@ -1108,7 +1143,7 @@ object StreamOps {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
+      processAndRecord(q)
       q.stop()
     }
     spark.table(queryName).select(col("user_id"),
@@ -1150,7 +1185,7 @@ object StreamOps {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
+      processAndRecord(q)
       q.stop()
     }
     spark.table(queryName).select(
@@ -1187,7 +1222,7 @@ object StreamOps {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
+      processAndRecord(q)
       q.stop()
     }
     // The memory sink holds the UNaggregated pair set; materialize the
@@ -1251,7 +1286,7 @@ object StreamOps {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
+      processAndRecord(q)
       q.stop()
     }
     val agg = spark.table(queryName)
@@ -1326,7 +1361,7 @@ object StreamOps {
         .foreachBatch(jdbcUpsertBatch(url, table, Seq("event_type"), options))
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
+      processAndRecord(q)
       q.stop()
     }
     graft.etl.Sources.jdbc(spark, url, table, options)
@@ -1400,7 +1435,7 @@ object StreamOps {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.processAllAvailable()
+    processAndRecord(q)
     q.stop()
     // serve n3's exact query from the streamed index
     graft.ops.Similarity.ivfQueryIndex(
@@ -1500,7 +1535,7 @@ object StreamOps {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.processAllAvailable()
+    processAndRecord(q)
     q.stop()
     compactor.join(600000)
     if (compactor.isAlive)
@@ -1579,7 +1614,7 @@ object StreamOps {
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.processAllAvailable()
+    processAndRecord(q)
     q.stop()
     spark.table(queryName)
   }
@@ -1630,7 +1665,7 @@ object StreamOps {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
+      processAndRecord(q)
       q.stop()
     }
     spark.table(queryName)
@@ -1666,7 +1701,7 @@ object StreamOps {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
+      processAndRecord(q)
       q.stop()
     }
     val sink = spark.table(queryName)

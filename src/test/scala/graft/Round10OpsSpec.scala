@@ -70,12 +70,31 @@ class Round10OpsSpec extends SparkSpec {
     assert(affected.toSet === Set(1L, 3L))
     // untouched partition: same files, same modification times
     assert(cell2Files() === before)
-    // survivors: exactly the non-tombstoned rows, all cells intact
-    val after = spark.read.parquet(tmp + "/cells")
+    // survivors through the READER contract (the manifest): exactly the
+    // non-tombstoned rows. The replaced files stay on disk one grace
+    // cycle for pinned readers, so a RAW directory read still shows the
+    // dead rows here — that is the r11 snapshot-isolation design, not a
+    // leak.
+    val expected = Set((1L, 1L), (3L, 1L), (5L, 2L), (6L, 2L), (8L, 3L))
+    def openedRows(): Set[(Long, Long)] =
+      Similarity.ivfOpenIndex(spark, tmp + "/cells")
+        .select(col("c_id"), col("c_cell"))
+        .as[(Long, Long)].collect().toSet
+    assert(openedRows() === expected)
+    val rawAfterSwap = spark.read.parquet(tmp + "/cells")
       .select(col("c_id"), col("c_cell").cast("long"))
       .as[(Long, Long)].collect().toSet
-    assert(after === Set((1L, 1L), (3L, 1L), (5L, 2L), (6L, 2L),
-      (8L, 3L)))
+    assert(rawAfterSwap === expected ++ Set((2L, 1L), (9L, 3L)))
+    // the NEXT maintenance op replays the deferred deletes: physical
+    // directory and manifest agree again, cell 2 still byte-untouched
+    Similarity.ivfCompact(spark, tmp + "/cells",
+      Seq.empty[Long].toDF("t_id"), "t_id", tmp + "/stage2")
+    assert(cell2Files() === before)
+    val rawAfterGrace = spark.read.parquet(tmp + "/cells")
+      .select(col("c_id"), col("c_cell").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(rawAfterGrace === expected)
+    assert(openedRows() === expected)
   }
 
   test("ivfQueryIndexPruned equals ivfQueryIndex and partition-prunes " +
@@ -124,17 +143,27 @@ class Round10OpsSpec extends SparkSpec {
     val affected = Similarity.ivfCompact(spark, tmp + "/cells", tombs,
       "t_id", tmp + "/stage")
     assert(affected.toSet === Set(1L, 2L))
-    assert(!Files.exists(Paths.get(tmp + "/cells/c_cell=2")))
-    val after = spark.read.parquet(tmp + "/cells")
-      .select(col("c_id"), col("c_cell").cast("long"))
+    // the manifest (the reader contract) excludes the dead cell at
+    // once; its directory survives one grace cycle for pinned readers
+    // and is physically removed when the NEXT maintenance op replays
+    // the deferred deletes
+    val after = Similarity.ivfOpenIndex(spark, tmp + "/cells")
+      .select(col("c_id"), col("c_cell"))
       .as[(Long, Long)].collect().toSet
     assert(after === Set((1L, 1L), (8L, 3L)))
+    assert(Files.exists(Paths.get(tmp + "/cells/c_cell=2")))
     // the degenerate ALL-dead case: every affected cell empties —
-    // nothing stages (the old code crashed reading an empty stage),
-    // the dead partition directories are removed
+    // nothing stages (the old code crashed reading an empty stage).
+    // This second op also replays the first op's deferred deletes, so
+    // cell 2's directory goes now …
     val affected2 = Similarity.ivfCompact(spark, tmp + "/cells",
       Seq(1L, 8L).toDF("t_id"), "t_id", tmp + "/stage2")
     assert(affected2.toSet === Set(1L, 3L))
+    assert(!Files.exists(Paths.get(tmp + "/cells/c_cell=2")))
+    assert(Similarity.ivfOpenIndex(spark, tmp + "/cells").isEmpty)
+    // … and a third replays the second's: nothing is left on disk
+    Similarity.ivfCompact(spark, tmp + "/cells",
+      Seq.empty[Long].toDF("t_id"), "t_id", tmp + "/stage3")
     assert(!Files.exists(Paths.get(tmp + "/cells/c_cell=1")))
     assert(!Files.exists(Paths.get(tmp + "/cells/c_cell=3")))
   }
