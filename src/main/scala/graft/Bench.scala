@@ -70,6 +70,47 @@ object Bench {
       }
     }
 
+  /** HOST CALIBRATION (r12 — the cross-VM drift fix): a fixed CPU-bound
+    * probe timed at battery start and recorded in the artifact as
+    * `calib`. Successive rounds can run on different VM generations
+    * (r12's host timed the identical battery ~1.3× slower than r11's),
+    * and a baseline pinned on a faster, since-retired host mints
+    * `confirmed` regressions on untouched code — r11 minted three, r12's
+    * first battery two, all of which a same-host A/B reverts. When both
+    * the baseline artifact and this run carry `calib`, adjudication
+    * ALSO computes the host-normalized ratio (now ÷ calib-drift) and a
+    * flag whose normalized ratio is back under the threshold is emitted
+    * as `host-drift`, never `confirmed`. The probe is pure Spark
+    * built-ins (range → xxhash64 → sum: no I/O, no graft code, fills
+    * all cores like the battery), so a regression in engine code cannot
+    * launder itself through the calibration. Raw ratios stay in the
+    * artifact — the scaling is visible, not silent.
+    */
+  def calibrate(spark: SparkSession): Double = {
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      // max, not sum: a SUM of 2e9 hashes overflows BIGINT under ANSI
+      // semantics and fails the whole battery at stage 0
+      spark.range(0L, 8000000000L, 1L, 32)
+        .select(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("id"))))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass() // warm: codegen + JIT
+    math.min(pass(), pass())
+  }
+
+  /** The `calib` field of a previous artifact, when present. */
+  def previousCalib(path: String): Option[Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      "\"calib\":(-?[0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+
   /** Parse the per-query map out of a previous bench artifact — our own
     * fixed single-line format, so a scoped regex beats dragging in a JSON
     * parser. Returns empty when the file is absent or was run at a
@@ -185,6 +226,9 @@ object Bench {
     awaitQuiet(primaryBudget, strict = true)
     val loadStart = loadAvg()
     val gateWaived = !quietEnough(loadStart, strict = true)
+    // host speed constant for cross-VM ratio normalization (see
+    // [[calibrate]]) — timed on the quiet host, before the battery
+    val calibNow = calibrate(spark)
 
     // Optional args (local iteration only; the driver passes none):
     // query-name prefixes to restrict the battery to.
@@ -237,11 +281,19 @@ object Bench {
     // artifact, updated deliberately, never written by this program;
     // per query the baseline is the MIN of the two sources, so a local
     // rerun can tighten the net but can never loosen it.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "/root/repo/bench_baseline.json")
     val prevLocal = previousQueryTimes(outPath, sfDir)
-    val prevPinned = previousQueryTimes(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
-        "/root/repo/bench_baseline.json"), sfDir)
+    val prevPinned = previousQueryTimes(baselinePath, sfDir)
     val prev = mergedBaseline(prevLocal, prevPinned)
+    // per query, the calibration constant of the source whose time won
+    // the min — the denominator of that query's host-drift correction
+    val localCalib = previousCalib(outPath)
+    val pinnedCalib = previousCalib(baselinePath)
+    val prevCalib: Map[String, Option[Double]] = prev.map { case (k, p) =>
+      val fromLocal = prevLocal.get(k).contains(p)
+      k -> (if (fromLocal) localCalib else pinnedCalib)
+    }
     val regs = regressions(prev, results.toMap)
     // A query that ERRORED this run (sec = -1) is worse than any
     // ratio, but regressions() can't mint a ratio for it — surface it
@@ -289,44 +341,55 @@ object Bench {
       (sec, math.max(effLoad(loadPre), effLoad(loadAvg())))
     }
     val adjudicated = regs.toSeq.sortBy(_._1).map { case (k, (p, n, r)) =>
+      // host-drift correction: this run's calibration over the
+      // baseline source's (> 1 = this host is slower). None when the
+      // baseline artifact predates calibration.
+      val drift: Option[Double] = prevCalib.getOrElse(k, None)
+        .filter(_ > 0).map(calibNow / _)
       val (retest, retestLoad) = isolatedRetest(k)
       // CONFIRMED needs: the ratio to reproduce in TWO independent
-      // isolated retests, each run STRICTLY below the gate. r11 minted
-      // 3 `confirmed` on untouched code from single retests at loadavg
-      // 1.45-1.50 — exactly at the old `>` gate — that the quiet-host
-      // rerun could not reproduce; a load-boundary spike decays between
-      // the two passes, a structural regression reproduces in both.
-      val (verdict, retest2, retest2Load) =
-        if (retest < 0) ("retest-errored", -1.0, -1.0)
-        // a crashed retest must not launder the flag to jitter
-        else if (retest / p < RegressionRatio) ("jitter", -1.0, -1.0)
-        else if (retestLoad >= loadGate) ("load-suspect", -1.0, -1.0)
-        else {
+      // isolated retests, each run STRICTLY below the gate, and — when
+      // both artifacts carry a calibration — to survive host-drift
+      // normalization (r12: a fresh, ~1.3×-slower VM re-minted
+      // `confirmed` flags on untouched code through retests that were
+      // genuinely quiet; a slower host reproduces, only normalization
+      // tells it from a code regression). r11 minted 3 `confirmed` on
+      // untouched code from single retests at loadavg 1.45-1.50 — a
+      // load-boundary spike decays between two passes, a structural
+      // regression reproduces in both.
+      def judge(rt: Double, rl: Double): String =
+        if (rt < 0) "retest-errored" // a crash must not read as jitter
+        else if (rt / p < RegressionRatio) "jitter"
+        else if (drift.exists(d => (rt / p) / d < RegressionRatio))
+          "host-drift"
+        else if (rl >= loadGate) "load-suspect"
+        else "confirmed"
+      val (verdict, retest2, retest2Load) = judge(retest, retestLoad) match {
+        case "confirmed" =>
           val (rt2, rl2) = isolatedRetest(k)
-          val v =
-            if (rt2 < 0) "retest-errored"
-            else if (rt2 / p < RegressionRatio) "jitter"
-            else if (rl2 >= loadGate) "load-suspect"
-            else "confirmed"
-          (v, rt2, rl2)
-        }
-      (k, p, n, r, retest, verdict, retestLoad, retest2, retest2Load)
+          (judge(rt2, rl2), rt2, rl2)
+        case v => (v, -1.0, -1.0)
+      }
+      (k, p, n, r, retest, verdict, retestLoad, retest2, retest2Load, drift)
     }
     val nConfirmed = adjudicated.count(_._6 == "confirmed")
     val regsJson = adjudicated.map {
-      case (k, p, n, r, rt, v, rl, rt2, rl2) =>
+      case (k, p, n, r, rt, v, rl, rt2, rl2, drift) =>
         val second =
           if (rt2 < 0 && rl2 < 0) ""
           else ",\"retest2\":" + r3(rt2) + ",\"retest2_load\":" + r3(rl2)
+        val driftPart = drift.map(d => ",\"calib_drift\":" + r3(d))
+          .getOrElse("")
         "\"" + k + "\":{\"prev\":" + r3(p) + ",\"now\":" + r3(n) +
           ",\"ratio\":" + r3(r) + ",\"retest\":" + r3(rt) +
-          ",\"retest_load\":" + r3(rl) + second +
+          ",\"retest_load\":" + r3(rl) + second + driftPart +
           ",\"verdict\":\"" + v + "\"}"
     }.mkString("{", ",", "}")
     val loadEnd = loadAvg()
     def loadJson(l: Seq[Double]) = l.map(r3).mkString("[", ",", "]")
     val errPart = erroredNow.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val loadPart = s""","loadavg_start":${loadJson(loadStart)}""" +
+    val loadPart = s""","calib":${r3(calibNow)}""" +
+      s""","loadavg_start":${loadJson(loadStart)}""" +
       s""","loadavg_end":${loadJson(loadEnd)}""" +
       s""","load_gate":${r3(loadGate)},"load_gate_waived":$gateWaived""" +
       s""","errored":$errPart,"n_errored":${erroredNow.size}""" +

@@ -62,6 +62,10 @@ object ScaleProbe {
     // the probe prints accepted-merges-per-round and jobs/merge (the
     // numbers SCALE.md tabulates) alongside the runner's wall time.
     // bpe@512x1 is the classic one-argmax-per-round loop baseline.
+    // the GATE's own work shape (64 merges) at both batch settings —
+    // the t20/t21 round-count observable
+    "bpe@64x16" -> bpeProbe(64, 16),
+    "bpe@64x64" -> bpeProbe(64, 64),
     "bpe@512x1" -> bpeProbe(512, 1),
     "bpe@512x16" -> bpeProbe(512, 16),
     "bpe@512x64" -> bpeProbe(512, 64),
@@ -78,6 +82,17 @@ object ScaleProbe {
     "bpe_zipf@512x16" -> bpeZipfProbe(512, 16),
     "bpe_zipf@512x64" -> bpeZipfProbe(512, 64),
     "bpe_zipf@1024x64" -> bpeZipfProbe(1024, 64),
+    // k-truss ENGINE comparison (r12): the gate's incidence-maintenance
+    // form vs the r11 recompute-per-round form (wedge join each round,
+    // nothing materialized across rounds), at the gate's rounds=2 and
+    // at rounds=4 where deletion-maintenance has rounds to amortize
+    // over. Same support semantics, identical outputs.
+    "ktruss@rec2" -> ktrussRecompute(6, 2),
+    "ktruss@rec4" -> ktrussRecompute(6, 4),
+    "ktruss@inc4" -> ((s, dir) => {
+      val und = copurchase(s, dir)
+      graft.ops.Graph.kTruss(und, "part_a", "part_b", k = 6, rounds = 4)
+    }),
     // g17 WITHOUT the cut (r9-verdict item 4): the same bounded k-truss
     // but with a NAIVE bidirectional wedge enumeration in place of the
     // degree-ordered orientation — every common-neighbor apex u does
@@ -154,6 +169,36 @@ object ScaleProbe {
       a.join(b, abs(col("v_a") - col("v_b")) <= 50 &&
         col("id_a") < col("id_b"))
     }))
+
+  /** The g17 gate's co-purchase edge set (lineitem self-join). */
+  private def copurchase(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val a = op.select(col("ok"), col("pk").as("part_a"))
+    val b = op.select(col("ok").as("ok_b"), col("pk").as("part_b"))
+    a.join(b, col("ok") === col("ok_b") && col("part_a") < col("part_b"))
+      .select("part_a", "part_b").distinct()
+  }
+
+  /** The r11 k-truss engine: support recomputed from the wedge join
+    * every round, nothing materialized across rounds.
+    */
+  private def ktrussRecompute(k: Int,
+                              rounds: Int): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      var und = graft.Checkpoints.sever(copurchase(s, dir)
+        .select(least(col("part_a"), col("part_b")).as("a"),
+          greatest(col("part_a"), col("part_b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+      (1 to rounds).foreach { _ =>
+        val keep = graft.ops.Graph.triangleIncidence(und)
+          .groupBy("a", "b").agg(count(lit(1)).as("support"))
+          .filter(col("support") >= k - 2).select("a", "b")
+        und = graft.Checkpoints.sever(keep)
+      }
+      und
+    }
 
   /** n25's gate body with the cell count as the parameter — the
     * scaled-cells rung of the lifecycle ladder. Delegates to the gate's

@@ -509,7 +509,7 @@ object Graph {
     * ENUMERATION; which snapshot computes them cannot change the set
     * of triangles.
     */
-  private def triangleIncidence(und: DataFrame): DataFrame = {
+  private[graft] def triangleIncidence(und: DataFrame): DataFrame = {
     val (_, oriented) = orientEdges(und, "a", "b")
     val w1 = oriented.select(col("u"), col("w").as("v1"), col("rw").as("r1"))
     val w2 = oriented.select(col("u"), col("w").as("v2"), col("rw").as("r2"))

@@ -328,20 +328,172 @@ object TextAnalysis {
                batch: Int = 16): DataFrame =
     bpeTrainWithRounds(docs, textCol, nMerges, batch)._1
 
-  /** [[bpeTrain]] plus the number of pair-count rounds it ran — the
-    * batching-economics observable (jobs/merge = rounds/merges) the
-    * SCALE.md experiment reports; the gate path ignores it.
+  /** [[bpeTrain]] plus the number of distributed pair-count rounds it
+    * ran (1 on the default driver-side path).
+    *
+    * TWO ENGINES, selected by `spark.graft.bpeTrainPath`:
+    *
+    *  - `driver` (default) — the tokenizer-standard shape every
+    *    production trainer uses (GPT-2's bpe ranks, SentencePiece,
+    *    HuggingFace tokenizers): ONE distributed job folds the corpus
+    *    to its (word, count) vocabulary — the only corpus-sized work
+    *    BPE training contains — and the merge loop runs exactly and
+    *    incrementally in driver memory over that table (pair counts
+    *    updated only for words containing the merged pair). The
+    *    collect is VOCAB-bounded, not corpus-bounded: Heaps' law puts
+    *    a 100 TB web corpus around 10⁷ distinct lowercased tokens ≈
+    *    a few hundred MB with counts — the table every real tokenizer
+    *    trainer materializes. Selection ties break exactly like the
+    *    oracle's ORDER BY cnt DESC, a, b under binary UTF-8 collation.
+    *  - `distributed` — the batched conflict-cut round loop kept for
+    *    vocabularies that cannot land on one node: each round is a
+    *    pair-count shuffle accepting a provably-sequential-equivalent
+    *    batch. Measured on the gate corpus it accepts ~1.07
+    *    merges/round (dense symbol sharing in natural text defeats
+    *    the batch — 64 merges cost 60 shuffle rounds of almost pure
+    *    scheduling latency, SCALE.md round 12), which is exactly why
+    *    the driver path is the default.
+    *
+    * Both paths return BIT-IDENTICAL merge tables (each is exactly
+    * sequential BPE; BpeTrainPathSpec pins the equality), so the
+    * sequential DuckDB replay gates either.
     */
   def bpeTrainWithRounds(docs: DataFrame, textCol: String, nMerges: Int,
-                         batch: Int = 16): (DataFrame, Int) = {
+                         batch: Int = 16): (DataFrame, Int) =
+    if (docs.sparkSession.conf
+        .getOption("spark.graft.bpeTrainPath")
+        .exists(_.equalsIgnoreCase("distributed")))
+      bpeTrainDistributedRounds(docs, textCol, nMerges, batch)
+    else
+      bpeTrainDriver(docs, textCol, nMerges)
+
+  /** The driver-side exact trainer (see [[bpeTrainWithRounds]]). */
+  private def bpeTrainDriver(docs: DataFrame, textCol: String,
+                             nMerges: Int): (DataFrame, Int) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var cur = docs.filter(col(textCol).isNotNull)
+    // the one corpus-sized pass: word → count
+    val vocab = docs.filter(col(textCol).isNotNull)
       .select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
-      .select(split(col("word"), "").as("rep"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val reps: Array[Array[String]] = vocab.map(_._1.split(""))
+    val ns: Array[Long] = vocab.map(_._2)
+    // pair → weighted count over ALL adjacent positions (overlap
+    // included — "aaa" holds ("a","a") twice), exactly the oracle's
+    // unnest(range(1, len)) census
+    val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+    // pair → words that EVER contained it; stale members are harmless
+    // (the merge pass over a word without the pair is a no-op), so
+    // entries are never removed — bounded by cumulative distinct
+    // (pair, word) incidences
+    val index = scala.collection.mutable
+      .HashMap[(String, String), scala.collection.mutable.ArrayBuffer[Int]]()
+    def census(i: Int, sign: Long): Unit = {
+      val r = reps(i); var j = 0
+      while (j < r.length - 1) {
+        val p = (r(j), r(j + 1))
+        val nv = counts.getOrElse(p, 0L) + sign * ns(i)
+        if (nv == 0L) counts.remove(p) else counts(p) = nv
+        if (sign > 0) {
+          val ws = index.getOrElseUpdate(p,
+            scala.collection.mutable.ArrayBuffer[Int]())
+          if (ws.isEmpty || ws.last != i) ws += i
+        }
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < reps.length) { census(i, 1L); i += 1 }
+    // byte-wise UTF-8 order — what Spark's UTF8String sort and
+    // DuckDB's binary collation both use (Java String.compareTo
+    // diverges on supplementary characters)
+    def utf8Lt(x: String, y: String): Boolean = {
+      val bx = x.getBytes("UTF-8"); val by = y.getBytes("UTF-8")
+      var k = 0
+      while (k < bx.length && k < by.length) {
+        val c = (bx(k) & 0xff) - (by(k) & 0xff)
+        if (c != 0) return c < 0
+        k += 1
+      }
+      bx.length < by.length
+    }
+    def mergeWord(r: Array[String], a: String, b: String,
+                  ab: String): Array[String] = {
+      // leftmost-non-overlapping, output-side compare — the exact
+      // [[graft.functions.BpeMergeFold]] semantics
+      val buf = new scala.collection.mutable.ArrayBuffer[String](r.length)
+      var j = 0
+      while (j < r.length) {
+        val x = r(j)
+        if (buf.nonEmpty && buf.last == a && x == b)
+          buf(buf.length - 1) = ab
+        else buf += x
+        j += 1
+      }
+      buf.toArray
+    }
     val learned =
       scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var exhausted = false
+    while (learned.size < nMerges && !exhausted) {
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { kv =>
+          if (best == null || kv._2 > best._2 ||
+              (kv._2 == best._2 && (utf8Lt(kv._1._1, best._1._1) ||
+                (kv._1._1 == best._1._1 && utf8Lt(kv._1._2, best._1._2)))))
+            best = kv
+        }
+        val ((a, b), cnt) = best
+        learned += ((learned.size + 1L, a, b, a + b, cnt))
+        index.getOrElse((a, b), Nil).foreach { w =>
+          // stale-tolerant: only re-census words that still hold the pair
+          val r = reps(w)
+          var holds = false
+          var j = 0
+          while (!holds && j < r.length - 1) {
+            if (r(j) == a && r(j + 1) == b) holds = true
+            j += 1
+          }
+          if (holds) {
+            census(w, -1L)
+            reps(w) = mergeWord(r, a, b, a + b)
+            census(w, 1L)
+          }
+        }
+      }
+    }
+    (learned.toSeq.toDF("merge_rank", "sym_a", "sym_b", "merged", "cnt"), 1)
+  }
+
+  /** The batched distributed round loop (see [[bpeTrainWithRounds]]). */
+  private def bpeTrainDistributedRounds(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      batch: Int): (DataFrame, Int) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // The vocab table is severed ONCE; each round derives the current
+    // segmentation by ONE cumulative [[bpeApply]] fold over it (the
+    // whole learned table in a single codegen pass — cheap, vocab-sized,
+    // no shuffle), so a round costs exactly one pair-count job. The
+    // previous form checkpointed the re-folded vocab every round: one
+    // extra job + one materialization per round, which DOMINATED t20/
+    // t21 once the fold itself was compiled (nMerges/batch rounds of
+    // almost pure scheduling latency).
+    val learned =
+      scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    val base = graft.Checkpoints.sever(
+      docs.filter(col(textCol).isNotNull)
+        .select(explode(tokens(col(textCol))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .select(split(col("word"), "").as("rep"), col("n")))
+    def cur: DataFrame = {
+      val pairs = learned.map(t => (t._2, t._3)).toSeq
+      if (pairs.isEmpty) base
+      else base.withColumn("rep", bpeApply(col("rep"), pairs))
+    }
     var exhausted = false
     var rounds = 0
     while (learned.size < nMerges && !exhausted) {
@@ -386,8 +538,8 @@ object TextAnalysis {
             accepted.head +: accepted.tail.takeWhile(_._3 > cc)
           case None => accepted.toSeq
         }
-        cur = graft.Checkpoints.sever(cur.withColumn("rep",
-          bpeApply(col("rep"), safe.map(t => (t._1, t._2)).toSeq)))
+        // no materialization here: the next round's `cur` re-derives
+        // the segmentation from the severed base with the grown table
         safe.foreach { case (a, b, c) =>
           learned += ((learned.size + 1L, a, b, a + b, c))
         }

@@ -35,6 +35,21 @@ class BenchRegressionSpec extends AnyFunSuite {
       Set("t36"))
   }
 
+  test("calibration parse: present, absent, and unreadable artifacts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-calib")
+    val withCalib = dir.resolve("with.json")
+    java.nio.file.Files.write(withCalib,
+      ("""{"metric":"total","value":3.0,"queries":{"a":1.5},""" +
+        """"calib":2.345,"sf":"/data/sf0.1"}""").getBytes("UTF-8"))
+    assert(Bench.previousCalib(withCalib.toString) === Some(2.345))
+    val noCalib = dir.resolve("without.json")
+    java.nio.file.Files.write(noCalib,
+      """{"metric":"total","value":3.0,"queries":{"a":1.5}}"""
+        .getBytes("UTF-8"))
+    assert(Bench.previousCalib(noCalib.toString) === None)
+    assert(Bench.previousCalib(dir.resolve("nope.json").toString) === None)
+  }
+
   test("previous artifact parse: same-sf gate and flat queries map") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bench")
     val f = dir.resolve("bench_full.json")
