@@ -81,15 +81,15 @@ object Bench {
     * ALSO computes the host-normalized ratio (now ÷ calib-drift) and a
     * flag whose normalized ratio is back under the threshold is emitted
     * as `host-drift`, never `confirmed`. The probe is pure Spark
-    * built-ins (range → xxhash64 → sum: no I/O, no graft code, fills
-    * all cores like the battery), so a regression in engine code cannot
-    * launder itself through the calibration. Raw ratios stay in the
-    * artifact — the scaling is visible, not silent.
+    * built-ins (8e9-row range → xxhash64 → max: no I/O, no graft code,
+    * fills all cores like the battery, ~1-2 s warm), so a regression in
+    * engine code cannot launder itself through the calibration. Raw
+    * ratios stay in the artifact — the scaling is visible, not silent.
     */
   def calibrate(spark: SparkSession): Double = {
     def pass(): Double = {
       val t0 = System.nanoTime()
-      // max, not sum: a SUM of 2e9 hashes overflows BIGINT under ANSI
+      // max, not sum: a SUM of 8e9 hashes overflows BIGINT under ANSI
       // semantics and fails the whole battery at stage 0
       spark.range(0L, 8000000000L, 1L, 32)
         .select(org.apache.spark.sql.functions.max(
@@ -227,8 +227,11 @@ object Bench {
     val loadStart = loadAvg()
     val gateWaived = !quietEnough(loadStart, strict = true)
     // host speed constant for cross-VM ratio normalization (see
-    // [[calibrate]]) — timed on the quiet host, before the battery
-    val calibNow = calibrate(spark)
+    // [[calibrate]]) — timed on the quiet host, before the battery.
+    // Skipped (-1) for prefix-restricted local iteration runs: a
+    // partial artifact is never a baseline, so the probe would be
+    // all-core startup cost for nothing.
+    val calibNow = if (args.isEmpty) calibrate(spark) else -1.0
 
     // Optional args (local iteration only; the driver passes none):
     // query-name prefixes to restrict the battery to.
@@ -290,9 +293,18 @@ object Bench {
     // the min — the denominator of that query's host-drift correction
     val localCalib = previousCalib(outPath)
     val pinnedCalib = previousCalib(baselinePath)
+    // On an exact per-query tie (common — the pin IS a copied local
+    // artifact) prefer whichever tied source actually carries a
+    // calibration: a pre-calibration artifact on one side must not
+    // null the drift correction the other side can supply.
     val prevCalib: Map[String, Option[Double]] = prev.map { case (k, p) =>
       val fromLocal = prevLocal.get(k).contains(p)
-      k -> (if (fromLocal) localCalib else pinnedCalib)
+      val fromPinned = prevPinned.get(k).contains(p)
+      val c =
+        if (fromLocal && fromPinned) localCalib.orElse(pinnedCalib)
+        else if (fromLocal) localCalib
+        else pinnedCalib
+      k -> c
     }
     val regs = regressions(prev, results.toMap)
     // A query that ERRORED this run (sec = -1) is worse than any
@@ -345,7 +357,7 @@ object Bench {
       // baseline source's (> 1 = this host is slower). None when the
       // baseline artifact predates calibration.
       val drift: Option[Double] = prevCalib.getOrElse(k, None)
-        .filter(_ > 0).map(calibNow / _)
+        .filter(_ > 0).filter(_ => calibNow > 0).map(calibNow / _)
       val (retest, retestLoad) = isolatedRetest(k)
       // CONFIRMED needs: the ratio to reproduce in TWO independent
       // isolated retests, each run STRICTLY below the gate, and — when

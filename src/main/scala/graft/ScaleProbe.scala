@@ -103,13 +103,7 @@ object ScaleProbe {
     // closing edge is counted once per common neighbor), so both paths
     // return the same edges.
     "ktruss@naive" -> ((s, dir) => {
-      val op = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = op.select(col("ok"), col("pk").as("part_a"))
-      val b = op.select(col("ok").as("ok_b"), col("pk").as("part_b"))
-      var und = a.join(b,
-          col("ok") === col("ok_b") && col("part_a") < col("part_b"))
+      var und = copurchase(s, dir)
         .select(col("part_a").as("a"), col("part_b").as("b")).distinct()
       (1 to 2).foreach { _ =>
         val adj = und.select(col("a").as("u"), col("b").as("v"))
@@ -216,6 +210,22 @@ object ScaleProbe {
   private val bpeZipfMemo =
     scala.collection.mutable.Map[(Int, Int), DataFrame]()
 
+  /** The bpe@/bpe_zipf@ probes measure the DISTRIBUTED round loop's
+    * batching economics, which since r12 is no longer the default
+    * engine — force it for the probe's duration so the printed
+    * rounds/merge numbers describe the engine the table is about
+    * (the driver-side default always reports rounds = 1).
+    */
+  private def withDistributedBpe[A](s: SparkSession)(body: => A): A = {
+    val key = graft.ops.TextAnalysis.BpeTrainPathConf
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "distributed")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private def bpeZipfProbe(nMerges: Int,
                            batch: Int): (SparkSession, String) => DataFrame =
     (s, _) => bpeZipfMemo.getOrElseUpdate((nMerges, batch), {
@@ -225,8 +235,9 @@ object ScaleProbe {
         .select(col("text"), explode(expr("sequence(1, f)")).as("j"))
         .select("text")
       val t0 = System.nanoTime()
-      val (merges, rounds) = graft.ops.TextAnalysis.bpeTrainWithRounds(
-        words, "text", nMerges, batch)
+      val (merges, rounds) = withDistributedBpe(s)(
+        graft.ops.TextAnalysis.bpeTrainWithRounds(
+          words, "text", nMerges, batch))
       val learned = merges.count()
       val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
       val perRound = math.rint(learned.toDouble / rounds * 100) / 100
@@ -240,8 +251,9 @@ object ScaleProbe {
   private def bpeProbe(nMerges: Int,
                        batch: Int): (SparkSession, String) => DataFrame =
     (s, dir) => {
-      val (merges, rounds) = graft.ops.TextAnalysis.bpeTrainWithRounds(
-        Tables.load(s, dir, "documents"), "text", nMerges, batch)
+      val (merges, rounds) = withDistributedBpe(s)(
+        graft.ops.TextAnalysis.bpeTrainWithRounds(
+          Tables.load(s, dir, "documents"), "text", nMerges, batch))
       val learned = merges.count()
       val perRound = math.rint(learned.toDouble / rounds * 100) / 100
       val jobsPerMerge = math.rint(rounds.toDouble / learned * 1000) / 1000

@@ -523,15 +523,17 @@ object Similarity {
         // the next run sweeps); after it, the old files are garbage.
         commitManifest(spark, indexDir, version + 1,
           (live0.toSet -- oldFiles.toSet).toSeq ++ newFiles)
-        // deferred physical cleanup, version-stamped (due once the live
-        // version advances `retain` commits past this one): the
-        // replaced files, plus fully-dead cells' now-empty partition
+        // deferred physical cleanup, stamped with the DUE version
+        // (this commit + the retention in force now, so later ops
+        // with a different conf honor the promise): the replaced
+        // files, plus fully-dead cells' now-empty partition
         // directories. MERGED with entries the entry replay kept —
         // under retention > 0 earlier retirements may still be inside
         // their window.
         val fullyDead = affected.filterNot(surviving)
+        val dueAt = version + 1 + retainVersions(spark)
         val retired = (oldFiles ++ fullyDead.map(c => s"c_cell=$c"))
-          .map(e => s"${version + 1}:$e")
+          .map(e => s"$dueAt:$e")
         writePendingDeletes(spark, indexDir,
           readPendingEntries(spark, indexDir) ++ retired)
       }
@@ -675,13 +677,16 @@ object Similarity {
     */
   private def sweepOrphanFiles(spark: org.apache.spark.sql.SparkSession,
                                indexDir: String): Unit =
-    readManifest(spark, indexDir).foreach { case (_, live) =>
-      val liveSet = live.toSet
-      // Files awaiting a SCHEDULED delete are not orphans: under
-      // retention > 0 they are exactly the retained versions' data,
-      // absent from the live manifest yet load-bearing for pinned
-      // readers and [[ivfOpenIndexAt]]. A pending cell-directory entry
-      // covers every file under it.
+    readManifest(spark, indexDir).foreach { case (_, _) =>
+      // Spared from the sweep: everything a reader may still open
+      // (live + retained history manifests — [[protectedFiles]], which
+      // also covers a crash between a compaction's manifest commit and
+      // its pending write: the retired files stay referenced by their
+      // last version's history manifest until retention expires them),
+      // plus files awaiting a SCHEDULED delete (not orphans — they are
+      // the retained versions' data on the cleanup calendar; a pending
+      // cell-directory entry covers every file under it).
+      val shield = protectedFiles(spark, indexDir)
       val pendingPrefixes = readPendingEntries(spark, indexDir).map { e =>
         val raw = PendingStamp.findFirstMatchIn(e)
           .map(_.group(2)).getOrElse(e)
@@ -691,7 +696,7 @@ object Similarity {
         pendingPrefixes.exists(p => rel == p || rel.startsWith(p + "/"))
       val root = new org.apache.hadoop.fs.Path(indexDir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      listDataFiles(spark, indexDir).filterNot(liveSet)
+      listDataFiles(spark, indexDir).filterNot(shield)
         .filterNot(pendingCovers).foreach { rel =>
           fs.delete(new org.apache.hadoop.fs.Path(root, rel), false)
         }
@@ -1072,37 +1077,92 @@ object Similarity {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       val entries = txt.split("\\s+").filter(_.nonEmpty).toSeq
-      // An entry is due when the live version has advanced `retain`
-      // commits past the version stamped at retirement (see
-      // [[RetainVersionsConf]]); legacy unstamped entries (bare cell
-      // ids or paths from a pre-r12 pending file) are always due.
+      // An entry is due when the live version reaches the DUE version
+      // stamped at retirement (= retiring commit + the retention in
+      // force THEN — so a later op running with a smaller retain
+      // cannot collapse a window already promised to readers); legacy
+      // unstamped entries (bare cell ids or paths from a pre-r12
+      // pending file) are always due.
       val latest = readManifest(spark, indexDir).map(_._1).getOrElse(0L)
-      val retain = retainVersions(spark)
-      val (due, kept) = entries.partition { e =>
+      val (due, notDue) = entries.partition { e =>
         PendingStamp.findFirstMatchIn(e) match {
-          case Some(m) => latest >= m.group(1).toLong + retain
+          case Some(m) => latest >= m.group(1).toLong
           case None => true
         }
       }
+      // Never delete a file the live manifest or a retained history
+      // manifest still references: an append can legitimately COMMIT
+      // new files into a cell directory whose pending entry predates
+      // it (the resurrected-cell case — a recursive directory delete
+      // would take the live files with it), and a crash between a
+      // compaction's manifest commit and its pending write must not
+      // turn retained files into sweepable orphans.
+      val shield = protectedFiles(spark, indexDir)
+      val replayed = scala.collection.mutable.ArrayBuffer[String]()
+      val held = scala.collection.mutable.ArrayBuffer[String]()
       due.foreach { e =>
         val raw = PendingStamp.findFirstMatchIn(e)
           .map(_.group(2)).getOrElse(e)
         val rel =
           if (raw.forall(c => c.isDigit || c == '-')) s"c_cell=$raw"
           else raw
-        fs.delete(new org.apache.hadoop.fs.Path(indexDir, rel), true)
+        if (!rel.contains("/")) {
+          // a cell DIRECTORY: delete its unprotected files. If
+          // protected files remain, the cell was RESURRECTED by later
+          // committed appends — the scheduled delete is complete (the
+          // survivors belong to the cell's new life and have their own
+          // lifecycle), so the directory stays and the entry retires.
+          val dirPath = new org.apache.hadoop.fs.Path(indexDir, rel)
+          val under = listDataFiles(spark, indexDir)
+            .filter(f => f == rel || f.startsWith(rel + "/"))
+          under.filterNot(shield).foreach { f =>
+            fs.delete(new org.apache.hadoop.fs.Path(indexDir, f), false)
+          }
+          if (!under.exists(shield)) fs.delete(dirPath, true)
+          replayed += e
+        } else if (shield(rel)) held += e
+        else {
+          fs.delete(new org.apache.hadoop.fs.Path(indexDir, rel), false)
+          replayed += e
+        }
       }
+      val kept = notDue ++ held
       if (kept.isEmpty) fs.delete(p, false)
       else writePendingDeletes(spark, indexDir, kept)
-      due
+      replayed.toSeq
     }
   }
 
-  /** Stamped pending-delete entry: `<retiredAtVersion>:<relativePath>`.
+  /** Stamped pending-delete entry: `<dueAtVersion>:<relativePath>`.
     * Parquet data paths never contain `:`; bare-digit and unstamped
     * legacy entries fall through to "always due".
     */
   private val PendingStamp = "^([0-9]+):(.+)$".r
+
+  /** Every file some reader may still legitimately open: the live
+    * manifest's list plus every RETAINED history manifest's — the
+    * protection set for [[replayPendingDeletes]] and
+    * [[sweepOrphanFiles]]. History manifests are pruned at commit in
+    * step with retention, so protection expires exactly when the
+    * versions referencing a file do.
+    */
+  private def protectedFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Set.empty
+    val hist = fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith(ManifestName + ".v"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).drop(1).toList
+        finally in.close()
+      }
+    (readManifest(spark, indexDir).map(_._2).getOrElse(Seq.empty) ++
+      hist).toSet
+  }
 
   /** The rewrite side of [[ivfCompact]]: a partition-pruned read of the
     * affected cells with the tombstones anti-joined out.

@@ -358,10 +358,16 @@ object TextAnalysis {
     * sequential BPE; BpeTrainPathSpec pins the equality), so the
     * sequential DuckDB replay gates either.
     */
+  /** Session conf selecting the BPE training engine: "distributed" →
+    * the batched round loop, anything else/unset → the driver-side
+    * exact trainer.
+    */
+  val BpeTrainPathConf = "spark.graft.bpeTrainPath"
+
   def bpeTrainWithRounds(docs: DataFrame, textCol: String, nMerges: Int,
                          batch: Int = 16): (DataFrame, Int) =
     if (docs.sparkSession.conf
-        .getOption("spark.graft.bpeTrainPath")
+        .getOption(BpeTrainPathConf)
         .exists(_.equalsIgnoreCase("distributed")))
       bpeTrainDistributedRounds(docs, textCol, nMerges, batch)
     else
@@ -377,7 +383,13 @@ object TextAnalysis {
       .select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val reps: Array[Array[String]] = vocab.map(_._1.split(""))
+    // split by CODE POINTS, not Java String.split("") — split("")
+    // breaks supplementary characters (emoji, astral CJK) into lone
+    // surrogate halves, while Spark's split(word, '') and DuckDB's
+    // string_split keep the code point whole; surrogate halves also
+    // UTF-8-encode as '?', corrupting learned symbols (r12 review)
+    val reps: Array[Array[String]] = vocab.map(_._1.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))))
     val ns: Array[Long] = vocab.map(_._2)
     // pair → weighted count over ALL adjacent positions (overlap
     // included — "aaa" holds ("a","a") twice), exactly the oracle's

@@ -18,7 +18,7 @@ class BpeTrainPathSpec extends SparkSpec {
   import spark.implicits._
 
   private def withPath[A](p: String)(body: => A): A = {
-    val key = "spark.graft.bpeTrainPath"
+    val key = TextAnalysis.BpeTrainPathConf
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, p)
     try body finally prev match {
@@ -59,6 +59,26 @@ class BpeTrainPathSpec extends SparkSpec {
     // the first merge must be the overlap-counted run winner: ("a","a")
     // appears 2·3 + 1 = 7 times ≥ any other pair
     assert(driver.head._2 === "a" && driver.head._3 === "a")
+  }
+
+  test("supplementary characters: code-point splitting keeps emoji " +
+    "whole on both paths (Java split(\"\") would shear them into " +
+    "lone surrogates)") {
+    val docs = Seq(
+      "😀a 😀a 😀b x😁y",
+      "a😀 a😀 zz")
+      .toDF("text")
+    val driver = withPath("driver")(
+      table(TextAnalysis.bpeTrain(docs, "text", nMerges = 6)))
+    val dist = withPath("distributed")(
+      table(TextAnalysis.bpeTrain(docs, "text", nMerges = 6, batch = 2)))
+    assert(driver === dist)
+    // the top pair involves the whole emoji as ONE symbol
+    assert(driver.exists(m => m._2 == "😀" || m._3 == "😀"))
+    // and no learned symbol holds a lone surrogate half (those are
+    // destroyed by a UTF-8 round trip, which whole code points survive)
+    assert(driver.forall(m => Seq(m._2, m._3, m._4).forall(sym =>
+      new String(sym.getBytes("UTF-8"), "UTF-8") == sym)))
   }
 
   test("exhaustion: a tiny corpus stops early with identical prefixes " +

@@ -115,6 +115,58 @@ class IndexRetentionSpec extends SparkSpec {
     }
   }
 
+  test("a cell resurrected by appends after its full tombstoning " +
+    "keeps the appended LIVE files when the dir's pending delete " +
+    "falls due") {
+    withRetain(0) {
+      val tmp = Files.createTempDirectory("graft_retention_res").toString
+      writeCells(tmp + "/cells")
+      // kill cell 3 entirely → pending entry for the c_cell=3 DIRECTORY
+      Similarity.ivfCompact(spark, tmp + "/cells",
+        Seq(5L).toDF("t_id"), "t_id", tmp + "/s1")
+      // a streaming refresh assigns a new vector to cell 3 and commits
+      Similarity.withMaintenanceLock(spark, tmp + "/cells", "append") {
+        Similarity.ivfAppendCells(spark, tmp + "/cells",
+          Seq((9L, Array(0.5f, 0.5f), 1L, 3L))
+            .toDF("c_id", "c_vec", "c_norm", "c_cell"))
+      }
+      // the next op replays the dir entry — the recursive delete of
+      // old behavior would take the committed live file with it
+      Similarity.ivfCompact(spark, tmp + "/cells",
+        spark.emptyDataset[Long].toDF("t_id"), "t_id", tmp + "/s2")
+      assert(ids(Similarity.ivfOpenIndex(spark, tmp + "/cells"))
+        === Seq(1L, 2L, 3L, 4L, 9L))
+      // the dead original row is gone from disk too
+      assert(!ids(spark.read.parquet(tmp + "/cells")).contains(5L))
+    }
+  }
+
+  test("a crash between manifest commit and pending write cannot " +
+    "orphan retained files: the history manifest shields them from " +
+    "the sweep and time travel stays whole") {
+    withRetain(2) {
+      val tmp = Files.createTempDirectory("graft_retention_crash").toString
+      writeCells(tmp + "/cells")
+      Similarity.ivfCompact(spark, tmp + "/cells",
+        Seq(2L).toDF("t_id"), "t_id", tmp + "/s1") // v1 + v2
+      // simulate the crash: the compaction committed v2 but died
+      // before writing its pending-delete manifest
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(tmp + "/cells/_graft_pending_delete"))
+      // the next op's sweepOrphanFiles must NOT treat v1's files
+      // (absent from the live manifest, now absent from pending) as
+      // crash garbage — .v1 still references them
+      Similarity.ivfCompact(spark, tmp + "/cells",
+        Seq(4L).toDF("t_id"), "t_id", tmp + "/s2") // v3
+      assert(ids(Similarity.ivfOpenIndexAt(spark, tmp + "/cells", 1L))
+        === Seq(1L, 2L, 3L, 4L, 5L))
+      assert(ids(Similarity.ivfOpenIndexAt(spark, tmp + "/cells", 2L))
+        === Seq(1L, 3L, 4L, 5L))
+      assert(ids(Similarity.ivfOpenIndex(spark, tmp + "/cells"))
+        === Seq(1L, 3L, 5L))
+    }
+  }
+
   test("legacy unstamped pending entries from a pre-retention index " +
     "replay immediately under any retention setting") {
     withRetain(2) {
