@@ -2124,11 +2124,12 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ---- T20: BPE tokenizer training — first 64 merge rules learned
-    // from the corpus; one corpus pass to the (word, count) vocab, then
-    // every round is vocab-sized: a pair-count shuffle accepting up to
-    // 16 provably-sequential-equivalent merges per round (the batched
-    // rule documented at TextAnalysis.bpeTrain — the r7-verdict fix for
-    // one-job-per-merge), each applied by the codegen fold -------------
+    // from the corpus: ONE distributed pass folds the corpus to its
+    // (word, count) vocabulary, then the exact merge loop runs
+    // incrementally in driver memory (the tokenizer-standard shape —
+    // see TextAnalysis.bpeTrainWithRounds; the distributed round loop
+    // remains behind spark.graft.bpeTrainPath for vocabularies that
+    // cannot land on one node, pinned bit-identical by spec) -----------
     "t20_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", nMerges = 64)
         .orderBy("merge_rank")),
