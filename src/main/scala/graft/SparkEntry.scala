@@ -6287,6 +6287,85 @@ object SparkEntry {
       ETLPipeline.transform(t(s, dir, "customer"), spec.flows.head,
           destination = Some(dst), orderCol = Some("cust_id"))
         .orderBy("cust_id")
+    }),
+
+    // ---- ETL2-4: MANIFEST-VERSIONED DESTINATION TABLES (r12-verdict
+    // item 1: the ANN index's snapshot machinery generalized to ETL
+    // sinks — etl/VersionedTable). etl2 exercises the ACID merge +
+    // delete lifecycle end-to-end against a live table directory; etl3
+    // the atomic delete-then-insert-children commit (the reference's
+    // migrate_assures transaction, sdk/migrate_assures.php:205-227);
+    // etl4 time travel across three commits. Each run builds its table
+    // in a fresh temp dir from deterministic transforms of the base
+    // tables, so the DuckDB oracle replays pure SQL. At 100 TB the
+    // merge/delete are FILE-PRUNED rewrites (only files holding touched
+    // keys rewrite — the Delta MERGE strategy); the gates prove the
+    // exact same code path at sf --------------------------------------
+    "etl2_versioned_merge" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_vt_merge").toString
+      val orders = t(s, dir, "orders")
+      val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      VersionedTable.init(s, tmp, base)
+      val src = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"),
+          (col("o_custkey") + 1000000L).as("o_custkey"),
+          lit("U").as("o_orderstatus"))
+        .unionByName(orders.filter(col("o_orderkey") % 997 === 1)
+          .select((col("o_orderkey") + 50000000L).as("o_orderkey"),
+            col("o_custkey"), lit("N").as("o_orderstatus")))
+      VersionedTable.merge(s, tmp, src, Seq("o_orderkey"))
+      VersionedTable.deleteWhere(s, tmp,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0)
+      VersionedTable.read(s, tmp).orderBy("o_orderkey")
+    }),
+
+    "etl3_versioned_children" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_vt_child").toString
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 1)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity").cast("long").as("l_quantity"))
+      VersionedTable.init(s, tmp, li)
+      val recomputed = li.filter(col("l_orderkey") % 28 === 1)
+        .select(col("l_orderkey"),
+          (col("l_linenumber") + 100L).as("l_linenumber"),
+          (col("l_quantity") * 2L).as("l_quantity"))
+      VersionedTable.replaceChildren(s, tmp, recomputed, Seq("l_orderkey"))
+      VersionedTable.read(s, tmp).orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "etl4_table_time_travel" -> ((s, dir) => {
+      val prevRetain = s.conf.getOption(VersionedTable.RetainVersionsConf)
+      s.conf.set(VersionedTable.RetainVersionsConf, "2")
+      try {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_vt_tt").toString
+        val orders = t(s, dir, "orders")
+        val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        VersionedTable.init(s, tmp, base) // v1
+        VersionedTable.merge(s, tmp,
+          orders.filter(col("o_orderkey") % 7 === 0)
+            .select(col("o_orderkey"),
+              (col("o_custkey") + 1000000L).as("o_custkey"),
+              lit("U").as("o_orderstatus")),
+          Seq("o_orderkey")) // v2
+        VersionedTable.deleteWhere(s, tmp,
+          col("o_orderstatus") === "O" && col("o_orderkey") % 13 === 0) // v3
+        def snap(tag: String, df: DataFrame): DataFrame =
+          df.select(lit(tag).as("snap"), col("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus"))
+        snap("v1", VersionedTable.readAt(s, tmp, 1L))
+          .unionByName(snap("v2", VersionedTable.readAt(s, tmp, 2L)))
+          .unionByName(snap("v3", VersionedTable.read(s, tmp)))
+          .orderBy("snap", "o_orderkey")
+      } finally prevRetain match {
+        case Some(v) => s.conf.set(VersionedTable.RetainVersionsConf, v)
+        case None => s.conf.unset(VersionedTable.RetainVersionsConf)
+      }
     })
   )
 
@@ -10292,7 +10371,7 @@ object SparkEntry {
         | toks0 AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM (
         |   SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
         |     i -> struct_pack(pos := i,
-        |       w := regexp_replace(t[CAST(i AS INT)], '[^a-z0-9]', '',
+        |       w := regexp_replace(t[CAST(i AS INT)], '[^\p{L}\p{N}]', '',
         |         'g')))) AS u
         |   FROM base) WHERE u.w <> ''),
         | stop AS (SELECT w FROM (SELECT w, count(*) AS n FROM toks0
@@ -10321,7 +10400,7 @@ object SparkEntry {
         | toks0 AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM (
         |   SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
         |     i -> struct_pack(pos := i,
-        |       w := regexp_replace(t[CAST(i AS INT)], '[^a-z0-9]', '',
+        |       w := regexp_replace(t[CAST(i AS INT)], '[^\p{L}\p{N}]', '',
         |         'g')))) AS u
         |   FROM base) WHERE u.w <> ''),
         | stop AS (SELECT w FROM (SELECT w, count(*) AS n FROM toks0
@@ -13406,6 +13485,55 @@ object SparkEntry {
         |          WHERE c_custkey <= 2)
         | SELECT cust_id, full_name, segment, source_system FROM dedup
         |  WHERE trim(segment) NOT IN (SELECT k FROM dst)
-        |  ORDER BY cust_id""".stripMargin
+        |  ORDER BY cust_id""".stripMargin,
+
+    // Versioned-table replay: MERGE = src ∪ (base ⟕anti src), DELETE =
+    // survivors where the predicate is not true — pure SQL over the
+    // same base tables the gate's temp-dir lifecycle started from.
+    "etl2_versioned_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus
+        |   FROM orders WHERE o_orderkey % 3 <> 0),
+        | src AS (SELECT o_orderkey, o_custkey + 1000000 AS o_custkey,
+        |     'U' AS o_orderstatus FROM orders WHERE o_orderkey % 7 = 0
+        |   UNION ALL
+        |   SELECT o_orderkey + 50000000 AS o_orderkey, o_custkey,
+        |     'N' AS o_orderstatus FROM orders WHERE o_orderkey % 997 = 1),
+        | merged AS (SELECT * FROM src
+        |   UNION ALL
+        |   SELECT * FROM base
+        |    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+        |SELECT o_orderkey, o_custkey, o_orderstatus FROM merged
+        | WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+        | ORDER BY o_orderkey""".stripMargin,
+
+    "etl3_versioned_children" ->
+      """WITH base AS (SELECT l_orderkey,
+        |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS l_quantity
+        |   FROM lineitem WHERE l_orderkey % 4 = 1),
+        | rec AS (SELECT l_orderkey, l_linenumber + 100 AS l_linenumber,
+        |    l_quantity * 2 AS l_quantity FROM base WHERE l_orderkey % 28 = 1)
+        |SELECT * FROM (
+        |  SELECT * FROM base
+        |   WHERE l_orderkey NOT IN (SELECT l_orderkey FROM rec)
+        |  UNION ALL SELECT * FROM rec)
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "etl4_table_time_travel" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus
+        |   FROM orders WHERE o_orderkey % 3 <> 0),
+        | upd AS (SELECT o_orderkey, o_custkey + 1000000 AS o_custkey,
+        |    'U' AS o_orderstatus FROM orders WHERE o_orderkey % 7 = 0),
+        | v2 AS (SELECT * FROM upd
+        |   UNION ALL
+        |   SELECT * FROM base
+        |    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)),
+        | v3 AS (SELECT * FROM v2
+        |   WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 13 = 0))
+        |SELECT snap, o_orderkey, o_custkey, o_orderstatus FROM (
+        |  SELECT 'v1' AS snap, * FROM base
+        |  UNION ALL SELECT 'v2' AS snap, * FROM v2
+        |  UNION ALL SELECT 'v3' AS snap, * FROM v3)
+        | ORDER BY snap, o_orderkey""".stripMargin
   )
 }

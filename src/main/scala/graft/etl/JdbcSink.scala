@@ -265,6 +265,90 @@ object JdbcSink {
     UpsertReport(acc.value, failAcc.value, errAcc.value.asScala.toSeq)
   }
 
+  /** MySQL-dialect single-statement upsert: `INSERT … ON DUPLICATE KEY
+    * UPDATE nk = VALUES(nk), …` — the shape a production MySQL sink
+    * emits instead of [[upsert]]'s UPDATE-probe-then-INSERT pair (ONE
+    * round trip per row instead of up to two, and Connector/J's
+    * `rewriteBatchedStatements=true` collapses a whole batch into one
+    * multi-value statement because the update clause holds no `?`).
+    * Semantics match [[upsert]] when the table's PRIMARY KEY equals
+    * `keys`: the source row wholly replaces the matched row's non-key
+    * columns. Poison isolation follows the same contract — a failed
+    * batch rolls back and replays row by row, data-error rows are
+    * skipped and counted. Requires the target dialect to support ODKU
+    * (MySQL/MariaDB; gated against [[MiniMySql]], which also pins the
+    * 1-inserted/2-changed/1-unchanged affected counts this method
+    * deliberately does NOT ride on).
+    */
+  def upsertOnDuplicateKey(df: DataFrame, url: String, table: String,
+                           keys: Seq[String],
+                           options: Map[String, String] = Map.empty,
+                           batchSize: Int = 1000,
+                           quote: String = "`"): UpsertReport = {
+    val cols = df.columns.toSeq
+    val nonKeys = cols.filterNot(keys.contains)
+    require(keys.nonEmpty && nonKeys.nonEmpty,
+      s"upsert needs key and non-key columns, got keys=$keys of $cols")
+    def q(n: String) = quote + n + quote
+    val sql = s"INSERT INTO $table (${cols.map(q).mkString(", ")})" +
+      s" VALUES (${cols.map(_ => "?").mkString(", ")})" +
+      " ON DUPLICATE KEY UPDATE " +
+      nonKeys.map(c => s"${q(c)} = VALUES(${q(c)})").mkString(", ")
+    val schema = df.schema
+    val driver = options.get("driver")
+    val sc = df.sparkSession.sparkContext
+    val acc = sc.longAccumulator("graft_odku_upsert")
+    val failAcc = sc.longAccumulator("graft_odku_failed")
+    val errAcc = sc.collectionAccumulator[String]("graft_odku_errors")
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) withConnection(url, driver) { conn =>
+        val ins = conn.prepareStatement(sql)
+        val insOne = conn.prepareStatement(sql)
+        var errSampled = 0
+        try {
+          val buffer = new ArrayBuffer[Row](batchSize)
+          def applyOne(r: Row): Boolean =
+            try {
+              bind(insOne, r, cols, schema)
+              insOne.executeUpdate()
+              conn.commit()
+              true
+            } catch {
+              case e: java.sql.SQLException if isDataError(e) =>
+                conn.rollback()
+                failAcc.add(1)
+                if (errSampled < 20) { errAcc.add(e.getMessage); errSampled += 1 }
+                false
+            }
+          def flush(): Unit = if (buffer.nonEmpty) {
+            try {
+              buffer.foreach { r => bind(ins, r, cols, schema); ins.addBatch() }
+              ins.executeBatch()
+              conn.commit()
+              // ODKU counts conflate insert/update/no-change (1/2/1) and
+              // SUCCESS_NO_INFO hides them entirely under the rewrite —
+              // applied = rows PROCESSED, same meaning as upsert()'s
+              acc.add(buffer.length)
+            } catch {
+              case e: java.sql.SQLException if isDataError(e) =>
+                ins.clearBatch()
+                conn.rollback()
+                acc.add(buffer.count(applyOne))
+            }
+            buffer.clear()
+          }
+          it.foreach { r =>
+            buffer += r
+            if (buffer.length >= batchSize) flush()
+          }
+          flush()
+        } finally { ins.close(); insOne.close() }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    UpsertReport(acc.value, failAcc.value, errAcc.value.asScala.toSeq)
+  }
+
   /** Delete every `table` row whose key tuple appears in `df` (distinct on
     * `keys` first — one DELETE per distinct tuple, batched). Returns rows
     * deleted as reported by the database.

@@ -148,7 +148,17 @@ object MiniMySql {
   private sealed trait Stmt { def table: String }
   private final case class Update(table: String, sets: Seq[String],
                                   wheres: Seq[String]) extends Stmt
-  private final case class Insert(table: String, cols: Seq[String])
+  /** `tuples` > 1 models Connector/J's `rewriteBatchedStatements=true`
+    * multi-value rewrite (`VALUES (?,?),(?,?),…` — ONE statement, ONE
+    * atomic server round trip); `odku` lists the columns of an
+    * `ON DUPLICATE KEY UPDATE c = VALUES(c), …` clause (the only
+    * assignment form modeled — the shape [[JdbcSink.upsertOnDuplicateKey]]
+    * emits, and the only one Connector/J will rewrite: a `?` in the
+    * update clause disables the rewrite in the real driver too).
+    */
+  private final case class Insert(table: String, cols: Seq[String],
+                                  tuples: Int = 1,
+                                  odku: Seq[String] = Seq.empty)
     extends Stmt
   private final case class Delete(table: String, wheres: Seq[String])
     extends Stmt
@@ -156,9 +166,12 @@ object MiniMySql {
   private val UpdateRe =
     "(?is)^\\s*UPDATE\\s+(\\S+)\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*$".r
   private val InsertRe =
-    "(?is)^\\s*INSERT\\s+INTO\\s+(\\S+)\\s*\\(([^)]*)\\)\\s*VALUES\\s*\\(([^)]*)\\)\\s*$".r
+    ("(?is)^\\s*INSERT\\s+INTO\\s+(\\S+)\\s*\\(([^)]*)\\)\\s*VALUES\\s*" +
+      "(\\(.+?\\))(?:\\s+ON\\s+DUPLICATE\\s+KEY\\s+UPDATE\\s+(.+?))?\\s*$").r
   private val DeleteRe =
     "(?is)^\\s*DELETE\\s+FROM\\s+(\\S+)\\s+WHERE\\s+(.+?)\\s*$".r
+  private val OdkuValuesRe =
+    "(?is)^(.+?)\\s*=\\s*VALUES\\s*\\(\\s*(.+?)\\s*\\)$".r
 
   private def eqParam(s: String): String = {
     val m = "^(.*?)\\s*=\\s*\\?$".r.findFirstMatchIn(s.trim).getOrElse(
@@ -170,12 +183,31 @@ object MiniMySql {
     case UpdateRe(t, sets, wheres) =>
       Update(ident(t), sets.split(",").toSeq.map(eqParam),
         wheres.split("(?i)\\s+AND\\s+").toSeq.map(eqParam))
-    case InsertRe(t, cols, qs) =>
+    case InsertRe(t, cols, tuples, odku) =>
       val cs = cols.split(",").toSeq.map(s => ident(s))
-      val n = qs.split(",").map(_.trim)
-      if (!n.forall(_ == "?") || n.length != cs.length)
-        throw syntaxError(s"near '($qs)'")
-      Insert(ident(t), cs)
+      // split the VALUES blob into its tuples; each must be all-`?`
+      // of the column arity (fully parameterized, like everything else)
+      val ts = tuples.trim.stripPrefix("(").stripSuffix(")")
+        .split("\\)\\s*,\\s*\\(")
+      ts.foreach { qs =>
+        val n = qs.split(",").map(_.trim)
+        if (!n.forall(_ == "?") || n.length != cs.length)
+          throw syntaxError(s"near '($qs)'")
+      }
+      val odkuCols =
+        if (odku == null) Seq.empty[String]
+        else odku.split(",").toSeq.map { a =>
+          OdkuValuesRe.findFirstMatchIn(a.trim) match {
+            case Some(m) =>
+              val dst = ident(m.group(1)); val src = ident(m.group(2))
+              if (dst != src) throw syntaxError(
+                s"MiniMySql models only `c = VALUES(c)` near '$a'")
+              dst
+            case None => throw syntaxError(
+              s"MiniMySql models only `c = VALUES(c)` near '$a'")
+          }
+        }
+      Insert(ident(t), cs, ts.length, odkuCols)
     case DeleteRe(t, wheres) =>
       Delete(ident(t), wheres.split("(?i)\\s+AND\\s+").toSeq.map(eqParam))
     case other => throw syntaxError(s"near '${other.take(40)}'")
@@ -262,21 +294,58 @@ object MiniMySql {
             }
             hit.length
           }
-        case Insert(tn, cols) =>
+        case Insert(tn, cols, tuples, odku) =>
           val t = table(tn)
-          cols.foreach(c =>
+          (cols ++ odku).foreach(c =>
             if (!t.colIndex.contains(c)) throw unknownColumn(c))
-          val row = new Array[Any](t.cols.length)
-          cols.zip(params).foreach { case (c, v) =>
-            row(t.colIndex(c)) = v }
-          t.cols.zipWithIndex.foreach { case (cd, i) =>
-            if (row(i) == null && cd.notNull) throw nullViolation(cd.name)
+          val odkuIdx = odku.map(t.colIndex)
+          var affected = 0
+          var tup = 0
+          // tuples process SEQUENTIALLY (MySQL semantics: a later tuple
+          // hitting an earlier tuple's key takes the ODKU path); a
+          // failing tuple aborts the statement mid-way and the caller's
+          // rollback (autocommit or JdbcSink's) restores — MySQL's own
+          // multi-row INSERT is atomic, which the tx undo log models
+          while (tup < tuples) {
+            val tp = params.slice(tup * cols.length,
+              (tup + 1) * cols.length)
+            val row = new Array[Any](t.cols.length)
+            cols.zip(tp).foreach { case (c, v) =>
+              row(t.colIndex(c)) = v }
+            val key = t.keyOf(row)
+            t.rows.get(key) match {
+              case Some(existing) if odku.nonEmpty =>
+                // ON DUPLICATE KEY UPDATE path. Affected-count contract
+                // is Connector/J's DEFAULT (useAffectedRows=false →
+                // CLIENT_FOUND_ROWS): 1 = inserted, 2 = updated AND
+                // changed, 1 = updated to its current values.
+                record(t, key)
+                var changed = false
+                odkuIdx.foreach { i =>
+                  val nv = row(i)
+                  if (nv == null && t.cols(i).notNull)
+                    throw nullViolation(t.cols(i).name)
+                  if (existing(i) != nv) changed = true
+                  existing(i) = nv
+                }
+                if (t.keyOf(existing) != key)
+                  throw new java.sql.SQLFeatureNotSupportedException(
+                    "MiniMySql: ON DUPLICATE KEY UPDATE of primary-key " +
+                      "columns is not modeled", "0A000")
+                affected += (if (changed) 2 else 1)
+              case Some(_) => throw dupKey(key)
+              case None =>
+                t.cols.zipWithIndex.foreach { case (cd, i) =>
+                  if (row(i) == null && cd.notNull)
+                    throw nullViolation(cd.name)
+                }
+                record(t, key)
+                t.rows.put(key, row)
+                affected += 1
+            }
+            tup += 1
           }
-          val key = t.keyOf(row)
-          if (t.rows.contains(key)) throw dupKey(key)
-          record(t, key)
-          t.rows.put(key, row)
-          1
+          affected
         case Delete(tn, wheres) =>
           val t = table(tn)
           wheres.foreach(c =>

@@ -1,0 +1,560 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MANIFEST-VERSIONED PARQUET DESTINATION TABLES — ACID-ish merge /
+  * delete / replace-children plus time travel for ETL sinks, the
+  * SURVEY-§2.1 mapping for the reference's update sink (S9), delete
+  * sink (S10) and pre-write backup (S12) at 100 TB (reference:
+  * `sdk/shell/import.sh:74-83` backs a destination up by copying it
+  * before a run; `sdk/migrate_assures.php:205-227` delete-then-inserts
+  * children inside a transaction). Plain parquet directories give an
+  * ETL pipeline neither isolation (a reader mid-overwrite sees a torn
+  * table) nor history (yesterday's state is gone) — this layer is the
+  * r12-verdict generalization of the ANN index's snapshot machinery
+  * ([[graft.ops.Similarity]] `_graft_manifest`, r11/r12) to ARBITRARY
+  * destination tables, built on the same three primitives every table
+  * format (Iceberg, Delta) rests on:
+  *
+  *   1. a LIVE-FILE MANIFEST (`_vt_manifest`: version + the exact
+  *      relative data-file list) committed by write-temp-then-atomic-
+  *      rename — readers pin a whole version, never a directory
+  *      listing mid-swap; new data files are written BEFORE the commit
+  *      so a crash leaves the old version serving and the new files as
+  *      sweepable orphans;
+  *   2. per-version HISTORY manifests (`_vt_manifest.vN`) retained for
+  *      `spark.graft.tableRetainVersions` commits → [[readAt]] time
+  *      travel, with an AVAILABILITY-BASED prune (below);
+  *   3. version-stamped DEFERRED DELETES (`_vt_pending`,
+  *      `<dueAtVersion>:<relPath>`): a commit retires replaced files
+  *      into the calendar instead of deleting them, so readers pinned
+  *      on any retained version never lose a file however many commits
+  *      land meanwhile; entries fall due when the live version reaches
+  *      their stamp and are replayed at the start of every later
+  *      mutation (and by [[vacuum]]).
+  *
+  * RETENTION-CONF CHANGE SAFETY (the r12 ADVICE finding, fixed here by
+  * construction and back-ported to Similarity): history manifests are
+  * pruned by AVAILABILITY, not by the retention conf in force at prune
+  * time — `.vN` stays exactly as long as EVERY file it references is
+  * either live or still awaiting a scheduled delete (`dueAt` beyond the
+  * current version), and is dropped the moment any referenced file is
+  * gone or due. Raising the retention conf between ops therefore cannot
+  * resurrect a version whose data was already deleted under the earlier
+  * smaller window ([[readAt]] fails fast, never mid-scan), and lowering
+  * it cannot break the window PROMISED at retirement time (the stamps,
+  * frozen at retirement, keep both the files and their manifests alive
+  * until due). Under a constant conf the rule reproduces the fixed
+  * `version - retain` boundary exactly.
+  *
+  * WRITER SERIALIZATION uses the same two-layer maintenance lock as the
+  * index (in-JVM monitor + create-no-overwrite `_vt_lock` with lease
+  * steal); readers never lock — [[read]]/[[readAt]] are manifest loads.
+  *
+  * SCALE SHAPE: [[merge]], [[deleteWhere]] and [[replaceChildren]] are
+  * FILE-PRUNED rewrites (the Delta/Iceberg MERGE strategy): one
+  * `input_file_name()` semi-join finds the files that actually contain
+  * affected rows (driver-side list bounded by the FILE count, never
+  * rows), only those files are rewritten, untouched files carry over
+  * into the new manifest by reference. A 100-file update against a
+  * 100k-file table rewrites 0.1% of the bytes; the update keys ride a
+  * broadcast when small (AQE decides), and the rewrite itself is one
+  * anti-join + union — no full-table shuffle anywhere.
+  */
+object VersionedTable {
+
+  /** Session conf: how many PREVIOUS versions stay fully readable
+    * alongside the latest (see retention notes above). Default 2 —
+    * destination tables exist to be audited; `0` restores
+    * delete-at-next-commit.
+    */
+  val RetainVersionsConf = "spark.graft.tableRetainVersions"
+
+  private val ManifestName = "_vt_manifest"
+  private val PendingName = "_vt_pending"
+  private val LockName = "_vt_lock"
+  private val PendingStamp = "^([0-9]+):(.+)$".r
+
+  private def retain(spark: SparkSession): Long =
+    spark.conf.getOption(RetainVersionsConf)
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .map(math.max(0L, _)).getOrElse(2L)
+
+  // ------------------------------------------------------------------
+  // filesystem plumbing
+  // ------------------------------------------------------------------
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Relative paths of every data file (no `_`/`.`-prefixed segment). */
+  private[etl] def listDataFiles(spark: SparkSession,
+                                 dir: String): Seq[String] = {
+    val (fs, root) = fsOf(spark, dir)
+    if (!fs.exists(root)) return Seq.empty
+    val rootStr = fs.makeQualified(root).toString
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st.getPath.toString.stripPrefix(rootStr)
+          .stripPrefix("/"))
+      }
+    walk(root).sorted
+  }
+
+  private def readLines(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): List[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def writeAtomic(fs: org.apache.hadoop.fs.FileSystem,
+                          dst: org.apache.hadoop.fs.Path,
+                          body: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dst.getParent,
+      dst.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    out.write(body.getBytes("UTF-8"))
+    out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
+  /** The live manifest: (version, relative file paths), None before
+    * [[init]].
+    */
+  def readManifest(spark: SparkSession,
+                   dir: String): Option[(Long, Seq[String])] = {
+    val (fs, root) = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(root, ManifestName)
+    if (!fs.exists(p)) None
+    else readLines(fs, p) match {
+      case v :: files => Some((v.toLong, files))
+      case Nil => Some((0L, Nil))
+    }
+  }
+
+  def currentVersion(spark: SparkSession, dir: String): Long =
+    readManifest(spark, dir).map(_._1).getOrElse(
+      throw new IllegalArgumentException(s"$dir is not a versioned table"))
+
+  /** Retained (fully readable) versions, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, root) = fsOf(spark, dir)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(ManifestName + ".v"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(ManifestName + ".v").toLong).toOption)
+      .sorted
+  }
+
+  private def pendingEntries(spark: SparkSession,
+                             dir: String): Seq[String] = {
+    val (fs, root) = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(root, PendingName)
+    if (!fs.exists(p)) Seq.empty else readLines(fs, p)
+  }
+
+  private def writePending(spark: SparkSession, dir: String,
+                           entries: Seq[String]): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(root, PendingName)
+    if (entries.isEmpty) { fs.delete(p, false); () }
+    else writeAtomic(fs, p, entries.mkString("\n"))
+  }
+
+  /** Files some reader may still open: live + every retained history
+    * manifest's list. The protection set for replay and orphan sweep.
+    */
+  private def protectedFiles(spark: SparkSession,
+                             dir: String): Set[String] = {
+    val (fs, root) = fsOf(spark, dir)
+    if (!fs.exists(root)) return Set.empty
+    val hist = fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith(ManifestName + ".v"))
+      .flatMap(st => readLines(fs, st.getPath).drop(1))
+    (readManifest(spark, dir).map(_._2).getOrElse(Seq.empty) ++ hist).toSet
+  }
+
+  /** Commit manifest `version` (file list), keep a `.vN` history copy,
+    * then prune history by AVAILABILITY (header notes). Callers stamp
+    * retirements into the pending calendar BEFORE this commit, so the
+    * prune sees the just-retired files as still-pending (available) and
+    * keeps the versions that reference them.
+    */
+  private def commitManifest(spark: SparkSession, dir: String,
+                             version: Long, files: Seq[String]): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val body = (version.toString +: files.sorted).mkString("\n")
+    // history copy FIRST (a crash between the two leaves an orphan
+    // history file a later prune collects), then the atomic live flip
+    val hist = fs.create(
+      new org.apache.hadoop.fs.Path(root, ManifestName + ".v" + version),
+      true)
+    hist.write(body.getBytes("UTF-8"))
+    hist.close()
+    writeAtomic(fs, new org.apache.hadoop.fs.Path(root, ManifestName), body)
+    pruneHistory(spark, dir)
+  }
+
+  /** The AVAILABILITY-based history prune (header notes): drop every
+    * `.vN` (N < live version) referencing a file that is neither live
+    * nor still awaiting its scheduled delete — [[readAt]] on it would
+    * fail mid-scan, so the version must fail fast as "not retained"
+    * instead. Runs after every commit AND after every replay (a replay
+    * physically deletes files, which can expire versions).
+    */
+  private def pruneHistory(spark: SparkSession, dir: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    readManifest(spark, dir).foreach { case (version, files) =>
+      // three tiers per referenced file: LIVE → available; covered by a
+      // pending stamp → available exactly while the stamp is not due
+      // (metadata expiry LEADS physical deletion — the window closes
+      // when the promise does, even if the replay lags a commit);
+      // covered by NO stamp → fall back to on-disk existence (a writer
+      // that crashed after its commit but before re-stamping cannot
+      // expire versions whose files this very manifest still shields).
+      val stamped: Map[String, Seq[Long]] = pendingEntries(spark, dir)
+        .flatMap {
+          case PendingStamp(due, rel) => Some(rel -> due.toLong)
+          case _ => None
+        }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+      val liveSet = files.toSet
+      lazy val onDisk = listDataFiles(spark, dir).toSet
+      def available(rel: String): Boolean =
+        liveSet(rel) || (stamped.get(rel) match {
+          case Some(dues) => dues.exists(_ > version)
+          case None => onDisk(rel)
+        })
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        val v = if (n.startsWith(ManifestName + ".v"))
+          scala.util.Try(n.stripPrefix(ManifestName + ".v").toLong).toOption
+        else None
+        v.filter(_ < version).foreach { _ =>
+          val refs = readLines(fs, st.getPath).drop(1)
+          if (!refs.forall(available)) fs.delete(st.getPath, false)
+        }
+      }
+    }
+  }
+
+  /** Replay due deferred deletes: entries whose stamped due-version the
+    * live version has reached, skipping anything a retained manifest
+    * still protects. Runs at the top of every mutation; [[vacuum]] is
+    * the standalone form. Returns the deleted relative paths.
+    */
+  private def replayPending(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, root) = fsOf(spark, dir)
+    val entries = pendingEntries(spark, dir)
+    if (entries.isEmpty) return Seq.empty
+    val latest = readManifest(spark, dir).map(_._1).getOrElse(0L)
+    val (due, notDue) = entries.partition {
+      case PendingStamp(d, _) => latest >= d.toLong
+      case _ => true
+    }
+    val shield = protectedFiles(spark, dir)
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    val held = scala.collection.mutable.ArrayBuffer[String]()
+    due.foreach { e =>
+      val rel = PendingStamp.findFirstMatchIn(e).map(_.group(2)).getOrElse(e)
+      if (shield(rel)) held += e
+      else {
+        fs.delete(new org.apache.hadoop.fs.Path(root, rel), false)
+        deleted += rel
+      }
+    }
+    writePending(spark, dir, notDue ++ held)
+    // a replay can expire versions (their files just left the disk) —
+    // their manifests must fail fast, not mid-scan
+    if (deleted.nonEmpty) pruneHistory(spark, dir)
+    deleted.toSeq
+  }
+
+  /** Delete data files on disk but absent from every manifest and the
+    * pending calendar — crash garbage from a writer that died between
+    * writing files and committing.
+    */
+  private def sweepOrphans(spark: SparkSession, dir: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    if (readManifest(spark, dir).isEmpty) return
+    val shield = protectedFiles(spark, dir)
+    val pending = pendingEntries(spark, dir).map { e =>
+      PendingStamp.findFirstMatchIn(e).map(_.group(2)).getOrElse(e)
+    }.toSet
+    listDataFiles(spark, dir).filterNot(shield).filterNot(pending)
+      .foreach(rel =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, rel), false))
+  }
+
+  // ------------------------------------------------------------------
+  // writer lock (the Similarity two-layer discipline; see its scaladoc
+  // for the steal protocol rationale)
+  // ------------------------------------------------------------------
+
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[etl] def withLock[T](spark: SparkSession, dir: String,
+                               owner: String, leaseMs: Long = 600000L,
+                               timeoutMs: Long = 600000L)(body: => T): T = {
+    val mon = jvmLocks.computeIfAbsent(dir, _ => new Object)
+    mon.synchronized {
+      val (fs, root) = fsOf(spark, dir)
+      val lock = new org.apache.hadoop.fs.Path(root, LockName)
+      fs.mkdirs(root)
+      val deadline = System.currentTimeMillis() + timeoutMs
+      val token = owner + ":" + java.util.UUID.randomUUID()
+      var held = false
+      while (!held) {
+        try {
+          val out = fs.create(lock, false)
+          out.write(s"$token ${System.currentTimeMillis()}".getBytes("UTF-8"))
+          out.close()
+          held = true
+        } catch {
+          case _: java.io.IOException =>
+            val stale =
+              try System.currentTimeMillis() -
+                fs.getFileStatus(lock).getModificationTime > leaseMs
+              catch { case _: java.io.IOException => false }
+            if (stale) fs.delete(lock, false)
+            else if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"versioned-table lock on $dir not released in $timeoutMs ms")
+            else Thread.sleep(50)
+        }
+      }
+      try body
+      finally {
+        val ours =
+          try {
+            val in = fs.open(lock)
+            val head =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            head.startsWith(token + " ")
+          } catch { case _: java.io.IOException => false }
+        if (ours) fs.delete(lock, false)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // reads
+  // ------------------------------------------------------------------
+
+  private def loadFiles(spark: SparkSession, dir: String,
+                        files: Seq[String]): DataFrame =
+    if (files.nonEmpty)
+      spark.read.option("basePath", dir)
+        .parquet(files.map(f => dir + "/" + f): _*)
+    else spark.read.parquet(dir).limit(0) // schema from on-disk footers
+
+  /** The live snapshot — exactly the committed file list, lock-free;
+    * consistent even while a mutation swaps underneath.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readManifest(spark, dir) match {
+      case Some((_, files)) => loadFiles(spark, dir, files)
+      case None => throw new IllegalArgumentException(
+        s"$dir is not a versioned table (no $ManifestName) — init() first")
+    }
+
+  /** TIME TRAVEL: the table exactly as version `version` committed it.
+    * Retained versions are complete by construction (availability
+    * prune); an expired version fails fast here, never mid-scan.
+    */
+  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val (fs, root) = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(root, ManifestName + ".v" + version)
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(
+        s"table version $version not retained under $dir " +
+          s"(retained: ${versions(spark, dir).mkString(", ")}) — raise " +
+          s"$RetainVersionsConf to keep more history")
+    loadFiles(spark, dir, readLines(fs, p).drop(1))
+  }
+
+  // ------------------------------------------------------------------
+  // writes
+  // ------------------------------------------------------------------
+
+  /** Append `df` as new data files and commit the next version: the new
+    * files land first, the manifest flip publishes them atomically.
+    * Returns the committed version.
+    */
+  private def appendCommit(spark: SparkSession, dir: String, df: DataFrame,
+                           carryOver: Seq[String],
+                           retired: Seq[String]): Long = {
+    val before = listDataFiles(spark, dir).toSet
+    df.write.mode("append").parquet(dir)
+    val newFiles = listDataFiles(spark, dir).filterNot(before)
+    val version = readManifest(spark, dir).map(_._1).getOrElse(0L) + 1
+    // retirement stamps land BEFORE the manifest flip: the commit's
+    // availability prune must see the retired files as still-pending
+    // (else it would expire the immediately-previous version), and a
+    // crash between the two leaves stamped entries whose files the old
+    // live manifest still shields — held at replay, retried harmlessly.
+    if (retired.nonEmpty) {
+      val dueAt = version + retain(spark)
+      writePending(spark, dir,
+        pendingEntries(spark, dir) ++ retired.map(r => s"$dueAt:$r"))
+    }
+    commitManifest(spark, dir, version, carryOver ++ newFiles)
+    version
+  }
+
+  /** Create the table: `df` becomes version 1. Fails if a manifest
+    * already exists (use [[overwrite]] to replace content).
+    */
+  def init(spark: SparkSession, dir: String, df: DataFrame): Long =
+    withLock(spark, dir, "init") {
+      require(readManifest(spark, dir).isEmpty,
+        s"$dir is already a versioned table")
+      appendCommit(spark, dir, df, Seq.empty, Seq.empty)
+    }
+
+  /** ADOPT an existing plain parquet directory: snapshot its current
+    * listing as version 1 without rewriting a byte — the migration path
+    * for destinations the pipeline already owns (the
+    * [[graft.ops.Similarity]] bootstrapManifest discipline).
+    */
+  def adopt(spark: SparkSession, dir: String): Long =
+    withLock(spark, dir, "adopt") {
+      require(readManifest(spark, dir).isEmpty,
+        s"$dir is already a versioned table")
+      commitManifest(spark, dir, 1L, listDataFiles(spark, dir))
+      1L
+    }
+
+  /** Append rows (the S6/S8 sink shape) as a new version. */
+  def append(spark: SparkSession, dir: String, df: DataFrame): Long =
+    withLock(spark, dir, "append") {
+      replayPending(spark, dir); sweepOrphans(spark, dir)
+      val live = readManifest(spark, dir).map(_._2).getOrElse(
+        throw new IllegalArgumentException(s"$dir: init() first"))
+      appendCommit(spark, dir, df, live, Seq.empty)
+    }
+
+  /** Replace the whole table content (the reference's pre-write-backup
+    * overwrite, S12): old files retire into the calendar, previous
+    * versions stay readable for the retention window.
+    */
+  def overwrite(spark: SparkSession, dir: String, df: DataFrame): Long =
+    withLock(spark, dir, "overwrite") {
+      replayPending(spark, dir); sweepOrphans(spark, dir)
+      val live = readManifest(spark, dir).map(_._2).getOrElse(
+        throw new IllegalArgumentException(s"$dir: init() first"))
+      appendCommit(spark, dir, df, Seq.empty, live)
+    }
+
+  /** The shared file-pruned rewrite: `touched` = live files holding at
+    * least one affected row (via one `input_file_name()` semi-join —
+    * the collect is bounded by the FILE count); those files' survivor
+    * rows plus `extra` are rewritten as new files, untouched files
+    * carry over BY REFERENCE into the new manifest.
+    */
+  private def prunedRewrite(spark: SparkSession, dir: String,
+                            touchRows: DataFrame => DataFrame,
+                            survivors: DataFrame => DataFrame,
+                            extra: Option[DataFrame]): Long = {
+    val live = readManifest(spark, dir).map(_._2).getOrElse(
+      throw new IllegalArgumentException(s"$dir: init() first"))
+    val liveDf = loadFiles(spark, dir, live)
+    val (fs, root) = fsOf(spark, dir)
+    // scheme-robust relativization: input_file_name() returns a URI
+    // (possibly %-encoded, `file:///...`), manifest paths are raw and
+    // root-relative — compare URI *paths*, not prefix strings (a
+    // `file:/x` vs `file:///x` qualification mismatch would silently
+    // touch zero files)
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    val touchedAbs = touchRows(
+      liveDf.withColumn("_vt_file", input_file_name()))
+      .select("_vt_file").distinct().collect().map(_.getString(0))
+    val touched = touchedAbs.map { f =>
+      new java.net.URI(f).getPath.stripPrefix(rootPath).stripPrefix("/")
+    }.toSeq.sorted
+    val touchedSet = touched.toSet
+    val carryOver = live.filterNot(touchedSet)
+    // inserts aligned to the live schema's column order in EVERY branch:
+    // parquet files with permuted column order would poison later reads
+    val aligned = extra.map(_.select(
+      liveDf.columns.map(col).toIndexedSeq: _*))
+    val rewritten =
+      if (touched.isEmpty) aligned.getOrElse(liveDf.limit(0))
+      else {
+        val kept = survivors(loadFiles(spark, dir, touched))
+        aligned.map(kept.unionByName(_)).getOrElse(kept)
+      }
+    appendCommit(spark, dir, rewritten, carryOver, touched)
+  }
+
+  /** MERGE (upsert): `src` rows replace matched live rows wholly (the
+    * [[Upsert]] semantics — the reference updates every mapped column),
+    * unmatched live rows persist, unmatched `src` rows insert. Only
+    * files containing matched keys are rewritten.
+    */
+  def merge(spark: SparkSession, dir: String, src: DataFrame,
+            keys: Seq[String]): Long =
+    withLock(spark, dir, "merge") {
+      replayPending(spark, dir); sweepOrphans(spark, dir)
+      val srcKeys = src.select(keys.map(col): _*).distinct()
+      prunedRewrite(spark, dir,
+        touchRows = _.join(srcKeys, keys, "left_semi"),
+        survivors = _.join(srcKeys, keys, "left_anti"),
+        extra = Some(src))
+    }
+
+  /** DELETE WHERE `cond` (S10): only files holding a matching row are
+    * rewritten; survivors are the rows where `cond` is not TRUE (SQL
+    * DELETE semantics — a NULL predicate keeps the row).
+    */
+  def deleteWhere(spark: SparkSession, dir: String, cond: Column): Long =
+    withLock(spark, dir, "delete") {
+      replayPending(spark, dir); sweepOrphans(spark, dir)
+      prunedRewrite(spark, dir,
+        touchRows = _.filter(cond),
+        survivors = _.filter(!coalesce(cond, lit(false))),
+        extra = None)
+    }
+
+  /** DELETE-THEN-INSERT CHILDREN (J7/S10, reference
+    * `sdk/migrate_assures.php:205-227`): drop every live row whose
+    * parent key appears in `recomputed`, insert the recomputed set —
+    * one atomic commit, so readers never observe the deleted-but-not-
+    * yet-reinserted intermediate state the reference needed a DB
+    * transaction for.
+    */
+  def replaceChildren(spark: SparkSession, dir: String,
+                      recomputed: DataFrame,
+                      parentKeys: Seq[String]): Long =
+    withLock(spark, dir, "replace-children") {
+      replayPending(spark, dir); sweepOrphans(spark, dir)
+      val parents = recomputed.select(parentKeys.map(col): _*).distinct()
+      prunedRewrite(spark, dir,
+        touchRows = _.join(parents, parentKeys, "left_semi"),
+        survivors = _.join(parents, parentKeys, "left_anti"),
+        extra = Some(recomputed))
+    }
+
+  /** Standalone deferred-delete replay + orphan sweep (the maintenance
+    * entry point a scheduler calls; every mutation also runs it).
+    * Returns the physically deleted relative paths.
+    */
+  def vacuum(spark: SparkSession, dir: String): Seq[String] =
+    withLock(spark, dir, "vacuum") {
+      val deleted = replayPending(spark, dir)
+      sweepOrphans(spark, dir)
+      deleted
+    }
+}

@@ -517,25 +517,29 @@ object Similarity {
         val newFiles = listDataFiles(spark, indexDir)
           .filterNot(beforeSet)
         val version = readManifest(spark, indexDir).map(_._1).getOrElse(0L)
-        // THE swap: one atomic rename flips every reader from the old
-        // file set to the new. A crash before this line leaves the old
-        // manifest serving the old view (the appended files are orphans
-        // the next run sweeps); after it, the old files are garbage.
-        commitManifest(spark, indexDir, version + 1,
-          (live0.toSet -- oldFiles.toSet).toSeq ++ newFiles)
-        // deferred physical cleanup, stamped with the DUE version
-        // (this commit + the retention in force now, so later ops
+        // Deferred physical cleanup, stamped with the DUE version
+        // (the commit below + the retention in force now, so later ops
         // with a different conf honor the promise): the replaced
         // files, plus fully-dead cells' now-empty partition
         // directories. MERGED with entries the entry replay kept —
         // under retention > 0 earlier retirements may still be inside
-        // their window.
+        // their window. Stamped BEFORE the manifest flip (r12 ADVICE):
+        // the commit's availability prune must see the retired files
+        // as still-pending, or it would expire the immediately-
+        // previous version; a crash between the two leaves entries
+        // whose files the still-live old manifest shields at replay.
         val fullyDead = affected.filterNot(surviving)
         val dueAt = version + 1 + retainVersions(spark)
         val retired = (oldFiles ++ fullyDead.map(c => s"c_cell=$c"))
           .map(e => s"$dueAt:$e")
         writePendingDeletes(spark, indexDir,
           readPendingEntries(spark, indexDir) ++ retired)
+        // THE swap: one atomic rename flips every reader from the old
+        // file set to the new. A crash before this line leaves the old
+        // manifest serving the old view (the appended files are orphans
+        // the next run sweeps); after it, the old files are garbage.
+        commitManifest(spark, indexDir, version + 1,
+          (live0.toSet -- oldFiles.toSet).toSeq ++ newFiles)
       }
       affected
     }
@@ -646,15 +650,72 @@ object Similarity {
     fs.delete(dst, false)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"rename $tmp -> $dst failed")
-    // prune history beyond the retention window (metadata expiry —
-    // the files themselves go through the pending-delete channel)
-    val keepFrom = version - retainVersions(spark)
-    fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith(ManifestName + ".v") &&
+    pruneHistoryManifests(spark, indexDir)
+  }
+
+  /** History-manifest expiry by AVAILABILITY, not by the retention conf
+    * in force at prune time (r12 ADVICE: the old `version - retain`
+    * boundary broke both ways when the conf changed between ops —
+    * raising it kept `.vN` files whose data was already deleted under
+    * the earlier smaller window, so [[ivfOpenIndexAt]] failed MID-SCAN
+    * instead of fast; lowering it pruned manifests still inside the
+    * window promised to time-travel readers at retirement). The rule:
+    * `.vN` stays exactly as long as EVERY file it references is either
+    * live or still awaiting a scheduled delete (stamp beyond the
+    * current version, matched exactly or by cell-directory prefix),
+    * and drops the moment any referenced file is gone or due. The
+    * stamps are frozen at retirement, so both channels — physical
+    * deletion and metadata expiry — honor the SAME window regardless of
+    * later conf changes; under a constant conf this reproduces the old
+    * boundary. Runs after every commit AND after every replay (a replay
+    * physically deletes files, which can expire versions).
+    */
+  private def pruneHistoryManifests(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(spark, indexDir).foreach { case (version, live) =>
+      // three tiers per referenced file: LIVE → available; covered by a
+      // pending stamp → available exactly while the stamp is not due
+      // (metadata expiry LEADS physical deletion by design — the window
+      // closes when the promise does, even if the replay lags an op);
+      // covered by NO stamp → fall back to on-disk existence (the
+      // crash-lost-pending case: the file is shielded from the sweep by
+      // this very manifest, so the version stays whole).
+      val stamped = readPendingEntries(spark, indexDir).flatMap { e =>
+        PendingStamp.findFirstMatchIn(e).map { m =>
+          val raw = m.group(2)
+          val rel = if (raw.forall(c => c.isDigit || c == '-'))
+            s"c_cell=$raw"
+          else raw
+          (rel, m.group(1).toLong)
+        }
+      }
+      val liveSet = live.toSet
+      lazy val onDisk = listDataFiles(spark, indexDir).toSet
+      def available(rel: String): Boolean =
+        liveSet(rel) || {
+          val covering = stamped.filter { case (p, _) =>
+            rel == p || rel.startsWith(p + "/") }
+          if (covering.nonEmpty) covering.exists(_._2 > version)
+          else onDisk(rel)
+        }
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        val v = if (n.startsWith(ManifestName + ".v"))
           scala.util.Try(n.stripPrefix(ManifestName + ".v").toLong)
-            .toOption.exists(_ < keepFrom))
-        fs.delete(st.getPath, false)
+            .toOption
+        else None
+        v.filter(_ < version).foreach { _ =>
+          val in = fs.open(st.getPath)
+          val refs =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              .map(_.trim).filter(_.nonEmpty).drop(1).toList
+            finally in.close()
+          if (!refs.forall(available)) fs.delete(st.getPath, false)
+        }
+      }
     }
   }
 
@@ -1129,6 +1190,10 @@ object Similarity {
       val kept = notDue ++ held
       if (kept.isEmpty) fs.delete(p, false)
       else writePendingDeletes(spark, indexDir, kept)
+      // deleting files can EXPIRE retained versions — their history
+      // manifests must leave with them so [[ivfOpenIndexAt]] fails
+      // fast ("not retained"), never mid-scan on a missing file
+      if (replayed.nonEmpty) pruneHistoryManifests(spark, indexDir)
       replayed.toSeq
     }
   }

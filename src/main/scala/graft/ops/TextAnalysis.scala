@@ -364,6 +364,35 @@ object TextAnalysis {
     */
   val BpeTrainPathConf = "spark.graft.bpeTrainPath"
 
+  /** Session conf: hard cap on the (word, count) rows the driver-side
+    * trainer may collect (r12 ADVICE: the default path collected the
+    * vocabulary UNGUARDED — a corpus whose distinct-token table exceeds
+    * driver memory OOM'd the default instead of degrading, and recovery
+    * required knowing about [[BpeTrainPathConf]]). When the vocabulary
+    * is larger, training falls back to the distributed round loop
+    * AUTOMATICALLY, logging the switch. Default 20M rows — ~2× the
+    * Heaps'-law vocabulary of a 100 TB lowercased web corpus, a few GB
+    * with counts: sized to never trip on a real corpus while turning a
+    * pathological one (corpus-cardinality "vocabulary": UUIDs, hashes)
+    * from an OOM into a slow-but-alive run.
+    */
+  val BpeDriverMaxVocabConf = "spark.graft.bpeDriverMaxVocab"
+
+  /** Session conf: frequency threshold for the trainer's vocabulary —
+    * words seen fewer than this many times are dropped BEFORE the
+    * driver collect (what SentencePiece/HuggingFace trainers do). The
+    * default 1 keeps training exact (every gate unchanged); raising it
+    * bounds the driver table by the corpus' heavy-type vocabulary at
+    * the cost of ignoring tail types' pair counts — at 100 TB the tail
+    * is hapax noise the merge ranking should not see anyway.
+    */
+  val BpeMinWordCountConf = "spark.graft.bpeMinWordCount"
+
+  private def longConf(spark: org.apache.spark.sql.SparkSession,
+                       key: String, dflt: Long): Long =
+    spark.conf.getOption(key)
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(dflt)
+
   def bpeTrainWithRounds(docs: DataFrame, textCol: String, nMerges: Int,
                          batch: Int = 16): (DataFrame, Int) =
     if (docs.sparkSession.conf
@@ -371,18 +400,41 @@ object TextAnalysis {
         .exists(_.equalsIgnoreCase("distributed")))
       bpeTrainDistributedRounds(docs, textCol, nMerges, batch)
     else
-      bpeTrainDriver(docs, textCol, nMerges)
+      bpeTrainDriver(docs, textCol, nMerges, batch)
 
   /** The driver-side exact trainer (see [[bpeTrainWithRounds]]). */
   private def bpeTrainDriver(docs: DataFrame, textCol: String,
-                             nMerges: Int): (DataFrame, Int) = {
+                             nMerges: Int,
+                             batch: Int): (DataFrame, Int) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // the one corpus-sized pass: word → count
-    val vocab = docs.filter(col(textCol).isNotNull)
+    // the one corpus-sized pass: word → count, with the optional
+    // frequency floor applied DISTRIBUTED (before anything lands on
+    // the driver)
+    val minCount = math.max(1L, longConf(spark, BpeMinWordCountConf, 1L))
+    val vocabDf0 = docs.filter(col(textCol).isNotNull)
       .select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val vocabDf =
+      if (minCount > 1L) vocabDf0.filter(col("n") >= minCount)
+      else vocabDf0
+    // SIZE GUARD before the collect: pin the vocabulary (its lineage is
+    // the corpus pass — count and collect must share one materialization,
+    // not two corpus scans), count it, and hand oversized vocabularies
+    // to the distributed loop instead of OOMing the driver.
+    val maxVocab = longConf(spark, BpeDriverMaxVocabConf, 20000000L)
+    val pinned = vocabDf.persist()
+    val vocab: Array[(String, Long)] =
+      try {
+        if (pinned.count() > maxVocab) {
+          // the finally below releases the pin before the fallback runs
+          System.err.println(
+            s"graft.bpeTrain: vocabulary exceeds $BpeDriverMaxVocabConf" +
+              s"=$maxVocab rows; falling back to the distributed trainer")
+          return bpeTrainDistributedRounds(docs, textCol, nMerges, batch)
+        }
+        pinned.collect().map(r => (r.getString(0), r.getLong(1)))
+      } finally pinned.unpersist()
     // split by CODE POINTS, not Java String.split("") — split("")
     // breaks supplementary characters (emoji, astral CJK) into lone
     // surrogate halves, while Spark's split(word, '') and DuckDB's
@@ -866,10 +918,15 @@ object TextAnalysis {
                    topK: Int = 40): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
+    // Unicode letter/number classes (r12-verdict item 3): the former
+    // [^a-z0-9] scrub reduced every non-Latin token to "" and silently
+    // dropped whole scripts from the keyword graph — on a multilingual
+    // corpus the operator only saw its Latin slice. \p{L}\p{N} is the
+    // Java-regex/RE2 common subset, so the DuckDB oracle replays it.
     val toks0 = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))))
       .select(col("doc_id"), col("pos"),
-        regexp_replace(col("col"), "[^a-z0-9]", "").as("w"))
+        regexp_replace(col("col"), "[^\\p{L}\\p{N}]", "").as("w"))
       .filter(col("w") =!= "")
     val stop = toks0.groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w")).limit(nStopwords)
@@ -920,10 +977,12 @@ object TextAnalysis {
                iterations: Int = 3, topK: Int = 30): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
+    // \p{L}\p{N} scrub, not [^a-z0-9] — see [[rakeKeywords]]'s note:
+    // non-Latin scripts must reach the co-occurrence graph.
     val toks0 = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))))
       .select(col("doc_id"), col("pos"),
-        regexp_replace(col("col"), "[^a-z0-9]", "").as("w"))
+        regexp_replace(col("col"), "[^\\p{L}\\p{N}]", "").as("w"))
       .filter(col("w") =!= "")
     val stop = toks0.groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w")).limit(nStopwords)

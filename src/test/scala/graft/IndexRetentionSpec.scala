@@ -167,6 +167,79 @@ class IndexRetentionSpec extends SparkSpec {
     }
   }
 
+  test("retention RAISED between ops cannot keep a version whose files " +
+    "already fell due under the smaller window: open-at fails fast, " +
+    "never mid-scan (r12 ADVICE)") {
+    val tmp = Files.createTempDirectory("graft_retention_raise").toString
+    writeCells(tmp + "/cells")
+    withRetain(1) {
+      Similarity.ivfCompact(spark, tmp + "/cells",
+        Seq(2L).toDF("t_id"), "t_id", tmp + "/s1") // v1 + v2; v1 retirees due at 3
+    }
+    withRetain(10) {
+      Similarity.ivfCompact(spark, tmp + "/cells",
+        Seq(4L).toDF("t_id"), "t_id", tmp + "/s2") // v3
+      // this op's entry replay deletes v1's retirees (due at 3) — under
+      // the old conf-at-prune-time boundary (3 - 10) the .v1 manifest
+      // would have survived them and readAt(1) would die mid-scan on a
+      // missing parquet file
+      Similarity.ivfCompact(spark, tmp + "/cells",
+        spark.emptyDataset[Long].toDF("t_id"), "t_id", tmp + "/s3")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfOpenIndexAt(spark, tmp + "/cells", 1L)
+      }
+      assert(e.getMessage.contains("not retained"))
+      // versions whose files are intact still serve under the new conf
+      assert(ids(Similarity.ivfOpenIndexAt(spark, tmp + "/cells", 2L))
+        === Seq(1L, 3L, 4L, 5L))
+    }
+  }
+
+  test("retention LOWERED mid-window keeps versions promised under the " +
+    "larger window readable until their stamps fall due (r12 ADVICE)") {
+    val tmp = Files.createTempDirectory("graft_retention_lower").toString
+    writeCells(tmp + "/cells")
+    withRetain(3) {
+      Similarity.ivfCompact(spark, tmp + "/cells",
+        Seq(2L).toDF("t_id"), "t_id", tmp + "/s1") // v1 + v2; v1 retirees due at 5
+    }
+    withRetain(0) {
+      // appends retire nothing — they only advance the version clock
+      Similarity.withMaintenanceLock(spark, tmp + "/cells", "append") {
+        Similarity.ivfAppendCells(spark, tmp + "/cells",
+          Seq((8L, Array(0.4f, 0.6f), 1L, 2L))
+            .toDF("c_id", "c_vec", "c_norm", "c_cell")) // v3
+      }
+      // old behavior: the conf-at-prune-time boundary (3 - 0 = 3)
+      // dropped .v1/.v2 here though v1's retirees sit safely inside the
+      // window stamped at retirement (due at 5) and every other file is
+      // live — the promise made under retain=3 was broken by the new conf
+      assert(ids(Similarity.ivfOpenIndexAt(spark, tmp + "/cells", 1L))
+        === Seq(1L, 2L, 3L, 4L, 5L))
+      assert(ids(Similarity.ivfOpenIndexAt(spark, tmp + "/cells", 2L))
+        === Seq(1L, 3L, 4L, 5L))
+      // ... and the window still CLOSES on schedule: two more version
+      // advances put the live version at the stamp (5) — v1 expires
+      // exactly then, failing fast
+      Similarity.withMaintenanceLock(spark, tmp + "/cells", "append") {
+        Similarity.ivfAppendCells(spark, tmp + "/cells",
+          Seq((18L, Array(0.3f, 0.7f), 1L, 2L))
+            .toDF("c_id", "c_vec", "c_norm", "c_cell")) // v4
+      }
+      assert(ids(Similarity.ivfOpenIndexAt(spark, tmp + "/cells", 1L))
+        === Seq(1L, 2L, 3L, 4L, 5L)) // due 5 > 4: still promised
+      Similarity.withMaintenanceLock(spark, tmp + "/cells", "append") {
+        Similarity.ivfAppendCells(spark, tmp + "/cells",
+          Seq((28L, Array(0.2f, 0.8f), 1L, 2L))
+            .toDF("c_id", "c_vec", "c_norm", "c_cell")) // v5
+      }
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfOpenIndexAt(spark, tmp + "/cells", 1L)
+      }
+      assert(e.getMessage.contains("not retained"))
+    }
+  }
+
   test("legacy unstamped pending entries from a pre-retention index " +
     "replay immediately under any retention setting") {
     withRetain(2) {

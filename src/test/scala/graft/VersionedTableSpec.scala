@@ -1,0 +1,231 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.VersionedTable
+
+/** Lifecycle, crash-safety and retention-invariant pins for the
+  * manifest-versioned ETL destination layer (r12-verdict item 1) — the
+  * IndexRetentionSpec mold applied to [[graft.etl.VersionedTable]]:
+  * commit atomicity, file-pruned rewrites, snapshot isolation, time
+  * travel, orphan sweep, deferred deletes, and BOTH retention-conf-change
+  * scenarios from the r12 ADVICE (raise after delete → fail fast; lower
+  * mid-window → honor the promised window).
+  */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_vt").toString
+
+  private def withRetain[A](n: String)(body: => A): A = {
+    val key = VersionedTable.RetainVersionsConf
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def base(n: Int) = spark.range(n.toLong)
+    .select(col("id").as("k"), (col("id") * 10).as("v"),
+      (col("id") % 3).cast("long").as("grp"))
+    .repartition(4) // several data files → the pruned rewrite has pruning to do
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "v").as[(Long, Long)].collect().toSet
+
+  test("init + read round-trips; merge replaces matched rows, keeps " +
+    "unmatched, inserts new — and only touched files rewrite") {
+    val dir = tmp()
+    VersionedTable.init(spark, dir, base(100))
+    assert(VersionedTable.currentVersion(spark, dir) === 1L)
+    val v1Files = VersionedTable.readManifest(spark, dir).get._2.toSet
+    val updates = Seq((5L, 999L, 0L), (200L, 111L, 1L))
+      .toDF("k", "v", "grp")
+    val v2 = VersionedTable.merge(spark, dir, updates, Seq("k"))
+    assert(v2 === 2L)
+    val got = rows(VersionedTable.read(spark, dir))
+    assert(got.contains((5L, 999L)))      // updated
+    assert(got.contains((200L, 111L)))    // inserted
+    assert(got.contains((6L, 60L)))       // untouched
+    assert(got.size === 101)
+    // file pruning: the files NOT containing k=5 carried over by reference
+    val v2Files = VersionedTable.readManifest(spark, dir).get._2.toSet
+    assert((v1Files intersect v2Files).nonEmpty,
+      "merge rewrote every file — the input_file_name pruning is dead")
+  }
+
+  test("deleteWhere removes matching rows only; NULL predicate keeps") {
+    val dir = tmp()
+    val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+      .toDF("k", "v").withColumn("grp", lit(0L))
+    VersionedTable.init(spark, dir, df)
+    VersionedTable.deleteWhere(spark, dir, col("v") > 15L)
+    val got = VersionedTable.read(spark, dir)
+      .select("k").as[Long].collect().toSet
+    // v=30 deleted; v=10 kept; v=NULL kept (SQL DELETE semantics)
+    assert(got === Set(1L, 2L))
+  }
+
+  test("replaceChildren is one atomic commit: parent's old children " +
+    "gone, recomputed set in, other parents untouched") {
+    val dir = tmp()
+    val children = spark.range(30)
+      .select((col("id") % 5).as("parent"), col("id").as("child"),
+        lit(0L).as("grp"))
+      .withColumnRenamed("parent", "k").withColumnRenamed("child", "v")
+    VersionedTable.init(spark, dir, children)
+    val recomputed = Seq((2L, 1000L, 0L), (2L, 1001L, 0L))
+      .toDF("k", "v", "grp")
+    VersionedTable.replaceChildren(spark, dir, recomputed, Seq("k"))
+    val got = rows(VersionedTable.read(spark, dir))
+    assert(got.filter(_._1 == 2L).map(_._2) === Set(1000L, 1001L))
+    assert(got.count(_._1 == 3L) === 6) // sibling parent intact
+  }
+
+  test("snapshot isolation: a reader pinned before an overwrite still " +
+    "scans the old version's files after the commit") {
+    val dir = tmp()
+    withRetain("2") {
+      VersionedTable.init(spark, dir, base(50))
+      // the reader's FILE LIST is resolved here, before the swap
+      val pinned = VersionedTable.read(spark, dir)
+      val pinnedRows = rows(pinned)
+      VersionedTable.overwrite(spark, dir, base(10).withColumn("v", lit(0L)))
+      // re-executing the pinned plan re-reads ITS file list post-swap:
+      // deferred deletes keep those files alive inside the retention
+      // window, so the snapshot is stable, not torn
+      assert(rows(pinned) === pinnedRows)
+      assert(rows(VersionedTable.read(spark, dir)).forall(_._2 == 0L))
+    }
+  }
+
+  test("time travel: readAt(v) reproduces each committed state; expired " +
+    "versions fail fast with the retained list") {
+    val dir = tmp()
+    withRetain("1") {
+      VersionedTable.init(spark, dir, base(20))                  // v1
+      VersionedTable.merge(spark, dir,
+        Seq((0L, 777L, 0L)).toDF("k", "v", "grp"), Seq("k"))     // v2
+      assert(rows(VersionedTable.readAt(spark, dir, 1L))
+        .contains((0L, 0L)))
+      assert(rows(VersionedTable.readAt(spark, dir, 2L))
+        .contains((0L, 777L)))
+      VersionedTable.merge(spark, dir,
+        Seq((1L, 888L, 1L)).toDF("k", "v", "grp"), Seq("k"))     // v3
+      VersionedTable.merge(spark, dir,
+        Seq((2L, 999L, 2L)).toDF("k", "v", "grp"), Seq("k"))     // v4
+      VersionedTable.vacuum(spark, dir)
+      // v1's touched file fell due and was deleted → v1 must be GONE
+      // from the retained list, not a mid-scan missing-parquet error
+      val ex = intercept[IllegalArgumentException] {
+        VersionedTable.readAt(spark, dir, 1L)
+      }
+      assert(ex.getMessage.contains("not retained"))
+      // the window itself still serves
+      assert(rows(VersionedTable.readAt(spark, dir, 4L))
+        .contains((2L, 999L)))
+    }
+  }
+
+  test("crash safety: files written without a commit are invisible to " +
+    "readers and swept as orphans by the next mutation") {
+    val dir = tmp()
+    VersionedTable.init(spark, dir, base(10))
+    val before = VersionedTable.read(spark, dir).count()
+    // simulate a writer dying between data write and manifest commit
+    base(5).withColumn("v", lit(-1L)).write.mode("append").parquet(dir)
+    assert(VersionedTable.read(spark, dir).count() === before,
+      "uncommitted files leaked into the live read")
+    VersionedTable.append(spark, dir, Seq((500L, 1L, 0L))
+      .toDF("k", "v", "grp"))
+    // the orphans were swept: total rows = base + the one appended row,
+    // and no v=-1 ghost row ever surfaces
+    assert(VersionedTable.read(spark, dir).count() === before + 1)
+    assert(VersionedTable.read(spark, dir)
+      .filter(col("v") === -1L).isEmpty)
+  }
+
+  test("ADVICE scenario A — retention RAISED after data left: the " +
+    "expired version fails fast instead of resurrecting a hole-y scan") {
+    val dir = tmp()
+    withRetain("0") {
+      VersionedTable.init(spark, dir, base(20))                  // v1
+      VersionedTable.overwrite(spark, dir, base(5))              // v2
+      VersionedTable.overwrite(spark, dir, base(3))              // v3 (v1 files due)
+      VersionedTable.vacuum(spark, dir)
+    }
+    withRetain("5") {
+      // raising the conf must NOT bring back v1: its files are gone
+      val ex = intercept[IllegalArgumentException] {
+        VersionedTable.readAt(spark, dir, 1L)
+      }
+      assert(ex.getMessage.contains("not retained"))
+      // and new commits under the bigger window work normally
+      VersionedTable.append(spark, dir,
+        Seq((99L, 99L, 0L)).toDF("k", "v", "grp"))
+      assert(VersionedTable.readAt(spark, dir, 3L).count() === 3)
+    }
+  }
+
+  test("ADVICE scenario B — retention LOWERED mid-window: versions " +
+    "promised under the larger window stay readable until their stamps " +
+    "fall due") {
+    val dir = tmp()
+    withRetain("3") {
+      VersionedTable.init(spark, dir, base(20))                  // v1
+      VersionedTable.overwrite(spark, dir, base(10))             // v2: v1 due at 2+3=5
+    }
+    withRetain("0") {
+      // one more commit under the smaller conf — v1's files are NOT yet
+      // due (stamped under retain=3), so v1 must still time-travel
+      VersionedTable.append(spark, dir,
+        Seq((77L, 77L, 0L)).toDF("k", "v", "grp"))               // v3
+      assert(VersionedTable.readAt(spark, dir, 1L).count() === 20)
+      // advance past the PROMISED window: v4, v5 → stamps (due 5) fall due
+      VersionedTable.append(spark, dir,
+        Seq((78L, 78L, 0L)).toDF("k", "v", "grp"))               // v4
+      VersionedTable.append(spark, dir,
+        Seq((79L, 79L, 0L)).toDF("k", "v", "grp"))               // v5
+      VersionedTable.vacuum(spark, dir)
+      val ex = intercept[IllegalArgumentException] {
+        VersionedTable.readAt(spark, dir, 1L)
+      }
+      assert(ex.getMessage.contains("not retained"))
+    }
+  }
+
+  test("adopt snapshots an existing plain directory as v1 without " +
+    "rewriting; subsequent merges version it") {
+    val dir = tmp()
+    base(12).write.mode("overwrite").parquet(dir)
+    assert(VersionedTable.adopt(spark, dir) === 1L)
+    assert(rows(VersionedTable.read(spark, dir)).size === 12)
+    VersionedTable.merge(spark, dir,
+      Seq((0L, 42L, 0L)).toDF("k", "v", "grp"), Seq("k"))
+    assert(rows(VersionedTable.read(spark, dir)).contains((0L, 42L)))
+    assert(rows(VersionedTable.readAt(spark, dir, 1L)).contains((0L, 0L)))
+  }
+
+  test("concurrent mutators serialize under the lock: parallel merges " +
+    "all land, version count equals mutation count") {
+    val dir = tmp()
+    VersionedTable.init(spark, dir, base(40))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (0 until 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = VersionedTable.merge(spark, dir,
+            Seq((i.toLong, 1000L + i, 0L)).toDF("k", "v", "grp"), Seq("k"))
+        })
+      }
+      val versionsGot = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versionsGot.toSet === Set(2L, 3L, 4L, 5L))
+      val got = rows(VersionedTable.read(spark, dir))
+      (0 until 4).foreach(i => assert(got.contains((i.toLong, 1000L + i))))
+      assert(got.size === 40)
+    } finally pool.shutdownNow()
+  }
+}
