@@ -95,7 +95,12 @@ object PlanDump {
     // surface operator-string probe (its coerced literals land in
     // PushedFilters)
     "st27_stream_index_refresh", "n29_maintenance_interleave",
-    "p4b_exists_operators")
+    "p4b_exists_operators",
+    // round-13 wave: the versioned ETL destination lifecycle — the
+    // dumped plan is the post-merge/delete manifest snapshot read
+    // (explicit committed file list, never a directory listing) and
+    // the three-snapshot time-travel union
+    "etl2_versioned_merge", "etl4_table_time_travel")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

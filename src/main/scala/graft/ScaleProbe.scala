@@ -41,6 +41,60 @@ object ScaleProbe {
       graft.ops.Similarity.semDedup(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.45, nCells = 128)),
+    // VersionedTable file-pruning differential: the same init (orders →
+    // one versioned table, 32 data files), then either a BROAD merge
+    // (every 7th key — touches essentially every file) or a TINY merge
+    // (8 keys — touches ≤8 files). Identical table size, identical
+    // commit overhead; the wall-clock gap is the bytes the pruned
+    // rewrite did NOT rewrite — the Delta-MERGE scale story measured.
+    "vt@bigmerge" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_vt_big").toString
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      graft.etl.VersionedTable.init(s, tmp, o)
+      graft.etl.VersionedTable.merge(s, tmp,
+        o.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"),
+            (col("o_custkey") + 1L).as("o_custkey"),
+            col("o_orderstatus")),
+        Seq("o_orderkey"))
+      graft.etl.VersionedTable.read(s, tmp)
+    }),
+    "vt@tinymerge" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_vt_tiny").toString
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      graft.etl.VersionedTable.init(s, tmp, o)
+      graft.etl.VersionedTable.merge(s, tmp,
+        o.filter(col("o_orderkey") % 200003 === 1)
+          .select(col("o_orderkey"),
+            (col("o_custkey") + 1L).as("o_custkey"),
+            col("o_orderstatus")),
+        Seq("o_orderkey"))
+      graft.etl.VersionedTable.read(s, tmp)
+    }),
+    // BPE driver-trainer vocabulary ladder (r12-verdict item 4): the
+    // testdata documents hold only 31 distinct tokens, so the ladder
+    // synthesizes corpora whose VOCABULARY actually grows — 250k and 1M
+    // word types (100 heavy types carrying the learnable pairs + a
+    // unique-token tail, the Zipf head/tail split). What SCALE.md
+    // tabulates: train-to-16-merges wall time and the driver table size
+    // (types × ~50 B) staying linear in TYPES, not corpus rows — the
+    // collect the guard bounds.
+    "bpe@synthvocab250k" -> ((s, _) =>
+      graft.ops.TextAnalysis.bpeTrain(
+        s.range(250000L).select(concat_ws(" ",
+          concat(lit("common"), col("id") % 100),
+          concat(lit("tail"), col("id"))).as("text")),
+        "text", nMerges = 16)),
+    "bpe@synthvocab1m" -> ((s, _) =>
+      graft.ops.TextAnalysis.bpeTrain(
+        s.range(1000000L).select(concat_ws(" ",
+          concat(lit("common"), col("id") % 100),
+          concat(lit("tail"), col("id"))).as("text")),
+        "text", nMerges = 16)),
     // beam search with the kNN-graph cell count grown to the corpus —
     // graph CONSTRUCTION carries the N²/nCells in-cell pair cost (the
     // d13 lesson verbatim); the search rounds are corpus-independent
