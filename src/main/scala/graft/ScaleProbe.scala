@@ -41,6 +41,19 @@ object ScaleProbe {
       graft.ops.Similarity.semDedup(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.45, nCells = 128)),
+    // t36-watch attribution probes: the round-13 Unicode scrub swap is
+    // the only code t36/t27 share that changed — time the SCRUB ALONE
+    // under both character classes to tell regex cost from ambient load.
+    "probe@scrub_ascii" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+        .select(posexplode(graft.ops.TextAnalysis.tokens(col("text"))))
+        .select(regexp_replace(col("col"), "[^a-z0-9]", "").as("w"))
+        .filter(col("w") =!= "").groupBy("w").count()),
+    "probe@scrub_unicode" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+        .select(posexplode(graft.ops.TextAnalysis.tokens(col("text"))))
+        .select(regexp_replace(col("col"), "[^\\p{L}\\p{N}]", "").as("w"))
+        .filter(col("w") =!= "").groupBy("w").count()),
     // VersionedTable file-pruning differential: the same init (orders →
     // one versioned table, 32 data files), then either a BROAD merge
     // (every 7th key — touches essentially every file) or a TINY merge

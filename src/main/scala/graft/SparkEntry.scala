@@ -6337,6 +6337,42 @@ object SparkEntry {
       VersionedTable.read(s, tmp).orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // etl5: the PARTITIONED versioned destination — Hive layout under
+    // versioning, so the 100 TB shape (date/flag-partitioned facts)
+    // keeps planning-time partition pruning for reads AND rewrites: the
+    // deleteWhere below touches only the l_returnflag=R directory's
+    // files; every other partition carries over by reference.
+    "etl5_versioned_partitioned" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_vt_part").toString
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity").cast("long").as("l_quantity"),
+          col("l_returnflag"))
+      VersionedTable.init(s, tmp, li, partitionBy = Seq("l_returnflag"))
+      VersionedTable.deleteWhere(s, tmp,
+        col("l_returnflag") === "R" && col("l_orderkey") % 2 === 0)
+      VersionedTable.merge(s, tmp,
+        li.filter(col("l_returnflag") === "N" &&
+            col("l_orderkey") % 100 === 1)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_quantity") * 3L).as("l_quantity"),
+            col("l_returnflag")),
+        Seq("l_orderkey", "l_linenumber"))
+      VersionedTable.read(s, tmp)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // st28 lives with the other stream gates conceptually but is keyed
+    // here beside its lifecycle siblings: exactly-once micro-batch
+    // appends into the versioned table (manifest-epoch idempotence) +
+    // a versioned compaction, served as a batching-invariant aggregate.
+    "st28_stream_versioned_sink" -> ((s, dir) =>
+      StreamOps.streamVersionedSink(s, dir).orderBy("event_type")),
+
     "etl4_table_time_travel" -> ((s, dir) => {
       val prevRetain = s.conf.getOption(VersionedTable.RetainVersionsConf)
       s.conf.set(VersionedTable.RetainVersionsConf, "2")
@@ -13518,6 +13554,31 @@ object SparkEntry {
         |   WHERE l_orderkey NOT IN (SELECT l_orderkey FROM rec)
         |  UNION ALL SELECT * FROM rec)
         | ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "etl5_versioned_partitioned" ->
+      """WITH base AS (SELECT l_orderkey,
+        |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS l_quantity, l_returnflag
+        |   FROM lineitem),
+        | afterdel AS (SELECT * FROM base
+        |   WHERE NOT (l_returnflag = 'R' AND l_orderkey % 2 = 0)),
+        | upd AS (SELECT l_orderkey, l_linenumber,
+        |    l_quantity * 3 AS l_quantity, l_returnflag FROM base
+        |   WHERE l_returnflag = 'N' AND l_orderkey % 100 = 1),
+        | merged AS (SELECT * FROM upd
+        |   UNION ALL
+        |   SELECT a.* FROM afterdel a
+        |    WHERE NOT EXISTS (SELECT 1 FROM upd u
+        |      WHERE u.l_orderkey = a.l_orderkey
+        |        AND u.l_linenumber = a.l_linenumber))
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        | FROM merged GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "st28_stream_versioned_sink" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "etl4_table_time_travel" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus

@@ -74,6 +74,7 @@ object VersionedTable {
   private val ManifestName = "_vt_manifest"
   private val PendingName = "_vt_pending"
   private val LockName = "_vt_lock"
+  private val PartitioningName = "_vt_partitioning"
   private val PendingStamp = "^([0-9]+):(.+)$".r
 
   private def retain(spark: SparkSession): Long =
@@ -129,7 +130,9 @@ object VersionedTable {
   }
 
   /** The live manifest: (version, relative file paths), None before
-    * [[init]].
+    * [[init]]. Header lines (`#key=value`, e.g. the streaming epoch)
+    * are filtered out — they ride the SAME atomic rename as the file
+    * list, which is what makes [[appendStreamBatch]] exactly-once.
     */
   def readManifest(spark: SparkSession,
                    dir: String): Option[(Long, Seq[String])] = {
@@ -137,9 +140,31 @@ object VersionedTable {
     val p = new org.apache.hadoop.fs.Path(root, ManifestName)
     if (!fs.exists(p)) None
     else readLines(fs, p) match {
-      case v :: files => Some((v.toLong, files))
+      case v :: rest => Some((v.toLong, rest.filterNot(_.startsWith("#"))))
       case Nil => Some((0L, Nil))
     }
+  }
+
+  /** The last streaming batch id committed INTO the live manifest (the
+    * `#epoch=` header), -1 before any streaming commit.
+    */
+  def lastStreamEpoch(spark: SparkSession, dir: String): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(root, ManifestName)
+    if (!fs.exists(p)) -1L
+    else readLines(fs, p).collectFirst {
+      case l if l.startsWith("#epoch=") =>
+        scala.util.Try(l.stripPrefix("#epoch=").toLong).getOrElse(-1L)
+    }.getOrElse(-1L)
+  }
+
+  /** The table's Hive partition columns (empty = flat), recorded at
+    * [[init]]/[[adopt]] so every later rewrite reproduces the layout.
+    */
+  def partitioning(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, root) = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(root, PartitioningName)
+    if (!fs.exists(p)) Seq.empty else readLines(fs, p)
   }
 
   def currentVersion(spark: SparkSession, dir: String): Long =
@@ -181,7 +206,8 @@ object VersionedTable {
     if (!fs.exists(root)) return Set.empty
     val hist = fs.listStatus(root).toSeq
       .filter(_.getPath.getName.startsWith(ManifestName + ".v"))
-      .flatMap(st => readLines(fs, st.getPath).drop(1))
+      .flatMap(st => readLines(fs, st.getPath).drop(1)
+        .filterNot(_.startsWith("#")))
     (readManifest(spark, dir).map(_._2).getOrElse(Seq.empty) ++ hist).toSet
   }
 
@@ -192,9 +218,17 @@ object VersionedTable {
     * keeps the versions that reference them.
     */
   private def commitManifest(spark: SparkSession, dir: String,
-                             version: Long, files: Seq[String]): Unit = {
+                             version: Long, files: Seq[String],
+                             epoch: Option[Long] = None): Unit = {
     val (fs, root) = fsOf(spark, dir)
-    val body = (version.toString +: files.sorted).mkString("\n")
+    // the epoch header carries FORWARD through non-streaming commits:
+    // a compaction between two micro-batches must not reset it, or the
+    // next batch replay would double-apply
+    val eff = epoch.orElse(
+      Some(lastStreamEpoch(spark, dir)).filter(_ >= 0))
+    val headers = eff.map(e => s"#epoch=$e").toSeq
+    val body = ((version.toString +: headers) ++ files.sorted)
+      .mkString("\n")
     // history copy FIRST (a crash between the two leaves an orphan
     // history file a later prune collects), then the atomic live flip
     val hist = fs.create(
@@ -242,6 +276,7 @@ object VersionedTable {
         else None
         v.filter(_ < version).foreach { _ =>
           val refs = readLines(fs, st.getPath).drop(1)
+            .filterNot(_.startsWith("#"))
           if (!refs.forall(available)) fs.delete(st.getPath, false)
         }
       }
@@ -382,7 +417,8 @@ object VersionedTable {
         s"table version $version not retained under $dir " +
           s"(retained: ${versions(spark, dir).mkString(", ")}) — raise " +
           s"$RetainVersionsConf to keep more history")
-    loadFiles(spark, dir, readLines(fs, p).drop(1))
+    loadFiles(spark, dir,
+      readLines(fs, p).drop(1).filterNot(_.startsWith("#")))
   }
 
   // ------------------------------------------------------------------
@@ -395,9 +431,13 @@ object VersionedTable {
     */
   private def appendCommit(spark: SparkSession, dir: String, df: DataFrame,
                            carryOver: Seq[String],
-                           retired: Seq[String]): Long = {
+                           retired: Seq[String],
+                           epoch: Option[Long] = None): Long = {
     val before = listDataFiles(spark, dir).toSet
-    df.write.mode("append").parquet(dir)
+    val parts = partitioning(spark, dir)
+    val writer = df.write.mode("append")
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+      .parquet(dir)
     val newFiles = listDataFiles(spark, dir).filterNot(before)
     val version = readManifest(spark, dir).map(_._1).getOrElse(0L) + 1
     // retirement stamps land BEFORE the manifest flip: the commit's
@@ -410,29 +450,49 @@ object VersionedTable {
       writePending(spark, dir,
         pendingEntries(spark, dir) ++ retired.map(r => s"$dueAt:$r"))
     }
-    commitManifest(spark, dir, version, carryOver ++ newFiles)
+    commitManifest(spark, dir, version, carryOver ++ newFiles, epoch)
     version
   }
 
+  private def writePartitioning(spark: SparkSession, dir: String,
+                                cols: Seq[String]): Unit =
+    if (cols.nonEmpty) {
+      val (fs, root) = fsOf(spark, dir)
+      fs.mkdirs(root)
+      writeAtomic(fs, new org.apache.hadoop.fs.Path(root, PartitioningName),
+        cols.mkString("\n"))
+    }
+
   /** Create the table: `df` becomes version 1. Fails if a manifest
     * already exists (use [[overwrite]] to replace content).
+    * `partitionBy` makes it a Hive-partitioned table — every later
+    * commit reproduces the layout, partition-predicate reads and
+    * rewrites prune whole directories at planning time, and the 100 TB
+    * destination shape (date/region-partitioned facts) keeps its
+    * pruning UNDER versioning.
     */
-  def init(spark: SparkSession, dir: String, df: DataFrame): Long =
+  def init(spark: SparkSession, dir: String, df: DataFrame,
+           partitionBy: Seq[String] = Seq.empty): Long =
     withLock(spark, dir, "init") {
       require(readManifest(spark, dir).isEmpty,
         s"$dir is already a versioned table")
+      writePartitioning(spark, dir, partitionBy)
       appendCommit(spark, dir, df, Seq.empty, Seq.empty)
     }
 
   /** ADOPT an existing plain parquet directory: snapshot its current
     * listing as version 1 without rewriting a byte — the migration path
     * for destinations the pipeline already owns (the
-    * [[graft.ops.Similarity]] bootstrapManifest discipline).
+    * [[graft.ops.Similarity]] bootstrapManifest discipline). For a
+    * Hive-partitioned directory, pass its partition columns so later
+    * commits keep the layout.
     */
-  def adopt(spark: SparkSession, dir: String): Long =
+  def adopt(spark: SparkSession, dir: String,
+            partitionBy: Seq[String] = Seq.empty): Long =
     withLock(spark, dir, "adopt") {
       require(readManifest(spark, dir).isEmpty,
         s"$dir is already a versioned table")
+      writePartitioning(spark, dir, partitionBy)
       commitManifest(spark, dir, 1L, listDataFiles(spark, dir))
       1L
     }
@@ -467,7 +527,8 @@ object VersionedTable {
   private def prunedRewrite(spark: SparkSession, dir: String,
                             touchRows: DataFrame => DataFrame,
                             survivors: DataFrame => DataFrame,
-                            extra: Option[DataFrame]): Long = {
+                            extra: Option[DataFrame],
+                            epoch: Option[Long] = None): Long = {
     val live = readManifest(spark, dir).map(_._2).getOrElse(
       throw new IllegalArgumentException(s"$dir: init() first"))
     val liveDf = loadFiles(spark, dir, live)
@@ -496,7 +557,7 @@ object VersionedTable {
         val kept = survivors(loadFiles(spark, dir, touched))
         aligned.map(kept.unionByName(_)).getOrElse(kept)
       }
-    appendCommit(spark, dir, rewritten, carryOver, touched)
+    appendCommit(spark, dir, rewritten, carryOver, touched, epoch)
   }
 
   /** MERGE (upsert): `src` rows replace matched live rows wholly (the
@@ -545,6 +606,90 @@ object VersionedTable {
         touchRows = _.join(parents, parentKeys, "left_semi"),
         survivors = _.join(parents, parentKeys, "left_anti"),
         extra = Some(recomputed))
+    }
+
+  /** SMALL-FILE COMPACTION as a versioned commit: rewrite the live
+    * file set into ~`targetFiles` files (per partition directory when
+    * the table is partitioned) and swap manifests — readers keep their
+    * snapshot, old files retire into the calendar. The maintenance op a
+    * streaming-fed destination runs on a schedule: micro-batch appends
+    * accumulate one small file per batch-task, and at 100 TB the FILE
+    * COUNT (listing, footers, task scheduling) becomes the bottleneck
+    * before the bytes do. No-op (returns the current version) when the
+    * live set is already within target.
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetFiles: Int = 1): Long =
+    withLock(spark, dir, "compact") {
+      replayPending(spark, dir); sweepOrphans(spark, dir)
+      val (version, live) = readManifest(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"$dir: init() first"))
+      val parts = partitioning(spark, dir)
+      val threshold = targetFiles * math.max(1,
+        if (parts.isEmpty) 1
+        else live.map(_.split("/").dropRight(1).mkString("/"))
+          .distinct.size)
+      if (live.size <= threshold) version
+      else {
+        val liveDf = loadFiles(spark, dir, live)
+        val rewritten =
+          if (parts.isEmpty) liveDf.repartition(targetFiles)
+          // cluster by partition value so each task holds whole
+          // partitions → targetFiles-ish files per directory, never a
+          // per-task file in every directory
+          else liveDf.repartition(
+            math.max(targetFiles, spark.sparkContext.defaultParallelism),
+            parts.map(col): _*)
+        appendCommit(spark, dir, rewritten, Seq.empty, live)
+      }
+    }
+
+  /** EXACTLY-ONCE streaming append: the foreachBatch body for a
+    * versioned destination. The micro-batch's id is committed INTO the
+    * manifest (`#epoch=` header) by the same atomic rename that
+    * publishes its files, so a batch REPLAY after a crash — Structured
+    * Streaming's at-least-once contract — is recognized
+    * (`batchId <= lastStreamEpoch`) and skipped whole: the data landed
+    * iff the manifest flipped, there is no half state. Replays of a
+    * batch that died BEFORE its flip find its files unreferenced (the
+    * orphan sweep collects them) and re-append cleanly.
+    *
+    *   stream.writeStream.foreachBatch { (b, id) =>
+    *     VersionedTable.appendStreamBatch(spark, dir, b, id) }
+    */
+  def appendStreamBatch(spark: SparkSession, dir: String, df: DataFrame,
+                        batchId: Long): Long =
+    withLock(spark, dir, "stream-append") {
+      val last = lastStreamEpoch(spark, dir)
+      if (batchId <= last)
+        readManifest(spark, dir).map(_._1).getOrElse(0L) // replay: no-op
+      else {
+        replayPending(spark, dir); sweepOrphans(spark, dir)
+        val live = readManifest(spark, dir).map(_._2).getOrElse(
+          throw new IllegalArgumentException(s"$dir: init() first"))
+        appendCommit(spark, dir, df, live, Seq.empty, Some(batchId))
+      }
+    }
+
+  /** [[appendStreamBatch]]'s MERGE sibling: upsert the micro-batch on
+    * `keys` with the same manifest-epoch idempotence — the streaming
+    * CDC-apply shape (reference: the row-cursor upsert loop of
+    * sdk/migrate_assures.php, fed by a stream instead of a cursor).
+    */
+  def mergeStreamBatch(spark: SparkSession, dir: String, df: DataFrame,
+                       keys: Seq[String], batchId: Long): Long =
+    withLock(spark, dir, "stream-merge") {
+      val last = lastStreamEpoch(spark, dir)
+      if (batchId <= last)
+        readManifest(spark, dir).map(_._1).getOrElse(0L)
+      else {
+        replayPending(spark, dir); sweepOrphans(spark, dir)
+        val srcKeys = df.select(keys.map(col): _*).distinct()
+        prunedRewrite(spark, dir,
+          touchRows = _.join(srcKeys, keys, "left_semi"),
+          survivors = _.join(srcKeys, keys, "left_anti"),
+          extra = Some(df), epoch = Some(batchId))
+      }
     }
 
   /** Standalone deferred-delete replay + orphan sweep (the maintenance

@@ -1468,6 +1468,52 @@ object StreamOps {
     * must be physical, n25's discipline) and shares n24's oracle shape
     * with the delta excluded from the tombstone predicate.
     */
+  /** EXACTLY-ONCE STREAMING SINK into a versioned destination table
+    * (st28): micro-batches land through
+    * [[graft.etl.VersionedTable.appendStreamBatch]], which commits each
+    * batch's id INTO the manifest by the same atomic rename that
+    * publishes its files — so Structured Streaming's at-least-once
+    * foreachBatch replays are recognized and skipped whole, and a
+    * reader never sees a torn batch. After the stream drains, a
+    * versioned small-file COMPACTION folds the per-batch files (the
+    * maintenance op every streaming-fed 100 TB destination schedules —
+    * micro-batches accumulate one file per batch-task and the file
+    * count, not the bytes, becomes the bottleneck), then the gate
+    * serves an aggregate of the final snapshot: the result is invariant
+    * to HOW the stream was batched, which is exactly what the oracle
+    * checks.
+    */
+  def streamVersionedSink(spark: SparkSession, dir: String,
+                          nBatches: Int = 3): DataFrame = {
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select("event_id", "user_id", "event_type")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_vt_stream").toString
+    val tableDir = tmp + "/table"
+    graft.etl.VersionedTable.init(spark, tableDir,
+      ev.filter(col("event_id") % 5 === 0))
+    val delta = ev.filter(col("event_id") % 5 =!= 0)
+    delta.repartition(nBatches)
+      .write.mode("overwrite").parquet(tmp + "/src")
+    val q = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp + "/src")
+      .writeStream
+      .option("checkpointLocation", tmp + "/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.etl.VersionedTable.appendStreamBatch(
+          batch.sparkSession, tableDir, batch, id)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    processAndRecord(q)
+    q.stop()
+    graft.etl.VersionedTable.compact(spark, tableDir, targetFiles = 2)
+    graft.etl.VersionedTable.read(spark, tableDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+  }
+
   def maintenanceInterleave(spark: SparkSession, dir: String,
                             nCells: Int = 16): DataFrame = {
     val emb = graft.Tables.load(spark, dir, "embeddings")

@@ -209,6 +209,86 @@ class VersionedTableSpec extends SparkSpec {
     assert(rows(VersionedTable.readAt(spark, dir, 1L)).contains((0L, 0L)))
   }
 
+  test("partitioned table: layout survives every rewrite, and a " +
+    "partition-predicate delete touches ONLY that partition's files") {
+    val dir = tmp()
+    val df = base(60).withColumn("grp", col("k") % 3)
+    VersionedTable.init(spark, dir, df, partitionBy = Seq("grp"))
+    assert(VersionedTable.partitioning(spark, dir) === Seq("grp"))
+    val v1Files = VersionedTable.readManifest(spark, dir).get._2
+    assert(v1Files.forall(_.startsWith("grp=")), v1Files.take(3).toString)
+    VersionedTable.deleteWhere(spark, dir, col("grp") === 1L)
+    val v2Files = VersionedTable.readManifest(spark, dir).get._2
+    // grp=0 and grp=2 files carried over BY REFERENCE (byte-identical
+    // paths); every grp=1 file retired; nothing rewritten outside it
+    val untouched = v1Files.filterNot(_.startsWith("grp=1/"))
+    assert(untouched.forall(v2Files.contains),
+      "a partition outside the predicate was rewritten")
+    assert(!v2Files.exists(_.startsWith("grp=1/")))
+    val got = VersionedTable.read(spark, dir)
+    assert(got.filter(col("grp") === 1L).isEmpty)
+    assert(got.count() === 40)
+    // a merge that MOVES a row across partitions lands it in the new dir
+    VersionedTable.merge(spark, dir,
+      Seq((0L, 5L, 2L)).toDF("k", "v", "grp"), Seq("k"))
+    val after = VersionedTable.read(spark, dir)
+      .filter(col("k") === 0L).select("v", "grp")
+      .as[(Long, Long)].collect().toSeq
+    assert(after === Seq((5L, 2L)))
+  }
+
+  test("compact folds the live set into fewer files as a versioned " +
+    "commit: content identical, old version still time-travels") {
+    val dir = tmp()
+    withRetain("2") {
+      VersionedTable.init(spark, dir, base(50))
+      VersionedTable.append(spark, dir, base(50)
+        .withColumn("k", col("k") + 100L))
+      val beforeFiles = VersionedTable.readManifest(spark, dir).get._2.size
+      val beforeRows = rows(VersionedTable.read(spark, dir))
+      val v = VersionedTable.compact(spark, dir, targetFiles = 1)
+      assert(v === 3L)
+      val afterFiles = VersionedTable.readManifest(spark, dir).get._2.size
+      assert(afterFiles < beforeFiles && afterFiles <= 1)
+      assert(rows(VersionedTable.read(spark, dir)) === beforeRows)
+      // pre-compaction version stays readable inside the window
+      assert(rows(VersionedTable.readAt(spark, dir, 2L)) === beforeRows)
+      // compacting an already-compact table is a version-stable no-op
+      assert(VersionedTable.compact(spark, dir, targetFiles = 1) === 3L)
+    }
+  }
+
+  test("appendStreamBatch is exactly-once: a replayed batch id is a " +
+    "no-op, and the epoch survives an interleaved compaction") {
+    val dir = tmp()
+    VersionedTable.init(spark, dir, base(10))
+    val b0 = Seq((100L, 1L, 0L)).toDF("k", "v", "grp")
+    VersionedTable.appendStreamBatch(spark, dir, b0, batchId = 0L)
+    assert(VersionedTable.lastStreamEpoch(spark, dir) === 0L)
+    // the at-least-once replay: same id, same (or different) data
+    VersionedTable.appendStreamBatch(spark, dir, b0, batchId = 0L)
+    assert(VersionedTable.read(spark, dir)
+      .filter(col("k") === 100L).count() === 1, "replayed batch double-applied")
+    // a compaction BETWEEN batches must carry the epoch forward
+    VersionedTable.compact(spark, dir, targetFiles = 1)
+    assert(VersionedTable.lastStreamEpoch(spark, dir) === 0L)
+    VersionedTable.appendStreamBatch(spark, dir,
+      Seq((101L, 2L, 0L)).toDF("k", "v", "grp"), batchId = 1L)
+    assert(VersionedTable.read(spark, dir).count() === 12)
+  }
+
+  test("mergeStreamBatch: idempotent upsert per micro-batch") {
+    val dir = tmp()
+    VersionedTable.init(spark, dir, base(10))
+    val b = Seq((3L, 999L, 0L), (200L, 1L, 2L)).toDF("k", "v", "grp")
+    VersionedTable.mergeStreamBatch(spark, dir, b, Seq("k"), batchId = 0L)
+    VersionedTable.mergeStreamBatch(spark, dir, b, Seq("k"), batchId = 0L)
+    val got = rows(VersionedTable.read(spark, dir))
+    assert(got.contains((3L, 999L)))     // updated once
+    assert(got.count(_._1 == 200L) === 1) // inserted once
+    assert(got.size === 11)
+  }
+
   test("concurrent mutators serialize under the lock: parallel merges " +
     "all land, version count equals mutation count") {
     val dir = tmp()
