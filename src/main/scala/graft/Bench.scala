@@ -411,15 +411,19 @@ object Bench {
         else if (driftAt(c).exists(d => (rt / p) / d < RegressionRatio))
           "host-drift"
         else "confirmed"
-      val (verdict, retest2, retest2Load) =
+      // the recorded calib_drift is the one the VERDICT rode on: the
+      // second retest's probe when a second retest decided it, else the
+      // first's — a consumer must never see a drift ratio inconsistent
+      // with the verdict printed beside it
+      val (verdict, retest2, retest2Load, verdictCalib) =
         judge(retest, retestLoad, calibRt) match {
           case "confirmed" =>
             val (rt2, rl2, c2) = isolatedRetest(k)
-            (judge(rt2, rl2, c2), rt2, rl2)
-          case v => (v, -1.0, -1.0)
+            (judge(rt2, rl2, c2), rt2, rl2, c2)
+          case v => (v, -1.0, -1.0, calibRt)
         }
       (k, p, n, r, retest, verdict, retestLoad, retest2, retest2Load,
-        driftAt(calibRt))
+        driftAt(verdictCalib))
     }
     val nConfirmed = adjudicated.count(_._6 == "confirmed")
     val regsJson = adjudicated.map {

@@ -75,6 +75,7 @@ object VersionedTable {
   private val PendingName = "_vt_pending"
   private val LockName = "_vt_lock"
   private val PartitioningName = "_vt_partitioning"
+  private val SchemaName = "_vt_schema"
   private val PendingStamp = "^([0-9]+):(.+)$".r
 
   private def retain(spark: SparkSession): Long =
@@ -129,34 +130,54 @@ object VersionedTable {
       throw new java.io.IOException(s"rename $tmp -> $dst failed")
   }
 
+  /** The live manifest's raw lines, resilient to the swap: the live
+    * pointer is published by delete-then-rename (portable across FSes
+    * that refuse rename-over), so a lock-free reader can catch the
+    * microsecond window where `_vt_manifest` is absent — and a writer
+    * crash INSIDE that window loses the pointer entirely. Both resolve
+    * the same way: the HIGHEST `.vN` history manifest is byte-identical
+    * to what the rename would have published (commitManifest writes it
+    * first, and its data files are fully on disk before any manifest
+    * write), so it serves as the fallback truth. None only when neither
+    * exists — a genuinely uninitialized directory.
+    */
+  private def liveManifestLines(spark: SparkSession,
+                                dir: String): Option[List[String]] = {
+    val (fs, root) = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(root, ManifestName)
+    if (fs.exists(p))
+      try return Some(readLines(fs, p))
+      catch { case _: java.io.FileNotFoundException => () } // lost the race
+    if (!fs.exists(root)) return None
+    val hist = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(ManifestName + ".v"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(ManifestName + ".v").toLong).toOption)
+    if (hist.isEmpty) None
+    else Some(readLines(fs,
+      new org.apache.hadoop.fs.Path(root, ManifestName + ".v" + hist.max)))
+  }
+
   /** The live manifest: (version, relative file paths), None before
     * [[init]]. Header lines (`#key=value`, e.g. the streaming epoch)
     * are filtered out — they ride the SAME atomic rename as the file
     * list, which is what makes [[appendStreamBatch]] exactly-once.
     */
   def readManifest(spark: SparkSession,
-                   dir: String): Option[(Long, Seq[String])] = {
-    val (fs, root) = fsOf(spark, dir)
-    val p = new org.apache.hadoop.fs.Path(root, ManifestName)
-    if (!fs.exists(p)) None
-    else readLines(fs, p) match {
-      case v :: rest => Some((v.toLong, rest.filterNot(_.startsWith("#"))))
-      case Nil => Some((0L, Nil))
+                   dir: String): Option[(Long, Seq[String])] =
+    liveManifestLines(spark, dir).map {
+      case v :: rest => (v.toLong, rest.filterNot(_.startsWith("#")))
+      case Nil => (0L, Nil)
     }
-  }
 
   /** The last streaming batch id committed INTO the live manifest (the
     * `#epoch=` header), -1 before any streaming commit.
     */
-  def lastStreamEpoch(spark: SparkSession, dir: String): Long = {
-    val (fs, root) = fsOf(spark, dir)
-    val p = new org.apache.hadoop.fs.Path(root, ManifestName)
-    if (!fs.exists(p)) -1L
-    else readLines(fs, p).collectFirst {
+  def lastStreamEpoch(spark: SparkSession, dir: String): Long =
+    liveManifestLines(spark, dir).flatMap(_.collectFirst {
       case l if l.startsWith("#epoch=") =>
         scala.util.Try(l.stripPrefix("#epoch=").toLong).getOrElse(-1L)
-    }.getOrElse(-1L)
-  }
+    }).getOrElse(-1L)
 
   /** The table's Hive partition columns (empty = flat), recorded at
     * [[init]]/[[adopt]] so every later rewrite reproduces the layout.
@@ -171,14 +192,21 @@ object VersionedTable {
     readManifest(spark, dir).map(_._1).getOrElse(
       throw new IllegalArgumentException(s"$dir is not a versioned table"))
 
-  /** Retained (fully readable) versions, ascending. */
+  /** Retained (fully readable) versions, ascending. A `.vN` beyond the
+    * live version is a PHANTOM — the history copy of a commit that died
+    * before its live flip — and is excluded: it was never committed, so
+    * serving it would expose a write that did not happen (the next
+    * mutation overwrites or prunes it).
+    */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val (fs, root) = fsOf(spark, dir)
     if (!fs.exists(root)) return Seq.empty
+    val cur = readManifest(spark, dir).map(_._1)
     fs.listStatus(root).toSeq.map(_.getPath.getName)
       .filter(_.startsWith(ManifestName + ".v"))
       .flatMap(n => scala.util.Try(
         n.stripPrefix(ManifestName + ".v").toLong).toOption)
+      .filter(n => cur.forall(n <= _))
       .sorted
   }
 
@@ -229,13 +257,17 @@ object VersionedTable {
     val headers = eff.map(e => s"#epoch=$e").toSeq
     val body = ((version.toString +: headers) ++ files.sorted)
       .mkString("\n")
-    // history copy FIRST (a crash between the two leaves an orphan
-    // history file a later prune collects), then the atomic live flip
-    val hist = fs.create(
+    // history copy FIRST, then the live flip. A crash between the two
+    // leaves a PHANTOM `.vN` (readAt/versions exclude N > live; the
+    // next mutation overwrites or prunes it); a crash INSIDE the flip's
+    // delete-rename window loses the live pointer, and readers recover
+    // from the highest `.vN` — byte-identical to what the rename would
+    // have published. Both writes are temp-then-rename: a reader must
+    // never observe a TORN list — a truncated `.vN` would silently
+    // serve partial table contents.
+    writeAtomic(fs,
       new org.apache.hadoop.fs.Path(root, ManifestName + ".v" + version),
-      true)
-    hist.write(body.getBytes("UTF-8"))
-    hist.close()
+      body)
     writeAtomic(fs, new org.apache.hadoop.fs.Path(root, ManifestName), body)
     pruneHistory(spark, dir)
   }
@@ -269,15 +301,29 @@ object VersionedTable {
           case Some(dues) => dues.exists(_ > version)
           case None => onDisk(rel)
         })
+      // a version is KEPT while its files are all available AND it is
+      // either inside the retention window or extended by a retirement
+      // stamp still running (the promise frozen when its files retired).
+      // The window bound matters on APPEND-ONLY workloads: appends
+      // retire nothing, so availability alone would keep every version
+      // forever — O(N²) manifest metadata after N micro-batches.
+      val keepFrom = version - retain(spark)
       fs.listStatus(root).foreach { st =>
         val n = st.getPath.getName
         val v = if (n.startsWith(ManifestName + ".v"))
           scala.util.Try(n.stripPrefix(ManifestName + ".v").toLong).toOption
         else None
-        v.filter(_ < version).foreach { _ =>
+        // N > version is a PHANTOM (a crashed commit's history copy
+        // that never flipped live): never readable, pruned on sight
+        v.filter(_ > version).foreach(_ => fs.delete(st.getPath, false))
+        v.filter(_ < version).foreach { nv =>
           val refs = readLines(fs, st.getPath).drop(1)
             .filterNot(_.startsWith("#"))
-          if (!refs.forall(available)) fs.delete(st.getPath, false)
+          val extended = refs.exists(r =>
+            stamped.get(r).exists(_.exists(_ > version)))
+          val keep = refs.forall(available) &&
+            (nv >= keepFrom || extended)
+          if (!keep) fs.delete(st.getPath, false)
         }
       }
     }
@@ -388,12 +434,42 @@ object VersionedTable {
   // reads
   // ------------------------------------------------------------------
 
+  /** Persist the table's read schema as `_vt_schema` (JSON) at
+    * init/adopt — the canonical shape an EMPTY version falls back to:
+    * once a full delete's retired files physically leave the disk there
+    * is no footer left to infer from, and a legitimately-empty table
+    * must still read as zero rows, not an AnalysisException.
+    */
+  private def writeSchema(spark: SparkSession, dir: String,
+                          schema: org.apache.spark.sql.types.StructType)
+      : Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    writeAtomic(fs, new org.apache.hadoop.fs.Path(root, SchemaName),
+      schema.json)
+  }
+
+  private def storedSchema(spark: SparkSession, dir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, root) = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(root, SchemaName)
+    if (!fs.exists(p)) None
+    else scala.util.Try(org.apache.spark.sql.types.DataType
+      .fromJson(readLines(fs, p).mkString("\n"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+  }
+
   private def loadFiles(spark: SparkSession, dir: String,
                         files: Seq[String]): DataFrame =
     if (files.nonEmpty)
       spark.read.option("basePath", dir)
         .parquet(files.map(f => dir + "/" + f): _*)
-    else spark.read.parquet(dir).limit(0) // schema from on-disk footers
+    else storedSchema(spark, dir) match {
+      case Some(sch) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      // pre-sidecar table: on-disk footers (throws only when the
+      // directory holds no parquet at all — nothing to infer from)
+      case None => spark.read.parquet(dir).limit(0)
+    }
 
   /** The live snapshot — exactly the committed file list, lock-free;
     * consistent even while a mutation swaps underneath.
@@ -412,7 +488,10 @@ object VersionedTable {
   def readAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val (fs, root) = fsOf(spark, dir)
     val p = new org.apache.hadoop.fs.Path(root, ManifestName + ".v" + version)
-    if (!fs.exists(p))
+    // the <= live check rejects PHANTOM versions (a crashed commit's
+    // history copy that never flipped live) alongside missing ones
+    val committed = readManifest(spark, dir).exists(version <= _._1)
+    if (!fs.exists(p) || !committed)
       throw new IllegalArgumentException(
         s"table version $version not retained under $dir " +
           s"(retained: ${versions(spark, dir).mkString(", ")}) — raise " +
@@ -477,7 +556,11 @@ object VersionedTable {
       require(readManifest(spark, dir).isEmpty,
         s"$dir is already a versioned table")
       writePartitioning(spark, dir, partitionBy)
-      appendCommit(spark, dir, df, Seq.empty, Seq.empty)
+      val v = appendCommit(spark, dir, df, Seq.empty, Seq.empty)
+      // canonical READ schema (partition columns land last), the empty-
+      // version fallback shape
+      scala.util.Try(writeSchema(spark, dir, read(spark, dir).schema))
+      v
     }
 
   /** ADOPT an existing plain parquet directory: snapshot its current
@@ -494,6 +577,7 @@ object VersionedTable {
         s"$dir is already a versioned table")
       writePartitioning(spark, dir, partitionBy)
       commitManifest(spark, dir, 1L, listDataFiles(spark, dir))
+      scala.util.Try(writeSchema(spark, dir, read(spark, dir).schema))
       1L
     }
 

@@ -602,15 +602,23 @@ object Similarity {
     walk(root).sorted
   }
 
-  /** The live-file manifest, when present: (version, relative paths). */
+  /** The live-file manifest, when present: (version, relative paths).
+    * Resilient to the live pointer's delete-then-rename swap window
+    * (and to a writer crash inside it): when `_graft_manifest` is
+    * momentarily or permanently absent but `.vN` history copies exist,
+    * the HIGHEST one is byte-identical to what the rename would have
+    * published (the history copy lands first, its data files earlier
+    * still) and serves as the fallback truth. None only on a genuinely
+    * pre-manifest index — where the directory listing stays the truth,
+    * exactly as before.
+    */
   private[graft] def readManifest(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Option[(Long, Seq[String])] = {
     val p = new org.apache.hadoop.fs.Path(indexDir, ManifestName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
+    def parse(path: org.apache.hadoop.fs.Path): Option[(Long, Seq[String])] = {
+      val in = fs.open(path)
       val lines =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
           .map(_.trim).filter(_.nonEmpty).toList
@@ -620,6 +628,18 @@ object Similarity {
         case Nil => Some((0L, Nil))
       }
     }
+    if (fs.exists(p))
+      try return parse(p)
+      catch { case _: java.io.FileNotFoundException => () } // lost the race
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    if (!fs.exists(root)) return None
+    val hist = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(ManifestName + ".v"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(ManifestName + ".v").toLong).toOption)
+    if (hist.isEmpty) None
+    else parse(new org.apache.hadoop.fs.Path(indexDir,
+      ManifestName + ".v" + hist.max))
   }
 
   /** Atomically publish manifest `version` listing `files` (relative
@@ -636,14 +656,23 @@ object Similarity {
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val body = (version.toString +: files.sorted).mkString("\n")
       .getBytes("UTF-8")
-    // history copy FIRST (a crash between the two leaves an orphan
-    // history file the next commit's prune collects — harmless), then
-    // the atomic flip of the live pointer
-    val hist = fs.create(
-      new org.apache.hadoop.fs.Path(indexDir, ManifestName + ".v" + version),
-      true)
-    hist.write(body)
-    hist.close()
+    // history copy FIRST (a crash between the two leaves a PHANTOM
+    // `.vN` that readers exclude and the next mutation overwrites or
+    // prunes; a crash inside the live flip's delete-rename window is
+    // recovered by [[readManifest]]'s highest-`.vN` fallback), then the
+    // flip of the live pointer. The history copy is ALSO written
+    // temp-then-rename: a torn `.vN` read by [[ivfOpenIndexAt]] would
+    // silently serve a partial file list.
+    val histDst = new org.apache.hadoop.fs.Path(indexDir,
+      ManifestName + ".v" + version)
+    val histTmp = new org.apache.hadoop.fs.Path(indexDir,
+      ManifestName + ".v" + version + ".tmp")
+    val h = fs.create(histTmp, true)
+    h.write(body)
+    h.close()
+    fs.delete(histDst, false)
+    if (!fs.rename(histTmp, histDst))
+      throw new java.io.IOException(s"rename $histTmp -> $histDst failed")
     val out = fs.create(tmp, true)
     out.write(body)
     out.close()
@@ -701,19 +730,33 @@ object Similarity {
           if (covering.nonEmpty) covering.exists(_._2 > version)
           else onDisk(rel)
         }
+      // KEEP = all files available AND (inside the retention window OR
+      // extended by a still-running retirement stamp — the promise
+      // frozen when its files retired). The window bound matters on
+      // APPEND-ONLY indexes (a streaming refresh commits per micro-
+      // batch and retires nothing): availability alone would keep every
+      // version forever — O(N²) manifest metadata after N batches.
+      val keepFrom = version - retainVersions(spark)
       fs.listStatus(root).foreach { st =>
         val n = st.getPath.getName
         val v = if (n.startsWith(ManifestName + ".v"))
           scala.util.Try(n.stripPrefix(ManifestName + ".v").toLong)
             .toOption
         else None
-        v.filter(_ < version).foreach { _ =>
+        // N > version is a PHANTOM (a crashed commit's history copy
+        // that never flipped live): never readable, pruned on sight
+        v.filter(_ > version).foreach(_ => fs.delete(st.getPath, false))
+        v.filter(_ < version).foreach { nv =>
           val in = fs.open(st.getPath)
           val refs =
             try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
               .map(_.trim).filter(_.nonEmpty).drop(1).toList
             finally in.close()
-          if (!refs.forall(available)) fs.delete(st.getPath, false)
+          val extended = refs.exists(r => stamped.exists { case (p, d) =>
+            (r == p || r.startsWith(p + "/")) && d > version })
+          val keep = refs.forall(available) &&
+            (nv >= keepFrom || extended)
+          if (!keep) fs.delete(st.getPath, false)
         }
       }
     }
@@ -1066,7 +1109,11 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(indexDir,
       ManifestName + ".v" + version)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
+    // `> live` is a PHANTOM — a crashed commit's history copy that
+    // never flipped the live pointer; it was never committed, so it is
+    // "not retained" exactly like a pruned version
+    val committed = readManifest(spark, indexDir).exists(version <= _._1)
+    if (!fs.exists(p) || !committed) {
       val avail = fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
         .map(_.getPath.getName)
         .filter(_.startsWith(ManifestName + ".v"))

@@ -398,7 +398,8 @@ object TextAnalysis {
     if (docs.sparkSession.conf
         .getOption(BpeTrainPathConf)
         .exists(_.equalsIgnoreCase("distributed")))
-      bpeTrainDistributedRounds(docs, textCol, nMerges, batch)
+      bpeTrainDistributedRounds(docs, textCol, nMerges, batch,
+        math.max(1L, longConf(docs.sparkSession, BpeMinWordCountConf, 1L)))
     else
       bpeTrainDriver(docs, textCol, nMerges, batch)
 
@@ -421,20 +422,27 @@ object TextAnalysis {
     // SIZE GUARD before the collect: pin the vocabulary (its lineage is
     // the corpus pass — count and collect must share one materialization,
     // not two corpus scans), count it, and hand oversized vocabularies
-    // to the distributed loop instead of OOMing the driver.
+    // to the distributed loop instead of OOMing the driver. The pin is
+    // released BEFORE the fallback runs (the fallback exists precisely
+    // because memory is scarce — a few pinned GB must not ride through
+    // its shuffle rounds), and the fallback keeps the SAME frequency
+    // floor so the two engines train on identical vocabularies.
     val maxVocab = longConf(spark, BpeDriverMaxVocabConf, 20000000L)
     val pinned = vocabDf.persist()
+    val tooBig =
+      try pinned.count() > maxVocab
+      catch { case e: Throwable => pinned.unpersist(); throw e }
+    if (tooBig) {
+      pinned.unpersist()
+      System.err.println(
+        s"graft.bpeTrain: vocabulary exceeds $BpeDriverMaxVocabConf" +
+          s"=$maxVocab rows; falling back to the distributed trainer")
+      return bpeTrainDistributedRounds(docs, textCol, nMerges, batch,
+        minCount)
+    }
     val vocab: Array[(String, Long)] =
-      try {
-        if (pinned.count() > maxVocab) {
-          // the finally below releases the pin before the fallback runs
-          System.err.println(
-            s"graft.bpeTrain: vocabulary exceeds $BpeDriverMaxVocabConf" +
-              s"=$maxVocab rows; falling back to the distributed trainer")
-          return bpeTrainDistributedRounds(docs, textCol, nMerges, batch)
-        }
-        pinned.collect().map(r => (r.getString(0), r.getLong(1)))
-      } finally pinned.unpersist()
+      try pinned.collect().map(r => (r.getString(0), r.getLong(1)))
+      finally pinned.unpersist()
     // split by CODE POINTS, not Java String.split("") — split("")
     // breaks supplementary characters (emoji, astral CJK) into lone
     // surrogate halves, while Spark's split(word, '') and DuckDB's
@@ -535,7 +543,7 @@ object TextAnalysis {
   /** The batched distributed round loop (see [[bpeTrainWithRounds]]). */
   private def bpeTrainDistributedRounds(
       docs: DataFrame, textCol: String, nMerges: Int,
-      batch: Int): (DataFrame, Int) = {
+      batch: Int, minCount: Long = 1L): (DataFrame, Int) = {
     val spark = docs.sparkSession
     import spark.implicits._
     // The vocab table is severed ONCE; each round derives the current
@@ -545,14 +553,18 @@ object TextAnalysis {
     // previous form checkpointed the re-folded vocab every round: one
     // extra job + one materialization per round, which DOMINATED t20/
     // t21 once the fold itself was compiled (nMerges/batch rounds of
-    // almost pure scheduling latency).
+    // almost pure scheduling latency). The frequency floor applies HERE
+    // too, so a guard fallback trains on the SAME filtered vocabulary
+    // the driver path would have (both engines honor one conf).
     val learned =
       scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    val vocab0 = docs.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val vocab1 = if (minCount > 1L) vocab0.filter(col("n") >= minCount)
+      else vocab0
     val base = graft.Checkpoints.sever(
-      docs.filter(col(textCol).isNotNull)
-        .select(explode(tokens(col(textCol))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("n"))
-        .select(split(col("word"), "").as("rep"), col("n")))
+      vocab1.select(split(col("word"), "").as("rep"), col("n")))
     def cur: DataFrame = {
       val pairs = learned.map(t => (t._2, t._3)).toSeq
       if (pairs.isEmpty) base

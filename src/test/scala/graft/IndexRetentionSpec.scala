@@ -211,13 +211,19 @@ class IndexRetentionSpec extends SparkSpec {
             .toDF("c_id", "c_vec", "c_norm", "c_cell")) // v3
       }
       // old behavior: the conf-at-prune-time boundary (3 - 0 = 3)
-      // dropped .v1/.v2 here though v1's retirees sit safely inside the
-      // window stamped at retirement (due at 5) and every other file is
-      // live — the promise made under retain=3 was broken by the new conf
+      // dropped .v1 here though its retirees sit safely inside the
+      // window stamped at retirement (due at 5) — the promise made
+      // under retain=3 was broken by the new conf. Now the STAMP
+      // extends v1 past the window. v2 carries no retirement promise
+      // (its files were never retired), so retain=0 expires it at the
+      // very next commit — an OLDER version can legitimately outlive a
+      // newer one when only the older one holds a frozen promise.
       assert(ids(Similarity.ivfOpenIndexAt(spark, tmp + "/cells", 1L))
         === Seq(1L, 2L, 3L, 4L, 5L))
-      assert(ids(Similarity.ivfOpenIndexAt(spark, tmp + "/cells", 2L))
-        === Seq(1L, 3L, 4L, 5L))
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.ivfOpenIndexAt(spark, tmp + "/cells", 2L)
+      }
+      assert(e2.getMessage.contains("not retained"))
       // ... and the window still CLOSES on schedule: two more version
       // advances put the live version at the stamp (5) — v1 expires
       // exactly then, failing fast

@@ -289,6 +289,78 @@ class VersionedTableSpec extends SparkSpec {
     assert(got.size === 11)
   }
 
+  test("a table deleted down to zero rows stays readable as empty — " +
+    "even after its last data files physically leave the disk") {
+    val dir = tmp()
+    withRetain("0") {
+      VersionedTable.init(spark, dir, base(10))
+      VersionedTable.deleteWhere(spark, dir, lit(true))      // v2: empty
+      assert(VersionedTable.read(spark, dir).count() === 0)
+      VersionedTable.append(spark, dir, base(0))             // v3
+      VersionedTable.vacuum(spark, dir) // v1's files fall due and GO
+      // the _vt_schema sidecar serves the shape: no footers remain
+      val got = VersionedTable.read(spark, dir)
+      assert(got.count() === 0)
+      assert(got.columns.toSeq === Seq("k", "v", "grp"))
+    }
+  }
+
+  test("a phantom history manifest (crashed commit that never flipped " +
+    "live) is excluded from versions()/readAt and pruned by the next " +
+    "mutation") {
+    val dir = tmp()
+    VersionedTable.init(spark, dir, base(10))
+    // simulate the crash: a .v99 history copy exists, live stays at v1
+    val manifest = java.nio.file.Paths.get(dir, "_vt_manifest")
+    val phantom = java.nio.file.Paths.get(dir, "_vt_manifest.v99")
+    java.nio.file.Files.copy(manifest, phantom)
+    assert(VersionedTable.versions(spark, dir) === Seq(1L))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.readAt(spark, dir, 99L)
+    }
+    assert(e.getMessage.contains("not retained"))
+    VersionedTable.append(spark, dir, Seq((50L, 1L, 0L))
+      .toDF("k", "v", "grp")) // v2: prune collects the phantom
+    assert(!java.nio.file.Files.exists(phantom))
+    assert(VersionedTable.read(spark, dir).count() === 11)
+  }
+
+  test("a lost live pointer (crash inside the swap window) is recovered " +
+    "from the highest history manifest — the table never reads as " +
+    "uninitialized") {
+    val dir = tmp()
+    VersionedTable.init(spark, dir, base(10))
+    VersionedTable.append(spark, dir, Seq((50L, 1L, 0L))
+      .toDF("k", "v", "grp")) // v2
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_vt_manifest"))
+    // reader recovers v2 (the highest .vN is byte-identical to the lost
+    // pointer), and the next mutation re-publishes a live pointer
+    assert(VersionedTable.currentVersion(spark, dir) === 2L)
+    assert(VersionedTable.read(spark, dir).count() === 11)
+    VersionedTable.append(spark, dir, Seq((51L, 1L, 0L))
+      .toDF("k", "v", "grp")) // v3 heals the pointer
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_vt_manifest")))
+    assert(VersionedTable.read(spark, dir).count() === 12)
+  }
+
+  test("append-only history stays bounded by the retention window " +
+    "(no retirements ≠ keep every version forever)") {
+    val dir = tmp()
+    withRetain("2") {
+      VersionedTable.init(spark, dir, base(5))
+      (1 to 6).foreach { i =>
+        VersionedTable.append(spark, dir,
+          Seq((100L + i, i.toLong, 0L)).toDF("k", "v", "grp"))
+      }
+      // live v7; window keeps v5..v7 → at most retain+1 manifests
+      val vs = VersionedTable.versions(spark, dir)
+      assert(vs.max === 7L)
+      assert(vs.size <= 3, s"history unbounded: $vs")
+      assert(vs === Seq(5L, 6L, 7L))
+    }
+  }
+
   test("concurrent mutators serialize under the lock: parallel merges " +
     "all land, version count equals mutation count") {
     val dir = tmp()
