@@ -97,10 +97,13 @@ object PlanDump {
     "st27_stream_index_refresh", "n29_maintenance_interleave",
     "p4b_exists_operators",
     // round-13 wave: the versioned ETL destination lifecycle — the
-    // dumped plan is the post-merge/delete manifest snapshot read
-    // (explicit committed file list, never a directory listing) and
-    // the three-snapshot time-travel union
-    "etl2_versioned_merge", "etl4_table_time_travel")
+    // dumped plans are the post-merge/delete manifest snapshot read
+    // (explicit committed file list, never a directory listing), the
+    // three-snapshot time-travel union, and the partitioned table's
+    // post-lifecycle aggregate (partition column recovered from the
+    // Hive dirs of the committed file list)
+    "etl2_versioned_merge", "etl4_table_time_travel",
+    "etl5_versioned_partitioned", "st28_stream_versioned_sink")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
