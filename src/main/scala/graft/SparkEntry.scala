@@ -6373,6 +6373,37 @@ object SparkEntry {
     "st28_stream_versioned_sink" -> ((s, dir) =>
       StreamOps.streamVersionedSink(s, dir).orderBy("event_type")),
 
+    // etl6: CHANGE DATA FEED between two retained versions — every
+    // insert/delete/update (pre+post images) the commits in between
+    // produced, computed from the MANIFEST DIFF: files shared by both
+    // versions carry by reference and are never read, so feed cost is
+    // ∝ churn, not table size (the Delta CDF shape).
+    "etl6_versioned_changes" -> ((s, dir) => {
+      val prevRetain = s.conf.getOption(VersionedTable.RetainVersionsConf)
+      s.conf.set(VersionedTable.RetainVersionsConf, "3")
+      try {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_vt_cdf").toString
+        val orders = t(s, dir, "orders")
+        val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        VersionedTable.init(s, tmp, base) // v1
+        VersionedTable.merge(s, tmp,
+          orders.filter(col("o_orderkey") % 7 === 0)
+            .select(col("o_orderkey"),
+              (col("o_custkey") + 1000000L).as("o_custkey"),
+              lit("U").as("o_orderstatus")),
+          Seq("o_orderkey")) // v2
+        VersionedTable.deleteWhere(s, tmp,
+          col("o_orderstatus") === "O" && col("o_orderkey") % 13 === 0) // v3
+        VersionedTable.changesBetween(s, tmp, 1L, 3L, Seq("o_orderkey"))
+          .orderBy("o_orderkey", "_change_type")
+      } finally prevRetain match {
+        case Some(v) => s.conf.set(VersionedTable.RetainVersionsConf, v)
+        case None => s.conf.unset(VersionedTable.RetainVersionsConf)
+      }
+    }),
+
     "etl4_table_time_travel" -> ((s, dir) => {
       val prevRetain = s.conf.getOption(VersionedTable.RetainVersionsConf)
       s.conf.set(VersionedTable.RetainVersionsConf, "2")
@@ -13579,6 +13610,40 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS sum_id
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // CDF replay: final state = merge-then-delete over base (etl4's v3),
+    // then classify keys by set membership and null-safe value compare.
+    "etl6_versioned_changes" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus
+        |   FROM orders WHERE o_orderkey % 3 <> 0),
+        | upd AS (SELECT o_orderkey, o_custkey + 1000000 AS o_custkey,
+        |    'U' AS o_orderstatus FROM orders WHERE o_orderkey % 7 = 0),
+        | v2 AS (SELECT * FROM upd
+        |   UNION ALL
+        |   SELECT * FROM base
+        |    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)),
+        | final AS (SELECT * FROM v2
+        |   WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 13 = 0)),
+        | ins AS (SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus,
+        |    'insert' AS _change_type FROM final f
+        |   WHERE f.o_orderkey NOT IN (SELECT o_orderkey FROM base)),
+        | del AS (SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus,
+        |    'delete' AS _change_type FROM base b
+        |   WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM final)),
+        | chg AS (SELECT b.o_orderkey FROM base b
+        |   JOIN final f ON b.o_orderkey = f.o_orderkey
+        |  WHERE b.o_custkey IS DISTINCT FROM f.o_custkey
+        |     OR b.o_orderstatus IS DISTINCT FROM f.o_orderstatus),
+        | pre AS (SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus,
+        |    'update_preimage' AS _change_type FROM base b
+        |   WHERE b.o_orderkey IN (SELECT o_orderkey FROM chg)),
+        | post AS (SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus,
+        |    'update_postimage' AS _change_type FROM final f
+        |   WHERE f.o_orderkey IN (SELECT o_orderkey FROM chg))
+        |SELECT o_orderkey, o_custkey, o_orderstatus, _change_type FROM (
+        |  SELECT * FROM ins UNION ALL SELECT * FROM del
+        |  UNION ALL SELECT * FROM pre UNION ALL SELECT * FROM post)
+        | ORDER BY o_orderkey, _change_type""".stripMargin,
 
     "etl4_table_time_travel" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus
