@@ -103,7 +103,10 @@ object PlanDump {
     // post-lifecycle aggregate (partition column recovered from the
     // Hive dirs of the committed file list)
     "etl2_versioned_merge", "etl4_table_time_travel",
-    "etl5_versioned_partitioned", "st28_stream_versioned_sink")
+    "etl5_versioned_partitioned", "st28_stream_versioned_sink",
+    // the CDF plan: two manifest-diff file-list scans into one
+    // full-outer SortMergeJoin on the key — churn-sized, no cartesian
+    "etl6_versioned_changes")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
