@@ -71,23 +71,30 @@ object VersionedTable {
     */
   val RetainVersionsConf = "spark.graft.tableRetainVersions"
 
-  private val ManifestName = "_vt_manifest"
+  private[etl] val ManifestName = "_vt_manifest"
   private val PendingName = "_vt_pending"
   private val LockName = "_vt_lock"
   private val PartitioningName = "_vt_partitioning"
   private val SchemaName = "_vt_schema"
   private val PendingStamp = "^([0-9]+):(.+)$".r
 
-  private def retain(spark: SparkSession): Long =
-    spark.conf.getOption(RetainVersionsConf)
-      .flatMap(v => scala.util.Try(v.toLong).toOption)
-      .map(math.max(0L, _)).getOrElse(2L)
+  /** Effective retention: an explicit per-call `retain` parameter wins
+    * over the session conf (r13-verdict item 7 — gate bodies used to
+    * set/unset the conf around mutations, which races under a shared
+    * SparkSession; the parameter is thread-confined by construction).
+    * The conf stays as the session-wide default.
+    */
+  private def effRetain(spark: SparkSession, ov: Option[Long]): Long =
+    ov.map(math.max(0L, _)).getOrElse(
+      spark.conf.getOption(RetainVersionsConf)
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+        .map(math.max(0L, _)).getOrElse(2L))
 
   // ------------------------------------------------------------------
   // filesystem plumbing
   // ------------------------------------------------------------------
 
-  private def fsOf(spark: SparkSession, dir: String) = {
+  private[etl] def fsOf(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
@@ -109,7 +116,7 @@ object VersionedTable {
     walk(root).sorted
   }
 
-  private def readLines(fs: org.apache.hadoop.fs.FileSystem,
+  private[etl] def readLines(fs: org.apache.hadoop.fs.FileSystem,
                         p: org.apache.hadoop.fs.Path): List[String] = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -117,7 +124,7 @@ object VersionedTable {
     finally in.close()
   }
 
-  private def writeAtomic(fs: org.apache.hadoop.fs.FileSystem,
+  private[etl] def writeAtomic(fs: org.apache.hadoop.fs.FileSystem,
                           dst: org.apache.hadoop.fs.Path,
                           body: String): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(dst.getParent,
@@ -170,14 +177,46 @@ object VersionedTable {
       case Nil => (0L, Nil)
     }
 
-  /** The last streaming batch id committed INTO the live manifest (the
-    * `#epoch=` header), -1 before any streaming commit.
+  private val EpochHeader =
+    "^#epoch(?:\\.([A-Za-z0-9._-]+))?=(-?[0-9]+)$".r
+
+  /** Per-stream-identity committed epochs from the live manifest's
+    * `#epoch.<streamId>=N` headers. SCOPED idempotence (r13 ADVICE): a
+    * single global epoch would silently drop a SECOND stream's batches
+    * (its fresh batch ids start at 0, "already seen") — data loss. Each
+    * stream identity (Delta's txnAppId analog) tracks its own high-water
+    * mark; a legacy unscoped `#epoch=` header reads as identity
+    * `default`.
     */
-  def lastStreamEpoch(spark: SparkSession, dir: String): Long =
-    liveManifestLines(spark, dir).flatMap(_.collectFirst {
-      case l if l.startsWith("#epoch=") =>
-        scala.util.Try(l.stripPrefix("#epoch=").toLong).getOrElse(-1L)
-    }).getOrElse(-1L)
+  def streamEpochs(spark: SparkSession, dir: String): Map[String, Long] =
+    liveManifestLines(spark, dir).getOrElse(Nil).collect {
+      case EpochHeader(id, n) =>
+        (Option(id).getOrElse("default"), n.toLong)
+    }.toMap
+
+  /** The last batch id `streamId` committed INTO the live manifest, -1
+    * before any streaming commit under that identity.
+    */
+  def lastStreamEpoch(spark: SparkSession, dir: String,
+                      streamId: String = "default"): Long =
+    streamEpochs(spark, dir).getOrElse(streamId, -1L)
+
+  /** The version's committed read schema (`#schema=` manifest header),
+    * absent on pre-r14 manifests. The schema rides the SAME atomic
+    * rename as the file list, so it is versioned for free: [[readAt]]
+    * on a pre-evolution version serves the old shape, and an
+    * [[overwrite]] with a new shape can never leave a stale sidecar
+    * behind (the r13 ADVICE `_vt_schema` finding — the sidecar is now
+    * only a legacy fallback).
+    */
+  private def schemaOf(lines: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    lines.collectFirst {
+      case l if l.startsWith("#schema=") =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("#schema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
 
   /** The table's Hive partition columns (empty = flat), recorded at
     * [[init]]/[[adopt]] so every later rewrite reproduces the layout.
@@ -247,14 +286,24 @@ object VersionedTable {
     */
   private def commitManifest(spark: SparkSession, dir: String,
                              version: Long, files: Seq[String],
-                             epoch: Option[Long] = None): Unit = {
+                             epoch: Option[(String, Long)] = None,
+                             schemaJson: Option[String] = None,
+                             retainOv: Option[Long] = None): Unit = {
     val (fs, root) = fsOf(spark, dir)
-    // the epoch header carries FORWARD through non-streaming commits:
-    // a compaction between two micro-batches must not reset it, or the
-    // next batch replay would double-apply
-    val eff = epoch.orElse(
-      Some(lastStreamEpoch(spark, dir)).filter(_ >= 0))
-    val headers = eff.map(e => s"#epoch=$e").toSeq
+    // EVERY epoch header carries FORWARD through non-streaming commits:
+    // a compaction between two micro-batches must not reset any
+    // stream's high-water mark, or that stream's next replay would
+    // double-apply; a streaming commit updates only ITS OWN identity
+    val effEpochs = streamEpochs(spark, dir) ++ epoch
+    // likewise the schema header: a commit that does not evolve the
+    // shape republishes the live one
+    val effSchema = schemaJson.orElse(liveManifestLines(spark, dir)
+      .getOrElse(Nil).collectFirst {
+        case l if l.startsWith("#schema=") => l.stripPrefix("#schema=")
+      })
+    val headers = effEpochs.toSeq.sortBy(_._1)
+      .map { case (id, e) => s"#epoch.$id=$e" } ++
+      effSchema.map(j => s"#schema=$j")
     val body = ((version.toString +: headers) ++ files.sorted)
       .mkString("\n")
     // history copy FIRST, then the live flip. A crash between the two
@@ -269,7 +318,7 @@ object VersionedTable {
       new org.apache.hadoop.fs.Path(root, ManifestName + ".v" + version),
       body)
     writeAtomic(fs, new org.apache.hadoop.fs.Path(root, ManifestName), body)
-    pruneHistory(spark, dir)
+    pruneHistory(spark, dir, retainOv)
   }
 
   /** The AVAILABILITY-based history prune (header notes): drop every
@@ -279,7 +328,8 @@ object VersionedTable {
     * instead. Runs after every commit AND after every replay (a replay
     * physically deletes files, which can expire versions).
     */
-  private def pruneHistory(spark: SparkSession, dir: String): Unit = {
+  private def pruneHistory(spark: SparkSession, dir: String,
+                           retainOv: Option[Long] = None): Unit = {
     val (fs, root) = fsOf(spark, dir)
     readManifest(spark, dir).foreach { case (version, files) =>
       // three tiers per referenced file: LIVE → available; covered by a
@@ -289,17 +339,21 @@ object VersionedTable {
       // covered by NO stamp → fall back to on-disk existence (a writer
       // that crashed after its commit but before re-stamping cannot
       // expire versions whose files this very manifest still shields).
+      // The existence probe is PER FILE (memoized), not a full table
+      // listing: it fires only for the rare crashed-writer leftovers,
+      // so the prune stays O(referenced files), never O(table walk).
       val stamped: Map[String, Seq[Long]] = pendingEntries(spark, dir)
         .flatMap {
           case PendingStamp(due, rel) => Some(rel -> due.toLong)
           case _ => None
         }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
       val liveSet = files.toSet
-      lazy val onDisk = listDataFiles(spark, dir).toSet
+      val onDisk = scala.collection.mutable.HashMap[String, Boolean]()
       def available(rel: String): Boolean =
         liveSet(rel) || (stamped.get(rel) match {
           case Some(dues) => dues.exists(_ > version)
-          case None => onDisk(rel)
+          case None => onDisk.getOrElseUpdate(rel,
+            fs.exists(new org.apache.hadoop.fs.Path(root, rel)))
         })
       // a version is KEPT while its files are all available AND it is
       // either inside the retention window or extended by a retirement
@@ -307,7 +361,7 @@ object VersionedTable {
       // The window bound matters on APPEND-ONLY workloads: appends
       // retire nothing, so availability alone would keep every version
       // forever — O(N²) manifest metadata after N micro-batches.
-      val keepFrom = version - retain(spark)
+      val keepFrom = version - effRetain(spark, retainOv)
       fs.listStatus(root).foreach { st =>
         val n = st.getPath.getName
         val v = if (n.startsWith(ManifestName + ".v"))
@@ -334,7 +388,8 @@ object VersionedTable {
     * still protects. Runs at the top of every mutation; [[vacuum]] is
     * the standalone form. Returns the deleted relative paths.
     */
-  private def replayPending(spark: SparkSession, dir: String): Seq[String] = {
+  private def replayPending(spark: SparkSession, dir: String,
+                            retainOv: Option[Long] = None): Seq[String] = {
     val (fs, root) = fsOf(spark, dir)
     val entries = pendingEntries(spark, dir)
     if (entries.isEmpty) return Seq.empty
@@ -354,20 +409,47 @@ object VersionedTable {
         deleted += rel
       }
     }
+    // fold away commit subdirectories (and partition dirs inside them)
+    // the deletes just emptied — the root listing the manifest-recovery
+    // and versions() paths do must stay O(live commits), not accrete
+    // one empty dir per historical commit forever
+    val qRoot = fs.makeQualified(root)
+    deleted.foreach { rel =>
+      var parent = new org.apache.hadoop.fs.Path(root, rel).getParent
+      var more = true
+      while (more && parent != null && fs.makeQualified(parent) != qRoot) {
+        more =
+          try fs.exists(parent) && fs.listStatus(parent).isEmpty &&
+            fs.delete(parent, false)
+          catch { case _: java.io.IOException => false }
+        parent = parent.getParent
+      }
+    }
     writePending(spark, dir, notDue ++ held)
     // a replay can expire versions (their files just left the disk) —
     // their manifests must fail fast, not mid-scan
-    if (deleted.nonEmpty) pruneHistory(spark, dir)
+    if (deleted.nonEmpty) pruneHistory(spark, dir, retainOv)
     deleted.toSeq
   }
 
   /** Delete data files on disk but absent from every manifest and the
     * pending calendar — crash garbage from a writer that died between
-    * writing files and committing.
+    * writing files and committing. VACUUM-ONLY since r14: this is the
+    * one remaining full-table walk, and running it inline made every
+    * mutation O(table files). Crash garbage is invisible to readers
+    * (manifest-pinned) and isolated in its own commit subdirectory, so
+    * deferring collection to the scheduled [[vacuum]] costs only disk.
     */
   private def sweepOrphans(spark: SparkSession, dir: String): Unit = {
     val (fs, root) = fsOf(spark, dir)
     if (readManifest(spark, dir).isEmpty) return
+    // dead commit attempts: the sweep runs under the table lock, so any
+    // `.staging-*` directory belongs to a writer that crashed before
+    // moving its files in — the whole tree is garbage
+    fs.listStatus(root).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".staging-"))
+        fs.delete(st.getPath, true)
+    }
     val shield = protectedFiles(spark, dir)
     val pending = pendingEntries(spark, dir).map { e =>
       PendingStamp.findFirstMatchIn(e).map(_.group(2)).getOrElse(e)
@@ -401,14 +483,37 @@ object VersionedTable {
           val out = fs.create(lock, false)
           out.write(s"$token ${System.currentTimeMillis()}".getBytes("UTF-8"))
           out.close()
-          held = true
+          // STEAL-RACE GUARD (r13 ADVICE): a contender that measured
+          // staleness against the PREVIOUS holder's lock may delete the
+          // file we just created and take it for itself. Re-read and
+          // verify the lock still carries OUR token before proceeding —
+          // if it was stolen out from under us, loop and contend again
+          // instead of running as a second concurrent writer.
+          val readBack =
+            try {
+              val in = fs.open(lock)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            } catch { case _: java.io.IOException => "" }
+          if (readBack.startsWith(token + " ")) held = true
+          else Thread.sleep(50)
         } catch {
           case _: java.io.IOException =>
-            val stale =
-              try System.currentTimeMillis() -
-                fs.getFileStatus(lock).getModificationTime > leaseMs
-              catch { case _: java.io.IOException => false }
-            if (stale) fs.delete(lock, false)
+            // stale-lease steal: measure, then re-check the lock is
+            // STILL the one measured immediately before deleting — a
+            // blind delete could collect a fresh lock another contender
+            // created after our staleness probe
+            val seen =
+              try Some(fs.getFileStatus(lock).getModificationTime)
+              catch { case _: java.io.IOException => None }
+            val stale = seen.exists(m =>
+              System.currentTimeMillis() - m > leaseMs)
+            if (stale) {
+              val still =
+                try fs.getFileStatus(lock).getModificationTime == seen.get
+                catch { case _: java.io.IOException => false }
+              if (still) fs.delete(lock, false)
+            }
             else if (System.currentTimeMillis() > deadline)
               throw new IllegalStateException(
                 s"versioned-table lock on $dir not released in $timeoutMs ms")
@@ -448,6 +553,25 @@ object VersionedTable {
       schema.json)
   }
 
+  /** The shape a read() of this table produces from a writer's declared
+    * schema: partition columns move LAST (parquet reads append them),
+    * and every field turns nullable (parquet scans do not enforce
+    * writer-side non-null flags). This is what the `#schema=` header
+    * records — the writer's schema, Delta-style, never a footer probe.
+    */
+  private[etl] def readShape(
+      schema: org.apache.spark.sql.types.StructType,
+      parts: Seq[String]): org.apache.spark.sql.types.StructType = {
+    val (p, d) = schema.fields.partition(f => parts.contains(f.name))
+    val ordered = d ++ parts.flatMap(n => p.find(_.name == n))
+    org.apache.spark.sql.types.StructType(
+      ordered.map(_.copy(nullable = true)))
+  }
+
+  private def liveSchemaOf(spark: SparkSession, dir: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    liveManifestLines(spark, dir).flatMap(l => schemaOf(l.drop(1)))
+
   private def storedSchema(spark: SparkSession, dir: String)
       : Option[org.apache.spark.sql.types.StructType] = {
     val (fs, root) = fsOf(spark, dir)
@@ -459,15 +583,21 @@ object VersionedTable {
   }
 
   private def loadFiles(spark: SparkSession, dir: String,
-                        files: Seq[String]): DataFrame =
-    if (files.nonEmpty)
-      spark.read.option("basePath", dir)
-        .parquet(files.map(f => dir + "/" + f): _*)
-    else storedSchema(spark, dir) match {
+                        files: Seq[String],
+                        schema: Option[org.apache.spark.sql.types.StructType]
+                          = None): DataFrame =
+    if (files.nonEmpty) {
+      // with the committed `#schema=` the scan never touches a footer
+      // for planning, and files narrower than the live shape (written
+      // before a schema evolution, carried over by reference) read
+      // their missing columns as NULL — the mergeSchema contract
+      val r = spark.read.option("basePath", dir)
+      schema.fold(r)(r.schema).parquet(files.map(f => dir + "/" + f): _*)
+    } else schema.orElse(storedSchema(spark, dir)) match {
       case Some(sch) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-      // pre-sidecar table: on-disk footers (throws only when the
-      // directory holds no parquet at all — nothing to infer from)
+      // pre-header, pre-sidecar table: on-disk footers (throws only
+      // when the directory holds no parquet at all — nothing to infer)
       case None => spark.read.parquet(dir).limit(0)
     }
 
@@ -475,9 +605,11 @@ object VersionedTable {
     * consistent even while a mutation swaps underneath.
     */
   def read(spark: SparkSession, dir: String): DataFrame =
-    readManifest(spark, dir) match {
-      case Some((_, files)) => loadFiles(spark, dir, files)
-      case None => throw new IllegalArgumentException(
+    liveManifestLines(spark, dir) match {
+      case Some(_ :: rest) =>
+        loadFiles(spark, dir, rest.filterNot(_.startsWith("#")),
+          schemaOf(rest))
+      case _ => throw new IllegalArgumentException(
         s"$dir is not a versioned table (no $ManifestName) — init() first")
     }
 
@@ -496,8 +628,11 @@ object VersionedTable {
         s"table version $version not retained under $dir " +
           s"(retained: ${versions(spark, dir).mkString(", ")}) — raise " +
           s"$RetainVersionsConf to keep more history")
-    loadFiles(spark, dir,
-      readLines(fs, p).drop(1).filterNot(_.startsWith("#")))
+    val lines = readLines(fs, p)
+    // the version's OWN committed schema: a readAt across a later
+    // evolution keeps the shape this version was written with
+    loadFiles(spark, dir, lines.drop(1).filterNot(_.startsWith("#")),
+      schemaOf(lines))
   }
 
   // ------------------------------------------------------------------
@@ -507,29 +642,66 @@ object VersionedTable {
   /** Append `df` as new data files and commit the next version: the new
     * files land first, the manifest flip publishes them atomically.
     * Returns the committed version.
+    *
+    * O(COMMIT), NOT O(TABLE) — the r13-verdict scale finding: each
+    * commit writes into its own hidden `.staging-cm<version>-<uuid>/`
+    * directory, lists ONLY that directory to discover its files, then
+    * MOVES them (pure metadata renames, one per written file) into the
+    * shared `data/` tree under a commit-prefixed name
+    * (`data/date=2026-01-01/cm7-ab12cd34-part-...parquet`). Commit
+    * metadata cost is therefore proportional to the files the commit
+    * WROTE, never to the table's total file count — the pre-r14 code
+    * listed the whole table before and after every write: several full
+    * LIST storms per 1-row append on a 100k-file object-store table.
+    * One shared `data/` root (rather than per-commit subdirectories
+    * above the Hive dirs) is what keeps Spark's leaf-up partition
+    * discovery seeing a SINGLE consistent base across commits, so
+    * partition columns — and planning-time partition pruning — survive;
+    * the commit identity rides the FILENAME prefix instead, which also
+    * makes a crashed attempt's retry collision-free. The table root
+    * stays O(live commits) entries (manifests + sidecars + `data/`), so
+    * the manifest-recovery and history-prune listings of the root never
+    * degrade with table size either.
     */
   private def appendCommit(spark: SparkSession, dir: String, df: DataFrame,
                            carryOver: Seq[String],
                            retired: Seq[String],
-                           epoch: Option[Long] = None): Long = {
-    val before = listDataFiles(spark, dir).toSet
+                           epoch: Option[(String, Long)] = None,
+                           schemaJson: Option[String] = None,
+                           retainOv: Option[Long] = None): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    val version = readManifest(spark, dir).map(_._1).getOrElse(0L) + 1
+    val sub = "cm" + version + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(root, ".staging-" + sub)
     val parts = partitioning(spark, dir)
     val writer = df.write.mode("append")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
-      .parquet(dir)
-    val newFiles = listDataFiles(spark, dir).filterNot(before)
-    val version = readManifest(spark, dir).map(_._1).getOrElse(0L) + 1
+      .parquet(staging.toString)
+    val newFiles = listDataFiles(spark, staging.toString).map { rel =>
+      val segs = rel.split("/")
+      val dstRel = ("data" +: segs.dropRight(1) :+
+        (sub + "-" + segs.last)).mkString("/")
+      val dst = new org.apache.hadoop.fs.Path(root, dstRel)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(staging, rel), dst))
+        throw new java.io.IOException(
+          s"commit move $sub/$rel -> $dstRel failed")
+      dstRel
+    }
+    fs.delete(staging, true)
     // retirement stamps land BEFORE the manifest flip: the commit's
     // availability prune must see the retired files as still-pending
     // (else it would expire the immediately-previous version), and a
     // crash between the two leaves stamped entries whose files the old
     // live manifest still shields — held at replay, retried harmlessly.
     if (retired.nonEmpty) {
-      val dueAt = version + retain(spark)
+      val dueAt = version + effRetain(spark, retainOv)
       writePending(spark, dir,
         pendingEntries(spark, dir) ++ retired.map(r => s"$dueAt:$r"))
     }
-    commitManifest(spark, dir, version, carryOver ++ newFiles, epoch)
+    commitManifest(spark, dir, version, carryOver ++ newFiles, epoch,
+      schemaJson, retainOv)
     version
   }
 
@@ -551,15 +723,27 @@ object VersionedTable {
     * pruning UNDER versioning.
     */
   def init(spark: SparkSession, dir: String, df: DataFrame,
-           partitionBy: Seq[String] = Seq.empty): Long =
+           partitionBy: Seq[String] = Seq.empty,
+           retain: Option[Long] = None): Long =
     withLock(spark, dir, "init") {
       require(readManifest(spark, dir).isEmpty,
         s"$dir is already a versioned table")
+      // r13 ADVICE: a directory already holding plain data files must
+      // go through adopt() — init would commit a manifest EXCLUDING
+      // them and a later vacuum would physically delete the user's
+      // pre-existing dataset as orphans. (One full listing here is
+      // fine: init runs once, on an empty-or-new destination.)
+      require(listDataFiles(spark, dir).isEmpty,
+        s"$dir already holds data files — adopt() snapshots an " +
+          "existing directory; init() is for new destinations")
       writePartitioning(spark, dir, partitionBy)
-      val v = appendCommit(spark, dir, df, Seq.empty, Seq.empty)
-      // canonical READ schema (partition columns land last), the empty-
-      // version fallback shape
-      scala.util.Try(writeSchema(spark, dir, read(spark, dir).schema))
+      // the writer's declared schema becomes the committed `#schema=`
+      // header (read shape: partition columns last, all nullable)
+      val shape = readShape(df.schema, partitionBy)
+      val v = appendCommit(spark, dir, df, Seq.empty, Seq.empty,
+        schemaJson = Some(shape.json), retainOv = retain)
+      // legacy sidecar kept in sync as a fallback shape
+      scala.util.Try(writeSchema(spark, dir, shape))
       v
     }
 
@@ -568,38 +752,131 @@ object VersionedTable {
     * for destinations the pipeline already owns (the
     * [[graft.ops.Similarity]] bootstrapManifest discipline). For a
     * Hive-partitioned directory, pass its partition columns so later
-    * commits keep the layout.
+    * commits keep the layout. The existing files are MOVED (metadata
+    * renames, never copies) into the managed `data/` tree so they share
+    * one partition-discovery base with every later commit's files — a
+    * one-time O(files) pass, the same shape as Delta's CONVERT: adopt
+    * pays the full walk once so no commit ever has to again.
     */
   def adopt(spark: SparkSession, dir: String,
-            partitionBy: Seq[String] = Seq.empty): Long =
+            partitionBy: Seq[String] = Seq.empty,
+            retain: Option[Long] = None): Long =
     withLock(spark, dir, "adopt") {
       require(readManifest(spark, dir).isEmpty,
         s"$dir is already a versioned table")
       writePartitioning(spark, dir, partitionBy)
-      commitManifest(spark, dir, 1L, listDataFiles(spark, dir))
-      scala.util.Try(writeSchema(spark, dir, read(spark, dir).schema))
+      val (fs, root) = fsOf(spark, dir)
+      val qRoot = fs.makeQualified(root)
+      val formerParents = scala.collection.mutable.LinkedHashSet[String]()
+      val adopted = listDataFiles(spark, dir).map { rel =>
+        if (rel.startsWith("data/")) rel
+        else {
+          val dstRel = "data/" + rel
+          val dst = new org.apache.hadoop.fs.Path(root, dstRel)
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(new org.apache.hadoop.fs.Path(root, rel), dst))
+            throw new java.io.IOException(s"adopt move $rel failed")
+          if (rel.contains("/"))
+            formerParents += rel.substring(0, rel.lastIndexOf("/"))
+          dstRel
+        }
+      }
+      // fold away the now-empty former partition directories (deepest
+      // first; delete(_, false) refuses non-empty dirs, so user files
+      // are never at risk)
+      formerParents.toSeq.sortBy(-_.length).foreach { relDir =>
+        var p = new org.apache.hadoop.fs.Path(root, relDir)
+        var more = true
+        while (more && p != null && fs.makeQualified(p) != qRoot) {
+          more =
+            try fs.exists(p) && fs.listStatus(p).isEmpty && fs.delete(p, false)
+            catch { case _: java.io.IOException => false }
+          p = p.getParent
+        }
+      }
+      commitManifest(spark, dir, 1L, adopted, retainOv = retain)
+      // adopt has no writer schema to declare — infer one footer read
+      // (the only schema probe the table will ever pay) and AMEND the
+      // v1 manifest with the `#schema=` header so later commits carry
+      // it; best-effort, a reader between the two writes just falls
+      // back to footer inference
+      scala.util.Try {
+        val sch = readShape(read(spark, dir).schema, partitionBy)
+        writeSchema(spark, dir, sch)
+        liveManifestLines(spark, dir).foreach { lines =>
+          val body = (lines.head +: (s"#schema=${sch.json}" +:
+            lines.tail)).mkString("\n")
+          writeAtomic(fs,
+            new org.apache.hadoop.fs.Path(root, ManifestName + ".v1"), body)
+          writeAtomic(fs,
+            new org.apache.hadoop.fs.Path(root, ManifestName), body)
+        }
+      }
       1L
     }
 
-  /** Append rows (the S6/S8 sink shape) as a new version. */
-  def append(spark: SparkSession, dir: String, df: DataFrame): Long =
+  /** Align `df` to the table's committed `base` schema BY NAME:
+    * reorders columns, casts base columns to their committed types, and
+    * — only with `mergeSchema` — appends the source's NEW columns
+    * (nullable, ahead of the partition columns) to produce the widened
+    * target shape. Without `mergeSchema` a new source column fails fast
+    * instead of being silently dropped (the pre-r14 behavior the r13
+    * verdict called out); a source MISSING a base column fails in the
+    * select (rows replace wholly — partial rows have no meaning here).
+    */
+  private def alignTo(spark: SparkSession, dir: String, df: DataFrame,
+                      base: org.apache.spark.sql.types.StructType,
+                      mergeSchema: Boolean)
+      : (DataFrame, org.apache.spark.sql.types.StructType) = {
+    val baseCols = base.fieldNames.toSet
+    val newFields = df.schema.fields.filterNot(f => baseCols(f.name))
+    if (newFields.nonEmpty && !mergeSchema)
+      throw new IllegalArgumentException(
+        s"source columns [${newFields.map(_.name).mkString(", ")}] are " +
+          s"not in the table schema [${base.fieldNames.mkString(", ")}]" +
+          " — pass mergeSchema = true to evolve the table")
+    val target = readShape(
+      org.apache.spark.sql.types.StructType(base.fields ++ newFields),
+      partitioning(spark, dir))
+    (df.select(target.fields.toIndexedSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*), target)
+  }
+
+  /** Append rows (the S6/S8 sink shape) as a new version. Columns align
+    * by name to the committed schema; `mergeSchema = true` lets a
+    * source carrying NEW columns widen the table — earlier files carry
+    * over untouched and read their missing columns as NULL.
+    */
+  def append(spark: SparkSession, dir: String, df: DataFrame,
+             mergeSchema: Boolean = false,
+             retain: Option[Long] = None): Long =
     withLock(spark, dir, "append") {
-      replayPending(spark, dir); sweepOrphans(spark, dir)
+      replayPending(spark, dir, retain)
       val live = readManifest(spark, dir).map(_._2).getOrElse(
         throw new IllegalArgumentException(s"$dir: init() first"))
-      appendCommit(spark, dir, df, live, Seq.empty)
+      val base = liveSchemaOf(spark, dir)
+        .getOrElse(loadFiles(spark, dir, live).schema)
+      val (aligned, target) = alignTo(spark, dir, df, base, mergeSchema)
+      appendCommit(spark, dir, aligned, live, Seq.empty,
+        schemaJson = Some(target.json), retainOv = retain)
     }
 
   /** Replace the whole table content (the reference's pre-write-backup
     * overwrite, S12): old files retire into the calendar, previous
-    * versions stay readable for the retention window.
+    * versions stay readable for the retention window. The table's
+    * committed schema becomes `df`'s own (an overwrite is a full
+    * re-declaration); [[readAt]] on earlier versions keeps their shape.
     */
-  def overwrite(spark: SparkSession, dir: String, df: DataFrame): Long =
+  def overwrite(spark: SparkSession, dir: String, df: DataFrame,
+                retain: Option[Long] = None): Long =
     withLock(spark, dir, "overwrite") {
-      replayPending(spark, dir); sweepOrphans(spark, dir)
+      replayPending(spark, dir, retain)
       val live = readManifest(spark, dir).map(_._2).getOrElse(
         throw new IllegalArgumentException(s"$dir: init() first"))
-      appendCommit(spark, dir, df, Seq.empty, live)
+      val shape = readShape(df.schema, partitioning(spark, dir))
+      scala.util.Try(writeSchema(spark, dir, shape))
+      appendCommit(spark, dir, df, Seq.empty, live,
+        schemaJson = Some(shape.json), retainOv = retain)
     }
 
   /** The shared file-pruned rewrite: `touched` = live files holding at
@@ -612,10 +889,13 @@ object VersionedTable {
                             touchRows: DataFrame => DataFrame,
                             survivors: DataFrame => DataFrame,
                             extra: Option[DataFrame],
-                            epoch: Option[Long] = None): Long = {
+                            epoch: Option[(String, Long)] = None,
+                            mergeSchema: Boolean = false,
+                            retainOv: Option[Long] = None): Long = {
     val live = readManifest(spark, dir).map(_._2).getOrElse(
       throw new IllegalArgumentException(s"$dir: init() first"))
-    val liveDf = loadFiles(spark, dir, live)
+    val base = liveSchemaOf(spark, dir)
+    val liveDf = loadFiles(spark, dir, live, base)
     val (fs, root) = fsOf(spark, dir)
     // scheme-robust relativization: input_file_name() returns a URI
     // (possibly %-encoded, `file:///...`), manifest paths are raw and
@@ -631,17 +911,26 @@ object VersionedTable {
     }.toSeq.sorted
     val touchedSet = touched.toSet
     val carryOver = live.filterNot(touchedSet)
-    // inserts aligned to the live schema's column order in EVERY branch:
-    // parquet files with permuted column order would poison later reads
-    val aligned = extra.map(_.select(
-      liveDf.columns.map(col).toIndexedSeq: _*))
+    // inserts aligned (by name, committed types) to the table schema in
+    // EVERY branch — permuted or mistyped parquet files would poison
+    // later reads; with mergeSchema the target widens by the source's
+    // new columns and survivors read them as NULL
+    val (aligned, target) = extra match {
+      case Some(e) =>
+        val (a, t) = alignTo(spark, dir, e,
+          base.getOrElse(liveDf.schema), mergeSchema)
+        (Some(a), t)
+      case None => (None, base.getOrElse(liveDf.schema))
+    }
     val rewritten =
-      if (touched.isEmpty) aligned.getOrElse(liveDf.limit(0))
+      if (touched.isEmpty)
+        aligned.getOrElse(loadFiles(spark, dir, Seq.empty, Some(target)))
       else {
-        val kept = survivors(loadFiles(spark, dir, touched))
+        val kept = survivors(loadFiles(spark, dir, touched, Some(target)))
         aligned.map(kept.unionByName(_)).getOrElse(kept)
       }
-    appendCommit(spark, dir, rewritten, carryOver, touched, epoch)
+    appendCommit(spark, dir, rewritten, carryOver, touched, epoch,
+      schemaJson = Some(target.json), retainOv = retainOv)
   }
 
   /** MERGE (upsert): `src` rows replace matched live rows wholly (the
@@ -650,27 +939,29 @@ object VersionedTable {
     * files containing matched keys are rewritten.
     */
   def merge(spark: SparkSession, dir: String, src: DataFrame,
-            keys: Seq[String]): Long =
+            keys: Seq[String], mergeSchema: Boolean = false,
+            retain: Option[Long] = None): Long =
     withLock(spark, dir, "merge") {
-      replayPending(spark, dir); sweepOrphans(spark, dir)
+      replayPending(spark, dir, retain)
       val srcKeys = src.select(keys.map(col): _*).distinct()
       prunedRewrite(spark, dir,
         touchRows = _.join(srcKeys, keys, "left_semi"),
         survivors = _.join(srcKeys, keys, "left_anti"),
-        extra = Some(src))
+        extra = Some(src), mergeSchema = mergeSchema, retainOv = retain)
     }
 
   /** DELETE WHERE `cond` (S10): only files holding a matching row are
     * rewritten; survivors are the rows where `cond` is not TRUE (SQL
     * DELETE semantics — a NULL predicate keeps the row).
     */
-  def deleteWhere(spark: SparkSession, dir: String, cond: Column): Long =
+  def deleteWhere(spark: SparkSession, dir: String, cond: Column,
+                  retain: Option[Long] = None): Long =
     withLock(spark, dir, "delete") {
-      replayPending(spark, dir); sweepOrphans(spark, dir)
+      replayPending(spark, dir, retain)
       prunedRewrite(spark, dir,
         touchRows = _.filter(cond),
         survivors = _.filter(!coalesce(cond, lit(false))),
-        extra = None)
+        extra = None, retainOv = retain)
     }
 
   /** DELETE-THEN-INSERT CHILDREN (J7/S10, reference
@@ -682,14 +973,17 @@ object VersionedTable {
     */
   def replaceChildren(spark: SparkSession, dir: String,
                       recomputed: DataFrame,
-                      parentKeys: Seq[String]): Long =
+                      parentKeys: Seq[String],
+                      mergeSchema: Boolean = false,
+                      retain: Option[Long] = None): Long =
     withLock(spark, dir, "replace-children") {
-      replayPending(spark, dir); sweepOrphans(spark, dir)
+      replayPending(spark, dir, retain)
       val parents = recomputed.select(parentKeys.map(col): _*).distinct()
       prunedRewrite(spark, dir,
         touchRows = _.join(parents, parentKeys, "left_semi"),
         survivors = _.join(parents, parentKeys, "left_anti"),
-        extra = Some(recomputed))
+        extra = Some(recomputed), mergeSchema = mergeSchema,
+        retainOv = retain)
     }
 
   /** SMALL-FILE COMPACTION as a versioned commit: rewrite the live
@@ -703,9 +997,10 @@ object VersionedTable {
     * live set is already within target.
     */
   def compact(spark: SparkSession, dir: String,
-              targetFiles: Int = 1): Long =
+              targetFiles: Int = 1,
+              retain: Option[Long] = None): Long =
     withLock(spark, dir, "compact") {
-      replayPending(spark, dir); sweepOrphans(spark, dir)
+      replayPending(spark, dir, retain)
       val (version, live) = readManifest(spark, dir).getOrElse(
         throw new IllegalArgumentException(s"$dir: init() first"))
       val parts = partitioning(spark, dir)
@@ -715,7 +1010,7 @@ object VersionedTable {
           .distinct.size)
       if (live.size <= threshold) version
       else {
-        val liveDf = loadFiles(spark, dir, live)
+        val liveDf = loadFiles(spark, dir, live, liveSchemaOf(spark, dir))
         val rewritten =
           if (parts.isEmpty) liveDf.repartition(targetFiles)
           // cluster by partition value so each task holds whole
@@ -724,55 +1019,81 @@ object VersionedTable {
           else liveDf.repartition(
             math.max(targetFiles, spark.sparkContext.defaultParallelism),
             parts.map(col): _*)
-        appendCommit(spark, dir, rewritten, Seq.empty, live)
+        appendCommit(spark, dir, rewritten, Seq.empty, live,
+          retainOv = retain)
       }
     }
 
+  private val StreamIdOk = "^[A-Za-z0-9._-]+$".r
+
+  private def requireStreamId(streamId: String): Unit =
+    require(StreamIdOk.findFirstIn(streamId).isDefined,
+      s"streamId '$streamId' must match [A-Za-z0-9._-]+ (it is " +
+        "embedded in a line-oriented manifest header)")
+
   /** EXACTLY-ONCE streaming append: the foreachBatch body for a
     * versioned destination. The micro-batch's id is committed INTO the
-    * manifest (`#epoch=` header) by the same atomic rename that
-    * publishes its files, so a batch REPLAY after a crash — Structured
-    * Streaming's at-least-once contract — is recognized
-    * (`batchId <= lastStreamEpoch`) and skipped whole: the data landed
-    * iff the manifest flipped, there is no half state. Replays of a
-    * batch that died BEFORE its flip find its files unreferenced (the
-    * orphan sweep collects them) and re-append cleanly.
+    * manifest (`#epoch.<streamId>=` header) by the same atomic rename
+    * that publishes its files, so a batch REPLAY after a crash —
+    * Structured Streaming's at-least-once contract — is recognized
+    * (`batchId <= lastStreamEpoch` FOR THIS STREAM IDENTITY) and
+    * skipped whole: the data landed iff the manifest flipped, there is
+    * no half state. Idempotence is SCOPED by `streamId` (r13 ADVICE,
+    * Delta's txnAppId): pass a stable identity per logical stream —
+    * e.g. the query name — so a second stream writing to the same
+    * table, or a pipeline restarted with a fresh checkpoint under a
+    * NEW identity, is never mistaken for a replay. Replays of a batch
+    * that died BEFORE its flip re-append cleanly from a fresh staging
+    * directory; the dead attempt's files stay unreferenced until
+    * [[vacuum]] collects them.
     *
     *   stream.writeStream.foreachBatch { (b, id) =>
-    *     VersionedTable.appendStreamBatch(spark, dir, b, id) }
+    *     VersionedTable.appendStreamBatch(spark, dir, b, id, "myquery") }
     */
   def appendStreamBatch(spark: SparkSession, dir: String, df: DataFrame,
-                        batchId: Long): Long =
+                        batchId: Long, streamId: String = "default",
+                        mergeSchema: Boolean = false,
+                        retain: Option[Long] = None): Long =
     withLock(spark, dir, "stream-append") {
-      val last = lastStreamEpoch(spark, dir)
+      requireStreamId(streamId)
+      val last = lastStreamEpoch(spark, dir, streamId)
       if (batchId <= last)
         readManifest(spark, dir).map(_._1).getOrElse(0L) // replay: no-op
       else {
-        replayPending(spark, dir); sweepOrphans(spark, dir)
+        replayPending(spark, dir, retain)
         val live = readManifest(spark, dir).map(_._2).getOrElse(
           throw new IllegalArgumentException(s"$dir: init() first"))
-        appendCommit(spark, dir, df, live, Seq.empty, Some(batchId))
+        val baseSch = liveSchemaOf(spark, dir)
+          .getOrElse(loadFiles(spark, dir, live).schema)
+        val (aligned, target) = alignTo(spark, dir, df, baseSch, mergeSchema)
+        appendCommit(spark, dir, aligned, live, Seq.empty,
+          Some((streamId, batchId)), Some(target.json), retain)
       }
     }
 
   /** [[appendStreamBatch]]'s MERGE sibling: upsert the micro-batch on
-    * `keys` with the same manifest-epoch idempotence — the streaming
-    * CDC-apply shape (reference: the row-cursor upsert loop of
-    * sdk/migrate_assures.php, fed by a stream instead of a cursor).
+    * `keys` with the same per-stream manifest-epoch idempotence — the
+    * streaming CDC-apply shape (reference: the row-cursor upsert loop
+    * of sdk/migrate_assures.php, fed by a stream instead of a cursor).
     */
   def mergeStreamBatch(spark: SparkSession, dir: String, df: DataFrame,
-                       keys: Seq[String], batchId: Long): Long =
+                       keys: Seq[String], batchId: Long,
+                       streamId: String = "default",
+                       mergeSchema: Boolean = false,
+                       retain: Option[Long] = None): Long =
     withLock(spark, dir, "stream-merge") {
-      val last = lastStreamEpoch(spark, dir)
+      requireStreamId(streamId)
+      val last = lastStreamEpoch(spark, dir, streamId)
       if (batchId <= last)
         readManifest(spark, dir).map(_._1).getOrElse(0L)
       else {
-        replayPending(spark, dir); sweepOrphans(spark, dir)
+        replayPending(spark, dir, retain)
         val srcKeys = df.select(keys.map(col): _*).distinct()
         prunedRewrite(spark, dir,
           touchRows = _.join(srcKeys, keys, "left_semi"),
           survivors = _.join(srcKeys, keys, "left_anti"),
-          extra = Some(df), epoch = Some(batchId))
+          extra = Some(df), epoch = Some((streamId, batchId)),
+          mergeSchema = mergeSchema, retainOv = retain)
       }
     }
 
@@ -798,7 +1119,7 @@ object VersionedTable {
                      fromV: Long, toV: Long,
                      keys: Seq[String]): DataFrame = {
     require(fromV < toV, s"changesBetween needs fromV < toV, got $fromV, $toV")
-    def filesAt(v: Long): Seq[String] = {
+    def linesAt(v: Long): List[String] = {
       val (fs, root) = fsOf(spark, dir)
       val p = new org.apache.hadoop.fs.Path(root, ManifestName + ".v" + v)
       val committed = readManifest(spark, dir).exists(v <= _._1)
@@ -806,12 +1127,17 @@ object VersionedTable {
         throw new IllegalArgumentException(
           s"table version $v not retained under $dir " +
             s"(retained: ${versions(spark, dir).mkString(", ")})")
-      readLines(fs, p).drop(1).filterNot(_.startsWith("#"))
+      readLines(fs, p)
     }
-    val from = filesAt(fromV).toSet
-    val to = filesAt(toV).toSet
-    val before = loadFiles(spark, dir, (from -- to).toSeq.sorted)
-    val after = loadFiles(spark, dir, (to -- from).toSeq.sorted)
+    val toLines = linesAt(toV)
+    val from = linesAt(fromV).drop(1).filterNot(_.startsWith("#")).toSet
+    val to = toLines.drop(1).filterNot(_.startsWith("#")).toSet
+    // both sides read under toV's schema (the Delta CDF convention):
+    // across an evolution, pre-images carry NULL for columns that did
+    // not exist yet
+    val sch = schemaOf(toLines)
+    val before = loadFiles(spark, dir, (from -- to).toSeq.sorted, sch)
+    val after = loadFiles(spark, dir, (to -- from).toSeq.sorted, sch)
     val cols = before.columns.toSeq
     val nonKeys = cols.filterNot(keys.contains)
     val b = before.select(cols.map(c => col(c).as("_b_" + c)): _*)
@@ -842,14 +1168,96 @@ object VersionedTable {
     inserts.unionByName(deletes).unionByName(pre).unionByName(post)
   }
 
-  /** Standalone deferred-delete replay + orphan sweep (the maintenance
-    * entry point a scheduler calls; every mutation also runs it).
+  /** Standalone deferred-delete replay + orphan sweep — the maintenance
+    * entry point a scheduler calls. Mutations replay the due-delete
+    * calendar themselves (O(pending)), but the orphan sweep's full
+    * directory walk lives ONLY here (see [[sweepOrphans]]).
     * Returns the physically deleted relative paths.
     */
-  def vacuum(spark: SparkSession, dir: String): Seq[String] =
+  def vacuum(spark: SparkSession, dir: String,
+             retain: Option[Long] = None): Seq[String] =
     withLock(spark, dir, "vacuum") {
-      val deleted = replayPending(spark, dir)
+      val deleted = replayPending(spark, dir, retain)
       sweepOrphans(spark, dir)
       deleted
+    }
+
+  /** STREAMING CHANGE-DATA-FEED CONSUMER (r13-verdict item 4): advance
+    * `consumerId`'s high-water mark over `srcDir`'s committed versions,
+    * appending the span's [[changesBetween]] rows into the `dstDir`
+    * change-log table — EXACTLY-ONCE end to end, with no consumer-side
+    * state file: the high-water mark IS the destination's per-stream
+    * epoch (`#epoch.<consumerId>=` = last source version consumed),
+    * committed by the same atomic rename that publishes the change
+    * rows. A crash after the append but before anything else changes
+    * nothing (there is nothing else); a replayed call sees
+    * `live <= mark` and no-ops; a call that raced a source commit
+    * simply consumes the longer span next time. Cost per call is ∝ the
+    * span's churn (manifest-diff pruning), never source table size.
+    * Downstream schema = source columns + `_change_type`; feeds across
+    * a source schema evolution widen the log via mergeSchema.
+    *
+    * `startAt` seeds the first span's lower bound (default 1 = the
+    * source's init version: consume everything after initial content).
+    * Returns the destination's committed version (unchanged on no-op).
+    */
+  def followChanges(spark: SparkSession, srcDir: String, dstDir: String,
+                    keys: Seq[String], consumerId: String,
+                    startAt: Long = 1L,
+                    retain: Option[Long] = None): Long = {
+    val lastSeen = math.max(lastStreamEpoch(spark, dstDir, consumerId),
+      startAt)
+    val live = currentVersion(spark, srcDir)
+    if (live <= lastSeen)
+      currentVersion(spark, dstDir)
+    else
+      appendStreamBatch(spark, dstDir,
+        changesBetween(spark, srcDir, lastSeen, live, keys),
+        batchId = live, streamId = consumerId, mergeSchema = true,
+        retain = retain)
+  }
+
+  /** RESTORE (the Delta RESTORE analog): commit a NEW version whose
+    * content is exactly retained version `version` — every data file
+    * re-referenced by the manifest, nothing copied or rewritten, O(1)
+    * data movement. History between stays retained and auditable; the
+    * live files the restore displaces retire into the deferred-delete
+    * calendar like any other rewrite. This is the rollback primitive
+    * [[TableGroup]] uses to heal a member table that ran ahead of a
+    * crashed multi-table commit. Epoch headers carry FORWARD untouched:
+    * a stream batch that landed in the rolled-back span stays "seen",
+    * so exactly-once replay protection survives the rollback (re-feed
+    * rolled-back data under a new batch id / stream identity, never by
+    * replay). The restored version's `#schema=` becomes live again.
+    */
+  def restore(spark: SparkSession, dir: String, version: Long,
+              retain: Option[Long] = None): Long =
+    withLock(spark, dir, "restore") {
+      replayPending(spark, dir, retain)
+      val (fs, root) = fsOf(spark, dir)
+      val p = new org.apache.hadoop.fs.Path(root,
+        ManifestName + ".v" + version)
+      val cur = readManifest(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"$dir: init() first"))
+      if (!fs.exists(p) || version > cur._1)
+        throw new IllegalArgumentException(
+          s"table version $version not retained under $dir " +
+            s"(retained: ${versions(spark, dir).mkString(", ")})")
+      if (version == cur._1) cur._1
+      else {
+        val lines = readLines(fs, p)
+        val files = lines.drop(1).filterNot(_.startsWith("#"))
+        val newV = cur._1 + 1
+        val restoredSet = files.toSet
+        val retired = cur._2.filterNot(restoredSet)
+        if (retired.nonEmpty) {
+          val dueAt = newV + effRetain(spark, retain)
+          writePending(spark, dir,
+            pendingEntries(spark, dir) ++ retired.map(r => s"$dueAt:$r"))
+        }
+        commitManifest(spark, dir, newV, files,
+          schemaJson = schemaOf(lines).map(_.json), retainOv = retain)
+        newV
+      }
     }
 }

@@ -131,21 +131,115 @@ class VersionedTableSpec extends SparkSpec {
   }
 
   test("crash safety: files written without a commit are invisible to " +
-    "readers and swept as orphans by the next mutation") {
+    "readers, ignored by mutations, and collected by vacuum") {
     val dir = tmp()
     VersionedTable.init(spark, dir, base(10))
     val before = VersionedTable.read(spark, dir).count()
     // simulate a writer dying between data write and manifest commit
-    base(5).withColumn("v", lit(-1L)).write.mode("append").parquet(dir)
+    base(5).withColumn("v", lit(-1L)).write.mode("append")
+      .parquet(dir + "/cm99-deadbeef")
     assert(VersionedTable.read(spark, dir).count() === before,
       "uncommitted files leaked into the live read")
     VersionedTable.append(spark, dir, Seq((500L, 1L, 0L))
       .toDF("k", "v", "grp"))
-    // the orphans were swept: total rows = base + the one appended row,
-    // and no v=-1 ghost row ever surfaces
+    // mutations no longer walk the table (O(commit) discipline): the
+    // orphans are still on disk but never surface in a read
     assert(VersionedTable.read(spark, dir).count() === before + 1)
     assert(VersionedTable.read(spark, dir)
       .filter(col("v") === -1L).isEmpty)
+    // the scheduled vacuum owns the full-walk sweep
+    VersionedTable.vacuum(spark, dir)
+    val dead = java.nio.file.Paths.get(dir, "cm99-deadbeef")
+    val leftover =
+      if (!java.nio.file.Files.exists(dead)) Nil
+      else {
+        val s = java.nio.file.Files.walk(dead)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .map[String](_.getFileName.toString)
+          .filter(n => !n.startsWith("_") && !n.startsWith("."))
+          .toArray.toList
+        finally s.close()
+      }
+    assert(leftover.isEmpty, s"vacuum left the dead writer's files: $leftover")
+    assert(VersionedTable.read(spark, dir).count() === before + 1)
+  }
+
+  test("O(commit) appends: a commit's new files land in its own " +
+    "subdirectory, and mutations never touch foreign files") {
+    val dir = tmp()
+    VersionedTable.init(spark, dir, base(10))
+    val v1Files = VersionedTable.readManifest(spark, dir).get._2.toSet
+    VersionedTable.append(spark, dir,
+      Seq((500L, 1L, 0L)).toDF("k", "v", "grp"))
+    val v2Files = VersionedTable.readManifest(spark, dir).get._2.toSet
+    val fresh = v2Files -- v1Files
+    assert(fresh.nonEmpty)
+    // each commit's files live in data/ under a cm<version>-<uuid>
+    // filename prefix — written via the commit's own staging dir, so
+    // discovery listed only that staging dir, never the table
+    val prefixes = fresh.map(_.split("/").last.split("-").take(2)
+      .mkString("-"))
+    assert(fresh.forall(_.startsWith("data/")) && prefixes.size === 1 &&
+      prefixes.head.startsWith("cm2-"),
+      s"append's files not commit-isolated: $fresh")
+    // carry-over is by reference — v1's files untouched on disk
+    v1Files.foreach { f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, f)))
+    }
+    // a foreign (non-graft) file planted at the root survives every
+    // mutation — proof no mutation runs a full-listing sweep
+    val foreign = java.nio.file.Paths.get(dir, "keepme.dat")
+    java.nio.file.Files.write(foreign, "hands off".getBytes)
+    VersionedTable.merge(spark, dir,
+      Seq((0L, 9L, 0L)).toDF("k", "v", "grp"), Seq("k"))
+    VersionedTable.deleteWhere(spark, dir, col("k") === 1L)
+    assert(java.nio.file.Files.exists(foreign),
+      "a mutation swept a file it never wrote")
+    java.nio.file.Files.delete(foreign)
+  }
+
+  test("commit latency is flat in table file count (the O(commit) " +
+    "ladder): a 1-row append costs the same against 40 and 4000 files") {
+    // adopt() a directory of N pre-made files (content never read —
+    // appends carry foreign files by reference), then time appends.
+    val seedDir = tmp()
+    Seq((0L, 0L, 0L)).toDF("k", "v", "grp").coalesce(1)
+      .write.mode("overwrite").parquet(seedDir)
+    val seedBytes = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(seedDir))
+      val f = try s.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally s.close()
+      java.nio.file.Files.readAllBytes(f)
+    }
+    def mkTable(n: Int): String = {
+      val dir = tmp()
+      val sub = java.nio.file.Paths.get(dir, "seed")
+      java.nio.file.Files.createDirectories(sub)
+      (0 until n).foreach { i =>
+        java.nio.file.Files.write(sub.resolve(f"f$i%05d.parquet"), seedBytes)
+      }
+      VersionedTable.adopt(spark, dir)
+      dir
+    }
+    def appendNanos(dir: String): Long = {
+      val row = Seq((999999L, 1L, 0L)).toDF("k", "v", "grp")
+      val t0 = System.nanoTime()
+      VersionedTable.append(spark, dir, row)
+      System.nanoTime() - t0
+    }
+    val small = mkTable(40)
+    val big = mkTable(4000)
+    appendNanos(small) // warm both paths once
+    appendNanos(big)
+    val tSmall = (0 until 3).map(_ => appendNanos(small)).min
+    val tBig = (0 until 3).map(_ => appendNanos(big)).min
+    assert(VersionedTable.readManifest(spark, big).get._2.size >= 4000)
+    // flat means flat: 100x the files must not cost even 3x the time
+    // (pre-r14, the double full listing made this ratio ~O(n))
+    assert(tBig < tSmall * 3 + 100000000L,
+      s"append not O(commit): 40 files -> ${tSmall / 1000000} ms, " +
+        s"4000 files -> ${tBig / 1000000} ms")
   }
 
   test("ADVICE scenario A — retention RAISED after data left: the " +
@@ -215,16 +309,21 @@ class VersionedTableSpec extends SparkSpec {
     val df = base(60).withColumn("grp", col("k") % 3)
     VersionedTable.init(spark, dir, df, partitionBy = Seq("grp"))
     assert(VersionedTable.partitioning(spark, dir) === Seq("grp"))
+    // Hive dirs nest INSIDE the per-commit subdirectory since r14:
+    // cm1-xxxx/grp=0/part-...parquet
+    def partOf(f: String) =
+      f.split("/").find(_.startsWith("grp=")).getOrElse("")
     val v1Files = VersionedTable.readManifest(spark, dir).get._2
-    assert(v1Files.forall(_.startsWith("grp=")), v1Files.take(3).toString)
+    assert(v1Files.forall(f => partOf(f).startsWith("grp=")),
+      v1Files.take(3).toString)
     VersionedTable.deleteWhere(spark, dir, col("grp") === 1L)
     val v2Files = VersionedTable.readManifest(spark, dir).get._2
     // grp=0 and grp=2 files carried over BY REFERENCE (byte-identical
     // paths); every grp=1 file retired; nothing rewritten outside it
-    val untouched = v1Files.filterNot(_.startsWith("grp=1/"))
+    val untouched = v1Files.filterNot(f => partOf(f) == "grp=1")
     assert(untouched.forall(v2Files.contains),
       "a partition outside the predicate was rewritten")
-    assert(!v2Files.exists(_.startsWith("grp=1/")))
+    assert(!v2Files.exists(f => partOf(f) == "grp=1"))
     val got = VersionedTable.read(spark, dir)
     assert(got.filter(col("grp") === 1L).isEmpty)
     assert(got.count() === 40)
@@ -386,6 +485,92 @@ class VersionedTableSpec extends SparkSpec {
       val ch12 = VersionedTable.changesBetween(spark, dir, 1L, 2L, Seq("k"))
       assert(ch12.filter(col("_change_type") === "delete").isEmpty)
       assert(ch12.filter(col("_change_type") === "insert").count() === 1)
+    }
+  }
+
+  test("stream epochs are scoped per stream identity: a second stream's " +
+    "batch 0 is NOT a replay, replay within an identity still skips, " +
+    "and a compaction carries every identity's mark forward") {
+    val dir = tmp()
+    VersionedTable.init(spark, dir, base(5))
+    VersionedTable.appendStreamBatch(spark, dir,
+      Seq((100L, 1L, 0L)).toDF("k", "v", "grp"), 0L, streamId = "a")
+    // same batch id, DIFFERENT identity — must land (the r13 ADVICE
+    // scenario: a single global epoch dropped it silently)
+    VersionedTable.appendStreamBatch(spark, dir,
+      Seq((200L, 2L, 0L)).toDF("k", "v", "grp"), 0L, streamId = "b")
+    assert(VersionedTable.read(spark, dir).count() === 7)
+    VersionedTable.appendStreamBatch(spark, dir,
+      Seq((100L, 1L, 0L)).toDF("k", "v", "grp"), 0L, streamId = "a")
+    assert(VersionedTable.read(spark, dir).count() === 7,
+      "replay within an identity double-applied")
+    VersionedTable.compact(spark, dir, targetFiles = 1)
+    assert(VersionedTable.lastStreamEpoch(spark, dir, "a") === 0L)
+    assert(VersionedTable.lastStreamEpoch(spark, dir, "b") === 0L)
+    assert(VersionedTable.lastStreamEpoch(spark, dir, "never") === -1L)
+    VersionedTable.appendStreamBatch(spark, dir,
+      Seq((300L, 3L, 0L)).toDF("k", "v", "grp"), 1L, streamId = "a")
+    assert(VersionedTable.read(spark, dir).count() === 8)
+  }
+
+  test("schema evolution: mergeSchema widens the table, pre-evolution " +
+    "rows read NULL, readAt keeps the old shape, strict mode fails fast") {
+    val dir = tmp()
+    VersionedTable.init(spark, dir, base(10))                        // v1
+    val src = Seq((3L, 999L, 0L, "x"), (100L, 1L, 1L, "y"))
+      .toDF("k", "v", "grp", "tag")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, dir, src, Seq("k"))
+    }
+    assert(e.getMessage.contains("mergeSchema"))
+    VersionedTable.merge(spark, dir, src, Seq("k"),
+      mergeSchema = true)                                            // v2
+    val live = VersionedTable.read(spark, dir)
+    assert(live.columns.toSeq === Seq("k", "v", "grp", "tag"))
+    val byK = live.select("k", "tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(byK(3L) === Some("x") && byK(100L) === Some("y"))
+    assert(byK(5L) === None,
+      "pre-evolution row (carried over by reference) must read NULL")
+    assert(VersionedTable.readAt(spark, dir, 1L).columns.toSeq ===
+      Seq("k", "v", "grp"), "time travel must keep the old shape")
+    // the widened shape persists through schema-neutral commits
+    VersionedTable.deleteWhere(spark, dir, col("k") === 4L)          // v3
+    assert(VersionedTable.read(spark, dir).columns.toSeq ===
+      Seq("k", "v", "grp", "tag"))
+    // CDF across the evolution reads both sides under the NEW shape
+    val ch = VersionedTable.changesBetween(spark, dir, 1L, 2L, Seq("k"))
+    assert(ch.columns.contains("tag"))
+    assert(ch.filter(col("_change_type") === "insert")
+      .select("tag").as[Option[String]].collect().toSeq === Seq(Some("y")))
+  }
+
+  test("restore re-references a retained version as a NEW commit " +
+    "(no data copied); stream replay protection survives the rollback") {
+    val dir = tmp()
+    withRetain("3") {
+      VersionedTable.init(spark, dir, base(20))                      // v1
+      VersionedTable.appendStreamBatch(spark, dir,
+        Seq((100L, 1L, 0L)).toDF("k", "v", "grp"), 0L, streamId = "s") // v2
+      VersionedTable.deleteWhere(spark, dir, col("k") < 5L)          // v3
+      val v1Rows = rows(VersionedTable.readAt(spark, dir, 1L))
+      assert(VersionedTable.restore(spark, dir, 1L) === 4L)          // v4
+      assert(rows(VersionedTable.read(spark, dir)) === v1Rows)
+      // pure metadata: v4's file list is exactly v1's
+      val v1Files = scala.io.Source.fromFile(
+        new java.io.File(dir, "_vt_manifest.v1")).getLines()
+        .drop(1).filterNot(_.startsWith("#")).toSet
+      assert(VersionedTable.readManifest(spark, dir).get._2.toSet ===
+        v1Files)
+      // restore-to-live is a version-stable no-op
+      assert(VersionedTable.restore(spark, dir, 4L) === 4L)
+      // epoch marks carried: the rolled-back batch is still "seen"
+      VersionedTable.appendStreamBatch(spark, dir,
+        Seq((100L, 1L, 0L)).toDF("k", "v", "grp"), 0L, streamId = "s")
+      assert(rows(VersionedTable.read(spark, dir)) === v1Rows)
+      // history in between stayed auditable
+      assert(rows(VersionedTable.readAt(spark, dir, 3L))
+        .forall(_._1 >= 5L))
     }
   }
 
