@@ -6373,66 +6373,144 @@ object SparkEntry {
     "st28_stream_versioned_sink" -> ((s, dir) =>
       StreamOps.streamVersionedSink(s, dir).orderBy("event_type")),
 
+    // st29: the change-data-feed consumed AS A STREAM — each micro-
+    // batch merges into the source versioned table, then followChanges
+    // propagates the committed span's CDF rows downstream, exactly-once
+    // on BOTH hops via per-stream manifest epochs (r13-verdict item 4).
+    "st29_stream_cdf" -> ((s, dir) =>
+      StreamOps.streamChangeFeed(s, dir)),
+
     // etl6: CHANGE DATA FEED between two retained versions — every
     // insert/delete/update (pre+post images) the commits in between
     // produced, computed from the MANIFEST DIFF: files shared by both
     // versions carry by reference and are never read, so feed cost is
     // ∝ churn, not table size (the Delta CDF shape).
     "etl6_versioned_changes" -> ((s, dir) => {
-      val prevRetain = s.conf.getOption(VersionedTable.RetainVersionsConf)
-      s.conf.set(VersionedTable.RetainVersionsConf, "3")
-      try {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_vt_cdf").toString
-        val orders = t(s, dir, "orders")
-        val base = orders.filter(col("o_orderkey") % 3 =!= 0)
-          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
-        VersionedTable.init(s, tmp, base) // v1
-        VersionedTable.merge(s, tmp,
+      // retention rides the per-call parameter (r13-verdict item 7):
+      // no session-conf mutation, so concurrent callers of the same
+      // SparkSession can never observe this gate's window
+      val keep = Some(3L)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_vt_cdf").toString
+      val orders = t(s, dir, "orders")
+      val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      VersionedTable.init(s, tmp, base, retain = keep) // v1
+      VersionedTable.merge(s, tmp,
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"),
+            (col("o_custkey") + 1000000L).as("o_custkey"),
+            lit("U").as("o_orderstatus")),
+        Seq("o_orderkey"), retain = keep) // v2
+      VersionedTable.deleteWhere(s, tmp,
+        col("o_orderstatus") === "O" && col("o_orderkey") % 13 === 0,
+        retain = keep) // v3
+      VersionedTable.changesBetween(s, tmp, 1L, 3L, Seq("o_orderkey"))
+        .orderBy("o_orderkey", "_change_type")
+    }),
+
+    // etl7: MULTI-TABLE ATOMIC COMMIT (r13-verdict item 2, reference
+    // sdk/migrate_employeur.php:196-219 — one employer's writes span
+    // several destination tables inside ONE DB transaction). The gate
+    // replays the crash story end-to-end: a half-applied commit (one
+    // member advanced, root never flipped) stays INVISIBLE through the
+    // group's root pins, and the retried commit heals the runaway
+    // member (O(1)-data restore) before landing the intended pair in
+    // one root rename. Served as the tagged union of both members'
+    // group reads — any phantom 'Z' row would hash-break the oracle.
+    "etl7_multi_table_txn" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_tg_txn").toString
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      TableGroup.init(s, tmp, Seq(
+        "orders_t" -> orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus")),
+        "customer_t" -> customer.select(col("c_custkey"),
+          col("c_acctbal").cast("double").as("c_acctbal"),
+          col("c_mktsegment"))))
+      // the CRASHED half-commit: orders_t advanced, customer_t and the
+      // root untouched — a torn state no group reader may ever observe
+      VersionedTable.merge(s, tmp + "/orders_t",
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            lit("Z").as("o_orderstatus")),
+        Seq("o_orderkey"))
+      // the retried commit: heal + both merges + one atomic root flip
+      TableGroup.commit(s, tmp, Seq(
+        "orders_t" -> (d => VersionedTable.merge(s, d,
           orders.filter(col("o_orderkey") % 7 === 0)
             .select(col("o_orderkey"),
               (col("o_custkey") + 1000000L).as("o_custkey"),
               lit("U").as("o_orderstatus")),
-          Seq("o_orderkey")) // v2
-        VersionedTable.deleteWhere(s, tmp,
-          col("o_orderstatus") === "O" && col("o_orderkey") % 13 === 0) // v3
-        VersionedTable.changesBetween(s, tmp, 1L, 3L, Seq("o_orderkey"))
-          .orderBy("o_orderkey", "_change_type")
-      } finally prevRetain match {
-        case Some(v) => s.conf.set(VersionedTable.RetainVersionsConf, v)
-        case None => s.conf.unset(VersionedTable.RetainVersionsConf)
-      }
+          Seq("o_orderkey"))),
+        "customer_t" -> (d => VersionedTable.merge(s, d,
+          customer.filter(col("c_custkey") % 5 === 0)
+            .select(col("c_custkey"),
+              (col("c_acctbal") + lit(10000.0)).cast("double")
+                .as("c_acctbal"),
+              lit("SEG").as("c_mktsegment")),
+          Seq("c_custkey")))))
+      TableGroup.read(s, tmp, "orders_t")
+        .select(lit("orders").as("tbl"), col("o_orderkey").as("k"),
+          col("o_custkey").cast("double").as("v1"),
+          col("o_orderstatus").as("tag"))
+        .unionByName(TableGroup.read(s, tmp, "customer_t")
+          .select(lit("customer").as("tbl"), col("c_custkey").as("k"),
+            col("c_acctbal").cast("double").as("v1"),
+            col("c_mktsegment").as("tag")))
+        .orderBy("tbl", "k")
+    }),
+
+    // etl8: SCHEMA EVOLUTION under versioning (r13-verdict item 3 —
+    // the reference's stringly dynamic columns, SURVEY §1.2, make
+    // add-a-column the most common destination change): a merge whose
+    // source carries a NEW column widens the table via mergeSchema;
+    // untouched files carry over BY REFERENCE and read the new column
+    // as NULL through the committed `#schema=` header — no rewrite of
+    // unmatched data, the Delta mergeSchema contract. readAt(v1) keeps
+    // the pre-evolution shape (spec-pinned in VersionedTableSpec).
+    "etl8_schema_evolution" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_vt_evo").toString
+      val orders = t(s, dir, "orders")
+      val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      VersionedTable.init(s, tmp, base) // v1
+      VersionedTable.merge(s, tmp,
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            lit("U").as("o_orderstatus"),
+            col("o_totalprice").cast("double").as("o_price")),
+        Seq("o_orderkey"), mergeSchema = true) // v2: wider
+      VersionedTable.read(s, tmp).orderBy("o_orderkey")
     }),
 
     "etl4_table_time_travel" -> ((s, dir) => {
-      val prevRetain = s.conf.getOption(VersionedTable.RetainVersionsConf)
-      s.conf.set(VersionedTable.RetainVersionsConf, "2")
-      try {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_vt_tt").toString
-        val orders = t(s, dir, "orders")
-        val base = orders.filter(col("o_orderkey") % 3 =!= 0)
-          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
-        VersionedTable.init(s, tmp, base) // v1
-        VersionedTable.merge(s, tmp,
-          orders.filter(col("o_orderkey") % 7 === 0)
-            .select(col("o_orderkey"),
-              (col("o_custkey") + 1000000L).as("o_custkey"),
-              lit("U").as("o_orderstatus")),
-          Seq("o_orderkey")) // v2
-        VersionedTable.deleteWhere(s, tmp,
-          col("o_orderstatus") === "O" && col("o_orderkey") % 13 === 0) // v3
-        def snap(tag: String, df: DataFrame): DataFrame =
-          df.select(lit(tag).as("snap"), col("o_orderkey"),
-            col("o_custkey"), col("o_orderstatus"))
-        snap("v1", VersionedTable.readAt(s, tmp, 1L))
-          .unionByName(snap("v2", VersionedTable.readAt(s, tmp, 2L)))
-          .unionByName(snap("v3", VersionedTable.read(s, tmp)))
-          .orderBy("snap", "o_orderkey")
-      } finally prevRetain match {
-        case Some(v) => s.conf.set(VersionedTable.RetainVersionsConf, v)
-        case None => s.conf.unset(VersionedTable.RetainVersionsConf)
-      }
+      val keep = Some(2L) // per-call retention, no session-conf races
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_vt_tt").toString
+      val orders = t(s, dir, "orders")
+      val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      VersionedTable.init(s, tmp, base, retain = keep) // v1
+      VersionedTable.merge(s, tmp,
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"),
+            (col("o_custkey") + 1000000L).as("o_custkey"),
+            lit("U").as("o_orderstatus")),
+        Seq("o_orderkey"), retain = keep) // v2
+      VersionedTable.deleteWhere(s, tmp,
+        col("o_orderstatus") === "O" && col("o_orderkey") % 13 === 0,
+        retain = keep) // v3
+      def snap(tag: String, df: DataFrame): DataFrame =
+        df.select(lit(tag).as("snap"), col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"))
+      snap("v1", VersionedTable.readAt(s, tmp, 1L))
+        .unionByName(snap("v2", VersionedTable.readAt(s, tmp, 2L)))
+        .unionByName(snap("v3", VersionedTable.read(s, tmp)))
+        .orderBy("snap", "o_orderkey")
     })
   )
 
@@ -13644,6 +13722,65 @@ object SparkEntry {
         |  SELECT * FROM ins UNION ALL SELECT * FROM del
         |  UNION ALL SELECT * FROM pre UNION ALL SELECT * FROM post)
         | ORDER BY o_orderkey, _change_type""".stripMargin,
+
+    "st29_stream_cdf" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus
+        |   FROM orders WHERE o_orderkey % 3 <> 0),
+        | delta AS (SELECT o_orderkey, o_custkey + 1000000 AS o_custkey,
+        |    'U' AS o_orderstatus FROM orders WHERE o_orderkey % 7 = 0),
+        | ins AS (SELECT d.o_orderkey, d.o_custkey, d.o_orderstatus,
+        |    'insert' AS _change_type FROM delta d
+        |   WHERE d.o_orderkey NOT IN (SELECT o_orderkey FROM base)),
+        | pre AS (SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus,
+        |    'update_preimage' AS _change_type FROM base b
+        |   WHERE b.o_orderkey IN (SELECT o_orderkey FROM delta)),
+        | post AS (SELECT d.o_orderkey, d.o_custkey, d.o_orderstatus,
+        |    'update_postimage' AS _change_type FROM delta d
+        |   WHERE d.o_orderkey IN (SELECT o_orderkey FROM base))
+        |SELECT o_orderkey, o_custkey, o_orderstatus, _change_type FROM (
+        |  SELECT * FROM ins UNION ALL SELECT * FROM pre
+        |  UNION ALL SELECT * FROM post)
+        | ORDER BY o_orderkey, _change_type""".stripMargin,
+
+    "etl7_multi_table_txn" ->
+      """WITH obase AS (SELECT o_orderkey, o_custkey, o_orderstatus
+        |   FROM orders WHERE o_orderkey % 3 <> 0),
+        | oupd AS (SELECT o_orderkey, o_custkey + 1000000 AS o_custkey,
+        |    'U' AS o_orderstatus FROM orders WHERE o_orderkey % 7 = 0),
+        | ofinal AS (SELECT * FROM oupd
+        |   UNION ALL
+        |   SELECT * FROM obase
+        |    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM oupd)),
+        | cupd AS (SELECT c_custkey, c_acctbal + 10000 AS c_acctbal,
+        |    'SEG' AS c_mktsegment FROM customer WHERE c_custkey % 5 = 0),
+        | cfinal AS (SELECT * FROM cupd
+        |   UNION ALL
+        |   SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |    WHERE c_custkey NOT IN (SELECT c_custkey FROM cupd))
+        |SELECT tbl, k, v1, tag FROM (
+        |  SELECT 'orders' AS tbl, o_orderkey AS k,
+        |         CAST(o_custkey AS DOUBLE) AS v1, o_orderstatus AS tag
+        |    FROM ofinal
+        |  UNION ALL
+        |  SELECT 'customer' AS tbl, c_custkey AS k,
+        |         CAST(c_acctbal AS DOUBLE) AS v1, c_mktsegment AS tag
+        |    FROM cfinal)
+        | ORDER BY tbl, k""".stripMargin,
+
+    "etl8_schema_evolution" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus
+        |   FROM orders WHERE o_orderkey % 3 <> 0),
+        | upd AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    CAST(o_totalprice AS DOUBLE) AS o_price
+        |   FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_price FROM (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(NULL AS DOUBLE) AS o_price
+        |    FROM base
+        |   WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT * FROM upd)
+        | ORDER BY o_orderkey""".stripMargin,
 
     "etl4_table_time_travel" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus

@@ -258,6 +258,26 @@ object MiniMySql {
       */
     def execute(stmt: Stmt, params: Array[Any]): Int = {
       beginWrite()
+      // STATEMENT-LEVEL ATOMICITY (r13 ADVICE): real MySQL rolls back
+      // only the FAILING STATEMENT while keeping the enclosing
+      // transaction. Mark the undo log at statement entry and unwind
+      // to the mark on any failure, so a caller that catches the error
+      // and COMMITs persists exactly the pre-statement state — a
+      // multi-tuple INSERT that dies on tuple 3 leaves no tuples, not
+      // two (the savepoint MySQL takes implicitly per statement).
+      val mark = undo.length
+      try executeBody(stmt, params)
+      catch {
+        case e: Throwable =>
+          while (undo.length > mark) {
+            val (t, key, prev) = undo.remove(undo.length - 1)
+            if (prev == null) t.rows.remove(key) else t.rows.put(key, prev)
+          }
+          throw e
+      }
+    }
+
+    private def executeBody(stmt: Stmt, params: Array[Any]): Int =
       stmt match {
         case Update(tn, sets, wheres) =>
           val t = table(tn)
@@ -303,9 +323,10 @@ object MiniMySql {
           var tup = 0
           // tuples process SEQUENTIALLY (MySQL semantics: a later tuple
           // hitting an earlier tuple's key takes the ODKU path); a
-          // failing tuple aborts the statement mid-way and the caller's
-          // rollback (autocommit or JdbcSink's) restores — MySQL's own
-          // multi-row INSERT is atomic, which the tx undo log models
+          // failing tuple aborts the statement and [[execute]]'s
+          // statement-level unwind removes the earlier tuples' effects
+          // while PRESERVING the enclosing transaction — MySQL's own
+          // multi-row INSERT is statement-atomic inside a tx
           while (tup < tuples) {
             val tp = params.slice(tup * cols.length,
               (tup + 1) * cols.length)
@@ -364,7 +385,6 @@ object MiniMySql {
             hit.length
           }
       }
-    }
   }
 
   // ---- JDBC proxies -----------------------------------------------------
@@ -443,10 +463,10 @@ object MiniMySql {
             }
           } catch {
             case e: SQLException =>
-              // a precise single-statement undo would need a savepoint;
-              // rolling back the whole tx is the conservative stand-in
-              // and matches what JdbcSink does anyway on a poisoned
-              // batch (rollback, then row-by-row replay)
+              // each statement already unwound itself (statement-level
+              // mark in execute); rolling back the whole tx on a failed
+              // BATCH stays deliberate — it matches what JdbcSink does
+              // on a poisoned batch (rollback, then row-by-row replay)
               conn.rollback()
               val bue = new BatchUpdateException(e.getMessage,
                 e.getSQLState, e.getErrorCode, Array.empty[Int], e)

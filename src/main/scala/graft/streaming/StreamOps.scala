@@ -1501,7 +1501,7 @@ object StreamOps {
       .option("checkpointLocation", tmp + "/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.etl.VersionedTable.appendStreamBatch(
-          batch.sparkSession, tableDir, batch, id)
+          batch.sparkSession, tableDir, batch, id, streamId = "st28-sink")
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -1512,6 +1512,62 @@ object StreamOps {
     graft.etl.VersionedTable.read(spark, tableDir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+  }
+
+  /** STREAMING CHANGE-DATA-FEED PIPELINE (st29, r13-verdict item 4):
+    * the engine's own table format feeding a downstream consumer
+    * CONTINUOUSLY — each micro-batch (1) upserts into the source
+    * versioned table via [[graft.etl.VersionedTable.mergeStreamBatch]]
+    * (exactly-once per stream identity), then (2) propagates the
+    * just-committed span's change rows into a downstream change-log
+    * table via [[graft.etl.VersionedTable.followChanges]], whose
+    * high-water mark IS the downstream's per-consumer manifest epoch —
+    * no separate state store, both hops idempotent under foreachBatch
+    * replay. The served log is BATCHING-INVARIANT: every source key
+    * occurs in exactly one micro-batch (repartition of a unique-key
+    * delta), so each key's change rows are its point diff against the
+    * base regardless of how the stream was sliced — exactly what the
+    * DuckDB oracle recomputes set-wise. Span cost is manifest-diff
+    * pruned (∝ churn, not table size): the 100 TB CDC-fan-out shape.
+    */
+  def streamChangeFeed(spark: SparkSession, dir: String,
+                       nBatches: Int = 3): DataFrame = {
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_vt_cdf_stream").toString
+    val srcTable = tmp + "/src_table"
+    val dstTable = tmp + "/changes"
+    val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+    graft.etl.VersionedTable.init(spark, srcTable, base) // v1
+    graft.etl.VersionedTable.init(spark, dstTable,
+      base.limit(0).withColumn("_change_type", lit("")))
+    val delta = orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"),
+        (col("o_custkey") + 1000000L).as("o_custkey"),
+        lit("U").as("o_orderstatus"))
+    delta.repartition(nBatches)
+      .write.mode("overwrite").parquet(tmp + "/feed")
+    val q = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp + "/feed")
+      .writeStream
+      .option("checkpointLocation", tmp + "/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        graft.etl.VersionedTable.mergeStreamBatch(
+          s, srcTable, batch, Seq("o_orderkey"), id,
+          streamId = "st29-src")
+        graft.etl.VersionedTable.followChanges(
+          s, srcTable, dstTable, Seq("o_orderkey"),
+          consumerId = "st29-cdf")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    processAndRecord(q)
+    q.stop()
+    graft.etl.VersionedTable.read(spark, dstTable)
+      .orderBy("o_orderkey", "_change_type")
   }
 
   def maintenanceInterleave(spark: SparkSession, dir: String,

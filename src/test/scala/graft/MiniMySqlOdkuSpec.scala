@@ -49,6 +49,56 @@ class MiniMySqlOdkuSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("statement-level atomicity inside an explicit transaction: a " +
+    "multi-tuple INSERT that dies mid-statement unwinds ITS OWN tuples " +
+    "but keeps the transaction's earlier statements (r13 ADVICE)") {
+    val (db, url, _) = freshDb()
+    val c = conn(url)
+    try {
+      c.setAutoCommit(false)
+      val one = c.prepareStatement("INSERT INTO `t` (`id`, `v`) VALUES (?, ?)")
+      one.setObject(1, 1L); one.setString(2, "keep")
+      assert(one.executeUpdate() === 1) // statement #1 of the tx
+      val multi = c.prepareStatement(
+        "INSERT INTO `t` (`id`, `v`) VALUES (?, ?), (?, ?), (?, ?)")
+      multi.setObject(1, 10L); multi.setString(2, "a")
+      multi.setObject(3, 11L); multi.setString(4, "b")
+      multi.setObject(5, 1L); multi.setString(6, "dup") // dup key → dies
+      intercept[java.sql.SQLException] { multi.executeUpdate() }
+      // real MySQL: the failed STATEMENT is gone whole (tuples 10, 11
+      // included), the transaction survives — commit persists only
+      // statement #1
+      c.commit()
+    } finally c.close()
+    val got = MiniMySql.scanDF(spark, db, "t", schema)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "keep"),
+      s"partial multi-row INSERT persisted: $got")
+  }
+
+  test("statement-level unwind also covers UPDATE dying mid-hit-loop: " +
+    "no half-updated row set escapes into a committed tx") {
+    val (db, url, _) = freshDb()
+    val c = conn(url)
+    try {
+      c.setAutoCommit(false)
+      val ins = c.prepareStatement(
+        "INSERT INTO `t` (`id`, `v`) VALUES (?, ?), (?, ?)")
+      ins.setObject(1, 1L); ins.setString(2, "a")
+      ins.setObject(3, 2L); ins.setString(4, "a")
+      ins.executeUpdate()
+      // UPDATE both rows to NULL on a NOT NULL column: the first row's
+      // write throws — nothing may stick
+      val upd = c.prepareStatement("UPDATE `t` SET `v` = ? WHERE `v` = ?")
+      upd.setObject(1, null); upd.setString(2, "a")
+      intercept[java.sql.SQLException] { upd.executeUpdate() }
+      c.commit()
+    } finally c.close()
+    val got = MiniMySql.scanDF(spark, db, "t", schema)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a", 2L -> "a"))
+  }
+
   test("multi-value rewritten INSERT: one statement, tuples processed " +
     "sequentially (a later tuple updates an earlier tuple's row)") {
     val (db, url, _) = freshDb()
