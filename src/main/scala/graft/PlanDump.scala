@@ -106,7 +106,13 @@ object PlanDump {
     "etl5_versioned_partitioned", "st28_stream_versioned_sink",
     // the CDF plan: two manifest-diff file-list scans into one
     // full-outer SortMergeJoin on the key — churn-sized, no cartesian
-    "etl6_versioned_changes")
+    "etl6_versioned_changes",
+    // r14 lifecycle gates: the group-commit pair served through the
+    // root pins (two committed-file-list scans + union), the widened
+    // post-evolution read (carried-over files fill the new column as
+    // NULL from the committed #schema — no footer inference, no
+    // rewrite), and the streaming CDF consumer's downstream change log
+    "etl7_multi_table_txn", "etl8_schema_evolution", "st29_stream_cdf")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

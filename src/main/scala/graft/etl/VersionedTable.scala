@@ -218,6 +218,183 @@ object VersionedTable {
           .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
 
+  // ------------------------------------------------------------------
+  // per-file column statistics (DATA SKIPPING — the Delta/Iceberg
+  // min-max stats analog, r14). Each committed file may carry a
+  // `#stats=<relpath>\t{"col":["lo","hi"], ...}` manifest header,
+  // harvested from its parquet FOOTER at commit time (O(files written),
+  // never a table walk; row-group stats are free metadata the writer
+  // already produced). Carried files keep their lines verbatim. The
+  // merge/replace probe then skips files whose key range provably
+  // misses the source keys — on a key-clustered table (range layout,
+  // z-order) a small merge PROBES as few files as it REWRITES, where
+  // the plain probe scans the whole table to find them. Stats cover
+  // integral/floating columns and ASCII-only strings (parquet binary
+  // stats order is UTF-8 bytewise; ASCII is where it provably agrees
+  // with Spark's string ordering — anything else is dropped rather
+  // than risking a wrong skip). Absent stats = never skipped.
+  // ------------------------------------------------------------------
+
+  /** Session conf: harvest per-file min/max stats at commit (default
+    * true). Reading existing stats never needs the conf.
+    */
+  val FileStatsConf = "spark.graft.tableFileStats"
+
+  private def statsEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(FileStatsConf).forall(_.toBoolean)
+
+  private def asciiOnly(s: String): Boolean = s.forall(_ < 128)
+
+  /** Footer-harvested [lo, hi] per eligible top-level column, or None
+    * when the file yields nothing usable. Values are rendered as
+    * strings in the JSON; numeric-ness is re-derived from the table
+    * schema at skip time.
+    */
+  private def harvestStats(spark: SparkSession, dir: String, rel: String,
+                           schema: org.apache.spark.sql.types.StructType)
+      : Option[String] = scala.util.Try {
+    import org.apache.spark.sql.types._
+    val eligible = schema.fields.collect {
+      case f if Seq(ByteType, ShortType, IntegerType, LongType,
+        FloatType, DoubleType, StringType).contains(f.dataType) => f.name
+    }.toSet
+    if (eligible.isEmpty) return None
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(dir + "/" + rel),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val perCol = scala.collection.mutable.HashMap[String, (String, String)]()
+    val dropped = scala.collection.mutable.HashSet[String]()
+    try {
+      reader.getFooter.getBlocks.forEach { block =>
+        block.getColumns.forEach { cc =>
+          val name = cc.getPath.toDotString
+          if (eligible(name) && !dropped(name)) {
+            val st = cc.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) {
+              dropped += name; perCol.remove(name)
+            } else {
+              val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
+                case (a: org.apache.parquet.io.api.Binary,
+                      b: org.apache.parquet.io.api.Binary) =>
+                  (a.toStringUsingUTF8, b.toStringUsingUTF8)
+                case (a, b) => (a.toString, b.toString)
+              }
+              if (!asciiOnly(lo) || !asciiOnly(hi)) {
+                dropped += name; perCol.remove(name)
+              } else perCol.get(name) match {
+                case None => perCol(name) = (lo, hi)
+                case Some((plo, phi)) =>
+                  // blocks merge under the SAME ordering skipping uses
+                  val num = schema(name).dataType != StringType
+                  def less(x: String, y: String) =
+                    if (num) BigDecimal(x) < BigDecimal(y) else x < y
+                  perCol(name) = (if (less(lo, plo)) lo else plo,
+                    if (less(phi, hi)) hi else phi)
+              }
+            }
+          }
+        }
+      }
+    } finally reader.close()
+    if (perCol.isEmpty) None
+    else {
+      def q(s: String) = "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      Some(perCol.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s"${q(c)}:[${q(lo)},${q(hi)}]"
+      }.mkString("{", ",", "}"))
+    }
+  }.toOption.flatten
+
+  /** `relpath -> raw stats json` from a manifest's header lines. */
+  private def statsOf(lines: Seq[String]): Map[String, String] =
+    lines.collect {
+      case l if l.startsWith("#stats=") && l.indexOf('\t') > 7 =>
+        val t = l.indexOf('\t')
+        (l.substring(7, t), l.substring(t + 1))
+    }.toMap
+
+  private val StatsEntry = "\"((?:[^\"\\\\]|\\\\.)*)\":\\[\"((?:[^\"\\\\]|\\\\.)*)\",\"((?:[^\"\\\\]|\\\\.)*)\"\\]".r
+
+  private def unq(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\\' if i + 1 < s.length =>
+          s(i + 1) match {
+            case 'u' if i + 5 < s.length =>
+              b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              i += 5
+            case c => b += c; i += 1
+          }
+        case c => b += c
+      }
+      i += 1
+    }
+    b.toString
+  }
+
+  /** The subset of `files` a key-equality probe must scan: a file is
+    * skipped only when, for some key column, its [lo, hi] provably
+    * misses the source keys' range. Files without stats (pre-stats
+    * commits, adopt-ed files, dropped columns) always qualify — skipping
+    * is an optimization, never a semantics change. An empty source
+    * range (no non-null keys) qualifies NO files: the semi-join could
+    * not match anything either.
+    */
+  private[etl] def statsCandidates(spark: SparkSession, dir: String,
+                                   files: Seq[String],
+                                   stats: Map[String, String],
+                                   keys: Seq[String],
+                                   srcKeys: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.types._
+    if (stats.isEmpty) return files
+    val usable = srcKeys.schema.fields.filter(f =>
+      keys.contains(f.name) && Seq(ByteType, ShortType, IntegerType,
+        LongType, FloatType, DoubleType, StringType).contains(f.dataType))
+    if (usable.isEmpty) return files
+    val aggs = usable.flatMap(f =>
+      Seq(min(col(f.name)).cast("string").as("lo_" + f.name),
+        max(col(f.name)).cast("string").as("hi_" + f.name)))
+    val row = srcKeys.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+    // a usable key column with NO non-null source values (incl. the
+    // empty source) can never satisfy the equality — probe nothing
+    if (usable.exists(f => row.getAs[String]("lo_" + f.name) == null))
+      return Seq.empty
+    val ranges: Seq[(String, Boolean, String, String)] = usable.map { f =>
+      (f.name, f.dataType != StringType,
+        row.getAs[String]("lo_" + f.name),
+        row.getAs[String]("hi_" + f.name))
+    }.toSeq
+    files.filter { rel =>
+      stats.get(rel) match {
+        case None => true
+        case Some(json) =>
+          val fileCols = StatsEntry.findAllMatchIn(json).map(m =>
+            unq(m.group(1)) -> (unq(m.group(2)), unq(m.group(3)))).toMap
+          ranges.forall { case (c, numeric, sLo, sHi) =>
+            fileCols.get(c) match {
+              case None => true // no stats for this column: can't skip
+              case Some((fLo, fHi)) =>
+                def lt(x: String, y: String) =
+                  if (numeric)
+                    scala.util.Try(BigDecimal(x) < BigDecimal(y))
+                      .getOrElse(false)
+                  else x < y
+                // overlap unless provably disjoint
+                !(lt(fHi, sLo) || lt(sHi, fLo))
+            }
+          }
+      }
+    }
+  }
+
   /** The table's Hive partition columns (empty = flat), recorded at
     * [[init]]/[[adopt]] so every later rewrite reproduces the layout.
     */
@@ -288,8 +465,11 @@ object VersionedTable {
                              version: Long, files: Seq[String],
                              epoch: Option[(String, Long)] = None,
                              schemaJson: Option[String] = None,
-                             retainOv: Option[Long] = None): Unit = {
+                             retainOv: Option[Long] = None,
+                             newStats: Map[String, String] = Map.empty)
+      : Unit = {
     val (fs, root) = fsOf(spark, dir)
+    val prevLines = liveManifestLines(spark, dir).getOrElse(Nil)
     // EVERY epoch header carries FORWARD through non-streaming commits:
     // a compaction between two micro-batches must not reset any
     // stream's high-water mark, or that stream's next replay would
@@ -297,13 +477,20 @@ object VersionedTable {
     val effEpochs = streamEpochs(spark, dir) ++ epoch
     // likewise the schema header: a commit that does not evolve the
     // shape republishes the live one
-    val effSchema = schemaJson.orElse(liveManifestLines(spark, dir)
-      .getOrElse(Nil).collectFirst {
-        case l if l.startsWith("#schema=") => l.stripPrefix("#schema=")
-      })
+    val effSchema = schemaJson.orElse(prevLines.collectFirst {
+      case l if l.startsWith("#schema=") => l.stripPrefix("#schema=")
+    })
+    // stats lines: carried files keep their previous line verbatim,
+    // new files bring their freshly harvested one; retired files drop
+    val fileSet = files.toSet
+    val effStats = (statsOf(prevLines) ++ newStats).filter {
+      case (rel, _) => fileSet(rel)
+    }
     val headers = effEpochs.toSeq.sortBy(_._1)
       .map { case (id, e) => s"#epoch.$id=$e" } ++
-      effSchema.map(j => s"#schema=$j")
+      effSchema.map(j => s"#schema=$j") ++
+      effStats.toSeq.sortBy(_._1)
+        .map { case (rel, j) => s"#stats=$rel\t$j" }
     val body = ((version.toString +: headers) ++ files.sorted)
       .mkString("\n")
     // history copy FIRST, then the live flip. A crash between the two
@@ -700,8 +887,15 @@ object VersionedTable {
       writePending(spark, dir,
         pendingEntries(spark, dir) ++ retired.map(r => s"$dueAt:$r"))
     }
+    // data-skipping stats for the files this commit wrote — footer
+    // reads bounded by the commit's own file count, Try-guarded: a
+    // stats miss only costs future skipping, never the commit
+    val newStats =
+      if (!statsEnabled(spark)) Map.empty[String, String]
+      else newFiles.flatMap(rel =>
+        harvestStats(spark, dir, rel, df.schema).map(rel -> _)).toMap
     commitManifest(spark, dir, version, carryOver ++ newFiles, epoch,
-      schemaJson, retainOv)
+      schemaJson, retainOv, newStats)
     version
   }
 
@@ -891,11 +1085,23 @@ object VersionedTable {
                             extra: Option[DataFrame],
                             epoch: Option[(String, Long)] = None,
                             mergeSchema: Boolean = false,
-                            retainOv: Option[Long] = None): Long = {
-    val live = readManifest(spark, dir).map(_._2).getOrElse(
+                            retainOv: Option[Long] = None,
+                            probeKeys: Option[(Seq[String], DataFrame)]
+                              = None): Long = {
+    val lines = liveManifestLines(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir: init() first"))
-    val base = liveSchemaOf(spark, dir)
+    val live = lines.drop(1).filterNot(_.startsWith("#"))
+    val base = schemaOf(lines.drop(1))
     val liveDf = loadFiles(spark, dir, live, base)
+    // DATA SKIPPING (stats header notes): for a key-equality rewrite,
+    // the touch probe scans only files whose stats range can overlap
+    // the source keys — on a key-clustered table the probe reads about
+    // as few files as the rewrite touches, instead of the whole table
+    val probeFiles = probeKeys match {
+      case Some((keys, srcKeys)) => statsCandidates(spark, dir, live,
+        statsOf(lines.drop(1)), keys, srcKeys)
+      case None => live
+    }
     val (fs, root) = fsOf(spark, dir)
     // scheme-robust relativization: input_file_name() returns a URI
     // (possibly %-encoded, `file:///...`), manifest paths are raw and
@@ -904,7 +1110,8 @@ object VersionedTable {
     // touch zero files)
     val rootPath = fs.makeQualified(root).toUri.getPath
     val touchedAbs = touchRows(
-      liveDf.withColumn("_vt_file", input_file_name()))
+      loadFiles(spark, dir, probeFiles, base)
+        .withColumn("_vt_file", input_file_name()))
       .select("_vt_file").distinct().collect().map(_.getString(0))
     val touched = touchedAbs.map { f =>
       new java.net.URI(f).getPath.stripPrefix(rootPath).stripPrefix("/")
@@ -947,7 +1154,8 @@ object VersionedTable {
       prunedRewrite(spark, dir,
         touchRows = _.join(srcKeys, keys, "left_semi"),
         survivors = _.join(srcKeys, keys, "left_anti"),
-        extra = Some(src), mergeSchema = mergeSchema, retainOv = retain)
+        extra = Some(src), mergeSchema = mergeSchema, retainOv = retain,
+        probeKeys = Some((keys, srcKeys)))
     }
 
   /** DELETE WHERE `cond` (S10): only files holding a matching row are
@@ -983,7 +1191,7 @@ object VersionedTable {
         touchRows = _.join(parents, parentKeys, "left_semi"),
         survivors = _.join(parents, parentKeys, "left_anti"),
         extra = Some(recomputed), mergeSchema = mergeSchema,
-        retainOv = retain)
+        retainOv = retain, probeKeys = Some((parentKeys, parents)))
     }
 
   /** SMALL-FILE COMPACTION as a versioned commit: rewrite the live
@@ -1093,7 +1301,8 @@ object VersionedTable {
           touchRows = _.join(srcKeys, keys, "left_semi"),
           survivors = _.join(srcKeys, keys, "left_anti"),
           extra = Some(df), epoch = Some((streamId, batchId)),
-          mergeSchema = mergeSchema, retainOv = retain)
+          mergeSchema = mergeSchema, retainOv = retain,
+          probeKeys = Some((keys, srcKeys)))
       }
     }
 
@@ -1256,7 +1465,8 @@ object VersionedTable {
             pendingEntries(spark, dir) ++ retired.map(r => s"$dueAt:$r"))
         }
         commitManifest(spark, dir, newV, files,
-          schemaJson = schemaOf(lines).map(_.json), retainOv = retain)
+          schemaJson = schemaOf(lines).map(_.json), retainOv = retain,
+          newStats = statsOf(lines)) // restored files keep their stats
         newV
       }
     }

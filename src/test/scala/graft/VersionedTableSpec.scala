@@ -488,6 +488,72 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("data skipping: a point merge against a key-clustered table " +
+    "probes ONLY range-overlapping files — every out-of-range file is " +
+    "corrupted first, so a single stray read would throw") {
+    val dir = tmp()
+    val df = spark.range(0L, 1000L).select(col("id").as("k"),
+      (col("id") * 10).as("v"), (col("id") % 3).as("grp"))
+      .repartitionByRange(10, col("k"))
+    VersionedTable.init(spark, dir, df)
+    val v1Files = VersionedTable.readManifest(spark, dir).get._2
+    assert(v1Files.size >= 8, s"want ~10 range files, got $v1Files")
+    val holdsKey = v1Files.filter { f =>
+      spark.read.parquet(dir + "/" + f)
+        .filter(col("k") === 5L).count() > 0
+    }.toSet
+    assert(holdsKey.size === 1)
+    // tripwire: every file that cannot contain k=5 becomes unreadable
+    v1Files.filterNot(holdsKey).foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, f),
+        Array[Byte](1, 2, 3))
+    }
+    // pre-r14 the probe scanned ALL live files and this merge threw;
+    // with manifest stats the probe opens only the overlapping file
+    val v = VersionedTable.merge(spark, dir,
+      Seq((5L, 999L, 2L)).toDF("k", "v", "grp"), Seq("k"))
+    assert(v === 2L)
+    val v2Files = VersionedTable.readManifest(spark, dir).get._2
+    val fresh = v2Files.filterNot(v1Files.toSet)
+    assert(fresh.nonEmpty)
+    val freshDf = spark.read.parquet(fresh.map(dir + "/" + _): _*)
+    assert(freshDf.filter(col("k") === 5L && col("v") === 999L)
+      .count() === 1)
+    // the never-touched (corrupted) files carried over by reference
+    assert(v1Files.filterNot(holdsKey).forall(v2Files.contains))
+  }
+
+  test("data skipping changes no results: stats-on and stats-off " +
+    "tables agree after the same merge; all-null source keys probe " +
+    "nothing and insert cleanly") {
+    def build(statsOn: Boolean): Set[(Long, Long)] = {
+      val key = VersionedTable.FileStatsConf
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, statsOn.toString)
+      try {
+        val dir = tmp()
+        VersionedTable.init(spark, dir, base(200))
+        VersionedTable.merge(spark, dir,
+          Seq((7L, 700L, 1L), (500L, 1L, 2L)).toDF("k", "v", "grp"),
+          Seq("k"))
+        rows(VersionedTable.read(spark, dir))
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    assert(build(statsOn = true) === build(statsOn = false))
+    // all-null keys: the stats fast-path concludes no file can match
+    val dir = tmp()
+    VersionedTable.init(spark, dir, base(50))
+    val nullKeys = Seq((Option.empty[Long], 1L, 0L))
+      .toDF("k", "v", "grp")
+    VersionedTable.merge(spark, dir, nullKeys, Seq("k"))
+    val got = VersionedTable.read(spark, dir)
+    assert(got.count() === 51)
+    assert(got.filter(col("k").isNull).count() === 1)
+  }
+
   test("stream epochs are scoped per stream identity: a second stream's " +
     "batch 0 is NOT a replay, replay within an identity still skips, " +
     "and a compaction carries every identity's mark forward") {
