@@ -112,7 +112,12 @@ object PlanDump {
     // post-evolution read (carried-over files fill the new column as
     // NULL from the committed #schema — no footer inference, no
     // rewrite), and the streaming CDF consumer's downstream change log
-    "etl7_multi_table_txn", "etl8_schema_evolution", "st29_stream_cdf")
+    "etl7_multi_table_txn", "etl8_schema_evolution", "st29_stream_cdf",
+    // clustered-compaction + data-skipping merge: the served aggregate
+    // reads the post-merge snapshot; the interesting part (probe reads
+    // only stats-overlapping files) happens in the gate body and is
+    // tripwire-proved in VersionedTableSpec
+    "etl9_clustered_merge")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

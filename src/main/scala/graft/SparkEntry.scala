@@ -6487,6 +6487,35 @@ object SparkEntry {
       VersionedTable.read(s, tmp).orderBy("o_orderkey")
     }),
 
+    // etl9: CLUSTERED COMPACTION feeding DATA SKIPPING — the Delta
+    // OPTIMIZE ZORDER shape: a hash-spread destination (every file
+    // spans the whole key domain; per-file min/max can prune nothing)
+    // is rewritten by compact(clusterBy) into range-owned files, and
+    // the following small merge's touch probe skips every file whose
+    // committed #stats range misses the source keys. At 100 TB this is
+    // the difference between a point merge SCANNING the table to find
+    // its files and reading only the files it will rewrite.
+    "etl9_clustered_merge" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_vt_cluster").toString
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity").cast("long").as("l_quantity"))
+      VersionedTable.init(s, tmp, li.repartition(16)) // unclustered
+      VersionedTable.compact(s, tmp, targetFiles = 8,
+        clusterBy = Seq("l_orderkey"))
+      VersionedTable.merge(s, tmp,
+        li.filter(col("l_orderkey") % 500 === 1)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_quantity") * 7L).as("l_quantity")),
+        Seq("l_orderkey", "l_linenumber"))
+      VersionedTable.read(s, tmp)
+        .groupBy((col("l_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("bucket")
+    }),
+
     "etl4_table_time_travel" -> ((s, dir) => {
       val keep = Some(2L) // per-call retention, no session-conf races
       val tmp = java.nio.file.Files
@@ -13781,6 +13810,17 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT * FROM upd)
         | ORDER BY o_orderkey""".stripMargin,
+
+    "etl9_clustered_merge" ->
+      """WITH li AS (SELECT l_orderkey,
+        |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS l_quantity FROM lineitem),
+        | fin AS (SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 500 = 1 THEN l_quantity * 7
+        |         ELSE l_quantity END AS l_quantity FROM li)
+        |SELECT l_orderkey % 10 AS bucket, COUNT(*) AS n,
+        |       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |  FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "etl4_table_time_travel" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus

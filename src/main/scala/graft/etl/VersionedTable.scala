@@ -1202,11 +1202,26 @@ object VersionedTable {
     * accumulate one small file per batch-task, and at 100 TB the FILE
     * COUNT (listing, footers, task scheduling) becomes the bottleneck
     * before the bytes do. No-op (returns the current version) when the
-    * live set is already within target.
+    * live set is already within target — UNLESS `clusterBy` is given:
+    * a clustering request always rewrites.
+    *
+    * `clusterBy` = the Delta OPTIMIZE ZORDER analog, and data
+    * skipping's natural feeder: range-repartition + sort the rewrite by
+    * the given key columns, so each output file owns a tight, mostly
+    * disjoint key range and the per-file `#stats=` min/max the commit
+    * harvests make later [[merge]] probes skip all but the overlapping
+    * files. An unclustered table's per-file ranges each span the whole
+    * key domain and skipping can prune nothing — clustering is what
+    * turns the stats on. (Multi-column clusterBy range-partitions on
+    * the leading column and sorts within files by all of them —
+    * hierarchical locality; a space-filling-curve interleave is
+    * [[graft.ops.Bucketing]]'s z-order, composable by clustering on a
+    * precomputed z-value column.)
     */
   def compact(spark: SparkSession, dir: String,
               targetFiles: Int = 1,
-              retain: Option[Long] = None): Long =
+              retain: Option[Long] = None,
+              clusterBy: Seq[String] = Seq.empty): Long =
     withLock(spark, dir, "compact") {
       replayPending(spark, dir, retain)
       val (version, live) = readManifest(spark, dir).getOrElse(
@@ -1216,17 +1231,30 @@ object VersionedTable {
         if (parts.isEmpty) 1
         else live.map(_.split("/").dropRight(1).mkString("/"))
           .distinct.size)
-      if (live.size <= threshold) version
+      if (live.size <= threshold && clusterBy.isEmpty) version
       else {
         val liveDf = loadFiles(spark, dir, live, liveSchemaOf(spark, dir))
-        val rewritten =
-          if (parts.isEmpty) liveDf.repartition(targetFiles)
+        val rewritten = (parts, clusterBy) match {
+          case (Nil, Nil) => liveDf.repartition(targetFiles)
+          case (Nil, ks) => liveDf
+            .repartitionByRange(math.max(1, targetFiles),
+              ks.map(col): _*)
+            .sortWithinPartitions(ks.map(col): _*)
           // cluster by partition value so each task holds whole
           // partitions → targetFiles-ish files per directory, never a
           // per-task file in every directory
-          else liveDf.repartition(
+          case (ps, Nil) => liveDf.repartition(
             math.max(targetFiles, spark.sparkContext.defaultParallelism),
-            parts.map(col): _*)
+            ps.map(col): _*)
+          // partitioned + clustered: partition columns lead the range
+          // split so files stay whole-partition, clustering keys give
+          // the in-partition locality
+          case (ps, ks) =>
+            val cols = (ps ++ ks.filterNot(ps.contains)).map(col)
+            liveDf.repartitionByRange(
+              math.max(targetFiles, spark.sparkContext.defaultParallelism),
+              cols: _*).sortWithinPartitions(cols: _*)
+        }
         appendCommit(spark, dir, rewritten, Seq.empty, live,
           retainOv = retain)
       }

@@ -523,6 +523,35 @@ class VersionedTableSpec extends SparkSpec {
     assert(v1Files.filterNot(holdsKey).forall(v2Files.contains))
   }
 
+  test("clusterBy compaction turns skipping ON for an unclustered " +
+    "table: after the OPTIMIZE-style rewrite a point merge probes only " +
+    "the owning file (corrupt tripwire on every other file)") {
+    val dir = tmp()
+    // hash-spread init: every file spans the whole key domain, so
+    // stats alone can prune nothing
+    VersionedTable.init(spark, dir, base(400).repartition(8))
+    val v = VersionedTable.compact(spark, dir, targetFiles = 8,
+      clusterBy = Seq("k"))
+    assert(v === 2L, "clusterBy request must rewrite even at target")
+    val files = VersionedTable.readManifest(spark, dir).get._2
+    assert(files.size >= 4)
+    val holdsKey = files.filter { f =>
+      spark.read.parquet(dir + "/" + f)
+        .filter(col("k") === 5L).count() > 0
+    }.toSet
+    assert(holdsKey.size === 1, "clustered files must own disjoint ranges")
+    files.filterNot(holdsKey).foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, f),
+        Array[Byte](9, 9, 9))
+    }
+    VersionedTable.merge(spark, dir,
+      Seq((5L, 777L, 0L)).toDF("k", "v", "grp"), Seq("k"))
+    val fresh = VersionedTable.readManifest(spark, dir).get._2
+      .filterNot(files.toSet)
+    assert(spark.read.parquet(fresh.map(dir + "/" + _): _*)
+      .filter(col("k") === 5L && col("v") === 777L).count() === 1)
+  }
+
   test("data skipping changes no results: stats-on and stats-off " +
     "tables agree after the same merge; all-null source keys probe " +
     "nothing and insert cleanly") {
