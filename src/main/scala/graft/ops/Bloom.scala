@@ -42,6 +42,24 @@ object Bloom {
         org.apache.spark.sql.graft.ColumnBridge.expression(item),
         numHashes))
 
+  /** BIGINT-keyed build/probe pair (SplitMix64 double hashing, no md5):
+    * for join-key prefilters where the key is one long — the probe is a
+    * few multiplies per row, cheap enough for a 40M-row scan.
+    */
+  def bloomBuildLong(item: Column, numBits: Int, numHashes: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BloomFilterAggLong(
+        org.apache.spark.sql.graft.ColumnBridge.expression(item),
+        numBits, numHashes).toAggregateExpression())
+
+  def mightContainLong(filter: Column, item: Column,
+                       numHashes: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BloomMightContainLong(
+        org.apache.spark.sql.graft.ColumnBridge.expression(filter),
+        org.apache.spark.sql.graft.ColumnBridge.expression(item),
+        numHashes))
+
   /** Admit the increment rows whose `textCol` content does not already
     * exist in `corpus` (by md5 digest) — bloom prefilter, exact verify.
     * Equals the plain anti join row-for-row.

@@ -156,26 +156,86 @@ object Graph {
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val (_, oriented) = orientEdges(edges, srcCol, dstCol)
-    val w1 = oriented.select(col("u"), col("w").as("v1"), col("rw").as("r1"))
-    val w2 = oriented.select(col("u"), col("w").as("v2"), col("rw").as("r2"))
-    val wedges = w1.join(w2, Seq("u")).filter(col("r1") < col("r2"))
-      .select(col("v1"), col("v2"))
-    wedges.join(oriented.select(col("u").as("v1"), col("w").as("v2")),
-        Seq("v1", "v2"))
-      .agg(count(lit(1)).as("n_triangles"))
+    closedTriangles(oriented).agg(count(lit(1)).as("n_triangles"))
   }
 
-  /** Degree-ordered orientation shared by [[triangleCount]] and
-    * [[clusteringCoefficient]]: dedup'd undirected edges become the
-    * (degree, id)-oriented list. Returns (per-node degree table,
-    * oriented edges (u, w, rw) with rank(u) < rank(w)).
+  /** Closed triangles (u, v1, v2) from a severed oriented edge list —
+    * the wedge enumeration + closing join shared by [[triangleCount]],
+    * [[clusteringCoefficient]] and [[triangleIncidence]].
+    *
+    * The closing join is BLOOM-PREFILTERED (guide §3.2): wedges
+    * outnumber triangles by ~20× on the co-purchase gates (g17 at
+    * sf0.1: 41M wedges → 1.9M triangles), and without the prefilter
+    * every wedge row crosses the (v1,v2) exchange just to miss in the
+    * join. One `bloom_build_long` pass over the (already severed)
+    * oriented list yields a ~4 MiB filter that broadcasts via the d14
+    * one-row crossJoin pattern; the probe drops definitely-non-closing
+    * wedges INSIDE the wedge join's stage, before the exchange. Vertex
+    * ids are < 2^31 (orientEdges' rank-packing guard), so the (v1,v2)
+    * key packs into one BIGINT. False positives only add rows to the
+    * exact closing join — never false negatives — so the triangle set
+    * is unchanged. Sized ~16-32 bits/edge, capped at 2^27 bits (16 MiB
+    * broadcast): past ~8M edges the filter saturates gracefully (more
+    * false positives survive to the exact join, the result does not
+    * change).
+    */
+  private def closedTriangles(oriented: DataFrame): DataFrame = {
+    val w1 = oriented.select(col("u"), col("w").as("v1"), col("rw").as("r1"))
+    val w2 = oriented.select(col("u"), col("w").as("v2"), col("rw").as("r2"))
+    val nEdges = math.max(oriented.count(), 1L)
+    val numBits = math.min(1L << 27,
+      math.max(1L << 10, java.lang.Long.highestOneBit(nEdges) * 32L)).toInt
+    val numHashes = 5
+    val packed = (x: Column, y: Column) => x * 2147483648L + y
+    // the filter is COLLECTED and embedded as one literal (Spark's own
+    // runtime-filter shape) rather than attached via the d14 one-row
+    // crossJoin: a joined-in binary column is COPIED into every output
+    // UnsafeRow — 4 MiB × 41M wedges was measured catastrophically
+    // slower — while a literal is one reference per task. The collect
+    // is bounded by numBits/8 ≤ 16 MiB, never by data.
+    val bfBytes = oriented.agg(graft.ops.Bloom.bloomBuildLong(
+        packed(col("u"), col("w")), numBits, numHashes).as("__bf"))
+      .head().getAs[Array[Byte]](0)
+    val wedges = w1.join(w2, Seq("u")).filter(col("r1") < col("r2"))
+      .filter(graft.ops.Bloom.mightContainLong(lit(bfBytes),
+        packed(col("v1"), col("v2")), numHashes))
+      .select(col("u"), col("v1"), col("v2"))
+    wedges.join(oriented.select(col("u").as("v1"), col("w").as("v2")),
+        Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+  }
+
+  /** Degree-ordered orientation shared by [[triangleCount]],
+    * [[clusteringCoefficient]] and [[triangleIncidence]]: dedup'd
+    * undirected edges become the (degree, id)-oriented list. Returns
+    * (per-node degree table, oriented edges (u, w, rw) with
+    * rank(u) < rank(w)).
+    *
+    * BOTH the normalized edge set and the oriented list are severed
+    * (materialized, lineage cut) before fan-out: every caller reads
+    * `oriented` three times (the wedge self-join's two sides plus the
+    * triangle-closing probe), and without the sever each read re-ran
+    * the whole normalize → degree → two rank joins subtree — the r14
+    * executed plan showed the orientation computed TWICE end-to-end
+    * (once per wedge side, each with its own two degree aggregations),
+    * ~6 redundant exchanges over the edge set per triangle query
+    * (guide §2.4: remove shuffles outright; §5: reuse beats recompute
+    * when the reused frame is this hot). Severing also gives AQE real
+    * sizes for the downstream joins. `preNormalized = true` skips the
+    * normalize-and-sever when the caller already passes a severed,
+    * a<b-normalized, distinct edge set named (srcCol, dstCol) — kTruss
+    * does, and re-severing a severed RDD would double-materialize.
     */
   private def orientEdges(edges: DataFrame, srcCol: String,
-                          dstCol: String): (DataFrame, DataFrame) = {
-    val und = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+                          dstCol: String,
+                          preNormalized: Boolean = false): (DataFrame, DataFrame) = {
+    val und =
+      if (preNormalized) edges
+        .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else graft.Checkpoints.sever(edges
+        .select(least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
     val deg = und.select(col("a").as("v"))
       .union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -194,10 +254,10 @@ object Graph {
       .select(col("a"), col("b"),
         (col("da") * 2147483648L + inRange(col("a"))).as("ra"),
         (col("db") * 2147483648L + inRange(col("b"))).as("rb"))
-    val oriented = ranked.select(
+    val oriented = graft.Checkpoints.sever(ranked.select(
       when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
       when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("w"),
-      greatest(col("ra"), col("rb")).as("rw"))
+      greatest(col("ra"), col("rb")).as("rw")))
     (deg, oriented)
   }
 
@@ -218,13 +278,7 @@ object Graph {
   def clusteringCoefficient(edges: DataFrame, srcCol: String,
                             dstCol: String): DataFrame = {
     val (deg, oriented) = orientEdges(edges, srcCol, dstCol)
-    val w1 = oriented.select(col("u"), col("w").as("v1"), col("rw").as("r1"))
-    val w2 = oriented.select(col("u"), col("w").as("v2"), col("rw").as("r2"))
-    val wedges = w1.join(w2, Seq("u")).filter(col("r1") < col("r2"))
-      .select(col("u"), col("v1"), col("v2"))
-    val tris = wedges.join(
-        oriented.select(col("u").as("v1"), col("w").as("v2")),
-        Seq("v1", "v2"))
+    val tris = closedTriangles(oriented)
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_tri"))
     deg.join(tris, Seq("v"), "left")
@@ -465,11 +519,11 @@ object Graph {
     // recomputes the SOURCE-side lineage (for the gate, a lineitem
     // self-join) for each of its reads — degree count, two rank joins,
     // the anti-join probe; measured at sf0.1 and the 10x clone corpus
-    // this is ~1.9x end-to-end. Deliberately NOT persisting the
-    // oriented list inside the enumeration: reading it from a columnar
-    // cache three times lost to recomputing the (cheap, post-sever)
-    // orientation joins at 10x — the wedge join dominates and exchange
-    // reuse already covers its two identically-keyed sides.
+    // this is ~1.9x end-to-end. The oriented list is now severed INSIDE
+    // orientEdges (r14): the r14 executed plan showed the whole
+    // orientation subtree computed once per wedge side — the hoped-for
+    // exchange reuse never fired across the differing w1/w2
+    // projections — so the three reads each pay one RDD scan instead.
     var und = graft.Checkpoints.sever(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -510,13 +564,11 @@ object Graph {
     * of triangles.
     */
   private[graft] def triangleIncidence(und: DataFrame): DataFrame = {
-    val (_, oriented) = orientEdges(und, "a", "b")
-    val w1 = oriented.select(col("u"), col("w").as("v1"), col("rw").as("r1"))
-    val w2 = oriented.select(col("u"), col("w").as("v2"), col("rw").as("r2"))
-    val tri = w1.join(w2, Seq("u")).filter(col("r1") < col("r2"))
-      .join(oriented.select(col("u").as("v1"), col("w").as("v2")),
-        Seq("v1", "v2"))
-      .select(col("u"), col("v1"), col("v2"))
+    // callers pass a severed, normalized (a<b, distinct) edge set —
+    // skip the re-normalize (it cost a distinct exchange per read of
+    // the orientation subtree before orientEdges severed `oriented`)
+    val (_, oriented) = orientEdges(und, "a", "b", preNormalized = true)
+    val tri = closedTriangles(oriented)
     // One explode, not three tri projections: a union of three would
     // re-run the wedge join three times.
     val edge = (x: Column, y: Column) =>
