@@ -73,10 +73,17 @@ object Graph {
         e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
     pinned(withDeg, iterations) {
       val nodes = withDeg.select(col("src").as("id")).distinct()
-      val n = nodes.agg(count(lit(1)).as("n_nodes"))
+      // node count COLLECTED once (one row, bounded — the L6 discipline)
+      // instead of riding every round as a one-row broadcast: the old
+      // crossJoin(broadcast(n)) re-ran the nodes-distinct + count
+      // subtree in every round's severed job (guide §2.4 — an exchange
+      // per round for a value that cannot change after the edge list is
+      // pinned). Integer division of non-negative longs floors
+      // identically in Scala and SQL `div`, so scores are bit-identical.
+      val nNodes = math.max(1L, nodes.count())
       val teleportNum = Scale / 100 * (100 - damping) // e.g. 0.15 * Scale
-      var scores = nodes.crossJoin(broadcast(n))
-        .select(col("id"), expr(s"${Scale}L div n_nodes").as("score"))
+      var scores = nodes
+        .select(col("id"), lit(Scale / nNodes).as("score"))
         .transform(df => graft.Checkpoints.sever(df))
       for (_ <- 1 to iterations) {
         scores = withDeg
@@ -84,10 +91,8 @@ object Graph {
           .select(col("dst"),
             expr(s"(score * $damping div 100) div outdeg").as("contrib"))
           .groupBy("dst").agg(sum(col("contrib")).as("in_mass"))
-          .crossJoin(broadcast(n))
           .select(col("dst").as("id"),
-            (expr(s"${teleportNum}L div n_nodes") + col("in_mass"))
-              .as("score"))
+            (lit(teleportNum / nNodes) + col("in_mass")).as("score"))
           .transform(df => graft.Checkpoints.sever(df))
       }
       scores
@@ -118,14 +123,18 @@ object Graph {
     val withDeg = e.join(
         e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
     pinned(withDeg, iterations) {
-      val s = seeds.select(col(seedCol).as("id")).distinct()
-      val ns = s.agg(count(lit(1)).as("n_seeds"))
+      // seeds severed ONCE: the old lazy `teleport` re-ran the seed
+      // derivation (gate-side, an aggregation over the edge lineage)
+      // inside every round's union; the seed count is collected once
+      // (one row, bounded) instead of riding each round as a one-row
+      // broadcast — same flooring integer division, bit-identical.
+      val s = graft.Checkpoints.sever(
+        seeds.select(col(seedCol).as("id")).distinct())
+      val nSeeds = math.max(1L, s.count())
       val teleportNum = Scale / 100 * (100 - damping)
-      val teleport = s.crossJoin(broadcast(ns))
-        .select(col("id"), expr(s"${teleportNum}L div n_seeds").as("score"))
-      var scores = s.crossJoin(broadcast(ns))
-        .select(col("id"), expr(s"${Scale}L div n_seeds").as("score"))
-        .transform(df => graft.Checkpoints.sever(df))
+      val teleport = s.select(col("id"),
+        lit(teleportNum / nSeeds).as("score"))
+      var scores = s.select(col("id"), lit(Scale / nSeeds).as("score"))
       for (_ <- 1 to iterations) {
         val contrib = withDeg
           .join(scores, withDeg("src") === scores("id"))
@@ -872,24 +881,34 @@ object Graph {
     pinned(e, iterations) {
       val nodes = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct()
+      // The round's join+aggregate is severed BEFORE normalization:
+      // the old form aggregated `total` over the UNSEVERED round
+      // output, so every round's edges⋈scores + groupBy ran TWICE
+      // (once under the total aggregate, once under the normalized
+      // output — the r14 profile's first finding on g9). The total is
+      // then collected (one row, bounded) and the division becomes a
+      // literal — a lazy projection over the severed RDD, which the
+      // next round and the final join re-read for free. Same flooring
+      // `div` on non-negative values: bit-identical scores.
       def normalize(raw: DataFrame, vCol: String): DataFrame = {
-        val total = raw.agg(sum(col(vCol)).as("total"))
-        raw.crossJoin(broadcast(total))
-          .select(col("id"),
-            expr(s"$vCol div greatest(1L, total div ${Scale}L)").as(vCol))
+        val t = raw.agg(sum(col(vCol))).head()
+        val total = if (t.isNullAt(0)) 0L else t.getLong(0)
+        val divisor = math.max(1L, total / Scale)
+        raw.select(col("id"),
+          expr(s"$vCol div ${divisor}L").as(vCol))
       }
       var hubs = nodes.select(col("id"), lit(Scale).as("hub"))
         .transform(df => graft.Checkpoints.sever(df))
       var auths = nodes.select(col("id"), lit(0L).as("auth"))
       for (_ <- 1 to iterations) {
-        auths = normalize(
+        auths = normalize(graft.Checkpoints.sever(
           e.join(hubs, e("src") === hubs("id"))
-            .groupBy(e("dst").as("id")).agg(sum(col("hub")).as("auth")),
-          "auth").transform(df => graft.Checkpoints.sever(df))
-        hubs = normalize(
+            .groupBy(e("dst").as("id")).agg(sum(col("hub")).as("auth"))),
+          "auth")
+        hubs = normalize(graft.Checkpoints.sever(
           e.join(auths, e("dst") === auths("id"))
-            .groupBy(e("src").as("id")).agg(sum(col("auth")).as("hub")),
-          "hub").transform(df => graft.Checkpoints.sever(df))
+            .groupBy(e("src").as("id")).agg(sum(col("auth")).as("hub"))),
+          "hub")
       }
       // the final readout joins two SEVERED frames, so releasing the
       // edge-list pin before the caller's action never recomputes e —

@@ -935,16 +935,23 @@ object TextAnalysis {
     // dropped whole scripts from the keyword graph — on a multilingual
     // corpus the operator only saw its Latin slice. \p{L}\p{N} is the
     // Java-regex/RE2 common subset, so the DuckDB oracle replays it.
-    val toks0 = docs.filter(col(textCol).isNotNull)
+    // severed: the token table feeds BOTH the stopword aggregation and
+    // the anti-join side — unsevered, the tokenize + posexplode +
+    // unicode scrub over the whole corpus ran twice per query (r14
+    // profile; guide §2.4/§5 reuse). Same rows, bit-identical output.
+    val toks0 = graft.Checkpoints.sever(docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))))
       .select(col("doc_id"), col("pos"),
         regexp_replace(col("col"), "[^\\p{L}\\p{N}]", "").as("w"))
-      .filter(col("w") =!= "")
+      .filter(col("w") =!= ""))
     val stop = toks0.groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w")).limit(nStopwords)
       .select("w")
-    val runs = toks0.join(broadcast(stop), Seq("w"), "left_anti")
-      .withColumn("phrase_id", col("pos") - row_number().over(win))
+    // severed: read by the phrase aggregation AND the word-degree join
+    // below — each read re-ran the anti-join + per-doc window otherwise
+    val runs = graft.Checkpoints.sever(
+      toks0.join(broadcast(stop), Seq("w"), "left_anti")
+        .withColumn("phrase_id", col("pos") - row_number().over(win)))
     val phrases = runs.groupBy("doc_id", "phrase_id")
       .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("ws"))
       .select(col("doc_id"), col("phrase_id"),
