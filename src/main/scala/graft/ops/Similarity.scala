@@ -339,24 +339,50 @@ object Similarity {
     ivfQueryIndex(cells, cents, queries, idCol, vecCol, k, nProbe)
   }
 
-  /** Nearest-centroid assignment: a broadcast cross join against nCells
-    * rows IS the IVF contract (K dots per vector, map-only, no shuffle);
-    * ties break on centroid id so assignment is total and deterministic.
+  /** Nearest-centroid assignment — K dots per vector, MAP-ONLY. The
+    * centroid table (≤ nCells rows, the documented bounded scalar-read
+    * class) is collected and embedded as one array literal; each row
+    * scores it with the codegen fixed-point dot and keeps its `keep`
+    * best via an in-row array_sort + slice. The previous form
+    * (crossJoin(broadcast) + row_number window partitioned by the
+    * vector id) NEVER was map-only despite its contract: the window
+    * forced an exchange + sort of nCells× the scanned rows — at 100 TB
+    * a full index-sized shuffle per assignment pass, and locally the
+    * dominant cost of every IVF build/refresh (guide §2.4). Ordering
+    * matches the old window exactly — cosine desc, centroid id asc —
+    * for all non-NaN cosines, and zero-norm vectors (the only NaN
+    * source) do not exist under the normFp ≥ 1 fixed-point contract of
+    * real embeddings.
     */
   private def assignCells(df: DataFrame, cents: DataFrame, idC: String,
                           vecC: String, normC: String,
                           keep: Int, cellName: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idC))
-      .orderBy(col("__cent_cos").desc, col("cent_id"))
-    df.crossJoin(broadcast(cents))
-      .withColumn("__cent_cos",
-        cosineFromFp(dotFp(col(vecC), col("cent_vec")),
-          col(normC), col("cent_norm")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= keep)
+    val rows = cents
+      .select(col("cent_id"), col("cent_vec"), col("cent_norm"))
+      .collect()
+    if (rows.isEmpty)
+      // empty codebook assigns nothing — the old crossJoin's semantics
+      return df.select(col(idC), col(vecC), col(normC),
+          col(normC).as(cellName))
+        .filter(lit(false))
+    val centArr = array(rows.map { r =>
+      struct(lit(r.getLong(0)).as("cent_id"),
+        lit(r.getSeq[Float](1).toArray).as("cent_vec"),
+        lit(r.getLong(2)).as("cent_norm"))
+    }.toIndexedSeq: _*)
+    val scored = transform(centArr, c =>
+      struct(cosineFromFp(dotFp(col(vecC), c.getField("cent_vec")),
+          col(normC), c.getField("cent_norm")).as("cos"),
+        c.getField("cent_id").as("cent_id")))
+    val ranked = slice(array_sort(scored, (a, b) =>
+      when(a.getField("cos") > b.getField("cos"), -1)
+        .when(a.getField("cos") < b.getField("cos"), 1)
+        .when(a.getField("cent_id") < b.getField("cent_id"), -1)
+        .when(a.getField("cent_id") > b.getField("cent_id"), 1)
+        .otherwise(0)), 1, keep)
+    df.select(col(idC), col(vecC), col(normC), explode(ranked).as("__c"))
       .select(col(idC), col(vecC), col(normC),
-        col("cent_id").as(cellName))
+        col("__c.cent_id").as(cellName))
   }
 
   /** BUILD half of the IVF index — the artifact a serving system
@@ -1391,16 +1417,8 @@ object Similarity {
       .limit(nCells)
       .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec"),
         col("c_norm").as("cent_norm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("c_id"))
-      .orderBy(col("__cent_cos").desc, col("cent_id"))
-    val assigned = c0.crossJoin(broadcast(cents))
-      .withColumn("__cent_cos",
-        cosineFromFp(dotFp(col("c_vec"), col("cent_vec")),
-          col("c_norm"), col("cent_norm")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select(col("cent_id"))
+    val assigned = assignCells(c0, cents, "c_id", "c_vec", "c_norm",
+      1, "cent_id").select(col("cent_id"))
     val occ = assigned.groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
     val allCells = cents.select(col("cent_id"))
       .join(occ, Seq("cent_id"), "left")
