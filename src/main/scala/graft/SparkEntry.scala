@@ -5584,13 +5584,19 @@ object SparkEntry {
       def inSample(c: Column): Column =
         conv(substring(md5(c.cast("string")), 1, 1), 16, 10)
           .cast("long") < 8
+      // cand is consumed THREE times (global count, sampled count, the
+      // true-positive join) and truth twice — only the signature prep
+      // inside lshCandidatePairs is cached, so the band window +
+      // self-join + distinct re-ran per consumer (guide §2.4). One
+      // cache each; at 100 TB persist to storage.
       val cand = MinHashDedup.lshCandidatePairs(docs, "doc_id", "text",
-        k = 3, m = 16, nBands = 4, maxBucket = 1000)
+        k = 3, m = 16, nBands = 4, maxBucket = 1000).cache()
       val candS = cand.filter(inSample(col("id_a")) && inSample(col("id_b")))
       val truth = MinHashDedup.ngramJaccardPairs(
           docs.filter(inSample(col("doc_id"))).withColumn("__blk", lit(0)),
           "doc_id", "text", "__blk", k = 3, threshold = 0.3)
         .select("id_a", "id_b")
+        .cache()
       val tp = candS.join(truth, Seq("id_a", "id_b"))
       cand.agg(count(lit(1)).as("n_cand"))
         .crossJoin(candS.agg(count(lit(1)).as("n_cand_s")))

@@ -538,22 +538,45 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct())
     if (rounds >= 1) {
-      var inc = graft.Checkpoints.sever(triangleIncidence(und))
+      // The severed round state is the TRIANGLE set (one row per
+      // triangle, 3 cols), not the exploded (triangle, edge) incidence
+      // (3x the rows, 5 cols): the explode is pure map-side fan-out, so
+      // recomputing it from the severed triangles per round is a
+      // scan, while materializing it tripled every sever and dragged
+      // 5-col rows through the maintenance joins (guide §2.2: shuffle
+      // fewer bytes). r14 isolated A/B: g17 12.1 -> 9.0 s.
+      val (_, oriented) = orientEdges(und, "a", "b", preNormalized = true)
+      var tri = graft.Checkpoints.sever(closedTriangles(oriented))
+      val e = (x: Column, y: Column) =>
+        struct(least(x, y).as("a"), greatest(x, y).as("b"))
       for (r <- 1 to rounds) {
         // keep = edges whose surviving-triangle count clears k-2; an
         // edge with NO surviving triangle has no incidence row and
         // drops out — the same inner-join semantics as the oracle's
         // per-round support CTE (and as the old semi-join form)
         val keep = graft.Checkpoints.sever(
-          inc.groupBy("a", "b").agg(count(lit(1)).as("support"))
+          tri.select(explode(array(
+              e(col("u"), col("v1")),
+              e(col("u"), col("v2")),
+              e(col("v1"), col("v2")))).as("edge"))
+            .groupBy(col("edge.a").as("a"), col("edge.b").as("b"))
+            .agg(count(lit(1)).as("support"))
             .filter(col("support") >= k - 2).select("a", "b"))
         if (r < rounds) {
-          val removed = und.join(keep, Seq("a", "b"), "left_anti")
-          val destroyed = inc
-            .join(removed, Seq("a", "b"), "left_semi")
-            .select("tu", "tv1", "tv2").distinct()
-          inc = graft.Checkpoints.sever(
-            inc.join(destroyed, Seq("tu", "tv1", "tv2"), "left_anti"))
+          // a triangle survives iff ALL THREE edges survive — three
+          // semi joins against `keep` (triangle edges are always in
+          // `und`, so edge-in-keep == edge-not-removed; identical to
+          // the old removed/destroyed anti-join form). AQE broadcasts
+          // `keep` once it shrinks; the old form shuffled the exploded
+          // incidence twice more per round (semi + distinct + anti).
+          def alive(df: DataFrame, x: String, y: String): DataFrame = {
+            val kk = keep.select(col("a").as("__ka"), col("b").as("__kb"))
+            df.join(kk,
+              least(col(x), col(y)) === col("__ka") &&
+                greatest(col(x), col(y)) === col("__kb"), "left_semi")
+          }
+          tri = graft.Checkpoints.sever(
+            alive(alive(alive(tri, "u", "v1"), "u", "v2"), "v1", "v2"))
         }
         und = keep
       }
