@@ -71,9 +71,16 @@ object ConnectedComponents {
     */
   private def propagate(pairs: DataFrame, aCol: String, bCol: String,
                         maxRounds: Int): (DataFrame, Boolean) = {
-    val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Sever the pair list BEFORE the symmetrizing union (the
+    // stressCentrality lesson): the persisted union's two legs each
+    // re-ran the caller's pair lineage once at first materialization —
+    // for the dedup gates that lineage is the whole LSH band join +
+    // Jaccard verify, the most expensive subtree of the query
+    // (guide §2.4). One sever makes it one computation.
+    val p0 = graft.Checkpoints.sever(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    val edges = p0
+      .union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
     // Seed: every endpoint labels itself. The checkpoint also severs the
