@@ -117,7 +117,10 @@ object PlanDump {
     // reads the post-merge snapshot; the interesting part (probe reads
     // only stats-overlapping files) happens in the gate body and is
     // tripwire-proved in VersionedTableSpec
-    "etl9_clustered_merge")
+    "etl9_clustered_merge",
+    // r14 optimization round: the ensemble LSH dedup (its bucket table
+    // is now cached across the pair join's two sides)
+    "d7_lsh_ensemble")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -3412,9 +3412,17 @@ object SparkEntry {
             .cast("double") / (col("n_tokens") - 2).cast("double"))
         .filter(col("dup_frac") <= 0.2)
         .select("doc_id", "source", "text")
+      // Two caches pin the pipeline's fan-out points (guide §2.4):
+      // `cleaned` feeds both the decontamination gram explode and the
+      // anti-join base, `decontaminated` feeds both the domain-cap leg
+      // and the packing join — uncached, the whole upstream (corpus
+      // scan + shingle filters + paragraphDedup's two windows) re-ran
+      // once per leg, ~4 corpus scans per query. At 100 TB persist the
+      // two frames to storage between stages.
       val cleaned = Curation.paragraphDedup(qualified, "doc_id", "text",
           segWords = 8)
         .join(qualified.select("doc_id", "source"), Seq("doc_id"))
+        .cache()
       val contaminated = Curation.decontaminate(
           cleaned.select(col("doc_id"), col("clean_text")),
           bench.select(col("doc_id"), col("text").as("clean_text")),
@@ -3423,6 +3431,7 @@ object SparkEntry {
       val decontaminated = cleaned
         .join(contaminated, Seq("doc_id"), "left_anti")
         .withColumn("n_chars_clean", length(col("clean_text")))
+        .cache()
       val capped = Curation.domainCap(
           decontaminated, "source", "n_chars_clean", "doc_id", cap = 10)
         .select("doc_id")

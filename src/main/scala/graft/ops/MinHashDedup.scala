@@ -253,6 +253,12 @@ object MinHashDedup {
       .groupBy("s").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("df"), col("s"))
+    // Cache: consumed by BOTH prefix-join sides; the initial d22 plan
+    // carried two full copies of the rank-window + df-join subtree —
+    // the cache guarantees one compute instead of relying on runtime
+    // exchange reuse across differing projections (guide §2.4). Prefix
+    // volume is Σ(1−t)|s|, the small end of the pipeline; at 100 TB
+    // persist to storage.
     val prefixes = prepared
       .select(col(idCol), size(col("sh")).cast("long").as("sz"),
         explode(col("sh")).as("s"))
@@ -260,6 +266,7 @@ object MinHashDedup {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <=
         col("sz") - ceil(col("sz") * threshold) + lit(1L))
+      .cache()
     val pa = prefixes.select(col(idCol).as("id_a"), col("s"))
     val pb = prefixes.select(col(idCol).as("id_b"), col("s"))
     val cand = pa.join(pb, "s").filter(col("id_a") < col("id_b"))

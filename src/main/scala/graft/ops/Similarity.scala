@@ -2017,12 +2017,18 @@ object Similarity {
     val v = spread(vectors, idCol)
       .select(col(idCol), col(vecCol), normFp(col(vecCol)).as("norm_fp"))
       .cache()
+    // Cache: consumed by BOTH pair-join sides — without it the second
+    // side recomputes the bucket explode + cap window unless runtime
+    // exchange reuse happens to fire across the differing projections
+    // (guaranteed by the cache, not by the optimizer; guide §2.4).
+    // Locally flat, at 100 TB persist to storage.
     val buckets = capBuckets(
       v.select(col(idCol),
         posexplode(array((0 until nTables).map(t =>
           lshBucket(col(vecCol), nPlanes, t * nPlanes)): _*))
           .as(Seq("tbl", "bucket"))),
       maxBucket, Seq("tbl", "bucket"))
+      .cache()
     val left = buckets.select(col(idCol).as("id_a"), col("tbl").as("tbl_a"),
       col("bucket").as("bucket_a"))
     val right = buckets.select(col(idCol).as("id_b"), col("tbl").as("tbl_b"),
