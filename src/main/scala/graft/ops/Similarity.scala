@@ -356,15 +356,19 @@ object Similarity {
     */
   private def assignCells(df: DataFrame, cents: DataFrame, idC: String,
                           vecC: String, normC: String,
-                          keep: Int, cellName: String): DataFrame = {
+                          keep: Int, cellName: String,
+                          cosName: Option[String] = None): DataFrame = {
     val rows = cents
       .select(col("cent_id"), col("cent_vec"), col("cent_norm"))
       .collect()
-    if (rows.isEmpty)
+    if (rows.isEmpty) {
       // empty codebook assigns nothing — the old crossJoin's semantics
-      return df.select(col(idC), col(vecC), col(normC),
-          col(normC).as(cellName))
+      val base = df.select(col(idC), col(vecC), col(normC),
+        col(normC).as(cellName))
+      return cosName.fold(base)(n =>
+          base.withColumn(n, lit(0.0).cast("double")))
         .filter(lit(false))
+    }
     val centArr = array(rows.map { r =>
       struct(lit(r.getLong(0)).as("cent_id"),
         lit(r.getSeq[Float](1).toArray).as("cent_vec"),
@@ -380,9 +384,12 @@ object Similarity {
         .when(a.getField("cent_id") < b.getField("cent_id"), -1)
         .when(a.getField("cent_id") > b.getField("cent_id"), 1)
         .otherwise(0)), 1, keep)
-    df.select(col(idC), col(vecC), col(normC), explode(ranked).as("__c"))
-      .select(col(idC), col(vecC), col(normC),
-        col("__c.cent_id").as(cellName))
+    val exploded = df
+      .select(col(idC), col(vecC), col(normC), explode(ranked).as("__c"))
+    val base = exploded.select(col(idC), col(vecC), col(normC),
+      col("__c.cent_id").as(cellName))
+    cosName.fold(base)(n => exploded.select(col(idC), col(vecC),
+      col(normC), col("__c.cent_id").as(cellName), col("__c.cos").as(n)))
   }
 
   /** BUILD half of the IVF index — the artifact a serving system
@@ -1563,15 +1570,11 @@ object Similarity {
       .limit(nCells)
       .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec"),
         col("c_norm").as("cent_norm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("c_id"))
-      .orderBy(col("__cent_cos").desc, col("cent_id"))
-    val assigned = c0.crossJoin(broadcast(cents))
-      .withColumn("__cent_cos",
-        cosineFromFp(dotFp(col("c_vec"), col("cent_vec")),
-          col("c_norm"), col("cent_norm")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
+    // map-only nearest-centroid assignment (assignCells) — the previous
+    // crossJoin + per-vector window shuffled nCells× the corpus rows
+    // per k-means iteration (guide §2.4); ordering identical
+    val assigned = assignCells(c0, cents, "c_id", "c_vec", "c_norm",
+        1, "cent_id")
       .select(col("cent_id"), col("c_vec"))
     groupCentroids(assigned, "cent_id", "c_vec")
   }
@@ -1606,16 +1609,11 @@ object Similarity {
         normFp(col(vecCol)).as("v_norm"))
     val c = centroids.select(col("cent_id"), col("cent_vec"),
       normFp(col("cent_vec")).as("cent_norm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("v_id"))
-      .orderBy(col("__cos").desc, col("cent_id"))
-    v.crossJoin(broadcast(c))
-      .withColumn("__cos", cosineFromFp(dotFp(col("v_vec"), col("cent_vec")),
-        col("v_norm"), col("cent_norm")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select(col("v_id"), col("v_vec"), col("cent_id"),
-        col("__cos").as("cos"))
+    // map-only (assignCells, cos emitted): the crossJoin + per-vector
+    // window shuffled nCells× the corpus rows per Lloyd round
+    assignCells(v, c, "v_id", "v_vec", "v_norm", 1, "cent_id",
+        cosName = Some("cos"))
+      .select(col("v_id"), col("v_vec"), col("cent_id"), col("cos"))
   }
 
   /** Fixed-point squared L2 between two same-length float arrays, from the
@@ -1671,17 +1669,13 @@ object Similarity {
       .orderBy(md5(col("c_id").cast("string")), col("c_id")).limit(nCodes)
       .withColumn("code", row_number().over(wCode))
       .select(col("code"), subs(col("c_vec")).as(Seq("m", "cb_sub")))
-    // Index build: per (vector, subspace), the nearest codeword — map-only
-    // against the broadcast codebook.
-    val wEnc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("c_id"), col("m"))
-      .orderBy(col("__l2"), col("code"))
-    val codes = c0.select(col("c_id"), subs(col("c_vec")).as(Seq("m", "c_sub")))
-      .join(broadcast(codebook), "m")
-      .withColumn("__l2", l2Fp(col("c_sub"), col("cb_sub")))
-      .withColumn("__r", row_number().over(wEnc))
-      .filter(col("__r") === 1)
-      .select("c_id", "m", "code")
+    // Index build: per (vector, subspace), the nearest codeword —
+    // genuinely map-only now (pqEncode's in-row argmin; the old
+    // broadcast join + per-(vector, subspace) window shuffled
+    // mSub × nCodes × corpus rows).
+    val codes = pqEncode(
+      c0.select(col("c_id"), subs(col("c_vec")).as(Seq("m", "c_sub"))),
+      codebook, "c_id")
     // Per-query LUT: INNER PRODUCT of each query subvector with every
     // codeword — the MIPS flavor of ADC, matching the dot/cosine ranking
     // every other ANN path here uses (L2-ADC would rank by distance, a
@@ -1743,6 +1737,46 @@ object Similarity {
       (0 until mSub).map(m => slice(vec, m * dSub + 1, dSub)): _*))
   }
 
+  /** Map-only PQ ENCODE — nearest codeword per (vector, subspace) by
+    * (L2 asc, code asc): the codebook (≤ mSub × nCodes rows, the
+    * documented bounded scalar-read class) is collected and embedded
+    * as one per-subspace array literal; each (id, m, c_sub) row scores
+    * its own subspace's codewords with the codegen fixed-point L2 and
+    * keeps the argmin in-row. The previous form (broadcast join on m +
+    * row_number window partitioned by (vector, subspace)) forced an
+    * exchange + sort of mSub × nCodes × the corpus rows — at 100 TB a
+    * multiple-of-index-size shuffle inside every PQ build, exactly the
+    * assignCells finding (guide §2.4). Integer comparisons, so the
+    * selection is bit-identical to the old window's.
+    */
+  private def pqEncode(subs: DataFrame, codebook: DataFrame,
+                       idC: String): DataFrame = {
+    val rows = codebook.select(col("m"), col("code"), col("cb_sub"))
+      .collect()
+    if (rows.isEmpty)
+      // empty codebook encodes nothing — the old join's semantics
+      return subs.select(col(idC), col("m"), col("m").as("code"))
+        .filter(lit(false))
+    val byM = rows.groupBy(_.getInt(0))
+    val mMax = byM.keys.max
+    val cbArr = array((0 to mMax).map { m =>
+      array(byM(m).sortBy(_.getInt(1)).map { r =>
+        struct(lit(r.getInt(1)).as("code"),
+          lit(r.getSeq[Float](2).toArray).as("cb_sub"))
+      }.toIndexedSeq: _*)
+    }: _*)
+    val scored = transform(element_at(cbArr, col("m") + 1), cb =>
+      struct(l2Fp(col("c_sub"), cb.getField("cb_sub")).as("l2"),
+        cb.getField("code").as("code")))
+    val best = element_at(array_sort(scored, (a, b) =>
+      when(a.getField("l2") < b.getField("l2"), -1)
+        .when(a.getField("l2") > b.getField("l2"), 1)
+        .when(a.getField("code") < b.getField("code"), -1)
+        .when(a.getField("code") > b.getField("code"), 1)
+        .otherwise(0)), 1)
+    subs.select(col(idC), col("m"), best.getField("code").as("code"))
+  }
+
   /** BUILD half of the IVF-PQ index — the artifact a 100 TB deployment
     * actually PERSISTS: `(codes, cents, codebook)` where codes is
     * (c_id, m, code, c_cell) — mSub small integers per vector instead
@@ -1778,16 +1812,10 @@ object Similarity {
       .withColumn("code", row_number().over(wCode))
       .select(col("code"),
         pqSubs(col("c_vec"), dims, mSub).as(Seq("m", "cb_sub")))
-    val wEnc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("c_id"), col("m"))
-      .orderBy(col("__l2"), col("code"))
-    val codes = c0.select(col("c_id"),
-        pqSubs(col("c_vec"), dims, mSub).as(Seq("m", "c_sub")))
-      .join(broadcast(codebook), "m")
-      .withColumn("__l2", l2Fp(col("c_sub"), col("cb_sub")))
-      .withColumn("__r", row_number().over(wEnc))
-      .filter(col("__r") === 1)
-      .select("c_id", "m", "code")
+    val codes = pqEncode(
+      c0.select(col("c_id"), pqSubs(col("c_vec"), dims, mSub)
+        .as(Seq("m", "c_sub"))),
+      codebook, "c_id")
     (codes.join(cCells, "c_id"), cents, codebook)
   }
 
@@ -2095,16 +2123,10 @@ object Similarity {
       .limit(nCells)
       .select(col("v_id").as("cent_id"), col("v_vec").as("cent_vec"),
         col("v_norm").as("cent_norm"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("v_id"))
-      .orderBy(col("__cos").desc, col("cent_id"))
-    val cells = v0.crossJoin(broadcast(cents))
-      .withColumn("__cos", cosineFromFp(dotFp(col("v_vec"), col("cent_vec")),
-        col("v_norm"), col("cent_norm")))
-      .withColumn("__r", row_number().over(wAssign))
-      .filter(col("__r") === 1)
-      .select(col("v_id"), col("v_vec"), col("v_norm"),
-        col("cent_id").as("cell"))
+    // map-only assignment (assignCells) — was a crossJoin + per-vector
+    // window, an nCells× corpus shuffle before the graph even built
+    val cells = assignCells(v0, cents, "v_id", "v_vec", "v_norm",
+        1, "cell")
       .cache()
     val left = cells.select(col("v_id").as("id_a"), col("v_vec").as("vec_a"),
       col("v_norm").as("norm_a"), col("cell").as("cell_a"))
@@ -2230,18 +2252,11 @@ object Similarity {
       .limit(nCells)
       .select(col("v_id").as("cent_id"), col("v_vec").as("cent_vec"),
         col("v_norm").as("cent_norm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("v_id"))
-      .orderBy(col("__cos").desc, col("cent_id"))
-    val cells = v0.crossJoin(broadcast(cents))
-      .withColumn("__cos", cosineFromFp(dotFp(col("v_vec"), col("cent_vec")),
-        col("v_norm"), col("cent_norm")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select(col("v_id"), col("v_vec"), col("v_norm"),
-        col("cent_id").as("cell"))
-      // Cached: the assignment (a window over the full corpus) feeds BOTH
-      // sides of the pair join — without this it runs twice.
+    // map-only assignment (assignCells) — was a crossJoin + per-vector
+    // window (an nCells× corpus shuffle). Cached: the assignment feeds
+    // BOTH sides of the pair join — without this it runs twice.
+    val cells = assignCells(v0, cents, "v_id", "v_vec", "v_norm",
+        1, "cell")
       .cache()
     val left = cells.select(col("v_id").as("id_a"), col("v_vec").as("vec_a"),
       col("v_norm").as("norm_a"), col("cell").as("cell_a"))
